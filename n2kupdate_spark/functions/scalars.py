@@ -1,0 +1,54 @@
+"""Scalar helper columns shared across operators.
+
+All helpers stay JVM-side (built-in functions / higher-order functions) so
+they run inside whole-stage codegen — no Python boundary in the hot path
+(SURVEY.md §4 "vectorized execution").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ts_seconds(col: str | Column) -> Column:
+    """Epoch seconds (bigint) of a timestamp, truncated.
+
+    Oracle parity (SURVEY.md §7.4.3): the DuckDB mirror is
+    ``CAST(epoch(date_trunc('second', ts)) AS BIGINT)``. Timestamp→long in
+    Spark is epoch-microseconds floor-divided by 1e6, i.e. the same value.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("long")
+
+
+def _arr(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Dot product of two float arrays via higher-order functions (JVM-side;
+    no UDF). Arrays are cast to double first (SURVEY.md §7.4.2)."""
+    return F.aggregate(
+        F.zip_with(_arr(a), _arr(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: str | Column) -> Column:
+    """Euclidean norm of a float array (double math, JVM-side)."""
+    return F.sqrt(
+        F.aggregate(_arr(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity of two float arrays, computed in double.
+
+    Matches DuckDB ``list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])`` —
+    both fold left-to-right over the same doubles, so results agree to well
+    past the 4-decimal rounding used in oracle-facing queries.
+    """
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,148 @@
+"""The merge/upsert family — the reference's core semantics as pure
+DataFrame transforms.
+
+Reference analog (SURVEY.md §2 B11, §3.1): every n2kupdate ``store_*``
+function stages a batch then runs server-side merge SQL — insert-missing
+(anti-join), update-changed (SCD1), close-removed (SCD2 / set-replacement)
+— inside a transaction (⟨pub⟩ R/store_language.R, R/store_analysis.R,
+R/store_location_group_location.R [H/M]).
+
+Here each merge is a *pure function of (current_state, incoming_batch)*:
+  - idempotent: ``merge(merge(t, b), b) == merge(t, b)`` (tested),
+  - retry-safe and oracle-checkable (no side effects, no now()),
+  - executed as joins/unions, so Catalyst plans them and they scale with the
+    shuffle (no driver-side row loops — SURVEY.md §7.1 design rule).
+
+The JDBC execution of the same logic (staging table + server-side MERGE) is
+``n2kupdate_spark.sources.jdbc`` — that sink *uses* these semantics.
+
+Scale notes: every transform is key-partitioned joins + unions only. The
+incoming batch is typically ≪ target; Spark/AQE broadcast the small side
+automatically. ``merge_set_replace`` touches only groups present in the
+batch, so the common "replace one group's membership" case never rewrites
+unrelated groups' rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_scd1(target: DataFrame, incoming: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """SCD type-1 upsert: new keys inserted, existing keys' attributes
+    overwritten by the incoming row.
+
+    Reference: dimension-table INSERT-missing + UPDATE-changed pattern
+    (⟨pub⟩ R/store_language.R et al. [H]).
+    """
+    keys = list(keys)
+    kept = target.join(incoming.select(*keys), on=keys, how="left_anti")
+    return incoming.unionByName(kept)
+
+
+def merge_insert_ignore(target: DataFrame, incoming: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Append-only insert-if-absent: existing keys keep their *target* row.
+
+    Reference: versioned-entity append — analysis version chains are
+    append-only (⟨pub⟩ R/store_analysis.R [M]).
+    """
+    keys = list(keys)
+    new_rows = incoming.join(target.select(*keys), on=keys, how="left_anti")
+    return target.unionByName(new_rows)
+
+
+def merge_set_replace(
+    target: DataFrame, incoming: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Set-replacement membership merge: for every group present in the
+    incoming batch, the membership set is replaced wholesale; groups absent
+    from the batch are untouched.
+
+    Reference: ``store_location_group_location`` / ``store_species_group_species``
+    (⟨pub⟩ [M], SURVEY.md §2 B11 ``merge_set_replace``).
+    """
+    group_cols = list(group_cols)
+    touched = incoming.select(*group_cols).distinct()
+    untouched = target.join(touched, on=group_cols, how="left_anti")
+    return incoming.unionByName(untouched)
+
+
+def merge_scd2_close(
+    target: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    batch_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD type-2 / validity-window merge over membership rows.
+
+    ``target`` carries ``valid_from``/``valid_to`` (NULL = open); ``incoming``
+    is the new full key set. Open target rows absent from incoming are closed
+    at ``batch_ts``; keys new to the target are opened at ``batch_ts``;
+    matching open rows are untouched. Closed target rows pass through.
+
+    ``batch_ts`` is an explicit string literal, never now() — the reference
+    uses a destroy-timestamp; we make it a parameter so the merge is
+    deterministic and oracle-checkable (SURVEY.md §7.4.7).
+    """
+    keys = list(keys)
+    open_rows = target.filter(F.col(valid_to).isNull())
+    closed_rows = target.filter(F.col(valid_to).isNotNull())
+
+    still_open = open_rows.join(incoming.select(*keys), on=keys, how="left_semi")
+    to_close = open_rows.join(incoming.select(*keys), on=keys, how="left_anti").withColumn(
+        valid_to, F.lit(batch_ts)
+    )
+    opened = (
+        incoming.join(open_rows.select(*keys), on=keys, how="left_anti")
+        .withColumn(valid_from, F.lit(batch_ts))
+        .withColumn(valid_to, F.lit(None).cast("string"))
+    )
+    return still_open.unionByName(to_close).unionByName(opened.select(*still_open.columns))
+
+
+def full_outer_diff(
+    target: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    change_col: str = "change",
+) -> DataFrame:
+    """Full diff of incoming vs target: classify each key as
+    insert / update / delete / unchanged.
+
+    Reference: the union of the merge branches in every store function —
+    made explicit so a pipeline can route rows (SURVEY.md §2
+    ``join_full_outer_diff``).
+
+    Output: key columns + ``change`` + target/incoming values of the compared
+    columns (``<c>_old`` / ``<c>_new``).
+    """
+    keys = list(keys)
+    t = target.select(
+        *[F.col(k) for k in keys],
+        F.lit(1).alias("__in_target"),
+        *[F.col(c).alias(f"{c}_old") for c in compare_cols],
+    )
+    i = incoming.select(
+        *[F.col(k) for k in keys],
+        F.lit(1).alias("__in_incoming"),
+        *[F.col(c).alias(f"{c}_new") for c in compare_cols],
+    )
+    joined = t.join(i, on=keys, how="full")
+
+    changed: Column = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+
+    classify = (
+        F.when(F.col("__in_target").isNull(), F.lit("insert"))
+        .when(F.col("__in_incoming").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.withColumn(change_col, classify).drop("__in_target", "__in_incoming")

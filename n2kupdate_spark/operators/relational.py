@@ -1,0 +1,104 @@
+"""Relational operators Spark lacks as single built-ins: as-of join and
+keep-latest dedup, built from window functions so they scale with the shuffle.
+
+Reference anchors: "current analysis_version = latest version per analysis"
+(⟨pub⟩ R/store_analysis_version.R [M], SURVEY.md §2 B3/B4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence,
+) -> DataFrame:
+    """One row per key, keeping the first row under ``order_by`` (pass
+    descending columns for "latest"). ``order_by`` must be a total order
+    within each key for deterministic results (SURVEY.md §7.4.4).
+
+    Scale: single hash-partition shuffle on ``keys``; no join. Skewed keys
+    are handled by AQE; for pathological skew pre-aggregate with ``max_by``.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    right_tiebreak: str,
+) -> DataFrame:
+    """As-of join: each left row gets the payload of the most recent right
+    row with ``right_ts <= left_ts`` for the same key (left-outer semantics:
+    unmatched left rows keep NULL payloads).
+
+    Implementation is the *union + running last_value* formulation, not a
+    join: tag right rows side=0 and left rows side=1, sort each key partition
+    by (ts, side, tiebreak), and carry the latest non-null right payload
+    forward with ``last(ignorenulls=True)`` over an unbounded-preceding
+    frame. Right rows tied on ts resolve to the greatest ``right_tiebreak``.
+
+    Scale: one shuffle on the key, zero row explosion — the join+filter+
+    row_number formulation materializes every (left, right-earlier) pair,
+    which is quadratic per key; this is linear and is the standard
+    merge-as-of pattern at 100 TB.
+    """
+    on = list(on)
+    payload_cols = list(payload_cols)
+
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_tiebreak).alias("__tb"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+    left_cols = left.columns
+    l = left.select(
+        *left_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(dict(right.dtypes)[right_tiebreak]).alias("__tb"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__p_{c}")
+            for c in payload_cols
+        ],
+    )
+    # Align schemas: right side lacks left's columns.
+    for c in left_cols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.select(*l.columns)
+
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *unioned.columns,
+        *[
+            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(f"__carried_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *left_cols,
+        *[F.col(f"__carried_{c}").alias(c) for c in payload_cols],
+    )
+    return out

@@ -1,0 +1,207 @@
+"""B5 — aggregations (SURVEY.md §2 B5).
+
+``agg_group_sums`` is the flagship (TPC-H Q1 shape) — ``entry()`` runs it.
+All aggregation is Spark hash aggregation with map-side partial aggregation
+before the shuffle (Catalyst emits partial+final automatically); every
+computed double is rounded to 4 decimals for oracle parity (SURVEY.md §7.4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n2kupdate_spark.queries._registry import register
+from n2kupdate_spark.sources import load
+
+
+@register(
+    "agg_group_sums",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: pricing summary (TPC-H Q1 shape) over lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS nations,
+           COUNT(*) AS customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (expand+two-phase agg in Spark)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("nations"),
+            F.count(F.lit(1)).alias("customers"),
+        )
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++). The sketch
+    estimate differs across engines by design → rows-only check. At 100 TB
+    this replaces exact countDistinct wherever ±2% error is acceptable —
+    one pass, tiny fixed state, no expand."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+@register(
+    "agg_grouping_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS lvl,
+           ROUND(SUM(o_totalprice), 4) AS total,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (status → status×priority → grand total)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") + F.grouping("o_orderpriority")).alias("lvl"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "lvl",
+            "total",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "agg_grouping_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           GROUPING(l_returnflag) + GROUPING(l_linestatus) AS lvl,
+           ROUND(SUM(l_quantity), 4) AS qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations over two low-cardinality keys."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus")).alias("lvl"),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "lvl",
+            "qty",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "agg_filtered_pivot",
+    oracle="""
+    SELECT user_id,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'click'), 0), 4) AS click_value,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'purchase'), 0), 4) AS purchase_value,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS errors
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_filtered_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE/FILTER pivot) — one pass, no joins."""
+    e = load(spark, sf_dir, "events")
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    purch = F.when(F.col("event_type") == "purchase", F.col("value"))
+    err = F.when(F.col("event_type") == "error", 1)
+    return e.groupBy("user_id").agg(
+        F.round(F.coalesce(F.sum(click), F.lit(0.0)), 4).alias("click_value"),
+        F.round(F.coalesce(F.sum(purch), F.lit(0.0)), 4).alias("purchase_value"),
+        F.count(err).alias("errors"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .filter(F.col("cnt") >= 12)
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sorted distinct list (deterministic: sorted, distinct)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
+    )

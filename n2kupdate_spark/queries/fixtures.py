@@ -1,0 +1,72 @@
+"""Derived staging/target fixtures for the merge-family operators.
+
+The reference mutates a live PostgreSQL database; our merge operators are
+pure transforms, so "current state" and "incoming batch" are *derived
+identically in Spark and in the DuckDB oracle* from the customer table
+(FIXTURES.md §2) — that keeps every merge hash-checkable:
+
+- dim_target      : customers with c_custkey % 3 <> 0
+- dim_incoming    : customers with c_custkey % 2 = 0, acctbal bumped +10
+                    (overlap keys → the update branch; %6==0-ish keys → insert)
+- membership_*    : (grp=c_nationkey, member=c_custkey) pairs; incoming skips
+                    nations with c_nationkey % 5 == 1 so set-replacement has
+                    untouched groups.
+- BATCH_TS        : constant '2026-01-01 00:00:00' (never now() —
+                    SURVEY.md §7.4.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n2kupdate_spark.sources import load
+
+BATCH_TS = "2026-01-01 00:00:00"
+
+DIM_TARGET_SQL = "SELECT * FROM customer WHERE c_custkey % 3 <> 0"
+DIM_INCOMING_SQL = (
+    "SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal + 10, 2) AS c_acctbal, "
+    "c_mktsegment FROM customer WHERE c_custkey % 2 = 0"
+)
+MEMBERSHIP_TARGET_SQL = (
+    "SELECT c_nationkey AS grp, c_custkey AS member FROM customer WHERE c_custkey % 3 <> 0"
+)
+MEMBERSHIP_INCOMING_SQL = (
+    "SELECT c_nationkey AS grp, c_custkey AS member FROM customer "
+    "WHERE c_custkey % 2 = 0 AND c_nationkey % 5 <> 1"
+)
+
+
+def dim_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
+
+
+def dim_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") + 10, 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+
+
+def membership_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select(F.col("c_nationkey").alias("grp"), F.col("c_custkey").alias("member"))
+    )
+
+
+def membership_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 2 == 0) & (F.col("c_nationkey") % 5 != 1))
+        .select(F.col("c_nationkey").alias("grp"), F.col("c_custkey").alias("member"))
+    )

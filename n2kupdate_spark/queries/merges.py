@@ -1,0 +1,115 @@
+"""B11 — merge/upsert composite transforms (SURVEY.md §2 B11).
+
+The reference's soul: idempotent staged merges (insert-missing /
+update-changed / close-removed) re-expressed as pure DataFrame transforms
+over derived target/incoming fixtures (queries.fixtures), so the DuckDB
+oracle can reproduce the exact output state. The JDBC execution of the same
+semantics is sources/jdbc.py (smoke-tested; no database in the driver loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from n2kupdate_spark.operators import (
+    merge_insert_ignore,
+    merge_scd1,
+    merge_scd2_close,
+    merge_set_replace,
+)
+from n2kupdate_spark.queries import fixtures as FX
+from n2kupdate_spark.queries._registry import register
+
+
+@register(
+    "merge_scd1",
+    oracle=f"""
+    WITH target AS ({FX.DIM_TARGET_SQL}), incoming AS ({FX.DIM_INCOMING_SQL})
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM incoming
+    UNION ALL
+    SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
+    FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.c_custkey = t.c_custkey)
+    """,
+)
+def merge_scd1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 upsert: incoming wins on overlap, target rows otherwise
+    (⟨pub⟩ R/store_language.R insert+update pattern [H])."""
+    return merge_scd1(
+        FX.dim_target(spark, sf_dir), FX.dim_incoming(spark, sf_dir), keys=["c_custkey"]
+    )
+
+
+@register(
+    "merge_insert_ignore",
+    oracle=f"""
+    WITH target AS ({FX.DIM_TARGET_SQL}), incoming AS ({FX.DIM_INCOMING_SQL})
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM target
+    UNION ALL
+    SELECT i.c_custkey, i.c_name, i.c_nationkey, i.c_acctbal, i.c_mktsegment
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.c_custkey = i.c_custkey)
+    """,
+)
+def merge_insert_ignore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only insert-if-absent: target wins on overlap (version-chain
+    append, ⟨pub⟩ R/store_analysis.R [M])."""
+    return merge_insert_ignore(
+        FX.dim_target(spark, sf_dir), FX.dim_incoming(spark, sf_dir), keys=["c_custkey"]
+    )
+
+
+@register(
+    "merge_set_replace",
+    oracle=f"""
+    WITH t AS ({FX.MEMBERSHIP_TARGET_SQL}), i AS ({FX.MEMBERSHIP_INCOMING_SQL})
+    SELECT grp, member FROM i
+    UNION ALL
+    SELECT t.grp, t.member FROM t
+    WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.grp = t.grp)
+    """,
+)
+def merge_set_replace_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership replaced wholesale per group present in the batch; absent
+    groups untouched (⟨pub⟩ R/store_location_group_location.R [M])."""
+    return merge_set_replace(
+        FX.membership_target(spark, sf_dir),
+        FX.membership_incoming(spark, sf_dir),
+        group_cols=["grp"],
+    )
+
+
+@register(
+    "merge_scd2_close",
+    oracle=f"""
+    WITH t AS (SELECT grp, member, '2025-01-01 00:00:00' AS valid_from,
+                      CAST(NULL AS VARCHAR) AS valid_to
+               FROM ({FX.MEMBERSHIP_TARGET_SQL})),
+         i AS ({FX.MEMBERSHIP_INCOMING_SQL})
+    SELECT t.grp, t.member, t.valid_from,
+           CASE WHEN i.member IS NULL THEN '{FX.BATCH_TS}' ELSE NULL END AS valid_to
+    FROM t LEFT JOIN i ON t.grp = i.grp AND t.member = i.member
+    UNION ALL
+    SELECT i.grp, i.member, '{FX.BATCH_TS}' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+    FROM i
+    WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.grp = i.grp AND t.member = i.member)
+    """,
+)
+def merge_scd2_close_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-window merge: open rows absent from the batch are closed at
+    the explicit batch_ts; new keys open at batch_ts (destroy-timestamp
+    semantics, deterministic — SURVEY.md §7.4.7)."""
+    from pyspark.sql import functions as F
+
+    target = FX.membership_target(spark, sf_dir).select(
+        "grp",
+        "member",
+        F.lit("2025-01-01 00:00:00").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    return merge_scd2_close(
+        target,
+        FX.membership_incoming(spark, sf_dir),
+        keys=["grp", "member"],
+        batch_ts=FX.BATCH_TS,
+    )

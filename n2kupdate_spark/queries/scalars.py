@@ -1,0 +1,166 @@
+"""B9 — scalar function surface (SURVEY.md §2 B9).
+
+Reference analog: description normalization (trim/lower), spawn/validity
+timestamp handling, status classification in merge SQL (⟨pub⟩ R/store_*.R
+[M]). All expressions are JVM built-ins inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from n2kupdate_spark.queries._registry import register
+from n2kupdate_spark.sources import load
+
+
+@register(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lc,
+           substr(p_type, 1, 5) AS type5,
+           length(p_name) AS name_len,
+           concat_ws('/', p_brand, p_type) AS brand_type,
+           regexp_extract(p_brand, '[0-9]+', 0) AS brand_num
+    FROM part
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower/substr/length/concat_ws/regexp_extract (POSIX-simple regex —
+    SURVEY.md §7.4.6)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+    )
+
+
+@register(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/date_trunc/datediff over the order timestamp (UTC)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 1) AS price_r1,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           ABS(o_totalprice - 10000) AS dist_10k,
+           ROUND(ln(o_totalprice), 4) AS price_ln,
+           ROUND(sqrt(o_totalprice), 4) AS price_sqrt
+    FROM orders WHERE o_totalprice > 0
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/ceil/floor/abs/ln/sqrt (transcendentals rounded to 4dp)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 1).alias("price_r1"),
+        F.ceil("o_totalprice").cast("long").alias("price_ceil"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.abs(F.col("o_totalprice") - 10000).alias("dist_10k"),
+        F.round(F.log("o_totalprice"), 4).alias("price_ln"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+    )
+
+
+@register(
+    "scalar_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 100000 THEN 'large'
+                WHEN o_totalprice >= 10000 THEN 'medium'
+                ELSE 'small' END AS tier
+    FROM orders
+    """,
+)
+def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional classification (merge-SQL status branches)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 100000, "large")
+        .when(F.col("o_totalprice") >= 10000, "medium")
+        .otherwise("small")
+        .alias("tier"),
+    )
+
+
+@register(
+    "json_extract_field",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def json_extract_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed field extraction from a JSON string column (events.props)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "array_basic",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           ROUND(CAST(embedding[64] AS DOUBLE), 4) AS last_val
+    FROM embeddings
+    """,
+)
+def array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array length / element access over the embedding column (1-indexed in
+    both engines; floats cast to double then rounded)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(F.element_at("embedding", 64).cast("double"), 4).alias("last_val"),
+    )
+
+
+@register("map_from_json")  # rows-only: map<->json value parity is weak across engines
+def map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON props column into a typed MapType and look up a key."""
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))
+    return e.select(
+        "event_id",
+        m.alias("props_map"),
+        m.getItem("k").alias("k"),
+    )

@@ -1,0 +1,83 @@
+"""B1 — scans & sources (SURVEY.md §2 B1).
+
+Reference analog: each store function reads caller-provided frames and only
+the declared columns survive normalization (``character_df``-style coercion,
+⟨pub⟩ R/ internal helpers [M]). Here scans are parquet reads where Catalyst
+pushes projection and predicates into the format — `.explain()` shows
+ReadSchema (pruning) and PushedFilters; asserted in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from n2kupdate_spark.queries._registry import register
+from n2kupdate_spark.sources import load
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of a registered table (pass-through columns, no compute)."""
+    return load(spark, sf_dir, "part")
+
+
+@register(
+    "scan_prune_columns",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+)
+def scan_prune_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan reading only 3 of 11 lineitem columns — the projection reaches
+    the parquet reader (ReadSchema pruning)."""
+    return load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+
+@register(
+    "scan_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity < 5 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushed into the parquet scan (row-group stats pruning)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") < 5) & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+#: Deterministic CSV payload for source_csv (rows-only oracle: no view for it).
+_CSV_ROWS = [(i, f"name_{i}", round(i * 1.5, 2)) for i in range(1, 26)]
+
+
+@register("source_csv")  # rows-only: oracle views cover parquet tables only
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion with an explicit schema (no inference pass — at scale,
+    schema inference is a full read)."""
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    w.writerow(["id", "name", "score"])
+    w.writerows(_CSV_ROWS)
+    path = os.path.join(tempfile.gettempdir(), "n2kupdate_spark_source.csv")
+    with open(path, "w") as f:
+        f.write(buf.getvalue())
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", "true").csv(path)

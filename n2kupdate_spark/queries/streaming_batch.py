@@ -1,0 +1,128 @@
+"""B10 — streaming operators, batch-equivalent forms (SURVEY.md §2 B10).
+
+The reference has no streaming, but its purpose — incremental idempotent
+update — is exactly Structured Streaming + foreachBatch merge. These are the
+*batch* forms of the streaming aggregations (same logical plans Structured
+Streaming runs incrementally); the streaming execution itself (watermarks,
+dropDuplicatesWithinWatermark, foreachBatch upsert) lives in
+n2kupdate_spark/streaming/ and is smoke-tested in tests/test_streaming.py.
+
+Windowing math is done on epoch seconds so Spark's window() grid (epoch-
+aligned, UTC) and the oracle's arithmetic agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from n2kupdate_spark.functions import ts_seconds
+from n2kupdate_spark.queries._registry import register
+from n2kupdate_spark.sources import load
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour tumbling counts by event type (streaming: groupBy(window(ts,
+    '1 hour'), type) + watermark; identical logical agg here in batch)."""
+    e = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            ts_seconds(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 900) * 900 - g.k * 900 AS window_start_s,
+           COUNT(*) AS cnt
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) g
+    GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes: each event lands in exactly 4
+    windows. Spark uses native window(ts, '1h', '15m') (the streaming
+    operator); the oracle enumerates the 4 slide offsets arithmetically."""
+    e = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(ts_seconds(F.col("w.start")).alias("window_start_s"), "cnt")
+    )
+
+
+@register(
+    "stream_session_agg",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, value,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN ts_s - lag(ts_s) OVER w > 1800 OR lag(ts_s) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC)
+    ),
+    sessions AS (
+        SELECT *,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts_s) AS session_start_s,
+           MAX(ts_s) AS session_end_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap (streaming:
+    session_window(ts, '30 minutes'); here the deterministic lag+cumsum
+    formulation both engines share)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", ts_seconds("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_s").asc(), F.col("event_id").asc())
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_s") - F.lag("ts_s").over(w) > 1800) | F.lag("ts_s").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts_s").alias("session_start_s"),
+        F.max("ts_s").alias("session_end_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

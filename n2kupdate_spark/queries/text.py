@@ -1,0 +1,167 @@
+"""Part C — text-analysis operators over ``documents`` (SURVEY.md §2 C).
+
+LLM-data-pipeline surface mandated by the north star: tokenization, term
+stats, quality scoring, language ID, token counting, exact dedup. All
+hot-path expressions are JVM built-ins (split/explode/aggregates) — no
+Python in the row path; the fuzzy-dedup family lives in
+n2kupdate_spark/operators/dedup.py.
+
+Scale notes: explode(split(text)) is the one deliberate row-expander —
+at 100 TB, token-level aggregates shuffle on the token; term skew (stop
+words) is exactly what AQE skew handling + partial aggregation absorb, and
+partial (map-side) aggregation collapses each partition's counts before the
+shuffle, so shuffled bytes ∝ vocabulary, not corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from n2kupdate_spark.functions import fingerprint
+from n2kupdate_spark.queries._registry import register
+from n2kupdate_spark.sources import load
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """documents → one row per (doc, token); text is single-space separated."""
+    return df.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+
+@register(
+    "text_tokenize_counts",
+    oracle="""
+    SELECT term, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    """,
+)
+def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global term frequencies (tokenize → explode → count)."""
+    return _tokens(load(spark, sf_dir, "documents")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "text_top_terms_per_lang",
+    oracle="""
+    SELECT lang, term, cnt, rn
+    FROM (
+        SELECT lang, term, COUNT(*) AS cnt,
+               row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, term ASC) AS rn
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+        WHERE term <> ''
+        GROUP BY lang, term
+    ) WHERE rn <= 10
+    """,
+)
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per language (count + windowed rank, term tiebreak)."""
+    counts = (
+        _tokens(load(spark, sf_dir, "documents"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return counts.select("lang", "term", "cnt", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 10
+    )
+
+
+@register(
+    "text_stats_per_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           COUNT(DISTINCT lang) AS langs,
+           ROUND(AVG(length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def text_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats: doc count, avg length, language diversity,
+    avg token count (computed without exploding — counting separators)."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("langs"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS re_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts: whitespace split + a BPE-ish regex token class
+    (both engines share the POSIX-simple pattern)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), F.lit(0))).alias(
+            "re_tokens"
+        ),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(LEAST(n_chars / 500.0, 1.0), 4) AS len_score,
+           ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS distinct_ratio
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: length score, stopword ratio, lexical
+    diversity — the standard pre-training corpus filters, all JVM-side."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array([F.lit(s) for s in ("the", "a", "of", "and", "to")])
+    n = F.size(toks).cast("double")
+    return d.select(
+        "doc_id",
+        F.round(F.least(F.col("n_chars") / 500.0, F.lit(1.0)), 4).alias("len_score"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double") / n, 4
+        ).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 4).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "dedup_text_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
+    """,
+)
+def dedup_text_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup: md5(text) fingerprint, keep lowest doc_id per
+    hash (hash-groupBy — the exact-dedup baseline for corpus cleaning)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(["text"], "md5").alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    return d.select("doc_id", "fp", F.row_number().over(w).alias("__rn")).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")

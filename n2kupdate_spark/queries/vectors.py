@@ -1,0 +1,159 @@
+"""Part C — similarity search over ``embeddings`` (SURVEY.md §2 C).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant (operators/similarity.py) is the scale path. All dot/norm math uses
+JVM higher-order functions in double precision — no Python in the row path;
+scores are rounded to 4dp and tie-broken by vec_id on both engines
+(SURVEY.md §7.4.2/§7.4.4).
+
+Scale notes: brute force is O(Q·N) after broadcasting the Q query vectors —
+fine for small Q even at large N (it is one scan of N). For large Q·N, the
+LSH variant buckets both sides and only scores within-bucket pairs; the
+pairs-threshold op stays within-label (a self-join on the label key, never
+a global cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from n2kupdate_spark.functions import cosine, l2_norm
+from n2kupdate_spark.queries._registry import register
+from n2kupdate_spark.sources import load
+
+#: Query-vector selector shared by Spark and oracle: every 100th vec.
+_QUERY_PRED_SQL = "vec_id % 100 = 0"
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE {_QUERY_PRED_SQL})
+    SELECT q_id, vec_id AS neighbor_id, cos_sim, rn
+    FROM (
+        SELECT q.q_id, e.vec_id,
+               ROUND(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY ROUND(list_cosine_similarity(q.qv, e.v), 4) DESC, e.vec_id ASC
+               ) AS rn
+        FROM q CROSS JOIN e
+        WHERE e.vec_id <> q.q_id
+    ) WHERE rn <= 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors for each query vector. The query
+    side is broadcast; ordering is on the *rounded* score + vec_id so both
+    engines rank identically."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("qv", "v"), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.select("q_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 10
+    )
+
+
+@register(
+    "sim_pairs_threshold",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.25
+    """,
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All within-label pairs with cosine ≥ 0.25 (τ chosen at ~p99 of the
+    within-label similarity distribution). The label equi-key bounds the
+    self-join — no global cross product."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.25)
+    )
+
+
+@register(
+    "multimodal_doc_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(len(e.embedding) AS INT) AS dim,
+           ROUND(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))), 4) AS norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join text docs to their vectors (doc_id = vec_id) with combined
+    features. INNER join deliberately: at sf0.1 3,000 of 5,000 docs have no
+    vector (FIXTURES.md §3) — inner keeps the op scale-factor-portable."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id, "inner")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.size("embedding").alias("dim"),
+            F.round(l2_norm("embedding"), 4).alias("norm"),
+        )
+    )
+
+
+@register(
+    "embed_norm_stats",
+    oracle="""
+    WITH n AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(norm), 4) AS avg_norm,
+           ROUND(MIN(norm), 4) AS min_norm,
+           ROUND(MAX(norm), 4) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm aggregates (cluster geometry sanity stats)."""
+    e = load(spark, sf_dir, "embeddings").select("label", l2_norm("embedding").alias("norm"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("norm"), 4).alias("avg_norm"),
+        F.round(F.min("norm"), 4).alias("min_norm"),
+        F.round(F.max("norm"), 4).alias("max_norm"),
+    )

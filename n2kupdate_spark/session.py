@@ -1,0 +1,77 @@
+"""SparkSession factory + runtime tuning.
+
+Reference analog: ``connect_ut_db()`` (⟨pub⟩ R/connect_ut_db.R [M], SURVEY.md
+§2 Part A) — the one place connection/session setup lives. Here the "database"
+is Spark itself, so this module owns engine tuning instead of credentials.
+
+Scale notes (100 TB target, SURVEY.md §4):
+- AQE on: runtime re-planning (broadcast conversion, partition coalescing,
+  skew-join splitting) is the main lever when static stats are wrong at scale.
+- UTC session timezone: all timestamp semantics are instant-based; required
+  for oracle parity (SURVEY.md §7.4.3) and for cluster nodes in mixed zones.
+- shuffle partitions default 32 for local[32] testing; a real cluster run
+  should set this ~2-3× total cores or rely on AQE coalescing from a higher
+  initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+#: Configs that are safe to set on a live session (runtime-settable).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    # rejects outright; read it as nanosecond longs and convert in the loader
+    # (sources/catalog.py) — SURVEY.md §7.4.3.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) would otherwise load as
+    # TimestampNTZ; with a UTC session both readings denote the same instant
+    # and TimestampType keeps epoch-seconds math uniform across tables.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "n2kupdate-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return tune(spark)
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an externally created session.
+
+    The verification driver passes its *own* SparkSession into
+    ``entry()``/``queries()``; every query path calls this so oracle-facing
+    semantics (UTC, AQE) hold regardless of who built the session.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build: keep going
+    return spark

@@ -1,0 +1,72 @@
+"""Local replica of the driver's t2 gate: run every registered Spark query
+and its DuckDB oracle, compare row count + (sorted) schema + order-
+insensitive canonical values. Rows-only queries are just executed.
+
+Canonicalization mirrors SURVEY.md §7.4: floats compared at 4dp (queries
+already round), timestamps via isoformat, arrays recursively.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import numpy as np
+import pytest
+
+from n2kupdate_spark.queries import ORACLE, QUERIES
+
+
+def _canon_val(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        return f"{f:.4f}"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_val(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def canonical_rows(pdf):
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_val(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return cols, rows
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
+    sdf = QUERIES[name](spark, sf_dir)
+    spdf = sdf.toPandas()
+
+    if name not in ORACLE:
+        # rows-only contract: must execute and be deterministic across reruns
+        spdf2 = QUERIES[name](spark, sf_dir).toPandas()
+        assert len(spdf) == len(spdf2), f"{name}: nondeterministic row count"
+        return
+
+    opdf = oracle_con.execute(ORACLE[name]).fetchdf()
+    assert len(spdf) == len(opdf), (
+        f"{name}: row count {len(spdf)} (spark) != {len(opdf)} (oracle)"
+    )
+    s_cols, s_rows = canonical_rows(spdf)
+    o_cols, o_rows = canonical_rows(opdf)
+    assert s_cols == o_cols, f"{name}: columns {s_cols} != {o_cols}"
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
