@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf dir>}
+
+Execution is forced with the noop sink (full computation, no driver
+collect), so timings measure the engine, not result transfer. First a
+warm-up runs a trivial job to amortize JVM/codegen startup out of the
+per-query numbers — the 2× bench criterion should compare engine work,
+not JVM boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from n2kupdate_spark.queries import QUERIES  # noqa: E402
+from n2kupdate_spark.session import get_spark  # noqa: E402
+
+#: Headline set: one per operator family (SURVEY.md §2 B1-C).
+HEADLINE = [
+    "agg_group_sums",        # flagship TPC-H Q1 shape
+    "scan_filter_pushdown",  # pushdown scan
+    "join_star_multiway",    # 5-table snowflake join
+    "join_asof",             # union+window as-of
+    "merge_scd1",            # reference-core upsert
+    "merge_scd2_close",      # validity-window merge
+    "dedup_keep_latest",     # windowed dedup
+    "window_topn_per_group", # windowed rank
+    "topk_order_limit",      # global top-k
+    "agg_grouping_rollup",   # grouping sets
+    "stream_session_agg",    # sessionization (batch form)
+    "stream_sliding_counts", # sliding windows
+    "text_tokenize_counts",  # explode+count
+    "text_top_terms_per_lang",
+    "sim_cosine_topk",       # broadcast brute-force ANN baseline
+    "multimodal_doc_join",   # doc↔vector join
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="n2kupdate-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM + parquet footer caches, one tiny job.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
