@@ -1,0 +1,201 @@
+"""Fuzzy document deduplication: MinHash+LSH, SimHash, n-gram Jaccard.
+
+LLM-data-pipeline operators (SURVEY.md §2 Part C). All signature math is
+JVM-side (murmur hash + higher-order functions) — no Python in the row path;
+SimHash uses one Arrow-batched pandas UDF for the bit-twiddling Spark lacks.
+
+Scale design (the point of MinHash/SimHash at 100 TB):
+- exact pairwise Jaccard is O(n²); LSH reduces it to shuffles that are
+  linear in (docs × bands): signatures per doc, explode to bands,
+  equi-join on (band, band_hash) — candidates only collide within buckets.
+- the exact-verification join touches only candidate pairs, so its cost
+  follows the true duplicate density, not n².
+- signatures are deterministic (fixed seed, Spark murmur3) → idempotent
+  reruns, partition-order independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: MinHash parameters: K hashes, banded K = BANDS × ROWS_PER_BAND.
+MINHASH_K = 32
+MINHASH_BANDS = 16
+ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
+#: Mersenne prime 2^31-1. Shingle hashes are masked to 30 bits so
+#: a·x + b < 2^61 — no long overflow under ANSI mode.
+_MERSENNE_P = 2147483647
+_HASH_MASK = 0x3FFFFFFF
+
+
+def _hash_params(k: int = MINHASH_K, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_P - 1, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE_P - 1, size=k, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM higher-order fns)."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + off) for off in range(n)]
+            ),
+        )
+    )
+    return df.withColumn("shingles", grams).filter(F.size(w) >= n)
+
+
+def minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
+    """K-wide MinHash signature per document.
+
+    Shingles are murmur3-hashed to uint32 (Spark ``hash``), then each of the
+    K universal-hash permutations h_i(x) = (a_i·x + b_i) mod p takes its
+    array-min. Everything stays inside whole-stage codegen.
+    """
+    hashed = F.transform(
+        F.col(shingle_col), lambda s: F.hash(s).cast("long").bitwiseAND(F.lit(_HASH_MASK))
+    )
+    df = df.withColumn("__sh", hashed)
+    mins = [
+        F.array_min(
+            F.transform(F.col("__sh"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_P))
+        )
+        for a, b in _hash_params()
+    ]
+    return df.withColumn("sig", F.array(*mins)).drop("__sh")
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
+    """Banded LSH: explode signatures into (band_idx, band_hash) keys and
+    equi-join — only same-bucket documents become candidate pairs."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.hash(F.slice("sig", i * ROWS_PER_BAND + 1, ROWS_PER_BAND)).alias("band_hash"),
+            )
+            for i in range(MINHASH_BANDS)
+        ]
+    )
+    exploded = sig_df.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_hash"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, shingle_df: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard over candidate pairs (array_intersect on shingle sets).
+    The join is candidate-sized, not n² — this is the verify stage."""
+    s1 = shingle_df.select(F.col(id_col).alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = shingle_df.select(F.col(id_col).alias("id2"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", F.round(inter / union, 4).alias("jaccard"))
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → bucket-join →
+    exact-verify → near-duplicate pairs with Jaccard ≥ threshold."""
+    sh = word_shingles(docs.select(id_col, text_col), text_col)
+    sig = minhash_signature(sh)
+    cands = lsh_candidate_pairs(sig, id_col)
+    return exact_jaccard(cands, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 64
+#: Band layout for near-pair blocking: hamming ≤ SIMHASH_BANDS-1 guaranteed
+#: to collide on ≥1 band (pigeonhole).
+SIMHASH_BANDS = 8
+
+
+def simhash_signature(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF (the
+    per-bit majority vote has no Spark built-in). Token hashes are md5-based
+    → deterministic everywhere (never Python's salted hash())."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+            for tok in set(text.split(" ")):
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                )
+                bits = (h >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == np.uint64(1), 1, -1)
+            sig = int(((acc > 0).astype(np.uint64) << np.arange(SIMHASH_BITS, dtype=np.uint64)).sum())
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # to signed
+        return pd.Series(out, dtype="int64")
+
+    return df.select(id_col, simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig_df: DataFrame, id_col: str, max_hamming: int = 7
+) -> DataFrame:
+    """Candidate blocking on 8×8-bit bands (collision guaranteed for
+    hamming ≤ 7), then exact hamming filter via bit_count(xor)."""
+    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftrightunsigned(F.col("simhash"), i * band_w)
+                .bitwiseAND(F.lit((1 << band_w) - 1))
+                .alias("band_val"),
+            )
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
+    exploded = sig_df.select(id_col, "simhash", F.explode(bands).alias("b")).select(
+        id_col, "simhash", "b.band_idx", "b.band_val"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

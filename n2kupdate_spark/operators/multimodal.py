@@ -1,0 +1,95 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design (SURVEY.md §2 Part C / task north star): media travels as opaque
+``binary`` payload columns with typed metadata columns beside them; decode /
+feature-extraction / resize / frame-sampling run as Arrow-batched pandas
+functions over ``mapInPandas`` so each executor processes whole record
+batches without driver involvement.
+
+The container has no image/audio codecs, so the *decode kernel* is stubbed:
+``decode_image`` raises NotImplementedError unless ``fake=True``, in which
+case it derives deterministic pseudo-metadata from the payload bytes (md5-
+seeded), keeping every Spark-side contract — schema, batch iteration,
+partitioning — real and testable.
+
+Scale notes: payload bytes never pass through Python row-by-row (Arrow
+batches), never collect to the driver, and metadata-only queries prune the
+binary column at the parquet scan. At 100 TB, media payloads should live in
+their own parquet column chunk (large row groups) exactly so this pruning
+works.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of the decoded-image feature frame produced by decode_images().
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Derive a deterministic binary payload column from text (stand-in for
+    a real media column; same bytes every run → oracle-safe row counts)."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("png").alias("format"),
+    )
+
+
+def decode_image(payload: bytes, fmt: str, fake: bool = False) -> dict:
+    """Decode one image payload → metadata dict.
+
+    STUB: real decoding needs an image library this container doesn't ship.
+    ``fake=True`` derives deterministic pseudo-metadata from the bytes so the
+    pipeline around the kernel is fully exercisable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; pass fake=True "
+            "for deterministic pseudo-decode (see module docstring)"
+        )
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0] % 192  # 64..255, deterministic from content
+    height = 64 + digest[1] % 192
+    mean_luma = round(digest[2] / 255.0, 4)
+    return {
+        "n_bytes": len(payload),
+        "format": fmt,
+        "width": width,
+        "height": height,
+        "mean_luma": mean_luma,
+    }
+
+
+def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> DataFrame:
+    """mapInPandas decode: binary payload batches → typed feature rows.
+
+    The iterator-of-batches shape is the real contract: one Arrow batch in,
+    one out, constant memory per executor thread regardless of table size.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image(p, f, fake=fake) for p, f in zip(pdf["payload"], pdf["format"])]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out[[f.name for f in IMAGE_FEATURES_SCHEMA.fields]]
+
+    return df.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)

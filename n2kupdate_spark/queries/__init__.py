@@ -19,6 +19,9 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
     streaming_batch,
     text,
     vectors,
+    udfs,
+    dedupq,
+    ann,
 )
 
 __all__ = ["QUERIES", "ORACLE", "register"]

@@ -1,0 +1,62 @@
+"""Part C — approximate similarity search + multimodal queries.
+
+ANN variants are rows-only (bucketing layout is engine-specific); the exact
+brute-force baseline they approximate is oracle-checked in
+queries/vectors.py::sim_cosine_topk. The multimodal op runs the full binary-
+column decode pipeline with the deterministic fake kernel
+(operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n2kupdate_spark.operators.multimodal import attach_fake_payload, decode_images
+from n2kupdate_spark.operators.similarity import ivf_topk, rp_lsh_topk
+from n2kupdate_spark.queries._registry import register
+from n2kupdate_spark.sources import load
+
+
+def _vectors_and_queries(spark: SparkSession, sf_dir: str):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return e, q
+
+
+@register("sim_ann_lsh")  # rows-only: LSH recall is probabilistic by design
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-10 (same output shape as sim_cosine_topk;
+    deterministic seeded hyperplanes)."""
+    e, q = _vectors_and_queries(spark, sf_dir)
+    return rp_lsh_topk(e, q, "vec_id", "q_id", "v", "qv", k=10)
+
+
+@register("sim_ann_ivf")  # rows-only: centroid layout is engine-specific
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10: 16 seeded cells, one distributed Lloyd refinement,
+    nprobe=4."""
+    e, q = _vectors_and_queries(spark, sf_dir)
+    return ivf_topk(e, q, "vec_id", "q_id", "v", "qv", k=10)
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, 'png' AS format
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column pipeline: attach payload → mapInPandas decode →
+    typed features. The byte-length + format columns are content-derived and
+    oracle-checkable; width/height/mean_luma come from the stub kernel and
+    are covered by tests (deterministic md5-derived)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = attach_fake_payload(d, "doc_id", "text")
+    feats = decode_images(payloads, "doc_id", fake=True)
+    return feats.select("doc_id", "n_bytes", "format")

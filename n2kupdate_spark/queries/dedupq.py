@@ -1,0 +1,128 @@
+"""Part C — fuzzy dedup queries over ``documents`` / ``embeddings``.
+
+``dedup_ngram_jaccard`` is exact and SQL-mirrored (the correctness anchor);
+MinHash-LSH and SimHash are the scale paths (probabilistic candidate
+generation → rows-only checks, SURVEY.md §2 legend).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n2kupdate_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+    simhash_signature,
+    word_shingles,
+)
+from n2kupdate_spark.queries._registry import register
+from n2kupdate_spark.sources import load
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cand AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(inter / (len(s1.shingles) + len(s2.shingles) - inter), 4) AS jaccard
+    FROM cand
+    JOIN sh s1 ON s1.doc_id = id1
+    JOIN sh s2 ON s2.doc_id = id2
+    WHERE ROUND(inter / (len(s1.shingles) + len(s2.shingles) - inter), 4) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (≥ 0.1) via an inverted
+    shingle index — candidate pairs share ≥1 shingle, so the join cost
+    follows shingle collisions, never n²."""
+    sh = word_shingles(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sh.select(F.col("doc_id").alias("id1"), F.size("shingles").alias("n1"))
+    s2 = sh.select(F.col("doc_id").alias("id2"), F.size("shingles").alias("n2"))
+    jac = F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4)
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+@register("dedup_text_fuzzy")  # rows-only: LSH banding is engine-specific
+def dedup_text_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (Jaccard ≥ 0.5 after exact verification).
+    shingle → 32-min-hash signature → 16×2 bands → bucket join → verify."""
+    return minhash_dedup_pairs(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), threshold=0.5
+    )
+
+
+@register("dedup_simhash")  # rows-only: signature bit-layout is engine-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, 8×8-bit band blocking,
+    exact hamming ≤ 3 filter (blocking guarantees recall up to hamming 7)."""
+    sig = simhash_signature(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    return simhash_near_pairs(sig, "doc_id", max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+               ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+    )
+    SELECT drop_id, MIN(keep_id) AS rep_id
+    FROM pairs GROUP BY drop_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup removal: within each label, a vector with a
+    lower-id neighbor at cosine ≥ 0.3 is dropped in favor of that (minimum)
+    representative — the canonical-representative rule of corpus dedup."""
+    from n2kupdate_spark.functions import cosine
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("drop_id"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+    return pairs.groupBy("drop_id").agg(F.min("keep_id").alias("rep_id"))

@@ -16,7 +16,11 @@ Scale notes (100 TB target, SURVEY.md §4):
 
 from __future__ import annotations
 
+import hashlib
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -74,4 +78,39 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime conf on this build: keep going
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``n2kupdate_spark`` importable on executor Python workers.
+
+    The verification driver builds its session from an arbitrary cwd, so
+    workers unpickling our UDFs/UDTFs would otherwise hit
+    ``ModuleNotFoundError: n2kupdate_spark`` (observed live). Zip the package
+    (content-hashed name → re-adding is idempotent, edits get a fresh name)
+    and addPyFile it — the runtime equivalent of --py-files on a cluster.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_n2k_pkg_shipped", None):
+        return
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    srcs = sorted(pkg_dir.rglob("*.py"))
+    digest = hashlib.md5()
+    for p in srcs:
+        digest.update(str(p.relative_to(pkg_dir)).encode())
+        digest.update(p.read_bytes())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"n2kupdate_spark_{digest.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in srcs:
+                z.write(p, str(pathlib.Path("n2kupdate_spark") / p.relative_to(pkg_dir)))
+        os.replace(tmp, zpath)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already registered in this JVM from a prior module load
+    sc._n2k_pkg_shipped = True
