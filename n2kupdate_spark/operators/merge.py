@@ -102,7 +102,12 @@ def merge_scd2_close(
         .withColumn(valid_from, F.lit(batch_ts))
         .withColumn(valid_to, F.lit(None).cast("string"))
     )
-    return still_open.unionByName(to_close).unionByName(opened.select(*still_open.columns))
+    return (
+        closed_rows  # history rows pass through untouched
+        .unionByName(still_open)
+        .unionByName(to_close)
+        .unionByName(opened.select(*still_open.columns))
+    )
 
 
 def full_outer_diff(

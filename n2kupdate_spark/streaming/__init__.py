@@ -1,0 +1,13 @@
+from n2kupdate_spark.streaming.jobs import (
+    events_file_stream,
+    stream_dedup_within_watermark,
+    stream_tumbling_agg,
+    stream_upsert_foreachbatch,
+)
+
+__all__ = [
+    "events_file_stream",
+    "stream_dedup_within_watermark",
+    "stream_tumbling_agg",
+    "stream_upsert_foreachbatch",
+]

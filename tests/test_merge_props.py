@@ -1,0 +1,92 @@
+"""Property tests for the merge family — the reference's own test strategy
+(SURVEY.md §5.1): idempotence (storing the same batch twice is a no-op),
+branch coverage (insert/update/close), and junk-input validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from n2kupdate_spark.operators import (
+    full_outer_diff,
+    merge_insert_ignore,
+    merge_scd1,
+    merge_scd2_close,
+    merge_set_replace,
+)
+from n2kupdate_spark.queries import fixtures as FX
+from n2kupdate_spark.sources import load
+from n2kupdate_spark.sources.catalog import SchemaValidationError, validate_schema
+
+
+def _canon(df):
+    return sorted(map(tuple, df.toPandas().itertuples(index=False, name=None)))
+
+
+@pytest.mark.parametrize(
+    "merge_fn,kwargs",
+    [
+        (merge_scd1, {"keys": ["c_custkey"]}),
+        (merge_insert_ignore, {"keys": ["c_custkey"]}),
+    ],
+)
+def test_dim_merges_idempotent(spark, sf_dir, merge_fn, kwargs):
+    target = FX.dim_target(spark, sf_dir)
+    incoming = FX.dim_incoming(spark, sf_dir)
+    once = merge_fn(target, incoming, **kwargs)
+    twice = merge_fn(once, incoming, **kwargs)
+    assert _canon(once) == _canon(twice)
+
+
+def test_set_replace_idempotent(spark, sf_dir):
+    t = FX.membership_target(spark, sf_dir)
+    i = FX.membership_incoming(spark, sf_dir)
+    once = merge_set_replace(t, i, group_cols=["grp"])
+    twice = merge_set_replace(once, i, group_cols=["grp"])
+    assert _canon(once) == _canon(twice)
+
+
+def test_scd2_close_idempotent_and_branches(spark, sf_dir):
+    target = FX.membership_target(spark, sf_dir).select(
+        "grp",
+        "member",
+        F.lit("2025-01-01 00:00:00").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    incoming = FX.membership_incoming(spark, sf_dir)
+    once = merge_scd2_close(target, incoming, ["grp", "member"], FX.BATCH_TS)
+    # branches all exercised
+    pdf = once.toPandas()
+    closed = pdf[pdf.valid_to.notna()]
+    opened = pdf[(pdf.valid_from == FX.BATCH_TS) & pdf.valid_to.isna()]
+    kept = pdf[(pdf.valid_from == "2025-01-01 00:00:00") & pdf.valid_to.isna()]
+    assert len(closed) and len(opened) and len(kept)
+    # replay: closing again with the same batch changes nothing
+    twice = merge_scd2_close(once, incoming, ["grp", "member"], FX.BATCH_TS)
+    assert _canon(once) == _canon(twice)
+
+
+def test_full_outer_diff_covers_all_branches(spark, sf_dir):
+    diff = full_outer_diff(
+        FX.dim_target(spark, sf_dir),
+        FX.dim_incoming(spark, sf_dir),
+        keys=["c_custkey"],
+        compare_cols=["c_acctbal"],
+    )
+    kinds = {r["change"] for r in diff.select("change").distinct().collect()}
+    assert {"insert", "update", "delete"} <= kinds
+
+
+def test_validate_schema_rejects_junk(spark, sf_dir):
+    good = load(spark, sf_dir, "customer")
+    validate_schema(good, "customer")  # passes
+
+    with pytest.raises(SchemaValidationError, match="missing"):
+        validate_schema(good.drop("c_name"), "customer")
+    with pytest.raises(SchemaValidationError, match="unexpected"):
+        validate_schema(good.withColumn("junk", F.lit(1)), "customer")
+    with pytest.raises(SchemaValidationError, match="type mismatches"):
+        validate_schema(
+            good.withColumn("c_acctbal", F.col("c_acctbal").cast("string")), "customer"
+        )
