@@ -205,3 +205,50 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
     )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group (stddev/variance/covariance/
+    correlation) — single-pass partial+final aggregation in both engines;
+    rounded to 4dp to absorb summation-order float drift."""
+    l = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 4) AS p25,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE), 4) AS p50,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.90) AS DOUBLE), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both linear interpolation). Exact percentiles
+    sort within each group — at 100 TB prefer ``approx_percentile``
+    (KLL/GK sketch, mergeable, no sort); this is the correctness anchor."""
+    o = load(spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+    )

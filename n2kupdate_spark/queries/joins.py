@@ -259,3 +259,34 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS cnt,
+           ROUND(SUM(l.l_extendedprice), 4) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: the build side is replicated across SALT buckets
+    and the probe side routes by a deterministic salt (l_linenumber % S), so
+    one hot join key spreads over S shuffle partitions instead of one
+    straggler task. Same result as the plain join (the oracle) — salting is
+    a physical rewrite, not a semantic one. At 100 TB, AQE's skew-join
+    splitting does this adaptively; explicit salting is the static fallback
+    for when a key is *known* hot (e.g. the null/default key)."""
+    S = 8
+    l = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    o = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    salts = F.array(*[F.lit(i) for i in range(S)])
+    o_rep = o.withColumn("salt", F.explode(salts))
+    l_salted = l.withColumn("salt", (F.col("l_linenumber") % S).cast("int"))
+    return (
+        l_salted.join(o_rep, (F.col("l_orderkey") == F.col("o_orderkey")) & (l_salted.salt == o_rep.salt))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_extendedprice"), 4).alias("revenue"))
+    )

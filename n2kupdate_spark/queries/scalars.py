@@ -164,3 +164,29 @@ def map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.alias("props_map"),
         m.getItem("k").alias("k"),
     )
+
+
+@register(
+    "scalar_null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0) AS discount_or_flag,
+           CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END AS tax_free,
+           IFNULL(NULLIF(l_returnflag, 'N'), 'NONE') AS flag_norm
+    FROM lineitem
+    """,
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-propagation scalars (coalesce/nullif/ifnull) — the reference's
+    no-NA guards inverted: sentinel values become NULL then defaults."""
+    l = load(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_discount", "l_tax", "l_returnflag"],
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif("l_discount", F.lit(0.0)), F.lit(-1.0)).alias("discount_or_flag"),
+        F.when(F.nullif("l_tax", F.lit(0.0)).isNull(), 1).otherwise(0).alias("tax_free"),
+        F.ifnull(F.nullif("l_returnflag", F.lit("N")), F.lit("NONE")).alias("flag_norm"),
+    )

@@ -165,3 +165,93 @@ def dedup_text_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "fp", F.row_number().over(w).alias("__rn")).filter(
         F.col("__rn") == 1
     ).drop("__rn")
+
+
+#: Marker stopwords per language for the n-gram/token language-ID heuristic.
+#: Order fixes the argmax tiebreak (alphabetical, matching the oracle CASE).
+_LANG_MARKERS = {
+    "de": ("der", "die", "und", "das", "ist"),
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "de", "que", "y", "en"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({toks}))) AS INT)"
+        f" AS s_{lang}"
+    )
+
+
+@register(
+    "text_langid_ngram",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           s_de, s_en, s_es, s_fr
+    FROM (
+        SELECT doc_id, lang,
+               {_marker_sql("de")}, {_marker_sql("en")},
+               {_marker_sql("es")}, {_marker_sql("fr")}
+        FROM documents
+    )
+    """,
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-token scoring (n-gram heuristic, north-star
+    text-analysis surface): count per-language marker stopwords, argmax with
+    alphabetical tiebreak, 'und' when no marker hits. Entirely JVM-side
+    (split + higher-order filter); at 100 TB this is a pure map — no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    def _score(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _score(markers).alias(f"s_{lang}") for lang, markers in _LANG_MARKERS.items()}
+    scored = d.select("doc_id", "lang", *scores.values())
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in sorted(_LANG_MARKERS):
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id", "lang", pred.alias("pred_lang"), "s_de", "s_en", "s_es", "s_fr"
+    )
+
+
+@register(
+    "text_fingerprint_rolling",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(
+                   CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                                  t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))),
+               (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rolling-hash fingerprint (Karp–Rabin style fold over
+    tokens): fp = fold(tokens, 0, acc*31 + h(tok) mod 2^31-1) with
+    h = first 60 bits of md5 — identical arithmetic in both engines
+    (verified: same fp for the same text). Order-sensitive, unlike a bag
+    hash, so token reordering changes the fingerprint. Pure map at scale."""
+    d = load(spark, sf_dir, "documents")
+    hashes = F.transform(
+        F.split("text", " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(31) + h) % F.lit(2147483647),
+    )
+    return d.select("doc_id", fp.alias("fp"))

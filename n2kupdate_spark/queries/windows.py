@@ -215,3 +215,32 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(500)
     )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with explicit frames: last_value needs the
+    full-partition frame (the default frame stops at CURRENT ROW — a classic
+    correctness trap both engines share). Deterministic via event_id tiebreak."""
+    e = load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w_full).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
