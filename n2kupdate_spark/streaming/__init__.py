@@ -1,6 +1,7 @@
 from n2kupdate_spark.streaming.jobs import (
     events_file_stream,
     stream_dedup_within_watermark,
+    stream_stateful_sessions,
     stream_tumbling_agg,
     stream_upsert_foreachbatch,
 )
@@ -8,6 +9,7 @@ from n2kupdate_spark.streaming.jobs import (
 __all__ = [
     "events_file_stream",
     "stream_dedup_within_watermark",
+    "stream_stateful_sessions",
     "stream_tumbling_agg",
     "stream_upsert_foreachbatch",
 ]

@@ -62,3 +62,39 @@ def test_asof_join_has_no_join_explosion(spark, sf_dir):
     plan = explain_str(df)
     assert "Join" not in plan, plan
     assert "Window" in plan
+
+
+def test_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    """sink_parquet smoke (SURVEY.md §2 B1): write the flagship result,
+    read it back identical (schema + values survive the round trip)."""
+    out = str(tmp_path / "q1_out")
+    df = QUERIES["agg_group_sums"](spark, sf_dir)
+    df.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    # parquet normalizes nullability flags; names + types must survive
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Partition pruning (SURVEY.md §4): a date-partitioned layout read with
+    an equality filter must scan only the matching partition directories —
+    at 100 TB this is the difference between one day and the whole table."""
+    from n2kupdate_spark.sources import load
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "events_by_day")
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(out)
+
+    one_day = ev.select("event_date").distinct().orderBy("event_date").first()[0]
+    read = spark.read.parquet(out).filter(F.col("event_date") == F.lit(one_day))
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan[:2000]
+    # pruned scan returns exactly that day's rows
+    expected = ev.filter(F.col("event_date") == F.lit(one_day)).count()
+    assert read.count() == expected
