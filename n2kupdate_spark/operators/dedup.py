@@ -40,15 +40,18 @@ def _hash_params(k: int = MINHASH_K, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (JVM higher-order fns)."""
+    """Distinct word n-gram shingles per document (JVM higher-order fns).
+
+    Built by zipping n shifted slices of the token array rather than
+    ``element_at`` lookups inside a lambda: expressions in a HOF lambda are
+    re-evaluated per *element* (no common-subexpression elimination there),
+    which made the original ``element_at(split(text), i+k)`` formulation
+    O(tokens²) per document — measured 10× slower at sf0.1."""
     w = F.split(F.col(text_col), " ")
+    n_grams = F.size(w) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(w, 1 + off, n_grams).alias(f"w{off}") for off in range(n)])
     grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + off) for off in range(n)]
-            ),
-        )
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"w{off}"] for off in range(n)]))
     )
     return df.withColumn("shingles", grams).filter(F.size(w) >= n)
 
@@ -145,16 +148,30 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str = "text") -> Dat
 
     @pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        # Natural-language vocabularies are Zipfian: memoize token → ±1 bit
+        # vector so md5 + bit expansion run once per distinct token per
+        # worker, not once per occurrence (capped to bound executor memory).
+        cache: dict[str, np.ndarray] = {}
+
+        def tok_vec(tok: str) -> np.ndarray:
+            v = cache.get(tok)
+            if v is None:
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                )
+                bits = (h >> shifts) & np.uint64(1)
+                v = np.where(bits == np.uint64(1), 1, -1).astype(np.int64)
+                if len(cache) < 1 << 16:
+                    cache[tok] = v
+            return v
+
         out = []
         for text in texts:
             acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
             for tok in set(text.split(" ")):
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-                )
-                bits = (h >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == np.uint64(1), 1, -1)
-            sig = int(((acc > 0).astype(np.uint64) << np.arange(SIMHASH_BITS, dtype=np.uint64)).sum())
+                acc += tok_vec(tok)
+            sig = int(((acc > 0).astype(np.uint64) << shifts).sum())
             out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # to signed
         return pd.Series(out, dtype="int64")
 

@@ -23,6 +23,7 @@ signature/assignment computed in one scan, candidates shuffled by bucket id
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -39,28 +40,23 @@ def _hyperplanes(dim: int, seed: int = 7) -> np.ndarray:
     return rng.normal(size=(RP_BANDS * RP_BITS, dim))
 
 
-def _band_keys(vec_col: str, planes: np.ndarray):
-    """Per-band integer bucket keys from sign projections (JVM HOF dot)."""
-    keys = []
-    for band in range(RP_BANDS):
-        bits = []
-        for i in range(RP_BITS):
-            plane = planes[band * RP_BITS + i]
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in plane]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        key = bits[0]
-        for b in bits[1:]:
-            key = key + b
-        keys.append(key)
-    return keys
+def _band_keys_vec(planes: np.ndarray):
+    """Arrow-batched band keys: one matmul per batch against all
+    bands × bits hyperplanes, sign bits packed into per-band ints.
+    (The original per-plane HOF dot re-evaluated an interpreted fold
+    32× per vector — the matmul is one BLAS call per batch.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    weights = (1 << np.arange(RP_BITS, dtype=np.int64))  # bit weights per band
+
+    @pandas_udf("array<int>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        signs = (V @ planes.T) >= 0  # n × (bands·bits)
+        keys = (signs.reshape(len(V), RP_BANDS, RP_BITS) * weights).sum(axis=2)
+        return pd.Series(list(keys.astype(np.int32)))
+
+    return band_keys
 
 
 def rp_lsh_topk(
@@ -79,16 +75,11 @@ def rp_lsh_topk(
     rn) so callers can swap exact↔approximate."""
     planes = _hyperplanes(dim)
 
+    band_keys = _band_keys_vec(planes)
+
     def explode_bands(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        keys = _band_keys(vc, planes)
-        bands = F.array(
-            *[
-                F.struct(F.lit(i).alias("band_idx"), keys[i].alias("band_key"))
-                for i in range(RP_BANDS)
-            ]
-        )
-        return df.select(idc, vc, F.explode(bands).alias("b")).select(
-            idc, vc, "b.band_idx", "b.band_key"
+        return df.select(
+            idc, vc, F.posexplode(band_keys(F.col(vc))).alias("band_idx", "band_key")
         )
 
     v_b = explode_bands(vectors, id_col, vec_col)
@@ -139,20 +130,18 @@ def ivf_topk(
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
     def cell_scores(vc: str, centroids: np.ndarray):
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vc),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in centroids
-            ]
-        )
+        """Arrow-batched per-cell dot products: one matmul per batch
+        (was n_cells interpreted HOF folds per vector)."""
+        from pyspark.sql.functions import pandas_udf
+
+        C = centroids.copy()
+
+        @pandas_udf("array<double>")
+        def scores(vecs: pd.Series) -> pd.Series:
+            V = np.stack(vecs.to_numpy()).astype(np.float64)
+            return pd.Series(list(V @ C.T))
+
+        return scores(F.col(vc))
 
     def best_cell(vc: str, centroids: np.ndarray):
         scores = cell_scores(vc, centroids)
@@ -210,3 +199,112 @@ def ivf_topk(
     return scored.select(
         "q_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= k)
+
+
+def pairwise_cosine_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    block: int = 2048,
+) -> DataFrame:
+    """All within-group pairs (id1 < id2) with ROUND(cosine, 4) >= tau,
+    scored by blocked numpy matmul inside ``applyInPandas``.
+
+    The HOF ``aggregate``/``zip_with`` cosine is an interpreted per-element
+    fold — fine for thousands of pairs, 10-100× too slow for the O(Σ n_g²)
+    pair counts of near-dup detection (measured 4.3s → <1s at sf0.1).
+    Row-chunked matmul keeps peak memory at block × n_g doubles; the group
+    itself must fit in one Arrow batch (applyInPandas contract), so at
+    100 TB bound group sizes first (LSH banding / second-level salting).
+    """
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "cos_sim": []})
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        U = V / norms[:, None]
+        ids = pdf[id_col].to_numpy()
+        out_i, out_j, out_s = [], [], []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            S = np.round(U[lo:hi] @ U.T, 4)
+            for r in range(hi - lo):
+                i = lo + r
+                js = np.nonzero(S[r, i + 1 :] >= tau)[0] + i + 1
+                if len(js):
+                    out_i.extend([ids[i]] * len(js))
+                    out_j.extend(ids[js])
+                    out_s.extend(S[r, js])
+        return pd.DataFrame({"id1": out_i, "id2": out_j, "cos_sim": out_s})
+
+    def score_group(pdf):
+        return score(pdf).assign(**{group_col: pdf[group_col].iloc[0]})
+
+    return (
+        df.select(group_col, id_col, vec_col)
+        .groupBy(group_col)
+        .applyInPandas(
+            score_group, schema=f"id1 long, id2 long, cos_sim double, {group_col} int"
+        )
+    )
+
+
+def brute_topk_matmul(
+    vectors: DataFrame,
+    query_rows: list,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k, vectorized: the (small) query matrix
+    rides along in the closure (broadcast by Spark's task serializer); each
+    Arrow batch of vectors is scored with one matmul and contributes only
+    its per-batch top-k per query — a valid prefilter (global top-k under
+    (score desc, id asc) is contained in the union of per-batch top-k under
+    the same order), so the final window sees ~batches × Q × k rows, not
+    N × Q. Returns (q_id, neighbor_id, cos_sim) candidates; caller ranks."""
+    import pandas as pd
+
+    q_ids = np.array([r[0] for r in query_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in query_rows])
+    Qn = np.linalg.norm(Q, axis=1)
+    Qn[Qn == 0] = 1.0
+    Q = Q / Qn[:, None]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            norms[norms == 0] = 1.0
+            U = V / norms[:, None]
+            ids = pdf[id_col].to_numpy()
+            S = np.round(Q @ U.T, 4)  # Q_count × batch
+            for qi in range(len(q_ids)):
+                row = S[qi]
+                mask = ids != q_ids[qi]
+                cand_ids, cand_s = ids[mask], row[mask]
+                if len(cand_ids) > k:
+                    # top-k by (score desc, id asc): lexsort on (-score, id)
+                    order = np.lexsort((cand_ids, -cand_s))[:k]
+                else:
+                    order = np.arange(len(cand_ids))
+                yield pd.DataFrame(
+                    {
+                        "q_id": q_ids[qi],
+                        "neighbor_id": cand_ids[order],
+                        "cos_sim": cand_s[order],
+                    }
+                )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        score, schema="q_id long, neighbor_id long, cos_sim double"
+    )

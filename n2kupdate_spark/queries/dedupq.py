@@ -104,25 +104,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup removal: within each label, a vector with a
     lower-id neighbor at cosine ≥ 0.3 is dropped in favor of that (minimum)
-    representative — the canonical-representative rule of corpus dedup."""
-    from n2kupdate_spark.functions import cosine
+    representative — the canonical-representative rule of corpus dedup.
+    Pair scoring is the blocked-matmul group scorer (see
+    sim_pairs_threshold), not a per-pair HOF fold."""
+    from n2kupdate_spark.operators.similarity import pairwise_cosine_by_group
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("keep_id"),
-            F.col("b.vec_id").alias("drop_id"),
-            sim.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.3)
+    pairs = pairwise_cosine_by_group(e, "label", "vec_id", "v", tau=0.3)
+    return pairs.groupBy(F.col("id2").alias("drop_id")).agg(
+        F.min("id1").alias("rep_id")
     )
-    return pairs.groupBy("drop_id").agg(F.min("keep_id").alias("rep_id"))

@@ -45,28 +45,22 @@ _QUERY_PRED_SQL = "vec_id % 100 = 0"
     """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 neighbors for each query vector. The query
-    side is broadcast; ordering is on the *rounded* score + vec_id so both
+    """Brute-force cosine top-10 neighbors for each query vector, scored by
+    one numpy matmul per Arrow batch (operators/similarity.py
+    ``brute_topk_matmul``): the small query matrix rides to executors in the
+    task closure, each vector batch contributes only its per-batch top-k per
+    query, and the final window ranks ~batches × Q × k survivors instead of
+    Q × N scored rows. Ordering is on the *rounded* score + vec_id so both
     engines rank identically."""
+    from n2kupdate_spark.operators.similarity import brute_topk_matmul
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = (
-        e.filter(F.col("vec_id") % 100 == 0)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(e)
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine("qv", "v"), 4).alias("cos_sim"),
-        )
-    )
+    query_rows = e.filter(F.col("vec_id") % 100 == 0).collect()
+    cand = brute_topk_matmul(e, query_rows, "vec_id", "v", k=10)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return scored.select("q_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rn")).filter(
+    return cand.select("q_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rn")).filter(
         F.col("rn") <= 10
     )
 
@@ -84,25 +78,17 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All within-label pairs with cosine ≥ 0.25 (τ chosen at ~p99 of the
     within-label similarity distribution). The label equi-key bounds the
-    self-join — no global cross product."""
+    pair space — no global cross product — and scoring is one blocked numpy
+    matmul per label group (operators/similarity.py
+    ``pairwise_cosine_by_group``) instead of an interpreted HOF fold per
+    pair (measured ~5× faster at sf0.1)."""
+    from n2kupdate_spark.operators.similarity import pairwise_cosine_by_group
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.label").alias("label"),
-            F.col("a.vec_id").alias("id1"),
-            F.col("b.vec_id").alias("id2"),
-            sim.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.25)
+    return pairwise_cosine_by_group(e, "label", "vec_id", "v", tau=0.25).select(
+        "label", "id1", "id2", "cos_sim"
     )
 
 
