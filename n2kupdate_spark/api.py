@@ -1,0 +1,226 @@
+"""The reference's user-facing API: ``store_*`` functions (SURVEY.md §2 Part A).
+
+Every function follows the reference's one template (⟨pub⟩ every
+R/store_*.R [H], SURVEY.md §3.1): **validate → normalize → fingerprint →
+stage → server-side merge → return input + fingerprints**. Here the merge
+runs through ``sources/jdbc.py`` (staging table + set-based SQL, exactly the
+reference's design) against any backend — DuckDB in tests, a JDBC-reachable
+warehouse on a cluster.
+
+A user of ``n2kupdate`` maps 1:1:
+
+    n2kupdate (R)                      n2kupdate_spark (PySpark)
+    ---------------------------------  ----------------------------------
+    conn <- connect_ut_db()            store = N2kStore(backend)
+    store_language(lang_df, conn)      store.store_language(lang_df)
+    store_scheme(df, hash, conn)       store.store_scheme(df)
+    store_species_group_species(...)   store.store_species_group_species(...)
+
+Validation mirrors the reference's assertthat guards: required columns
+present, no NULL in natural-key columns, junk columns rejected — errors
+raised *before* any write (all-or-nothing batch semantics come from the
+transactional merge in sources/jdbc.py).
+
+Scale notes: fingerprints are computed executor-side as Spark columns
+(md5 of '|'-joined natural keys — SURVEY.md §7.4.1: sha1 kept as an opt-in
+because the DuckDB oracle lacks it); staging writes go executor→database in
+parallel; the merge is one set-based statement on the server. Nothing here
+collects a fact table to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from n2kupdate_spark.functions import fingerprint
+from n2kupdate_spark.sources.jdbc import upsert
+
+
+class ValidationError(ValueError):
+    """Junk input rejected before touching the database (reference:
+    assertthat errors)."""
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """One target table: natural key, attributes, merge mode."""
+
+    name: str
+    natural_key: Sequence[str]
+    attributes: Sequence[str] = ()
+    mode: str = "scd1"  # scd1 | insert_ignore | set_replace
+    group_key: Sequence[str] = ()  # set_replace only: the replaced scope
+
+    @property
+    def columns(self) -> list[str]:
+        return [*self.natural_key, *self.attributes]
+
+
+#: The n2kresult target tables the reference stores into (SURVEY.md §2
+#: Part A [M] — names reconstructed; semantics per store-function row).
+TABLE_SPECS: dict[str, TableSpec] = {
+    "language": TableSpec("language", ("code",), ("description",)),
+    "datasource_type": TableSpec("datasource_type", ("description",)),
+    "datafield_type": TableSpec("datafield_type", ("description",)),
+    "scheme": TableSpec("scheme", ("description",)),
+    "anomaly_type": TableSpec("anomaly_type", ("description",)),
+    "model_set": TableSpec("model_set", ("description",), ("first_year", "last_year", "duration")),
+    "datasource": TableSpec("datasource", ("description", "datasource_type"), ()),
+    "species_group": TableSpec("species_group", ("description", "scheme"), ()),
+    "location_group": TableSpec("location_group", ("description", "scheme"), ()),
+    "species_group_species": TableSpec(
+        "species_group_species",
+        ("species_group", "species"),
+        (),
+        mode="set_replace",
+        group_key=("species_group",),
+    ),
+    "location_group_location": TableSpec(
+        "location_group_location",
+        ("location_group", "location"),
+        (),
+        mode="set_replace",
+        group_key=("location_group",),
+    ),
+    "analysis": TableSpec(
+        "analysis",
+        ("file_fingerprint",),
+        ("model_set", "first_year", "last_year", "duration"),
+        mode="insert_ignore",
+    ),
+    "analysis_version": TableSpec(
+        "analysis_version", ("analysis", "version_fingerprint"), (), mode="insert_ignore"
+    ),
+}
+
+FINGERPRINT_COL = "fingerprint"
+
+
+def validate_frame(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """The reference's input guards: required columns present (extra columns
+    beyond the spec rejected), natural-key columns non-NULL. Returns the
+    frame projected to spec order."""
+    missing = [c for c in spec.columns if c not in df.columns]
+    if missing:
+        raise ValidationError(f"{spec.name}: missing required columns {missing}")
+    extra = [c for c in df.columns if c not in spec.columns]
+    if extra:
+        raise ValidationError(f"{spec.name}: unexpected columns {extra}")
+    # no-NA on the natural key — checked *before* any write.
+    any_null = F.lit(False)
+    for c in spec.natural_key:
+        any_null = any_null | F.col(c).isNull()
+    n_bad = df.filter(any_null).count()
+    if n_bad:
+        raise ValidationError(f"{spec.name}: {n_bad} rows with NULL natural-key values")
+    return df.select(*spec.columns)
+
+
+def add_fingerprint(df: DataFrame, spec: TableSpec, algo: str = "md5") -> DataFrame:
+    """Stable surrogate key = hash of the ordered natural-key values — the
+    reference's digest::sha1 idempotence mechanism (md5 default, §7.4.1)."""
+    return df.withColumn(FINGERPRINT_COL, fingerprint(list(spec.natural_key), algo))
+
+
+@dataclass
+class N2kStore:
+    """Session object bundling a merge backend (the reference's ``conn``).
+
+    ``backend`` is any object with the sources/jdbc.py backend protocol
+    (``write_staging`` / ``execute`` / ``drop_staging``) — DbApiBackend
+    (DuckDB, psycopg2) or SparkJdbcBackend.
+    """
+
+    backend: object
+    schema: str = ""  # optional target-schema prefix, e.g. "public"
+    hash_algo: str = "md5"
+    clean: bool = True  # drop staging after merge (reference's `clean` arg)
+    _stored: list = field(default_factory=list)
+
+    def _target(self, table: str) -> str:
+        return f"{self.schema}.{table}" if self.schema else table
+
+    def _store(self, df: DataFrame, spec: TableSpec, dedup: bool = True) -> DataFrame:
+        frame = validate_frame(df, spec)
+        frame = add_fingerprint(frame, spec, self.hash_algo)
+        if dedup:
+            frame = frame.dropDuplicates([FINGERPRINT_COL])
+        if spec.mode == "set_replace":
+            upsert(
+                frame,
+                self._target(spec.name),
+                list(spec.group_key),
+                self.backend,
+                mode="set_replace",
+                clean=self.clean,
+            )
+        else:
+            upsert(
+                frame,
+                self._target(spec.name),
+                [FINGERPRINT_COL],
+                self.backend,
+                mode=spec.mode,
+                clean=self.clean,
+            )
+        self._stored.append(spec.name)
+        return frame
+
+    # --- dimension upserts (one per reference store_* export) -------------
+
+    def store_language(self, df: DataFrame) -> DataFrame:
+        """⟨pub⟩ R/store_language.R: simplest dim upsert."""
+        return self._store(df, TABLE_SPECS["language"])
+
+    def store_datasource_type(self, df: DataFrame) -> DataFrame:
+        return self._store(df, TABLE_SPECS["datasource_type"])
+
+    def store_datafield_type(self, df: DataFrame) -> DataFrame:
+        return self._store(df, TABLE_SPECS["datafield_type"])
+
+    def store_scheme(self, df: DataFrame) -> DataFrame:
+        return self._store(df, TABLE_SPECS["scheme"])
+
+    def store_anomaly_type(self, df: DataFrame) -> DataFrame:
+        return self._store(df, TABLE_SPECS["anomaly_type"])
+
+    def store_model_set(self, df: DataFrame) -> DataFrame:
+        return self._store(df, TABLE_SPECS["model_set"])
+
+    def store_datasource(self, df: DataFrame) -> DataFrame:
+        """⟨pub⟩ R/store_datasource.R: dim upsert; the datasource_type column
+        is part of the natural key (server-side id resolution happens in the
+        merge SQL's join in the reference; fingerprint-keying subsumes it)."""
+        return self._store(df, TABLE_SPECS["datasource"])
+
+    def store_species_group(self, df: DataFrame) -> DataFrame:
+        return self._store(df, TABLE_SPECS["species_group"])
+
+    def store_location_group(self, df: DataFrame) -> DataFrame:
+        return self._store(df, TABLE_SPECS["location_group"])
+
+    # --- set-replacement membership merges --------------------------------
+
+    def store_species_group_species(self, df: DataFrame) -> DataFrame:
+        """⟨pub⟩ R/store_species_group_species.R: membership replaced
+        wholesale per species_group present in the batch."""
+        return self._store(df, TABLE_SPECS["species_group_species"])
+
+    def store_location_group_location(self, df: DataFrame) -> DataFrame:
+        return self._store(df, TABLE_SPECS["location_group_location"])
+
+    # --- versioned entities (append-only) ---------------------------------
+
+    def store_analysis(self, analysis: DataFrame, versions: DataFrame | None = None) -> DataFrame:
+        """⟨pub⟩ R/store_analysis.R: append-only version chain in FK order —
+        analysis rows insert-if-absent, then analysis_version rows keyed to
+        the parent fingerprint. 'Current' is derived (latest version), never
+        stored."""
+        stored = self._store(analysis, TABLE_SPECS["analysis"])
+        if versions is not None:
+            self._store(versions, TABLE_SPECS["analysis_version"])
+        return stored
