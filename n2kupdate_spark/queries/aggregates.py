@@ -252,3 +252,16 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
     )
+
+
+@register("agg_approx_quantile")  # rows-only: sketch layouts are engine-specific
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group — the 100 TB path for
+    agg_percentile_exact: approx_percentile's KLL-style sketch is mergeable
+    map-side (no per-group sort), so the shuffle carries fixed-size sketches
+    instead of all values."""
+    o = load(spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)), 4).alias("p50_approx"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

@@ -81,3 +81,30 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+@register("source_json")  # rows-only: oracle views cover parquet tables only
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion with an explicit schema (the events.props column
+    ingested as first-class JSON records). At scale, explicit schemas skip
+    the inference read AND let corrupt records route to a quarantine column
+    (PERMISSIVE + columnNameOfCorruptRecord) instead of failing the scan."""
+    path = os.path.join(tempfile.gettempdir(), "n2kupdate_spark_source.jsonl")
+    with open(path, "w") as f:
+        for i in range(1, 26):
+            f.write('{"id": %d, "k": %d, "tag": "t%d"}\n' % (i, i * 7 % 5, i % 3))
+        f.write('{"id": bad json line\n')  # exercised: quarantined, not fatal
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("k", T.IntegerType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
