@@ -93,3 +93,86 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> D
             yield out[[f.name for f in IMAGE_FEATURES_SCHEMA.fields]]
 
     return df.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
+    """mapInPandas resize: payload batches → resized payload batches.
+
+    STUB kernel (no codecs in this container): ``fake=True`` derives the
+    resized bytes deterministically (md5-keyed stream sized ∝ w·h) so the
+    batch shape, binary round-trip, and schema are all real. A production
+    kernel swaps one function: bytes→bytes, per element, inside the batch
+    loop — nothing else changes."""
+
+    def resize_one(payload: bytes) -> bytes:
+        if not fake:
+            raise NotImplementedError("image codecs unavailable; pass fake=True")
+        seed = hashlib.md5(payload).digest()
+        n = max(1, (width * height) // 64)
+        return (seed * (n // len(seed) + 1))[:n]
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "payload": [resize_one(p) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(batches_fn, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 10, max_frames: int = 8, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
+    """mapInPandas frame sampling: one input row (video payload) → several
+    output rows (sampled frames) — the row-expanding shape of a UDTF, kept
+    in mapInPandas so frames stay Arrow-batched.
+
+    STUB kernel: frame count is derived from payload length (1 frame per
+    ``every_n`` payload bytes, capped), frame bytes md5-derived — the
+    expansion topology and batch memory profile are the real contract."""
+
+    def frames_of(payload: bytes) -> list[bytes]:
+        if not fake:
+            raise NotImplementedError("video codecs unavailable; pass fake=True")
+        n = min(max_frames, max(1, len(payload) // every_n))
+        return [hashlib.md5(payload + bytes([i])).digest() for i in range(n)]
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                for i, fr in enumerate(frames_of(payload)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return df.mapInPandas(batches_fn, FRAME_SCHEMA)

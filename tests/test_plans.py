@@ -98,3 +98,42 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # pruned scan returns exactly that day's rows
     expected = ev.filter(F.col("event_date") == F.lit(one_day)).count()
     assert read.count() == expected
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Scale design (SURVEY.md §4): a skewed fact⋈dim SMJ must get
+    AQE's skew split (SortMergeJoin(skew=true)). Verified subtlety, which is
+    why the engine ALSO ships a static salting rewrite (join_skew_salted):
+    AQE declines to split when a downstream operator needs hash partitioning
+    on the join key (e.g. groupBy(join_key)), since the split breaks it —
+    static salting is the fallback for exactly that shape."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        fact = spark.range(500_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("attr"))
+        j = fact.join(dim, "k").select(F.sum("payload").alias("s"))
+        j.collect()  # execute THIS Dataset so its AQE plan finalizes
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
