@@ -8,9 +8,11 @@ R/store_location_group_location.R [M]).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from n2kupdate_spark.queries import fixtures as FX
 from n2kupdate_spark.queries._registry import register
+from n2kupdate_spark.sources import load
 
 
 @register(
@@ -70,3 +72,48 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FX.membership_target(spark, sf_dir).intersect(
         FX.membership_incoming(spark, sf_dir)
     )
+
+
+@register(
+    "reshape_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an explicit value list (never inferred: value
+    discovery is an extra full pass AND nondeterministic column order at
+    scale). Semantically = conditional aggregation, which is the oracle."""
+    o = load(spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 4))
+    )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_totalprice AS price,
+               CAST(o_orderkey % 3 AS DOUBLE) AS fee
+        FROM orders
+    )
+    SELECT o_orderkey, name, value
+    FROM t UNPIVOT (value FOR name IN (price, fee))
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt). Pure row-local reshape — no shuffle; rows
+    expand ×(number of unpivoted columns)."""
+    o = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderkey") % 3).cast("double").alias("fee"),
+    )
+    return o.unpivot("o_orderkey", ["price", "fee"], "name", "value")

@@ -137,3 +137,39 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir):
+    """Bucketing (SURVEY.md §4): two tables bucketed 8-ways on the join key
+    sort-merge-join with ZERO hash exchanges — the co-located-join layout
+    that, at 100 TB, turns every recurring fact⋈fact join from a full
+    shuffle into a per-bucket local merge."""
+    import re
+    from n2kupdate_spark.sources import load
+    from pyspark.sql import functions as F
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        for t in ("n2k_li_bucketed", "n2k_o_bucketed"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        load(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).mode("overwrite").saveAsTable("n2k_li_bucketed")
+        load(spark, sf_dir, "orders").withColumnRenamed(
+            "o_orderkey", "l_orderkey"
+        ).write.bucketBy(8, "l_orderkey").mode("overwrite").saveAsTable("n2k_o_bucketed")
+
+        j = (
+            spark.table("n2k_li_bucketed")
+            .join(spark.table("n2k_o_bucketed"), "l_orderkey")
+            .select(F.sum("o_totalprice").alias("s"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:1200]
+        assert not re.findall(r"Exchange hashpartitioning", plan), plan[:1200]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for t in ("n2k_li_bucketed", "n2k_o_bucketed"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
