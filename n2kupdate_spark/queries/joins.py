@@ -187,19 +187,35 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join: customer balance falls in a ±100 band around
-    each supplier balance. Executes as a broadcast nested-loop join (the
-    interval side is small); at scale, bucketize the point side onto the
-    interval grid to recover an equi-join."""
-    s = load(spark, sf_dir, "supplier").alias("s")
-    c = load(spark, sf_dir, "customer").alias("c")
+    each supplier balance — executed as a *grid-bucketed equi-join*, not a
+    nested loop: each fixed-width interval is exploded onto the (≤2) grid
+    cells it covers, each point hashes to exactly one cell, the cell id is
+    an equi-key (hash/SMJ — shuffle-scalable), and the exact band predicate
+    filters within cells. This is the standard range-join decomposition; a
+    BNLJ here would be O(N·M) and was the one red flag the round-1 plan
+    audit found."""
+    W = 200.0  # grid cell width == band width
+    s = load(spark, sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+    c = load(spark, sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    s_cells = s.withColumn(
+        "cell",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("s_acctbal") - 100) / W),
+                    F.floor((F.col("s_acctbal") + 100) / W),
+                )
+            )
+        ),
+    )
+    c_cells = c.withColumn("cell", F.floor(F.col("c_acctbal") / W))
     return (
-        F.broadcast(s)
-        .join(
-            c,
-            (F.col("c.c_acctbal") >= F.col("s.s_acctbal") - 100)
-            & (F.col("c.c_acctbal") < F.col("s.s_acctbal") + 100),
+        c_cells.join(F.broadcast(s_cells), "cell")
+        .filter(
+            (F.col("c_acctbal") >= F.col("s_acctbal") - 100)
+            & (F.col("c_acctbal") < F.col("s_acctbal") + 100)
         )
-        .select(F.col("s.s_suppkey"), F.col("c.c_custkey"))
+        .select("s_suppkey", "c_custkey")
     )
 
 

@@ -173,3 +173,26 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for t in ("n2k_li_bucketed", "n2k_o_bucketed"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_no_query_plan_has_scale_red_flags(spark, sf_dir):
+    """Fleet-wide plan audit: no registered query may contain an accidental
+    cartesian product, an unexpected nested-loop join, a row-at-a-time
+    Python eval outside the UDF-surface ops, or an excessive exchange count.
+    These are the plan shapes that break first at 100 TB."""
+    import re
+
+    ALLOWED_BNLJ = {"join_cross_small", "join_theta_range"}
+    issues = []
+    for name, fn in sorted(QUERIES.items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan and name != "join_cross_small":
+            issues.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
+            issues.append((name, "nested-loop join"))
+        if "BatchEvalPython" in plan and not name.startswith(("udf_", "udtf")):
+            issues.append((name, "row-at-a-time python"))
+        n_exch = len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
+        if n_exch > 5:
+            issues.append((name, f"{n_exch} exchanges"))
+    assert not issues, issues
