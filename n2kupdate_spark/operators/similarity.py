@@ -234,7 +234,7 @@ def pairwise_cosine_by_group(
         out_i, out_j, out_s = [], [], []
         for lo in range(0, n, block):
             hi = min(lo + block, n)
-            S = np.round(U[lo:hi] @ U.T, 4)
+            S = np.round(U[lo:hi] @ U.T, 4) + 0.0  # +0.0 folds -0.0 into +0.0 (oracle parity)
             for r in range(hi - lo):
                 i = lo + r
                 js = np.nonzero(S[r, i + 1 :] >= tau)[0] + i + 1
@@ -287,7 +287,7 @@ def brute_topk_matmul(
             norms[norms == 0] = 1.0
             U = V / norms[:, None]
             ids = pdf[id_col].to_numpy()
-            S = np.round(Q @ U.T, 4)  # Q_count × batch
+            S = np.round(Q @ U.T, 4) + 0.0  # Q_count × batch; +0.0 folds -0.0 (oracle parity)
             for qi in range(len(q_ids)):
                 row = S[qi]
                 mask = ids != q_ids[qi]

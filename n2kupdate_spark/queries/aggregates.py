@@ -213,8 +213,8 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
            ROUND(var_samp(l_quantity), 4) AS var_qty,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
-           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) + 0 AS cov_qty_price,
+           ROUND(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )

@@ -137,8 +137,8 @@ def json_extract_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-           ROUND(CAST(embedding[64] AS DOUBLE), 4) AS last_val
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first_val,
+           ROUND(CAST(embedding[64] AS DOUBLE), 4) + 0 AS last_val
     FROM embeddings
     """,
 )

@@ -34,10 +34,10 @@ _QUERY_PRED_SQL = "vec_id % 100 = 0"
     SELECT q_id, vec_id AS neighbor_id, cos_sim, rn
     FROM (
         SELECT q.q_id, e.vec_id,
-               ROUND(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim,
+               ROUND(list_cosine_similarity(q.qv, e.v), 4) + 0 AS cos_sim,
                row_number() OVER (
                    PARTITION BY q.q_id
-                   ORDER BY ROUND(list_cosine_similarity(q.qv, e.v), 4) DESC, e.vec_id ASC
+                   ORDER BY ROUND(list_cosine_similarity(q.qv, e.v), 4) + 0 DESC, e.vec_id ASC
                ) AS rn
         FROM q CROSS JOIN e
         WHERE e.vec_id <> q.q_id

@@ -24,6 +24,8 @@ def _canon_val(v):
         f = float(v)
         if math.isnan(f):
             return "NaN"
+        if f == 0.0:
+            f = 0.0  # fold -0.0 (engines disagree on round(-1e-9) sign)
         return f"{f:.4f}"
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return str(int(v))
