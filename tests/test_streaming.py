@@ -133,3 +133,74 @@ def test_stateful_sessionizer_applyinpandaswithstate(spark, sf_dir, stream_dirs)
     if len(got):  # sessions closed in-batch: invariants hold
         assert (got["session_end"] >= got["session_start"]).all()
         assert (got["n_events"] > 0).all()
+
+
+def test_foreachbatch_jdbc_upsert_end_to_end(spark, sf_dir, stream_dirs):
+    """The complete n2kupdate analog: file stream → foreachBatch →
+    staging-table + server-side merge into a live DuckDB warehouse.
+    Replaying the same source against the same warehouse must be a no-op
+    (fingerprint idempotence through the whole stack)."""
+    import duckdb
+
+    from n2kupdate_spark.sources.jdbc import DbApiBackend, upsert
+
+    src, work = stream_dirs
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events_tgt (event_id BIGINT, event_type VARCHAR, value DOUBLE)"
+    )
+    backend = DbApiBackend(con)
+
+    def merge_fn(batch_df, epoch_id):
+        upsert(
+            batch_df.select("event_id", "event_type", "value"),
+            "events_tgt",
+            keys=["event_id"],
+            backend=backend,
+            mode="scd1",
+            run_id=f"e{epoch_id}",
+        )
+
+    for ckpt in ("ckpt_jdbc_1", "ckpt_jdbc_2"):  # second pass = full replay
+        q = stream_upsert_foreachbatch(
+            events_file_stream(spark, src), merge_fn, f"{work}/{ckpt}"
+        )
+        q.awaitTermination(120)
+
+    n_events = load(spark, sf_dir, "events").count()
+    assert con.execute("SELECT COUNT(*) FROM events_tgt").fetchone()[0] == n_events
+    assert con.execute("SELECT COUNT(DISTINCT event_id) FROM events_tgt").fetchone()[0] == n_events
+    con.close()
+
+
+def test_streaming_restart_from_checkpoint_no_duplicates(spark, sf_dir, tmp_path):
+    """Exactly-once across restart: process half the files, stop, add the
+    rest, restart with the SAME checkpoint — every event processed once."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ev = load(spark, sf_dir, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.write.parquet(src)  # initial files
+
+    seen = []
+
+    def collect_fn(batch_df, epoch_id):
+        seen.append(batch_df.select("event_id").toPandas())
+
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_upsert_foreachbatch(events_file_stream(spark, src), collect_fn, ckpt)
+    q.awaitTermination(120)
+    n_after_first = sum(len(p) for p in seen)
+    assert n_after_first == half1.count()
+
+    half2.write.mode("append").parquet(src)  # new files arrive while "down"
+    q = stream_upsert_foreachbatch(events_file_stream(spark, src), collect_fn, ckpt)
+    q.awaitTermination(120)
+
+    import pandas as pd
+
+    all_ids = pd.concat(seen)["event_id"]
+    assert len(all_ids) == ev.count()  # nothing lost...
+    assert all_ids.is_unique  # ...nothing reprocessed
