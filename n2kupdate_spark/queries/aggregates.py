@@ -265,3 +265,44 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)), 4).alias("p50_approx"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+    GROUP BY c_nationkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg WITHIN GROUP == string_agg with
+    ORDER BY): deterministic because the order clause totally orders the
+    distinct inputs."""
+    c = load(spark, sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"]).distinct()
+    return c.groupBy("c_nationkey").agg(
+        F.expr("listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)").alias("segs")
+    )
+
+
+@register(
+    "scalar_subquery_agg",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS price
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM orders)
+    """,
+)
+def scalar_subquery_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate — Catalyst plans the subquery once
+    (one extra stage, its scalar broadcast into the filter), not per row."""
+    o = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    o.createOrReplaceTempView("n2k_orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS price
+        FROM n2k_orders_sq
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM n2k_orders_sq)
+        """
+    )
