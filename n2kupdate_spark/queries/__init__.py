@@ -22,6 +22,7 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
     udfs,
     dedupq,
     ann,
+    mlprep,
 )
 
 __all__ = ["QUERIES", "ORACLE", "register"]
