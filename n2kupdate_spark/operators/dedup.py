@@ -216,3 +216,53 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node's
+    label converges to the minimum node id reachable from it — the canonical
+    representative of its duplicate cluster.
+
+    Per iteration: one join of labels to the symmetrized edge list + a
+    min-aggregate (two shuffles), then a driver-side changed-row count for
+    early stop; ``localCheckpoint`` truncates lineage so plans stay flat.
+    Iterations needed = graph diameter (near-dup clusters are shallow; the
+    cap is a safety rail). At 100 TB-scale graphs, swap in pointer-jumping
+    (label doubling, O(log n) rounds) — same per-round plan shape."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(sym, labels.node == sym.a)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
