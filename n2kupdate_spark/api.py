@@ -95,6 +95,34 @@ TABLE_SPECS: dict[str, TableSpec] = {
     "analysis_version": TableSpec(
         "analysis_version", ("analysis", "version_fingerprint"), (), mode="insert_ignore"
     ),
+    # parent_parameter is an attribute, not key material: NULL for root
+    # parameters, and the no-NA natural-key guard must not reject roots.
+    "datasource_parameter": TableSpec(
+        "datasource_parameter", ("description",), ("parent_parameter",)
+    ),
+    "datasource_value": TableSpec(
+        "datasource_value", ("datasource", "parameter"), ("value",)
+    ),
+    "species": TableSpec(
+        "species", ("scientific_name",), ("nbn_key", "euring_code", "gbif_id")
+    ),
+    "species_common_name": TableSpec(
+        "species_common_name", ("species", "language"), ("description",)
+    ),
+    "location": TableSpec(
+        "location", ("external_code", "datasource"), ("description", "parent_location")
+    ),
+    "datafield": TableSpec(
+        "datafield", ("datasource", "table_name", "primary_key", "datafield_type"), ()
+    ),
+    "observation": TableSpec(
+        "observation",
+        ("external_code", "datafield"),
+        ("location", "year", "parent_observation"),
+    ),
+    "anomaly": TableSpec(
+        "anomaly", ("anomaly_type", "analysis", "observation"), ("parameter",)
+    ),
 }
 
 FINGERPRINT_COL = "fingerprint"
@@ -212,6 +240,52 @@ class N2kStore:
 
     def store_location_group_location(self, df: DataFrame) -> DataFrame:
         return self._store(df, TABLE_SPECS["location_group_location"])
+
+    def store_datasource_parameter(self, df: DataFrame) -> DataFrame:
+        return self._store(df, TABLE_SPECS["datasource_parameter"])
+
+    def store_datasource_value(self, df: DataFrame) -> DataFrame:
+        """Composite-natural-key dim (parameter values per datasource)."""
+        return self._store(df, TABLE_SPECS["datasource_value"])
+
+    def store_location(self, df: DataFrame) -> DataFrame:
+        """⟨pub⟩ R/store_location.R: dim upsert incl. parent-location
+        self-reference (parent referenced by its external code; NULL for
+        roots)."""
+        return self._store(df, TABLE_SPECS["location"])
+
+    def store_species(self, species: DataFrame, common_names: DataFrame | None = None) -> DataFrame:
+        """⟨pub⟩ R/store_species.R: multi-df input — species rows plus
+        per-language common names keyed to the parent's natural key."""
+        stored = self._store(species, TABLE_SPECS["species"])
+        if common_names is not None:
+            self._store(common_names, TABLE_SPECS["species_common_name"])
+        return stored
+
+    def store_datafield(self, datafield: DataFrame, datafield_type: DataFrame | None = None) -> DataFrame:
+        """⟨pub⟩ R/store_datafield.R: stores ``datafield_type`` internally
+        first (the reference's dependency ordering), then the datafields."""
+        if datafield_type is not None:
+            self.store_datafield_type(datafield_type)
+        return self._store(datafield, TABLE_SPECS["datafield"])
+
+    # --- fact upserts ------------------------------------------------------
+
+    def store_observation(self, observation: DataFrame, datafield: DataFrame | None = None) -> DataFrame:
+        """⟨pub⟩ R/store_observation.R (the richest fact-load path): resolves
+        the datafield dependency first, then upserts observations keyed by
+        (external_code, datafield) fingerprint; parent_observation is a
+        self-reference by external code."""
+        if datafield is not None:
+            self.store_datafield(datafield)
+        return self._store(observation, TABLE_SPECS["observation"])
+
+    def store_anomaly(self, anomaly: DataFrame, anomaly_type: DataFrame | None = None) -> DataFrame:
+        """⟨pub⟩ R/store_anomaly.R: fact insert with multi-parent resolution
+        (type stored first; analysis/observation referenced by fingerprint)."""
+        if anomaly_type is not None:
+            self.store_anomaly_type(anomaly_type)
+        return self._store(anomaly, TABLE_SPECS["anomaly"])
 
     # --- versioned entities (append-only) ---------------------------------
 

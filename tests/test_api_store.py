@@ -96,3 +96,69 @@ def test_versioned_analysis_append_only(spark, store):
     st.store_analysis(a2)
     assert con.execute("SELECT COUNT(*) FROM analysis").fetchone()[0] == 1
     assert con.execute("SELECT last_year FROM analysis").fetchone()[0] == 2020
+
+
+@pytest.fixture()
+def fact_store(spark):
+    con = duckdb.connect()
+    for ddl in [
+        "CREATE TABLE datafield_type (description VARCHAR, fingerprint VARCHAR)",
+        "CREATE TABLE datafield (datasource VARCHAR, table_name VARCHAR, "
+        "primary_key VARCHAR, datafield_type VARCHAR, fingerprint VARCHAR)",
+        "CREATE TABLE observation (external_code VARCHAR, datafield VARCHAR, "
+        "location VARCHAR, year INT, parent_observation VARCHAR, fingerprint VARCHAR)",
+        "CREATE TABLE species (scientific_name VARCHAR, nbn_key VARCHAR, "
+        "euring_code VARCHAR, gbif_id VARCHAR, fingerprint VARCHAR)",
+        "CREATE TABLE species_common_name (species VARCHAR, language VARCHAR, "
+        "description VARCHAR, fingerprint VARCHAR)",
+    ]:
+        con.execute(ddl)
+    yield N2kStore(backend=DbApiBackend(con)), con
+    con.close()
+
+
+def test_store_observation_resolves_datafield_first(spark, fact_store):
+    """The reference's dependency ordering: store_observation(obs, datafield)
+    stores datafield (and its type) before the facts; replay is a no-op."""
+    st, con = fact_store
+    dft = spark.createDataFrame([("integer",)], "description string")
+    df = spark.createDataFrame(
+        [("ds1", "obs_table", "id", "integer")],
+        "datasource string, table_name string, primary_key string, datafield_type string",
+    )
+    obs = spark.createDataFrame(
+        [("O1", "df1", "loc1", 2020, None), ("O2", "df1", "loc1", 2021, "O1")],
+        "external_code string, datafield string, location string, year int, parent_observation string",
+    )
+    st.store_datafield(df, datafield_type=dft)
+    st.store_observation(obs)
+    assert con.execute("SELECT COUNT(*) FROM datafield_type").fetchone()[0] == 1
+    assert con.execute("SELECT COUNT(*) FROM datafield").fetchone()[0] == 1
+    assert con.execute("SELECT COUNT(*) FROM observation").fetchone()[0] == 2
+    st.store_observation(obs)  # idempotent replay
+    assert con.execute("SELECT COUNT(*) FROM observation").fetchone()[0] == 2
+    # update branch: changed location overwrites in place
+    obs2 = spark.createDataFrame(
+        [("O1", "df1", "loc9", 2020, None)],
+        "external_code string, datafield string, location string, year int, parent_observation string",
+    )
+    st.store_observation(obs2)
+    assert con.execute(
+        "SELECT location FROM observation WHERE external_code='O1'"
+    ).fetchone()[0] == "loc9"
+
+
+def test_store_species_with_common_names(spark, fact_store):
+    st, con = fact_store
+    sp = spark.createDataFrame(
+        [("Bufo bufo", "NBN1", "E1", "G1")],
+        "scientific_name string, nbn_key string, euring_code string, gbif_id string",
+    )
+    names = spark.createDataFrame(
+        [("Bufo bufo", "nl", "Gewone pad"), ("Bufo bufo", "en", "Common toad")],
+        "species string, language string, description string",
+    )
+    out = st.store_species(sp, common_names=names)
+    assert "fingerprint" in out.columns
+    assert con.execute("SELECT COUNT(*) FROM species").fetchone()[0] == 1
+    assert con.execute("SELECT COUNT(*) FROM species_common_name").fetchone()[0] == 2
