@@ -42,6 +42,7 @@ HEADLINE = [
     "text_top_terms_per_lang",
     "sim_cosine_topk",       # broadcast brute-force ANN baseline
     "multimodal_doc_join",   # doc↔vector join
+    "composite_shipping_priority",  # TPC-H Q3 shape: full pipeline in one plan
 ]
 
 

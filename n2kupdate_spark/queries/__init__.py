@@ -23,6 +23,7 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
     dedupq,
     ann,
     mlprep,
+    composite,
 )
 
 __all__ = ["QUERIES", "ORACLE", "register"]
