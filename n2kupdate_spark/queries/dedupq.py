@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from n2kupdate_spark.operators.dedup import (
     minhash_dedup_pairs,
+    shingle_jaccard_pairs,
     simhash_near_pairs,
     simhash_signature,
     word_shingles,
@@ -47,25 +48,11 @@ from n2kupdate_spark.sources import load
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (≥ 0.1) via an inverted
     shingle index — candidate pairs share ≥1 shingle, so the join cost
-    follows shingle collisions, never n²."""
+    follows shingle collisions, never n². Pair generation happens inside
+    per-shingle buckets (operators/dedup.py::shingle_jaccard_pairs), not by
+    self-joining the exploded index."""
     sh = word_shingles(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    s1 = sh.select(F.col("doc_id").alias("id1"), F.size("shingles").alias("n1"))
-    s2 = sh.select(F.col("doc_id").alias("id2"), F.size("shingles").alias("n2"))
-    jac = F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4)
-    return (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
-        .select("id1", "id2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.1)
-    )
+    return shingle_jaccard_pairs(sh, "doc_id", threshold=0.1)
 
 
 @register("dedup_text_fuzzy")  # rows-only: LSH banding is engine-specific
