@@ -306,3 +306,35 @@ def scalar_subquery_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM n2k_orders_sq)
         """
     )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderpriority AS mode_priority, cnt
+    FROM (
+        SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+        FROM orders GROUP BY o_custkey, o_orderpriority
+    )
+    WHERE rk = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group: count-then-rank with a value
+    tiebreak — the deterministic form of a statistical mode (engines'
+    native ``mode()`` break ties arbitrarily). Two shuffles: the count
+    aggregation, then the per-group rank window."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    counts = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("cnt"), "o_orderpriority")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_custkey", F.col("o_orderpriority").alias("mode_priority"), "cnt")
+    )

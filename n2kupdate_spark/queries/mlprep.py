@@ -137,3 +137,35 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_s").alias("grid_ts_s"),
         F.round("value_ffill", 4).alias("value_ffill"),
     )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents)
+    WHERE bucket < CASE lang WHEN 'en' THEN 10
+                             WHEN 'de' THEN 20
+                             ELSE 50 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates (rebalancing a
+    language-skewed corpus: keep 10% of en, 20% of de, 50% of the rest).
+    Same content-addressed md5 bucket as sample_hash_split, so membership
+    is stable across runs/partitionings and strata stay consistent with
+    the train/valid/test split. Pure map-side filter — no shuffle, and at
+    100 TB the predicate prunes rows inside the scan stage."""
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "lang"])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "de", 20)
+        .otherwise(50)
+    )
+    return d.withColumn("bucket", bucket).filter(F.col("bucket") < rate).select(
+        "doc_id", "lang"
+    )

@@ -255,3 +255,63 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * F.lit(31) + h) % F.lit(2147483647),
     )
     return d.select("doc_id", fp.alias("fp"))
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword-extraction /
+    relevance-weighting primitive. Three aggregations share one tokenize
+    pass: term frequency per (doc, term), document frequency per term, and
+    the corpus size as a broadcast scalar. Ranking is on the ROUNDED score
+    (then term) so float summation-order drift cannot flip ranks across
+    engines. At 100 TB the df table is vocabulary-sized — still broadcast-
+    able after stop-word pruning; the tf table shuffles once on doc_id for
+    the rank window."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        _tokens(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

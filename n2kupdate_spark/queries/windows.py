@@ -244,3 +244,60 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w_full).alias("last_val"),
         F.nth_value("value", 2).over(w).alias("second_val"),
     )
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+                    THEN 0 ELSE 1 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, event_type,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS island_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, event_type, island_id, COUNT(*) AS streak
+        FROM islands GROUP BY user_id, event_type, island_id
+    )
+    SELECT user_id, event_type,
+           COUNT(*) AS n_islands, MAX(streak) AS max_streak
+    FROM runs GROUP BY user_id, event_type
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events per
+    user (streak detection — the sessionization cousin keyed on value
+    change, not time gap). Island ids via the change-flag cumulative sum;
+    one shuffle on user_id serves every window. Deterministic through the
+    (ts, event_id) total order."""
+    e = load(spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0)
+        .otherwise(1)
+        .alias("chg"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "event_type",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island_id"),
+    )
+    runs = islands.groupBy("user_id", "event_type", "island_id").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    return runs.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_islands"), F.max("streak").alias("max_streak")
+    )
