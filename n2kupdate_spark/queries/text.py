@@ -297,17 +297,19 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
-            ).alias("tfidf"),
-        )
+    # Corpus size is a single scalar: computed as a driver-side count (one
+    # distributed count job, parquet-metadata cheap) and inlined as a
+    # literal — the same approach Spark MLlib's IDF takes. Joining a 1-row
+    # aggregate instead would plan as a BroadcastNestedLoopJoin (Catalyst
+    # constant-folds any literal join key), which the fleet-wide plan
+    # audit rejects.
+    n_docs = float(docs.count())
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 4
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
