@@ -199,3 +199,196 @@ def composite_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "composite_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def composite_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from promotional parts.
+    Conditional aggregation over a fact-dim join: the month filter prunes
+    lineitem row groups at the scan, part broadcasts, and the CASE rides
+    inside the partial aggregate — one shuffle of exactly one row per
+    partition. Rounding the final ratio (not the operands) keeps the 4dp
+    hash stable across summation orders."""
+    l = load(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part", columns=["p_partkey", "p_type"])
+    rev = _revenue()
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "composite_large_order_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_s,
+           ROUND(o.o_totalprice, 4) AS totalprice,
+           ROUND(big.sum_qty, 4) AS sum_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 300) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def composite_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity exceeds
+    300, top 100 by order value. Aggregate → filter → join back: the
+    groupBy(l_orderkey) shuffle leaves the data hash-partitioned on the
+    same key the orders join needs, so Spark reuses that partitioning and
+    only shuffles the (much smaller) orders side. l_quantity is
+    integer-valued, so the HAVING threshold is exact in both engines."""
+    l = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = load(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    c = load(spark, sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_s"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.round("sum_qty", 4).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "composite_nation_volume_pairs",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def composite_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipped-goods revenue between two trading nations by
+    year and direction. nation joins twice under different roles (supplier
+    side, customer side) — each a broadcast pre-filtered to the two nations
+    of interest, so the disjunctive pair constraint is a cheap residual on
+    already-tiny build sides rather than a post-join filter over the full
+    fact fan-out."""
+    pair = ["NATION_1", "NATION_2"]
+    l = load(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    o = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    c = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    s = load(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+    )
+
+
+@register(
+    "composite_disjunctive_part_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+    """,
+)
+def composite_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning both
+    join sides. Catalyst factors the single-side conjuncts out of the
+    disjunction (p_brand IN (...) pushes into the part scan, quantity range
+    into lineitem), so the scans shrink before the broadcast join and only
+    the genuinely cross-table residual is evaluated post-join."""
+    l = load(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    p = load(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).filter(
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+    )
+    return joined.agg(
+        F.round(F.sum(_revenue()), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
