@@ -169,3 +169,29 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("bucket", bucket).filter(F.col("bucket") < rate).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(floor(n_chars / 50.0) * 50 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, bucket_lo
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per language in fixed 50-char buckets —
+    the first diagnostic every corpus-curation pass runs (truncation
+    thresholds, tokenizer budget planning). Bucketing is a pure map; the
+    histogram is one partial+final hash aggregate on (lang, bucket), whose
+    cardinality is bounded by langs × buckets regardless of corpus size —
+    the reduce side stays tiny even at 100 TB."""
+    d = load(spark, sf_dir, "documents", columns=["lang", "n_chars"])
+    bucket = (F.floor(F.col("n_chars") / 50.0) * 50).cast("long")
+    return d.groupBy("lang", bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -126,3 +126,83 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, event_type, ts,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+        FROM events
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_click
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_purchase
+        FROM w2
+    ),
+    u AS (
+        SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+               MAX(t_purchase) AS t_purchase
+        FROM w3 GROUP BY user_id
+    )
+    SELECT COUNT(t_view) AS n_viewers,
+           COUNT(t_click) AS n_clickers,
+           COUNT(t_purchase) AS n_purchasers,
+           COUNT(*) AS n_users
+    FROM u
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click after view → purchase after
+    click): how many users reach each stage, respecting event order. Three
+    stacked window-min expressions share ONE hash partitioning on user_id —
+    Spark plans a single exchange feeding three Window operators and the
+    per-user rollup, so the funnel costs one shuffle of the events table no
+    matter how many stages the funnel has (vs one self-join per stage in
+    the naive form, which is what the oracle's CTE chain mirrors
+    logically)."""
+    e = load(spark, sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_viewers"),
+        F.count("t_click").alias("n_clickers"),
+        F.count("t_purchase").alias("n_purchasers"),
+        F.count(F.lit(1)).alias("n_users"),
+    )

@@ -143,3 +143,47 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("norm"), 4).alias("min_norm"),
         F.round(F.max("norm"), 4).alias("max_norm"),
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+               FROM e),
+         q AS (SELECT vec_id, scale,
+                      list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS codes
+               FROM s WHERE scale > 0)
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale_q,
+           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+           CAST(len(list_filter(codes, c -> abs(c) >= 127)) AS BIGINT) AS n_maxcode
+    FROM q
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    standard 4× compression step before large-scale ANN serving (codes in
+    [-127, 127], per-vector scale = max|x|/127). Emits the per-vector scale
+    and integer checksums of the code vector so the quantization arithmetic
+    is oracle-checked exactly (integer sums, no float drift). Pure map:
+    no shuffle, Arrow-free, all JVM higher-order functions — at 100 TB this
+    runs at scan speed and writes 1/4 the bytes."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scale = (F.array_max(F.transform("v", lambda x: F.abs(x))) / 127.0).alias("scale")
+    s = e.select("vec_id", "v", scale).filter(F.col("scale") > 0)
+    codes = F.transform("v", lambda x: F.round(x / F.col("scale"), 0).cast("long"))
+    q = s.select("vec_id", "scale", codes.alias("codes"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_q"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "sum_codes"
+        ),
+        F.size(F.filter("codes", lambda c: F.abs(c) >= 127)).cast("long").alias(
+            "n_maxcode"
+        ),
+    )
