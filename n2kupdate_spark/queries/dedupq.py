@@ -7,7 +7,7 @@ generation → rows-only checks, SURVEY.md §2 legend).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from n2kupdate_spark.operators.dedup import (
@@ -150,3 +150,95 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = load(spark, sf_dir, "documents").select("doc_id")
     edges = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
     return connected_components(nodes, edges, id_col="doc_id")
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle="""
+    WITH RECURSIVE
+    q AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+          WHERE n_chars >= 100),
+    hashed AS (SELECT *, md5(text) AS h FROM q),
+    exact AS (
+        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY h
+                                                    ORDER BY doc_id) AS rn
+                       FROM hashed) WHERE rn = 1
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cand AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT id1, id2 FROM cand
+        JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+        WHERE ROUND(inter / (len(s1.shingles) + len(s2.shingles) - inter), 4) >= 0.2
+    ),
+    sym AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM exact
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                 FROM reach GROUP BY src),
+    kept AS (
+        SELECT e.* FROM exact e JOIN clusters c ON e.doc_id = c.doc_id
+        WHERE c.doc_id = c.cluster_id
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY lang, source
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning — the composite every LLM data
+    pipeline runs, chaining four §2 operators in one job:
+
+      1. quality gate (n_chars ≥ 100; cheap map, runs first so every later
+         stage sees fewer rows),
+      2. exact dedup (md5(text) fingerprint, keep lowest doc_id),
+      3. near-dup clustering (word-3-gram Jaccard ≥ 0.2 pairs via the
+         inverted shingle index → connected components → keep each
+         cluster's representative = its minimum doc_id),
+      4. survivor summary per (lang, source).
+
+    Scale: stages 1-2 are map + one fingerprint-keyed shuffle; stage 3's
+    cost follows shingle collisions (never n²) and the CC loop's edge list
+    is checkpointed once. The keep-decision join is on doc_id — the same
+    key the cluster labels already carry."""
+    from n2kupdate_spark.operators.dedup import (
+        connected_components,
+        shingle_jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = load(
+        spark, sf_dir, "documents",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).filter(F.col("n_chars") >= 100)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sh = word_shingles(exact.select("doc_id", "text"))
+    edges = shingle_jaccard_pairs(sh, "doc_id", threshold=0.2).select("id1", "id2")
+    clusters = connected_components(
+        exact.select("doc_id"), edges, id_col="doc_id"
+    )
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    kept = exact.join(reps, "doc_id")
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
