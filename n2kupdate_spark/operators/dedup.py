@@ -331,3 +331,65 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def connected_components_pointer_jump(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Connected components with pointer jumping (label doubling) — the
+    100 TB-scale variant of :func:`connected_components`.
+
+    Each round does the same neighbor-min propagation, then additionally
+    shortcuts every label to its label's label (L(v) ← L(L(v))). Chains
+    halve every round, so convergence takes O(log diameter) rounds instead
+    of O(diameter) — the difference between 40 and 6 shuffles on a
+    long-path graph. Per round: two key-partitioned joins + one
+    min-aggregate, all on the node-id key. Same fixpoint as the iterative
+    form (equivalence is property-tested in tests/test_graph.py), so the
+    recursive-CTE oracle applies unchanged."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(sym, labels.node == sym.a)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # Pointer jump: every label in `prop` is itself a node id, so a
+        # self-join label→node rewrites each label to its current parent's
+        # label. This is the shortcut step that makes rounds logarithmic.
+        parents = prop.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            prop.join(parents, prop.label == parents.p_node, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

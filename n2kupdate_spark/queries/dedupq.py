@@ -242,3 +242,49 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "dedup_cc_pointer_jump",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cand AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT id1, id2 FROM cand
+        JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+        WHERE ROUND(inter / (len(s1.shingles) + len(s2.shingles) - inter), 4) >= 0.1
+    ),
+    sym AS (SELECT id1 AS a, id2 AS b FROM edges
+            UNION SELECT id2, id1 FROM edges),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def dedup_cc_pointer_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster assignment as ``dedup_cc_clusters`` (identical
+    oracle, identical fixpoint), computed with pointer jumping — O(log
+    diameter) rounds instead of O(diameter). This is the variant a
+    1000-executor cluster should run on web-scale near-dup graphs; keeping
+    both registered proves the scale path is correctness-equal, not an
+    approximation."""
+    from n2kupdate_spark.operators.dedup import connected_components_pointer_jump
+
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    return connected_components_pointer_jump(nodes, edges, id_col="doc_id")

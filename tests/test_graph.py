@@ -1,0 +1,74 @@
+"""Connected-components equivalence: iterative min-label propagation vs
+pointer jumping vs a driver-side union-find reference, on adversarial graph
+shapes (long paths are the worst case for plain propagation; pointer
+jumping must converge in O(log diameter) rounds)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from n2kupdate_spark.operators.dedup import (
+    connected_components,
+    connected_components_pointer_jump,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+def _run(spark, fn, n_nodes, edges, **kw):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id: long")
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id1: long, id2: long"
+    )
+    out = fn(nodes, e, id_col="id", **kw)
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_cc_random_graph_both_strategies(spark, seed):
+    rng = random.Random(seed)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+    ]
+    expect = _union_find(n, edges)
+    assert _run(spark, connected_components, n, edges) == expect
+    assert _run(spark, connected_components_pointer_jump, n, edges) == expect
+
+
+def test_cc_pointer_jump_long_path(spark):
+    """A 120-node path: diameter far beyond the 12-round cap. Plain
+    propagation cannot finish in 12 rounds; pointer jumping must."""
+    n = 120
+    edges = [(i, i + 1) for i in range(n - 1)]
+    expect = {i: 0 for i in range(n)}
+    got = _run(spark, connected_components_pointer_jump, n, edges, max_iter=12)
+    assert got == expect
+
+
+def test_cc_isolated_nodes_and_self_loops(spark):
+    edges = [(0, 1), (2, 2)]
+    expect = {0: 0, 1: 0, 2: 2, 3: 3}
+    assert _run(spark, connected_components, 4, edges) == expect
+    assert _run(spark, connected_components_pointer_jump, 4, edges) == expect
