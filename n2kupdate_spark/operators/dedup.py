@@ -119,19 +119,30 @@ def minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> DataFrame
     return df.withColumn("sig", F.array(*mins)).drop("__sh")
 
 
-def _bucket_pairs(exploded: DataFrame, bucket_cols: list[str], member_col: str) -> DataFrame:
+def _bucket_pairs(
+    exploded: DataFrame,
+    bucket_cols: list[str],
+    member_col: str,
+    max_members: int | None = None,
+) -> DataFrame:
     """Ordered within-bucket pairs: group members per bucket, sort, and
     generate every (earlier, later) combination JVM-side with nested
     higher-order functions. One index-sized shuffle instead of a two-sided
     self-join that recomputes the upstream lineage for both sides (the
     exploded band table is usually the tail of an expensive signature
     pipeline). ``member_col`` may be a struct; ordering/pairing follows its
-    natural sort order, so put the id field first."""
+    natural sort order, so put the id field first.
+
+    ``max_members`` drops buckets larger than the cap entirely (stop-shingle
+    suppression): the pair fan-out of the heaviest bucket is then bounded at
+    max_members·(max_members-1)/2 by construction."""
     buckets = (
         exploded.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(member_col)).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
+    if max_members is not None:
+        buckets = buckets.filter(F.size("ms") <= max_members)
     # Two-level generate: posexplode each member, then explode the tail
     # slice after it. GenerateExec streams generator output row-by-row, so
     # peak memory stays O(bucket), never the O(bucket²) pair array that a
@@ -393,3 +404,69 @@ def connected_components_pointer_jump(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def shingle_jaccard_pairs_capped(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.1,
+    max_df: int = 5,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs with a stop-shingle cap — the production
+    skew defense :func:`shingle_jaccard_pairs` documents but doesn't apply.
+
+    Shingles appearing in more than ``max_df`` documents ("stop-shingles" —
+    boilerplate, headers, license text) are dropped from every document's
+    set *before* pair generation. This bounds every posting list at
+    ``max_df``, so the biggest bucket emits ≤ max_df·(max_df-1)/2 pairs —
+    the O(heaviest-shingle²) hot spot that dominates at corpus scale is
+    gone by construction, and the shuffle skew with it. Jaccard is computed
+    over the *filtered* sets (set sizes recounted after the cap), so the
+    semantics are exact for the capped universe, not an approximation of
+    the uncapped one.
+
+    Because the bucket key is the shingle itself (via xxhash64), a posting
+    list's length IS the shingle's document frequency: the cap is a filter
+    on the already-materialized buckets — zero extra shuffles for the df
+    computation. Per-doc filtered set sizes need one doc-keyed aggregate +
+    join (doc-count-sized, not collision-sized).
+
+    Note the filtered-set sizes must count singleton shingles too (df = 1
+    means the bucket emits no pairs but the shingle stays in its document's
+    set), so ``n`` is computed from the df-capped inverted index, not from
+    the ≥2-member pair buckets."""
+    inv = sh.select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    ).select(F.xxhash64("s").alias("bucket"), F.col(id_col))
+    by_shingle = inv.groupBy("bucket").agg(F.collect_list(id_col).alias("members"))
+    kept = by_shingle.filter(F.size("members") <= max_df).localCheckpoint(eager=True)
+    # per-doc size of the df-capped shingle set (singletons included)
+    n_df = (
+        kept.select(F.explode("members").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Same streaming posexplode+slice pair generation as _bucket_pairs,
+    # inlined on the already-collected buckets (routing through it would
+    # re-explode and re-shuffle on the bucket key).
+    with_pos = (
+        kept.filter(F.size("members") >= 2)
+        .select(F.array_sort("members").alias("ms"))
+        .select("ms", F.posexplode("ms").alias("i", "id1"))
+    )
+    pairs = with_pos.select(
+        "id1",
+        F.explode(
+            F.slice("ms", F.col("i") + 2, F.size("ms") - F.col("i") - 1)
+        ).alias("id2"),
+    )
+    cand = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter"))
+    n1 = n_df.select(F.col(id_col).alias("id1"), F.col("n").alias("n1"))
+    n2 = n_df.select(F.col(id_col).alias("id2"), F.col("n").alias("n2"))
+    jac = F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4)
+    return (
+        cand.join(n1, "id1")
+        .join(n2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

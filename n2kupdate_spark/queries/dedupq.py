@@ -288,3 +288,45 @@ def dedup_cc_pointer_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = load(spark, sf_dir, "documents").select("doc_id")
     edges = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
     return connected_components_pointer_jump(nodes, edges, id_col="doc_id")
+
+
+@register(
+    "dedup_jaccard_stop_shingles",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    freq AS (SELECT s, COUNT(*) AS df FROM inv GROUP BY s),
+    keep AS (SELECT i.doc_id, i.s FROM inv i JOIN freq ON i.s = freq.s
+             WHERE freq.df <= 5),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
+    cand AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(inter / (n1.n + n2.n - inter), 4) AS jaccard
+    FROM cand
+    JOIN n n1 ON n1.doc_id = id1
+    JOIN n n2 ON n2.doc_id = id2
+    WHERE ROUND(inter / (n1.n + n2.n - inter), 4) >= 0.1
+    """,
+)
+def dedup_jaccard_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with stop-shingle suppression: shingles in more than 5
+    documents are dropped before pair generation, bounding every posting
+    list — the skew defense that keeps shingle-index dedup linear on real
+    corpora, where boilerplate shingles otherwise generate quadratic pair
+    blow-ups in a handful of hot buckets. Jaccard is exact over the capped
+    sets (sizes recounted post-filter), so the op stays hash-matched rather
+    than becoming an approximation."""
+    from n2kupdate_spark.operators.dedup import shingle_jaccard_pairs_capped
+
+    sh = word_shingles(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return shingle_jaccard_pairs_capped(sh, "doc_id", threshold=0.1, max_df=5)
