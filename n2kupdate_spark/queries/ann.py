@@ -39,7 +39,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_ann_ivf")  # rows-only: centroid layout is engine-specific
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10: 16 seeded cells, one distributed Lloyd refinement,
-    nprobe=4."""
+    nprobe=6 (recall@10 ≈ 0.64 on this data; see ivf_topk)."""
     e, q = _vectors_and_queries(spark, sf_dir)
     return ivf_topk(e, q, "vec_id", "q_id", "v", "qv", k=10)
 
@@ -60,3 +60,39 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = attach_fake_payload(d, "doc_id", "text")
     feats = decode_images(payloads, "doc_id", fake=True)
     return feats.select("doc_id", "n_bytes", "format")
+
+
+@register("sim_ann_recall_eval")  # rows-only: evaluates engine-specific ANN
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of each ANN variant against the exact brute-force top-10 —
+    the evaluation harness that makes "approximate" an engineering choice
+    instead of a guess. For every query vector, counts how many of the
+    exact 10 nearest neighbors each ANN method recovered; reports the
+    corpus-level recall per method. All inputs are deterministic (seeded
+    hyperplanes/centroids, rounded scores, id tiebreaks), so the numbers
+    are reproducible run to run; tests/test_ann_recall.py pins lower
+    bounds. The comparison joins are Q×k-row — driver-negligible at any
+    corpus scale."""
+    from n2kupdate_spark.queries.vectors import sim_cosine_topk
+
+    exact = sim_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_true"))
+
+    def recall_of(name: str, ann: DataFrame) -> DataFrame:
+        hits = (
+            ann.select("q_id", "neighbor_id")
+            .join(exact, ["q_id", "neighbor_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        per_q = n_exact.join(hits, "q_id", "left").select(
+            "q_id", F.coalesce("n_hit", F.lit(0)).alias("n_hit"), "n_true"
+        )
+        return per_q.agg(
+            F.lit(name).alias("method"),
+            F.round(F.sum("n_hit") / F.sum("n_true"), 4).alias("recall_at_10"),
+            F.count(F.lit(1)).alias("n_queries"),
+        )
+    return recall_of("lsh", sim_ann_lsh(spark, sf_dir)).unionByName(
+        recall_of("ivf", sim_ann_ivf(spark, sf_dir))
+    )
