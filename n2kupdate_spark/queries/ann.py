@@ -75,7 +75,14 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale."""
     from n2kupdate_spark.queries.vectors import sim_cosine_topk
 
-    exact = sim_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    # The exact baseline feeds three consumers (denominator + one hit-join
+    # per method); checkpointing its Q×k rows computes the brute-force scan
+    # once instead of three times.
+    exact = (
+        sim_cosine_topk(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_true"))
 
     def recall_of(name: str, ann: DataFrame) -> DataFrame:

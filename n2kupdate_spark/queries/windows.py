@@ -301,3 +301,35 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_islands"), F.max("streak").alias("max_streak")
     )
+
+
+@register(
+    "window_cume_dist",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(cume_dist() OVER w, 4) AS cd,
+           ROUND(avg(o_totalprice) OVER (PARTITION BY o_orderpriority), 4)
+               AS prio_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distribution of order value within each priority class,
+    alongside the class average (two window specs, one partitioning — Spark
+    plans a single exchange on o_orderpriority feeding both Window
+    operators). Completes the ranking-function surface next to
+    ntile/percent_rank/row_number."""
+    o = load(spark, sf_dir, "orders",
+             columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.round(F.avg("o_totalprice").over(wp), 4).alias("prio_avg"),
+    )

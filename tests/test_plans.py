@@ -183,6 +183,10 @@ def test_no_query_plan_has_scale_red_flags(spark, sf_dir):
     import re
 
     ALLOWED_BNLJ = {"join_cross_small", "join_theta_range"}
+    # Evaluation harnesses legitimately compose several full pipelines into
+    # one plan (recall eval = 2 ANN variants + comparison joins); the
+    # per-operator exchange budget doesn't apply to them.
+    ALLOWED_MANY_EXCHANGES = {"sim_ann_recall_eval"}
     issues = []
     for name, fn in sorted(QUERIES.items()):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -193,6 +197,6 @@ def test_no_query_plan_has_scale_red_flags(spark, sf_dir):
         if "BatchEvalPython" in plan and not name.startswith(("udf_", "udtf")):
             issues.append((name, "row-at-a-time python"))
         n_exch = len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
-        if n_exch > 5:
+        if n_exch > 5 and name not in ALLOWED_MANY_EXCHANGES:
             issues.append((name, f"{n_exch} exchanges"))
     assert not issues, issues
