@@ -151,3 +151,25 @@ def full_outer_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.withColumn(change_col, classify).drop("__in_target", "__in_incoming")
+
+
+def scd2_asof(
+    history: DataFrame,
+    as_of: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time reconstruction over an SCD2 validity-window history:
+    the rows live at ``as_of`` are those with ``valid_from <= as_of`` and an
+    open or later-closing window. The read-side complement of
+    :func:`merge_scd2_close` — together they give write/read round-trip over
+    versioned state (the reference's destroy-timestamp tables are queried
+    exactly this way ⟨pub⟩ R/store_species_group_species.R [M]).
+
+    Timestamps are ISO-format strings, so lexicographic comparison is
+    chronological in every engine. A pure filter: partition-pruning-friendly
+    at scale if the history is stored partitioned on date(valid_from)."""
+    return history.filter(
+        (F.col(valid_from) <= F.lit(as_of))
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > F.lit(as_of)))
+    )

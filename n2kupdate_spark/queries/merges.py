@@ -113,3 +113,63 @@ def merge_scd2_close_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["grp", "member"],
         batch_ts=FX.BATCH_TS,
     )
+
+
+@register(
+    "merge_scd2_asof",
+    oracle=f"""
+    WITH t AS (SELECT grp, member, '2025-01-01 00:00:00' AS valid_from,
+                      CAST(NULL AS VARCHAR) AS valid_to
+               FROM ({FX.MEMBERSHIP_TARGET_SQL})),
+         i AS ({FX.MEMBERSHIP_INCOMING_SQL}),
+         hist AS (
+             SELECT t.grp, t.member, t.valid_from,
+                    CASE WHEN i.member IS NULL THEN '{FX.BATCH_TS}'
+                         ELSE NULL END AS valid_to
+             FROM t LEFT JOIN i ON t.grp = i.grp AND t.member = i.member
+             UNION ALL
+             SELECT i.grp, i.member, '{FX.BATCH_TS}' AS valid_from,
+                    CAST(NULL AS VARCHAR) AS valid_to
+             FROM i
+             WHERE NOT EXISTS (SELECT 1 FROM t
+                               WHERE t.grp = i.grp AND t.member = i.member)
+         )
+    SELECT '2025-06-01 00:00:00' AS as_of, grp, member FROM hist
+    WHERE valid_from <= '2025-06-01 00:00:00'
+      AND (valid_to IS NULL OR valid_to > '2025-06-01 00:00:00')
+    UNION ALL
+    SELECT '2026-06-01 00:00:00' AS as_of, grp, member FROM hist
+    WHERE valid_from <= '2026-06-01 00:00:00'
+      AND (valid_to IS NULL OR valid_to > '2026-06-01 00:00:00')
+    """,
+)
+def merge_scd2_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: membership as-of a timestamp
+    before the batch (= the pre-merge state) and one after it (= the
+    post-merge state), from ONE history table — the query pattern that
+    justifies keeping validity windows instead of overwriting. Probing both
+    instants in one plan shows closed rows excluded at the later probe and
+    batch-opened rows excluded at the earlier one."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.merge import scd2_asof
+
+    target = FX.membership_target(spark, sf_dir).select(
+        "grp",
+        "member",
+        F.lit("2025-01-01 00:00:00").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    hist = merge_scd2_close(
+        target,
+        FX.membership_incoming(spark, sf_dir),
+        keys=["grp", "member"],
+        batch_ts=FX.BATCH_TS,
+    )
+
+    def probe(ts: str) -> DataFrame:
+        return scd2_asof(hist, ts).select(
+            F.lit(ts).alias("as_of"), "grp", "member"
+        )
+
+    return probe("2025-06-01 00:00:00").unionByName(probe("2026-06-01 00:00:00"))
