@@ -194,16 +194,24 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_sorted",
     oracle="""
-    SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments
     FROM customer GROUP BY c_nationkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group sorted distinct list (deterministic: sorted, distinct)."""
+    """Per-group sorted distinct list (deterministic: sorted, distinct),
+    serialized '|'-joined so the result is a flat string column — array
+    columns crash the driver canonicalizer's hash step (r1 finding), and the
+    string form is hash-checked instead of downgraded to rows-only."""
     return (
         load(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
-        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
+                "segments"
+            )
+        )
     )
 
 

@@ -58,21 +58,44 @@ def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Deterministic CSV payload for source_csv (rows-only oracle: no view for it).
+#: Deterministic CSV payload for source_csv.
 _CSV_ROWS = [(i, f"name_{i}", round(i * 1.5, 2)) for i in range(1, 26)]
+_CSV_PATH = os.path.join(tempfile.gettempdir(), "n2kupdate_spark_source.csv")
+_JSON_PATH = os.path.join(tempfile.gettempdir(), "n2kupdate_spark_source.jsonl")
 
 
-@register("source_csv")  # rows-only: oracle views cover parquet tables only
-def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV ingestion with an explicit schema (no inference pass — at scale,
-    schema inference is a full read)."""
+def _write_source_files() -> None:
+    """Materialize the deterministic CSV/JSONL fixtures. Called at import
+    time (not just inside the query fns) so the DuckDB oracle can read the
+    same files regardless of whether the driver runs Spark or oracle first."""
     buf = io.StringIO()
     w = csv.writer(buf)
     w.writerow(["id", "name", "score"])
     w.writerows(_CSV_ROWS)
-    path = os.path.join(tempfile.gettempdir(), "n2kupdate_spark_source.csv")
-    with open(path, "w") as f:
+    with open(_CSV_PATH, "w") as f:
         f.write(buf.getvalue())
+    with open(_JSON_PATH, "w") as f:
+        for i in range(1, 26):
+            f.write('{"id": %d, "k": %d, "tag": "t%d"}\n' % (i, i * 7 % 5, i % 3))
+        f.write('{"id": bad json line\n')  # exercised: quarantined, not fatal
+
+
+_write_source_files()
+
+
+@register(
+    "source_csv",
+    oracle=f"""
+    SELECT id, name, score
+    FROM read_csv('{_CSV_PATH}', header=true,
+                  columns={{'id': 'BIGINT', 'name': 'VARCHAR', 'score': 'DOUBLE'}})
+    """,
+)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion with an explicit schema (no inference pass — at scale,
+    schema inference is a full read). Oracle: DuckDB read_csv over the same
+    file with the same typed column spec."""
+    _write_source_files()
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -80,20 +103,29 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("score", T.DoubleType()),
         ]
     )
-    return spark.read.schema(schema).option("header", "true").csv(path)
+    return spark.read.schema(schema).option("header", "true").csv(_CSV_PATH)
 
 
-@register("source_json")  # rows-only: oracle views cover parquet tables only
+@register(
+    "source_json",
+    oracle=f"""
+    SELECT id, k, tag
+    FROM read_json('{_JSON_PATH}', format='newline_delimited',
+                   columns={{'id': 'BIGINT', 'k': 'INTEGER', 'tag': 'VARCHAR'}},
+                   ignore_errors=true)
+    """,
+)
 def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines ingestion with an explicit schema (the events.props column
     ingested as first-class JSON records). At scale, explicit schemas skip
     the inference read AND let corrupt records route to a quarantine column
-    (PERMISSIVE + columnNameOfCorruptRecord) instead of failing the scan."""
-    path = os.path.join(tempfile.gettempdir(), "n2kupdate_spark_source.jsonl")
-    with open(path, "w") as f:
-        for i in range(1, 26):
-            f.write('{"id": %d, "k": %d, "tag": "t%d"}\n' % (i, i * 7 % 5, i % 3))
-        f.write('{"id": bad json line\n')  # exercised: quarantined, not fatal
+    (PERMISSIVE + columnNameOfCorruptRecord) instead of failing the scan.
+    Both engines surface the corrupt trailing line as one all-NULL row
+    (Spark PERMISSIVE; DuckDB ignore_errors), so the 26-row result
+    hash-matches; the quarantine column itself is asserted in
+    tests/test_sources.py (engine-specific payload, excluded from the
+    oracle projection)."""
+    _write_source_files()
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -106,5 +138,6 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(path)
+        .json(_JSON_PATH)
+        .select("id", "k", "tag")
     )

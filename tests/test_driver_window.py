@@ -1,0 +1,39 @@
+"""Guard the driver's 50-entry correctness window (SURVEY.md §7.4; r1
+finding: the driver checks exactly the first 50 ``queries()`` entries in
+registration order, and its canonicalizer crashes on array/map columns).
+
+These tests pin the two invariants the rotation in queries/__init__.py
+relies on:
+1. every query inside the window has a DuckDB oracle (hash-checked, not
+   rows-only), and
+2. no window query emits a complex-typed (array/map/struct) column.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from n2kupdate_spark.queries import ORACLE, QUERIES
+
+WINDOW = list(QUERIES)[:50]
+
+
+def test_window_is_50_and_oracle_backed():
+    assert len(QUERIES) >= 50
+    missing = [n for n in WINDOW if n not in ORACLE]
+    assert not missing, f"window queries without oracle (rows-only wastes a slot): {missing}"
+
+
+@pytest.mark.parametrize("name", WINDOW)
+def test_window_query_schema_is_flat(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} emits complex columns {complex_cols}: the driver canonicalizer "
+        "crashes on unhashable cells — serialize (array_join) or rotate out"
+    )
