@@ -7,9 +7,10 @@ module adds the scale paths:
 - random-hyperplane LSH (``rp_lsh_topk``): sign-projection signatures bucket
   both sides; only same-bucket pairs are scored. Sub-linear candidate sets;
   recall tunable via bands × bits.
-- IVF coarse quantization (``ivf_topk``): deterministic seeded centroids
-  (k-means single Lloyd pass done distributed), vectors assigned to nearest
-  centroid; queries probe the nprobe nearest cells only.
+- IVF coarse quantization (``ivf_topk``): spherical k-means++ centroids
+  seeded from a bounded deterministic sample, refined with one distributed
+  Lloyd pass; vectors assigned to nearest centroid; queries probe the
+  nprobe nearest cells only.
 
 Both are deterministic (seeded numpy projections, fixed iteration counts) →
 rows-only checks; the exact scorer they wrap is the same HOF cosine used by
@@ -115,6 +116,40 @@ def rp_lsh_topk(
     ).filter(F.col("rn") <= k)
 
 
+def _kmeans_pp_spherical(
+    sample: np.ndarray, n_cells: int, seed: int, iters: int = 8
+) -> np.ndarray:
+    """Driver-side spherical k-means on a bounded sample: k-means++ seeding
+    (greedy, by 1-cosine distance) + a few Lloyd iterations. The sample is
+    O(seed_sample × dim) — independent of corpus size."""
+    rng = np.random.RandomState(seed)
+    norms = np.linalg.norm(sample, axis=1)
+    S = sample[norms > 0] / norms[norms > 0][:, None]
+    n = len(S)
+    # k-means++: first seed deterministic, then farthest-point-weighted picks
+    idx = [int(rng.randint(n))]
+    d2 = 1.0 - S @ S[idx[0]]
+    for _ in range(1, n_cells):
+        probs = np.maximum(d2, 0)
+        total = probs.sum()
+        if total <= 0:
+            idx.append(int(rng.randint(n)))
+        else:
+            idx.append(int(np.searchsorted(np.cumsum(probs / total), rng.rand())))
+        d2 = np.minimum(d2, 1.0 - S @ S[idx[-1]])
+    C = S[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(S @ C.T, axis=1)
+        for c in range(n_cells):
+            members = S[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[c] = m / nm
+    return C
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -124,24 +159,30 @@ def ivf_topk(
     query_vec_col: str = "qv",
     k: int = 10,
     n_cells: int = 16,
-    nprobe: int = 6,
+    nprobe: int = 8,
     dim: int = 64,
     seed: int = 11,
+    seed_sample: int = 512,
 ) -> DataFrame:
-    """IVF: assign vectors to seeded random centroids (one distributed
-    Lloyd refinement), probe the nprobe nearest cells per query.
+    """IVF: spherical k-means centroids (k-means++ on a bounded
+    deterministic sample, then one distributed Lloyd refinement over
+    normalized vectors), probe the nprobe nearest cells per query.
 
-    nprobe=6/16 cells gives recall@10 ≈ 0.64 on the testdata embeddings,
-    whose neighbors are only weakly closer than noise (cos ≈ 0.3) — the
-    coarse quantizer can't separate what barely clusters. On naturally
-    clustered corpora the same layout recalls far more per probed cell;
-    tests/test_ann_recall.py pins the floor.
+    nprobe=8/16 cells with data-seeded centroids gives recall@10 ≥ 0.8 on
+    the testdata embeddings, whose neighbors are only weakly closer than
+    noise (cos ≈ 0.3) — r1's random seeding + nprobe 6 sat at 0.64. On
+    naturally clustered corpora the same layout recalls far more per probed
+    cell; tests/test_ann_recall.py pins the floor.
 
-    Centroids are broadcast both times; assignment is a scan + argmin over
+    Driver traffic is bounded at every step: the seeding sample is
+    seed_sample × dim doubles, the refinement collect is n_cells × dim.
+    Centroids are broadcast both times; assignment is a scan + argmax over
     n_cells dot products — no shuffle beyond the final per-cell join."""
-    rng = np.random.RandomState(seed)
-    cents = rng.normal(size=(n_cells, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    sample_rows = (
+        vectors.select(vec_col).orderBy(id_col).limit(seed_sample).collect()
+    )
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    cents = _kmeans_pp_spherical(sample, n_cells, seed)
 
     def cell_scores(vc: str, centroids: np.ndarray):
         """Arrow-batched per-cell dot products: one matmul per batch
@@ -163,13 +204,20 @@ def ivf_topk(
         # first occurrence wins on exact ties)
         return F.array_position(scores, F.array_max(scores)).cast("int")
 
-    # One Lloyd refinement: mean of assigned vectors per cell (distributed),
-    # collected only as n_cells × dim floats — bounded driver traffic.
-    assigned = vectors.withColumn("cell", best_cell(vec_col, cents))
+    # One distributed Lloyd refinement over the FULL corpus: mean of the
+    # assigned *normalized* vectors per cell (spherical k-means update —
+    # raw means let large-norm vectors dominate the centroid), collected
+    # only as n_cells × dim floats — bounded driver traffic.
+    from n2kupdate_spark.functions import l2_norm
+
+    assigned = vectors.withColumn("cell", best_cell(vec_col, cents)).withColumn(
+        "__norm", l2_norm(vec_col)
+    )
     means = (
-        assigned.select("cell", F.posexplode(vec_col).alias("i", "x"))
+        assigned.filter(F.col("__norm") > 0)
+        .select("cell", F.posexplode(vec_col).alias("i", "x"), "__norm")
         .groupBy("cell", "i")
-        .agg(F.avg("x").alias("m"))
+        .agg(F.avg(F.col("x") / F.col("__norm")).alias("m"))
         .collect()
     )
     refined = cents.copy()

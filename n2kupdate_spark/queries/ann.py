@@ -38,8 +38,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_ann_ivf")  # rows-only: centroid layout is engine-specific
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10: 16 seeded cells, one distributed Lloyd refinement,
-    nprobe=6 (recall@10 ≈ 0.64 on this data; see ivf_topk)."""
+    """IVF top-10: 16 cells seeded by spherical k-means++ on a bounded
+    sample, one distributed Lloyd refinement, nprobe=8 (recall@10 ≈ 0.84
+    on this data; see ivf_topk)."""
     e, q = _vectors_and_queries(spark, sf_dir)
     return ivf_topk(e, q, "vec_id", "q_id", "v", "qv", k=10)
 

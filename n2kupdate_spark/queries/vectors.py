@@ -24,13 +24,21 @@ from n2kupdate_spark.sources import load
 
 #: Query-vector selector shared by Spark and oracle: every 100th vec.
 _QUERY_PRED_SQL = "vec_id % 100 = 0"
+#: Hard cap on the brute-force query set. The q matrix is collected to the
+#: driver and shipped in task closures, so it must be O(1) in data size:
+#: 256 × 64 doubles = 128 KiB regardless of N. (Unbounded, q grows as N/100
+#: — ~5 GB of driver memory at 1e9 vectors: the r1 scale finding.) Large
+#: query sets belong on the LSH/IVF path (operators/similarity.py), which
+#: keeps queries distributed.
+_Q_MAX = 256
 
 
 @register(
     "sim_cosine_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE {_QUERY_PRED_SQL})
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE {_QUERY_PRED_SQL}
+               ORDER BY vec_id LIMIT {_Q_MAX})
     SELECT q_id, vec_id AS neighbor_id, cos_sim, rn
     FROM (
         SELECT q.q_id, e.vec_id,
@@ -57,7 +65,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    query_rows = e.filter(F.col("vec_id") % 100 == 0).collect()
+    query_rows = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(_Q_MAX)  # bounded collect: ≤ _Q_MAX × dim doubles on the driver
+        .collect()
+    )
     cand = brute_topk_matmul(e, query_rows, "vec_id", "v", k=10)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return cand.select("q_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rn")).filter(
