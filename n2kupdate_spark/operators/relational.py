@@ -48,35 +48,46 @@ def asof_join(
 
     Implementation is the *union + running last_value* formulation, not a
     join: tag right rows side=0 and left rows side=1, sort each key partition
-    by (ts, side, tiebreak), and carry the latest non-null right payload
-    forward with ``last(ignorenulls=True)`` over an unbounded-preceding
-    frame. Right rows tied on ts resolve to the greatest ``right_tiebreak``.
+    by (ts, side, tiebreak), and carry the latest right row forward with
+    ``last(ignorenulls=True)`` over an unbounded-preceding frame. Right rows
+    tied on ts resolve to the greatest ``right_tiebreak``.
+
+    The payload is carried as ONE struct per right row, not per-column:
+    per-column ``last(ignorenulls)`` would let a newer right row with a NULL
+    field fail to supersede an older non-null value — and could mix fields
+    from different right rows. The struct is non-null whenever a right row
+    exists (even with all-NULL fields), so the carried value is always the
+    latest row atomically and its NULLs propagate, matching DuckDB/pandas
+    ASOF semantics (property-tested in tests/test_merge_props.py).
 
     Scale: one shuffle on the key, zero row explosion — the join+filter+
     row_number formulation materializes every (left, right-earlier) pair,
     which is quadratic per key; this is linear and is the standard
     merge-as-of pattern at 100 TB.
     """
+    from pyspark.sql import types as T
+
     on = list(on)
     payload_cols = list(payload_cols)
+    r_types = {f.name: f.dataType for f in right.schema.fields}
+    payload_t = T.StructType(
+        [T.StructField(c, r_types[c]) for c in payload_cols]
+    )
 
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.col(right_tiebreak).alias("__tb"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("__p"),
     )
     left_cols = left.columns
     l = left.select(
         *left_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(dict(right.dtypes)[right_tiebreak]).alias("__tb"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__p_{c}")
-            for c in payload_cols
-        ],
+        F.lit(None).cast(r_types[right_tiebreak]).alias("__tb"),
+        F.lit(None).cast(payload_t).alias("__p"),
     )
     # Align schemas: right side lacks left's columns.
     for c in left_cols:
@@ -92,13 +103,10 @@ def asof_join(
     )
     carried = unioned.select(
         *unioned.columns,
-        *[
-            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(f"__carried_{c}")
-            for c in payload_cols
-        ],
+        F.last(F.col("__p"), ignorenulls=True).over(w).alias("__cp"),
     )
     out = carried.filter(F.col("__side") == 1).select(
         *left_cols,
-        *[F.col(f"__carried_{c}").alias(c) for c in payload_cols],
+        *[F.col("__cp").getField(c).alias(c) for c in payload_cols],
     )
     return out

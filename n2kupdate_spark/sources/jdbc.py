@@ -22,13 +22,39 @@ dims only; the generated merge SQL is identical either way).
 
 from __future__ import annotations
 
+import re
 import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 
 # --- merge SQL generation (shared by both backends) ------------------------
+
+#: Table/column names and the batch timestamp are interpolated into merge
+#: SQL that runs on the warehouse connection — validate them first so a
+#: hostile identifier or a quote in batch_ts can neither break the
+#: statement nor inject (ADVICE r1).
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+_TS_RE = re.compile(r"^[0-9][0-9:\-\. T]*$")
+
+
+def _ident(name: str) -> str:
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
+def _idents(names: Sequence[str]) -> list[str]:
+    return [_ident(n) for n in names]
+
+
+def _ts_literal(ts: str) -> str:
+    if not _TS_RE.match(ts):
+        raise ValueError(f"invalid timestamp literal: {ts!r}")
+    return ts
+
 
 def _cols(df: DataFrame) -> list[str]:
     return list(df.columns)
@@ -36,7 +62,9 @@ def _cols(df: DataFrame) -> list[str]:
 
 def sql_merge_scd1(target: str, staging: str, keys: Sequence[str], columns: Sequence[str]) -> list[str]:
     """UPDATE-changed + INSERT-missing (⟨pub⟩ R/store_language.R pattern)."""
-    keys = list(keys)
+    target, staging = _ident(target), _ident(staging)
+    keys = _idents(keys)
+    columns = _idents(columns)
     attrs = [c for c in columns if c not in keys]
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     set_clause = ", ".join(f"{c} = s.{c}" for c in attrs)
@@ -44,7 +72,7 @@ def sql_merge_scd1(target: str, staging: str, keys: Sequence[str], columns: Sequ
     stmts = []
     if attrs:
         stmts.append(
-            f"UPDATE {target} t SET {set_clause} FROM {staging} s WHERE {on}"
+            f"UPDATE {target} AS t SET {set_clause} FROM {staging} s WHERE {on}"
         )
     stmts.append(
         f"INSERT INTO {target} ({collist}) "
@@ -58,8 +86,9 @@ def sql_merge_insert_ignore(
     target: str, staging: str, keys: Sequence[str], columns: Sequence[str]
 ) -> list[str]:
     """INSERT-missing only (append-only version chains)."""
-    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    collist = ", ".join(columns)
+    target, staging = _ident(target), _ident(staging)
+    on = " AND ".join(f"t.{k} = s.{k}" for k in _idents(keys))
+    collist = ", ".join(_idents(columns))
     return [
         f"INSERT INTO {target} ({collist}) "
         f"SELECT {collist} FROM {staging} s "
@@ -72,11 +101,11 @@ def sql_merge_set_replace(
 ) -> list[str]:
     """Replace membership wholesale for groups present in staging
     (⟨pub⟩ R/store_location_group_location.R pattern)."""
-    gs = list(group_cols)
-    on = " AND ".join(f"t.{g} = s.{g}" for g in gs)
-    collist = ", ".join(columns)
+    target, staging = _ident(target), _ident(staging)
+    on = " AND ".join(f"t.{g} = s.{g}" for g in _idents(group_cols))
+    collist = ", ".join(_idents(columns))
     return [
-        f"DELETE FROM {target} t WHERE EXISTS (SELECT 1 FROM {staging} s WHERE {on})",
+        f"DELETE FROM {target} AS t WHERE EXISTS (SELECT 1 FROM {staging} s WHERE {on})",
         f"INSERT INTO {target} ({collist}) SELECT {collist} FROM {staging}",
     ]
 
@@ -90,11 +119,14 @@ def sql_merge_scd2_close(
     valid_to: str = "valid_to",
 ) -> list[str]:
     """Close open rows absent from staging; open rows new to the target."""
-    ks = list(keys)
+    target, staging = _ident(target), _ident(staging)
+    batch_ts = _ts_literal(batch_ts)
+    valid_from, valid_to = _ident(valid_from), _ident(valid_to)
+    ks = _idents(keys)
     on = " AND ".join(f"t.{k} = s.{k}" for k in ks)
     keylist = ", ".join(ks)
     return [
-        f"UPDATE {target} t SET {valid_to} = '{batch_ts}' "
+        f"UPDATE {target} AS t SET {valid_to} = '{batch_ts}' "
         f"WHERE t.{valid_to} IS NULL "
         f"AND NOT EXISTS (SELECT 1 FROM {staging} s WHERE {on})",
         f"INSERT INTO {target} ({keylist}, {valid_from}, {valid_to}) "
@@ -113,18 +145,66 @@ MERGE_SQL = {
 
 # --- backends --------------------------------------------------------------
 
+#: Spark → portable-SQL column types for the generic-DBAPI staging DDL.
+_SQL_TYPE: dict[type, str] = {
+    T.LongType: "BIGINT",
+    T.IntegerType: "INTEGER",
+    T.ShortType: "SMALLINT",
+    T.ByteType: "SMALLINT",
+    T.DoubleType: "DOUBLE PRECISION",
+    T.FloatType: "REAL",
+    T.StringType: "VARCHAR",
+    T.BooleanType: "BOOLEAN",
+    T.TimestampType: "TIMESTAMP",
+    T.DateType: "DATE",
+}
+
+
+def _sql_type(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    try:
+        return _SQL_TYPE[type(dt)]
+    except KeyError:
+        raise ValueError(f"unsupported staging column type: {dt}") from None
+
+
+def _paramstyle_marker(con) -> str:
+    """DBAPI placeholder for the connection's driver module (PEP 249
+    ``paramstyle``): qmark (sqlite3, duckdb) → '?', (py)format (psycopg2,
+    mysql) → '%s'."""
+    import sys
+
+    mod = sys.modules.get(type(con).__module__.split(".")[0])
+    style = getattr(mod, "paramstyle", "qmark")
+    return {"qmark": "?", "format": "%s", "pyformat": "%s"}.get(style, "?")
+
+
 class DbApiBackend:
-    """Execute the sink against any DBAPI connection (DuckDB, psycopg2…).
+    """Execute the sink against any DBAPI connection (DuckDB, sqlite3,
+    psycopg2…).
 
     The staging write round-trips through Arrow batches on the driver —
     test/small-dim scale only; the merge statements are the same SQL the
-    JDBC backend runs.
+    JDBC backend runs. DuckDB uses the zero-copy ``register`` path; any
+    other driver gets a typed CREATE TABLE generated from ``df.schema`` and
+    a cursor ``executemany`` (PEP 249 puts execute on cursors, not
+    connections — sqlite3/duckdb connection-level execute is an extension).
+    Exercised against both DuckDB and sqlite3 in tests/test_jdbc_sink.py.
     """
 
     def __init__(self, con):
         self.con = con
 
+    def _cursor(self):
+        # Prefer connection-level execute where the driver extends PEP 249
+        # with it (sqlite3, duckdb — duckdb's cursor() DUPLICATES the
+        # connection, so a real cursor would detach from the session);
+        # strict drivers (psycopg2) only expose execute on cursors.
+        return self.con if hasattr(self.con, "execute") else self.con.cursor()
+
     def write_staging(self, df: DataFrame, staging: str) -> None:
+        staging = _ident(staging)
         pdf = df.toPandas()
         if hasattr(self.con, "register"):  # duckdb fast path
             self.con.register(f"__stage_{staging}", pdf)
@@ -133,26 +213,33 @@ class DbApiBackend:
             )
             self.con.unregister(f"__stage_{staging}")
         else:
-            cols = ", ".join(df.columns)
-            ph = ", ".join(["?"] * len(df.columns))
-            self.con.execute(f"CREATE TABLE {staging} AS SELECT * FROM (VALUES ) LIMIT 0")
-            self.con.executemany(
-                f"INSERT INTO {staging} ({cols}) VALUES ({ph})",
-                [tuple(r) for r in pdf.itertuples(index=False, name=None)],
+            coldefs = ", ".join(
+                f"{_ident(f.name)} {_sql_type(f.dataType)}" for f in df.schema.fields
             )
+            cols = ", ".join(_idents(df.columns))
+            ph = ", ".join([_paramstyle_marker(self.con)] * len(df.columns))
+            cur = self._cursor()
+            cur.execute(f"CREATE TABLE {staging} ({coldefs})")
+            # NaN/NaT from the pandas round-trip must land as SQL NULL.
+            rows = [
+                tuple(None if v != v or v is None else v for v in r)  # noqa: PLR0124 — NaN != NaN
+                for r in pdf.itertuples(index=False, name=None)
+            ]
+            cur.executemany(f"INSERT INTO {staging} ({cols}) VALUES ({ph})", rows)
 
     def execute(self, stmts: Sequence[str]) -> None:
-        self.con.execute("BEGIN TRANSACTION")
+        cur = self._cursor()
+        cur.execute("BEGIN TRANSACTION")
         try:
             for s in stmts:
-                self.con.execute(s)
-            self.con.execute("COMMIT")
+                cur.execute(s)
+            cur.execute("COMMIT")
         except Exception:
-            self.con.execute("ROLLBACK")
+            cur.execute("ROLLBACK")
             raise
 
     def drop_staging(self, staging: str) -> None:
-        self.con.execute(f"DROP TABLE IF EXISTS {staging}")
+        self._cursor().execute(f"DROP TABLE IF EXISTS {_ident(staging)}")
 
 
 class SparkJdbcBackend:

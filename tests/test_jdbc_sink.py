@@ -105,3 +105,79 @@ def test_set_replace_sink(spark, sf_dir, db):
     expected = merge_set_replace(tgt, inc, group_cols=["grp"]).toPandas()
     got = sorted(map(tuple, db.execute("SELECT grp, member FROM membership_t").fetchall()))
     assert got == sorted(map(tuple, expected.itertuples(index=False, name=None)))
+
+
+# --- generic-DBAPI (non-register) path: sqlite3 ---------------------------
+
+@pytest.fixture()
+def sqlite_db(spark, sf_dir):
+    import sqlite3
+
+    con = sqlite3.connect(":memory:", isolation_level=None)
+    target_pdf = FX.dim_target(spark, sf_dir).toPandas()
+    con.execute(
+        "CREATE TABLE customer_t (c_custkey BIGINT, c_name VARCHAR, "
+        "c_nationkey INTEGER, c_acctbal DOUBLE PRECISION, c_mktsegment VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO customer_t VALUES (?,?,?,?,?)",
+        [tuple(r) for r in target_pdf.itertuples(index=False, name=None)],
+    )
+    yield con
+    con.close()
+
+
+def _sqlite_state(con):
+    return sorted(
+        (r[0], r[1], r[2], round(r[3], 2), r[4])
+        for r in con.execute(
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer_t"
+        ).fetchall()
+    )
+
+
+def test_scd1_sink_sqlite3_generic_dbapi(spark, sf_dir, sqlite_db):
+    """The typed-DDL + cursor executemany staging path (no duckdb register)
+    against a real second engine: same final state as the pure transform."""
+    incoming = FX.dim_incoming(spark, sf_dir)
+    upsert(incoming, "customer_t", ["c_custkey"], DbApiBackend(sqlite_db), mode="scd1")
+    expected = merge_scd1(
+        FX.dim_target(spark, sf_dir), incoming, keys=["c_custkey"]
+    ).toPandas()
+    exp = sorted(
+        (r[0], r[1], r[2], round(r[3], 2), r[4])
+        for r in expected.itertuples(index=False, name=None)
+    )
+    assert _sqlite_state(sqlite_db) == exp
+    # staging cleaned up on the generic path too
+    stages = [
+        r[0]
+        for r in sqlite_db.execute(
+            "SELECT name FROM sqlite_master WHERE type='table' AND name LIKE 'staging%'"
+        ).fetchall()
+    ]
+    assert stages == []
+
+
+def test_sqlite3_sink_idempotent(spark, sf_dir, sqlite_db):
+    incoming = FX.dim_incoming(spark, sf_dir)
+    upsert(incoming, "customer_t", ["c_custkey"], DbApiBackend(sqlite_db), mode="scd1")
+    once = _sqlite_state(sqlite_db)
+    upsert(incoming, "customer_t", ["c_custkey"], DbApiBackend(sqlite_db), mode="scd1")
+    assert _sqlite_state(sqlite_db) == once
+
+
+def test_merge_sql_rejects_hostile_identifiers():
+    from n2kupdate_spark.sources.jdbc import (
+        sql_merge_scd1,
+        sql_merge_scd2_close,
+    )
+
+    with pytest.raises(ValueError):
+        sql_merge_scd1("t; DROP TABLE x", "s", ["k"], ["k", "a"])
+    with pytest.raises(ValueError):
+        sql_merge_scd1("t", "s", ["k"], ["a; --", "k"])
+    with pytest.raises(ValueError):
+        sql_merge_scd2_close("t", "s", ["k"], batch_ts="2024-01-01' OR '1'='1")
+    # well-formed inputs still pass
+    assert sql_merge_scd2_close("t", "s", ["k"], batch_ts="2024-01-01 00:00:00")

@@ -90,3 +90,44 @@ def test_validate_schema_rejects_junk(spark, sf_dir):
         validate_schema(
             good.withColumn("c_acctbal", F.col("c_acctbal").cast("string")), "customer"
         )
+
+
+def test_asof_null_payload_supersedes(spark):
+    """A newer right row with a NULL payload field must supersede an older
+    non-null one, and multiple payload columns must come from the SAME right
+    row (latest-row atomicity) — the struct-carry contract in
+    operators.relational.asof_join."""
+    from n2kupdate_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 5, "old_a", "old_b"), (1, 20, 6, None, "new_b")],
+        "k int, ts int, seq int, a string, b string",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        payload_cols=["a", "b"], right_tiebreak="seq",
+    ).collect()
+    assert len(out) == 1
+    # latest right row (ts=20) wins atomically: a=NULL, b='new_b' — never
+    # the mix (a='old_a', b='new_b') that per-column carry produced.
+    assert out[0]["a"] is None and out[0]["b"] == "new_b"
+
+
+def test_asof_unmatched_left_keeps_nulls(spark):
+    from n2kupdate_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 5), (2, 100)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 10, 1, "late")], "k int, ts int, seq int, a string"
+    )
+    out = {
+        r["k"]: r["a"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            payload_cols=["a"], right_tiebreak="seq",
+        ).collect()
+    }
+    assert out == {1: None, 2: None}  # right row is later than left ts=5
