@@ -53,18 +53,56 @@ def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def available_codecs() -> dict[str, bool]:
+    """Runtime probe of media libraries (import-try only — no hard deps).
+
+    Recorded for this container in BASELINE.md §7: all False (no Pillow,
+    no cv2, no soundfile, no ffmpeg) — which is why the decode kernels
+    default to the deterministic fake path."""
+    import importlib.util
+    import shutil
+
+    return {
+        "pillow": importlib.util.find_spec("PIL") is not None,
+        "cv2": importlib.util.find_spec("cv2") is not None,
+        "soundfile": importlib.util.find_spec("soundfile") is not None,
+        "ffmpeg": shutil.which("ffmpeg") is not None,
+    }
+
+
 def decode_image(payload: bytes, fmt: str, fake: bool = False) -> dict:
     """Decode one image payload → metadata dict.
 
-    STUB: real decoding needs an image library this container doesn't ship.
-    ``fake=True`` derives deterministic pseudo-metadata from the bytes so the
-    pipeline around the kernel is fully exercisable.
+    With ``fake=False`` this uses Pillow when importable (real decode:
+    dimensions + mean luma from the grayscale histogram); in an environment
+    with no image library (this container — BASELINE.md §7 probe) it raises
+    rather than pretending. ``fake=True`` derives deterministic
+    pseudo-metadata from the bytes so the pipeline around the kernel is
+    fully exercisable either way.
     """
     if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "for deterministic pseudo-decode (see module docstring)"
-        )
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError(
+                "image codecs unavailable in this environment "
+                f"(available_codecs()={available_codecs()}); pass fake=True "
+                "for deterministic pseudo-decode (see module docstring)"
+            ) from None
+        img = Image.open(io.BytesIO(payload))
+        gray = img.convert("L")
+        hist = gray.histogram()
+        n_px = sum(hist) or 1
+        mean_luma = round(sum(i * c for i, c in enumerate(hist)) / n_px / 255.0, 4)
+        return {
+            "n_bytes": len(payload),
+            "format": (img.format or fmt or "").lower(),
+            "width": img.width,
+            "height": img.height,
+            "mean_luma": mean_luma,
+        }
     digest = hashlib.md5(payload).digest()
     width = 64 + digest[0] % 192  # 64..255, deterministic from content
     height = 64 + digest[1] % 192

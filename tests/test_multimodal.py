@@ -51,3 +51,27 @@ def test_frame_sampling_expands_rows(spark, payloads):
     assert (per_doc["min"] == 0).all()
     assert (per_doc["count"] <= 4).all()
     assert (per_doc["max"] == per_doc["count"] - 1).all()  # contiguous indices
+
+
+def test_available_codecs_probe():
+    """The probe runs everywhere; in this container every codec is absent
+    (recorded in BASELINE.md §7) — if one appears, wire decode_image to it
+    and drop the stub guard."""
+    from n2kupdate_spark.operators.multimodal import available_codecs
+
+    probe = available_codecs()
+    assert set(probe) == {"pillow", "cv2", "soundfile", "ffmpeg"}
+    assert all(isinstance(v, bool) for v in probe.values())
+
+
+def test_decode_image_real_path_raises_without_codecs():
+    from n2kupdate_spark.operators.multimodal import available_codecs, decode_image
+
+    if available_codecs()["pillow"]:
+        import pytest
+
+        pytest.skip("Pillow present: real decode path active")
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not-an-image", "png", fake=False)
