@@ -3,6 +3,7 @@ from n2kupdate_spark.operators.merge import (
     merge_insert_ignore,
     merge_set_replace,
     merge_scd2_close,
+    merge_scd2_changes,
     full_outer_diff,
 )
 from n2kupdate_spark.operators.relational import asof_join, dedup_keep_latest
@@ -12,6 +13,7 @@ __all__ = [
     "merge_insert_ignore",
     "merge_set_replace",
     "merge_scd2_close",
+    "merge_scd2_changes",
     "full_outer_diff",
     "asof_join",
     "dedup_keep_latest",

@@ -346,3 +346,32 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("o_custkey", F.col("o_orderpriority").alias("mode_priority"), "cnt")
     )
+
+
+@register("agg_hll_sketch_merge")  # rows-only: sketch estimates are engine-specific
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    into Spark): per-priority sketches of the customer set, then the GLOBAL
+    estimate computed by UNIONING the sketches — never re-reading the data.
+    This is the 100 TB pattern for distinct counts across rollup levels:
+    sketch once per partition/day, merge upward; exact distinct at each
+    level would re-shuffle the full key set every time. Output carries the
+    exact count_distinct beside each estimate so the error is visible
+    (estimates are deterministic for fixed input; no cross-engine oracle —
+    DuckDB's approx_count_distinct is a different sketch)."""
+    o = load(spark, sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+    per = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_nd"),
+    )
+    level = per.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("est_nd"),
+        "exact_nd",
+    )
+    merged = per.agg(
+        F.lit("__ALL__").alias("o_orderpriority"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_nd"),
+        F.lit(None).cast("long").alias("exact_nd"),
+    )
+    return level.unionByName(merged)

@@ -29,6 +29,14 @@ DIM_INCOMING_SQL = (
     "SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal + 10, 2) AS c_acctbal, "
     "c_mktsegment FROM customer WHERE c_custkey % 2 = 0"
 )
+#: Incoming batch where only some overlapping keys actually change
+#: (c_custkey % 4 == 0 gets an acctbal bump) — exercises the
+#: unchanged / changed / absent / new branches of attribute-diffing merges.
+DIM_INCOMING_PARTIAL_SQL = (
+    "SELECT c_custkey, c_name, c_nationkey, "
+    "ROUND(c_acctbal + CASE WHEN c_custkey % 4 = 0 THEN 10 ELSE 0 END, 2) AS c_acctbal, "
+    "c_mktsegment FROM customer WHERE c_custkey % 2 = 0"
+)
 MEMBERSHIP_TARGET_SQL = (
     "SELECT c_nationkey AS grp, c_custkey AS member FROM customer WHERE c_custkey % 3 <> 0"
 )
@@ -51,6 +59,24 @@ def dim_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "c_nationkey",
             F.round(F.col("c_acctbal") + 10, 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+
+
+def dim_incoming_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round(
+                F.col("c_acctbal")
+                + F.when(F.col("c_custkey") % 4 == 0, F.lit(10.0)).otherwise(F.lit(0.0)),
+                2,
+            ).alias("c_acctbal"),
             "c_mktsegment",
         )
     )

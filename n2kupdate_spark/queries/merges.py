@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from n2kupdate_spark.operators import (
     merge_insert_ignore,
     merge_scd1,
+    merge_scd2_changes,
     merge_scd2_close,
     merge_set_replace,
 )
@@ -173,3 +174,64 @@ def merge_scd2_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return probe("2025-06-01 00:00:00").unionByName(probe("2026-06-01 00:00:00"))
+
+
+@register(
+    "merge_scd2_changes",
+    oracle=f"""
+    WITH t AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                      '2025-01-01 00:00:00' AS valid_from,
+                      CAST(NULL AS VARCHAR) AS valid_to
+               FROM ({FX.DIM_TARGET_SQL})),
+         i AS ({FX.DIM_INCOMING_PARTIAL_SQL}),
+         m AS (SELECT t.*, i.c_custkey AS i_key, i.c_name AS i_name,
+                      i.c_nationkey AS i_nat, i.c_acctbal AS i_bal,
+                      i.c_mktsegment AS i_seg,
+                      NOT (t.c_name IS NOT DISTINCT FROM i.c_name
+                           AND t.c_nationkey IS NOT DISTINCT FROM i.c_nationkey
+                           AND t.c_acctbal IS NOT DISTINCT FROM i.c_acctbal
+                           AND t.c_mktsegment IS NOT DISTINCT FROM i.c_mktsegment)
+                          AS changed
+               FROM t LEFT JOIN i ON t.c_custkey = i.c_custkey)
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           valid_from, valid_to
+    FROM m WHERE i_key IS NOT NULL AND NOT changed
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           valid_from, '{FX.BATCH_TS}' AS valid_to
+    FROM m WHERE i_key IS NULL OR changed
+    UNION ALL
+    SELECT c_custkey, i_name, i_nat, i_bal, i_seg,
+           '{FX.BATCH_TS}' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+    FROM m WHERE i_key IS NOT NULL AND changed
+    UNION ALL
+    SELECT i.c_custkey, i.c_name, i.c_nationkey, i.c_acctbal, i.c_mktsegment,
+           '{FX.BATCH_TS}' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+    FROM i WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.c_custkey = i.c_custkey)
+    """,
+)
+def merge_scd2_changes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full classic SCD2 with attribute-change detection: unchanged keys
+    untouched, changed keys closed-and-reopened at batch_ts, absent keys
+    closed, new keys opened (close-removed + update-changed + insert-missing
+    in ONE versioned transform — the reference's store_* triple over a
+    destroy-timestamp table). The partial-change incoming fixture exercises
+    every branch."""
+    from pyspark.sql import functions as F
+
+    target = FX.dim_target(spark, sf_dir).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2025-01-01 00:00:00").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    return merge_scd2_changes(
+        target,
+        FX.dim_incoming_partial(spark, sf_dir),
+        keys=["c_custkey"],
+        compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        batch_ts=FX.BATCH_TS,
+    )

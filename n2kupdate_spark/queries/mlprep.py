@@ -195,3 +195,177 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_TERM_BUCKET_SQL = "CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT) % 256"
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    SELECT bucket, COUNT(*) AS n_tokens,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, {_TERM_BUCKET_SQL} AS bucket
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+          WHERE term <> '')
+    GROUP BY bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashingTF-style feature hashing: every token maps to one of 256
+    buckets by a content-addressed md5 hash (no vocabulary build — the
+    classic fixed-width featurizer for streaming/huge corpora). Emitted
+    here as per-bucket corpus totals (bounded: n_buckets rows); the per-doc
+    sparse vector is the same expression grouped by (doc_id, bucket).
+    Scale: explode + map-side partial agg — shuffled bytes ∝ 256 buckets ×
+    partitions, independent of corpus size. md5-derived buckets (not
+    Spark's murmur3 hash()) so assignment is engine-portable and
+    oracle-checked."""
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long") % 256
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "ts_gap_interpolate",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, value,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+        FROM events
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(
+                   CAST(ceil(MIN(ts_s) / 3600.0) * 3600 AS BIGINT),
+                   CAST(floor(MAX(ts_s) / 3600.0) * 3600 AS BIGINT),
+                   3600)) AS ts_s
+        FROM e GROUP BY user_id
+    ),
+    unioned AS (
+        SELECT user_id, ts_s, value, 0 AS is_grid, event_id FROM e
+        UNION ALL
+        SELECT user_id, ts_s, NULL, 1, NULL FROM grid
+    ),
+    spanned AS (
+        SELECT user_id, ts_s, is_grid,
+               last_value(value IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN value IS NOT NULL THEN ts_s END IGNORE NULLS)
+                   OVER w_prev AS pt,
+               first_value(value IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN value IS NOT NULL THEN ts_s END IGNORE NULLS)
+                   OVER w_next AS nt
+        FROM unioned
+        WINDOW
+            w_prev AS (PARTITION BY user_id
+                       ORDER BY ts_s ASC, is_grid ASC, COALESCE(event_id, -1) ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_next AS (PARTITION BY user_id
+                       ORDER BY ts_s ASC, is_grid ASC, COALESCE(event_id, -1) ASC
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, ts_s AS grid_ts_s,
+           ROUND(CASE
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL OR nt = pt THEN pv
+               ELSE pv + (nv - pv) * (ts_s - pt) / (nt - pt)
+           END * 10000) / 10000 AS value_interp
+    FROM spanned WHERE is_grid = 1
+    """,
+)
+def ts_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grid resample with LINEAR interpolation between surrounding
+    observations (the companion to ts_resample_ffill: ffill is a step
+    function; interpolation is the ramp sequence models usually want).
+    Both the previous and next observation (value AND timestamp) are
+    carried to each grid row with two frames over ONE sort order — the
+    backward-looking frame and the forward-looking frame share the same
+    (ts, is_grid, event_id) ordering, so Spark plans one shuffle + one sort
+    for both. Edges degrade gracefully: ffill at the tail, bfill at the
+    head. All arithmetic is double-precision in both engines, rounded 4dp."""
+    e = load(spark, sf_dir, "events", columns=["user_id", "event_id", "value", "ts"]).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    grid = (
+        e.groupBy("user_id")
+        .agg(
+            (F.ceil(F.min("ts_s") / 3600.0) * 3600).cast("long").alias("g0"),
+            (F.floor(F.max("ts_s") / 3600.0) * 3600).cast("long").alias("g1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("g0", "g1", F.lit(3600).cast("long"))).alias("ts_s"),
+        )
+    )
+    unioned = e.select(
+        "user_id", "ts_s", "value", F.lit(0).alias("is_grid"), "event_id"
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "ts_s",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    order = [
+        F.col("ts_s").asc(),
+        F.col("is_grid").asc(),
+        F.coalesce(F.col("event_id"), F.lit(-1)).asc(),
+    ]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("value").isNotNull(), F.col("ts_s"))
+    spanned = unioned.select(
+        "user_id",
+        "ts_s",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_ts, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("value", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_ts, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull() | (F.col("nt") == F.col("pt")), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("ts_s") - F.col("pt"))
+            / (F.col("nt") - F.col("pt"))
+        )
+    )
+    # Scale-first rounding (round(x·1e4)/1e4, both engines): F.round(x, 4)
+    # rounds Spark's shortest-decimal repr while DuckDB rounds the scaled
+    # binary double — at an exact-.5-looking boundary (x.xxxx5) they split.
+    # Scaling first makes both engines round the SAME double, so the
+    # half-case decision is identical (1 in 105k grid rows hit this at
+    # sf0.01 — found by the driver-sim sweep).
+    return spanned.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.col("ts_s").alias("grid_ts_s"),
+        (F.round(interp * 10000, 0) / 10000).alias("value_interp"),
+    )

@@ -2,6 +2,7 @@ from n2kupdate_spark.streaming.jobs import (
     events_file_stream,
     stream_dedup_within_watermark,
     stream_stateful_sessions,
+    stream_stream_interval_join,
     stream_tumbling_agg,
     stream_upsert_foreachbatch,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "events_file_stream",
     "stream_dedup_within_watermark",
     "stream_stateful_sessions",
+    "stream_stream_interval_join",
     "stream_tumbling_agg",
     "stream_upsert_foreachbatch",
 ]

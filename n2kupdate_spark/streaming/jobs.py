@@ -68,6 +68,57 @@ def stream_upsert_foreachbatch(
     return writer.start()
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joins the same user's clicks
+    from the preceding ``horizon_minutes`` (attribution window). Both sides
+    carry watermarks and the join condition carries the time bound — that
+    pair is what lets Spark EXPIRE join state: click state older than
+    watermark + horizon is dropped instead of growing forever. Without the
+    interval condition a stream-stream join must keep every row of both
+    streams in state — unbounded at 100 TB. Smoke-tested end-to-end in
+    tests/test_streaming.py; the batch-equivalent semantics are an interval
+    join (queries/joins.py::join_interval_overlap family)."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events int, total_value double"

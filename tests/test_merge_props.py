@@ -131,3 +131,36 @@ def test_asof_unmatched_left_keeps_nulls(spark):
         ).collect()
     }
     assert out == {1: None, 2: None}  # right row is later than left ts=5
+
+
+def test_scd2_changes_idempotent_and_branches(spark, sf_dir):
+    """Re-applying the same batch to the merged history is a no-op (changed
+    rows now match incoming, so the close-and-reopen branch goes quiet), and
+    all four branches are exercised by the partial-change fixture."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators import merge_scd2_changes
+    from n2kupdate_spark.queries import fixtures as FX
+
+    target = FX.dim_target(spark, sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        F.lit("2025-01-01 00:00:00").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    inc = FX.dim_incoming_partial(spark, sf_dir)
+    kw = dict(
+        keys=["c_custkey"],
+        compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        batch_ts=FX.BATCH_TS,
+    )
+    once = merge_scd2_changes(target, inc, **kw).cache()
+    twice = merge_scd2_changes(once, inc, **kw)
+    assert once.count() == twice.count()
+    assert once.exceptAll(twice).count() == 0 and twice.exceptAll(once).count() == 0
+
+    open_rows = once.filter(F.col("valid_to").isNull())
+    closed = once.filter(F.col("valid_to") == FX.BATCH_TS)
+    reopened = open_rows.filter(F.col("valid_from") == FX.BATCH_TS)
+    untouched = open_rows.filter(F.col("valid_from") < FX.BATCH_TS)
+    assert closed.count() > 0 and reopened.count() > 0 and untouched.count() > 0
+    once.unpersist()

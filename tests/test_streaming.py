@@ -204,3 +204,46 @@ def test_streaming_restart_from_checkpoint_no_duplicates(spark, sf_dir, tmp_path
     all_ids = pd.concat(seen)["event_id"]
     assert len(all_ids) == ev.count()  # nothing lost...
     assert all_ids.is_unique  # ...nothing reprocessed
+
+
+def test_stream_stream_interval_join(spark, sf_dir, stream_dirs):
+    """Two event streams (clicks / purchases split from the same source)
+    joined with an interval condition: every output pair respects the key
+    and the 30-minute attribution window, and matches the batch-form join
+    on the same data."""
+    from n2kupdate_spark.streaming import stream_stream_interval_join
+
+    src, work = stream_dirs
+    clicks = events_file_stream(spark, src).filter(F.col("event_type") == "click")
+    purchases = events_file_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_interval_join(clicks, purchases, horizon_minutes=30)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("n2k_ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt_ssjoin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM n2k_ssjoin").toPandas()
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch_n = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+    assert len(got) == batch_n
+    assert (got["click_ts"] <= got["purchase_ts"]).all()
