@@ -324,21 +324,21 @@ def connected_components(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # Carry the previous label INTO the checkpointed frame: the
+        # convergence check is then a filter+count over already-materialized
+        # rows — the original re-joined new labels to old (an extra shuffle
+        # per round just to count changes).
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.col("label").alias("__old"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        labels = stepped.drop("__old")
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
@@ -379,6 +379,7 @@ def connected_components_pointer_jump(
         prop = labels.join(neighbor_min, "node", "left").select(
             "node",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            F.col("label").alias("__old"),
         )
         # Pointer jump: every label in `prop` is itself a node id, so a
         # self-join label→node rewrites each label to its current parent's
@@ -386,21 +387,19 @@ def connected_components_pointer_jump(
         parents = prop.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        new_labels = (
+        # __old rides along into the checkpoint so the convergence count is
+        # a scan of materialized rows, not another node-keyed join.
+        stepped = (
             prop.join(parents, prop.label == parents.p_node, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
+                "__old",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        labels = stepped.drop("__old")
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

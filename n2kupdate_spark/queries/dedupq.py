@@ -230,6 +230,9 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        # three consumers (shingle pipeline, CC vertex set, keep-join) —
+        # materialize the scan+fingerprint window once
+        .localCheckpoint(eager=False)
     )
     sh = word_shingles(exact.select("doc_id", "text"))
     edges = shingle_jaccard_pairs(sh, "doc_id", threshold=0.2).select("id1", "id2")
