@@ -47,8 +47,12 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
 #: rotated out: scans/projection/fingerprints/joins/aggs/windows (green,
 #: still parity-tested locally). Deferred to the r3 window: composites (8),
 #: rows-only ops (map_from_json, dedup_text_fuzzy, dedup_simhash, sim_ann_*,
-#: fingerprint_sha1), corpus_clean_pipeline, dedup_ngram_jaccard,
-#: multimodal_decode_stub, text_length_histogram.
+#: fingerprint_sha1, agg_hll_sketch_merge, dedup_minhash_est_eval),
+#: corpus_clean_pipeline, dedup_ngram_jaccard, multimodal_decode_stub,
+#: text_length_histogram, and the SQL-oracle ops ADDED in r2 (they register
+#: after the window): merge_scd2_changes, text_feature_hashing,
+#: ts_gap_interpolate, window_session_builtin, events_retention_cohorts,
+#: scd2_window_rebuild.
 _ROUND_WINDOW = [
     # merges — the reference's core semantics (SURVEY §2 B10)
     "merge_scd1",

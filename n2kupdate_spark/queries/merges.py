@@ -235,3 +235,43 @@ def merge_scd2_changes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
         batch_ts=FX.BATCH_TS,
     )
+
+
+@register(
+    "scd2_window_rebuild",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value, 4) AS value,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from_s,
+           lead(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT) ASC,
+                              event_id ASC) AS valid_to_s
+    FROM events
+    """,
+)
+def scd2_window_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild an SCD2 validity-window history FROM a change-event log:
+    each event's value is valid from its timestamp until the key's next
+    event (NULL = still current) — the inverse of merge_scd2_close, turning
+    append-only logs into the destroy-timestamp tables the reference
+    queries. One lead() window over a user_id shuffle; at scale this is the
+    standard backfill for retrofitting validity windows onto event-sourced
+    data (partition-prunable once written out by date(valid_from))."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.queries.streaming_batch import ts_seconds
+    from n2kupdate_spark.sources import load
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.round("value", 4).alias("value"),
+        ts_seconds("ts").alias("valid_from_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("valid_from_s").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "user_id", "event_id", "value", "valid_from_s",
+        F.lead("valid_from_s").over(w).alias("valid_to_s"),
+    )

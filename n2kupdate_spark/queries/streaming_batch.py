@@ -206,3 +206,107 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_purchase").alias("n_purchasers"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+@register(
+    "window_session_builtin",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, value,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN ts_s - lag(ts_s) OVER w >= 1800 OR lag(ts_s) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC)
+    ),
+    sessions AS (
+        SELECT *,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_s) AS session_start_s,
+           MAX(ts_s) + 1800 AS session_end_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window() in batch mode — the same 30-minute
+    sessions as stream_session_agg's manual lag+cumsum form, but planned as
+    one SessionWindow aggregation (and usable unchanged under
+    readStream+watermark). Subtle semantics difference the oracle mirrors:
+    session_window merges an event only when it lands strictly INSIDE the
+    previous [ts, ts+gap) window, so a gap of exactly 1800 s starts a new
+    session (>= in the oracle's flag, vs > in the lag formulation); window
+    end = last event + gap. One shuffle on user_id either way."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "value", F.date_trunc("second", F.col("ts")).alias("ts")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("sw.start").alias("session_start_s"),
+            F.unix_timestamp("sw.end").alias("session_end_s"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_s
+        FROM events
+    ),
+    cohorted AS (
+        SELECT user_id, week_s,
+               MIN(week_s) OVER (PARTITION BY user_id) AS cohort_s
+        FROM e
+    )
+    SELECT cohort_s,
+           CAST((week_s - cohort_s) / 604800 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM cohorted
+    GROUP BY cohort_s, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (cohort), counted in every subsequent week they return — the standard
+    growth-analytics triangle. One window to stamp each user's cohort +
+    one distinct-count aggregate; both shuffles are on user_id/cohort
+    keys. Weeks are Monday-truncated in both engines; offsets in whole
+    weeks."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("week", F.col("ts"))).alias("week_s"),
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = e.withColumn("cohort_s", F.min("week_s").over(w))
+    return (
+        cohorted.groupBy(
+            "cohort_s",
+            ((F.col("week_s") - F.col("cohort_s")) / 604800)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
