@@ -141,3 +141,51 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(_JSON_PATH)
         .select("id", "k", "tag")
     )
+
+
+_ORC_PATH = os.path.join(tempfile.gettempdir(), "n2kupdate_spark_source_orc")
+_PARTITIONED_PATH = os.path.join(
+    tempfile.gettempdir(), "n2kupdate_spark_sink_partitioned"
+)
+
+
+@register("source_orc")  # rows-only: DuckDB cannot read ORC
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: write the nation table as ORC (columnar, predicate-
+    pushdown-capable like parquet), read it back with pushdown + pruning.
+    Registered rows-only (no ORC reader in the oracle engine); row parity
+    with the parquet source is what the count check pins. At scale ORC
+    matters for interop with Hive-era warehouses — same Catalyst scan
+    machinery, same PushedFilters."""
+    from n2kupdate_spark.sources import load
+
+    load(spark, sf_dir, "nation").write.mode("overwrite").orc(_ORC_PATH)
+    return (
+        spark.read.orc(_ORC_PATH)
+        .filter(F.col("n_regionkey") >= 0)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle="SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned read-back:
+    documents written partitionBy(lang), then re-read and counted per
+    partition — the layout that makes `WHERE lang = 'en'` a directory
+    prune instead of a scan at 100 TB. The oracle checks the round-trip
+    preserved every row per partition (counts vs the source table). One
+    caveat encoded here: partition columns come back as the directory
+    value, so cast/select explicitly."""
+    from n2kupdate_spark.sources import load
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    (
+        d.write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(_PARTITIONED_PATH)
+    )
+    back = spark.read.parquet(_PARTITIONED_PATH)
+    return back.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))

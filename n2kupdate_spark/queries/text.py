@@ -317,3 +317,67 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    uni AS (
+        SELECT t AS w1, COUNT(*) AS c1
+        FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t
+    ),
+    doc_bigrams AS (
+        SELECT doc_id, unnest([w[i] FOR i IN range(1, len(w))]) AS w1,
+               unnest([w[i + 1] FOR i IN range(1, len(w))]) AS w2
+        FROM toks WHERE len(w) >= 2
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c2 FROM doc_bigrams GROUP BY w1, w2)
+    SELECT d.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln(big.c2 * 1.0 / uni.c1)) * 10000) / 10000 AS lm_score
+    FROM doc_bigrams d
+    JOIN big ON d.w1 = big.w1 AND d.w2 = big.w2
+    JOIN uni ON d.w1 = uni.w1
+    GROUP BY d.doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model quality score per document: the mean
+    log conditional probability ln(C(w1,w2)/C(w1)) over the doc's adjacent
+    token pairs — the classic cheap fluency signal (boilerplate and
+    keyword-stuffed docs score low; MLE needs no smoothing because every
+    scored bigram occurs in the corpus by construction). Plan: two
+    count-aggregates (shuffles ∝ vocabulary / bigram vocabulary, map-side
+    partial), then two bigram-keyed joins back to the doc stream and one
+    doc-keyed average — never a cross join. Bigrams are built by zipping
+    two shifted slices of the token array (HOF-lambda-safe: no
+    re-evaluated split). Scale-first rounding for cross-engine parity."""
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    w = F.split(F.col("text"), " ")
+    n = F.size(w) - 1
+    zipped = F.arrays_zip(
+        F.slice(w, 1, n).alias("w1"), F.slice(w, 2, n).alias("w2")
+    )
+    doc_bigrams = (
+        d.select("doc_id", F.explode(zipped).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    uni = (
+        d.select(F.explode(w).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = doc_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        doc_bigrams.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.round(F.avg(F.log(F.col("c2") / F.col("c1"))) * 10000, 0) / 10000).alias(
+                "lm_score"
+            ),
+        )
+    )
+    return scored
