@@ -136,6 +136,51 @@ def sql_merge_scd2_close(
     ]
 
 
+def sql_merge_scd2_changes(
+    target: str,
+    staging: str,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    batch_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> list[str]:
+    """Server-side twin of operators.merge.merge_scd2_changes (full classic
+    SCD2): close open rows absent from staging, close-and-reopen open rows
+    whose compared attributes changed, open brand-new keys. Attribute
+    comparison is null-safe via the portable (a = b OR (a IS NULL AND b IS
+    NULL)) form — `IS NOT DISTINCT FROM` predates sqlite 3.39 and the
+    expansion runs identically on DuckDB/PostgreSQL/sqlite. Statement order
+    is load-bearing: the changed rows must be closed before the insert's
+    "no open row for this key" predicate runs."""
+    target, staging = _ident(target), _ident(staging)
+    batch_ts = _ts_literal(batch_ts)
+    valid_from, valid_to = _ident(valid_from), _ident(valid_to)
+    ks = _idents(keys)
+    cs = _idents(compare_cols)
+    on = " AND ".join(f"t.{k} = s.{k}" for k in ks)
+    same = " AND ".join(
+        f"(t.{c} = s.{c} OR (t.{c} IS NULL AND s.{c} IS NULL))" for c in cs
+    )
+    keylist = ", ".join(ks)
+    collist = ", ".join(cs)
+    return [
+        # 1. close open rows whose key is absent from the batch
+        f"UPDATE {target} AS t SET {valid_to} = '{batch_ts}' "
+        f"WHERE t.{valid_to} IS NULL "
+        f"AND NOT EXISTS (SELECT 1 FROM {staging} s WHERE {on})",
+        # 2. close open rows whose compared attributes changed
+        f"UPDATE {target} AS t SET {valid_to} = '{batch_ts}' "
+        f"FROM {staging} s WHERE t.{valid_to} IS NULL AND {on} AND NOT ({same})",
+        # 3. open a row for every staging key with no surviving open row
+        #    (covers both changed keys — just closed — and brand-new keys)
+        f"INSERT INTO {target} ({keylist}, {collist}, {valid_from}, {valid_to}) "
+        f"SELECT {keylist}, {collist}, '{batch_ts}', NULL FROM {staging} s "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {target} t "
+        f"WHERE {on} AND t.{valid_to} IS NULL)",
+    ]
+
+
 MERGE_SQL = {
     "scd1": sql_merge_scd1,
     "insert_ignore": sql_merge_insert_ignore,
@@ -296,6 +341,8 @@ def upsert(
     backend.write_staging(df, staging)
     if mode == "scd2_close":
         stmts = sql_merge_scd2_close(target, staging, keys, **mode_kwargs)
+    elif mode == "scd2_changes":
+        stmts = sql_merge_scd2_changes(target, staging, keys, **mode_kwargs)
     else:
         stmts = MERGE_SQL[mode](target, staging, keys, _cols(df))
     backend.execute(stmts)

@@ -181,3 +181,89 @@ def test_merge_sql_rejects_hostile_identifiers():
         sql_merge_scd2_close("t", "s", ["k"], batch_ts="2024-01-01' OR '1'='1")
     # well-formed inputs still pass
     assert sql_merge_scd2_close("t", "s", ["k"], batch_ts="2024-01-01 00:00:00")
+
+
+# --- scd2_changes: server-side SQL vs pure transform ----------------------
+
+def _scd2_target_pdf(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        FX.dim_target(spark, sf_dir)
+        .select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+            F.lit("2025-01-01 00:00:00").alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+        )
+        .toPandas()
+    )
+
+
+def _scd2_expected(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators import merge_scd2_changes
+    from n2kupdate_spark.queries import fixtures as FXQ
+
+    target = FX.dim_target(spark, sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        F.lit("2025-01-01 00:00:00").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    out = merge_scd2_changes(
+        target,
+        FXQ.dim_incoming_partial(spark, sf_dir),
+        keys=["c_custkey"],
+        compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        batch_ts=FXQ.BATCH_TS,
+    ).toPandas()
+    return sorted(
+        (r[0], r[1], r[2], round(r[3], 2), r[4], r[5], r[6])
+        for r in out.itertuples(index=False, name=None)
+    )
+
+
+@pytest.mark.parametrize("engine", ["duckdb", "sqlite3"])
+def test_scd2_changes_sink_matches_pure_transform(spark, sf_dir, engine):
+    from n2kupdate_spark.queries import fixtures as FXQ
+
+    pdf = _scd2_target_pdf(spark, sf_dir)
+    if engine == "duckdb":
+        con = duckdb.connect()
+        con.register("__seed", pdf)
+        # explicit VARCHAR casts: an all-NULL pandas object column would
+        # otherwise register as INTEGER and reject the timestamp literal
+        con.execute(
+            "CREATE TABLE dim_t AS SELECT c_custkey, c_name, c_nationkey, "
+            "c_acctbal, c_mktsegment, CAST(valid_from AS VARCHAR) AS valid_from, "
+            "CAST(valid_to AS VARCHAR) AS valid_to FROM __seed"
+        )
+        con.unregister("__seed")
+    else:
+        import sqlite3
+
+        con = sqlite3.connect(":memory:", isolation_level=None)
+        con.execute(
+            "CREATE TABLE dim_t (c_custkey BIGINT, c_name VARCHAR, c_nationkey "
+            "INTEGER, c_acctbal DOUBLE PRECISION, c_mktsegment VARCHAR, "
+            "valid_from VARCHAR, valid_to VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO dim_t VALUES (?,?,?,?,?,?,?)",
+            [tuple(r) for r in pdf.itertuples(index=False, name=None)],
+        )
+    incoming = FXQ.dim_incoming_partial(spark, sf_dir)
+    upsert(
+        incoming, "dim_t", ["c_custkey"], DbApiBackend(con), mode="scd2_changes",
+        compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        batch_ts=FXQ.BATCH_TS,
+    )
+    got = sorted(
+        (r[0], r[1], r[2], round(r[3], 2), r[4], r[5], r[6])
+        for r in con.execute(
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+            "valid_from, valid_to FROM dim_t"
+        ).fetchall()
+    )
+    assert got == _scd2_expected(spark, sf_dir)
+    con.close()
