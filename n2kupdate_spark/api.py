@@ -289,6 +289,45 @@ class N2kStore:
 
     # --- versioned entities (append-only) ---------------------------------
 
+    def store_versioned_dim(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: list[str],
+        compare_cols: list[str],
+        batch_ts: str,
+    ) -> DataFrame:
+        """Versioned dimension upsert (beyond the reference surface, same
+        idiom): stage the batch and run the full classic SCD2 merge —
+        unchanged keys untouched, changed keys closed-and-reopened at
+        ``batch_ts``, absent keys closed, new keys opened. Server-side SQL
+        is sources.jdbc.sql_merge_scd2_changes; the pure-transform twin
+        (operators.merge.merge_scd2_changes) is the oracle-checked
+        semantics. The target table must carry valid_from/valid_to
+        (VARCHAR, NULL = open)."""
+        cols = keys + compare_cols
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValidationError(f"{table}: missing required columns {missing}")
+        any_null = F.lit(False)
+        for c in keys:
+            any_null = any_null | F.col(c).isNull()
+        if df.filter(any_null).count():
+            raise ValidationError(f"{table}: NULL in key columns {keys}")
+        frame = df.select(*cols)
+        upsert(
+            frame,
+            self._target(table),
+            keys,
+            self.backend,
+            mode="scd2_changes",
+            clean=self.clean,
+            compare_cols=compare_cols,
+            batch_ts=batch_ts,
+        )
+        self._stored.append(table)
+        return frame
+
     def store_analysis(self, analysis: DataFrame, versions: DataFrame | None = None) -> DataFrame:
         """⟨pub⟩ R/store_analysis.R: append-only version chain in FK order —
         analysis rows insert-if-absent, then analysis_version rows keyed to

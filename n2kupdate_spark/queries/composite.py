@@ -392,3 +392,42 @@ def composite_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> Data
         F.round(F.sum(_revenue()), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "composite_above_customer_avg",
+    oracle="""
+    WITH ca AS (
+        SELECT o_custkey, AVG(o_totalprice) AS avg_price
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           ROUND(o.o_totalprice, 4) AS totalprice,
+           ROUND(ca.avg_price * 10000) / 10000 AS cust_avg
+    FROM orders o JOIN ca ON o.o_custkey = ca.o_custkey
+    WHERE o.o_totalprice > 1.5 * ca.avg_price
+    """,
+)
+def composite_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate-subquery shape: orders priced >1.5× their OWN
+    customer's average order value (outlier/fraud screening). The naive SQL
+    is `WHERE o_totalprice > 1.5 * (SELECT AVG(...) WHERE o_custkey =
+    o.o_custkey)` — a per-row correlated subquery; written (and planned)
+    as decorrelation: one aggregate over the same table + a self-join on
+    the correlation key, so it costs two shuffles on o_custkey total —
+    Catalyst reuses the exchange for both sides at scale (same key,
+    same partitioning) instead of evaluating N subqueries."""
+    o = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    ca = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.join(ca, "o_custkey")
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            # scale-first: averages are arbitrary ratios — F.round(x,4) and
+            # DuckDB ROUND split on half-looking boundaries (see mlprep)
+            (F.round(F.col("avg_price") * 10000, 0) / 10000).alias("cust_avg"),
+        )
+    )

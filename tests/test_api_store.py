@@ -162,3 +162,54 @@ def test_store_species_with_common_names(spark, fact_store):
     assert "fingerprint" in out.columns
     assert con.execute("SELECT COUNT(*) FROM species").fetchone()[0] == 1
     assert con.execute("SELECT COUNT(*) FROM species_common_name").fetchone()[0] == 2
+
+
+def test_store_versioned_dim_scd2_changes(spark, sf_dir):
+    """Facade path for versioned dimensions: close-absent, close-and-reopen
+    changed, keep unchanged, open new — via the staged scd2_changes merge."""
+    import duckdb as _duckdb
+
+    from n2kupdate_spark.api import N2kStore, ValidationError
+    from n2kupdate_spark.sources.jdbc import DbApiBackend
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE TABLE dim_species_v (code VARCHAR, name VARCHAR, "
+        "valid_from VARCHAR, valid_to VARCHAR)"
+    )
+    con.execute(
+        "INSERT INTO dim_species_v VALUES "
+        "('A', 'alpha', '2025-01-01 00:00:00', NULL),"   # unchanged
+        "('B', 'beta',  '2025-01-01 00:00:00', NULL),"   # changed
+        "('C', 'gamma', '2025-01-01 00:00:00', NULL)"    # absent -> close
+    )
+    store = N2kStore(DbApiBackend(con))
+    batch = spark.createDataFrame(
+        [("A", "alpha"), ("B", "beta2"), ("D", "delta")], "code string, name string"
+    )
+    store.store_versioned_dim(
+        batch, "dim_species_v", keys=["code"], compare_cols=["name"],
+        batch_ts="2026-01-01 00:00:00",
+    )
+    rows = sorted(
+        con.execute(
+            "SELECT code, name, valid_from, valid_to FROM dim_species_v"
+        ).fetchall()
+    )
+    assert rows == sorted([
+        ("A", "alpha", "2025-01-01 00:00:00", None),
+        ("B", "beta", "2025-01-01 00:00:00", "2026-01-01 00:00:00"),
+        ("B", "beta2", "2026-01-01 00:00:00", None),
+        ("C", "gamma", "2025-01-01 00:00:00", "2026-01-01 00:00:00"),
+        ("D", "delta", "2026-01-01 00:00:00", None),
+    ])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValidationError):
+        store.store_versioned_dim(
+            spark.createDataFrame([(None, "x")], "code string, name string"),
+            "dim_species_v", keys=["code"], compare_cols=["name"],
+            batch_ts="2026-01-01 00:00:00",
+        )
+    con.close()
