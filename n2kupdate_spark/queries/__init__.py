@@ -46,7 +46,7 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
 #: ops with flat (scalar-column) output schemas. Driver-checked in r1 and
 #: rotated out: scans/projection/fingerprints/joins/aggs/windows (green,
 #: still parity-tested locally). Deferred to the r3 window: composites (8),
-#: rows-only ops (map_from_json, dedup_text_fuzzy, dedup_simhash, sim_ann_*,
+#: map_from_json (SQL since r2), rows-only ops (dedup_text_fuzzy, dedup_simhash, sim_ann_*,
 #: fingerprint_sha1, agg_hll_sketch_merge, dedup_minhash_est_eval),
 #: corpus_clean_pipeline, dedup_ngram_jaccard, multimodal_decode_stub,
 #: text_length_histogram, and the SQL-oracle ops ADDED in r2 (they register

@@ -154,14 +154,34 @@ def array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("map_from_json")  # rows-only: map<->json value parity is weak across engines
+@register(
+    "map_from_json",
+    oracle="""
+    SELECT event_id,
+           (SELECT string_agg(j.key || '=' || (props->>j.key), '|' ORDER BY j.key)
+            FROM unnest(json_keys(props)) AS j(key)) AS props_ser,
+           CAST(props->>'k' AS INTEGER) AS k
+    FROM events
+    """,
+)
 def map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parse the JSON props column into a typed MapType and look up a key."""
+    """Parse the JSON props column into a typed MapType, look up a key, and
+    emit the whole map serialized as sorted 'key=value' pairs — the typed
+    map is demonstrated, but the OUTPUT is flat strings so the op is
+    hash-checked (r1 lesson: map/array result columns crash the driver
+    canonicalizer; was rows-only). The oracle rebuilds the same
+    serialization generically from json_keys, so new keys in the data
+    can't silently diverge the two sides."""
     e = load(spark, sf_dir, "events")
     m = F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))
+    entries = F.array_sort(F.map_entries(m))
+    ser = F.array_join(
+        F.transform(entries, lambda kv: F.concat_ws("=", kv["key"], kv["value"])),
+        "|",
+    )
     return e.select(
         "event_id",
-        m.alias("props_map"),
+        ser.alias("props_ser"),
         m.getItem("k").alias("k"),
     )
 
