@@ -210,3 +210,62 @@ def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.nullif("l_tax", F.lit(0.0)).isNull(), 1).otherwise(0).alias("tax_free"),
         F.ifnull(F.nullif("l_returnflag", F.lit("N")), F.lit("NONE")).alias("flag_norm"),
     )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS lo_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 1365) AS xored,
+           event_id << 2 AS shl2,
+           event_id >> 3 AS shr3,
+           CAST(bit_count(event_id) AS INT) AS popcnt
+    FROM events
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface (& | xor << >> popcount) — flag fields, hash
+    splitting, and signature banding all live on these; every expression
+    stays in whole-stage codegen."""
+    e = load(spark, sf_dir, "events", columns=["event_id"])
+    c = F.col("event_id")
+    return e.select(
+        "event_id",
+        c.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        c.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        c.bitwiseXOR(F.lit(1365)).alias("xored"),
+        F.shiftleft(c, 2).alias("shl2"),
+        F.shiftright(c, 3).alias("shr3"),
+        F.bit_count(c).alias("popcnt"),
+    )
+
+
+@register(
+    "scalar_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(source, '[0-9]+') AS src_num,
+           regexp_replace(lang, '^e', 'E') AS lang_e,
+           CAST(regexp_matches(source, '^(web|book)') AS INT) AS is_webbook,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_runs
+    FROM documents
+    """,
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract / replace / match-test / extract-all-count.
+    Patterns are kept to the POSIX-compatible subset where Java regex
+    (Spark) and RE2 (DuckDB) agree — no backrefs, no lookaround — which is
+    also the subset that stays fast at scale (RE2-class patterns are
+    linear-time; catastrophic backtracking is a real 100 TB outage class)."""
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "lang", "text"])
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", "[0-9]+", 0).alias("src_num"),
+        F.regexp_replace("lang", "^e", "E").alias("lang_e"),
+        F.when(F.col("source").rlike("^(web|book)"), 1).otherwise(0).alias("is_webbook"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_alpha_runs"),
+    )

@@ -117,3 +117,34 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 3).cast("double").alias("fee"),
     )
     return o.unpivot("o_orderkey", ["price", "fee"], "name", "value")
+
+
+@register(
+    "setop_except_all",
+    oracle=f"""
+    WITH t AS ({FX.MEMBERSHIP_TARGET_SQL}), i AS ({FX.MEMBERSHIP_INCOMING_SQL})
+    SELECT grp, member FROM t EXCEPT ALL SELECT grp, member FROM i
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (multiset semantics: each target occurrence is
+    cancelled by at most one incoming occurrence) — the form that preserves
+    duplicate counts where EXCEPT would collapse them. Planned as an
+    aggregate-on-key + count arithmetic, one shuffle."""
+    return FX.membership_target(spark, sf_dir).exceptAll(
+        FX.membership_incoming(spark, sf_dir)
+    )
+
+
+@register(
+    "setop_intersect_all",
+    oracle=f"""
+    WITH t AS ({FX.MEMBERSHIP_TARGET_SQL}), i AS ({FX.MEMBERSHIP_INCOMING_SQL})
+    SELECT grp, member FROM t INTERSECT ALL SELECT grp, member FROM i
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (min of per-side multiplicities per row)."""
+    return FX.membership_target(spark, sf_dir).intersectAll(
+        FX.membership_incoming(spark, sf_dir)
+    )
