@@ -369,3 +369,62 @@ def ts_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_s").alias("grid_ts_s"),
         (F.round(interp * 10000, 0) / 10000).alias("value_interp"),
     )
+
+
+from n2kupdate_spark.queries._registry import ORACLE as _ORACLE  # noqa: E402
+
+#: Reuse the registered capped-Jaccard oracle verbatim as a CTE so the two
+#: ops can never drift apart.
+_PAIRS_SQL = _ORACLE["dedup_jaccard_stop_shingles"]
+
+
+@register(
+    "ml_split_leakage_audit",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents)
+    ),
+    crossed AS (
+        SELECT LEAST(s1.split, s2.split) AS split_a,
+               GREATEST(s1.split, s2.split) AS split_b
+        FROM pairs p
+        JOIN splits s1 ON p.id1 = s1.doc_id
+        JOIN splits s2 ON p.id2 = s2.doc_id
+    )
+    SELECT split_a, split_b, COUNT(*) AS n_pairs
+    FROM crossed GROUP BY split_a, split_b
+    """,
+)
+def ml_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: counts near-duplicate pairs
+    (capped-Jaccard ≥ 0.1) whose endpoints land in different hash-split
+    partitions — the leakage every eval-set paper warns about (a test doc
+    near-duplicating a train doc inflates benchmarks). Composes two
+    registered ops (dedup_jaccard_stop_shingles × sample_hash_split); the
+    oracle embeds the pair-gen oracle verbatim as a CTE so the audit can
+    never drift from the detector it audits. Off-diagonal rows (train-test,
+    train-valid, test-valid) are the actionable output: route those pairs'
+    test members to the train split or drop them. Plan: pair-gen shuffles +
+    two doc-keyed broadcast joins + a 6-row aggregate."""
+    from n2kupdate_spark.queries.dedupq import dedup_jaccard_stop_shingles
+
+    pairs = dedup_jaccard_stop_shingles(spark, sf_dir).select("id1", "id2")
+    splits = sample_hash_split(spark, sf_dir).select("doc_id", "split")
+    s1 = splits.select(F.col("doc_id").alias("id1"), F.col("split").alias("split1"))
+    s2 = splits.select(F.col("doc_id").alias("id2"), F.col("split").alias("split2"))
+    crossed = (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            F.least("split1", "split2").alias("split_a"),
+            F.greatest("split1", "split2").alias("split_b"),
+        )
+    )
+    return crossed.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
