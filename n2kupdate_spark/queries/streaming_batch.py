@@ -310,3 +310,51 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id, event_id,
+               ROUND(value, 4) AS value,
+               AVG(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sigma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT user_id, event_id, value,
+           ROUND((value - mu) / sigma * 10000) / 10000 AS zscore
+    FROM stats
+    WHERE sigma > 0 AND ABS((value - mu) / sigma) > 2.5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers (|z| > 2.5) — the statistical form of the
+    reference's anomaly tables (store_anomaly flags per-analysis outliers;
+    here the flagging rule itself is computed in-engine). One unbounded
+    window per user computes mean and stddev in a single user_id exchange;
+    the filter then keeps only the anomalous rows, so output ∝ outliers,
+    not events. Scale-first rounding on the ratio column (z-scores are
+    arbitrary ratios — the 4dp boundary class)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.round("value", 4).alias("value"), F.col("value").alias("__raw")
+    )
+    w = Window.partitionBy("user_id")
+    stats = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("__raw").over(w).alias("mu"),
+        F.stddev_samp("__raw").over(w).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter((F.col("sigma") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.round(z * 10000, 0) / 10000).alias("zscore"),
+        )
+    )
