@@ -42,78 +42,77 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
 )
 
 #: The 50 query ids to place at the front of the registry this round —
-#: i.e. inside the driver's 50-entry correctness window. All are SQL-oracle
-#: ops with flat (scalar-column) output schemas. Driver-checked in r1 and
-#: rotated out: scans/projection/fingerprints/joins/aggs/windows (green,
-#: still parity-tested locally). Deferred to the r3 window: composites (8),
-#: map_from_json (SQL since r2), rows-only ops (dedup_text_fuzzy, dedup_simhash, sim_ann_*,
-#: fingerprint_sha1, agg_hll_sketch_merge, dedup_minhash_est_eval),
-#: corpus_clean_pipeline, dedup_ngram_jaccard, multimodal_decode_stub,
-#: text_length_histogram, and the SQL-oracle ops ADDED in r2 (they register
-#: after the window): merge_scd2_changes, text_feature_hashing,
-#: ts_gap_interpolate, window_session_builtin, events_retention_cohorts,
-#: scd2_window_rebuild.
+#: i.e. inside the driver's 50-entry correctness window. Round 4 closes the
+#: verification rotation: the first 28 slots are every SQL-oracle op that has
+#: NEVER had a driver correctness row (all 9 TPC-H-shaped composites plus
+#: everything registered in rounds 2-3 — see VERDICT.md r3 "Next round" #1);
+#: after this round, all 122 oracle-checkable ops have a driver row across
+#: r01∪r03∪r04. The remaining 22 slots re-confirm the riskiest r1 greens
+#: (the full join family incl. the salted-skew variant, ranking windows, and
+#: the core agg set) so the oldest green rows get a second, fresher hash.
+#: Rows-only ops (source_orc, agg_hll_sketch_merge, dedup_text_fuzzy,
+#: dedup_simhash, dedup_minhash_est_eval, sim_ann_*, fingerprint_sha1,
+#: agg_approx_distinct) stay out — they'd burn slots on `no_oracle` rows.
 _ROUND_WINDOW = [
-    # merges — the reference's core semantics (SURVEY §2 B10)
-    "merge_scd1",
-    "merge_insert_ignore",
-    "merge_set_replace",
-    "merge_scd2_close",
-    "merge_scd2_asof",
-    # set ops / reshape
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_except",
-    "setop_intersect",
-    "reshape_pivot",
-    "reshape_unpivot",
-    # scalar function families
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_case_when",
-    "json_extract_field",
-    "array_basic",
-    "scalar_null_handling",
-    # streaming semantics (batch-mode equivalents)
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_agg",
-    "events_funnel_steps",
-    # text analysis
-    "text_tokenize_counts",
-    "text_top_terms_per_lang",
-    "text_stats_per_source",
-    "text_token_count",
-    "text_quality_score",
-    "dedup_text_exact",
-    "text_langid_ngram",
-    "text_fingerprint_rolling",
-    "text_tfidf_topk",
-    # vectors / similarity
-    "sim_cosine_topk",
-    "sim_pairs_threshold",
-    "multimodal_doc_join",
-    "embed_norm_stats",
-    "embed_quantize_int8",
-    # UDF surfaces
-    "udf_scalar_py",
-    "udf_pandas_vectorized",
-    "udaf_grouped_pandas",
-    "udtf_py",
-    # dedup family (SQL-oracle members)
-    "dedup_embedding_cosine",
-    "dedup_cc_clusters",
-    "dedup_cc_pointer_jump",
-    "dedup_jaccard_stop_shingles",
-    # ML-prep
-    "sample_hash_split",
-    "ts_resample_ffill",
-    "sample_stratified",
-    # fixed / newly oracle-ized in r2 (need their first green hash row)
-    "agg_collect_sorted",
-    "source_csv",
-    "source_json",
+    # -- 28 never-driver-checked SQL-oracle ops ---------------------------
+    # TPC-H-shaped composites (queries/composite.py)
+    "composite_shipping_priority",
+    "composite_order_priority_check",
+    "composite_local_supplier_volume",
+    "composite_returned_item_revenue",
+    "composite_promo_revenue",
+    "composite_large_order_customers",
+    "composite_nation_volume_pairs",
+    "composite_disjunctive_part_revenue",
+    "composite_above_customer_avg",
+    # merges / SCD2 change-log family
+    "merge_scd2_changes",
+    "scd2_window_rebuild",
+    # set-op ALL variants
+    "setop_except_all",
+    "setop_intersect_all",
+    # scalar families added r2
+    "map_from_json",
+    "scalar_bitwise",
+    "scalar_regex",
+    # events / sessionization added r2-r3
+    "window_session_builtin",
+    "events_retention_cohorts",
+    "events_anomaly_zscore",
+    # text / dedup / ML-prep added r2-r3
+    "text_bigram_lm_score",
+    "text_length_histogram",
+    "text_feature_hashing",
+    "dedup_ngram_jaccard",
+    "corpus_clean_pipeline",
+    "ts_gap_interpolate",
+    "ml_split_leakage_audit",
+    "multimodal_decode_stub",
+    # sinks
+    "sink_partitioned_parquet",
+    # -- 22 re-confirmation slots (riskiest r1 greens) --------------------
+    "join_lookup_inner",
+    "join_star_multiway",
+    "join_left_outer",
+    "join_anti_new_rows",
+    "join_semi_existing",
+    "join_full_outer_diff",
+    "join_theta_range",
+    "join_interval_overlap",
+    "join_asof",
+    "join_cross_small",
+    "join_skew_salted",
+    "window_topn_per_group",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_ntile_pct",
+    "topk_order_limit",
+    "sort_multi_key",
+    "agg_group_sums",
+    "agg_count_distinct",
+    "agg_grouping_rollup",
+    "agg_grouping_cube",
 ]
 
 
