@@ -214,7 +214,7 @@ def minhash_dedup_pairs(
     exact-verify → near-duplicate pairs with Jaccard ≥ threshold."""
     # materialize shingles once: the signature path and both sides of the
     # exact-verify join read them (3 uses of an explode-heavy lineage)
-    sh = word_shingles(docs.select(id_col, text_col), text_col).localCheckpoint(eager=False)
+    sh = word_shingles(docs.select(id_col, text_col), text_col).localCheckpoint(eager=True)
     sig = minhash_signature(sh)
     cands = lsh_candidate_pairs(sig, id_col)
     return exact_jaccard(cands, sh, id_col).filter(F.col("jaccard") >= threshold)

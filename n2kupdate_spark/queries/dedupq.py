@@ -232,7 +232,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         # three consumers (shingle pipeline, CC vertex set, keep-join) —
         # materialize the scan+fingerprint window once
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sh = word_shingles(exact.select("doc_id", "text"))
     edges = shingle_jaccard_pairs(sh, "doc_id", threshold=0.2).select("id1", "id2")
@@ -353,7 +353,7 @@ def dedup_minhash_est_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    sh = word_shingles(docs, "text").localCheckpoint(eager=False)
+    sh = word_shingles(docs, "text").localCheckpoint(eager=True)
     sig = minhash_signature(sh)
     cands = lsh_candidate_pairs(sig, "doc_id")
 
