@@ -31,6 +31,11 @@ _QUERY_PRED_SQL = "vec_id % 100 = 0"
 #: query sets belong on the LSH/IVF path (operators/similarity.py), which
 #: keeps queries distributed.
 _Q_MAX = 256
+#: Neighbors returned per query vector — interpolated into the oracle and
+#: used by the Spark plan below, so both sides rank/keep the same k
+#: (tests/test_driver_window.py asserts the rendered oracle carries these
+#: exact literals).
+_TOP_K = 10
 
 
 @register(
@@ -49,7 +54,7 @@ _Q_MAX = 256
                ) AS rn
         FROM q CROSS JOIN e
         WHERE e.vec_id <> q.q_id
-    ) WHERE rn <= 10
+    ) WHERE rn <= {_TOP_K}
     """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,10 +76,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_Q_MAX)  # bounded collect: ≤ _Q_MAX × dim doubles on the driver
         .collect()
     )
-    cand = brute_topk_matmul(e, query_rows, "vec_id", "v", k=10)
+    cand = brute_topk_matmul(e, query_rows, "vec_id", "v", k=_TOP_K)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return cand.select("q_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rn")).filter(
-        F.col("rn") <= 10
+        F.col("rn") <= _TOP_K
     )
 
 

@@ -37,3 +37,21 @@ def test_window_query_schema_is_flat(name, spark, sf_dir):
         f"{name} emits complex columns {complex_cols}: the driver canonicalizer "
         "crashes on unhashable cells — serialize (array_join) or rotate out"
     )
+
+
+def test_sim_cosine_topk_oracle_constants_in_sync():
+    """The Spark plan caps queries at vectors._Q_MAX and keeps vectors._TOP_K
+    neighbors; the oracle must carry the SAME literals or the driver's
+    hash-compare diverges silently (VERDICT r3 #6). The oracle is an f-string
+    over the constants today — this pins it against someone inlining
+    literals and later retuning only one side."""
+    import re
+
+    from n2kupdate_spark.queries import vectors
+
+    sql = ORACLE["sim_cosine_topk"]
+    limits = re.findall(r"LIMIT\s+(\d+)", sql)
+    assert limits == [str(vectors._Q_MAX)]
+    topks = re.findall(r"rn\s*<=\s*(\d+)", sql)
+    assert topks == [str(vectors._TOP_K)]
+    assert vectors._QUERY_PRED_SQL in sql

@@ -77,3 +77,52 @@ def test_set_replace_laws(spark, target, batch):
     # groups in the batch are replaced wholesale; absent groups untouched
     expect = {(g, m) for g, m in target if g not in batch_groups} | set(batch)
     assert out == expect
+
+
+BATCHES = st.lists(rows, min_size=1, max_size=3)
+_TS_SEQ = ["2025-01-01 00:00:00", "2025-02-01 00:00:00", "2025-03-01 00:00:00"]
+
+
+@given(batches=BATCHES)
+@SET
+def test_scd2_changes_event_log_round_trip(spark, batches):
+    """merge_scd2_changes and the lead()-window rebuild (scd2_window_rebuild,
+    queries/merges.py) are mutual inverses: flatten the merged history into a
+    change-event log (one event per version open, plus a tombstone per
+    close-without-reopen) and the rebuild's lead() windows reproduce every
+    version's [valid_from, valid_to) exactly. This pins the invariant that
+    a closed version's valid_to always equals the NEXT event on its key —
+    i.e. the history has no gaps and no overlaps."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators import merge_scd2_changes
+
+    schema = "k int, v string, valid_from string, valid_to string"
+    hist = spark.createDataFrame([], schema)
+    for batch, ts in zip(batches, _TS_SEQ):
+        hist = merge_scd2_changes(
+            hist, _df(spark, batch), keys=["k"], compare_cols=["v"], batch_ts=ts
+        )
+    versions = _canon(hist)  # (k, v, valid_from, valid_to)
+
+    opens = {(k, vf) for k, _, vf, _ in versions}
+    events = [(k, vf, v) for k, v, vf, _ in versions]
+    # deletion tombstone: a close whose ts opens no new version on the key
+    events += [
+        (k, vt, None)
+        for k, _, _, vt in versions
+        if vt is not None and (k, vt) not in opens
+    ]
+    e = _df(spark, events, "k int, ts string, v string")
+    w = Window.partitionBy("k").orderBy("ts")
+    rebuilt = {
+        (k, ts): vt
+        for k, ts, v, vt in _canon(
+            e.select("k", "ts", "v", F.lead("ts").over(w).alias("valid_to"))
+        )
+        if v is not None  # tombstones are log entries, not versions
+    }
+    assert len(rebuilt) == len(versions)
+    for k, _, vf, vt in versions:
+        assert rebuilt[(k, vf)] == vt
