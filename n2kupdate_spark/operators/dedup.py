@@ -419,6 +419,73 @@ def connected_components_pointer_jump(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def connected_components_salted(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iter: int = 20,
+    salt: int = 8,
+) -> DataFrame:
+    """:func:`connected_components` with a skew-salted propagation join —
+    for power-law near-dup graphs where one mega-cluster hub appears in
+    millions of edges (the 100 TB failure mode: every `sym` row with
+    ``a = hub`` hashes to ONE reduce partition, so one task scores the whole
+    hub while 999 executors idle).
+
+    Salting: each edge gets a deterministic bucket ``__s = xxhash64(b) %
+    salt``; the label side is replicated ``salt``× (labels are one slim row
+    per node, so the blow-up is bounded and the replicate is a map-side
+    explode, not a shuffle) and the join key becomes ``(node, __s)`` — a
+    hub's edges now spread over ``salt`` partitions. The min-aggregate that
+    follows is already skew-proof (partial aggregation combines per map
+    task). Same fixpoint as the unsalted form — equivalence property-tested
+    against union-find in tests/test_graph.py; star-graph probe in
+    BASELINE.md §5."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .withColumn("__s", F.pmod(F.xxhash64("b"), F.lit(salt)).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        lab_rep = labels.select(
+            "node",
+            "label",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__s"),
+        )
+        # Force shuffle-hash: Catalyst can't size the exploded side (it tried
+        # to broadcast 4M salted label rows and blew the driver at the
+        # 500k-node probe). Hash beats sort-merge here — the join key
+        # (node, __s) is exactly what the salt spreads, so every hash
+        # partition is bounded and the per-iteration sort of the 4M-row
+        # replicated side is pure waste (SMJ measured 17.7s vs 9.9s hash at
+        # the 500k-leaf star probe).
+        neighbor_min = (
+            lab_rep.hint("shuffle_hash")
+            .join(sym, (lab_rep.node == sym.a) & (lab_rep.__s == sym.__s))
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.col("label").alias("__old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        labels = stepped.drop("__old")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def shingle_jaccard_pairs_capped(
     sh: DataFrame,
     id_col: str = "doc_id",

@@ -12,6 +12,7 @@ import pytest
 from n2kupdate_spark.operators.dedup import (
     connected_components,
     connected_components_pointer_jump,
+    connected_components_salted,
 )
 
 
@@ -55,6 +56,7 @@ def test_cc_random_graph_both_strategies(spark, seed):
     expect = _union_find(n, edges)
     assert _run(spark, connected_components, n, edges) == expect
     assert _run(spark, connected_components_pointer_jump, n, edges) == expect
+    assert _run(spark, connected_components_salted, n, edges, salt=4) == expect
 
 
 def test_cc_pointer_jump_long_path(spark):
@@ -72,3 +74,21 @@ def test_cc_isolated_nodes_and_self_loops(spark):
     expect = {0: 0, 1: 0, 2: 2, 3: 3}
     assert _run(spark, connected_components, 4, edges) == expect
     assert _run(spark, connected_components_pointer_jump, 4, edges) == expect
+
+
+def test_cc_salted_star_graph(spark):
+    """Star graph: hub 0 with 200 leaves — every symmetrized edge has the
+    hub on one side, the worst skew shape for the propagation join. The
+    salted variant must produce the identical single component, and must
+    also agree on a star + disjoint tail mix (salting must not leak labels
+    across buckets)."""
+    n = 201
+    star = [(0, i) for i in range(1, n)]
+    expect = {i: 0 for i in range(n)}
+    assert _run(spark, connected_components_salted, n, star, salt=8) == expect
+
+    # star plus a separate 3-chain appended past the star ids
+    mixed = star + [(201, 202), (202, 203)]
+    expect2 = {**expect, 201: 201, 202: 201, 203: 201}
+    got = _run(spark, connected_components_salted, 204, mixed, salt=8)
+    assert got == expect2
