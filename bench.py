@@ -66,12 +66,24 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
 
+    # Median-of-3 per query (judge r4 item 1): a single sample cannot
+    # distinguish a regression from box-load variance (BASELINE.md records a
+    # 7.1-8.5 s total spread from load alone). Three timed runs per query,
+    # report the median; min/max ride along in "spread" so the driver and
+    # judge can see variance without changing the headline metric shape.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = {"min": round(samples[0], 3), "max": round(samples[-1], 3)}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -82,6 +94,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                "reps": reps,
+                "spread": spread,
             }
         )
     )
