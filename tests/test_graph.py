@@ -10,7 +10,9 @@ import random
 import pytest
 
 from n2kupdate_spark.operators.dedup import (
+    _cc_should_salt,
     connected_components,
+    connected_components_auto,
     connected_components_pointer_jump,
     connected_components_salted,
 )
@@ -92,3 +94,34 @@ def test_cc_salted_star_graph(spark):
     expect2 = {**expect, 201: 201, 202: 201, 203: 201}
     got = _run(spark, connected_components_salted, 204, mixed, salt=8)
     assert got == expect2
+
+
+def test_cc_should_salt_threshold():
+    """The dispatch rule in isolation: below the absolute floor never salt
+    (the 1.4x replication tax can't win on a hub a single task finishes in
+    milliseconds); above it, salt only when the hub exceeds skew_factor x
+    the average per-partition edge load."""
+    # tiny graph, extreme relative skew: still plain (floor)
+    assert not _cc_should_salt(max_degree=400, n_edges=400, shuffle_partitions=32)
+    # large hub dominating its partition: salt
+    assert _cc_should_salt(max_degree=500_000, n_edges=1_000_000, shuffle_partitions=32)
+    # large but uniform graph: hub ~= per-partition load, plain
+    assert not _cc_should_salt(
+        max_degree=60_000, n_edges=32 * 60_000 * 2, shuffle_partitions=32
+    )
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_cc_auto_matches_union_find_both_branches(spark, seed):
+    """The dispatcher must return the identical labeling whichever branch it
+    takes: once with the degree probe (small graph -> plain branch), once
+    with a hint forcing the salted branch."""
+    rng = random.Random(seed)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+    expect = _union_find(n, edges)
+    assert _run(spark, connected_components_auto, n, edges) == expect
+    assert (
+        _run(spark, connected_components_auto, n, edges, max_degree_hint=10_000_000)
+        == expect
+    )
