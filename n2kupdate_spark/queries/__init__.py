@@ -42,20 +42,60 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
 )
 
 #: The 50 query ids to place at the front of the registry this round —
-#: i.e. inside the driver's 50-entry correctness window. Round 4 closes the
-#: verification rotation: the first 28 slots are every SQL-oracle op that has
-#: NEVER had a driver correctness row (all 9 TPC-H-shaped composites plus
-#: everything registered in rounds 2-3 — see VERDICT.md r3 "Next round" #1);
-#: after this round, all 122 oracle-checkable ops have a driver row across
-#: r01∪r03∪r04. The remaining 22 slots re-confirm the riskiest r1 greens
-#: (the full join family incl. the salted-skew variant, ranking windows, and
-#: the core agg set) so the oldest green rows get a second, fresher hash.
+#: i.e. inside the driver's 50-entry correctness window. Round 5 refreshes
+#: the STALEST evidence (judge r4 item 4): the first 22 slots are every
+#: SQL-oracle op whose only driver row is r01 (computed as
+#: r01 − r03 − r04 minus the three rows-only ids) — after this round every
+#: one of the 122 oracle-checkable ops has a row from r3 or later. The
+#: remaining 28 slots re-confirm greens nearest this round's code churn
+#: (the connected-components family gained an auto-dispatcher this round,
+#: so every CC-consuming query re-hashes) plus the heaviest r4 greens (all
+#: nine TPC-H-shaped composites, SCD2 family, similarity/time-series ops).
 #: Rows-only ops (source_orc, agg_hll_sketch_merge, dedup_text_fuzzy,
 #: dedup_simhash, dedup_minhash_est_eval, sim_ann_*, fingerprint_sha1,
-#: agg_approx_distinct) stay out — they'd burn slots on `no_oracle` rows.
+#: agg_approx_distinct, agg_approx_quantile) stay out — they'd burn slots
+#: on `no_oracle` rows; fingerprint_sha1 is now value-pinned to hashlib in
+#: tests/test_parity.py instead.
 _ROUND_WINDOW = [
-    # -- 28 never-driver-checked SQL-oracle ops ---------------------------
-    # TPC-H-shaped composites (queries/composite.py)
+    # -- 22 ops whose only driver row is r01 (stalest evidence) -----------
+    "scan_parquet",
+    "scan_prune_columns",
+    "scan_filter_pushdown",
+    "project_rename",
+    "project_cast_keys",
+    "filter_predicate",
+    "filter_null_guard",
+    "validate_domain",
+    "fingerprint_md5",
+    "fingerprint_sha256",
+    "dedup_exact",
+    "dedup_keep_latest",
+    "agg_filtered_pivot",
+    "agg_having",
+    "agg_stats_moments",
+    "agg_percentile_exact",
+    "agg_string_concat",
+    "agg_mode_per_group",
+    "scalar_subquery_agg",
+    "window_first_last",
+    "window_gaps_islands",
+    "window_cume_dist",
+    # -- 28 re-confirmation slots ----------------------------------------
+    # CC family consumers (operators/dedup.py churned this round)
+    "dedup_cc_clusters",
+    "dedup_cc_pointer_jump",
+    "corpus_clean_pipeline",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_stop_shingles",
+    "dedup_text_exact",
+    # similarity / embeddings
+    "sim_pairs_threshold",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    # time-series grid ops (probed this round, BASELINE.md §5)
+    "ts_gap_interpolate",
+    "ts_resample_ffill",
+    # heaviest composites (TPC-H shapes)
     "composite_shipping_priority",
     "composite_order_priority_check",
     "composite_local_supplier_volume",
@@ -65,54 +105,16 @@ _ROUND_WINDOW = [
     "composite_nation_volume_pairs",
     "composite_disjunctive_part_revenue",
     "composite_above_customer_avg",
-    # merges / SCD2 change-log family
+    # SCD2 / merge family
+    "merge_scd1",
+    "merge_scd2_close",
     "merge_scd2_changes",
     "scd2_window_rebuild",
-    # set-op ALL variants
-    "setop_except_all",
-    "setop_intersect_all",
-    # scalar families added r2
-    "map_from_json",
-    "scalar_bitwise",
-    "scalar_regex",
-    # events / sessionization added r2-r3
-    "window_session_builtin",
-    "events_retention_cohorts",
-    "events_anomaly_zscore",
-    # text / dedup / ML-prep added r2-r3
-    "text_bigram_lm_score",
-    "text_length_histogram",
-    "text_feature_hashing",
-    "dedup_ngram_jaccard",
-    "corpus_clean_pipeline",
-    "ts_gap_interpolate",
-    "ml_split_leakage_audit",
-    "multimodal_decode_stub",
-    # sinks
-    "sink_partitioned_parquet",
-    # -- 22 re-confirmation slots (riskiest r1 greens) --------------------
-    "join_lookup_inner",
+    # core joins/aggs/windows
     "join_star_multiway",
-    "join_left_outer",
-    "join_anti_new_rows",
-    "join_semi_existing",
-    "join_full_outer_diff",
-    "join_theta_range",
-    "join_interval_overlap",
     "join_asof",
-    "join_cross_small",
-    "join_skew_salted",
-    "window_topn_per_group",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_ntile_pct",
-    "topk_order_limit",
-    "sort_multi_key",
     "agg_group_sums",
-    "agg_count_distinct",
-    "agg_grouping_rollup",
-    "agg_grouping_cube",
+    "window_session_builtin",
 ]
 
 
