@@ -88,7 +88,16 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sequence-model training. Union-of-grid-and-points + one window pass:
     no joins, one shuffle on user_id; grid rows ∝ span/step, generated
     executor-side via sequence(). Tiebreaks (is_grid, event_id) make the
-    carried value deterministic when events share a timestamp."""
+    carried value deterministic when events share a timestamp.
+
+    Grid-growth contract (probe_ts_grid.py, BASELINE.md §5): output rows =
+    Σ_per_key (span/step + 1) — bounded by TIME SPAN, not input size. A
+    single corrupt epoch-0 timestamp widens one key's span to ~56 years ≈
+    490k hourly rows (measured +473k on sf0.1 from ONE bad row). A 100 TB
+    caller must either validate the timestamp domain upstream
+    (validate_domain) or clamp spans before gridding:
+    ``g0 := greatest(g0, g1 - max_span_steps*step)`` — the clamp restores
+    the bound regardless of data (probed: 1.52M → 1.05M rows)."""
     e = load(spark, sf_dir, "events", columns=["user_id", "event_id", "value", "ts"]).select(
         "user_id",
         "event_id",
@@ -294,7 +303,11 @@ def ts_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     backward-looking frame and the forward-looking frame share the same
     (ts, is_grid, event_id) ordering, so Spark plans one shuffle + one sort
     for both. Edges degrade gracefully: ffill at the tail, bfill at the
-    head. All arithmetic is double-precision in both engines, rounded 4dp."""
+    head. All arithmetic is double-precision in both engines, rounded 4dp.
+
+    Grid-growth contract: same span-not-size output bound as
+    ts_resample_ffill (see its docstring / probe_ts_grid.py) — clamp spans
+    or validate timestamp domains before gridding at scale."""
     e = load(spark, sf_dir, "events", columns=["user_id", "event_id", "value", "ts"]).select(
         "user_id",
         "event_id",
