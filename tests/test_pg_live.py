@@ -25,6 +25,8 @@ import tempfile
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from n2kupdate_spark.queries import fixtures as FX
 from n2kupdate_spark.sources.jdbc import DbApiBackend, upsert
 from n2kupdate_spark.sources.pg_psql import PsqlConnection, PsqlError
@@ -286,6 +288,59 @@ def test_pg_n2kstore_facade_roundtrip(spark, pg):
     finally:
         pg.execute("DROP TABLE IF EXISTS language")
         pg.execute("DROP TABLE IF EXISTS species_group_species")
+
+
+def test_pg_streaming_foreachbatch_upsert(spark, sf_dir, pg):
+    """The full n2kupdate-at-scale lifecycle on the advertised target:
+    Structured Streaming micro-batches → foreachBatch → stage+merge into
+    live PostgreSQL. Each micro-batch runs the same scd1 upsert the batch
+    path uses; availableNow drains the source deterministically. Restart
+    safety of the checkpoint is covered in tests/test_streaming.py — here
+    the assertion is end-state parity with the batch table on a real PG."""
+    import shutil
+    import tempfile
+
+    from n2kupdate_spark.sources import load
+    from n2kupdate_spark.streaming import (
+        events_file_stream,
+        stream_upsert_foreachbatch,
+    )
+
+    work = tempfile.mkdtemp(prefix="n2k_pgstream_")
+    src = f"{work}/src"
+    events = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # two source files -> at least one micro-batch boundary inside the run
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    pg.execute(
+        "CREATE TABLE events_t (event_id BIGINT, event_type VARCHAR, "
+        "value DOUBLE PRECISION)"
+    )
+    backend = DbApiBackend(pg)
+
+    def merge_fn(batch_df, epoch_id):
+        upsert(
+            batch_df.select("event_id", "event_type", "value"),
+            "events_t", ["event_id"], backend, mode="scd1",
+        )
+
+    try:
+        stream = events_file_stream(spark, src).select("event_id", "event_type", "value")
+        q = stream_upsert_foreachbatch(stream, merge_fn, f"{work}/ckpt")
+        q.awaitTermination(180)
+        n = int(pg.execute("SELECT COUNT(*), COUNT(DISTINCT event_id) FROM events_t").fetchone()[0])
+        d = int(pg.execute("SELECT COUNT(DISTINCT event_id) FROM events_t").fetchone()[0])
+        expect = events.count()
+        assert n == d == expect, (n, d, expect)
+        # value parity on a sample key
+        k, v = events.orderBy("event_id").limit(1).select("event_id", "value").first()
+        got = pg.execute(
+            f"SELECT value FROM events_t WHERE event_id = {int(k)}"
+        ).fetchone()
+        assert abs(float(got[0]) - float(v)) < 1e-9
+    finally:
+        pg.execute("DROP TABLE IF EXISTS events_t")
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def test_pg_rollback_on_failed_merge(spark, sf_dir, pg):
