@@ -1,0 +1,107 @@
+"""Value-level accuracy pins for the ops no SQL oracle can hash (SURVEY §2
+rows-only legend): sketch estimates are engine-specific by design, but their
+ERROR vs the exact answer is a contract — a mistuned sketch (wrong rsd,
+wrong lgK, wrong merge) sails through a rows-only check while being
+arbitrarily wrong. Same philosophy as the hashlib pin for fingerprint_sha1:
+verify against an independent ground truth computed in-process."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from n2kupdate_spark.queries import QUERIES
+from n2kupdate_spark.sources import load
+
+
+def test_approx_distinct_within_rsd_bound(spark, sf_dir):
+    """HLL++ with rsd=0.02: every per-group estimate must land within 3
+    standard errors (6%) of the exact distinct count — the bound the op's
+    docstring advertises for replacing exact countDistinct at 100 TB."""
+    got = {
+        r.event_type: r.approx_users
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.nd
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        rel = abs(est - exact[k]) / exact[k]
+        assert rel <= 0.06, f"{k}: estimate {est} vs exact {exact[k]} ({rel:.1%})"
+
+
+def test_approx_quantile_within_rank_tolerance(spark, sf_dir):
+    """approx_percentile(accuracy=10000) guarantees rank error ≤ n/accuracy.
+    Check the estimated p50 sits between the exact values at ranks
+    floor/ceil of n/2 ± n/10000 ± 1 per group — a rank-space bound, which is
+    what the sketch actually promises (value-space tolerance would be data-
+    dependent)."""
+    import math
+
+    o = load(spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    groups = {
+        r.o_orderpriority: sorted(x[0] for x in r.vals)
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.collect_list(F.struct("o_totalprice")).alias("vals"))
+        .collect()
+    }
+    got = {
+        r.o_orderpriority: r.p50_approx
+        for r in QUERIES["agg_approx_quantile"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(groups)
+    for k, est in got.items():
+        vals = groups[k]
+        n = len(vals)
+        # Spark's continuous percentile target index for p=0.5 is (n-1)/2;
+        # the sketch may be off by n/accuracy ranks either side.
+        slack = math.ceil(n / 10000) + 1
+        lo = vals[max(0, (n - 1) // 2 - slack)]
+        hi = vals[min(n - 1, (n - 1) // 2 + 1 + slack)]
+        assert lo - 1e-4 <= est <= hi + 1e-4, f"{k}: {est} outside [{lo}, {hi}]"
+
+
+def test_hll_sketch_merge_estimates_and_union(spark, sf_dir):
+    """DataSketches HLL: per-group estimates within 5% of the exact counts
+    the query already carries, and the MERGED global estimate within 5% of
+    the true global distinct — the union step is the whole point of the op
+    (sketch once, merge upward) and the easiest thing to get silently wrong."""
+    rows = QUERIES["agg_hll_sketch_merge"](spark, sf_dir).collect()
+    exact_global = (
+        load(spark, sf_dir, "orders", columns=["o_custkey"])
+        .select(F.count_distinct("o_custkey"))
+        .first()[0]
+    )
+    seen_global = False
+    for r in rows:
+        if r.o_orderpriority == "__ALL__":
+            seen_global = True
+            rel = abs(r.est_nd - exact_global) / exact_global
+            assert rel <= 0.05, f"merged estimate {r.est_nd} vs {exact_global}"
+        else:
+            rel = abs(r.est_nd - r.exact_nd) / r.exact_nd
+            assert rel <= 0.05, f"{r.o_orderpriority}: {r.est_nd} vs {r.exact_nd}"
+    assert seen_global, [r.o_orderpriority for r in rows]
+
+
+def test_source_orc_roundtrip_values_match_parquet(spark, sf_dir):
+    """ORC has no oracle reader, so pin the round-trip against the parquet
+    source directly: byte-identical rows (the op writes nation as ORC and
+    reads it back with pushdown + pruning)."""
+    got = sorted(
+        map(tuple, QUERIES["source_orc"](spark, sf_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            load(spark, sf_dir, "nation")
+            .filter(F.col("n_regionkey") >= 0)
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .collect(),
+        )
+    )
+    assert got == want
