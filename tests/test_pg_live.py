@@ -290,6 +290,53 @@ def test_pg_n2kstore_facade_roundtrip(spark, pg):
         pg.execute("DROP TABLE IF EXISTS species_group_species")
 
 
+def test_pg_literal_quoting_roundtrips_adversarial_strings(pg):
+    """The shim binds parameters by literal substitution — the classic place
+    quoting bugs hide. Round-trip the adversarial cases through a real
+    INSERT/SELECT: quotes, backslashes, unicode, csv delimiters, dollar
+    quoting, a leading backslash-command lookalike, and NULL/bool/float
+    values. (Embedded newlines are documented unsupported by the csv
+    framing; NUL bytes are rejected at bind time.)"""
+    cases = [
+        "plain",
+        "it's quoted",
+        "double '' quotes",
+        'she said "hi"',
+        "back\\slash",
+        "trailing backslash\\",
+        "comma,semicolon;tab\there",
+        "unicode: ünïcødé ✓ 中文",
+        "$$dollar quoted$$",
+        "\\echo not a command",
+        "-- not a comment? ' OR '1'='1",
+    ]
+    pg.execute("CREATE TABLE quoting_t (i INTEGER, s VARCHAR, f DOUBLE PRECISION, b BOOLEAN)")
+    try:
+        pg.executemany(
+            "INSERT INTO quoting_t VALUES (?,?,?,?)",
+            [(i, s, i + 0.5, i % 2 == 0) for i, s in enumerate(cases)]
+            + [(len(cases), None, None, None)],
+        )
+        got = pg.execute("SELECT i, s, f, b FROM quoting_t ORDER BY i").fetchall()
+        assert len(got) == len(cases) + 1
+        for i, s in enumerate(cases):
+            gi, gs, gf, gb = got[i]
+            assert gs == s, f"case {i}: {gs!r} != {s!r}"
+            assert float(gf) == i + 0.5
+            assert gb == ("t" if i % 2 == 0 else "f")
+        # NULLs come back as empty csv fields
+        assert got[-1][1] == ""
+    finally:
+        pg.execute("DROP TABLE IF EXISTS quoting_t")
+
+    import pytest as _pytest
+
+    from n2kupdate_spark.sources.pg_psql import _literal
+
+    with _pytest.raises(ValueError):
+        _literal("nul\x00byte")
+
+
 def test_pg_streaming_foreachbatch_upsert(spark, sf_dir, pg):
     """The full n2kupdate-at-scale lifecycle on the advertised target:
     Structured Streaming micro-batches → foreachBatch → stage+merge into
