@@ -142,14 +142,19 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph (word-3-gram Jaccard ≥ 0.1). Every document gets the minimum
     doc_id reachable through near-dup edges as its cluster id — the
     transitive-closure step that turns pairwise dedup verdicts into
-    keep-one-per-cluster decisions. Iterative min-label propagation in
-    Spark (operators/dedup.py::connected_components); the oracle computes
-    the same fixpoint with a recursive CTE."""
-    from n2kupdate_spark.operators.dedup import connected_components
+    keep-one-per-cluster decisions. Routed through the degree-probing
+    dispatcher (operators/dedup.py::connected_components_auto): near-dup
+    graphs are usually shallow and uniform (plain propagation), but a
+    boilerplate-heavy corpus can grow a power-law hub that serializes the
+    propagation join — the dispatcher measures the hub degree on the
+    checkpointed edge list and salts only when it pays (BASELINE.md §5).
+    Both branches reach the same fixpoint (property-tested vs union-find),
+    so the recursive-CTE oracle applies unchanged."""
+    from n2kupdate_spark.operators.dedup import connected_components_auto
 
     nodes = load(spark, sf_dir, "documents").select("doc_id")
     edges = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
-    return connected_components(nodes, edges, id_col="doc_id")
+    return connected_components_auto(nodes, edges, id_col="doc_id")
 
 
 @register(
