@@ -88,6 +88,73 @@ def test_hll_sketch_merge_estimates_and_union(spark, sf_dir):
     assert seen_global, [r.o_orderpriority for r in rows]
 
 
+def test_minhash_estimate_error_within_theory(spark, sf_dir):
+    """The K=32 MinHash signature's Jaccard estimate: mean absolute error
+    over the LSH candidate pairs must respect the 1/sqrt(K) ≈ 0.18 theory
+    bound (with slack for the small-pair-count regime), and the estimate
+    must not be systematically biased vs the exact shingle Jaccard."""
+    row = QUERIES["dedup_minhash_est_eval"](spark, sf_dir).first()
+    assert row.n_pairs > 0
+    assert row.mean_abs_err <= 0.18, row
+    assert abs(row.mean_est - row.mean_exact) <= 0.10, row
+
+
+def test_lsh_fuzzy_recall_on_high_jaccard_pairs(spark, sf_dir):
+    """Banding theory for 16 bands x 2 rows: a pair at Jaccard j collides on
+    >= 1 band with prob 1-(1-j^2)^16 — > 0.999 for j >= 0.7. So every exact
+    pair at j >= 0.7 must appear in dedup_text_fuzzy's output (which
+    verifies exactly and filters at 0.5 — i.e. misses can only come from
+    LSH banding, which theory says won't happen at this j)."""
+    from n2kupdate_spark.operators.dedup import shingle_jaccard_pairs, word_shingles
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sh = word_shingles(docs, "text")
+    exact_high = {
+        (r.id1, r.id2)
+        for r in shingle_jaccard_pairs(sh, "doc_id", threshold=0.7).collect()
+    }
+    got = {
+        (r.id1, r.id2)
+        for r in QUERIES["dedup_text_fuzzy"](spark, sf_dir).collect()
+    }
+    assert exact_high, "fixture should contain at least one high-Jaccard pair"
+    missed = exact_high - got
+    assert not missed, f"LSH missed {len(missed)} of {len(exact_high)} j>=0.7 pairs"
+
+
+def test_simhash_band_join_matches_bruteforce(spark, sf_dir):
+    """The distributed part of dedup_simhash — 8x8-bit band blocking + pair
+    generation — must return EXACTLY the hamming<=3 pairs a driver-side
+    brute force over the same signatures finds (blocking guarantees recall
+    to hamming 7, so at the op's max_hamming=3 no pair may be missing and
+    the explicit filter means none may be extra)."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.dedup import simhash_near_pairs, simhash_signature
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sig = simhash_signature(docs, "doc_id").localCheckpoint(eager=True)
+    rows = sig.collect()
+    ids = np.array([r.doc_id for r in rows])
+    sigs = np.array([r.simhash for r in rows], dtype=np.int64).astype(np.uint64)
+    # brute-force hamming over all pairs (n ~ 500 at sf0.001)
+    want = set()
+    for i in range(len(ids)):
+        ham = np.array(
+            [bin(int(sigs[i] ^ s)).count("1") for s in sigs[i + 1:]]
+        )
+        for j in np.nonzero(ham <= 3)[0]:
+            a, b = ids[i], ids[i + 1 + j]
+            want.add((min(a, b), max(a, b)))
+    got = {
+        (min(r.id1, r.id2), max(r.id1, r.id2))
+        for r in simhash_near_pairs(sig, "doc_id", max_hamming=3).collect()
+    }
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
+
+
 def test_source_orc_roundtrip_values_match_parquet(spark, sf_dir):
     """ORC has no oracle reader, so pin the round-trip against the parquet
     source directly: byte-identical rows (the op writes nation as ORC and
