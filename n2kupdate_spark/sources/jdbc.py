@@ -261,8 +261,6 @@ class DbApiBackend:
             coldefs = ", ".join(
                 f"{_ident(f.name)} {_sql_type(f.dataType)}" for f in df.schema.fields
             )
-            cols = ", ".join(_idents(df.columns))
-            ph = ", ".join([_paramstyle_marker(self.con)] * len(df.columns))
             cur = self._cursor()
             cur.execute(f"CREATE TABLE {staging} ({coldefs})")
             # NaN/NaT from the pandas round-trip must land as SQL NULL.
@@ -270,7 +268,15 @@ class DbApiBackend:
                 tuple(None if v != v or v is None else v for v in r)  # noqa: PLR0124 — NaN != NaN
                 for r in pdf.itertuples(index=False, name=None)
             ]
-            cur.executemany(f"INSERT INTO {staging} ({cols}) VALUES ({ph})", rows)
+            if hasattr(self.con, "copy_from_csv"):
+                # Bulk COPY path (PostgreSQL via the psql shim) — the same
+                # wire path the reference's DBI::dbWriteTable staging write
+                # uses; one roundtrip, server-side CSV parse.
+                self.con.copy_from_csv(staging, _idents(df.columns), rows)
+            else:
+                cols = ", ".join(_idents(df.columns))
+                ph = ", ".join([_paramstyle_marker(self.con)] * len(df.columns))
+                cur.executemany(f"INSERT INTO {staging} ({cols}) VALUES ({ph})", rows)
 
     def execute(self, stmts: Sequence[str]) -> None:
         cur = self._cursor()

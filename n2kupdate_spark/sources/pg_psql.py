@@ -26,10 +26,24 @@ Design notes:
   the module-level ``paramstyle`` below is what
   ``jdbc._paramstyle_marker`` resolves). Fine for the sink's staging
   INSERTs; this is a test/integration shim, not a production driver.
+- **Bulk loads use the real COPY path**: :meth:`PsqlConnection.copy_from_csv`
+  streams CSV through ``\\copy table FROM STDIN WITH (FORMAT csv)`` on the
+  same session — the wire path the reference's ``DBI::dbWriteTable`` takes
+  (PostgreSQL COPY under the hood, ⟨pub⟩ every R/store_*.R staging write).
+  ``DbApiBackend.write_staging`` auto-selects it when the connection offers
+  it. CSV quoting makes embedded newlines first-class on the write side;
+  strings are always quoted so ``\\.`` and empty-vs-NULL stay unambiguous.
 - Query results come back as ``--csv`` text; ``fetchall`` returns tuples of
-  strings (header dropped). Values containing embedded newlines would break
-  the line-based framing — acceptable for integration tests, documented
-  here.
+  strings (header dropped). The result frame is delimited by a
+  per-statement sentinel (a monotonic counter suffix; the terminator line
+  must match ``<sentinel> true|false`` exactly), so data lines that merely
+  start with the sentinel text cannot truncate a result, and multi-line
+  quoted CSV values parse correctly — the whole frame is fed to one
+  ``csv.reader``, which handles embedded newlines per RFC 4180.
+- psql's stderr is drained opportunistically on every roundtrip and the
+  session opens with ``client_min_messages = error``, so NOTICE/WARNING
+  chatter can neither fill the pipe (a would-be deadlock: psql blocks on
+  stderr while we block on stdout) nor interleave with error capture.
 
 This is NOT the 100 TB path — on a cluster the executors write staging via
 real JDBC (``SparkJdbcBackend``) and only the merge statement runs on a
@@ -43,8 +57,10 @@ from __future__ import annotations
 import csv
 import datetime as _dt
 import io
+import math
 import subprocess
-from collections.abc import Sequence
+import uuid
+from collections.abc import Iterable, Sequence
 
 #: PEP 249 module attribute consulted by jdbc._paramstyle_marker via the
 #: connection's root package — qmark keeps parity with sqlite3/duckdb.
@@ -62,6 +78,10 @@ def _literal(v) -> str:
     if isinstance(v, (int, float)):
         if v != v:  # NaN guard — staging pre-cleans, but belt and braces
             return "NULL"
+        if isinstance(v, float) and math.isinf(v):
+            # repr(inf) is bare 'inf' — not a PG numeric literal; use the
+            # server's spelled form (ADVICE r5).
+            return "'Infinity'::float8" if v > 0 else "'-Infinity'::float8"
         return repr(v)
     if isinstance(v, (_dt.datetime, _dt.date)):
         return f"'{v.isoformat(sep=' ') if isinstance(v, _dt.datetime) else v.isoformat()}'"
@@ -72,7 +92,39 @@ def _literal(v) -> str:
         raise ValueError("NUL byte in string literal")
     # E'' form so backslashes survive regardless of
     # standard_conforming_strings; quotes and backslashes doubled.
-    return "E'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    # Newlines/CRs become \n/\r escapes so a bound literal never spans
+    # physical lines on the psql stdin wire.
+    return (
+        "E'"
+        + s.replace("\\", "\\\\").replace("'", "''")
+            .replace("\n", "\\n").replace("\r", "\\r")
+        + "'"
+    )
+
+
+def _csv_field(v) -> str:
+    """Render one value as a COPY-csv field. Strings are ALWAYS quoted so an
+    empty string stays distinct from NULL (unquoted empty) and a value of
+    ``\\.`` can never be mistaken for the end-of-data marker; ``""``-doubling
+    plus quoting makes embedded newlines/commas/quotes first-class."""
+    if v is None or v != v:  # None or NaN -> NULL (unquoted empty field)
+        return ""
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return '"' + v.isoformat(sep=" ") + '"'
+    if isinstance(v, _dt.date):
+        return '"' + v.isoformat() + '"'
+    if hasattr(v, "item"):  # numpy scalar from the pandas round-trip
+        return _csv_field(v.item())
+    s = str(v)
+    if "\x00" in s:
+        raise ValueError("NUL byte in COPY data")
+    return '"' + s.replace('"', '""') + '"'
 
 
 def _bind(sql: str, params: Sequence | None) -> str:
@@ -111,7 +163,6 @@ class PsqlConnection:
         user: str = "postgres",
         dbname: str = "postgres",
     ):
-        self._stderr = subprocess.DEVNULL
         self._p = subprocess.Popen(
             [
                 "stdbuf", "-oL",
@@ -121,29 +172,56 @@ class PsqlConnection:
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
-            text=True,
         )
+        # Binary pipes + newline='' wrappers: universal-newline translation
+        # would silently collapse \r\n inside quoted CSV values on read, and
+        # the frame reassembly below depends on byte-faithful lines.
+        self._stdin = io.TextIOWrapper(self._p.stdin, encoding="utf-8", newline="")
+        self._stdout = io.TextIOWrapper(self._p.stdout, encoding="utf-8", newline="")
         self._rows: list[tuple] = []
+        self._seq = 0
         # handshake: prove the session is up and line-buffered
         out, err = self._roundtrip("SELECT 1 AS __handshake")
         if err or out != [("1",)]:
             raise PsqlError(f"psql session failed handshake: {out}")
+        # Suppress NOTICE/WARNING chatter for the session: keeps stderr
+        # quiet in notice-heavy workloads (DROP IF EXISTS, implicit index
+        # creation) so the pipe can't fill while we wait on stdout.
+        self._exec_checked("SET client_min_messages = error")
 
     # -- wire protocol ------------------------------------------------------
 
-    def _roundtrip(self, sql: str) -> tuple[list[tuple], bool]:
-        stmt = sql if sql.rstrip().endswith(";") else sql + ";"
-        self._p.stdin.write(stmt + f"\n\\echo {_SENTINEL} :ERROR\n")
-        self._p.stdin.flush()
+    def _next_tag(self) -> str:
+        """Per-statement frame tag: monotonic counter (debuggability) plus a
+        random suffix so no result value — even one crafted to contain a
+        ``<sentinel>_<n> true`` line inside a multi-line field — can
+        terminate the frame early or spoof the error flag (ADVICE r5)."""
+        self._seq += 1
+        return f"{_SENTINEL}_{self._seq}_{uuid.uuid4().hex[:8]}"
+
+    def _read_until(self, tag: str) -> tuple[list[str], bool]:
+        """Collect stdout lines until the exact sentinel line ``<tag> true``
+        or ``<tag> false``. Exact-match framing (not prefix) + a
+        per-statement counter suffix means result data can neither
+        truncate the frame nor spoof the error flag; multi-line quoted CSV
+        values pass straight through into the collected frame."""
         lines: list[str] = []
         while True:
-            line = self._p.stdout.readline()
+            line = self._stdout.readline()
             if not line:
                 raise PsqlError("psql session closed unexpectedly")
-            if line.startswith(_SENTINEL):
-                failed = line.split()[-1] == "true"
-                break
+            bare = line.rstrip("\r\n")
+            if bare == f"{tag} true" or bare == f"{tag} false":
+                return lines, bare.endswith(" true")
             lines.append(line)
+
+    def _roundtrip(self, sql: str) -> tuple[list[tuple], bool]:
+        self._drain_stderr()  # opportunistic: never let the pipe fill
+        stmt = sql if sql.rstrip().endswith(";") else sql + ";"
+        tag = self._next_tag()
+        self._stdin.write(stmt + f"\n\\echo {tag} :ERROR\n")
+        self._stdin.flush()
+        lines, failed = self._read_until(tag)
         rows: list[tuple] = []
         if lines:
             parsed = list(csv.reader(io.StringIO("".join(lines))))
@@ -155,6 +233,68 @@ class PsqlConnection:
         if failed:
             raise PsqlError(f"statement failed: {sql[:200]}... — {self._drain_stderr()}")
         return rows
+
+    def copy_from_csv(self, table: str, columns: Sequence[str], rows: Iterable[Sequence]) -> None:
+        """Bulk-load ``rows`` into ``table`` via ``\\copy … FROM STDIN WITH
+        (FORMAT csv)`` on the same session — the COPY wire path the
+        reference's staging write takes (``DBI::dbWriteTable`` ⟨pub⟩ every
+        R/store_*.R is PostgreSQL COPY under the hood). One roundtrip per
+        batch; strings always quoted (see :func:`_csv_field`), so embedded
+        newlines round-trip.
+
+        psql-15 footgun: the ``\\copy`` frontend recognizes a ``\\.`` line as
+        end-of-data EVEN INSIDE a quoted CSV field (only PostgreSQL 16+
+        fixed the client-side scan), so a value containing a lone ``\\.``
+        line would truncate the load and desync the session. Rows whose
+        serialization would emit such a line are diverted to a
+        literal-bound INSERT (which escapes newlines as ``\\n`` and has no
+        terminator concept) — correctness first, COPY for the bulk."""
+        self._drain_stderr()
+        collist = ", ".join(columns)
+        # Fail BEFORE streaming: if \copy never starts (missing table, bad
+        # column), psql would treat the data lines as SQL input — the probe
+        # surfaces those errors while the session is still in sync.
+        self._exec_checked(f"SELECT {collist} FROM {table} LIMIT 0")
+        tag = self._next_tag()
+        w = self._stdin
+        # psql-15 does NOT set :ERROR/:SQLSTATE for \copy failures (probed:
+        # error=false, sqlstate=00000 after a mid-stream type rejection), so
+        # the error flag is useless here. The deterministic success signal
+        # is the 'COPY <n>' command tag — suppressed by -q, re-enabled just
+        # for this statement via the QUIET variable, and cross-checked
+        # against the number of rows streamed.
+        w.write("\\set QUIET off\n")
+        w.write(f"\\copy {table} ({collist}) FROM STDIN WITH (FORMAT csv)\n")
+        diverted: list[Sequence] = []
+        n_sent = 0
+        for r in rows:
+            payload = ",".join(_csv_field(v) for v in r) + "\n"
+            if any(ln.rstrip("\r") == "\\." for ln in payload.split("\n")):
+                diverted.append(r)
+                continue
+            w.write(payload)
+            n_sent += 1
+        w.write("\\.\n")
+        w.write("\\set QUIET on\n")
+        w.write(f"\\echo {tag} :ERROR\n")
+        w.flush()
+        lines, failed = self._read_until(tag)
+        tags = [ln.rstrip("\r\n") for ln in lines if ln.startswith("COPY ")]
+        if failed or tags != [f"COPY {n_sent}"]:
+            # Mid-stream server rejection: psql consumed the data through
+            # \. so the wire is aligned; \r clears any stray query-buffer
+            # content as a belt-and-braces resync.
+            self._stdin.write("\\r\n")
+            self._stdin.flush()
+            raise PsqlError(
+                f"\\copy into {table} failed (sent {n_sent}, tag {tags}) — "
+                f"{self._drain_stderr()}"
+            )
+        if diverted:
+            ph = ", ".join(["?"] * len(list(columns)))
+            self.executemany(
+                f"INSERT INTO {table} ({collist}) VALUES ({ph})", diverted
+            )
 
     def _drain_stderr(self) -> str:
         # non-blocking read of whatever error text psql printed
@@ -208,8 +348,8 @@ class PsqlConnection:
 
     def close(self) -> None:
         try:
-            self._p.stdin.write("\\q\n")
-            self._p.stdin.flush()
+            self._stdin.write("\\q\n")
+            self._stdin.flush()
             self._p.wait(timeout=5)
         except Exception:
             self._p.kill()
