@@ -1,3 +1,21 @@
-from n2kupdate_spark.sources.catalog import TABLES, SCHEMAS, load, table_path, validate_schema
+from n2kupdate_spark.sources.catalog import (
+    SCHEMAS,
+    TABLES,
+    bucketed_layout,
+    load,
+    register_bucketed,
+    table_path,
+    validate_schema,
+    write_bucketed,
+)
 
-__all__ = ["TABLES", "SCHEMAS", "load", "table_path", "validate_schema"]
+__all__ = [
+    "TABLES",
+    "SCHEMAS",
+    "load",
+    "table_path",
+    "validate_schema",
+    "bucketed_layout",
+    "register_bucketed",
+    "write_bucketed",
+]
