@@ -387,6 +387,7 @@ def brute_topk_matmul(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    q_chunk: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k, vectorized: the (small) query matrix
     rides along in the closure (broadcast by Spark's task serializer); each
@@ -394,8 +395,29 @@ def brute_topk_matmul(
     its per-batch top-k per query — a valid prefilter (global top-k under
     (score desc, id asc) is contained in the union of per-batch top-k under
     the same order), so the final window sees ~batches × Q × k rows, not
-    N × Q. Returns (q_id, neighbor_id, cos_sim) candidates; caller ranks."""
+    N × Q. Returns (q_id, neighbor_id, cos_sim) candidates; caller ranks.
+
+    Failure mode when Q ≫ a few hundred: the whole query matrix is
+    serialized into EVERY task closure and scored against every batch —
+    closure shipping cost and per-batch matmul both grow linearly with Q
+    (at Q = 1e6 × 64 dims that is a 512 MB closure: dead on arrival).
+    ``q_chunk`` bounds it: the query set is split into chunks of that many
+    vectors and each chunk scores the vector table independently (one
+    extra scan per chunk — the intrinsic cost of exact brute force; truly
+    large query sets belong on the LSH/IVF path, which keeps queries
+    distributed). Per-query results are unaffected by chunking — each
+    query's candidates depend only on its own scores — so the chunked
+    union is exactly the unchunked result (tests/test_block_pairs.py)."""
     import pandas as pd
+
+    if q_chunk is not None and len(query_rows) > q_chunk:
+        out = None
+        for lo in range(0, len(query_rows), q_chunk):
+            part = brute_topk_matmul(
+                vectors, query_rows[lo : lo + q_chunk], id_col, vec_col, k=k
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     q_ids = np.array([r[0] for r in query_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in query_rows])

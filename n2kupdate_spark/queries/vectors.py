@@ -27,9 +27,14 @@ _QUERY_PRED_SQL = "vec_id % 100 = 0"
 #: Hard cap on the brute-force query set. The q matrix is collected to the
 #: driver and shipped in task closures, so it must be O(1) in data size:
 #: 256 × 64 doubles = 128 KiB regardless of N. (Unbounded, q grows as N/100
-#: — ~5 GB of driver memory at 1e9 vectors: the r1 scale finding.) Large
-#: query sets belong on the LSH/IVF path (operators/similarity.py), which
-#: keeps queries distributed.
+#: — ~5 GB of driver memory at 1e9 vectors: the r1 scale finding.) The cap
+#: is a deterministic TRUNCATION (ORDER BY vec_id LIMIT, mirrored in the
+#: oracle) — a caller whose query set exceeds it gets the first _Q_MAX by
+#: id, not an error. For larger query sets use
+#: ``operators.similarity.brute_topk_matmul(..., q_chunk=_Q_MAX)``, which
+#: scores the full set in closure-bounded chunks (exactly equal results,
+#: one scan per chunk), or the LSH/IVF path, which keeps queries
+#: distributed.
 _Q_MAX = 256
 #: Neighbors returned per query vector — interpolated into the oracle and
 #: used by the Spark plan below, so both sides rank/keep the same k
