@@ -518,6 +518,7 @@ def connected_components_auto(
     max_iter: int = 20,
     salt: int = 8,
     max_degree_hint: int | None = None,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """Dispatch between :func:`connected_components` (plain) and
     :func:`connected_components_salted` on measured hub degree — the choice
@@ -526,12 +527,19 @@ def connected_components_auto(
 
     ``max_degree_hint``: callers that already know their degree distribution
     (e.g. the LSH pipeline knows its bucket cap) pass it and skip the probe.
-    Otherwise one cheap two-level aggregate over the edge list — per-endpoint
-    counts, then (max, sum) — measures the hub degree and edge count; that is
-    a single extra job over data every CC variant immediately checkpoints
-    anyway, negligible next to the O(iterations) propagation joins that
-    follow. Both branches converge to the identical fixpoint (property-tested
-    against union-find in tests/test_graph.py)."""
+    Pass ``n_edges_hint`` with it when the edge count is also known — the
+    skew test compares hub degree against the average per-partition edge
+    load, so both numbers matter. With only ``max_degree_hint`` the
+    dispatcher assumes the worst (edge count ~ hub degree) and is therefore
+    SALT-BIASED: any hint past the ~50k degree floor salts, even for a
+    large-but-uniform degree profile like many LSH buckets at the cap
+    (ADVICE r5) — supply the edge count to let such callers keep the plain
+    1.0× path. Otherwise one cheap two-level aggregate over the edge list —
+    per-endpoint counts, then (max, sum) — measures the hub degree and edge
+    count; that is a single extra job over data every CC variant
+    immediately checkpoints anyway, negligible next to the O(iterations)
+    propagation joins that follow. Both branches converge to the identical
+    fixpoint (property-tested against union-find in tests/test_graph.py)."""
     sc_conf = nodes.sparkSession.conf
     shuffle_partitions = int(sc_conf.get("spark.sql.shuffle.partitions", "200"))
     if max_degree_hint is None:
@@ -556,7 +564,12 @@ def connected_components_auto(
         n_edges = int(deg["n_edges"] or 0)
     else:
         max_degree = int(max_degree_hint)
-        n_edges = max(max_degree, shuffle_partitions)  # conservative: trust the hint
+        if n_edges_hint is not None:
+            n_edges = int(n_edges_hint)
+        else:
+            # Edge count unknown: assume the worst (the hub IS the graph).
+            # This is the documented salt-bias of the hint-only path.
+            n_edges = max(max_degree, shuffle_partitions)
     fn = (
         connected_components_salted
         if _cc_should_salt(max_degree, n_edges, shuffle_partitions)

@@ -22,8 +22,31 @@ from n2kupdate_spark.functions import fingerprint
 from n2kupdate_spark.queries._registry import register
 from n2kupdate_spark.sources import load
 
-#: sf_dir -> documents row count; see text_tfidf_topk's corpus-size note.
-_corpus_size_cache: dict[str, float] = {}
+#: (sf_dir, freshness token) -> documents row count; see text_tfidf_topk's
+#: corpus-size note. The token (file count + max mtime + total bytes of the
+#: parquet files) invalidates the entry when a directory's data is
+#: rewritten within one process (fixture regeneration, notebook reuse), so
+#: IDF can never be computed against a stale N (ADVICE r5).
+_corpus_size_cache: dict[tuple, float] = {}
+
+
+def _corpus_freshness(sf_dir: str) -> tuple:
+    """Cheap (no data read) freshness token for the documents table."""
+    import glob
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    files = (
+        [f for f in glob.glob(f"{path}/**", recursive=True) if os.path.isfile(f)]
+        if os.path.isdir(path)
+        else [path]
+    )
+    stats = [os.stat(f) for f in files if os.path.exists(f)]
+    return (
+        len(stats),
+        max((s.st_mtime_ns for s in stats), default=0),
+        sum(s.st_size for s in stats),
+    )
 
 
 def _tokens(df: DataFrame) -> DataFrame:
@@ -305,13 +328,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal — the same approach Spark MLlib's IDF takes. Joining a 1-row
     # aggregate instead would plan as a BroadcastNestedLoopJoin (Catalyst
     # constant-folds any literal join key), which the fleet-wide plan
-    # audit rejects. Cached per source dir so repeated runs (bench loops,
-    # rank-k sweeps) skip even that one job; a mutated-in-place corpus
-    # within one process would need the cache cleared — acceptable for a
-    # table-statistics lookup.
-    n_docs = _corpus_size_cache.get(sf_dir)
+    # audit rejects. Cached per (source dir, file-stat freshness token) so
+    # repeated runs (bench loops, rank-k sweeps) skip even that one job,
+    # while an in-process rewrite of the directory invalidates the entry.
+    key = (sf_dir, _corpus_freshness(sf_dir))
+    n_docs = _corpus_size_cache.get(key)
     if n_docs is None:
-        n_docs = _corpus_size_cache[sf_dir] = float(docs.count())
+        n_docs = _corpus_size_cache[key] = float(docs.count())
     scored = tf.join(F.broadcast(dfreq), "term").select(
         "doc_id",
         "term",

@@ -125,3 +125,13 @@ def test_cc_auto_matches_union_find_both_branches(spark, seed):
         _run(spark, connected_components_auto, n, edges, max_degree_hint=10_000_000)
         == expect
     )
+    # n_edges_hint alongside the degree hint keeps a large-but-uniform
+    # caller on the plain branch (ADVICE r5: hint-only is salt-biased) and
+    # the labeling is unchanged either way
+    assert (
+        _run(
+            spark, connected_components_auto, n, edges,
+            max_degree_hint=60_000, n_edges_hint=32 * 60_000 * 4,
+        )
+        == expect
+    )
