@@ -34,7 +34,9 @@ Design notes:
   it. CSV quoting makes embedded newlines first-class on the write side;
   strings are always quoted so ``\\.`` and empty-vs-NULL stay unambiguous.
 - Query results come back as ``--csv`` text; ``fetchall`` returns tuples of
-  strings (header dropped). The result frame is delimited by a
+  strings, with SQL NULL mapped to ``None`` via a session-random
+  ``\\pset null`` token (so NULL and empty string stay distinct — probed
+  working on PG 15's CSV output). The result frame is delimited by a
   per-statement sentinel (a monotonic counter suffix; the terminator line
   must match ``<sentinel> true|false`` exactly), so data lines that merely
   start with the sentinel text cannot truncate a result, and multi-line
@@ -188,6 +190,18 @@ class PsqlConnection:
         # quiet in notice-heavy workloads (DROP IF EXISTS, implicit index
         # creation) so the pipe can't fill while we wait on stdout.
         self._exec_checked("SET client_min_messages = error")
+        # Distinguishable NULLs on the fetch path: psql's CSV output honors
+        # `\pset null` (probed on PG 15), so SQL NULL prints as this
+        # session-random token and fetchall can return real None while ''
+        # stays ''. (A result STRING equal to the token would be
+        # misread — the uuid suffix makes that astronomically unlikely.)
+        self._null = f"N2K_NULL_{uuid.uuid4().hex[:10]}"
+        tag = self._next_tag()
+        self._stdin.write(f"\\pset null {self._null}\n\\echo {tag} :ERROR\n")
+        self._stdin.flush()
+        _, failed = self._read_until(tag)
+        if failed:  # pragma: no cover - \pset cannot really fail
+            raise PsqlError("could not set the session null token")
 
     # -- wire protocol ------------------------------------------------------
 
@@ -225,7 +239,10 @@ class PsqlConnection:
         rows: list[tuple] = []
         if lines:
             parsed = list(csv.reader(io.StringIO("".join(lines))))
-            rows = [tuple(r) for r in parsed[1:]]  # drop csv header
+            null = getattr(self, "_null", None)
+            rows = [
+                tuple(None if f == null else f for f in r) for r in parsed[1:]
+            ]  # drop csv header; session null token -> None
         return rows, failed
 
     def _exec_checked(self, sql: str) -> list[tuple]:
@@ -320,15 +337,20 @@ class PsqlConnection:
         seq = list(seq_of_params)
         if not seq:
             return self
-        # INSERT ... VALUES (?,...) collapses to ONE multi-row statement:
-        # one roundtrip, one error check, and the server parses it once.
+        # INSERT ... VALUES (?,...) collapses to multi-row statements —
+        # one roundtrip + one parse per chunk instead of per row. Chunked
+        # so a huge batch can't build one unbounded statement string
+        # (bulk loads should use copy_from_csv; this bound is the safety
+        # net for callers that don't).
+        chunk = 10_000
         upper = sql.upper()
         marker = upper.rfind("VALUES")
         if marker != -1 and sql[marker + len("VALUES"):].strip().startswith("("):
             head = sql[: marker + len("VALUES")]
             tuple_tpl = sql[marker + len("VALUES"):].strip()
-            values = ", ".join(_bind(tuple_tpl, p) for p in seq)
-            self._rows = self._exec_checked(f"{head} {values}")
+            for lo in range(0, len(seq), chunk):
+                values = ", ".join(_bind(tuple_tpl, p) for p in seq[lo : lo + chunk])
+                self._rows = self._exec_checked(f"{head} {values}")
         else:
             for p in seq:
                 self._rows = self._exec_checked(_bind(sql, p))

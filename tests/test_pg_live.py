@@ -331,8 +331,8 @@ def test_pg_literal_quoting_roundtrips_adversarial_strings(pg):
             assert gs == s, f"case {i}: {gs!r} != {s!r}"
             assert float(gf) == i + 0.5
             assert gb == ("t" if i % 2 == 0 else "f")
-        # NULLs come back as empty csv fields
-        assert got[-1][1] == ""
+        # NULLs come back as None (session \pset null token), not ''
+        assert got[-1][1] is None and got[-1][2] is None and got[-1][3] is None
     finally:
         pg.execute("DROP TABLE IF EXISTS quoting_t")
 
@@ -453,8 +453,8 @@ def test_pg_multiline_text_roundtrip_through_upsert(spark, pg):
         }
         assert set(got) == set(expected)
         for k, v in expected.items():
-            # csv fetch cannot distinguish NULL from '' — both come back ''
-            assert got[k] == (v or ""), f"doc {k}: {got[k]!r} != {v!r}"
+            # the session null token keeps NULL (None) distinct from ''
+            assert got[k] == v, f"doc {k}: {got[k]!r} != {v!r}"
     finally:
         pg.execute("DROP TABLE IF EXISTS notes_t")
 
@@ -494,7 +494,7 @@ def test_pg_nonfinite_doubles_bind_and_copy(pg):
         got = dict(pg.execute("SELECT i, x FROM inf_t ORDER BY i").fetchall())
         assert got["1"] == got["5"] == "Infinity"
         assert got["2"] == got["6"] == "-Infinity"
-        assert got["3"] == got["7"] == ""  # NULL
+        assert got["3"] is None and got["7"] is None  # NULL -> None, not ''
         assert float(got["4"]) == 2.5
     finally:
         pg.execute("DROP TABLE IF EXISTS inf_t")
