@@ -248,7 +248,7 @@ class PsqlConnection:
     def _exec_checked(self, sql: str) -> list[tuple]:
         rows, failed = self._roundtrip(sql)
         if failed:
-            raise PsqlError(f"statement failed: {sql[:200]}... — {self._drain_stderr()}")
+            raise PsqlError(f"statement failed: {sql[:200]}... — {self._drain_stderr(wait=0.2)}")
         return rows
 
     def copy_from_csv(self, table: str, columns: Sequence[str], rows: Iterable[Sequence]) -> None:
@@ -305,7 +305,7 @@ class PsqlConnection:
             self._stdin.flush()
             raise PsqlError(
                 f"\\copy into {table} failed (sent {n_sent}, tag {tags}) — "
-                f"{self._drain_stderr()}"
+                f"{self._drain_stderr(wait=0.2)}"
             )
         if diverted:
             ph = ", ".join(["?"] * len(list(columns)))
@@ -313,14 +313,19 @@ class PsqlConnection:
                 f"INSERT INTO {table} ({collist}) VALUES ({ph})", diverted
             )
 
-    def _drain_stderr(self) -> str:
-        # non-blocking read of whatever error text psql printed
+    def _drain_stderr(self, wait: float = 0.0) -> str:
+        """Non-blocking read of whatever error text psql printed. ``wait``
+        bounds a one-shot grace period for the FIRST chunk — used when
+        capturing the message for a raise, since the server's error can
+        trail the sentinel by a scheduling quantum."""
         import os as _os
         import select
 
         fd = self._p.stderr.fileno()
         chunks = []
-        while select.select([fd], [], [], 0)[0]:
+        timeout = wait
+        while select.select([fd], [], [], timeout)[0]:
+            timeout = 0.0
             data = _os.read(fd, 65536)
             if not data:
                 break
