@@ -340,6 +340,57 @@ def dedup_jaccard_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_jaccard_pairs_capped(sh, "doc_id", threshold=0.1, max_df=5)
 
 
+@register(
+    "dedup_incremental_jaccard",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    freq AS (SELECT s, COUNT(*) AS df FROM inv GROUP BY s),
+    keep AS (SELECT i.doc_id, i.s FROM inv i JOIN freq ON i.s = freq.s
+             WHERE freq.df <= 5),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
+    cand AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(inter / (n1.n + n2.n - inter), 4) AS jaccard
+    FROM cand
+    JOIN n n1 ON n1.doc_id = id1
+    JOIN n n2 ON n2.doc_id = id2
+    WHERE ROUND(inter / (n1.n + n2.n - inter), 4) >= 0.1
+    """,
+)
+def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection — the recurring-ingest shape: docs with
+    doc_id % 10 == 0 play the incoming batch (~10% of the corpus) and only
+    pairs touching a batch doc are generated; corpus-corpus pairs are never
+    scored. df cap and set sizes stay computed over the full universe, so
+    every emitted Jaccard equals the full run's value (property-tested
+    equal to dedup_jaccard_stop_shingles filtered the same way). For a
+    batch that is p of the corpus, pair work falls ~(1-p)² — the reason an
+    ingest pipeline reruns THIS, not the full op, every increment."""
+    from n2kupdate_spark.operators.dedup import (
+        shingle_jaccard_pairs_capped_incremental,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 10 == 0).alias("is_new")
+    )
+    sh = word_shingles(docs, "text")
+    return shingle_jaccard_pairs_capped_incremental(
+        sh, "is_new", "doc_id", threshold=0.1, max_df=5
+    )
+
+
 @register("dedup_minhash_est_eval")  # rows-only: evaluates the engine's own sketch
 def dedup_minhash_est_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash accuracy harness (companion to sim_ann_recall_eval): over the

@@ -107,3 +107,33 @@ def test_brute_topk_q_chunk_equals_unchunked(spark, sf_dir):
     nop = ranked(brute_topk_matmul(e, queries, "vec_id", "v", k=10, q_chunk=4096))
     assert chunked == plain
     assert nop == plain
+
+
+def test_incremental_jaccard_equals_filtered_full_run(spark, sf_dir):
+    """The incremental op must be invisible semantics-wise: its output ==
+    the FULL capped-Jaccard run filtered to pairs touching a new doc, with
+    identical Jaccard values (df cap and set sizes computed over the full
+    universe in both)."""
+    from n2kupdate_spark.operators.dedup import (
+        shingle_jaccard_pairs_capped,
+        shingle_jaccard_pairs_capped_incremental,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 10 == 0).alias("is_new")
+    )
+    sh = word_shingles(docs, "text").localCheckpoint(eager=True)
+
+    full = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in shingle_jaccard_pairs_capped(sh, "doc_id", 0.1, 5).collect()
+        if r["id1"] % 10 == 0 or r["id2"] % 10 == 0
+    }
+    inc = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in shingle_jaccard_pairs_capped_incremental(
+            sh, "is_new", "doc_id", 0.1, 5
+        ).collect()
+    }
+    assert inc == full
