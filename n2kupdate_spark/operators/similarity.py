@@ -34,13 +34,16 @@ from n2kupdate_spark.functions import cosine
 #: LSH layout: BANDS bands of BITS sign-bits each. Tuned against the
 #: testdata's similarity profile: exact top-10 neighbors sit at cos ≈ 0.30
 #: (θ ≈ 72.7°) vs ≈ 90° for noise — a narrow contrast gap, so the banding
-#: must be generous to recall anything (16 bands × 5 bits ⇒ per-neighbor
-#: collision ≈ 0.71 at the median, measured recall@10 ≈ 0.7, candidate
-#: mass ≈ 40% of the corpus). On real embedding corpora the gap is much
-#: wider (near-dups at cos ≥ 0.9), where the same machinery prunes
-#: aggressively; raise RP_BITS as neighbor similarity rises.
-#: tests/test_ann_recall.py pins the recall floor.
-RP_BANDS = 16
+#: must be generous to recall anything. Measured frontier at sf0.1
+#: (recall@10 / candidate mass as a fraction of Q×N, r6 sweep):
+#:   16×5 → 0.830 / 41%    24×5 → 0.945 / 54%   ← chosen (the knee)
+#:   32×5 → 0.980 / 64%    16×4 → 0.925 / 64%
+#: 24×5 buys +0.115 recall for +13 pts of scoring mass; the two 64%-mass
+#: layouts are drifting toward brute force. On real embedding corpora the
+#: contrast gap is much wider (near-dups at cos ≥ 0.9), where the same
+#: machinery prunes aggressively; raise RP_BITS as neighbor similarity
+#: rises. tests/test_ann_recall.py pins the recall floor.
+RP_BANDS = 24
 RP_BITS = 5
 
 
