@@ -8,6 +8,7 @@ from n2kupdate_spark.sources.catalog import (
     validate_schema,
     write_bucketed,
 )
+from n2kupdate_spark.sources.maintenance import compact_parquet, dir_stats
 
 __all__ = [
     "TABLES",
@@ -18,4 +19,6 @@ __all__ = [
     "bucketed_layout",
     "register_bucketed",
     "write_bucketed",
+    "compact_parquet",
+    "dir_stats",
 ]

@@ -45,3 +45,37 @@ def test_source_json_clean_rows_match(spark, sf_dir):
     df = scans.source_json(spark, sf_dir)
     assert df.count() == 26  # 25 clean + 1 all-NULL quarantined row
     assert df.filter(F.col("id").isNull()).count() == 1
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """Small-file compaction (maintenance op): 64-way fragmented events
+    table compacts to the target file count with rows and schema exactly
+    preserved; the sort_by variant keeps a global range order so parquet
+    min/max stats stay selective."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.sources import load
+    from n2kupdate_spark.sources.maintenance import compact_parquet, dir_stats
+
+    src = str(tmp_path / "fragmented")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(64).write.parquet(src)
+    assert dir_stats(spark, src)["files"] >= 64  # data files + _SUCCESS
+
+    dst = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, src, dst, target_mb=128)
+    # tiny test table -> everything fits one target file
+    assert stats["target_files"] == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    assert {f.name: f.dataType for f in back.schema.fields} == {
+        f.name: f.dataType for f in ev.schema.fields
+    }
+
+    dst2 = str(tmp_path / "compacted_sorted")
+    compact_parquet(spark, src, dst2, target_mb=128, sort_by=["ts"])
+    back2 = spark.read.parquet(dst2)
+    assert back2.count() == ev.count()
+    # global order preserved within the single output file
+    ts = [r[0] for r in back2.select("ts").limit(1000).collect()]
+    assert ts == sorted(ts)
