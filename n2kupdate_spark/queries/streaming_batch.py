@@ -218,7 +218,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     flagged AS (
         SELECT *,
-               CASE WHEN ts_s - lag(ts_s) OVER w >= 1800 OR lag(ts_s) OVER w IS NULL
+               CASE WHEN ts_s - lag(ts_s) OVER w > 1800 OR lag(ts_s) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC)
@@ -244,11 +244,15 @@ def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's BUILT-IN session_window() in batch mode — the same 30-minute
     sessions as stream_session_agg's manual lag+cumsum form, but planned as
     one SessionWindow aggregation (and usable unchanged under
-    readStream+watermark). Subtle semantics difference the oracle mirrors:
-    session_window merges an event only when it lands strictly INSIDE the
-    previous [ts, ts+gap) window, so a gap of exactly 1800 s starts a new
-    session (>= in the oracle's flag, vs > in the lag formulation); window
-    end = last event + gap. One shuffle on user_id either way."""
+    readStream+watermark). Boundary semantics the oracle mirrors, PINNED BY
+    EXPERIMENT on Spark 4.1 (r6): the session window is END-INCLUSIVE for
+    merging — an event at exactly prev_ts + gap JOINS the session (events
+    at 00:00 and 00:30 with a 30-min gap merge; 01:00:01 starts anew), so
+    a new session begins only when the gap EXCEEDS 1800 s (strict > in the
+    oracle's flag). The sf0.001/0.01 fixtures contain no exact-1800 gap —
+    both flag forms agree there; the single exact-boundary gap at sf0.1
+    (user 511) is what exposed the earlier >= form. Window end = last
+    event + gap. One shuffle on user_id either way."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "value", F.date_trunc("second", F.col("ts")).alias("ts")
     )
