@@ -103,17 +103,18 @@ _ROUND_WINDOW = [
     "udf_pandas_vectorized",
     "udf_scalar_py",
     "udtf_py",
-    # -- 10 re-confirmation slots (this round's churn + heaviest greens) --
+    # -- 10 slots: this round's churn (new op, changed oracle, q_chunk,
+    # CC hint, bucketed-catalog composite) + flagship/heaviest greens --
+    "dedup_incremental_jaccard",  # NEW in r6 — first driver row
+    "window_session_builtin",  # oracle boundary FIXED in r6 — re-evidence
     "sim_cosine_topk",
     "dedup_cc_clusters",
     "dedup_cc_pointer_jump",
     "corpus_clean_pipeline",
     "dedup_jaccard_stop_shingles",
     "composite_large_order_customers",
-    "composite_shipping_priority",
     "join_star_multiway",
     "agg_group_sums",
-    "ts_gap_interpolate",
 ]
 
 
