@@ -116,6 +116,35 @@ def test_asof_null_payload_supersedes(spark):
     assert out[0]["a"] is None and out[0]["b"] == "new_b"
 
 
+def test_asof_tie_boundaries(spark):
+    """Boundary pins for the two tie cases the fixtures barely/never cover
+    (the session-oracle lesson, r6: divergent formulations hide at exact
+    boundaries): (a) a right row at EXACTLY left_ts is visible — the as-of
+    match is inclusive, mirroring the oracle's c.ts <= p.ts; (b) two right
+    rows tied on ts resolve to the GREATEST right_tiebreak, mirroring
+    ORDER BY ts DESC, tiebreak DESC."""
+    from n2kupdate_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 50), (2, 50)], "k int, ts int")
+    right = spark.createDataFrame(
+        [
+            (1, 50, 7, "exact-tie"),     # right_ts == left_ts -> visible
+            (1, 40, 8, "earlier"),
+            (2, 30, 1, "low-seq"),       # two right rows tied on ts=30
+            (2, 30, 9, "high-seq"),      # -> greatest seq wins
+        ],
+        "k int, ts int, seq int, a string",
+    )
+    out = {
+        r["k"]: r["a"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            payload_cols=["a"], right_tiebreak="seq",
+        ).collect()
+    }
+    assert out == {1: "exact-tie", 2: "high-seq"}
+
+
 def test_asof_unmatched_left_keeps_nulls(spark):
     from n2kupdate_spark.operators.relational import asof_join
 
