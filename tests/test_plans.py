@@ -100,6 +100,45 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert read.count() == expected
 
 
+def test_dynamic_partition_pruning_on_fact_dim_join(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning (SURVEY.md §4): joining a date-partitioned
+    fact to a FILTERED dim must prune fact partitions at RUNTIME via the
+    dim's build side (dynamicpruning subquery in the scan) — at 100 TB this
+    is what keeps 'join facts to this week's dim rows' from scanning every
+    date partition even though no literal date filter exists on the fact."""
+    import re
+
+    from n2kupdate_spark.sources import load
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "events_by_day_dpp")
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(out)
+
+    # dim: 3 chosen dates out of the ~31 partitions, discovered only at
+    # runtime from the dim's own (selective) filter — written as parquet so
+    # the DPP heuristic sees a filtered scan, and broadcast-hinted so the
+    # partitioned fact stays on the probe side
+    dates = [r[0] for r in ev.select("event_date").distinct().orderBy("event_date").limit(3).collect()]
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(d, f"tag{i}") for i, d in enumerate(dates)] + [(None, "drop-me")],
+        "event_date date, tag string",
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") != "drop-me")
+
+    fact = spark.read.parquet(out)
+    j = fact.join(F.broadcast(dim), "event_date").groupBy("tag").count()
+    rows = {r["tag"]: r["count"] for r in j.collect()}
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"dynamicpruning|SubqueryBroadcast", plan), plan[:2000]
+    expected = {
+        f"tag{i}": ev.filter(F.col("event_date") == F.lit(d)).count()
+        for i, d in enumerate(dates)
+    }
+    assert rows == expected
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """Scale design (SURVEY.md §4): a skewed fact⋈dim SMJ must get
     AQE's skew split (SortMergeJoin(skew=true)). Verified subtlety, which is
