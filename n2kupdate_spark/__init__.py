@@ -21,3 +21,13 @@ anchors cite public ``inbo/n2kupdate`` file paths, confidence-tagged.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # PEP 562 lazy export: `from n2kupdate_spark import N2kStore` without
+    # paying the pyspark import at package-import time.
+    if name == "N2kStore":
+        from n2kupdate_spark.api import N2kStore
+
+        return N2kStore
+    raise AttributeError(name)
