@@ -15,9 +15,10 @@ insert-missing / update-changed / close-removed SQL inside one transaction
 
 Connectivity is pluggable: ``SparkJdbcBackend`` uses real JDBC on a
 cluster; ``DbApiBackend`` drives any DBAPI connection (tested against
-DuckDB in tests/test_jdbc_sink.py — this container ships no JDBC driver,
-and the DBAPI staging write collects batches, so it is for tests/small
-dims only; the generated merge SQL is identical either way).
+DuckDB in tests/test_jdbc_sink.py — this container ships no JDBC driver).
+The DBAPI staging write STREAMS the batch through the driver one partition
+at a time (``toLocalIterator``), so driver memory stays bounded regardless
+of staging-batch size; the generated merge SQL is identical either way.
 """
 
 from __future__ import annotations
@@ -229,13 +230,16 @@ class DbApiBackend:
     """Execute the sink against any DBAPI connection (DuckDB, sqlite3,
     psycopg2…).
 
-    The staging write round-trips through Arrow batches on the driver —
-    test/small-dim scale only; the merge statements are the same SQL the
-    JDBC backend runs. DuckDB uses the zero-copy ``register`` path; any
-    other driver gets a typed CREATE TABLE generated from ``df.schema`` and
-    a cursor ``executemany`` (PEP 249 puts execute on cursors, not
-    connections — sqlite3/duckdb connection-level execute is an extension).
-    Exercised against both DuckDB and sqlite3 in tests/test_jdbc_sink.py.
+    The staging write streams partition-at-a-time through the driver
+    (``toLocalIterator`` — bounded driver memory, fact-scale batches OK on
+    the COPY path); the merge statements are the same SQL the JDBC backend
+    runs. DuckDB uses the zero-copy ``register`` path; any other driver
+    gets a typed CREATE TABLE generated from ``df.schema`` and either bulk
+    COPY (``copy_from_csv`` when the connection offers it) or a cursor
+    ``executemany`` fed the same row iterator (PEP 249 puts execute on
+    cursors, not connections — sqlite3/duckdb connection-level execute is
+    an extension). Exercised against DuckDB, sqlite3 and live PostgreSQL in
+    tests/test_jdbc_sink.py and tests/test_pg_live.py.
     """
 
     def __init__(self, con):
@@ -250,33 +254,39 @@ class DbApiBackend:
 
     def write_staging(self, df: DataFrame, staging: str) -> None:
         staging = _ident(staging)
-        pdf = df.toPandas()
-        if hasattr(self.con, "register"):  # duckdb fast path
+        if hasattr(self.con, "register"):  # duckdb zero-copy path (test backend)
+            pdf = df.toPandas()
             self.con.register(f"__stage_{staging}", pdf)
             self.con.execute(
                 f"CREATE OR REPLACE TABLE {staging} AS SELECT * FROM __stage_{staging}"
             )
             self.con.unregister(f"__stage_{staging}")
+            return
+        coldefs = ", ".join(
+            f"{_ident(f.name)} {_sql_type(f.dataType)}" for f in df.schema.fields
+        )
+        cur = self._cursor()
+        cur.execute(f"CREATE TABLE {staging} ({coldefs})")
+        # Stream partition-at-a-time through the driver instead of
+        # materializing the whole batch: toLocalIterator holds at most the
+        # current partition plus one prefetched ahead, so staging-batch size
+        # and driver memory are decoupled — a fact-scale batch transits a
+        # bounded window on its way into COPY. Native Python values (no
+        # pandas round-trip), so only genuine float NaN needs the NULL map.
+        rows = (
+            tuple(None if isinstance(v, float) and v != v else v for v in r)
+            for r in df.toLocalIterator(prefetchPartitions=True)
+        )
+        if hasattr(self.con, "copy_from_csv"):
+            # Bulk COPY path (PostgreSQL via the psql shim) — the same
+            # wire path the reference's DBI::dbWriteTable staging write
+            # uses; one roundtrip, server-side CSV parse, and the row
+            # iterator is consumed incrementally.
+            self.con.copy_from_csv(staging, _idents(df.columns), rows)
         else:
-            coldefs = ", ".join(
-                f"{_ident(f.name)} {_sql_type(f.dataType)}" for f in df.schema.fields
-            )
-            cur = self._cursor()
-            cur.execute(f"CREATE TABLE {staging} ({coldefs})")
-            # NaN/NaT from the pandas round-trip must land as SQL NULL.
-            rows = [
-                tuple(None if v != v or v is None else v for v in r)  # noqa: PLR0124 — NaN != NaN
-                for r in pdf.itertuples(index=False, name=None)
-            ]
-            if hasattr(self.con, "copy_from_csv"):
-                # Bulk COPY path (PostgreSQL via the psql shim) — the same
-                # wire path the reference's DBI::dbWriteTable staging write
-                # uses; one roundtrip, server-side CSV parse.
-                self.con.copy_from_csv(staging, _idents(df.columns), rows)
-            else:
-                cols = ", ".join(_idents(df.columns))
-                ph = ", ".join([_paramstyle_marker(self.con)] * len(df.columns))
-                cur.executemany(f"INSERT INTO {staging} ({cols}) VALUES ({ph})", rows)
+            cols = ", ".join(_idents(df.columns))
+            ph = ", ".join([_paramstyle_marker(self.con)] * len(df.columns))
+            cur.executemany(f"INSERT INTO {staging} ({cols}) VALUES ({ph})", rows)
 
     def execute(self, stmts: Sequence[str]) -> None:
         cur = self._cursor()

@@ -182,6 +182,7 @@ class PsqlConnection:
         self._stdout = io.TextIOWrapper(self._p.stdout, encoding="utf-8", newline="")
         self._rows: list[tuple] = []
         self._seq = 0
+        self._in_txn = False  # client-side mirror of the session txn state
         # handshake: prove the session is up and line-buffered
         out, err = self._roundtrip("SELECT 1 AS __handshake")
         if err or out != [("1",)]:
@@ -284,13 +285,32 @@ class PsqlConnection:
         w.write(f"\\copy {table} ({collist}) FROM STDIN WITH (FORMAT csv)\n")
         diverted: list[Sequence] = []
         n_sent = 0
-        for r in rows:
-            payload = ",".join(_csv_field(v) for v in r) + "\n"
-            if any(ln.rstrip("\r") == "\\." for ln in payload.split("\n")):
-                diverted.append(r)
-                continue
-            w.write(payload)
-            n_sent += 1
+        try:
+            for r in rows:
+                payload = ",".join(_csv_field(v) for v in r) + "\n"
+                if any(ln.rstrip("\r") == "\\." for ln in payload.split("\n")):
+                    diverted.append(r)
+                    continue
+                w.write(payload)
+                n_sent += 1
+                if n_sent % 65536 == 0:
+                    # Mid-stream drain: a very large COPY can run minutes
+                    # with psql producing stderr context the whole time; if
+                    # that pipe filled, psql would block on stderr while we
+                    # block on stdin — the deadlock the module docstring
+                    # promises away (ADVICE r6).
+                    self._drain_stderr()
+        except Exception:
+            # The row SOURCE failed mid-stream (e.g. a Spark task error
+            # inside a streaming toLocalIterator). Terminate the COPY frame
+            # and resync the session before re-raising, so the connection
+            # stays usable — partial staging is dropped by the caller.
+            w.write("\\.\n")
+            w.write("\\set QUIET on\n")
+            w.write(f"\\echo {tag} :ERROR\n")
+            w.flush()
+            self._read_until(tag)
+            raise
         w.write("\\.\n")
         w.write("\\set QUIET on\n")
         w.write(f"\\echo {tag} :ERROR\n")
@@ -334,8 +354,21 @@ class PsqlConnection:
 
     # -- PEP 249 surface ----------------------------------------------------
 
+    def _note_txn(self, sql: str) -> None:
+        """Mirror explicit transaction statements client-side so
+        ``executemany`` can tell whether it may wrap a multi-chunk batch in
+        its own BEGIN/COMMIT (it must not nest inside a caller's
+        transaction — COMMIT there would end the OUTER one)."""
+        head = sql.lstrip().split(None, 1)
+        word = head[0].rstrip(";").upper() if head else ""
+        if word in ("BEGIN", "START"):
+            self._in_txn = True
+        elif word in ("COMMIT", "ROLLBACK", "END", "ABORT"):
+            self._in_txn = False
+
     def execute(self, sql: str, params: Sequence | None = None) -> PsqlConnection:
         self._rows = self._exec_checked(_bind(sql, params))
+        self._note_txn(sql)
         return self
 
     def executemany(self, sql: str, seq_of_params) -> PsqlConnection:
@@ -346,19 +379,34 @@ class PsqlConnection:
         # one roundtrip + one parse per chunk instead of per row. Chunked
         # so a huge batch can't build one unbounded statement string
         # (bulk loads should use copy_from_csv; this bound is the safety
-        # net for callers that don't).
+        # net for callers that don't). A batch that spans >1 statement is
+        # wrapped in its own BEGIN/COMMIT — unless the caller already holds
+        # a transaction — so a mid-batch failure can't leave earlier chunks
+        # silently applied (ADVICE r6: one-statement atomicity preserved).
         chunk = 10_000
         upper = sql.upper()
         marker = upper.rfind("VALUES")
-        if marker != -1 and sql[marker + len("VALUES"):].strip().startswith("("):
-            head = sql[: marker + len("VALUES")]
-            tuple_tpl = sql[marker + len("VALUES"):].strip()
-            for lo in range(0, len(seq), chunk):
-                values = ", ".join(_bind(tuple_tpl, p) for p in seq[lo : lo + chunk])
-                self._rows = self._exec_checked(f"{head} {values}")
-        else:
-            for p in seq:
-                self._rows = self._exec_checked(_bind(sql, p))
+        multi_row = marker != -1 and sql[marker + len("VALUES"):].strip().startswith("(")
+        n_stmts = -(-len(seq) // chunk) if multi_row else len(seq)
+        wrap = n_stmts > 1 and not self._in_txn
+        if wrap:
+            self.execute("BEGIN")
+        try:
+            if multi_row:
+                head = sql[: marker + len("VALUES")]
+                tuple_tpl = sql[marker + len("VALUES"):].strip()
+                for lo in range(0, len(seq), chunk):
+                    values = ", ".join(_bind(tuple_tpl, p) for p in seq[lo : lo + chunk])
+                    self._rows = self._exec_checked(f"{head} {values}")
+            else:
+                for p in seq:
+                    self._rows = self._exec_checked(_bind(sql, p))
+        except Exception:
+            if wrap:
+                self.execute("ROLLBACK")
+            raise
+        if wrap:
+            self.execute("COMMIT")
         return self
 
     def fetchall(self) -> list[tuple]:
@@ -369,9 +417,11 @@ class PsqlConnection:
 
     def commit(self) -> None:
         self._exec_checked("COMMIT")
+        self._in_txn = False
 
     def rollback(self) -> None:
         self._exec_checked("ROLLBACK")
+        self._in_txn = False
 
     def close(self) -> None:
         try:
