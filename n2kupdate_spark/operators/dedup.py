@@ -719,3 +719,179 @@ def shingle_jaccard_pairs_capped_incremental(
         .select("id1", "id2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --- persisted shingle index: recurring ingest without re-shingling --------
+
+
+def persist_shingle_index(
+    sh: DataFrame, path: str, id_col: str = "doc_id", max_df: int = 5
+) -> None:
+    """Materialize the df-capped inverted shingle index to ``path`` so a
+    recurring ingest can resume near-dup detection without re-shingling the
+    corpus (the persist/reuse cycle the incremental op's docstring promises).
+
+    Three parquet tables:
+
+    - ``postings``: (bucket, members) for buckets with df ≤ ``max_df`` —
+      every array bounded at ``max_df`` by construction.
+    - ``stoplist``: (bucket, df) for buckets OVER the cap. Persisting these
+      as counts (never membership) matters twice at 100 TB: a boilerplate
+      shingle's million-doc posting list is never collected into one array,
+      and a later batch hitting that bucket can be dropped immediately —
+      df only grows, so over-cap stays over-cap.
+    - ``sizes``: (id_col, n) — per-doc capped set sizes, the Jaccard
+      denominators.
+
+    Unlike the one-shot ops, df is counted BEFORE any membership is
+    collected (count-aggregate, then anti-join), so no aggregation buffer
+    ever holds a hot bucket's full posting list."""
+    inv = sh.select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    ).select(F.xxhash64("s").alias("bucket"), F.col(id_col))
+    df_counts = inv.groupBy("bucket").agg(F.count(F.lit(1)).alias("df"))
+    stop = df_counts.filter(F.col("df") > max_df)
+    stop.write.mode("overwrite").parquet(f"{path}/stoplist")
+    spark = sh.sparkSession
+    capped_inv = inv.join(
+        spark.read.parquet(f"{path}/stoplist").select("bucket"), "bucket", "left_anti"
+    )
+    postings = capped_inv.groupBy("bucket").agg(F.collect_list(id_col).alias("members"))
+    postings.write.mode("overwrite").parquet(f"{path}/postings")
+    sizes = capped_inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sizes.write.mode("overwrite").parquet(f"{path}/sizes")
+
+
+def shingle_jaccard_pairs_capped_resume(
+    delta_sh: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.1,
+    max_df: int = 5,
+    update_index_path: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs for an incoming batch against a PERSISTED corpus index
+    (:func:`persist_shingle_index`) — numerically identical to running
+    :func:`shingle_jaccard_pairs_capped_incremental` over corpus ∪ batch
+    (property-tested, tests/test_block_pairs.py), but the corpus side is
+    never re-shingled: only the batch is tokenized, and only buckets the
+    batch touches are re-examined.
+
+    Mechanics (df only grows, which is what makes this exact):
+
+    - batch shingles hitting a ``stoplist`` bucket are dropped outright;
+    - batch postings union into their corpus buckets; a bucket pushed over
+      ``max_df`` by the batch "crosses" — it emits no pairs and each former
+      corpus member's size ``n`` is decremented by one;
+    - still-capped touched buckets emit pairs with ≥1 batch side via the
+      same sorted posexplode/slice generation as the one-shot ops;
+    - batch docs' sizes are counted from the still-capped touched buckets;
+      corpus docs' sizes are the persisted ones minus the crossing
+      decrements. Untouched buckets contribute no pairs (they'd be
+      corpus-corpus) and no size changes — so the work scales with the
+      BATCH's collision footprint, not the corpus.
+
+    Batch ids must be disjoint from corpus ids (a recurring ingest assigns
+    fresh ids; re-ingesting an existing id would double-count its shingles).
+
+    With ``update_index_path`` set, the merged index (rolled-forward
+    postings/stoplist/sizes) is also written there, enabling the next
+    increment to chain — chained resume equals a fresh full-corpus index
+    (tested; the rolled stoplist keeps each bucket's df as of when it
+    crossed the cap — membership in the drop set is what the algorithm
+    consumes, so later drops don't bother incrementing it). It must differ
+    from ``index_path``: parquet can't overwrite its own input within the
+    reading job."""
+    if update_index_path == index_path:
+        raise ValueError("update_index_path must differ from index_path")
+    spark = delta_sh.sparkSession
+    postings = spark.read.parquet(f"{index_path}/postings")
+    stop = spark.read.parquet(f"{index_path}/stoplist")
+    sizes = spark.read.parquet(f"{index_path}/sizes")
+
+    dinv = delta_sh.select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    ).select(F.xxhash64("s").alias("bucket"), F.col(id_col))
+    dpost = (
+        dinv.join(stop.select("bucket"), "bucket", "left_anti")
+        .groupBy("bucket")
+        .agg(F.collect_list(id_col).alias("dmembers"))
+    )
+    merged = (
+        dpost.join(postings, "bucket", "left")
+        .select(
+            "bucket",
+            "dmembers",
+            F.coalesce("members", F.array().cast(postings.schema["members"].dataType))
+            .alias("cmembers"),
+        )
+        .withColumn("df", F.size("dmembers") + F.size("cmembers"))
+        .localCheckpoint(eager=True)  # pairs, sizes and the index update all reread it
+    )
+    live = merged.filter(F.col("df") <= max_df)
+    crossed = merged.filter(F.col("df") > max_df)
+
+    # sizes: corpus docs lose one per crossing bucket; batch docs are
+    # counted fresh from the still-capped touched buckets.
+    dec = (
+        crossed.select(F.explode("cmembers").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dec"))
+    )
+    n_corpus = sizes.join(dec, id_col, "left").select(
+        F.col(id_col),
+        (F.col("n") - F.coalesce("dec", F.lit(0))).cast("long").alias("n"),
+    )
+    n_batch = (
+        live.select(F.explode("dmembers").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_all = n_corpus.unionByName(n_batch)
+
+    members = F.array_sort(
+        F.concat(
+            F.transform("cmembers", lambda m: F.struct(m.alias("id"), F.lit(False).alias("nw"))),
+            F.transform("dmembers", lambda m: F.struct(m.alias("id"), F.lit(True).alias("nw"))),
+        )
+    )
+    with_pos = (
+        live.filter(F.col("df") >= 2)
+        .select(members.alias("ms"))
+        .select("ms", F.posexplode("ms").alias("i", "m1"))
+    )
+    pairs = (
+        with_pos.select(
+            F.col("m1.id").alias("id1"),
+            F.col("m1.nw").alias("nw1"),
+            F.explode(
+                F.slice("ms", F.col("i") + 2, F.size("ms") - F.col("i") - 1)
+            ).alias("m2"),
+        )
+        .filter(F.col("nw1") | F.col("m2.nw"))  # corpus-corpus pairs were scored last run
+        .select("id1", F.col("m2.id").alias("id2"))
+    )
+    cand = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter"))
+    n1 = n_all.select(F.col(id_col).alias("id1"), F.col("n").alias("n1"))
+    n2 = n_all.select(F.col(id_col).alias("id2"), F.col("n").alias("n2"))
+    jac = F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4)
+    out = (
+        cand.join(n1, "id1")
+        .join(n2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+    if update_index_path is not None:
+        untouched = postings.join(dpost.select("bucket"), "bucket", "left_anti")
+        new_postings = untouched.unionByName(
+            live.select("bucket", F.concat("cmembers", "dmembers").alias("members"))
+        )
+        new_stop = stop.unionByName(
+            crossed.select("bucket", F.col("df").cast("long").alias("df"))
+        )
+        new_postings.write.mode("overwrite").parquet(f"{update_index_path}/postings")
+        new_stop.write.mode("overwrite").parquet(f"{update_index_path}/stoplist")
+        n_all.write.mode("overwrite").parquet(f"{update_index_path}/sizes")
+
+    return out

@@ -377,7 +377,15 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     every emitted Jaccard equals the full run's value (property-tested
     equal to dedup_jaccard_stop_shingles filtered the same way). For a
     batch that is p of the corpus, pair work falls ~(1-p)² — the reason an
-    ingest pipeline reruns THIS, not the full op, every increment."""
+    ingest pipeline reruns THIS, not the full op, every increment.
+
+    The ``doc_id % 10`` predicate is this harness's stand-in for "arrived
+    in the current batch" — the operator underneath
+    (``operators.dedup.shingle_jaccard_pairs_capped_incremental``) takes
+    ANY boolean ``is_new_col``; feed it your ingest flag, not the modulo.
+    For recurring jobs, pair it with ``persist_shingle_index`` /
+    ``shingle_jaccard_pairs_capped_resume`` (see
+    ``dedup_incremental_resume``) so the corpus is never re-shingled."""
     from n2kupdate_spark.operators.dedup import (
         shingle_jaccard_pairs_capped_incremental,
     )
@@ -388,6 +396,79 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles(docs, "text")
     return shingle_jaccard_pairs_capped_incremental(
         sh, "is_new", "doc_id", threshold=0.1, max_df=5
+    )
+
+
+#: One persisted-index location per sf_dir, replaced when the fixture's
+#: freshness token changes (same shape ADVICE r6 prescribes for the tfidf
+#: cache — no unbounded (sf_dir, token) key growth).
+_resume_index_cache: dict[str, tuple] = {}
+
+
+@register(
+    "dedup_incremental_resume",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    freq AS (SELECT s, COUNT(*) AS df FROM inv GROUP BY s),
+    keep AS (SELECT i.doc_id, i.s FROM inv i JOIN freq ON i.s = freq.s
+             WHERE freq.df <= 5),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
+    cand AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(inter / (n1.n + n2.n - inter), 4) AS jaccard
+    FROM cand
+    JOIN n n1 ON n1.doc_id = id1
+    JOIN n n2 ON n2.doc_id = id2
+    WHERE ROUND(inter / (n1.n + n2.n - inter), 4) >= 0.1
+    """,
+)
+def dedup_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring ingest with a PERSISTED corpus index: the corpus side's
+    df-capped shingle index is built once per fixture generation (cached to
+    /tmp, keyed by a data-freshness token) and every run shingles only the
+    batch (doc_id % 10 == 0 here) and resumes from it — the scale shape the
+    one-shot ``dedup_incremental_jaccard`` documents: at 100 TB the corpus
+    is never re-shingled per increment. The same oracle applies because the
+    resume path is numerically identical to the full incremental run
+    (property-tested, tests/test_block_pairs.py; sf0.1 probe: resume is
+    0.33x the one-shot incremental wall at a 5% batch)."""
+    import hashlib
+    import os
+
+    from n2kupdate_spark.operators.dedup import (
+        persist_shingle_index,
+        shingle_jaccard_pairs_capped_resume,
+    )
+    from n2kupdate_spark.queries.text import _corpus_freshness
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 10 == 0).alias("is_new")
+    )
+    token = _corpus_freshness(sf_dir)
+    path = f"/tmp/n2k_shingle_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    cached = _resume_index_cache.get(sf_dir)
+    if cached != (token, path) or not os.path.isdir(f"{path}/postings"):
+        persist_shingle_index(
+            word_shingles(docs.filter(~F.col("is_new")), "text"),
+            path,
+            "doc_id",
+            max_df=5,
+        )
+        _resume_index_cache[sf_dir] = (token, path)
+    return shingle_jaccard_pairs_capped_resume(
+        word_shingles(docs.filter("is_new"), "text"), path, "doc_id", 0.1, 5
     )
 
 

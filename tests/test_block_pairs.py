@@ -137,3 +137,105 @@ def test_incremental_jaccard_equals_filtered_full_run(spark, sf_dir):
         ).collect()
     }
     assert inc == full
+
+
+def test_resume_from_persisted_index_equals_incremental(spark, sf_dir, tmp_path):
+    """The persisted-index path must be invisible semantics-wise: persisting
+    the corpus index and resuming with only the batch's shingles yields the
+    EXACT pair set + Jaccards of the one-shot incremental op over the full
+    universe (df cap and sizes re-derived from the rolled-up index)."""
+    from n2kupdate_spark.operators.dedup import (
+        persist_shingle_index,
+        shingle_jaccard_pairs_capped_incremental,
+        shingle_jaccard_pairs_capped_resume,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 10 == 0).alias("is_new")
+    )
+    sh = word_shingles(docs, "text").localCheckpoint(eager=True)
+    idx = str(tmp_path / "idx")
+    persist_shingle_index(sh.filter(~F.col("is_new")), idx, "doc_id", max_df=5)
+
+    resumed = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in shingle_jaccard_pairs_capped_resume(
+            sh.filter("is_new"), idx, "doc_id", 0.1, 5
+        ).collect()
+    }
+    inc = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in shingle_jaccard_pairs_capped_incremental(
+            sh, "is_new", "doc_id", 0.1, 5
+        ).collect()
+    }
+    assert resumed == inc
+    assert resumed, "fixture produced no near-dup pairs — test is vacuous"
+
+
+def test_chained_resume_rolls_index_forward(spark, sf_dir, tmp_path):
+    """update_index_path must hand the NEXT increment an index equivalent to
+    a fresh full-corpus build: postings (bucket→member set), the stoplist
+    bucket set, and per-doc sizes all match, and a second batch resumed off
+    the rolled index equals the one-shot incremental over the grown
+    universe."""
+    from n2kupdate_spark.operators.dedup import (
+        persist_shingle_index,
+        shingle_jaccard_pairs_capped_incremental,
+        shingle_jaccard_pairs_capped_resume,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 4).alias("part")
+    )
+    sh = word_shingles(docs, "text").localCheckpoint(eager=True)
+    base, b1, b2 = (
+        sh.filter(F.col("part") <= 1),
+        sh.filter(F.col("part") == 2),
+        sh.filter(F.col("part") == 3),
+    )
+    idx0, idx1 = str(tmp_path / "i0"), str(tmp_path / "i1")
+    persist_shingle_index(base, idx0, "doc_id", max_df=5)
+    shingle_jaccard_pairs_capped_resume(
+        b1, idx0, "doc_id", 0.1, 5, update_index_path=idx1
+    ).collect()
+
+    fresh = str(tmp_path / "fresh")
+    persist_shingle_index(base.unionByName(b1), fresh, "doc_id", max_df=5)
+
+    def postings_map(path):
+        return {
+            r["bucket"]: tuple(sorted(r["members"]))
+            for r in spark.read.parquet(f"{path}/postings").collect()
+        }
+
+    def sizes_map(path):
+        return {
+            r["doc_id"]: r["n"] for r in spark.read.parquet(f"{path}/sizes").collect()
+        }
+
+    def stop_set(path):
+        # df values are not compared: the rolled stoplist keeps the count
+        # as of when the bucket crossed (later drops don't increment it) —
+        # membership in the drop set is what the algorithm consumes.
+        return {r["bucket"] for r in spark.read.parquet(f"{path}/stoplist").collect()}
+
+    assert postings_map(idx1) == postings_map(fresh)
+    assert sizes_map(idx1) == sizes_map(fresh)
+    assert stop_set(idx1) == stop_set(fresh)
+
+    chained = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in shingle_jaccard_pairs_capped_resume(
+            b2, idx1, "doc_id", 0.1, 5
+        ).collect()
+    }
+    inc = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in shingle_jaccard_pairs_capped_incremental(
+            sh.withColumn("is_new", F.col("part") == 3), "is_new", "doc_id", 0.1, 5
+        ).collect()
+    }
+    assert chained == inc
