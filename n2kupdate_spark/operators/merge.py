@@ -137,9 +137,18 @@ def merge_scd2_changes(
     Contract: ``target`` columns are exactly keys + compare_cols +
     validity columns; ``incoming`` is keys + compare_cols.
 
-    Scale: one full-outer join of open rows vs the batch on the key, plus
-    unions — no window, no driver work; idempotent (re-applying the same
-    batch changes nothing — property-tested)."""
+    Scale: ONE full-outer join of open rows vs the batch, keyed on the key
+    columns alone, followed by a projection that emits each joined row's
+    0-2 output versions as an exploded array — no window, no driver work;
+    idempotent (re-applying the same batch changes nothing —
+    property-tested). The single-join shape matters twice at 100 TB: the
+    earlier union-of-filtered-branches formulation made Catalyst plan the
+    join once PER BRANCH (4 scans + 4 shuffles of the target), and folding
+    the branch predicates into join conditions turned the null-safe
+    attribute comparisons into extra equi-join keys — which broke
+    co-located (bucketed-on-key) layouts with re-shuffles. With the join
+    on the keys only, a target and staging batch bucketed on the merge key
+    run this merge with zero exchanges (tests/test_plans.py)."""
     keys = list(keys)
     compare_cols = list(compare_cols)
     open_rows = target.filter(F.col(valid_to).isNull())
@@ -155,40 +164,40 @@ def merge_scd2_changes(
     changed: Column = F.lit(False)
     for c in compare_cols:
         changed = changed | ~F.col(c).eqNullSafe(F.col(f"__i_{c}"))
+    in_tgt = F.col("__in_tgt").isNotNull()
+    in_inc = F.col("__in_inc").isNotNull()
 
-    tgt_cols = keys + compare_cols + [valid_from, valid_to]
-    unchanged_open = j.filter(
-        F.col("__in_tgt").isNotNull() & F.col("__in_inc").isNotNull() & ~changed
-    ).select(*tgt_cols)
-    to_close = (
-        j.filter(
-            F.col("__in_tgt").isNotNull()
-            & (F.col("__in_inc").isNull() | changed)
+    def _version(cols: list[Column], vf: Column, vt: Column) -> Column:
+        return F.struct(
+            *[c.alias(f"_{n}") for n, c in zip(compare_cols, cols)],
+            vf.cast("string").alias("_vf"),
+            vt.cast("string").alias("_vt"),
         )
-        .withColumn(valid_to, F.lit(batch_ts))
-        .select(*tgt_cols)
+
+    tgt_attrs = [F.col(c) for c in compare_cols]
+    inc_attrs = [F.col(f"__i_{c}") for c in compare_cols]
+    null_ts = F.lit(None).cast("string")
+    keep_open = _version(tgt_attrs, F.col(valid_from), null_ts)
+    close_tgt = _version(tgt_attrs, F.col(valid_from), F.lit(batch_ts))
+    open_inc = _version(inc_attrs, F.lit(batch_ts), null_ts)
+
+    versions = (
+        F.when(in_tgt & in_inc & ~changed, F.array(keep_open))
+        .when(in_tgt & in_inc & changed, F.array(close_tgt, open_inc))
+        .when(in_tgt & ~in_inc, F.array(close_tgt))
+        .otherwise(F.array(open_inc))
     )
-    reopened = j.filter(
-        F.col("__in_tgt").isNotNull() & F.col("__in_inc").isNotNull() & changed
-    ).select(
-        *keys,
-        *[F.col(f"__i_{c}").alias(c) for c in compare_cols],
-        F.lit(batch_ts).alias(valid_from),
-        F.lit(None).cast("string").alias(valid_to),
+    merged_open = (
+        j.select(*keys, F.explode(versions).alias("__v"))
+        .select(
+            *keys,
+            *[F.col(f"__v._{c}").alias(c) for c in compare_cols],
+            F.col("__v._vf").alias(valid_from),
+            F.col("__v._vt").alias(valid_to),
+        )
     )
-    opened_new = j.filter(F.col("__in_tgt").isNull()).select(
-        *keys,
-        *[F.col(f"__i_{c}").alias(c) for c in compare_cols],
-        F.lit(batch_ts).alias(valid_from),
-        F.lit(None).cast("string").alias(valid_to),
-    )
-    return (
-        closed_rows.select(*tgt_cols)
-        .unionByName(unchanged_open)
-        .unionByName(to_close)
-        .unionByName(reopened)
-        .unionByName(opened_new)
-    )
+    tgt_cols = keys + compare_cols + [valid_from, valid_to]
+    return closed_rows.select(*tgt_cols).unionByName(merged_open)
 
 
 def full_outer_diff(

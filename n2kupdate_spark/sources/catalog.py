@@ -194,13 +194,36 @@ def load(
 _ACTIVE_BUCKETED: dict[tuple[str, str], str] = {}
 
 
-def bucketed_table_name(sf_dir: str, name: str, keys: Sequence[str], n_buckets: int) -> str:
-    """Spec-encoded twin name: same (table, keys, bucket count, source dir)
-    always maps to the same metastore table, which is what makes
-    materialization idempotent."""
+def _source_freshness(spark: SparkSession, path: str) -> tuple:
+    """(file count, max mtime, total bytes) of the source table via the
+    Hadoop FileSystem API — storage-agnostic (local/HDFS/S3), no data read.
+    Changes whenever the fixture/table is regenerated."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    n = mtime = total = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        n += 1
+        mtime = max(mtime, st.getModificationTime())
+        total += st.getLen()
+    return (n, mtime, total)
+
+
+def bucketed_table_name(
+    sf_dir: str, name: str, keys: Sequence[str], n_buckets: int, token: tuple = ()
+) -> str:
+    """Spec-encoded twin name: same (table, keys, bucket count, source dir,
+    source freshness) always maps to the same metastore table, which is
+    what makes materialization idempotent. ``token`` is the source's
+    freshness tuple (:func:`_source_freshness`) — folding it into the name
+    means a regenerated source parquet dir yields a NEW twin instead of
+    silently serving the old rows (ADVICE r6), at the cost of orphaning the
+    stale twin's files (cleared on next materialization of the same spec)."""
     import hashlib
 
-    sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    sfh = hashlib.md5(f"{sf_dir}|{token}".encode()).hexdigest()[:8]
     return f"n2k_bkt_{name}_{'_'.join(keys)}_{n_buckets}_{sfh}"
 
 
@@ -230,22 +253,34 @@ def register_bucketed(
     n_buckets: int = 8,
 ) -> str:
     """Materialize (once) a bucketed twin of registered table ``name`` and
-    return its metastore name. Idempotent: the spec is encoded in the table
-    name, so an existing twin is reused — the write cost is paid once and
+    return its metastore name. Idempotent: the spec AND the source's
+    freshness token are encoded in the table name, so an existing twin is
+    reused only while the source parquet is unchanged — regenerating the
+    source (fixture rewrite, table refresh) yields a new twin rather than
+    silently serving stale rows, and superseded twins of the same spec are
+    dropped here. The write cost is paid once per source version and
     amortized over every recurring job that reads the layout."""
     tune(spark)
     keys = list(keys)
-    table = bucketed_table_name(sf_dir, name, keys, n_buckets)
+    token = _source_freshness(spark, table_path(sf_dir, name))
+    table = bucketed_table_name(sf_dir, name, keys, n_buckets, token)
     if not spark.catalog.tableExists(table):
-        # A prior process may have left the managed location behind while
-        # this session's (in-memory) metastore has no entry — Spark then
-        # refuses the create (LOCATION_ALREADY_EXISTS). Clear it: the spec
-        # name guarantees the stale files are a twin of the same layout.
-        import shutil
-        from urllib.parse import urlparse
-
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+        # Drop superseded same-spec twins (older freshness hash) from both
+        # the session catalog and disk, then clear any orphaned managed
+        # location a prior process left behind (Spark refuses the create
+        # with LOCATION_ALREADY_EXISTS otherwise). All file ops go through
+        # the Hadoop FileSystem API so the cleanup works on any warehouse
+        # storage, not just the local filesystem (ADVICE r6).
+        prefix = f"n2k_bkt_{name}_{'_'.join(keys)}_{n_buckets}_"
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix) and t.name != table:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        jvm = spark._jvm
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        whpath = jvm.org.apache.hadoop.fs.Path(wh)
+        fs = whpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(wh, f"{prefix}*")) or []:
+            fs.delete(st.getPath(), True)
         write_bucketed(load(spark, sf_dir, name), table, keys, n_buckets)
     return table
 

@@ -79,3 +79,35 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     # global order preserved within the single output file
     ts = [r[0] for r in back2.select("ts").limit(1000).collect()]
     assert ts == sorted(ts)
+
+
+def test_register_bucketed_remakes_twin_when_source_regenerated(spark, tmp_path):
+    """A rewritten source parquet dir must yield a NEW bucketed twin — the
+    freshness token in the twin name is what prevents bucketed_layout from
+    silently serving rows of the pre-regeneration fixture (ADVICE r6), and
+    the superseded twin must be dropped from the catalog."""
+    import shutil
+
+    from n2kupdate_spark.sources import load
+    from n2kupdate_spark.sources.catalog import register_bucketed
+
+    sf = str(tmp_path)
+    src = load(spark, "/root/testdata/sf0.001", "customer")
+    src.write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+
+    t1 = register_bucketed(spark, sf, "customer", ["c_custkey"], 4)
+    n1 = spark.table(t1).count()
+
+    # regenerate the fixture with different content (half the rows)
+    half = src.filter(F.col("c_custkey") % 2 == 0)
+    half.write.mode("overwrite").parquet(f"{sf}/customer2.parquet")
+    shutil.rmtree(f"{sf}/customer.parquet")
+    shutil.move(f"{sf}/customer2.parquet", f"{sf}/customer.parquet")
+
+    t2 = register_bucketed(spark, sf, "customer", ["c_custkey"], 4)
+    try:
+        assert t2 != t1, "twin name must change when the source is regenerated"
+        assert spark.table(t2).count() == half.count() != n1
+        assert not spark.catalog.tableExists(t1), "superseded twin must be dropped"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
