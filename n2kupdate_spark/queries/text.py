@@ -22,12 +22,15 @@ from n2kupdate_spark.functions import fingerprint
 from n2kupdate_spark.queries._registry import register
 from n2kupdate_spark.sources import load
 
-#: (sf_dir, freshness token) -> documents row count; see text_tfidf_topk's
+#: sf_dir -> (freshness token, documents row count); see text_tfidf_topk's
 #: corpus-size note. The token (file count + max mtime + total bytes of the
 #: parquet files) invalidates the entry when a directory's data is
 #: rewritten within one process (fixture regeneration, notebook reuse), so
-#: IDF can never be computed against a stale N (ADVICE r5).
-_corpus_size_cache: dict[tuple, float] = {}
+#: IDF can never be computed against a stale N (ADVICE r5). One entry per
+#: directory — a superseded token REPLACES the old entry rather than
+#: accreting beside it, so a long-lived process that regenerates fixtures
+#: repeatedly holds at most one cached count per source dir (ADVICE r6).
+_corpus_size_cache: dict[str, tuple[tuple, float]] = {}
 
 
 def _corpus_freshness(sf_dir: str) -> tuple:
@@ -331,10 +334,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit rejects. Cached per (source dir, file-stat freshness token) so
     # repeated runs (bench loops, rank-k sweeps) skip even that one job,
     # while an in-process rewrite of the directory invalidates the entry.
-    key = (sf_dir, _corpus_freshness(sf_dir))
-    n_docs = _corpus_size_cache.get(key)
-    if n_docs is None:
-        n_docs = _corpus_size_cache[key] = float(docs.count())
+    token = _corpus_freshness(sf_dir)
+    cached = _corpus_size_cache.get(sf_dir)
+    if cached is not None and cached[0] == token:
+        n_docs = cached[1]
+    else:
+        n_docs = float(docs.count())
+        _corpus_size_cache[sf_dir] = (token, n_docs)
     scored = tf.join(F.broadcast(dfreq), "term").select(
         "doc_id",
         "term",
