@@ -23,11 +23,19 @@ from pyspark.sql import functions as F
 from n2kupdate_spark.sources.catalog import SCHEMAS
 
 
-def events_file_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def events_file_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream with the events schema (parquet files dropped into
     ``source_dir`` become micro-batches). The explicit schema is mandatory
-    for streaming reads — no inference pass exists."""
-    return spark.readStream.schema(SCHEMAS["events"]).parquet(source_dir)
+    for streaming reads — no inference pass exists. ``max_files_per_trigger``
+    caps files per micro-batch (honored by availableNow too), which both
+    bounds batch size in production backfills and gives deterministic
+    one-file-per-batch replay for state-growth probes."""
+    reader = spark.readStream.schema(SCHEMAS["events"])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
 
 
 def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -38,6 +46,32 @@ def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFra
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value")
+    )
+
+
+def stream_session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming per-user sessions via the built-in ``session_window``:
+    a session's state row lives until the watermark passes its (dynamic)
+    end + gap, then the closed session is emitted and the row evicted —
+    so state holds only sessions still open within the horizon, never the
+    full history. Batch-equivalent semantics are oracle-checked as
+    ``stream_session_agg`` (queries/streaming_batch.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
     )
 
 

@@ -336,6 +336,77 @@ def test_dedup_watermark_exact_kept_and_dropped(spark, tmp_path):
     ], kept  # 8 dropped (below watermark), 2 suppressed (live state)
 
 
+def test_state_store_plateaus_at_watermark_horizon(spark, tmp_path):
+    """The 100 TB streaming safety property, measured: state-store rows are
+    bounded by the watermark HORIZON, not input length. 12 scripted one-file
+    micro-batches (maxFilesPerTrigger=1 under availableNow), event time
+    advancing 45 min per batch, 20 FRESH keys per batch → 240 distinct keys
+    total; ``stateOperators[0].numRowsTotal`` read per batch from
+    recentProgress. Expected series (probe_state_growth.py, derivable from
+    the eviction rule wm = max_ts_seen − 1 h applied with one batch of lag):
+
+    - dedup: ramps 20→80 while wm is still behind, then PLATEAUS at 80
+      (4 batches × 20 keys = horizon + one-batch eviction lag) for the rest
+      of the run; the no-data finalize batch drops it to 60. All 240 rows
+      emit (every key is fresh) yet state never exceeds 80.
+    - tumbling 1 h windows: ≤3 open windows ever; 7 of the 9 touched
+      windows finalize (ends ≤ final wm 7:15).
+    - session_window (30 min gap): each batch is its own session (45 min
+      spacing > gap); ≤3 open sessions ever; 10 close (ends ≤ final wm).
+
+    A state store that grew with input would show a monotone series ending
+    near 240 / 9 / 12 — the shape this test forbids."""
+    import datetime as dt
+
+    from n2kupdate_spark.sources.catalog import SCHEMAS
+    from n2kupdate_spark.streaming import stream_session_window_agg
+
+    base = dt.datetime(2025, 1, 1, 0, 0)
+    n_batches, keys = 12, 20
+    src = str(tmp_path / "src")
+    for i in range(n_batches):
+        rows = [
+            (i * 1000 + j, base + dt.timedelta(minutes=45 * i, seconds=j),
+             1, "view", float(j), None)
+            for j in range(keys)
+        ]
+        spark.createDataFrame(rows, SCHEMAS["events"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def series_of(stream_df, ckpt):
+        emitted = []
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .foreachBatch(lambda df, eid: emitted.append(df.count()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ], sum(emitted)
+
+    def stream():
+        return events_file_stream(spark, src, max_files_per_trigger=1)
+
+    s, n = series_of(stream_dedup_within_watermark(stream(), "1 hour"), "ck_d")
+    assert n == n_batches * keys  # every fresh key emitted...
+    assert s[:3] == [20, 40, 60] and max(s) <= 4 * keys  # ...state capped
+    assert s[-1] <= 3 * keys  # finalize batch evicts below the plateau
+
+    s, n = series_of(stream_tumbling_agg(stream(), "1 hour"), "ck_t")
+    assert n == 7 and max(s) <= 3
+
+    s, n = series_of(
+        stream_session_window_agg(stream(), "30 minutes", "1 hour"), "ck_s"
+    )
+    assert n == 10 and max(s) <= 3
+
+
 def test_stream_stream_interval_join(spark, sf_dir, stream_dirs):
     """Two event streams (clicks / purchases split from the same source)
     joined with an interval condition: every output pair respects the key
