@@ -55,6 +55,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # In local mode the driver JVM IS the executor; the 1g default heap
+        # starves 32 concurrent task slots and OOMs once eagerly-checkpointed
+        # RDD blocks accumulate across a long session (found by the 10×
+        # headline sweep). Only applies when this factory creates the JVM —
+        # an externally built session (the verification driver) keeps its own.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -303,6 +303,110 @@ class DbApiBackend:
         self._cursor().execute(f"DROP TABLE IF EXISTS {_ident(staging)}")
 
 
+class PgParallelBackend(DbApiBackend):
+    """Executor-parallel COPY staging against PostgreSQL — the staging
+    write never transits the driver.
+
+    ``DbApiBackend``'s COPY path streams partition-at-a-time through the
+    driver: bounded memory, but one wire. At fact scale the staging write
+    should be the EXECUTORS' job (the reference's dbWriteTable is a single
+    client COPY because its client holds the data.frame; a Spark cluster
+    holds the batch sharded across executors). Here every task opens its
+    own psql session and COPYs its partition into a private per-task table,
+    then the driver consolidates server-side in one transaction. Task
+    retries are exactly-once: a task DROPs and recreates its private table
+    before COPYing, so a re-run partition replaces — never duplicates —
+    its rows, and consolidation sees exactly one table per surviving
+    partition. ``max_parallel`` coalesces the batch to bound concurrent
+    server connections (PostgreSQL defaults to max_connections=100).
+
+    The merge surface is inherited: a single driver connection still runs
+    the set-based merge, exactly as the reference does. ``drop_staging``
+    also sweeps any orphaned per-task tables a crashed run left behind.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str = "postgres",
+        dbname: str = "postgres",
+        max_parallel: int = 8,
+    ):
+        from n2kupdate_spark.sources.pg_psql import PsqlConnection
+
+        self._conn_kwargs = {
+            "host": host, "port": port, "user": user, "dbname": dbname,
+        }
+        self.max_parallel = max_parallel
+        super().__init__(PsqlConnection(**self._conn_kwargs))
+
+    def write_staging(self, df: DataFrame, staging: str) -> None:
+        staging = _ident(staging)
+        coldefs = ", ".join(
+            f"{_ident(f.name)} {_sql_type(f.dataType)}" for f in df.schema.fields
+        )
+        cols = _idents(df.columns)
+        collist = ", ".join(cols)
+        kwargs = self._conn_kwargs
+        self._cursor().execute(f"CREATE TABLE {staging} ({coldefs})")
+
+        def copy_part(idx: int, it):
+            # Runs on the executor: private session, private table. Empty
+            # partitions return without opening a connection.
+            import itertools
+
+            from n2kupdate_spark.sources.pg_psql import PsqlConnection
+
+            rows = (
+                tuple(None if isinstance(v, float) and v != v else v for v in r)
+                for r in it
+            )
+            first = next(rows, None)
+            if first is None:
+                return iter(())
+            part = f"{staging}_p{idx}"
+            con = PsqlConnection(**kwargs)
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {part}")
+                con.execute(f"CREATE TABLE {part} ({coldefs})")
+                con.copy_from_csv(part, cols, itertools.chain([first], rows))
+            finally:
+                con.close()
+            return iter([idx])
+
+        written = sorted(
+            df.coalesce(self.max_parallel)
+            .rdd.mapPartitionsWithIndex(copy_part)
+            .collect()
+        )
+        # Server-side consolidation, one transaction: the staging table
+        # becomes visible fully loaded or not at all (a failed task above
+        # fails the job before this point). INSERT SELECT between two
+        # server-local tables moves no bytes over the wire.
+        self.execute(
+            [
+                f"INSERT INTO {staging} ({collist}) "
+                f"SELECT {collist} FROM {staging}_p{i}"
+                for i in written
+            ]
+            + [f"DROP TABLE {staging}_p{i}" for i in written]
+        )
+
+    def drop_staging(self, staging: str) -> None:
+        staging = _ident(staging)
+        cur = self._cursor()
+        # Sweep orphaned per-task tables (a run that died between task
+        # success and consolidation) along with the staging table itself.
+        parts = self.con.execute(
+            "SELECT tablename FROM pg_tables WHERE tablename LIKE ?",
+            (f"{staging}\\_p%",),
+        ).fetchall()
+        for (p,) in parts:
+            cur.execute(f"DROP TABLE IF EXISTS {_ident(p)}")
+        cur.execute(f"DROP TABLE IF EXISTS {staging}")
+
+
 class SparkJdbcBackend:
     """Cluster path: executors write staging via JDBC partitioned inserts;
     the driver runs the merge over a JVM DriverManager connection."""

@@ -602,3 +602,91 @@ def test_pg_rollback_on_failed_merge(spark, sf_dir, pg):
         assert _state(pg) == before
     finally:
         backend.drop_staging("staging_boom")
+
+
+def test_pg_parallel_copy_staging_fact_scale(spark, pg_server, pg):
+    """Executor-parallel COPY staging (PgParallelBackend): every task COPYs
+    its partition over its own psql session into a private per-task table;
+    the driver consolidates server-side in one transaction. Staging the
+    sf0.1 lineitem fact (600 k rows) must load exactly the batch — count
+    and a value checksum pinned against the Spark-side aggregate — and
+    leave no per-task tables behind."""
+    from n2kupdate_spark.sources.jdbc import PgParallelBackend
+
+    if not os.path.isdir("/root/testdata/sf0.1"):
+        pytest.skip("sf0.1 fixtures not present")
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    expected = li.agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+    backend = PgParallelBackend(
+        host=pg_server["host"], port=pg_server["port"], max_parallel=4
+    )
+    try:
+        backend.write_staging(li, "staging_li_par")
+        n, q = backend.con.execute(
+            "SELECT COUNT(*), SUM(l_quantity) FROM staging_li_par"
+        ).fetchone()
+        assert int(n) == expected["n"] == 600_000
+        assert abs(float(q) - float(expected["q"])) < 1e-6 * float(expected["q"])
+        leftovers = backend.con.execute(
+            "SELECT COUNT(*) FROM pg_tables WHERE tablename LIKE 'staging\\_li\\_par\\_p%'"
+        ).fetchone()
+        assert leftovers == ("0",)
+    finally:
+        backend.drop_staging("staging_li_par")
+        backend.con.close()
+
+
+def test_pg_parallel_copy_task_retry_replaces_partition(spark, pg_server, pg):
+    """Exactly-once under task retry: a re-run task DROPs and recreates its
+    private table before COPYing, so rows from a failed earlier attempt can
+    never duplicate into the consolidated staging table. Simulated by
+    pre-poisoning the partition-0 table with rows a dead attempt would have
+    left behind."""
+    from n2kupdate_spark.sources.jdbc import PgParallelBackend
+
+    backend = PgParallelBackend(
+        host=pg_server["host"], port=pg_server["port"], max_parallel=2
+    )
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(2)
+    backend.con.execute("CREATE TABLE staging_retry_p0 (k BIGINT, v BIGINT)")
+    backend.con.executemany(
+        "INSERT INTO staging_retry_p0 VALUES (?, ?)", [(999, 999), (998, 998)]
+    )
+    try:
+        backend.write_staging(df, "staging_retry")
+        rows = backend.con.execute(
+            "SELECT k, v FROM staging_retry ORDER BY k"
+        ).fetchall()
+        assert [(int(k), int(v)) for k, v in rows] == [(i, 2 * i) for i in range(100)]
+    finally:
+        backend.drop_staging("staging_retry")
+        backend.con.close()
+
+
+def test_pg_parallel_backend_upsert_end_to_end(spark, sf_dir, pg_server, pg):
+    """The full stage→merge→clean lifecycle through the parallel backend
+    must produce exactly the state the driver-streamed backend produces
+    (same generated merge SQL, different staging transport), including
+    orphan-sweep on clean."""
+    from n2kupdate_spark.sources.jdbc import PgParallelBackend
+
+    backend = PgParallelBackend(host=pg_server["host"], port=pg_server["port"])
+    incoming = FX.dim_incoming(spark, sf_dir)
+    before = _state(pg)
+    try:
+        upsert(incoming, "customer_t", keys=["c_custkey"], backend=backend, mode="scd1")
+        via_parallel = _state(backend.con)
+        assert via_parallel != before  # the merge really changed rows
+        # replay is a no-op (fingerprint idempotence holds through COPY too)
+        upsert(incoming, "customer_t", keys=["c_custkey"], backend=backend, mode="scd1")
+        assert _state(backend.con) == via_parallel
+        stray = backend.con.execute(
+            "SELECT COUNT(*) FROM pg_tables WHERE tablename LIKE 'staging\\_customer\\_t\\_%'"
+        ).fetchone()
+        assert stray == ("0",)
+    finally:
+        backend.con.close()
