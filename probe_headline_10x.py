@@ -88,23 +88,32 @@ def build_replica(spark) -> None:
         ).parquet(f"{X10_DIR}/{t}.parquet")
 
 
-def bench_at(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
+def bench_pair(spark, reps: int = 3) -> tuple[dict[str, float], dict[str, float]]:
+    """Time every headline query at BOTH scales with interleaved reps
+    (1×,10×,1×,10×,…) and take the per-scale MIN. Interleaving keeps the
+    two measurements adjacent in time, so box-load drift and JVM warm-up
+    cancel out of the ratio (a sequential 1×-phase-then-10×-phase design
+    charged all the JIT/heap-growth cost to the 1× phase and produced
+    ratios < 1); min-of-reps is robust to transient interference spikes."""
     import gc
 
-    timings = {}
+    t1: dict[str, float] = {}
+    t10: dict[str, float] = {}
     for name in HEADLINE:
-        samples = []
+        s1, s10 = [], []
         for _ in range(reps):
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+            for sf_dir, out in ((SF, s1), (X10_DIR, s10)):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                out.append(time.perf_counter() - t0)
+        t1[name], t10[name] = round(min(s1), 3), round(min(s10), 3)
         # Drop Python refs to per-query DataFrames so ContextCleaner can
         # release eagerly-checkpointed RDD blocks between queries — at 10×
         # the dedup family's checkpoints otherwise accumulate across reps.
         gc.collect()
-    return timings
+    return t1, t10
 
 
 def main() -> None:
@@ -116,8 +125,7 @@ def main() -> None:
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
-    t1 = bench_at(spark, SF)
-    t10 = bench_at(spark, X10_DIR)
+    t1, t10 = bench_pair(spark)
     rows = []
     for name in HEADLINE:
         ratio = round(t10[name] / t1[name], 2) if t1[name] else float("nan")
