@@ -313,12 +313,15 @@ class PgParallelBackend(DbApiBackend):
     client COPY because its client holds the data.frame; a Spark cluster
     holds the batch sharded across executors). Here every task opens its
     own psql session and COPYs its partition into a private per-task table,
-    then the driver consolidates server-side in one transaction. Task
-    retries are exactly-once: a task DROPs and recreates its private table
-    before COPYing, so a re-run partition replaces — never duplicates —
-    its rows, and consolidation sees exactly one table per surviving
-    partition. ``max_parallel`` coalesces the batch to bound concurrent
-    server connections (PostgreSQL defaults to max_connections=100).
+    then the driver atomically publishes a UNION ALL view over them as the
+    staging relation (zero server-side re-copy; the merge SQL only ever
+    reads staging). Task retries are exactly-once: a task DROPs and
+    recreates its private table before COPYing, so a re-run partition
+    replaces — never duplicates — its rows, and the view sees exactly one
+    table per surviving partition. ``max_parallel`` reshapes the batch
+    (coalesce down / round-robin repartition up) to bound-and-fill the
+    concurrent server connections (PostgreSQL defaults to
+    max_connections=100).
 
     The merge surface is inherited: a single driver connection still runs
     the set-based merge, exactly as the reference does. ``drop_staging``
@@ -375,36 +378,48 @@ class PgParallelBackend(DbApiBackend):
                 con.close()
             return iter([idx])
 
-        written = sorted(
-            df.coalesce(self.max_parallel)
-            .rdd.mapPartitionsWithIndex(copy_part)
-            .collect()
-        )
-        # Server-side consolidation, one transaction: the staging table
+        n = df.rdd.getNumPartitions()
+        if n > self.max_parallel:
+            shaped = df.coalesce(self.max_parallel)
+        elif n < self.max_parallel:
+            # Scale UP too: a 3-file parquet scan would otherwise run only
+            # 3 concurrent COPYs. The round-robin shuffle is cheap next to
+            # COPY throughput (measured: lineitem staged 3-way vs 8-way).
+            shaped = df.repartition(self.max_parallel)
+        else:
+            shaped = df
+        written = sorted(shaped.rdd.mapPartitionsWithIndex(copy_part).collect())
+        # Consolidate as a UNION ALL view, atomically: the staging "table"
         # becomes visible fully loaded or not at all (a failed task above
-        # fails the job before this point). INSERT SELECT between two
-        # server-local tables moves no bytes over the wire.
+        # fails the job before this point), and NO row is copied a second
+        # time — the merge SQL only ever SELECTs/EXISTS-probes the staging
+        # relation, which PostgreSQL planning handles identically over the
+        # view. (An INSERT..SELECT consolidation measured ~40% of the whole
+        # staging wall re-copying rows server-side.)
+        union = " UNION ALL ".join(
+            f"SELECT {collist} FROM {staging}_p{i}" for i in written
+        )
         self.execute(
-            [
-                f"INSERT INTO {staging} ({collist}) "
-                f"SELECT {collist} FROM {staging}_p{i}"
-                for i in written
-            ]
-            + [f"DROP TABLE {staging}_p{i}" for i in written]
+            [f"DROP TABLE {staging}", f"CREATE VIEW {staging} AS {union}"]
+            if written
+            else []
         )
 
     def drop_staging(self, staging: str) -> None:
         staging = _ident(staging)
         cur = self._cursor()
-        # Sweep orphaned per-task tables (a run that died between task
-        # success and consolidation) along with the staging table itself.
+        # The staging relation is a view over the per-task tables (or still
+        # a bare table if no partition wrote); drop it first, then sweep
+        # every per-task table — including orphans a run that died between
+        # task success and consolidation left behind.
+        cur.execute(f"DROP VIEW IF EXISTS {staging}")
+        cur.execute(f"DROP TABLE IF EXISTS {staging}")
         parts = self.con.execute(
             "SELECT tablename FROM pg_tables WHERE tablename LIKE ?",
             (f"{staging}\\_p%",),
         ).fetchall()
         for (p,) in parts:
             cur.execute(f"DROP TABLE IF EXISTS {_ident(p)}")
-        cur.execute(f"DROP TABLE IF EXISTS {staging}")
 
 
 class SparkJdbcBackend:

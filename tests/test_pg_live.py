@@ -607,10 +607,10 @@ def test_pg_rollback_on_failed_merge(spark, sf_dir, pg):
 def test_pg_parallel_copy_staging_fact_scale(spark, pg_server, pg):
     """Executor-parallel COPY staging (PgParallelBackend): every task COPYs
     its partition over its own psql session into a private per-task table;
-    the driver consolidates server-side in one transaction. Staging the
-    sf0.1 lineitem fact (600 k rows) must load exactly the batch — count
-    and a value checksum pinned against the Spark-side aggregate — and
-    leave no per-task tables behind."""
+    the driver atomically publishes a UNION ALL view over them. Staging
+    the sf0.1 lineitem fact (600 k rows) must load exactly the batch —
+    count and a value checksum pinned against the Spark-side aggregate —
+    and drop_staging must sweep the view AND every per-task table."""
     from n2kupdate_spark.sources.jdbc import PgParallelBackend
 
     if not os.path.isdir("/root/testdata/sf0.1"):
@@ -629,10 +629,12 @@ def test_pg_parallel_copy_staging_fact_scale(spark, pg_server, pg):
         ).fetchone()
         assert int(n) == expected["n"] == 600_000
         assert abs(float(q) - float(expected["q"])) < 1e-6 * float(expected["q"])
+        backend.drop_staging("staging_li_par")
         leftovers = backend.con.execute(
-            "SELECT COUNT(*) FROM pg_tables WHERE tablename LIKE 'staging\\_li\\_par\\_p%'"
-        ).fetchone()
-        assert leftovers == ("0",)
+            "SELECT COUNT(*) FROM pg_tables WHERE tablename LIKE 'staging\\_li\\_par%' "
+            "UNION ALL SELECT COUNT(*) FROM pg_views WHERE viewname LIKE 'staging\\_li\\_par%'"
+        ).fetchall()
+        assert leftovers == [("0",), ("0",)]
     finally:
         backend.drop_staging("staging_li_par")
         backend.con.close()
