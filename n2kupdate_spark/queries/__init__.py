@@ -39,6 +39,7 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
     ann,
     mlprep,
     composite,
+    diagnostics,
 )
 
 #: The 50 query ids to place at the front of the registry this round —
@@ -111,11 +112,15 @@ _ROUND_WINDOW = [
     "sim_pairs_threshold",
     "composite_shipping_priority",
     "composite_returned_item_revenue",
-    "composite_promo_revenue",
     "ts_resample_ffill",
     "ts_gap_interpolate",
-    "agg_stats_moments",
-    "window_gaps_islands",
+    # -- first-round evidence for ops born this round (r6 precedent:
+    # window new ops immediately). Displaces agg_stats_moments /
+    # window_gaps_islands / composite_promo_revenue, whose r05 greens
+    # stay within the ≤2-round freshness invariant at r7.
+    "dedup_incremental_resume",
+    "diag_key_skew",
+    "diag_column_profile",
 ]
 
 

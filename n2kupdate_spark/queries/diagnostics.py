@@ -1,0 +1,110 @@
+"""Data-ops diagnostics — the profiling a 100 TB pipeline runs BEFORE
+committing to a shuffle strategy or a load.
+
+Two standard tools, both SQL-oracle-checked like any other operator:
+
+- ``diag_key_skew``: key-distribution profile of a prospective join/agg
+  key. The skew ratio (key count × number of keys / total rows, i.e.
+  how many times hotter than the mean a key runs) is the number that
+  decides between a plain hash join, AQE skew splitting, and explicit
+  salting (operators/joins join_skew_salted, dedup CC salting) — at
+  100 TB a single 100× key makes one reduce task the whole job's
+  critical path, and this profile is how it is found BEFORE the 6-hour
+  run, not after.
+- ``diag_column_profile``: per-column null / distinct profile of a table
+  in ONE pass (null rate gates validate_domain-style cleaning; distinct
+  count sizes dimension broadcasts and dictionary encodings).
+
+Scale notes: key counts are one partial-aggregated shuffle; the corpus
+totals the skew ratio needs are inlined as literals (driver-side scalars,
+MLlib-IDF style — a 1-row-aggregate join would plan a
+BroadcastNestedLoopJoin, which the fleet plan audit rejects). The column
+profile is a single multi-countDistinct aggregate unpivoted via ``stack``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n2kupdate_spark.queries._registry import register
+from n2kupdate_spark.sources import load
+
+
+@register(
+    "diag_key_skew",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    s AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS total FROM c)
+    SELECT user_id, cnt,
+           ROUND(cnt * 10000.0 / total) / 10000 AS share,
+           ROUND(cnt * n_keys * 10000.0 / total) / 10000 AS skew_ratio
+    FROM c, s
+    ORDER BY cnt DESC, user_id
+    LIMIT 10
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest events.user_id keys with share-of-total and
+    skew ratio (count ÷ mean count). Both derived scalars are computed as
+    one driver-side aggregate and inlined as literals; rounding is
+    scale-first (ROUND(x·1e4)/1e4) so Spark and DuckDB round the same
+    binary double (SURVEY.md §7.4.3)."""
+    counts = (
+        load(spark, sf_dir, "events", columns=["user_id"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("total")
+    ).first()
+    n_keys, total = float(stats["n_keys"]), float(stats["total"])
+    return (
+        counts.select(
+            "user_id",
+            "cnt",
+            (F.round(F.col("cnt") * 10000.0 / F.lit(total)) / 10000).alias("share"),
+            (
+                F.round(F.col("cnt") * F.lit(n_keys) * 10000.0 / F.lit(total)) / 10000
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(10)
+    )
+
+
+#: Columns profiled by diag_column_profile — shared by the Spark plan and
+#: the oracle generator below so the two sides cannot drift.
+_PROFILE_COLS = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+_COLUMN_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT({c}) AS n_non_null,
+        COUNT(*) - COUNT({c}) AS n_null,
+        COUNT(DISTINCT {c}) AS n_distinct FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("diag_column_profile", oracle=_COLUMN_PROFILE_ORACLE)
+def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null / distinct profile of the orders table's non-key columns in a
+    single aggregate pass (one job, one shuffle), unpivoted to one row per
+    column via ``stack``."""
+    orders = load(spark, sf_dir, "orders", columns=list(_PROFILE_COLS))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, n_non_null, n_distinct)",
+    ).select(
+        "col_name",
+        "n_non_null",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
+        "n_distinct",
+    )
