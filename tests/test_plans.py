@@ -139,6 +139,55 @@ def test_dynamic_partition_pruning_on_fact_dim_join(spark, sf_dir, tmp_path):
     assert rows == expected
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning (SURVEY.md §4): a shuffle join of
+    a big fact to a FILTERED dim must inject a bloom filter built from the
+    dim's join keys into the fact scan (BloomFilterMightContain), so the
+    fact's shuffle carries only rows that can possibly match. The feature
+    is ON by default but gated on the application side scanning >10 GiB —
+    the 100 TB regime, unreachable at test SF — so this test scales the
+    size gates to zero and pins that OUR fact⋈filtered-dim join shape is
+    ELIGIBLE (Spark only injects over shuffle equi-joins with a selective
+    creation side; a shape regression — e.g. losing the equi-join keys the
+    way the old scd2_changes union did — would silently disqualify it at
+    production scale too). Values are asserted unchanged under injection."""
+    from n2kupdate_spark.sources import load
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in opt, opt[:2000]
+        got = j.collect()[0]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    li = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()[0]
+    )
+    assert (got["n"], got["q"]) == (plain["n"], plain["q"])
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """Scale design (SURVEY.md §4): a skewed fact⋈dim SMJ must get
     AQE's skew split (SortMergeJoin(skew=true)). Verified subtlety, which is
