@@ -21,7 +21,8 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def dir_stats(spark: SparkSession, path: str) -> dict:
@@ -34,26 +35,78 @@ def dir_stats(spark: SparkSession, path: str) -> dict:
     return {"files": int(summary.getFileCount()), "bytes": int(summary.getLength())}
 
 
+#: Bits per column in the Z-value (2^bits equi-depth buckets per column).
+_Z_BITS = 8
+
+
+def _zvalue(df: DataFrame, cols: list[str], bits: int = _Z_BITS) -> Column:
+    """Interleaved-bit Z-value over ``cols`` (numeric), the clustering key
+    Delta's OPTIMIZE ZORDER BY computes. Per column: an equi-depth bucket
+    id in [0, 2^bits) from approxQuantile boundaries (ONE sampling pass for
+    all columns, driver holds 2^bits scalars per column — no global sort,
+    no single-task window); rank-based bucketing keeps pruning selective
+    under skew where equi-width would collapse. The bucket lookup is a
+    count of boundaries ≤ value over a literal array (JVM-side HOF; the
+    lambda body is a bare comparison, so the per-element re-evaluation
+    caveat doesn't bite). Bits are then interleaved so files cut along
+    contiguous Z-ranges bound EVERY column's min/max tightly at once."""
+    n_bounds = (1 << bits) - 1
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    quantiles = df.stat.approxQuantile(cols, probs, 0.001)
+    buckets = []
+    for c, qs in zip(cols, quantiles):
+        bounds = F.array(*[F.lit(float(q)) for q in qs])
+        v = F.col(c).cast("double")
+        bucket = F.least(
+            F.size(F.filter(bounds, lambda b: b <= v)), F.lit(n_bounds)
+        )
+        buckets.append(F.coalesce(bucket, F.lit(0)))  # NULLs cluster low
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(buckets) + (len(buckets) - 1 - j)))
+    return z
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,
     dst: str,
-    target_mb: int = 128,
+    target_mb: float = 128,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Rewrite the parquet directory ``src`` into ``dst`` with files sized
     toward ``target_mb``. Returns before/after stats. ``sort_by`` addition-
     ally range-partitions + sorts within files, making column min/max
-    stats selective for scans filtered on those columns.
+    stats selective for scans filtered on those columns — perfect pruning
+    on the leading sort key, none on the others. ``zorder_by`` (numeric
+    columns, mutually exclusive with ``sort_by``) instead clusters files
+    along an interleaved-bit Z-curve so min/max pruning stays selective on
+    EVERY listed column at once — the Delta OPTIMIZE ZORDER analog, and at
+    100 TB the difference between 'fast when you filter on date' and 'fast
+    when you filter on date OR user OR key' (measured: tests/test_sources.py
+    pins Z-order pruning both filter columns to a fraction of the files
+    where a linear sort prunes only its leading key).
 
     The rewrite preserves rows and schema exactly (asserted in
     tests/test_sources.py); it does not run in place — atomic swap of
     ``dst`` over ``src`` is the caller's move-or-rename, which is
     storage-specific (HDFS rename vs S3 manifest swap)."""
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     before = dir_stats(spark, src)
     n_files = max(1, math.ceil(before["bytes"] / (target_mb * 1024 * 1024)))
     df: DataFrame = spark.read.parquet(src)
-    if sort_by:
+    if zorder_by:
+        df = (
+            df.withColumn("__z", _zvalue(df, zorder_by))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif sort_by:
         df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
     else:
         df = df.repartition(n_files)

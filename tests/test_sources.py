@@ -111,3 +111,81 @@ def test_register_bucketed_remakes_twin_when_source_regenerated(spark, tmp_path)
         assert not spark.catalog.tableExists(t1), "superseded twin must be dropped"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_compact_parquet_zorder_prunes_both_columns(spark, tmp_path):
+    """Z-order clustering (maintenance op): after zorder_by=["x","y"]
+    compaction, file-level min/max ranges must be selective on BOTH
+    columns — a range filter on either column intersects only a fraction
+    of the files — whereas a linear sort_by=["x"] gives perfect pruning on
+    x and NO pruning on y. Checked against the actual parquet footers
+    (column-chunk min/max via pyarrow), i.e. the same statistics a scan's
+    row-group pruning uses. Data is two independent pseudo-random uniform
+    columns so neither layout gets accidental correlation help."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from n2kupdate_spark.sources.maintenance import compact_parquet
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .select(
+            ((F.col("id") * 48271) % 100_000).alias("x"),
+            ((F.col("id") * 7919 + 13) % 100_000).alias("y"),
+        )
+    )
+    src = str(tmp_path / "frag")
+    df.repartition(32).write.parquet(src)
+    frag_bytes = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    # target ~64 files from the measured size (fractional MB: the fixture
+    # is small; compact_parquet's math is pure bytes/target). 64 files on a
+    # 256x256 bucket grid = ~8x8 Z-tiles, enough resolution for the curve's
+    # locality to show in file min/max ranges.
+    target_mb = frag_bytes / 64 / 1024 / 1024
+
+    def files_overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+        total, hit = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            total += 1
+            if min(mins) <= hi and max(maxs) >= lo:
+                hit += 1
+        return hit, total
+
+    zdst = str(tmp_path / "zorder")
+    compact_parquet(spark, src, zdst, target_mb=target_mb, zorder_by=["x", "y"])
+    sdst = str(tmp_path / "xsort")
+    compact_parquet(spark, src, sdst, target_mb=target_mb, sort_by=["x"])
+
+    # 10%-selectivity range filter on each column
+    lo, hi = 40_000, 50_000
+    zx, zn = files_overlapping(zdst, "x", lo, hi)
+    zy, _ = files_overlapping(zdst, "y", lo, hi)
+    sx, sn = files_overlapping(sdst, "x", lo, hi)
+    sy, _ = files_overlapping(sdst, "y", lo, hi)
+    assert zn >= 32 and sn >= 32  # enough files for pruning to mean anything
+    assert sx <= max(2, sn // 4), (sx, sn)  # linear sort: near-perfect on x...
+    assert sy == sn  # ...and NONE on y (every file spans the y domain)
+    # Z-order: BOTH columns prune — a 10% window on either column touches
+    # well under half the files (unaligned range cuts cost some tiles; an
+    # aligned-tile ideal would be ~2 of 8 bands)
+    assert zx <= int(zn * 0.45) and zy <= int(zn * 0.45), (zx, zy, zn)
+
+    # row/content preservation (same checksum both layouts)
+    a = spark.read.parquet(zdst).agg(
+        F.count(F.lit(1)), F.sum("x"), F.sum("y")
+    ).collect()[0]
+    b = spark.read.parquet(src).agg(
+        F.count(F.lit(1)), F.sum("x"), F.sum("y")
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
