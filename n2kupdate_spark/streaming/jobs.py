@@ -8,7 +8,13 @@ logical plans are oracle-checked in queries/streaming_batch.py; this module
 is the streaming runtime wiring, smoke-tested in tests/test_streaming.py.
 
 Scale notes: state stores (dedup, windows) are bounded by the watermark —
-without it, state grows with the key space forever. foreachBatch executes
+without it, state grows with the key space forever (measured plateau:
+probe_state_growth.py / test_state_store_plateaus_at_watermark_horizon).
+When the horizon itself holds billions of keys, switch the provider to
+RocksDB (``spark.sql.streaming.stateStore.providerClass`` →
+``...state.RocksDBStateStoreProvider``): state moves to native memory +
+local disk instead of the executor heap, with identical semantics
+(asserted in test_rocksdb_state_store_provider). foreachBatch executes
 merges once per micro-batch with the batch's epoch id available for
 exactly-once sinks that can record it.
 """

@@ -448,3 +448,50 @@ def test_stream_stream_interval_join(spark, sf_dir, stream_dirs):
     ).count()
     assert len(got) == batch_n
     assert (got["click_ts"] <= got["purchase_ts"]).all()
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """The beyond-heap state path: with the RocksDB state store provider
+    (state lives in native memory + local SSD, not the executor heap — the
+    100 TB configuration for billions of dedup keys), the dedup stream
+    must emit identical results, and the progress metrics must prove the
+    provider actually engaged (rocksdb custom metrics present)."""
+    import datetime as dt
+
+    from n2kupdate_spark.sources.catalog import SCHEMAS
+
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        base = dt.datetime(2025, 1, 1)
+        rows = [
+            (i % 150, base + dt.timedelta(minutes=i), 1, "view", float(i), None)
+            for i in range(300)
+        ]  # 150 distinct keys, each sent twice within the horizon
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows, SCHEMAS["events"]).coalesce(2).write.parquet(src)
+        emitted = []
+        q = (
+            stream_dedup_within_watermark(events_file_stream(spark, src), "10 hours")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(lambda df, eid: emitted.append(df.toPandas()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import pandas as pd
+
+        got = pd.concat([p for p in emitted if len(p)])
+        assert sorted(got["event_id"]) == list(range(150))  # dup suppressed
+        ops = [p for p in q.recentProgress if p.get("stateOperators")]
+        metrics = ops[-1]["stateOperators"][0].get("customMetrics", {})
+        assert any("rocksdb" in k.lower() for k in metrics), metrics
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
