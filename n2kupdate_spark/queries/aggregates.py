@@ -375,3 +375,118 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_nd"),
     )
     return level.unionByName(merged)
+
+
+@register("agg_theta_sketch_sets")  # rows-only: sketch estimates are engine-specific
+def agg_theta_sketch_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SET ALGEBRA on mergeable sketches (Apache
+    DataSketches Theta, built into Spark 4): per-event-type theta sketches
+    of the user set, then |view|, |click|, |view ∪ click|, |view ∩ click|
+    computed purely from the sketches — the 100 TB pattern for audience
+    overlap ("users who did A and B") where exact intersection would
+    shuffle both full key sets. Exact values ride beside each estimate;
+    below the sketch's nominal capacity (4096 entries at the default
+    lgK=12) theta is EXACT, so the test pins est == exact at test scale
+    while production-scale error stays within the documented ~1.6% bound."""
+    ev = load(spark, sf_dir, "events", columns=["event_type", "user_id"])
+    sk = ev.filter(F.col("event_type").isin("view", "click")).groupBy(
+        "event_type"
+    ).agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk"),
+        F.count_distinct("user_id").alias("exact_nd"),
+    )
+    wide = (
+        sk.groupBy()
+        .pivot("event_type", ["view", "click"])
+        .agg(F.first("sk").alias("sk"), F.first("exact_nd").alias("nd"))
+    )
+    exacts = ev.agg(
+        F.count_distinct(
+            F.when(F.col("event_type").isin("view", "click"), F.col("user_id"))
+        ).alias("u"),
+    ).first()
+    inter_exact = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "click").select("user_id")
+        )
+        .count()
+    )
+    return wide.select(
+        F.expr("stack(4, "
+               "'view', theta_sketch_estimate(view_sk), view_nd, "
+               "'click', theta_sketch_estimate(click_sk), click_nd, "
+               f"'union', theta_sketch_estimate(theta_union(view_sk, click_sk)), {int(exacts['u'])}L, "
+               f"'intersection', theta_sketch_estimate(theta_intersection(view_sk, click_sk)), {inter_exact}L"
+               ") AS (set_op, est_nd, exact_nd)")
+    )
+
+
+@register("agg_kll_quantile_merge")  # rows-only: sketch estimates are engine-specific
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL): per-flag KLL
+    sketches of l_quantity, per-group p50/p95 read from each sketch, and a
+    GLOBAL p50/p95 read from the MERGED sketch — quantiles across rollup
+    levels without re-reading data, the same upward-merge shape as
+    agg_hll_sketch_merge but for distributions. KLL's guarantee is on RANK
+    (±1.65% at the default k), not value; the accuracy pin in
+    tests/test_sketch_accuracy.py therefore checks the rank of each
+    estimated quantile against the exact CDF."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    per = li.groupBy("l_returnflag").agg(
+        F.expr("kll_sketch_agg_double(l_quantity)").alias("sk")
+    )
+    level = per.select(
+        "l_returnflag",
+        F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("p50"),
+        F.expr("kll_sketch_get_quantile_double(sk, 0.95)").alias("p95"),
+    )
+    merged = per.agg(
+        F.lit("__ALL__").alias("l_returnflag"),
+        F.expr(
+            "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)"
+        ).alias("p50"),
+        F.expr(
+            "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.95)"
+        ).alias("p95"),
+    )
+    return level.unionByName(merged)
+
+
+@register("agg_cms_heavy_hitters")  # rows-only: sketch estimates are engine-specific
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation: ONE fixed-size (eps=0.1% of
+    stream length, confidence 99%) mergeable sketch over the full event stream answers per-key
+    count queries — the streaming/mergeable companion to the exact
+    diag_key_skew profile. At 100 TB the sketch is what fits: per-executor
+    sketches merge upward like HLL while exact per-key counts would
+    shuffle every key. Output: the exact top-5 heavy keys with exact and
+    estimated counts; CMS guarantees est ≥ exact (never undercounts) and
+    est ≤ exact + eps·N with probability 1−δ — both pinned in
+    tests/test_sketch_accuracy.py. The sketch binary is deserialized
+    driver-side (Spark ships the sketch class but no SQL read function);
+    the heavy work — sketching — is distributed."""
+    ev = load(spark, sf_dir, "events", columns=["user_id"])
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(5)
+        .collect()
+    )
+    sk_bytes = bytes(
+        ev.agg(
+            F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("sk")
+        ).first()["sk"]
+    )
+    jvm = spark._jvm
+    bis = jvm.java.io.ByteArrayInputStream(sk_bytes)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    rows = [
+        (int(r["user_id"]), int(r["exact_cnt"]), int(cms.estimateCount(int(r["user_id"]))))
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, exact_cnt long, est_cnt long"
+    )

@@ -172,3 +172,51 @@ def test_source_orc_roundtrip_values_match_parquet(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_theta_sketch_set_algebra_exact_below_capacity(spark, sf_dir):
+    """Theta set-op estimates: below the sketch's nominal capacity (4096
+    entries at default lgK) theta sketches are exact, so every estimate —
+    including the UNION and INTERSECTION computed purely from sketches —
+    must equal the exact distinct counts carried beside it. (At production
+    cardinalities the error bound is ~1.6%; exactness here pins that the
+    set algebra is wired correctly, the property that actually breaks
+    when someone swaps union/intersection operands.)"""
+    rows = {r["set_op"]: r for r in QUERIES["agg_theta_sketch_sets"](spark, sf_dir).collect()}
+    assert set(rows) == {"view", "click", "union", "intersection"}
+    for op, r in rows.items():
+        assert r["est_nd"] == r["exact_nd"], (op, r)
+    # set-algebra sanity: |A∪B| ≥ max(|A|,|B|), |A∩B| ≤ min(|A|,|B|)
+    assert rows["union"]["est_nd"] >= max(rows["view"]["est_nd"], rows["click"]["est_nd"])
+    assert rows["intersection"]["est_nd"] <= min(rows["view"]["est_nd"], rows["click"]["est_nd"])
+
+
+def test_kll_quantile_merge_rank_error_bounded(spark, sf_dir):
+    """KLL guarantees RANK accuracy (±1.65% at the default k), not value
+    accuracy: for each estimated quantile, the fraction of the group's
+    actual values ≤ estimate must sit within 2.5% of the target rank (a
+    little slack over the bound for the doubled error of the merged
+    sketch)."""
+    got = QUERIES["agg_kll_quantile_merge"](spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    for r in got:
+        grp = li if r["l_returnflag"] == "__ALL__" else li.filter(
+            F.col("l_returnflag") == r["l_returnflag"]
+        )
+        n = grp.count()
+        for prob, col in ((0.5, "p50"), (0.95, "p95")):
+            rank = grp.filter(F.col("l_quantity") <= r[col]).count() / n
+            assert abs(rank - prob) <= 0.025, (r["l_returnflag"], col, rank)
+
+
+def test_cms_heavy_hitters_never_undercounts_bounded_over(spark, sf_dir):
+    """Count-min guarantees: est ≥ exact always (hash collisions only ADD),
+    and est ≤ exact + eps·N with the configured confidence. Both pinned
+    for the exact top-5 keys; N is the full stream length and eps=0.001
+    (the op's fixed sketch width)."""
+    rows = QUERIES["agg_cms_heavy_hitters"](spark, sf_dir).collect()
+    n_events = load(spark, sf_dir, "events").count()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["est_cnt"] >= r["exact_cnt"], r
+        assert r["est_cnt"] <= r["exact_cnt"] + 0.001 * n_events, (r, n_events)
