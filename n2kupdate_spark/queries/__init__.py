@@ -108,8 +108,8 @@ _ROUND_WINDOW = [
     "dedup_keep_latest",
     "dedup_text_exact",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "sim_pairs_threshold",
+    "json_variant_agg",
     "composite_shipping_priority",
     "composite_returned_item_revenue",
     "ts_resample_ffill",

@@ -269,3 +269,34 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_alpha_runs"),
     )
+
+
+@register(
+    "json_variant_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000) / 10000 AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the VARIANT type (Spark 4): the JSON
+    column is parsed ONCE into Spark's binary variant encoding and every
+    downstream access is a typed ``variant_get`` path lookup — at 100 TB
+    this is the difference between one parse per row and one string parse
+    per extraction per row (``get_json_object`` re-parses each call; the
+    string-path twin is ``json_extract_field``). Aggregates per event_type
+    over the extracted value prove the typed lookup composes with
+    whole-stage-codegen aggregation; scale-first rounding keeps the avg
+    oracle-stable (SURVEY.md §7.4.3)."""
+    e = load(spark, sf_dir, "events", columns=["event_type", "props"])
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "long")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.round(F.avg(k) * 10000) / 10000).alias("avg_k"),
+    )
