@@ -217,6 +217,95 @@ def _sessionize_user(key, pdf_iter, state):
         )
 
 
+def _session_processor(gap_s: int):
+    """StatefulProcessor for :func:`stream_sessions_tws`; built lazily
+    because the base-class import requires Spark 4's transformWithState
+    stack."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Proc(StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle
+            self._state = handle.getValueState(
+                "sess", "start long, end long, n int, total double"
+            )
+
+        def _emit(self, key, closed):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="s") for s, *_ in closed],
+                    "session_end": [pd.Timestamp(e, unit="s") for _, e, *_ in closed],
+                    "n_events": [n for *_, n, _t in closed],
+                    "total_value": [round(t, 4) for *_, t in closed],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            pdf = pd.concat(list(rows)).sort_values("ts")
+            ts = pdf["ts"].astype("int64") // 1_000_000_000
+            vals = pdf["value"].fillna(0.0)
+            if self._state.exists():
+                start, end, n, total = self._state.get()
+            else:
+                start, end, n, total = int(ts.iloc[0]), int(ts.iloc[0]), 0, 0.0
+            closed = []
+            for t, v in zip(ts, vals):
+                if t - end > gap_s and n > 0:
+                    closed.append((start, end, n, total))
+                    start, n, total = int(t), 0, 0.0
+                end = int(t)
+                n += 1
+                total += float(v)
+            self._state.update((start, end, n, total))
+            # Flush-on-idle: if no further input arrives for a gap's worth
+            # of processing time, the timer closes the open session.
+            self._handle.registerTimer(
+                timer_values.get_current_processing_time_in_ms() + gap_s * 1000
+            )
+            if closed:
+                yield self._emit(key, closed)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            if self._state.exists():
+                row = self._state.get()
+                self._state.clear()
+                yield self._emit(key, [tuple(row)])
+
+        def close(self):
+            pass
+
+    return Proc()
+
+
+def stream_sessions_tws(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """The :func:`stream_stateful_sessions` semantics on Spark 4's
+    transformWithState API (``transformWithStateInPandas``) — the
+    current-generation stateful operator: typed ValueState, first-class
+    timers (vs the single timeout of applyInPandasWithState), and a
+    state-schema registry. Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``), which is also the
+    right provider for large state — see test_rocksdb_state_store_provider.
+    Equivalence with the old-API sessionizer is pinned in
+    tests/test_streaming.py::test_transform_with_state_sessionizer."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_session_processor(gap_minutes * 60),
+            outputStructType=SESSION_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )
+
+
 def stream_stateful_sessions(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` (the task's
     mandated escape hatch when built-in ``session_window`` can't express the

@@ -495,3 +495,131 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+
+
+def test_tws_session_processor_logic_unit():
+    """transformWithState sessionizer (stream_sessions_tws): the
+    StatefulProcessor's fold/close/timer-flush logic, unit-tested against
+    fake state so it is verified TODAY even though the end-to-end wiring
+    is environment-blocked (the TWS driver worker imports google.protobuf,
+    absent from this container — BASELINE.md §7)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from n2kupdate_spark.streaming.jobs import _session_processor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+            self.timers = []
+
+        def getValueState(self, name, schema):
+            return self.state
+
+        def registerTimer(self, ts):
+            self.timers.append(ts)
+
+    class TV:
+        def get_current_processing_time_in_ms(self):
+            return 0
+
+    proc = _session_processor(30 * 60)
+    handle = FakeHandle()
+    proc.init(handle)
+    base = dt.datetime(2025, 1, 1)
+    # two in-batch sessions (gap > 30 min between them) + one left open
+    pdf = pd.DataFrame(
+        {
+            "ts": [base, base + dt.timedelta(minutes=10),
+                   base + dt.timedelta(minutes=50),
+                   base + dt.timedelta(hours=2)],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = list(proc.handleInputRows((7,), iter([pdf]), TV()))
+    closed = pd.concat(out)
+    assert list(closed["n_events"]) == [2, 1]  # {0,10min}, {50min}
+    assert list(closed["total_value"]) == [3.0, 3.0]
+    assert (closed["user_id"] == 7).all()
+    assert handle.timers  # idle-flush timer registered
+    # the open session (the 2h event) flushes on timer expiry
+    flushed = pd.concat(list(proc.handleExpiredTimer((7,), TV(), None)))
+    assert list(flushed["n_events"]) == [1]
+    assert list(flushed["total_value"]) == [4.0]
+    assert not handle.state.exists()  # state cleared after flush
+    # and an expired timer with no state emits nothing
+    assert list(proc.handleExpiredTimer((7,), TV(), None)) == []
+
+
+def test_transform_with_state_sessionizer_end_to_end(spark, tmp_path):
+    """End-to-end transformWithStateInPandas run — skipped while the
+    environment lacks google.protobuf (required by Spark's TWS driver
+    worker; probed absent r7, BASELINE.md §7). The session-fold semantics
+    are covered today by test_tws_session_processor_logic_unit."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState driver worker requires protobuf",
+    )
+    import datetime as dt
+
+    import pandas as pd
+
+    from n2kupdate_spark.sources.catalog import SCHEMAS
+    from n2kupdate_spark.streaming.jobs import stream_sessions_tws
+
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        base = dt.datetime(2025, 1, 1)
+        src = str(tmp_path / "src")
+        for i in range(6):
+            rows = [
+                (i * 100 + j, base + dt.timedelta(minutes=45 * i, seconds=j),
+                 1, "view", float(j), None)
+                for j in range(20)
+            ]
+            spark.createDataFrame(rows, SCHEMAS["events"]).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        emitted = []
+        q = (
+            stream_sessions_tws(
+                events_file_stream(spark, src, max_files_per_trigger=1), 30, "1 hour"
+            )
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(lambda df, eid: emitted.append(df.toPandas()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = pd.concat([p for p in emitted if len(p)])
+        # batches are 45 min apart with a 30-min gap: each batch closes the
+        # previous batch's session; the last stays open for the timer
+        assert len(got) == 5
+        assert (got["n_events"] == 20).all()
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
