@@ -106,8 +106,8 @@ _ROUND_WINDOW = [
     "join_asof",
     "dedup_exact",
     "dedup_keep_latest",
-    "dedup_text_exact",
     "dedup_ngram_jaccard",
+    "recursive_date_spine",
     "sim_pairs_threshold",
     "json_variant_agg",
     "composite_shipping_priority",

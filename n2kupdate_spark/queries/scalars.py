@@ -300,3 +300,45 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         (F.round(F.avg(k) * 10000) / 10000).alias("avg_k"),
     )
+
+
+@register(
+    "recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d FROM events
+        UNION ALL
+        SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine
+        WHERE d < (SELECT CAST(MAX(ts) AS DATE) FROM events)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS event_day,
+           CAST(COUNT(e.ts) AS BIGINT) AS n_events
+    FROM spine LEFT JOIN events e ON CAST(e.ts AS DATE) = spine.d
+    GROUP BY d
+    """,
+)
+def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): a gap-free calendar spine
+    from the data's own min/max day, LEFT-joined back so empty days appear
+    with n_events = 0 — the canonical recursive-query shape every
+    time-series rollup needs (a plain GROUP BY silently drops empty days;
+    ts_resample_ffill is the per-key windowed cousin). Recursion depth =
+    day span, bounded by the data's time range, not its row count — and
+    the spine is one row per day, so the recursive frontier stays tiny at
+    any SF. Day is emitted as a string: Spark DATE and DuckDB DATE
+    canonicalize differently through pandas (date vs midnight timestamp)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+            SELECT CAST(MIN(ts) AS DATE) AS d FROM events_rcte
+            UNION ALL
+            SELECT date_add(d, 1) FROM spine
+            WHERE d < (SELECT CAST(MAX(ts) AS DATE) FROM events_rcte)
+        )
+        SELECT date_format(d, 'yyyy-MM-dd') AS event_day,
+               COUNT(e.ts) AS n_events
+        FROM spine LEFT JOIN events_rcte e ON CAST(e.ts AS DATE) = spine.d
+        GROUP BY d
+        """
+    )
