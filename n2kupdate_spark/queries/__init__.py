@@ -52,12 +52,14 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
 #: rollup / cube, events retention/anomaly, text bigram-LM /
 #: feature-hashing / length-histogram, ml_split_leakage_audit,
 #: multimodal_decode_stub, sink_partitioned_parquet). After this round the
-#: union of r05 ∪ r06 ∪ r07 again covers all 123 SQL-oracle ops. The
-#: remaining 18 slots re-confirm r05 greens nearest this round's churn —
-#: the merge family (bucketed recurring-merge layouts land this round),
-#: the dedup family (incremental-index persistence lands this round) —
-#: plus the heaviest r05 greens (join_asof, ts grid ops, headline
-#: composites). Rows-only ops (source_orc, agg_hll_sketch_merge,
+#: union of r05 ∪ r06 ∪ r07 again covers every previously-existing
+#: SQL-oracle op. The remaining 18 slots split 11/7: eleven re-confirm the
+#: r05 greens nearest this round's churn — the merge family (bucketed
+#: recurring-merge layouts land this round), the dedup family
+#: (incremental-index persistence lands this round), join_asof,
+#: ts_resample_ffill, composite_shipping_priority — and seven give
+#: first-round driver evidence to the ops BORN this round (listed at the
+#: end). Rows-only ops (source_orc, agg_hll_sketch_merge,
 #: dedup_text_fuzzy, dedup_simhash, dedup_minhash_est_eval, sim_ann_*,
 #: fingerprint_sha1, agg_approx_distinct, agg_approx_quantile) stay out —
 #: they'd burn slots on `no_oracle` rows; all are value-pinned locally
@@ -107,20 +109,22 @@ _ROUND_WINDOW = [
     "dedup_exact",
     "dedup_keep_latest",
     "dedup_ngram_jaccard",
-    "recursive_date_spine",
     "sim_pairs_threshold",
-    "json_variant_agg",
     "composite_shipping_priority",
-    "composite_returned_item_revenue",
     "ts_resample_ffill",
-    "ts_gap_interpolate",
     # -- first-round evidence for ops born this round (r6 precedent:
-    # window new ops immediately). Displaces agg_stats_moments /
-    # window_gaps_islands / composite_promo_revenue, whose r05 greens
-    # stay within the ≤2-round freshness invariant at r7.
+    # window new ops immediately). Displaces eight r05-green fillers
+    # (agg_stats_moments, window_gaps_islands, composite_promo_revenue,
+    # dedup_embedding_cosine, dedup_text_exact,
+    # composite_returned_item_revenue, ts_gap_interpolate + one composite),
+    # all of which stay within the ≤2-round freshness invariant at r7.
     "dedup_incremental_resume",
     "diag_key_skew",
     "diag_column_profile",
+    "json_variant_agg",
+    "recursive_date_spine",
+    "join_lateral_topn",
+    "array_hof_ops",
 ]
 
 

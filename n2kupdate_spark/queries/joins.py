@@ -306,3 +306,34 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_extendedprice"), 4).alias("revenue"))
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL): per outer row, an inner
+    query referencing the outer's columns — here top-2 customers by
+    balance per nation, the per-row-parameterized shape a plain join +
+    window also expresses (window_topn_per_group) but which LATERAL states
+    directly and which generalizes to per-row LIMITs/UDTF args. Catalyst
+    decorrelates this to a window-over-join plan, so the lateral form pays
+    no nested-loop penalty at scale; DuckDB runs the identical SQL."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lat n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer_lat c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """
+    )

@@ -342,3 +342,43 @@ def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d
         """
     )
+
+
+@register(
+    "array_hof_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 10000) / 10000 AS sq_norm,
+           ROUND(CAST(list_max(embedding) AS DOUBLE) * 10000) / 10000 AS max_val
+    FROM embeddings
+    """,
+)
+def array_hof_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as user surface (filter/transform/
+    aggregate/array_max) — the JVM-side lambda path that keeps per-element
+    logic OUT of Python (SURVEY.md §4: UDFs are the slow path; these run
+    inside codegen). Lambda bodies are bare element expressions, so the
+    per-element re-evaluation caveat (word_shingles lesson) doesn't bite.
+    Scale-first rounding on the float accumulations; DuckDB's list_*
+    twins compute the oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    d = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        (
+            F.round(
+                F.aggregate(
+                    F.transform(d, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * 10000
+            )
+            / 10000
+        ).alias("sq_norm"),
+        (F.round(F.array_max("embedding").cast("double") * 10000) / 10000).alias(
+            "max_val"
+        ),
+    )
