@@ -100,7 +100,14 @@ _ROUND_WINDOW = [
     "window_running_sum",
     "window_topn_per_group",
     # -- 18 slots: r05 greens nearest this round's churn (bucketed merges,
-    # incremental-dedup index persistence) + heaviest r05 greens --
+    # incremental-dedup index persistence) + first-round evidence for ops
+    # born this round. Three r05-green fillers (sim_pairs_threshold,
+    # ts_resample_ffill, composite_shipping_priority) were displaced late in
+    # r7 by the three new LLM-pipeline gates (decontamination, Gopher
+    # quality, mixture sampling) — new-op driver evidence outranks
+    # re-confirming untouched greens, and the displaced three remain within
+    # the ≤2-round invariant (r05 = exactly 2 rounds at r7; they rotate
+    # back in r8).
     "merge_scd1",
     "merge_scd2_changes",
     "merge_scd2_close",
@@ -109,9 +116,9 @@ _ROUND_WINDOW = [
     "dedup_exact",
     "dedup_keep_latest",
     "dedup_ngram_jaccard",
-    "sim_pairs_threshold",
-    "composite_shipping_priority",
-    "ts_resample_ffill",
+    "text_decontaminate_ngram",
+    "text_quality_gopher",
+    "sample_mixture_weights",
     # -- first-round evidence for ops born this round (r6 precedent:
     # window new ops immediately). Displaces eight r05-green fillers
     # (agg_stats_moments, window_gaps_islands, composite_promo_revenue,

@@ -441,3 +441,71 @@ def ml_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossed.groupBy("split_a", "split_b").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+#: Per-source mixture weights ×10000 (integer fixed-point so both engines
+#: compare the md5 bucket with exact integer arithmetic — no float
+#: fraction drift). 2.0 = every doc twice (upsampled domain), 1.0 = keep
+#: all, 0.5 / 0.25 = deterministic downsampling. Shared textually with the
+#: oracle CASE.
+_MIX_W4 = {"src0": 20000, "src1": 10000, "src2": 5000}
+_MIX_DEFAULT_W4 = 2500
+
+
+@register(
+    "sample_mixture_weights",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000
+               AS bucket
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, bucket,
+             CASE source
+                  {' '.join(f"WHEN '{s}' THEN {w}" for s, w in _MIX_W4.items())}
+                  ELSE {_MIX_DEFAULT_W4} END AS w4
+      FROM b
+    ),
+    n AS (
+      SELECT doc_id, source,
+             CAST(w4 / 10000 AS INT)
+               + CASE WHEN bucket < (w4 % 10000) THEN 1 ELSE 0 END AS n_copies
+      FROM c
+    )
+    SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_n
+    FROM n WHERE n_copies > 0
+    """,
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling: realize per-source weights as
+    deterministic keep/repeat decisions — weight 2.0 duplicates every doc
+    (an upsampled high-quality domain), 0.25 keeps a content-addressed
+    quarter. The integer copy count is floor(weight) plus one more iff the
+    doc's md5 bucket falls under the fractional part, so the realized rate
+    converges to the weight exactly and every engine/run/cluster size
+    agrees on which docs repeat (same contract as sample_hash_split).
+
+    Scale design: pure map + explode — no shuffle, no state; the mixture
+    of a 100 TB corpus is decided row-locally. Emits (doc_id, source,
+    copy_n) so downstream epoch-aware shuffles can treat copies as
+    distinct rows."""
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10000
+    )
+    w4 = F.lit(_MIX_DEFAULT_W4)
+    for s, w in reversed(_MIX_W4.items()):
+        w4 = F.when(F.col("source") == s, F.lit(w)).otherwise(w4)
+    n_copies = (w4 / 10000).cast("int") + F.when(bucket < w4 % 10000, 1).otherwise(0)
+    return (
+        d.select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id", "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_n"),
+        )
+        .withColumn("copy_n", F.col("copy_n").cast("int"))
+    )

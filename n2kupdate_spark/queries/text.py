@@ -418,3 +418,160 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+# -- Benchmark decontamination & corpus-quality rules (round 7) -----------
+#
+# The two standard pre-training gates not yet on the surface: n-gram
+# overlap against a held-out eval set (decontamination, as published for
+# GPT-3/PaLM-class corpora) and the Gopher rule battery (Rae et al. 2021,
+# arXiv:2112.11446 §A1.1). Both are pure DataFrame compositions — shingles
+# via the zip-slice HOF (operators/dedup.py:42), counts via grouped
+# aggregation — no Python in the row path.
+
+#: Eval-set membership predicate, shared textually with the oracle. In
+#: production the eval set is an external benchmark table; here a
+#: deterministic 1/97 slice of ``documents`` stands in so the driver can
+#: oracle-check the overlap join end-to-end.
+_EVAL_PRED_SQL = "doc_id % 97 = 0"
+
+
+@register(
+    "text_decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts) - 2),
+                                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+      FROM toks
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE {_EVAL_PRED_SQL}),
+    train AS (SELECT DISTINCT doc_id, g FROM grams WHERE NOT ({_EVAL_PRED_SQL}))
+    SELECT t.doc_id,
+           CAST(COUNT(e.g) AS INT) AS n_shared_grams,
+           CAST(CASE WHEN COUNT(e.g) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM train t LEFT JOIN eval_grams e USING (g)
+    GROUP BY t.doc_id
+    """,
+)
+def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    3-gram with the eval slice (``doc_id % 97 = 0``), returning per-doc
+    shared-gram counts.
+
+    Scale design: the eval side is a benchmark suite — thousands of
+    documents, not billions — so its distinct-gram set is broadcast and the
+    training corpus never shuffles; the only wide stage is the per-doc
+    count. Training grams are per-doc-distinct by construction
+    (word_shingles emits array_distinct), so no corpus-sized distinct is
+    needed. Docs with <3 tokens have no grams and are (deterministically,
+    on both engines) absent from the result. In production swap the
+    modulo predicate for a join against the real benchmark table and raise
+    n to the published 8-13 range."""
+    from n2kupdate_spark.operators.dedup import word_shingles
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    grams = word_shingles(d, "text", n=3).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+    is_eval = F.expr(_EVAL_PRED_SQL)
+    eval_g = (
+        grams.filter(is_eval).select("g").distinct().withColumn("hit", F.lit(1))
+    )
+    train = grams.filter(~is_eval)
+    return (
+        train.join(F.broadcast(eval_g), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_shared_grams"),
+            F.max(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "text_quality_gopher",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    big AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+                                           i -> ts[i] || ' ' || ts[i+1])) AS g
+      FROM toks
+    ),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    top AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c) * 10000) / 10000 AS top_bigram_frac
+            FROM bc GROUP BY doc_id),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ts) AS INT) AS n_words,
+             ROUND(list_aggregate(list_transform(ts, t -> CAST(len(t) AS DOUBLE)), 'avg') * 10000) / 10000
+               AS mean_word_len,
+             CAST(len(list_filter(['the','a','of','and','to','in','is'],
+                                  s -> list_contains(ts, s))) AS INT) AS stop_hits
+      FROM toks
+    )
+    SELECT m.doc_id, n_words, mean_word_len, stop_hits, top_bigram_frac,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND mean_word_len BETWEEN 3.0 AND 10.0
+                      AND stop_hits >= 2 AND top_bigram_frac <= 0.2
+                     THEN 1 ELSE 0 END AS INT) AS gopher_pass
+    FROM m JOIN top USING (doc_id)
+    """,
+)
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality rules (Rae et al. 2021 §A1.1, adapted to
+    the fixture's single-line text): word-count bounds [50, 100k], mean
+    word length in [3, 10], ≥2 distinct stop words present, and the
+    repetition rule — the most frequent bigram may hold ≤20% of all bigram
+    slots. Emits the per-doc metrics plus the combined ``gopher_pass``
+    flag, so callers can re-threshold without recomputing.
+
+    Scale design: metrics are a pure map except the repetition rule, whose
+    bigram counts shuffle on (doc_id, bigram) with map-side partial
+    aggregation — shuffled bytes ∝ per-doc distinct bigrams, not corpus
+    tokens. Docs with <2 tokens have no bigrams and are absent (both
+    engines)."""
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_big = n - 1
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, n_big).alias("w0"), F.slice(toks, 2, n_big).alias("w1")
+    )
+    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s["w0"], s["w1"]))
+    bc = (
+        d.filter(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = bc.groupBy("doc_id").agg(
+        (F.round(F.max("c").cast("double") / F.sum("c") * 10000, 0) / 10000).alias(
+            "top_bigram_frac"
+        )
+    )
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
+    m = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        (
+            F.round(
+                F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / n * 10000,
+                0,
+            )
+            / 10000
+        ).alias("mean_word_len"),
+        F.size(F.filter(stop, lambda s: F.array_contains(toks, s))).alias("stop_hits"),
+    )
+    out = m.join(top, "doc_id")
+    gopher_pass = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("top_bigram_frac") <= 0.2)
+    )
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "stop_hits", "top_bigram_frac",
+        gopher_pass.cast("int").alias("gopher_pass"),
+    )
