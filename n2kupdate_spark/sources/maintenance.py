@@ -69,6 +69,28 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int = _Z_BITS) -> Column:
     return z
 
 
+def _perfect_partition_tokens(spark: SparkSession, n: int) -> list[int]:
+    """For each partition slot 0..n-1, the smallest long whose Murmur3
+    hash (the same seed-42 hash HashPartitioning uses) lands on it — so
+    ``repartition(n, token_col)`` places each token's rows alone in their
+    own partition with zero sampling. One tiny distributed probe query;
+    coupon-collector needs ~n·ln n candidates, so a couple of 16n batches
+    suffice."""
+    found: dict[int, int] = {}
+    base = 0
+    while len(found) < n:
+        rows = (
+            spark.range(base, base + 16 * n)
+            .select("id", F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"))
+            .collect()
+        )
+        for r in rows:
+            if r["p"] not in found:
+                found[r["p"]] = r["id"]
+        base += 16 * n
+    return [found[k] for k in range(n)]
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,
@@ -100,12 +122,50 @@ def compact_parquet(
     n_files = max(1, math.ceil(before["bytes"] / (target_mb * 1024 * 1024)))
     df: DataFrame = spark.read.parquet(src)
     if zorder_by:
-        df = (
-            df.withColumn("__z", _zvalue(df, zorder_by))
-            .repartitionByRange(n_files, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
+        # File cuts come from an explicit equi-depth quantile pass over the
+        # Z-value, not from repartitionByRange's sampled boundaries:
+        # the range exchange draws a RANDOMLY SEEDED reservoir sample per
+        # run (seeded off the RDD id), so cutting with it made the output
+        # layout — and its min/max pruning quality — nondeterministic
+        # across reruns of the same input. Even range-partitioning the
+        # DISCRETE file id still merges a sampled-away adjacent pair of
+        # buckets on some runs. So placement avoids range exchange
+        # entirely: each file id is remapped to a token whose Murmur3 hash
+        # lands exactly on its own partition (hash partitioning samples
+        # nothing), making every output file's row SET a pure function of
+        # the input — idempotent re-compaction reproduces the same file
+        # boundaries and footer stats every run (asserted in
+        # tests/test_sources.py).
+        df = df.withColumn("__z", _zvalue(df, zorder_by))
+        if n_files > 1:
+            # prob 0.0 rides the same pass: cuts at/below the distribution
+            # min (heavy Z-ties) are dropped, and duplicate cuts deduped,
+            # so every bucket is nonempty — merged buckets yield fewer,
+            # fuller files rather than zero-row parquet shards.
+            probs = [0.0] + [i / n_files for i in range(1, n_files)]
+            qs = df.stat.approxQuantile("__z", probs, 0.001)
+            cuts = sorted({c for c in qs[1:] if c > qs[0]})
+            n_parts = len(cuts) + 1
+            bounds = F.array(*[F.lit(float(c)) for c in cuts])
+            zd = F.col("__z").cast("double")
+            file_id = F.size(F.filter(bounds, lambda b: b <= zd))
+            tokens = _perfect_partition_tokens(spark, n_parts)
+            # LongType literals, NOT ints: Murmur3 hashes int32 and int64
+            # values differently, and the probe hashed longs — an int
+            # token column would scatter buckets across arbitrary
+            # partitions (observed: ~(1-1/e)·n distinct, collisions+empties).
+            tok = F.element_at(
+                F.array(*[F.lit(t).cast("long") for t in tokens]),
+                file_id + F.lit(1),
+            )
+            df = (
+                df.withColumn("__zt", tok)
+                .repartition(n_parts, "__zt")
+                .sortWithinPartitions("__zt", "__z")
+                .drop("__z", "__zt")
+            )
+        else:
+            df = df.repartition(1).sortWithinPartitions("__z").drop("__z")
     elif sort_by:
         df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
     else:

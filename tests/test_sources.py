@@ -177,9 +177,13 @@ def test_compact_parquet_zorder_prunes_both_columns(spark, tmp_path):
     assert sx <= max(2, sn // 4), (sx, sn)  # linear sort: near-perfect on x...
     assert sy == sn  # ...and NONE on y (every file spans the y domain)
     # Z-order: BOTH columns prune — a 10% window on either column touches
-    # well under half the files (unaligned range cuts cost some tiles; an
-    # aligned-tile ideal would be ~2 of 8 bands)
-    assert zx <= int(zn * 0.45) and zy <= int(zn * 0.45), (zx, zy, zn)
+    # at most ~half the files (unaligned range cuts cost some tiles: a 10%
+    # window can straddle 3 of 8 bands, plus the boundary files whose
+    # Z-range spans a band edge; an aligned-tile ideal would be ~2 of 8).
+    # File cuts are deterministic (explicit quantile pass in
+    # compact_parquet), so this bound is exact-repeatable, not a flake
+    # margin around sampled boundaries.
+    assert zx <= int(zn * 0.5) and zy <= int(zn * 0.5), (zx, zy, zn)
 
     # row/content preservation (same checksum both layouts)
     a = spark.read.parquet(zdst).agg(
@@ -189,3 +193,24 @@ def test_compact_parquet_zorder_prunes_both_columns(spark, tmp_path):
         F.count(F.lit(1)), F.sum("x"), F.sum("y")
     ).collect()[0]
     assert tuple(a) == tuple(b)
+
+    # Idempotent re-compaction: the file layout (per-file row count +
+    # min/max footer stats) is a pure function of the input — quantile
+    # cuts + perfect-token hash placement, no sampled range boundaries
+    # anywhere. Re-running must reproduce it exactly.
+    def footer_layout(path: str):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            assert md.num_rows > 0, f"zero-row shard {f}"
+            per_col = []
+            for col in ("x", "y"):
+                i = md.schema.names.index(col)
+                st = [md.row_group(r).column(i).statistics for r in range(md.num_row_groups)]
+                per_col.append((min(s.min for s in st), max(s.max for s in st)))
+            out.append((md.num_rows, tuple(per_col)))
+        return sorted(out)
+
+    zdst2 = str(tmp_path / "zorder2")
+    compact_parquet(spark, src, zdst2, target_mb=target_mb, zorder_by=["x", "y"])
+    assert footer_layout(zdst2) == footer_layout(zdst)
