@@ -1,0 +1,59 @@
+"""10× scale probe for the round-7 pre-training corpus gates
+(text_decontaminate_ngram / text_quality_gopher / sample_mixture_weights).
+
+Reuses probe_headline_10x's replicated corpus (documents copy-prefixed so
+shingles never collide across copies, doc_id shifted by 10M per copy) and
+its interleaved min-of-reps timing so box-load drift cancels out of the
+ratio. What each op should show at 10×:
+
+- decontaminate: the eval slice grows with the corpus here (it's a modulo
+  of doc_id), so the broadcast side is 10× too — the probe therefore
+  bounds the WHOLE pipeline, which is strictly harsher than production
+  (fixed-size benchmark table). Near-linear expected: gram build is a
+  map, the join is broadcast, the count shuffles per-doc rows.
+- gopher: map metrics + one (doc_id, bigram) partial-agged shuffle →
+  linear.
+- mixture: map + explode, no shuffle → linear, dominated by scan.
+
+Run: python probe_newops_10x.py       Results recorded in BASELINE.md §5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from probe_headline_10x import SF, X10_DIR, build_replica
+
+from n2kupdate_spark.queries import QUERIES
+from n2kupdate_spark.session import get_spark
+
+OPS = ["text_decontaminate_ngram", "text_quality_gopher", "sample_mixture_weights"]
+
+
+def main() -> None:
+    spark = get_spark(app_name="probe-newops-10x")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_replica(spark)
+    for name in OPS:  # warm-up (JIT + code cache), same policy as bench.py
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    t1: dict[str, float] = {}
+    t10: dict[str, float] = {}
+    for name in OPS:
+        s1, s10 = [], []
+        for _ in range(3):
+            for sf_dir, out in ((SF, s1), (X10_DIR, s10)):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                out.append(time.perf_counter() - t0)
+        t1[name], t10[name] = round(min(s1), 3), round(min(s10), 3)
+        print(f"{name:28s} {t1[name]:7.2f}s {t10[name]:8.2f}s  {t10[name] / t1[name]:5.2f}x")
+    print(json.dumps({"sf0.1": t1, "x10": t10}))
+
+
+if __name__ == "__main__":
+    main()
