@@ -575,3 +575,67 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "mean_word_len", "stop_hits", "top_bigram_frac",
         gopher_pass.cast("int").alias("gopher_pass"),
     )
+
+
+#: PII pattern battery (ordered: longer/more-specific first so e.g. an
+#: email is redacted as one unit before its digit runs are). Kept to the
+#: regex subset RE2 (DuckDB) and java.util.regex (Spark) interpret
+#: identically — character classes, bounded repetition, no backrefs or
+#: lookaround — so the oracle hash-check also proves cross-engine regex
+#: parity for the battery.
+_PII_PATTERNS = {
+    "emails": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "id_runs": r"[0-9]{3,}",
+}
+_PII_TOKEN = "[PII]"
+
+
+def redact_pii(
+    df: DataFrame,
+    col: str,
+    patterns: dict[str, str] = _PII_PATTERNS,
+    token: str = _PII_TOKEN,
+) -> DataFrame:
+    """Append ``{col}_redacted`` plus one ``n_<name>`` match count per
+    pattern. Counts are measured on the ORIGINAL text (so overlapping
+    patterns each report their own hits); redaction applies the patterns
+    in dict order. Pure map — entirely JVM-side regex, no shuffle, no
+    Python; a 100 TB scrub is embarrassingly parallel."""
+    red = F.col(col)
+    counts = []
+    for name, pat in patterns.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        red = F.regexp_replace(red, pat, token)
+    return df.select("*", red.alias(f"{col}_redacted"), *counts)
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(c_name,
+               '{_PII_PATTERNS["emails"]}', '{_PII_TOKEN}', 'g'),
+               '{_PII_PATTERNS["id_runs"]}', '{_PII_TOKEN}', 'g') AS c_name_redacted,
+           CAST(len(regexp_extract_all(c_name, '{_PII_PATTERNS["emails"]}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(c_name, '{_PII_PATTERNS["id_runs"]}')) AS INT)
+             AS n_id_runs
+    FROM customer
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing gate (pre-training corpus hygiene): replace email
+    addresses and long digit runs (phone/account/id stand-ins) with a
+    fixed token and report per-pattern hit counts. Registered over
+    ``customer.c_name`` — the one fixture column with guaranteed pattern
+    hits, so the oracle check exercises real replacements, not a no-op
+    pass (the documents fixture contains no digits or @s; run
+    ``redact_pii`` over any text column in production)."""
+    c = load(spark, sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return redact_pii(c, "c_name").select(
+        "c_custkey", "c_name_redacted", "n_emails", "n_id_runs"
+    )
