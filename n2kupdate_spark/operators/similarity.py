@@ -153,64 +153,53 @@ def _kmeans_pp_spherical(
     return C
 
 
-def ivf_topk(
+def cell_scores(vc: str, centroids: np.ndarray):
+    """Arrow-batched per-cell dot products: one matmul per batch
+    (was n_cells interpreted HOF folds per vector)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids.copy()
+
+    @pandas_udf("array<double>")
+    def scores(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(list(V @ C.T))
+
+    return scores(F.col(vc))
+
+
+def best_cell(vc: str, centroids: np.ndarray):
+    """1-based nearest-centroid id: argmax as array_position of the max
+    (deterministic: first occurrence wins on exact ties)."""
+    scores = cell_scores(vc, centroids)
+    return F.array_position(scores, F.array_max(scores)).cast("int")
+
+
+def fit_spherical_centroids(
     vectors: DataFrame,
-    queries: DataFrame,
     id_col: str,
-    query_id_col: str,
     vec_col: str = "v",
-    query_vec_col: str = "qv",
-    k: int = 10,
     n_cells: int = 16,
-    nprobe: int = 8,
     dim: int = 64,
     seed: int = 11,
     seed_sample: int = 512,
-) -> DataFrame:
-    """IVF: spherical k-means centroids (k-means++ on a bounded
-    deterministic sample, then one distributed Lloyd refinement over
-    normalized vectors), probe the nprobe nearest cells per query.
-
-    nprobe=8/16 cells with data-seeded centroids gives recall@10 ≥ 0.8 on
-    the testdata embeddings, whose neighbors are only weakly closer than
-    noise (cos ≈ 0.3) — r1's random seeding + nprobe 6 sat at 0.64. On
-    naturally clustered corpora the same layout recalls far more per probed
-    cell; tests/test_ann_recall.py pins the floor.
-
-    Driver traffic is bounded at every step: the seeding sample is
-    seed_sample × dim doubles, the refinement collect is n_cells × dim.
-    Centroids are broadcast both times; assignment is a scan + argmax over
-    n_cells dot products — no shuffle beyond the final per-cell join."""
+) -> np.ndarray:
+    """Spherical k-means centroids: k-means++ on a bounded deterministic
+    sample (first seed_sample rows by id order), then ONE distributed
+    Lloyd refinement over the FULL corpus — mean of the assigned
+    *normalized* vectors per cell (raw means let large-norm vectors
+    dominate the centroid), collected only as n_cells × dim floats.
+    Driver traffic is bounded at every step regardless of corpus size;
+    the refinement pass is a scan + one partial-agged shuffle of
+    n_cells × dim cells. Deterministic (seeded numpy, fixed iteration
+    counts). Shared by ivf_topk (coarse quantizer) and the
+    embed_kmeans_clusters corpus-curation query."""
     sample_rows = (
         vectors.select(vec_col).orderBy(id_col).limit(seed_sample).collect()
     )
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     cents = _kmeans_pp_spherical(sample, n_cells, seed)
 
-    def cell_scores(vc: str, centroids: np.ndarray):
-        """Arrow-batched per-cell dot products: one matmul per batch
-        (was n_cells interpreted HOF folds per vector)."""
-        from pyspark.sql.functions import pandas_udf
-
-        C = centroids.copy()
-
-        @pandas_udf("array<double>")
-        def scores(vecs: pd.Series) -> pd.Series:
-            V = np.stack(vecs.to_numpy()).astype(np.float64)
-            return pd.Series(list(V @ C.T))
-
-        return scores(F.col(vc))
-
-    def best_cell(vc: str, centroids: np.ndarray):
-        scores = cell_scores(vc, centroids)
-        # argmax as array_position of the max (1-based; deterministic:
-        # first occurrence wins on exact ties)
-        return F.array_position(scores, F.array_max(scores)).cast("int")
-
-    # One distributed Lloyd refinement over the FULL corpus: mean of the
-    # assigned *normalized* vectors per cell (spherical k-means update —
-    # raw means let large-norm vectors dominate the centroid), collected
-    # only as n_cells × dim floats — bounded driver traffic.
     from n2kupdate_spark.functions import l2_norm
 
     assigned = vectors.withColumn("cell", best_cell(vec_col, cents)).withColumn(
@@ -232,6 +221,37 @@ def ivf_topk(
         n = np.linalg.norm(vec)
         if n > 0:
             refined[cell] = vec / n
+    return refined
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str = "v",
+    query_vec_col: str = "qv",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+    seed_sample: int = 512,
+) -> DataFrame:
+    """IVF: spherical k-means centroids (fit_spherical_centroids), probe
+    the nprobe nearest cells per query.
+
+    nprobe=8/16 cells with data-seeded centroids gives recall@10 ≥ 0.8 on
+    the testdata embeddings, whose neighbors are only weakly closer than
+    noise (cos ≈ 0.3) — r1's random seeding + nprobe 6 sat at 0.64. On
+    naturally clustered corpora the same layout recalls far more per probed
+    cell; tests/test_ann_recall.py pins the floor.
+
+    Centroids are broadcast; assignment is a scan + argmax over n_cells
+    dot products — no shuffle beyond the final per-cell join."""
+    refined = fit_spherical_centroids(
+        vectors, id_col, vec_col, n_cells, dim, seed, seed_sample
+    )
 
     v_cells = vectors.withColumn("cell", best_cell(vec_col, refined))
 

@@ -108,3 +108,42 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_of("lsh", sim_ann_lsh(spark, sf_dir)).unionByName(
         recall_of("ivf", sim_ann_ivf(spark, sf_dir))
     )
+
+
+@register("embed_kmeans_clusters")  # rows-only: iterative, engine-specific
+def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering for data curation: assign every embedding to its
+    nearest spherical-k-means centroid (the same deterministic
+    fit_spherical_centroids the IVF index uses, exposed as a standalone
+    surface) and emit (vec_id, cluster, cos_to_centroid). Downstream uses:
+    cluster-balanced sampling, per-cluster quality review, semantic-dup
+    triage by cluster.
+
+    Scale: centroid fit collects only bounded driver traffic
+    (seed_sample × dim + n_cells × dim); the assignment is one scan with
+    an Arrow-batched matmul per batch — no shuffle at all, so clustering
+    a 100 TB embedding table is a map. Deterministic (seeded sample,
+    fixed iterations, first-wins tiebreak); value-pinned in
+    tests/test_ann_recall.py: assignments equal the numpy argmax against
+    the op's own centroids, every cluster nonempty."""
+    from n2kupdate_spark.operators.similarity import (
+        best_cell,
+        cell_scores,
+        fit_spherical_centroids,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = fit_spherical_centroids(e, "vec_id", "v")
+    from n2kupdate_spark.functions import l2_norm
+
+    return e.select(
+        "vec_id",
+        best_cell("v", cents).alias("cluster"),
+        F.round(
+            F.array_max(cell_scores("v", cents))
+            / F.when(l2_norm("v") > 0, l2_norm("v")),
+            4,
+        ).alias("cos_to_centroid"),
+    )

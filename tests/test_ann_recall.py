@@ -21,3 +21,41 @@ def test_ann_recall_bounds(spark):
     for method, row in rows.items():
         assert row["n_queries"] >= 4, method
         assert row["recall_at_10"] >= floors[method], (method, row["recall_at_10"])
+
+
+def test_kmeans_cluster_assignments_are_exact_argmax(spark):
+    """Value pin for the rows-only embed_kmeans_clusters query: recompute
+    the assignment in numpy against the op's OWN centroids (same seeds →
+    same fit) and require exact agreement — cluster = argmax centroid dot
+    (first-wins tiebreak), cos_to_centroid = that dot / ‖v‖ rounded. Also:
+    every cluster nonempty (k-means++ seeding collapsed a cell ⇒ fail) and
+    the run is deterministic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.similarity import fit_spherical_centroids
+    from n2kupdate_spark.sources import load
+
+    out = {
+        r["vec_id"]: (r["cluster"], r["cos_to_centroid"])
+        for r in QUERIES["embed_kmeans_clusters"](spark, SF).collect()
+    }
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    C = fit_spherical_centroids(e, "vec_id", "v")
+    vecs = {r["vec_id"]: np.asarray(r["v"], dtype=np.float64) for r in e.collect()}
+    assert set(out) == set(vecs)
+    seen_clusters = set()
+    for vid, v in vecs.items():
+        scores = C @ v
+        want_cluster = int(np.argmax(scores)) + 1  # 1-based, first-wins
+        nrm = np.linalg.norm(v)
+        want_cos = round(float(scores.max() / nrm), 4) if nrm > 0 else None
+        got_cluster, got_cos = out[vid]
+        assert got_cluster == want_cluster, (vid, got_cluster, want_cluster)
+        assert got_cos is not None and abs(got_cos - want_cos) <= 1e-4, (
+            vid, got_cos, want_cos,
+        )
+        seen_clusters.add(got_cluster)
+    assert seen_clusters == set(range(1, len(C) + 1)), seen_clusters
