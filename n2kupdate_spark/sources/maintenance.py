@@ -113,9 +113,11 @@ def compact_parquet(
     where a linear sort prunes only its leading key).
 
     The rewrite preserves rows and schema exactly (asserted in
-    tests/test_sources.py); it does not run in place — atomic swap of
-    ``dst`` over ``src`` is the caller's move-or-rename, which is
-    storage-specific (HDFS rename vs S3 manifest swap)."""
+    tests/test_sources.py); it does not run in place. For the atomic
+    publish step — object stores have no atomic directory rename — pair
+    with :func:`publish_manifest` / :func:`read_manifest`: write ``dst``,
+    publish its manifest, and readers flip to the new file set with one
+    atomic object write."""
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
     before = dir_stats(spark, src)
@@ -173,3 +175,81 @@ def compact_parquet(
     df.write.mode("overwrite").parquet(dst)
     after = dir_stats(spark, dst)
     return {"before": before, "after": after, "target_files": n_files}
+
+
+# -- Manifest-based atomic publication (round 7) --------------------------
+#
+# compact_parquet (and every rewrite-style maintenance op) ends with "swap
+# dst over src", but object stores have no atomic directory rename: a
+# reader listing the directory mid-swap sees a torn mix of old and new
+# files. The standard fix — what Delta/Iceberg commit logs are at heart —
+# is to never list directories at read time: writers publish an explicit
+# file list (manifest) with a single atomic PUT, readers scan exactly the
+# files the manifest names. Stale data files beside the manifest are
+# invisible until a vacuum removes them.
+
+
+def publish_manifest(spark: SparkSession, data_dir: str, version: int | None = None) -> str:
+    """Write ``_manifest-<version>.json`` into ``data_dir`` listing its
+    current ``*.parquet`` files (name, length). Returns the manifest path.
+    ``version`` defaults to (highest existing version + 1); readers pick
+    the highest version, so publishing IS the commit — a single-object
+    write, atomic on any store. The listing uses the Hadoop FileSystem
+    API (local/HDFS/S3 alike); only metadata moves through the driver."""
+    import json
+
+    jvm = spark._jvm
+    hdir = jvm.org.apache.hadoop.fs.Path(data_dir)
+    fs = hdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    files = []
+    for st in fs.listStatus(hdir):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            files.append({"name": name, "length": int(st.getLen())})
+    if version is None:
+        version = max((v for v, _ in _list_manifests(fs, jvm, data_dir)), default=0) + 1
+    files.sort(key=lambda f: f["name"])
+    mpath = jvm.org.apache.hadoop.fs.Path(data_dir, f"_manifest-{version:010d}.json")
+    out = fs.create(mpath, True)
+    out.write(bytearray(json.dumps({"version": version, "files": files}).encode()))
+    out.close()
+    return str(mpath)
+
+
+def _list_manifests(fs, jvm, data_dir: str) -> list[tuple[int, str]]:
+    out = []
+    for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(data_dir, "_manifest-*.json")) or []:
+        name = st.getPath().getName()
+        out.append((int(name[len("_manifest-"):-len(".json")]), str(st.getPath())))
+    return sorted(out)
+
+
+def read_manifest(spark: SparkSession, data_dir: str, version: int | None = None) -> DataFrame:
+    """Read the table AS OF a manifest: scan exactly the files the
+    manifest (highest version by default) names — never a directory
+    listing, so concurrent rewrites/compactions are invisible until their
+    own manifest publish commits them. Passing ``version`` gives cheap
+    snapshot reads of prior publishes while their files survive."""
+    import json
+
+    jvm = spark._jvm
+    hdir = jvm.org.apache.hadoop.fs.Path(data_dir)
+    fs = hdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    manifests = _list_manifests(fs, jvm, data_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no _manifest-*.json under {data_dir}")
+    chosen = (
+        manifests[-1]
+        if version is None
+        else next((m for m in manifests if m[0] == version), None)
+    )
+    if chosen is None:
+        raise FileNotFoundError(f"manifest version {version} not found under {data_dir}")
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(chosen[1]))
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    meta = json.loads(raw.decode())
+    paths = [f"{data_dir}/{f['name']}" for f in meta["files"]]
+    return spark.read.parquet(*paths)

@@ -214,3 +214,38 @@ def test_compact_parquet_zorder_prunes_both_columns(spark, tmp_path):
     zdst2 = str(tmp_path / "zorder2")
     compact_parquet(spark, src, zdst2, target_mb=target_mb, zorder_by=["x", "y"])
     assert footer_layout(zdst2) == footer_layout(zdst)
+
+
+def test_manifest_publish_read_isolates_torn_directories(spark, tmp_path):
+    """Manifest-based atomic publication: readers scan exactly the files
+    the chosen manifest names, so (a) garbage/in-flight files beside them
+    are invisible, (b) a later publish flips readers atomically, and (c)
+    prior versions stay readable while their files survive — the object-
+    store-safe swap compact_parquet's docstring promises."""
+    from n2kupdate_spark.sources.maintenance import publish_manifest, read_manifest
+
+    d = str(tmp_path / "tbl")
+    spark.range(100).withColumnRenamed("id", "v").coalesce(2).write.parquet(d)
+    m1 = publish_manifest(spark, d)
+    assert m1.endswith("_manifest-0000000001.json")
+    assert read_manifest(spark, d).count() == 100
+
+    # a torn/concurrent write drops extra files into the directory: a
+    # directory listing would see 100 + 7 rows; the manifest reader must not
+    spark.range(7).withColumnRenamed("id", "v").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    assert spark.read.parquet(d).count() == 107  # listing sees the tear
+    assert read_manifest(spark, d).count() == 100  # manifest does not
+
+    # publishing commits the new set; old version stays pinned
+    publish_manifest(spark, d)
+    assert read_manifest(spark, d).count() == 107
+    assert read_manifest(spark, d, version=1).count() == 100
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_manifest(spark, d, version=99)
+    with _pytest.raises(FileNotFoundError):
+        read_manifest(spark, str(tmp_path / "nope"))
