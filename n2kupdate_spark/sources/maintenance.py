@@ -253,3 +253,45 @@ def read_manifest(spark: SparkSession, data_dir: str, version: int | None = None
     meta = json.loads(raw.decode())
     paths = [f"{data_dir}/{f['name']}" for f in meta["files"]]
     return spark.read.parquet(*paths)
+
+
+def vacuum_unreferenced(
+    spark: SparkSession, data_dir: str, keep_versions: int = 2
+) -> dict:
+    """Complete the manifest lifecycle: drop manifests older than the
+    newest ``keep_versions`` and delete every ``*.parquet`` no kept
+    manifest references (superseded compaction inputs, aborted writes).
+    Returns counts. Safe ordering — old MANIFESTS are deleted before the
+    files they referenced, so a reader pinned to a kept version never
+    loses a file; readers of vacuumed versions fail fast on the missing
+    manifest rather than mid-scan. Metadata-only on the driver."""
+    import json
+
+    jvm = spark._jvm
+    hdir = jvm.org.apache.hadoop.fs.Path(data_dir)
+    fs = hdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    manifests = _list_manifests(fs, jvm, data_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no _manifest-*.json under {data_dir}")
+    kept, dropped = manifests[-keep_versions:], manifests[:-keep_versions]
+    referenced: set[str] = set()
+    for _, mpath in kept:
+        stream = fs.open(jvm.org.apache.hadoop.fs.Path(mpath))
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        referenced.update(f["name"] for f in json.loads(raw.decode())["files"])
+    for _, mpath in dropped:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)
+    removed = 0
+    for st in fs.listStatus(hdir):
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and name not in referenced:
+            fs.delete(st.getPath(), False)
+            removed += 1
+    return {
+        "kept_versions": [v for v, _ in kept],
+        "dropped_manifests": len(dropped),
+        "removed_files": removed,
+    }

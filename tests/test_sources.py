@@ -249,3 +249,40 @@ def test_manifest_publish_read_isolates_torn_directories(spark, tmp_path):
         read_manifest(spark, d, version=99)
     with _pytest.raises(FileNotFoundError):
         read_manifest(spark, str(tmp_path / "nope"))
+
+
+def test_vacuum_unreferenced_keeps_pinned_versions(spark, tmp_path):
+    """Vacuum drops manifests beyond keep_versions and deletes data files
+    no kept manifest references; files shared by kept versions survive."""
+    from n2kupdate_spark.sources.maintenance import (
+        publish_manifest,
+        read_manifest,
+        vacuum_unreferenced,
+    )
+
+    d = str(tmp_path / "tbl")
+    spark.range(100).withColumnRenamed("id", "v").coalesce(2).write.parquet(d)
+    publish_manifest(spark, d)                      # v1: 2 files
+    spark.range(7).withColumnRenamed("id", "v").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    publish_manifest(spark, d)                      # v2: 3 files (superset)
+    spark.range(3).withColumnRenamed("id", "v").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)                                    # orphan, never published
+
+    stats = vacuum_unreferenced(spark, d, keep_versions=2)
+    assert stats["kept_versions"] == [1, 2]
+    assert stats["dropped_manifests"] == 0
+    assert stats["removed_files"] == 1              # only the orphan
+    assert read_manifest(spark, d).count() == 107
+    assert read_manifest(spark, d, version=1).count() == 100
+
+    stats2 = vacuum_unreferenced(spark, d, keep_versions=1)
+    assert stats2["dropped_manifests"] == 1
+    assert stats2["removed_files"] == 0             # v2 references all of v1's files
+    assert read_manifest(spark, d).count() == 107
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_manifest(spark, d, version=1)          # vacuumed version fails fast
