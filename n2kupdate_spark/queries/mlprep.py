@@ -509,3 +509,57 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("copy_n", F.col("copy_n").cast("int"))
     )
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 512 AS INT) AS seq_id,
+           CAST((cum - n_tokens) % 512 AS INT) AS seq_offset
+    FROM c
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: lay each source's documents end to
+    end (doc_id order) and cut 512-token sequences from the running total
+    — every doc gets a (seq_id, seq_offset) placement, the map a packing
+    writer needs to emit fixed-context training rows (docs straddling a
+    boundary are split at seq_offset downstream, the standard
+    concat-then-chunk packing used for LLM pre-training; no padding waste
+    by construction).
+
+    Scale design: the cumulative sum windows per SOURCE (a training
+    pipeline packs within shards/domains anyway), so the sort parallelizes
+    across sources instead of funneling 100 TB through one global-order
+    window — the per-group window is the same shape every windowed op in
+    B6 runs. Deterministic: doc_id order, integer token counts."""
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    t = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id", "source", "n_tokens",
+        # floor-div, NOT a double cast: DuckDB CAST(double AS INT) rounds
+        # to nearest while Spark truncates — integer division on both
+        # sides keeps the boundary docs in the same sequence.
+        F.floor(start / 512).cast("int").alias("seq_id"),
+        (start % 512).cast("int").alias("seq_offset"),
+    )
