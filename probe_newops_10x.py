@@ -28,7 +28,14 @@ from probe_headline_10x import SF, X10_DIR, build_replica
 from n2kupdate_spark.queries import QUERIES
 from n2kupdate_spark.session import get_spark
 
-OPS = ["text_decontaminate_ngram", "text_quality_gopher", "sample_mixture_weights"]
+OPS = [
+    "text_decontaminate_ngram",
+    "text_quality_gopher",
+    "sample_mixture_weights",
+    "text_pii_redact",          # pure regex map over customer
+    "pack_sequences_greedy",    # per-source window cumsum
+    "embed_kmeans_clusters",    # bounded fit + shuffle-free assignment map
+]
 
 
 def main() -> None:
