@@ -563,3 +563,158 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / 512).cast("int").alias("seq_id"),
         (start % 512).cast("int").alias("seq_offset"),
     )
+
+
+#: Contamination budget for the composite: drop a training doc only when
+#: it shares ≥ this many distinct 3-grams with the eval slice. At n=3 a
+#: single shared gram is noise (the fixture's sf0.1 median is 4 shared
+#: grams per doc — any-overlap would empty the corpus); published
+#: pipelines either use long n (8-13, where any hit is decisive) or an
+#: overlap budget at short n. The standalone text_decontaminate_ngram op
+#: keeps reporting raw counts + the any-overlap flag so callers choose.
+_DECONTAM_BUDGET = 5
+
+
+def _corpus_prepare_oracle() -> str:
+    """Compose the end-to-end preparation oracle by EMBEDDING the
+    registered gates' own oracle SQL as CTEs (the ml_split_leakage_audit
+    pattern: the composite and its component detectors cannot drift),
+    then expressing the post-filter stages (exact dedup, mixture,
+    packing) inline with the same shared constants."""
+    from n2kupdate_spark.queries._registry import ORACLE
+    from n2kupdate_spark.queries.text import _EVAL_PRED_SQL
+
+    mix_case = " ".join(f"WHEN '{s}' THEN {w}" for s, w in _MIX_W4.items())
+    budget = _DECONTAM_BUDGET
+    return f"""
+    WITH g AS ({ORACLE["text_quality_gopher"]}),
+    dc AS ({ORACLE["text_decontaminate_ngram"]}),
+    clean AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d
+      JOIN g ON g.doc_id = d.doc_id AND g.gopher_pass = 1
+      LEFT JOIN dc ON dc.doc_id = d.doc_id
+      WHERE NOT (d.{_EVAL_PRED_SQL}) AND COALESCE(dc.n_shared_grams, 0) < {budget}
+    ),
+    exact AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM clean
+      ) WHERE rn = 1
+    ),
+    mixed AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_n
+      FROM (
+        SELECT doc_id, source, text,
+               CAST(w4 // 10000 AS INT)
+                 + CASE WHEN bucket < (w4 % 10000) THEN 1 ELSE 0 END AS n_copies
+        FROM (
+          SELECT doc_id, source, text,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                   % 10000 AS bucket,
+                 CASE source {mix_case} ELSE {_MIX_DEFAULT_W4} END AS w4
+          FROM exact
+        )
+      ) WHERE n_copies > 0
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, copy_n
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM mixed
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX((cum - n_tokens) // 512) + 1 AS INT) AS n_sequences
+    FROM packed GROUP BY source
+    """
+
+
+@register("corpus_prepare_pipeline", oracle=_corpus_prepare_oracle())
+def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pre-training data preparation — the composite chaining
+    every round-7 gate in production order:
+
+      1. Gopher quality rules (keep gopher_pass docs),
+      2. benchmark decontamination (drop the eval slice AND every training
+         doc sharing a 3-gram with it),
+      3. exact dedup (md5, keep lowest doc_id),
+      4. mixture weighting (per-source deterministic copy counts),
+      5. sequence packing (per-source 512-token concat-then-chunk),
+      6. per-source summary: surviving docs, mixture rows, total tokens,
+         packed sequence count.
+
+    The Spark side composes the REGISTERED gate queries (their DataFrames
+    join directly); the oracle embeds those gates' oracle SQL as CTEs, so
+    composite and components cannot drift. Scale: the gates are maps or
+    broadcast joins (their individual plans are audited in PLANS.md), the
+    dedup is one fingerprint shuffle, the packing window parallelizes per
+    source — the expensive stages run LAST, after every cheap filter has
+    shrunk the corpus (corpus_clean_pipeline's stage-ordering lesson)."""
+    from n2kupdate_spark.queries.text import (
+        _EVAL_PRED_SQL,
+        text_decontaminate_ngram,
+        text_quality_gopher,
+    )
+
+    passing = (
+        text_quality_gopher(spark, sf_dir)
+        .filter(F.col("gopher_pass") == 1)
+        .select("doc_id")
+    )
+    contaminated = (
+        text_decontaminate_ngram(spark, sf_dir)
+        .filter(F.col("n_shared_grams") >= _DECONTAM_BUDGET)
+        .select("doc_id")
+    )
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    clean = (
+        d.join(passing, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .filter(~F.expr(_EVAL_PRED_SQL))
+    )
+    w_fp = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        clean.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10000
+    )
+    w4 = F.lit(_MIX_DEFAULT_W4)
+    for s, wt in reversed(_MIX_W4.items()):
+        w4 = F.when(F.col("source") == s, F.lit(wt)).otherwise(w4)
+    n_copies = F.floor(w4 / 10000).cast("int") + F.when(
+        bucket < w4 % 10000, 1
+    ).otherwise(0)
+    mixed = (
+        exact.select(
+            "doc_id", "source",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            n_copies.alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_n"),
+        )
+    )
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "copy_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = mixed.withColumn("cum", F.sum("n_tokens").over(w_pack).cast("long"))
+    start = F.col("cum") - F.col("n_tokens")
+    return packed.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max(F.floor(start / 512)) + 1).cast("int").alias("n_sequences"),
+    )
