@@ -35,6 +35,7 @@ OPS = [
     "text_pii_redact",          # pure regex map over customer
     "pack_sequences_greedy",    # per-source window cumsum
     "embed_kmeans_clusters",    # bounded fit + shuffle-free assignment map
+    "corpus_prepare_pipeline",  # the whole gate chain end to end
 ]
 
 
