@@ -303,6 +303,55 @@ def simhash_near_pairs(
     )
 
 
+def _cc_driver_unionfind(
+    nodes: DataFrame, sym: DataFrame, id_col: str
+) -> DataFrame:
+    """Small-graph CC fast path: collect the (bounded) symmetrized edge
+    list, run union-find with path compression and min-root union on the
+    driver, broadcast the edge-touching-vertex → min-id map back, and
+    default every isolated node to itself. Driver memory is bounded by the
+    EDGE count (the caller gates on it), never the node count — the node
+    table is only ever broadcast-joined, so the path stays safe when a
+    sparse duplicate graph sits on a billion-doc corpus."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    verts = set()
+    for r in sym.collect():
+        a, b = r["a"], r["b"]
+        verts.add(a)
+        verts.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # min id becomes (and stays) the root
+    from pyspark.sql import types as T
+
+    dtype = nodes.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField("node", dtype), T.StructField("__cc_label", dtype)]
+    )
+    mapping = nodes.sparkSession.createDataFrame(
+        [(v, find(v)) for v in sorted(verts)], schema
+    )
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(F.broadcast(mapping), "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("__cc_label", "node").alias("cluster_id"),
+        )
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -310,6 +359,7 @@ def connected_components(
     src_col: str = "id1",
     dst_col: str = "id2",
     max_iter: int = 20,
+    driver_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every node's
     label converges to the minimum node id reachable from it — the canonical
@@ -320,7 +370,22 @@ def connected_components(
     early stop; ``localCheckpoint`` truncates lineage so plans stay flat.
     Iterations needed = graph diameter (near-dup clusters are shallow; the
     cap is a safety rail). At 100 TB-scale graphs, swap in pointer-jumping
-    (label doubling, O(log n) rounds) — same per-round plan shape."""
+    (label doubling, O(log n) rounds) — same per-round plan shape.
+
+    ``driver_edge_threshold``: at or below this many edges the whole
+    O(iterations × 5-jobs) loop is replaced by one collect + driver
+    union-find + broadcast join (:func:`_cc_driver_unionfind`) — the
+    GraphFrames-style small-graph escape. Near-dup edge lists are usually
+    tiny next to their corpus (a clean corpus has few duplicates by
+    definition), so this is the common case after heavy upstream filters;
+    the gate is on EDGES, which bounds driver memory, not on nodes, which
+    can be billions. 0 disables (property tests force the distributed
+    loop). Honest measurement: at sf0.1 corpus_clean's graph is 211 edges
+    and the loop converges in 2 rounds, so the A/B is a wash in local
+    mode (3.46 s vs 3.47 s min-of-3) — the fast path's value is job
+    COUNT (2 vs ~10+): on a busy cluster scheduler each tiny iterative
+    job pays real queueing latency, and a fixed 2-job tail is the
+    predictable shape for the common sparse-duplicate case."""
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
@@ -331,6 +396,10 @@ def connected_components(
         # round recomputes it (measured 12s -> 5s at sf0.1).
         .localCheckpoint(eager=True)
     )
+    if driver_edge_threshold:
+        # sym holds both directions, so the row count is ~2× the edge count
+        if sym.count() <= 2 * driver_edge_threshold:
+            return _cc_driver_unionfind(nodes, sym, id_col)
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
         neighbor_min = (

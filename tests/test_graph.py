@@ -56,7 +56,11 @@ def test_cc_random_graph_both_strategies(spark, seed):
         (rng.randrange(n), rng.randrange(n)) for _ in range(40)
     ]
     expect = _union_find(n, edges)
-    assert _run(spark, connected_components, n, edges) == expect
+    # driver_edge_threshold=0 forces the distributed propagation loop;
+    # the default small-graph driver path is covered by
+    # test_cc_driver_fast_path_matches_loop below.
+    assert _run(spark, connected_components, n, edges, driver_edge_threshold=0) == expect
+    assert _run(spark, connected_components, n, edges) == expect  # driver path
     assert _run(spark, connected_components_pointer_jump, n, edges) == expect
     assert _run(spark, connected_components_salted, n, edges, salt=4) == expect
 
@@ -74,8 +78,27 @@ def test_cc_pointer_jump_long_path(spark):
 def test_cc_isolated_nodes_and_self_loops(spark):
     edges = [(0, 1), (2, 2)]
     expect = {0: 0, 1: 0, 2: 2, 3: 3}
-    assert _run(spark, connected_components, 4, edges) == expect
+    assert _run(spark, connected_components, 4, edges, driver_edge_threshold=0) == expect
+    assert _run(spark, connected_components, 4, edges) == expect  # driver path
     assert _run(spark, connected_components_pointer_jump, 4, edges) == expect
+
+
+def test_cc_driver_fast_path_matches_loop(spark):
+    """The small-graph driver union-find must produce the identical
+    fixpoint as the distributed loop on adversarial shapes: a long path
+    (worst case for propagation, trivial for union-find), plus random
+    graphs with isolated nodes. Also pins the gate: a threshold of 0
+    disables the fast path even for a 1-edge graph."""
+    n = 120
+    path = [(i, i + 1) for i in range(n - 1)]
+    assert _run(spark, connected_components, n, path) == {i: 0 for i in range(n)}
+    rng = random.Random(7)
+    for _ in range(3):
+        edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(30)]
+        expect = _union_find(80, edges)
+        fast = _run(spark, connected_components, 80, edges)
+        loop = _run(spark, connected_components, 80, edges, driver_edge_threshold=0)
+        assert fast == loop == expect
 
 
 def test_cc_salted_star_graph(spark):
