@@ -372,10 +372,16 @@ def test_no_query_plan_has_scale_red_flags(spark, sf_dir):
     import re
 
     ALLOWED_BNLJ = {"join_cross_small", "join_theta_range"}
-    # Evaluation harnesses legitimately compose several full pipelines into
-    # one plan (recall eval = 2 ANN variants + comparison joins); the
-    # per-operator exchange budget doesn't apply to them.
-    ALLOWED_MANY_EXCHANGES = {"sim_ann_recall_eval", "dedup_minhash_est_eval"}
+    # Composed multi-pipeline plans legitimately exceed the per-OPERATOR
+    # exchange budget: the eval harnesses chain 2 ANN variants + comparison
+    # joins, and corpus_prepare_pipeline chains five registered gates
+    # (quality, decontamination, dedup, mixture, packing — 6 exchanges,
+    # each individually audited in PLANS.md under its own operator id).
+    ALLOWED_MANY_EXCHANGES = {
+        "sim_ann_recall_eval",
+        "dedup_minhash_est_eval",
+        "corpus_prepare_pipeline",
+    }
     issues = []
     for name, fn in sorted(QUERIES.items()):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
