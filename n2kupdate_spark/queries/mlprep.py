@@ -445,7 +445,10 @@ def ml_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Per-source mixture weights ×10000 (integer fixed-point so both engines
 #: compare the md5 bucket with exact integer arithmetic — no float
-#: fraction drift). 2.0 = every doc twice (upsampled domain), 1.0 = keep
+#: fraction drift). The bucket takes 8 md5 hex chars (32 bits), not 4:
+#: 2^16 % 10000 = 5536, so a 16-bit bucket gives buckets below 5536 mass
+#: 7/65536 vs 6/65536 above — weight 0.5 was realized as 53.8% (caught by
+#: tests/test_mlprep_props.py). At 32 bits the modulo bias is ~1e-6. 2.0 = every doc twice (upsampled domain), 1.0 = keep
 #: all, 0.5 / 0.25 = deterministic downsampling. Shared textually with the
 #: oracle CASE.
 _MIX_W4 = {"src0": 20000, "src1": 10000, "src2": 5000}
@@ -457,7 +460,7 @@ _MIX_DEFAULT_W4 = 2500
     oracle=f"""
     WITH b AS (
       SELECT doc_id, source,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
                AS bucket
       FROM documents
     ),
@@ -493,7 +496,7 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct rows."""
     d = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 10000
     )
     w4 = F.lit(_MIX_DEFAULT_W4)
@@ -612,7 +615,7 @@ def _corpus_prepare_oracle() -> str:
                  + CASE WHEN bucket < (w4 % 10000) THEN 1 ELSE 0 END AS n_copies
         FROM (
           SELECT doc_id, source, text,
-                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                    % 10000 AS bucket,
                  CASE source {mix_case} ELSE {_MIX_DEFAULT_W4} END AS w4
           FROM exact
@@ -684,7 +687,7 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 10000
     )
     w4 = F.lit(_MIX_DEFAULT_W4)

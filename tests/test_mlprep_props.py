@@ -1,0 +1,73 @@
+"""Distribution-level properties of the round-7 training-data gates, on
+synthetic frames larger and more adversarial than the fixtures: the parity
+oracle pins exact values on testdata; these pin the CONTRACTS — mixture
+rates converge to the weights, packing layouts tile exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_mixture_realized_rates_converge_to_weights(spark):
+    """Over 20k synthetic docs per source, the realized copy rate of each
+    source must sit within 3% of its weight — the md5 bucket is uniform,
+    so floor(w) + fractional-bucket realizes the weight in expectation,
+    and determinism means this is a fixed number, not a flaky sample."""
+    from n2kupdate_spark.queries.mlprep import _MIX_DEFAULT_W4, _MIX_W4
+
+    n = 20_000
+    docs = spark.range(n * 4).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    docs.createOrReplaceTempView("mixprop_docs")
+    # 8 hex chars, matching the op: a 16-bit bucket mod 10000 is biased
+    # (2^16 % 10000 = 5536 → weight 0.5 realized as 53.8%); this test is
+    # what caught it.
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    w4 = F.lit(_MIX_DEFAULT_W4)
+    for s, w in _MIX_W4.items():
+        w4 = F.when(F.col("source") == s, F.lit(w)).otherwise(w4)
+    n_copies = F.floor(w4 / 10000).cast("int") + F.when(
+        bucket < w4 % 10000, 1
+    ).otherwise(0)
+    realized = {
+        r["source"]: r["copies"] / n
+        for r in docs.select("source", n_copies.alias("c"))
+        .groupBy("source")
+        .agg(F.sum("c").alias("copies"))
+        .collect()
+    }
+    for src, got in realized.items():
+        want = _MIX_W4.get(src, _MIX_DEFAULT_W4) / 10000
+        assert abs(got - want) <= 0.03, (src, got, want)
+
+
+def test_pack_sequences_layout_tiles_exactly(spark, sf_dir):
+    """Recompute the packing layout in pandas from the op's own inputs and
+    require exact agreement, plus the tiling invariants a packing writer
+    depends on: within a source, seq_id is nondecreasing in doc order,
+    offsets live in [0, 512), and every offset equals the running total
+    mod 512 — i.e. the docs tile the concatenated token stream with no
+    gaps and no overlaps."""
+    from n2kupdate_spark.queries import QUERIES
+
+    pdf = (
+        QUERIES["pack_sequences_greedy"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert len(pdf) > 0
+    for source, grp in pdf.groupby("source"):
+        cum = 0
+        last_seq = -1
+        for row in grp.itertuples(index=False):
+            assert row.seq_id == cum // 512, (source, row)
+            assert row.seq_offset == cum % 512, (source, row)
+            assert row.seq_id >= last_seq, (source, row)
+            last_seq = row.seq_id
+            cum += row.n_tokens
