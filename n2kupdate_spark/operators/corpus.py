@@ -1,0 +1,258 @@
+"""Parameterized pre-training corpus gates — the library API behind the
+registered demo queries (queries/text.py, queries/mlprep.py).
+
+Every function is DataFrame-in / DataFrame-out with the corpus specifics
+(quality thresholds, eval set, mixture weights, sequence budget) as
+parameters, so a production caller points them at real tables instead of
+re-deriving the fixture-bound query bodies. The registered queries are
+thin wrappers calling these with the demo constants, so the DuckDB oracle
+gate continuously verifies THIS code, not a parallel copy.
+
+Scale notes live on each function; the common theme: gates are maps or
+broadcast joins, the only wide stages are per-doc counts and the
+per-source packing window, and the expensive stages are designed to run
+after cheap filters have shrunk the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Gopher rule thresholds (Rae et al. 2021 §A1.1, adapted to single-line
+#: fixture text). Override per-call via ``gopher_metrics`` parameters.
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def gopher_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_hits: int = 2,
+    max_top_bigram_frac: float = 0.2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Per-doc Gopher quality metrics + combined ``gopher_pass`` flag:
+    word-count bounds, mean word length bounds, distinct-stop-word
+    presence, and the repetition rule (most frequent bigram ≤ the given
+    fraction of bigram slots). Metrics are a pure map except the
+    repetition rule, whose (doc, bigram) counts shuffle with map-side
+    partial aggregation — shuffled bytes ∝ per-doc distinct bigrams, not
+    corpus tokens. Docs with <2 tokens have no bigrams and are absent.
+    Rounding is scale-first (ROUND(x*1e4)/1e4) for cross-engine parity."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    n_big = n - 1
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, n_big).alias("w0"), F.slice(toks, 2, n_big).alias("w1")
+    )
+    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s["w0"], s["w1"]))
+    bc = (
+        docs.filter(n >= 2)
+        .select(id_col, F.explode(bigrams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = bc.groupBy(id_col).agg(
+        (F.round(F.max("c").cast("double") / F.sum("c") * 10000, 0) / 10000).alias(
+            "top_bigram_frac"
+        )
+    )
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    m = docs.select(
+        id_col,
+        n.alias("n_words"),
+        (
+            F.round(
+                F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / n * 10000,
+                0,
+            )
+            / 10000
+        ).alias("mean_word_len"),
+        F.size(F.filter(stop, lambda s: F.array_contains(toks, s))).alias("stop_hits"),
+    )
+    out = m.join(top, id_col)
+    gopher_pass = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("stop_hits") >= min_stop_hits)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+    return out.select(
+        id_col, "n_words", "mean_word_len", "stop_hits", "top_bigram_frac",
+        gopher_pass.cast("int").alias("gopher_pass"),
+    )
+
+
+def decontaminate_ngram(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-training-doc count of distinct word n-grams shared with the
+    eval corpus, plus an any-overlap flag. The eval side is a benchmark
+    suite — thousands of docs, not billions — so its distinct-gram set is
+    BROADCAST and the training corpus never shuffles until the per-doc
+    count; training grams are per-doc-distinct by construction
+    (word_shingles), so no corpus-sized distinct is needed. Docs with < n
+    tokens have no grams and are absent. Published pipelines use n in
+    8-13, where any single hit is decisive; at short n apply an overlap
+    budget on ``n_shared_grams`` instead (see prepare_corpus)."""
+    from n2kupdate_spark.operators.dedup import word_shingles
+
+    grams = word_shingles(train_docs.select(id_col, text_col), text_col, n=n).select(
+        id_col, F.explode("shingles").alias("g")
+    )
+    eval_g = (
+        word_shingles(eval_docs.select(text_col), text_col, n=n)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.join(F.broadcast(eval_g), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_shared_grams"),
+            F.max(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def mixture_copy_counts(
+    weights: dict[str, float],
+    default_weight: float,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Column expression: deterministic per-row copy count realizing
+    per-source mixture weights — floor(weight) copies plus one more iff
+    the row's md5 bucket falls under the fractional part. Content-
+    addressed (same md5-bucket contract as the hash splits), so every
+    engine/run/cluster size agrees on which docs repeat. The bucket uses
+    8 md5 hex chars (32 bits): a 16-bit bucket mod 10000 is biased by
+    2^16 % 10000 = 5536 (weight 0.5 realized 53.8%); at 32 bits the bias
+    is ~1e-6. Weights are fixed-point ×10000, so comparisons are exact
+    integer arithmetic."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    w4 = F.lit(int(round(default_weight * 10000)))
+    for s, w in reversed(list(weights.items())):
+        w4 = F.when(F.col(source_col) == s, F.lit(int(round(w * 10000)))).otherwise(w4)
+    return F.floor(w4 / 10000).cast("int") + F.when(bucket < w4 % 10000, 1).otherwise(0)
+
+
+def apply_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    default_weight: float,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Realize mixture weights as rows: each doc appears ``n_copies``
+    times with a 1-based ``copy_n``. Pure map + explode — no shuffle, no
+    state; the mixture of a 100 TB corpus is decided row-locally."""
+    n_copies = mixture_copy_counts(weights, default_weight, id_col, source_col)
+    return (
+        docs.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .withColumn("copy_n", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+        .withColumn("copy_n", F.col("copy_n").cast("int"))
+        .drop("n_copies")
+    )
+
+
+def pack_sequences(
+    rows: DataFrame,
+    budget: int = 512,
+    group_col: str = "source",
+    order_cols: tuple[str, ...] = ("doc_id",),
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay each group's rows end to
+    end in ``order_cols`` order and cut ``budget``-token sequences from
+    the running total, appending (seq_id, seq_offset) — the placement map
+    a packing writer needs to emit fixed-context training rows (rows
+    straddling a boundary split at seq_offset downstream; no padding
+    waste by construction). The cumulative-sum window partitions per
+    GROUP (training pipelines pack within shards/domains anyway), so the
+    sort parallelizes across groups instead of funneling the corpus
+    through one global-order window. Integer division is explicit
+    floor-div for cross-engine parity."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(token_col).over(w).cast("long") - F.col(token_col)
+    return rows.select(
+        "*",
+        F.floor(start / budget).cast("int").alias("seq_id"),
+        (start % budget).cast("int").alias("seq_offset"),
+    )
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    weights: dict[str, float],
+    default_weight: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    decontam_n: int = 3,
+    decontam_budget: int = 5,
+    seq_budget: int = 512,
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """End-to-end preparation: Gopher gate → decontamination (overlap
+    budget) → exact dedup (md5, keep lowest id) → mixture weighting →
+    sequence packing → per-source summary (surviving docs, mixture rows,
+    total tokens, packed sequence count). Cheap filters run first so the
+    dedup shuffle and packing window see the shrunk corpus. ``eval_docs``
+    rows are excluded from the output as well as used for the overlap
+    gate — pass the benchmark table there in production."""
+    passing = (
+        gopher_metrics(docs, id_col, text_col, **(gopher_kwargs or {}))
+        .filter(F.col("gopher_pass") == 1)
+        .select(id_col)
+    )
+    contaminated = (
+        decontaminate_ngram(docs, eval_docs, id_col, text_col, n=decontam_n)
+        .filter(F.col("n_shared_grams") >= decontam_budget)
+        .select(id_col)
+    )
+    eval_ids = eval_docs.select(id_col).distinct()
+    clean = (
+        docs.join(passing, id_col)
+        .join(contaminated, id_col, "left_anti")
+        .join(eval_ids, id_col, "left_anti")
+    )
+    w_fp = Window.partitionBy(F.md5(text_col)).orderBy(id_col)
+    exact = (
+        clean.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    mixed = apply_mixture(
+        exact.select(id_col, source_col, F.size(F.split(text_col, " ")).alias("n_tokens")),
+        weights, default_weight, id_col, source_col,
+    )
+    packed = pack_sequences(
+        mixed, budget=seq_budget, group_col=source_col,
+        order_cols=(id_col, "copy_n"), token_col="n_tokens",
+    )
+    return packed.groupBy(source_col).agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max("seq_id") + 1).cast("int").alias("n_sequences"),
+    )

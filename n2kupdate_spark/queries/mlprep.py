@@ -494,24 +494,12 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a 100 TB corpus is decided row-locally. Emits (doc_id, source,
     copy_n) so downstream epoch-aware shuffles can treat copies as
     distinct rows."""
+    from n2kupdate_spark.operators.corpus import apply_mixture
+
     d = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 10000
-    )
-    w4 = F.lit(_MIX_DEFAULT_W4)
-    for s, w in reversed(_MIX_W4.items()):
-        w4 = F.when(F.col("source") == s, F.lit(w)).otherwise(w4)
-    n_copies = (w4 / 10000).cast("int") + F.when(bucket < w4 % 10000, 1).otherwise(0)
-    return (
-        d.select("doc_id", "source", n_copies.alias("n_copies"))
-        .filter(F.col("n_copies") > 0)
-        .select(
-            "doc_id", "source",
-            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_n"),
-        )
-        .withColumn("copy_n", F.col("copy_n").cast("int"))
-    )
+    return apply_mixture(
+        d, {k: v / 10000 for k, v in _MIX_W4.items()}, _MIX_DEFAULT_W4 / 10000
+    ).select("doc_id", "source", "copy_n")
 
 
 @register(
@@ -547,24 +535,14 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     across sources instead of funneling 100 TB through one global-order
     window — the per-group window is the same shape every windowed op in
     B6 runs. Deterministic: doc_id order, integer token counts."""
+    from n2kupdate_spark.operators.corpus import pack_sequences
+
     d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
     t = d.select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = t.withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
-    start = F.col("cum") - F.col("n_tokens")
-    return c.select(
-        "doc_id", "source", "n_tokens",
-        # floor-div, NOT a double cast: DuckDB CAST(double AS INT) rounds
-        # to nearest while Spark truncates — integer division on both
-        # sides keeps the boundary docs in the same sequence.
-        F.floor(start / 512).cast("int").alias("seq_id"),
-        (start % 512).cast("int").alias("seq_offset"),
+    return pack_sequences(t, budget=512).select(
+        "doc_id", "source", "n_tokens", "seq_id", "seq_offset"
     )
 
 
@@ -651,73 +629,27 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       6. per-source summary: surviving docs, mixture rows, total tokens,
          packed sequence count.
 
-    The Spark side composes the REGISTERED gate queries (their DataFrames
-    join directly); the oracle embeds those gates' oracle SQL as CTEs, so
-    composite and components cannot drift. Scale: the gates are maps or
+    The Spark side is a thin wrapper over the parameterized library API
+    (operators/corpus.py::prepare_corpus — the same functions every
+    registered gate query wraps, so the oracle gate continuously verifies
+    the library, not a parallel copy); the oracle embeds the gates'
+    oracle SQL as CTEs, so composite and components cannot drift.
+    Production callers use prepare_corpus directly with their own
+    benchmark table, weights, and budget. Scale: the gates are maps or
     broadcast joins (their individual plans are audited in PLANS.md), the
     dedup is one fingerprint shuffle, the packing window parallelizes per
     source — the expensive stages run LAST, after every cheap filter has
     shrunk the corpus (corpus_clean_pipeline's stage-ordering lesson)."""
-    from n2kupdate_spark.queries.text import (
-        _EVAL_PRED_SQL,
-        text_decontaminate_ngram,
-        text_quality_gopher,
-    )
+    from n2kupdate_spark.operators.corpus import prepare_corpus
+    from n2kupdate_spark.queries.text import _EVAL_PRED_SQL
 
-    passing = (
-        text_quality_gopher(spark, sf_dir)
-        .filter(F.col("gopher_pass") == 1)
-        .select("doc_id")
-    )
-    contaminated = (
-        text_decontaminate_ngram(spark, sf_dir)
-        .filter(F.col("n_shared_grams") >= _DECONTAM_BUDGET)
-        .select("doc_id")
-    )
     d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
-    clean = (
-        d.join(passing, "doc_id")
-        .join(contaminated, "doc_id", "left_anti")
-        .filter(~F.expr(_EVAL_PRED_SQL))
-    )
-    w_fp = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    exact = (
-        clean.withColumn("rn", F.row_number().over(w_fp))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 10000
-    )
-    w4 = F.lit(_MIX_DEFAULT_W4)
-    for s, wt in reversed(_MIX_W4.items()):
-        w4 = F.when(F.col("source") == s, F.lit(wt)).otherwise(w4)
-    n_copies = F.floor(w4 / 10000).cast("int") + F.when(
-        bucket < w4 % 10000, 1
-    ).otherwise(0)
-    mixed = (
-        exact.select(
-            "doc_id", "source",
-            F.size(F.split("text", " ")).alias("n_tokens"),
-            n_copies.alias("n_copies"),
-        )
-        .filter(F.col("n_copies") > 0)
-        .select(
-            "doc_id", "source", "n_tokens",
-            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_n"),
-        )
-    )
-    w_pack = (
-        Window.partitionBy("source")
-        .orderBy("doc_id", "copy_n")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = mixed.withColumn("cum", F.sum("n_tokens").over(w_pack).cast("long"))
-    start = F.col("cum") - F.col("n_tokens")
-    return packed.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        (F.max(F.floor(start / 512)) + 1).cast("int").alias("n_sequences"),
+    is_eval = F.expr(_EVAL_PRED_SQL)
+    return prepare_corpus(
+        d.filter(~is_eval),
+        eval_docs=d.filter(is_eval),
+        weights={k: v / 10000 for k, v in _MIX_W4.items()},
+        default_weight=_MIX_DEFAULT_W4 / 10000,
+        decontam_budget=_DECONTAM_BUDGET,
+        seq_budget=512,
     )

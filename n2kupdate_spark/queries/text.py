@@ -469,25 +469,11 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines) absent from the result. In production swap the
     modulo predicate for a join against the real benchmark table and raise
     n to the published 8-13 range."""
-    from n2kupdate_spark.operators.dedup import word_shingles
+    from n2kupdate_spark.operators.corpus import decontaminate_ngram
 
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    grams = word_shingles(d, "text", n=3).select(
-        "doc_id", F.explode("shingles").alias("g")
-    )
     is_eval = F.expr(_EVAL_PRED_SQL)
-    eval_g = (
-        grams.filter(is_eval).select("g").distinct().withColumn("hit", F.lit(1))
-    )
-    train = grams.filter(~is_eval)
-    return (
-        train.join(F.broadcast(eval_g), "g", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_shared_grams"),
-            F.max(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("contaminated"),
-        )
-    )
+    return decontaminate_ngram(d.filter(~is_eval), d.filter(is_eval), n=3)
 
 
 @register(
@@ -532,49 +518,10 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — shuffled bytes ∝ per-doc distinct bigrams, not corpus
     tokens. Docs with <2 tokens have no bigrams and are absent (both
     engines)."""
+    from n2kupdate_spark.operators.corpus import gopher_metrics
+
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    n_big = n - 1
-    zipped = F.arrays_zip(
-        F.slice(toks, 1, n_big).alias("w0"), F.slice(toks, 2, n_big).alias("w1")
-    )
-    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s["w0"], s["w1"]))
-    bc = (
-        d.filter(n >= 2)
-        .select("doc_id", F.explode(bigrams).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    top = bc.groupBy("doc_id").agg(
-        (F.round(F.max("c").cast("double") / F.sum("c") * 10000, 0) / 10000).alias(
-            "top_bigram_frac"
-        )
-    )
-    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
-    m = d.select(
-        "doc_id",
-        n.alias("n_words"),
-        (
-            F.round(
-                F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / n * 10000,
-                0,
-            )
-            / 10000
-        ).alias("mean_word_len"),
-        F.size(F.filter(stop, lambda s: F.array_contains(toks, s))).alias("stop_hits"),
-    )
-    out = m.join(top, "doc_id")
-    gopher_pass = (
-        F.col("n_words").between(50, 100000)
-        & F.col("mean_word_len").between(3.0, 10.0)
-        & (F.col("stop_hits") >= 2)
-        & (F.col("top_bigram_frac") <= 0.2)
-    )
-    return out.select(
-        "doc_id", "n_words", "mean_word_len", "stop_hits", "top_bigram_frac",
-        gopher_pass.cast("int").alias("gopher_pass"),
-    )
+    return gopher_metrics(d)
 
 
 #: PII pattern battery (ordered: longer/more-specific first so e.g. an

@@ -71,3 +71,39 @@ def test_pack_sequences_layout_tiles_exactly(spark, sf_dir):
             assert row.seq_id >= last_seq, (source, row)
             last_seq = row.seq_id
             cum += row.n_tokens
+
+
+def test_prepare_corpus_parameters_are_live(spark, sf_dir):
+    """The library API must actually honor its parameters (the registered
+    query pins only the demo constants): halving the sequence budget
+    cannot decrease any source's packed-sequence count, and an
+    overlap budget of 0 (drop ANY shared gram) keeps at most as many docs
+    as the default budget."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.corpus import prepare_corpus
+    from n2kupdate_spark.sources import load
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    is_eval = F.col("doc_id") % 97 == 0
+    kw = dict(
+        eval_docs=d.filter(is_eval),
+        weights={"src0": 2.0, "src1": 1.0, "src2": 0.5},
+        default_weight=0.25,
+    )
+    base = {r["source"]: r for r in prepare_corpus(d.filter(~is_eval), **kw).collect()}
+    small = {
+        r["source"]: r
+        for r in prepare_corpus(d.filter(~is_eval), seq_budget=64, **kw).collect()
+    }
+    assert base and set(small) == set(base)
+    for src in base:
+        assert small[src]["n_sequences"] >= base[src]["n_sequences"], src
+        assert small[src]["n_rows"] == base[src]["n_rows"], src  # budget ⟂ survivors
+
+    strict = {
+        r["source"]: r["n_docs"]
+        for r in prepare_corpus(d.filter(~is_eval), decontam_budget=1, **kw).collect()
+    }
+    for src, n_docs in strict.items():
+        assert n_docs <= base[src]["n_docs"], src
