@@ -106,6 +106,33 @@ def main() -> None:
     print(f"train files       : {before['files']} -> {stats['after']['files']}")
     print(f"output            : {out}")
 
+    # 6. (round 7) the parameterized gate library, end to end: Gopher
+    #    quality rules, n-gram decontamination against an eval table with
+    #    an overlap budget, exact dedup, mixture weighting, and 512-token
+    #    sequence packing — one call, every knob an argument. Swap the
+    #    demo eval slice for your benchmark table in production.
+    from n2kupdate_spark.operators.corpus import prepare_corpus
+
+    is_eval = F.col("doc_id") % 97 == 0
+    summary = prepare_corpus(
+        docs.select("doc_id", "source", "text").filter(~is_eval),
+        eval_docs=docs.select("doc_id", "source", "text").filter(is_eval),
+        weights={"src0": 2.0, "src1": 1.0, "src2": 0.5},
+        default_weight=0.25,
+        decontam_budget=5,
+        seq_budget=512,
+    )
+    agg = summary.agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_rows").alias("rows"),
+        F.sum("total_tokens").alias("tokens"),
+        F.sum("n_sequences").alias("seqs"),
+    ).first()
+    print(
+        f"prepare_corpus    : {agg['docs']} docs -> {agg['rows']} mixture rows "
+        f"-> {agg['seqs']} packed 512-token sequences ({agg['tokens']} tokens)"
+    )
+
 
 if __name__ == "__main__":
     main()
