@@ -1,0 +1,92 @@
+"""Plan the next round's 50-query correctness window from recorded
+evidence.
+
+The driver hash-checks exactly the first 50 ``queries()`` entries per
+round (CORRECTNESS_r0N.json), so queries/__init__.py::_ROUND_WINDOW
+rotates which ops occupy the front. Every round so far the "which ops are
+stalest" set was derived by hand from the CORRECTNESS files; this script
+does that bookkeeping:
+
+  python window_planner.py            # report freshness + propose r(N+1)
+
+It prints, per registered SQL-oracle op: the freshest round with a green
+driver row, flags anything that would exceed the ≤2-round freshness
+invariant next round, and proposes a window (stalest first, newest-ops
+next, then heaviest re-confirms) ready to paste into _ROUND_WINDOW.
+Rows-only ops are excluded (they'd burn slots on `no_oracle` rows; their
+value pins live in pytest).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from n2kupdate_spark.queries import ORACLE, QUERIES  # noqa: E402
+
+
+def load_evidence() -> dict[str, int]:
+    """op -> freshest round with a fully green driver row."""
+    freshest: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        for name, row in json.load(open(path)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                freshest[name] = max(freshest.get(name, 0), rnd)
+    return freshest
+
+
+def main() -> None:
+    freshest = load_evidence()
+    latest_round = max(freshest.values()) if freshest else 0
+    next_round = latest_round + 1
+    sql_ops = [n for n in QUERIES if n in ORACLE]
+
+    never = [n for n in sql_ops if n not in freshest]
+    by_age = sorted(
+        (n for n in sql_ops if n in freshest), key=lambda n: (freshest[n], n)
+    )
+    # invariant: at round N every op's freshest row must satisfy
+    # freshest ≥ N-2 (an r(N-2) row is exactly 2 rounds old — still
+    # within, per the r6 verdict's counting). So the MUST set for round N
+    # is freshest ≤ N-3; ops at exactly N-2 become next cycle's MUST and
+    # are the natural fillers if slots remain.
+    must = [n for n in by_age if freshest[n] <= next_round - 3]
+
+    print(f"registered queries: {len(QUERIES)} ({len(sql_ops)} SQL-oracle)")
+    print(f"latest recorded round: r{latest_round}; planning for r{next_round}")
+    print(f"\nnever driver-checked (new ops — window first): {len(never)}")
+    for n in never:
+        print(f"  {n}")
+    print(f"\nmust re-window to keep ≤2-round freshness: {len(must)}")
+    for n in must:
+        print(f"  {n}  (freshest r{freshest[n]})")
+
+    proposal = (never + must)[:50]
+    fillers = [n for n in by_age if n not in set(proposal)]
+    proposal += fillers[: 50 - len(proposal)]
+    overflow = len(never) + len(must) - 50
+    if overflow > 0:
+        print(
+            f"\nWARNING: {overflow} required ops do not fit one 50-slot window —"
+            " the invariant needs two rounds or a driver-side change."
+        )
+    print(f"\nproposed _ROUND_WINDOW for r{next_round} ({len(proposal)} slots):")
+    print("_ROUND_WINDOW = [")
+    for n in proposal:
+        print(f'    "{n}",')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()
