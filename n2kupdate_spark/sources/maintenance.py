@@ -98,6 +98,8 @@ def compact_parquet(
     target_mb: float = 128,
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_ndv: int = 1_000_000,
 ) -> dict:
     """Rewrite the parquet directory ``src`` into ``dst`` with files sized
     toward ``target_mb``. Returns before/after stats. ``sort_by`` addition-
@@ -172,7 +174,21 @@ def compact_parquet(
         df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
     else:
         df = df.repartition(n_files)
-    df.write.mode("overwrite").parquet(dst)
+    writer = df.write.mode("overwrite")
+    # Parquet bloom filters (the Delta/Iceberg point-lookup knob): min/max
+    # stats prune RANGE predicates but are useless for `key = X` on
+    # uniformly distributed high-cardinality columns — every file's
+    # [min, max] spans X. A bloom filter per column chunk answers
+    # "definitely absent" for equality probes, so a needle lookup touches
+    # ~1 file instead of all of them; at 100 TB that is the difference
+    # between a point read and a table scan. Costs ~1.2 bytes/NDV of
+    # footer per column chunk; size NDV to the expected per-FILE distinct
+    # count, not the table's.
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+        )
+    writer.parquet(dst)
     after = dir_stats(spark, dst)
     return {"before": before, "after": after, "target_files": n_files}
 

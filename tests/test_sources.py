@@ -286,3 +286,36 @@ def test_vacuum_unreferenced_keeps_pinned_versions(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_manifest(spark, d, version=1)          # vacuumed version fails fast
+
+
+def test_compact_parquet_bloom_filters_written(spark, tmp_path):
+    """bloom_cols must actually reach the parquet writer: the bloom
+    build costs measurable footer bytes (~1.2 bits/NDV... bytes at the
+    configured NDV), so the bloomed rewrite of identical data must be
+    LARGER than the plain one while rows and checksums stay identical.
+    (Neither this pyarrow nor this DuckDB exposes bloom offsets, so the
+    pin is behavioral: size delta + exact content equality.)"""
+    from n2kupdate_spark.sources.maintenance import compact_parquet, dir_stats
+
+    src = str(tmp_path / "src")
+    spark.range(200_000).selectExpr("id AS k", "id % 97 AS v").repartition(
+        8
+    ).write.parquet(src)
+
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloomed")
+    compact_parquet(spark, src, plain, target_mb=8)
+    compact_parquet(
+        spark, src, bloomed, target_mb=8, bloom_cols=["k"], bloom_ndv=200_000
+    )
+    b_plain = dir_stats(spark, plain)["bytes"]
+    b_bloom = dir_stats(spark, bloomed)["bytes"]
+    assert b_bloom > b_plain + 50_000, (b_plain, b_bloom)
+
+    a = spark.read.parquet(plain).agg(
+        F.count(F.lit(1)), F.sum("k"), F.sum("v")
+    ).collect()[0]
+    b = spark.read.parquet(bloomed).agg(
+        F.count(F.lit(1)), F.sum("k"), F.sum("v")
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
