@@ -118,6 +118,8 @@ class SchemaValidationError(ValueError):
 
 
 def table_path(sf_dir: str, name: str) -> str:
+    """Parquet path of registered table ``name`` under ``sf_dir``; raises
+    on unregistered names so typos fail before a scan does."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; registered: {TABLES}")
     return f"{sf_dir}/{name}.parquet"
