@@ -639,11 +639,20 @@ def connected_components_auto(
             # Edge count unknown: assume the worst (the hub IS the graph).
             # This is the documented salt-bias of the hint-only path.
             n_edges = max(max_degree, shuffle_partitions)
-    fn = (
-        connected_components_salted
-        if _cc_should_salt(max_degree, n_edges, shuffle_partitions)
-        else connected_components
-    )
+    # Small graphs take the driver union-find REGARDLESS of hub degree:
+    # the skew the salted variant exists for is a property of the
+    # propagation JOIN, and the driver path has no join — a 50k-edge star
+    # is as trivial for union-find as a 50k-edge path. So the salt
+    # decision only applies past the driver-escape threshold. (The plain
+    # variant would make this choice internally too, but deciding here
+    # keeps the probe's measured n_edges authoritative and skips the
+    # salted path's 1.4× replication tax for every small skewed graph.)
+    if 0 < n_edges <= 100_000:
+        fn = connected_components
+    elif _cc_should_salt(max_degree, n_edges, shuffle_partitions):
+        fn = connected_components_salted
+    else:
+        fn = connected_components
     kwargs = {"salt": salt} if fn is connected_components_salted else {}
     return fn(
         nodes, edges, id_col=id_col, src_col=src_col, dst_col=dst_col,
