@@ -119,7 +119,16 @@ def compact_parquet(
     publish step — object stores have no atomic directory rename — pair
     with :func:`publish_manifest` / :func:`read_manifest`: write ``dst``,
     publish its manifest, and readers flip to the new file set with one
-    atomic object write."""
+    atomic object write.
+
+    Determinism: the ``zorder_by`` layout is a pure function of the input
+    (explicit quantile cuts + perfect-token placement — see below);
+    ``sort_by`` still rides ``repartitionByRange``'s randomly-seeded
+    sample, so its FILE BOUNDARIES (not contents or order) can shift
+    between identical runs. Multi-column sort keys are why: a range
+    partitioner may split equal leading-key runs by the secondary key,
+    which single-column quantile cuts cannot reproduce without skewing
+    heavy-tie files."""
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
     before = dir_stats(spark, src)
