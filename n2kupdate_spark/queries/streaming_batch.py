@@ -362,3 +362,64 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(z * 10000, 0) / 10000).alias("zscore"),
         )
     )
+
+
+@register(
+    "ts_rollup_from_partials",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value) * 10000) / 10000 AS sum_value,
+           ROUND(MIN(value) * 10000) / 10000 AS min_value,
+           ROUND(MAX(value) * 10000) / 10000 AS max_value,
+           ROUND(ROUND(SUM(value) * 10000) / 10000 / COUNT(*) * 10000) / 10000 AS avg_value
+    FROM events GROUP BY day
+    """,
+)
+def ts_rollup_from_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: DAILY aggregates derived from
+    HOURLY partials, never re-reading raw rows — the continuous-aggregate
+    pattern (TimescaleDB hypertable rollups, Druid/Pinot star-tree levels)
+    where each coarser grain merges the next finer one's mergeable state
+    (sum/count/min/max; avg re-derived as sum/count at read time, never
+    averaged-of-averages). The ORACLE computes the daily level directly
+    from raw events, so the hash match proves the partial-merge is
+    LOSSLESS, not just plausible.
+
+    avg derives from the ROUNDED sum (the value a stored 4dp partial
+    would hold): raw-sum division hit the 4dp boundary at sf0.01 — day
+    2024-01-30's mean is exactly 42.55825 and the two engines' different
+    addition orders rounded it apart.
+
+    Scale: at 100 TB the hourly partials are the materialized table
+    (bounded by hours × keys, not events); every day/week/month reader
+    aggregates partials — this query is that reader's exact plan: one
+    partial-agged shuffle over hour rows, input size ∝ hours. Float note:
+    summing hourly sums reorders additions vs the oracle's raw-row sum;
+    at 4dp this is harmless for value-scale data (SURVEY §7.4.2)."""
+    e = load(spark, sf_dir, "events", columns=["ts", "value"])
+    hourly = (
+        e.select(F.date_trunc("hour", "ts").alias("h"), "value")
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    return (
+        hourly.groupBy(F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            (F.round(F.sum("s") * 10000, 0) / 10000).alias("sum_value"),
+            (F.round(F.min("mn") * 10000, 0) / 10000).alias("min_value"),
+            (F.round(F.max("mx") * 10000, 0) / 10000).alias("max_value"),
+            (
+                F.round(
+                    F.round(F.sum("s") * 10000, 0) / 10000 / F.sum("cnt") * 10000, 0
+                )
+                / 10000
+            ).alias("avg_value"),
+        )
+    )
