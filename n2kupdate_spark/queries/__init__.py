@@ -101,21 +101,21 @@ _ROUND_WINDOW = [
     "window_topn_per_group",
     # -- 18 slots: r05 greens nearest this round's churn (bucketed merges,
     # incremental-dedup index persistence) + first-round evidence for ops
-    # born this round. Six r05-green fillers (sim_pairs_threshold,
+    # born this round. Seven r05-green fillers (sim_pairs_threshold,
     # ts_resample_ffill, composite_shipping_priority, dedup_exact,
-    # dedup_keep_latest, join_asof — the last two also
-    # bench-headline-covered) were displaced late in r7 by the six new
-    # LLM-pipeline gates (decontamination, Gopher quality, mixture
-    # sampling, PII redaction, sequence packing, and the
-    # corpus_prepare_pipeline composite) — new-op driver evidence outranks
-    # re-confirming untouched greens, and the displaced six remain within
-    # the ≤2-round invariant (r05 = exactly 2 rounds at r7; they rotate
-    # back in r8).
+    # dedup_keep_latest, join_asof, dedup_ngram_jaccard — several also
+    # bench-headline-covered) were displaced late in r7 by the seven new
+    # LLM-pipeline/rollup ops (decontamination, Gopher quality, mixture
+    # sampling, PII redaction, sequence packing, hierarchical rollup, and
+    # the corpus_prepare_pipeline composite) — new-op driver evidence
+    # outranks re-confirming untouched greens, and the displaced seven
+    # remain within the ≤2-round invariant (r05 = exactly 2 rounds at r7;
+    # they rotate back in r8 — window_planner.py computes that rotation).
     "merge_scd1",
     "merge_scd2_changes",
     "merge_scd2_close",
     "scd2_window_rebuild",
-    "dedup_ngram_jaccard",
+    "ts_rollup_from_partials",
     "corpus_prepare_pipeline",
     "pack_sequences_greedy",
     "text_pii_redact",
