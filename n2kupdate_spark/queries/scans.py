@@ -189,3 +189,63 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.parquet(_PARTITIONED_PATH)
     return back.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_EVO_DIR = os.path.join(tempfile.gettempdir(), "n2kupdate_spark_schema_evo")
+
+
+def _write_evolution_fixture() -> None:
+    """Two parquet files with EVOLVED schemas in one directory — the
+    lakehouse reality after a column is added mid-table: old files lack
+    the new column, new files carry it. Written with pyarrow at import
+    time (deterministic contents, no Spark needed) so the DuckDB oracle
+    reads the same bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_EVO_DIR, exist_ok=True)
+    old = pa.table(
+        {
+            "id": pa.array(range(1, 11), pa.int64()),
+            "v": pa.array([i * 10 for i in range(1, 11)], pa.int64()),
+        }
+    )
+    new = pa.table(
+        {
+            "id": pa.array(range(11, 21), pa.int64()),
+            "v": pa.array([i * 10 for i in range(11, 21)], pa.int64()),
+            "extra": pa.array([f"e{i}" for i in range(11, 21)], pa.string()),
+        }
+    )
+    pq.write_table(old, f"{_EVO_DIR}/part1.parquet")
+    pq.write_table(new, f"{_EVO_DIR}/part2.parquet")
+
+
+_write_evolution_fixture()
+
+
+@register(
+    "source_schema_evolution",
+    oracle=f"""
+    SELECT id, v, extra
+    FROM read_parquet(['{_EVO_DIR}/part1.parquet', '{_EVO_DIR}/part2.parquet'],
+                      union_by_name=true)
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: one directory whose parquet files disagree
+    on schema after a column add — ``mergeSchema`` unions the footers and
+    NULL-fills the missing column for old files (DuckDB's
+    ``union_by_name`` is the same contract, so the hash match pins the
+    fill semantics, not just the happy path).
+
+    Scale note: mergeSchema reads EVERY file footer at planning time; on
+    a 100 TB table prefer a declared read schema (the catalog's
+    validate_schema path) or a table format carrying the schema in
+    metadata — this op is the escape hatch for plain-parquet directories
+    mid-migration."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(_EVO_DIR)
+        .select("id", "v", "extra")
+    )
