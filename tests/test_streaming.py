@@ -623,3 +623,53 @@ def test_transform_with_state_sessionizer_end_to_end(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+
+
+def test_corpus_gates_run_per_microbatch(spark, sf_dir, tmp_path):
+    """The pre-training gates are stateless maps/joins, so they must run
+    unchanged inside a streaming foreachBatch (the recurring-ingest shape:
+    score each arriving file batch). Drive a 4-file document stream
+    through gopher_metrics + redact_pii per micro-batch and require the
+    union of per-batch outputs to equal the one-shot batch run exactly —
+    per-doc metrics are row-local, so micro-batching must not change a
+    single value."""
+    from n2kupdate_spark.operators.corpus import gopher_metrics
+    from n2kupdate_spark.queries.text import redact_pii
+    from n2kupdate_spark.sources import load
+
+    src = str(tmp_path / "docs_stream")
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs.repartition(4).write.parquet(src)
+
+    got = []
+
+    def gate_fn(batch_df, epoch_id):
+        scored = gopher_metrics(redact_pii(batch_df, "text"), text_col="text")
+        got.append(scored.toPandas())
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate_fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    import pandas as pd
+
+    assert len(got) >= 2, "expected multiple micro-batches"
+    streamed = (
+        pd.concat(got).sort_values("doc_id").reset_index(drop=True)
+    )
+    expected = (
+        gopher_metrics(redact_pii(docs, "text"), text_col="text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert streamed.equals(expected[streamed.columns])
