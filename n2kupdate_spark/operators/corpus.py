@@ -212,14 +212,21 @@ def prepare_corpus(
     decontam_budget: int = 5,
     seq_budget: int = 512,
     gopher_kwargs: dict | None = None,
+    exclude_eval_ids: bool = True,
 ) -> DataFrame:
     """End-to-end preparation: Gopher gate → decontamination (overlap
     budget) → exact dedup (md5, keep lowest id) → mixture weighting →
     sequence packing → per-source summary (surviving docs, mixture rows,
     total tokens, packed sequence count). Cheap filters run first so the
-    dedup shuffle and packing window see the shrunk corpus. ``eval_docs``
-    rows are excluded from the output as well as used for the overlap
-    gate — pass the benchmark table there in production."""
+    dedup shuffle and packing window see the shrunk corpus.
+
+    ``exclude_eval_ids`` governs id-space semantics: when the eval set is
+    a SLICE of the training corpus (the demo fixture, or leakage-guarding
+    an in-corpus holdout), its ids must also be dropped from the output —
+    the default. When ``eval_docs`` is an EXTERNAL benchmark table, its
+    ids live in an unrelated space and excluding matching training ids
+    would silently drop innocent docs — pass ``False`` there; the n-gram
+    overlap gate is id-agnostic either way."""
     passing = (
         gopher_metrics(docs, id_col, text_col, **(gopher_kwargs or {}))
         .filter(F.col("gopher_pass") == 1)
@@ -230,12 +237,9 @@ def prepare_corpus(
         .filter(F.col("n_shared_grams") >= decontam_budget)
         .select(id_col)
     )
-    eval_ids = eval_docs.select(id_col).distinct()
-    clean = (
-        docs.join(passing, id_col)
-        .join(contaminated, id_col, "left_anti")
-        .join(eval_ids, id_col, "left_anti")
-    )
+    clean = docs.join(passing, id_col).join(contaminated, id_col, "left_anti")
+    if exclude_eval_ids:
+        clean = clean.join(eval_docs.select(id_col).distinct(), id_col, "left_anti")
     w_fp = Window.partitionBy(F.md5(text_col)).orderBy(id_col)
     exact = (
         clean.withColumn("rn", F.row_number().over(w_fp))
