@@ -254,9 +254,16 @@ def prepare_corpus(
         mixed, budget=seq_budget, group_col=source_col,
         order_cols=(id_col, "copy_n"), token_col="n_tokens",
     )
+    # n_sequences must be ceil(total_tokens / budget), NOT max(seq_id)+1:
+    # seq_id marks the sequence containing each row's START, so a row
+    # straddling one or more budget boundaries covers later sequences it
+    # never starts in (rows [10, 600] at budget 512 cut 2 sequences but
+    # max(seq_id)+1 reports 1).
     return packed.groupBy(source_col).agg(
         F.countDistinct(id_col).alias("n_docs"),
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        (F.max("seq_id") + 1).cast("int").alias("n_sequences"),
+        F.ceil(F.sum("n_tokens") / F.lit(float(seq_budget))).cast("int").alias(
+            "n_sequences"
+        ),
     )

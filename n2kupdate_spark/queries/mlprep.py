@@ -473,7 +473,7 @@ _MIX_DEFAULT_W4 = 2500
     ),
     n AS (
       SELECT doc_id, source,
-             CAST(w4 / 10000 AS INT)
+             CAST(w4 // 10000 AS INT)
                + CASE WHEN bucket < (w4 % 10000) THEN 1 ELSE 0 END AS n_copies
       FROM c
     )
@@ -610,7 +610,7 @@ def _corpus_prepare_oracle() -> str:
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(MAX((cum - n_tokens) // 512) + 1 AS INT) AS n_sequences
+           CAST(CEIL(SUM(n_tokens) / 512.0) AS INT) AS n_sequences
     FROM packed GROUP BY source
     """
 

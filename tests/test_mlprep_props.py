@@ -107,3 +107,39 @@ def test_prepare_corpus_parameters_are_live(spark, sf_dir):
     }
     for src, n_docs in strict.items():
         assert n_docs <= base[src]["n_docs"], src
+
+
+def test_prepare_corpus_counts_straddled_sequences(spark):
+    """n_sequences is ceil(total_tokens / budget), not max(seq_id)+1: a
+    row straddling a budget boundary covers sequences it never STARTS in.
+    Two docs of [10, 600] tokens at budget 512 concat to 610 tokens → 2
+    sequences, though both rows start inside sequence 0 (advisor r7
+    finding: the old max(seq_id)+1 reported 1, and the oracle encoded the
+    same formula so the parity gate couldn't see it)."""
+    from n2kupdate_spark.operators.corpus import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "s", "w " * 10), (2, "s", "w " * 600)],
+        ["doc_id", "source", "text"],
+    ).select("doc_id", "source", F.trim("text").alias("text"))
+    out = prepare_corpus(
+        docs,
+        eval_docs=docs.limit(0),
+        weights={},
+        default_weight=1.0,
+        # texts share no 3-grams with an empty eval set; gopher off via
+        # permissive thresholds so both docs survive to packing
+        gopher_kwargs=dict(
+            min_words=1,
+            max_words=10**6,
+            min_mean_word_len=0.0,
+            max_mean_word_len=100.0,
+            min_stop_hits=0,
+            max_top_bigram_frac=1.0,
+        ),
+        seq_budget=512,
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["total_tokens"] == 610
+    assert row["n_sequences"] == 2, row
