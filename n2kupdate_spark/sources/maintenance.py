@@ -214,13 +214,37 @@ def compact_parquet(
 # invisible until a vacuum removes them.
 
 
-def publish_manifest(spark: SparkSession, data_dir: str, version: int | None = None) -> str:
+def publish_manifest(
+    spark: SparkSession,
+    data_dir: str,
+    version: int | None = None,
+    schema: "StructType | None" = None,
+) -> str:
     """Write ``_manifest-<version>.json`` into ``data_dir`` listing its
-    current ``*.parquet`` files (name, length). Returns the manifest path.
-    ``version`` defaults to (highest existing version + 1); readers pick
-    the highest version, so publishing IS the commit — a single-object
-    write, atomic on any store. The listing uses the Hadoop FileSystem
-    API (local/HDFS/S3 alike); only metadata moves through the driver."""
+    current ``*.parquet`` files (name, length) plus the table's DECLARED
+    schema. Returns the manifest path. ``version`` defaults to (highest
+    existing version + 1); readers pick the highest version, so
+    publishing IS the commit.
+
+    Commit protocol: the JSON is written to a dotfile temp name
+    (``._manifest-<v>.json.tmp`` — excluded by both the ``_manifest-*``
+    glob and Hadoop's hidden-file filter) and then ``fs.rename``d to its
+    final name. Rename is atomic on HDFS and local filesystems, so a
+    concurrent ``read_manifest`` never observes an empty/truncated
+    manifest (a bare ``fs.create`` makes the file visible the moment it
+    is created). On S3-like stores rename is copy+delete but a single
+    PUT is already atomic there — the temp file is then merely a little
+    extra traffic, never a correctness loss.
+
+    Schema: ``schema`` pins the version's StructType explicitly; when
+    omitted it is derived once here via a mergeSchema footer scan of the
+    listed files. Either way the manifest carries the schema, so
+    ``read_manifest`` NEVER footer-scans — at 100 TB / millions of files
+    that moves schema resolution from every read's planning phase to one
+    publish-time pass, and makes column evolution a metadata operation
+    (old files are NULL-filled for columns they predate). The listing
+    uses the Hadoop FileSystem API (local/HDFS/S3 alike); only metadata
+    moves through the driver."""
     import json
 
     jvm = spark._jvm
@@ -234,11 +258,27 @@ def publish_manifest(spark: SparkSession, data_dir: str, version: int | None = N
     if version is None:
         version = max((v for v, _ in _list_manifests(fs, jvm, data_dir)), default=0) + 1
     files.sort(key=lambda f: f["name"])
-    mpath = jvm.org.apache.hadoop.fs.Path(data_dir, f"_manifest-{version:010d}.json")
-    out = fs.create(mpath, True)
-    out.write(bytearray(json.dumps({"version": version, "files": files}).encode()))
+    if schema is None and files:
+        schema = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[f"{data_dir}/{f['name']}" for f in files])
+            .schema
+        )
+    doc = {"version": version, "files": files}
+    if schema is not None:
+        doc["schema"] = json.loads(schema.json())
+    final = jvm.org.apache.hadoop.fs.Path(data_dir, f"_manifest-{version:010d}.json")
+    tmp = jvm.org.apache.hadoop.fs.Path(data_dir, f"._manifest-{version:010d}.json.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(doc).encode()))
     out.close()
-    return str(mpath)
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise FileExistsError(
+            f"manifest version {version} already exists under {data_dir} "
+            "(concurrent publisher?) — rename refused"
+        )
+    return str(final)
 
 
 def _list_manifests(fs, jvm, data_dir: str) -> list[tuple[int, str]]:
@@ -254,8 +294,16 @@ def read_manifest(spark: SparkSession, data_dir: str, version: int | None = None
     manifest (highest version by default) names — never a directory
     listing, so concurrent rewrites/compactions are invisible until their
     own manifest publish commits them. Passing ``version`` gives cheap
-    snapshot reads of prior publishes while their files survive."""
+    snapshot reads of prior publishes while their files survive.
+
+    When the manifest carries a declared schema (every publish since r8
+    does), the read applies it via ``spark.read.schema(...)`` — zero
+    footer scans at planning time, and files written before a column was
+    added come back NULL-filled for it, Iceberg/Delta-style. Manifests
+    from before the schema field fall back to plain parquet inference."""
     import json
+
+    from pyspark.sql.types import StructType
 
     jvm = spark._jvm
     hdir = jvm.org.apache.hadoop.fs.Path(data_dir)
@@ -277,7 +325,10 @@ def read_manifest(spark: SparkSession, data_dir: str, version: int | None = None
         stream.close()
     meta = json.loads(raw.decode())
     paths = [f"{data_dir}/{f['name']}" for f in meta["files"]]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if "schema" in meta:
+        reader = reader.schema(StructType.fromJson(meta["schema"]))
+    return reader.parquet(*paths)
 
 
 def vacuum_unreferenced(
@@ -315,6 +366,11 @@ def vacuum_unreferenced(
         if name.endswith(".parquet") and name not in referenced:
             fs.delete(st.getPath(), False)
             removed += 1
+        elif name.startswith("._manifest-") and name.endswith(".json.tmp"):
+            # a publisher that died between create and rename leaves its
+            # temp manifest behind; it was never visible to readers, so
+            # vacuuming it is always safe
+            fs.delete(st.getPath(), False)
     return {
         "kept_versions": [v for v, _ in kept],
         "dropped_manifests": len(dropped),

@@ -319,3 +319,95 @@ def test_compact_parquet_bloom_filters_written(spark, tmp_path):
         F.count(F.lit(1)), F.sum("k"), F.sum("v")
     ).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_manifest_publish_is_temp_then_rename(spark, tmp_path):
+    """The commit point is an atomic rename, not a create: a publisher
+    that dies after writing its temp file leaves nothing visible (the
+    dotfile temp matches neither the _manifest-* glob nor Hadoop's
+    hidden-file filter), version numbering ignores it, a later vacuum
+    sweeps it, and publishing an ALREADY-COMMITTED version refuses
+    instead of silently overwriting (advisor r7: bare fs.create made the
+    manifest visible empty/partial the moment it was created)."""
+    from n2kupdate_spark.sources.maintenance import (
+        publish_manifest,
+        read_manifest,
+        vacuum_unreferenced,
+    )
+
+    d = tmp_path / "tbl"
+    spark.range(50).withColumnRenamed("id", "v").coalesce(1).write.parquet(str(d))
+    publish_manifest(spark, str(d))
+
+    # simulate a crashed publisher: truncated temp manifest on disk
+    stale = d / "._manifest-0000000002.json.tmp"
+    stale.write_text('{"version": 2, "files": [')  # torn JSON
+    assert read_manifest(spark, str(d)).count() == 50  # invisible to readers
+
+    # version allocation must skip the temp (next commit is 2, not 3)
+    m2 = publish_manifest(spark, str(d))
+    assert m2.endswith("_manifest-0000000002.json")
+    assert read_manifest(spark, str(d), version=2).count() == 50
+
+    # re-publishing a committed version refuses (rename onto existing)
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        publish_manifest(spark, str(d), version=2)
+
+    vacuum_unreferenced(spark, str(d), keep_versions=2)
+    assert not stale.exists()  # crashed publisher's temp swept
+    assert sorted(p.name for p in d.glob("._manifest-*.tmp")) == []
+
+
+def test_manifest_declared_schema_pins_evolution(spark, tmp_path):
+    """Each manifest version carries the table's declared StructType
+    (derived once at publish via a footer scan, or caller-supplied), and
+    read_manifest applies it with spark.read.schema — so an evolved
+    table reads with the pinned schema, files written BEFORE a column
+    existed come back NULL-filled for it, and no mergeSchema / footer
+    merge happens at read time (the 100 TB planning-cost caveat
+    source_schema_evolution's docstring carries is moot for
+    manifest-published tables)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.sources.maintenance import publish_manifest, read_manifest
+
+    d = tmp_path / "tbl"
+    spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("a")
+    ).coalesce(1).write.parquet(str(d))
+    publish_manifest(spark, str(d))  # v1 schema: (id, a)
+
+    spark.range(10, 15).select(
+        F.col("id"), (F.col("id") * 2).alias("a"), F.lit("new").alias("b")
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    publish_manifest(spark, str(d))  # v2 schema: (id, a, b) via mergeSchema-at-publish
+
+    # manifest JSON carries the schema field
+    mfiles = sorted(d.glob("_manifest-*.json"))
+    assert len(mfiles) == 2
+    v2doc = json.loads(mfiles[1].read_text())
+    assert [f["name"] for f in v2doc["schema"]["fields"]] == ["id", "a", "b"]
+
+    # v2 read: evolved schema, old files NULL-filled for b — with a plain
+    # reader (no mergeSchema option anywhere)
+    cur = read_manifest(spark, str(d))
+    assert cur.columns == ["id", "a", "b"]
+    assert cur.count() == 15
+    assert cur.filter(F.col("b").isNull()).count() == 10
+
+    # v1 stays pinned to its own schema: no b column at all
+    old = read_manifest(spark, str(d), version=1)
+    assert old.columns == ["id", "a"]
+    assert old.count() == 10
+
+    # caller-supplied schema wins over derivation (projection-style pin)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    publish_manifest(
+        spark, str(d), schema=StructType([StructField("id", LongType(), True)])
+    )
+    assert read_manifest(spark, str(d)).columns == ["id"]
