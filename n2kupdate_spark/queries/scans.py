@@ -191,15 +191,29 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-_EVO_DIR = os.path.join(tempfile.gettempdir(), "n2kupdate_spark_schema_evo")
+# User-unique by uid (a shared /tmp dir owned by ANOTHER user would make
+# importing the whole queries package fail with PermissionError — advisor
+# r7), overridable for test harnesses. The oracle SQL interpolates this
+# path at import time, so the fixture must exist in the same process that
+# registers the oracle — written lazily below, atomically.
+_EVO_DIR = os.environ.get(
+    "N2K_SCHEMA_EVO_DIR",
+    os.path.join(
+        tempfile.gettempdir(),
+        f"n2kupdate_spark_schema_evo_{getattr(os, 'getuid', lambda: 'u')()}",
+    ),
+)
 
 
 def _write_evolution_fixture() -> None:
     """Two parquet files with EVOLVED schemas in one directory — the
     lakehouse reality after a column is added mid-table: old files lack
-    the new column, new files carry it. Written with pyarrow at import
-    time (deterministic contents, no Spark needed) so the DuckDB oracle
-    reads the same bytes."""
+    the new column, new files carry it. Written with pyarrow (bytes are
+    deterministic, no Spark needed) so the DuckDB oracle reads the same
+    files. Concurrency-safe: each file lands via write-to-pid-temp +
+    os.replace (atomic on POSIX), so two runs racing rewrite identical
+    bytes without a reader ever seeing a torn file; already-present
+    files are left alone."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -217,8 +231,13 @@ def _write_evolution_fixture() -> None:
             "extra": pa.array([f"e{i}" for i in range(11, 21)], pa.string()),
         }
     )
-    pq.write_table(old, f"{_EVO_DIR}/part1.parquet")
-    pq.write_table(new, f"{_EVO_DIR}/part2.parquet")
+    for name, table in (("part1.parquet", old), ("part2.parquet", new)):
+        final = os.path.join(_EVO_DIR, name)
+        if os.path.exists(final):
+            continue
+        tmp = os.path.join(_EVO_DIR, f".{name}.{os.getpid()}.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
 
 
 _write_evolution_fixture()
