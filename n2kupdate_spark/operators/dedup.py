@@ -31,6 +31,14 @@ ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
 _MERSENNE_P = 2147483647
 _HASH_MASK = 0x3FFFFFFF
 
+#: Edge count at or below which connected components skips the iterative
+#: propagation loop for one collect + driver union-find + broadcast (the
+#: GraphFrames-style small-graph escape). Shared by connected_components
+#: (as its parameter default) and connected_components_auto's dispatch so
+#: the two cannot drift (advisor r7); the gate is on EDGES — bounding
+#: driver memory — never on nodes, which can be billions.
+DRIVER_EDGE_THRESHOLD = 100_000
+
 
 def _hash_params(k: int = MINHASH_K, seed: int = 42) -> list[tuple[int, int]]:
     rng = np.random.RandomState(seed)
@@ -359,7 +367,7 @@ def connected_components(
     src_col: str = "id1",
     dst_col: str = "id2",
     max_iter: int = 20,
-    driver_edge_threshold: int = 100_000,
+    driver_edge_threshold: int = DRIVER_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every node's
     label converges to the minimum node id reachable from it — the canonical
@@ -588,6 +596,7 @@ def connected_components_auto(
     salt: int = 8,
     max_degree_hint: int | None = None,
     n_edges_hint: int | None = None,
+    driver_edge_threshold: int = DRIVER_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Dispatch between :func:`connected_components` (plain) and
     :func:`connected_components_salted` on measured hub degree — the choice
@@ -647,13 +656,19 @@ def connected_components_auto(
     # variant would make this choice internally too, but deciding here
     # keeps the probe's measured n_edges authoritative and skips the
     # salted path's 1.4× replication tax for every small skewed graph.)
-    if 0 < n_edges <= 100_000:
+    if 0 < n_edges <= driver_edge_threshold:
         fn = connected_components
     elif _cc_should_salt(max_degree, n_edges, shuffle_partitions):
         fn = connected_components_salted
     else:
         fn = connected_components
-    kwargs = {"salt": salt} if fn is connected_components_salted else {}
+    kwargs = (
+        {"salt": salt}
+        if fn is connected_components_salted
+        # thread the caller's threshold through so auto callers can tune
+        # or disable (0) the driver path exactly like direct callers
+        else {"driver_edge_threshold": driver_edge_threshold}
+    )
     return fn(
         nodes, edges, id_col=id_col, src_col=src_col, dst_col=dst_col,
         max_iter=max_iter, **kwargs,
