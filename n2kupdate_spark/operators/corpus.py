@@ -176,6 +176,7 @@ def pack_sequences(
     group_col: str = "source",
     order_cols: tuple[str, ...] = ("doc_id",),
     token_col: str = "n_tokens",
+    shards: int = 1,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: lay each group's rows end to
     end in ``order_cols`` order and cut ``budget``-token sequences from
@@ -186,17 +187,78 @@ def pack_sequences(
     GROUP (training pipelines pack within shards/domains anyway), so the
     sort parallelizes across groups instead of funneling the corpus
     through one global-order window. Integer division is explicit
-    floor-div for cross-engine parity."""
-    w = (
-        Window.partitionBy(group_col)
+    floor-div for cross-engine parity.
+
+    ``shards`` > 1 removes the remaining funnel — a single DOMINANT
+    group (one source that is 40% of a 100 TB corpus) otherwise sorts
+    through one task. Each group is range-split on the FIRST order
+    column into up to ``shards`` contiguous sub-shards at
+    ``percentile_approx`` cut points; the cumsum windows per
+    (group, shard) — parallel — and exact per-shard base offsets come
+    from a tiny groups×shards totals frame, prefix-summed and broadcast
+    back. The output is IDENTICAL to the single-window form for every
+    cut placement (the prefix sum is reconstructed exactly, so the
+    approximate quantiles only affect load balance, never values —
+    property-tested in tests/test_mlprep_props.py). Rows sharing the
+    first order column always land in one shard (cuts compare strictly),
+    so later order columns still sub-order within a shard. Requires a
+    numeric first order column when shards > 1; costs one extra
+    aggregate job + one broadcast join."""
+    if shards <= 1:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        start = F.sum(token_col).over(w).cast("long") - F.col(token_col)
+        return rows.select(
+            "*",
+            F.floor(start / budget).cast("int").alias("seq_id"),
+            (start % budget).cast("int").alias("seq_offset"),
+        )
+
+    key = F.col(order_cols[0]).cast("double")
+    cuts = rows.groupBy(group_col).agg(
+        F.percentile_approx(
+            key, [i / shards for i in range(1, shards)], 1000
+        ).alias("__cuts")
+    )
+    # shard id = number of cut points strictly below the key: contiguous
+    # in the group order, equal keys colocated, ≤ `shards` shards.
+    sharded = rows.join(F.broadcast(cuts), group_col).withColumn(
+        "__shard", F.size(F.filter("__cuts", lambda c: c < key))
+    )
+    w_shard = (
+        Window.partitionBy(group_col, "__shard")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = F.sum(token_col).over(w).cast("long") - F.col(token_col)
-    return rows.select(
-        "*",
-        F.floor(start / budget).cast("int").alias("seq_id"),
-        (start % budget).cast("int").alias("seq_offset"),
+    cum_in_shard = F.sum(token_col).over(w_shard).cast("long")
+    # exact base offset per shard: totals of all PRECEDING shards in the
+    # same group — a groups×shards frame, window-summed on the driver
+    # scale and broadcast back
+    totals = sharded.groupBy(group_col, "__shard").agg(
+        F.sum(token_col).cast("long").alias("__tot")
+    )
+    w_pref = (
+        Window.partitionBy(group_col)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.select(
+        group_col,
+        "__shard",
+        F.coalesce(F.sum("__tot").over(w_pref), F.lit(0)).alias("__base"),
+    )
+    start = F.col("__base") + F.col("__cum") - F.col(token_col)
+    return (
+        sharded.withColumn("__cum", cum_in_shard)
+        .join(F.broadcast(bases), [group_col, "__shard"])
+        .select(
+            *rows.columns,
+            F.floor(start / budget).cast("int").alias("seq_id"),
+            (start % budget).cast("int").alias("seq_offset"),
+        )
     )
 
 
@@ -213,6 +275,7 @@ def prepare_corpus(
     seq_budget: int = 512,
     gopher_kwargs: dict | None = None,
     exclude_eval_ids: bool = True,
+    pack_shards: int = 1,
 ) -> DataFrame:
     """End-to-end preparation: Gopher gate → decontamination (overlap
     budget) → exact dedup (md5, keep lowest id) → mixture weighting →
@@ -253,6 +316,7 @@ def prepare_corpus(
     packed = pack_sequences(
         mixed, budget=seq_budget, group_col=source_col,
         order_cols=(id_col, "copy_n"), token_col="n_tokens",
+        shards=pack_shards,
     )
     # n_sequences must be ceil(total_tokens / budget), NOT max(seq_id)+1:
     # seq_id marks the sequence containing each row's START, so a row

@@ -143,3 +143,41 @@ def test_prepare_corpus_counts_straddled_sequences(spark):
     row = out[0]
     assert row["total_tokens"] == 610
     assert row["n_sequences"] == 2, row
+
+
+def test_pack_sequences_subsharded_equals_single_window(spark):
+    """shards>1 must be a pure parallelism knob: range-sharding at
+    approx-quantile cuts + per-shard cumsum + exact base offsets
+    reconstructs the one-window prefix sum EXACTLY, for every cut
+    placement — on an adversarial frame (one source holding ~70% of the
+    rows, heavy duplicate doc_ids so cut points land ON repeated keys,
+    and a secondary order column doing the tie-breaking)."""
+    from n2kupdate_spark.operators.corpus import pack_sequences
+
+    rows = []
+    for i in range(4000):
+        # hot source: doc_id collides every 10 rows → cuts hit ties
+        rows.append((i // 10, i % 10, "hot", 7 + (i * 13) % 91))
+    for i in range(1200):
+        rows.append((i, 0, f"cold{i % 5}", 3 + (i * 7) % 50))
+    df = spark.createDataFrame(
+        rows, ["doc_id", "copy_n", "source", "n_tokens"]
+    ).repartition(16)
+
+    kw = dict(
+        budget=512,
+        group_col="source",
+        order_cols=("doc_id", "copy_n"),
+        token_col="n_tokens",
+    )
+    key = ["source", "doc_id", "copy_n"]
+    base = pack_sequences(df, **kw).toPandas().sort_values(key).reset_index(drop=True)
+    for shards in (2, 7, 32):
+        sub = (
+            pack_sequences(df, shards=shards, **kw)
+            .toPandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        assert list(sub.columns) == list(base.columns), shards
+        assert (sub.values == base.values).all(), f"shards={shards} diverged"
