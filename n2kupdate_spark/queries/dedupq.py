@@ -448,6 +448,7 @@ def dedup_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from n2kupdate_spark.operators.dedup import (
+        index_versions,
         persist_shingle_index,
         shingle_jaccard_pairs_capped_resume,
     )
@@ -457,9 +458,15 @@ def dedup_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", (F.col("doc_id") % 10 == 0).alias("is_new")
     )
     token = _corpus_freshness(sf_dir)
-    path = f"/tmp/n2k_shingle_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    uid = getattr(os, "getuid", lambda: "u")()
+    path = (
+        f"/tmp/n2k_shingle_index_{uid}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    )
     cached = _resume_index_cache.get(sf_dir)
-    if cached != (token, path) or not os.path.isdir(f"{path}/postings"):
+    # committed-version check, not isdir: a torn publish or a pre-r8
+    # flat-layout leftover has table dirs but no root marker
+    if cached != (token, path) or not index_versions(spark, path):
         persist_shingle_index(
             word_shingles(docs.filter(~F.col("is_new")), "text"),
             path,

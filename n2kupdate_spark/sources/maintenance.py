@@ -267,15 +267,30 @@ def publish_manifest(
     doc = {"version": version, "files": files}
     if schema is not None:
         doc["schema"] = json.loads(schema.json())
-    final = jvm.org.apache.hadoop.fs.Path(data_dir, f"_manifest-{version:010d}.json")
-    tmp = jvm.org.apache.hadoop.fs.Path(data_dir, f"._manifest-{version:010d}.json.tmp")
+    return atomic_put_json(spark, data_dir, f"_manifest-{version:010d}.json", doc)
+
+
+def atomic_put_json(spark: SparkSession, data_dir: str, name: str, doc: dict) -> str:
+    """Commit ``doc`` as ``data_dir/name`` via dotfile-temp + rename — the
+    manifest commit primitive, exposed for other commit markers (the
+    dedup resume index's root marker). Rename is atomic on HDFS/local; a
+    pre-existing destination refuses with FileExistsError instead of
+    silently overwriting a committed object."""
+    import json
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(data_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    final = jvm.org.apache.hadoop.fs.Path(data_dir, name)
+    tmp = jvm.org.apache.hadoop.fs.Path(data_dir, f".{name}.tmp")
     out = fs.create(tmp, True)
     out.write(bytearray(json.dumps(doc).encode()))
     out.close()
     if not fs.rename(tmp, final):
         fs.delete(tmp, False)
         raise FileExistsError(
-            f"manifest version {version} already exists under {data_dir} "
+            f"{name} already exists under {data_dir} "
             "(concurrent publisher?) — rename refused"
         )
     return str(final)

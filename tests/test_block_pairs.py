@@ -179,8 +179,11 @@ def test_chained_resume_rolls_index_forward(spark, sf_dir, tmp_path):
     a fresh full-corpus build: postings (bucket→member set), the stoplist
     bucket set, and per-doc sizes all match, and a second batch resumed off
     the rolled index equals the one-shot incremental over the grown
-    universe."""
+    universe. Since r8 the roll-forward is IN-PLACE (same root, manifest
+    version v+1) and prior versions stay pinned-readable."""
     from n2kupdate_spark.operators.dedup import (
+        _load_index,
+        index_versions,
         persist_shingle_index,
         shingle_jaccard_pairs_capped_incremental,
         shingle_jaccard_pairs_capped_resume,
@@ -196,40 +199,43 @@ def test_chained_resume_rolls_index_forward(spark, sf_dir, tmp_path):
         sh.filter(F.col("part") == 2),
         sh.filter(F.col("part") == 3),
     )
-    idx0, idx1 = str(tmp_path / "i0"), str(tmp_path / "i1")
-    persist_shingle_index(base, idx0, "doc_id", max_df=5)
+    idx = str(tmp_path / "i0")
+    assert persist_shingle_index(base, idx, "doc_id", max_df=5) == 1
+    # roll forward IN-PLACE: same root, committed as version 2
     shingle_jaccard_pairs_capped_resume(
-        b1, idx0, "doc_id", 0.1, 5, update_index_path=idx1
+        b1, idx, "doc_id", 0.1, 5, update_index_path=idx
     ).collect()
+    assert index_versions(spark, idx) == [1, 2]
 
     fresh = str(tmp_path / "fresh")
     persist_shingle_index(base.unionByName(b1), fresh, "doc_id", max_df=5)
 
-    def postings_map(path):
-        return {
-            r["bucket"]: tuple(sorted(r["members"]))
-            for r in spark.read.parquet(f"{path}/postings").collect()
-        }
+    def maps(path, version=None):
+        _, postings, stop, sizes = _load_index(spark, path, version)
+        return (
+            {
+                r["bucket"]: tuple(sorted(r["members"]))
+                for r in postings.collect()
+            },
+            # stoplist df values are not compared: the rolled stoplist
+            # keeps the count as of when the bucket crossed (later drops
+            # don't increment it) — membership in the drop set is what
+            # the algorithm consumes.
+            {r["bucket"] for r in stop.collect()},
+            {r["doc_id"]: r["n"] for r in sizes.collect()},
+        )
 
-    def sizes_map(path):
-        return {
-            r["doc_id"]: r["n"] for r in spark.read.parquet(f"{path}/sizes").collect()
-        }
-
-    def stop_set(path):
-        # df values are not compared: the rolled stoplist keeps the count
-        # as of when the bucket crossed (later drops don't increment it) —
-        # membership in the drop set is what the algorithm consumes.
-        return {r["bucket"] for r in spark.read.parquet(f"{path}/stoplist").collect()}
-
-    assert postings_map(idx1) == postings_map(fresh)
-    assert sizes_map(idx1) == sizes_map(fresh)
-    assert stop_set(idx1) == stop_set(fresh)
+    assert maps(idx) == maps(fresh)
+    # the pre-roll version stays pinned-readable and equals a fresh
+    # base-only build
+    base_only = str(tmp_path / "b0")
+    persist_shingle_index(base, base_only, "doc_id", max_df=5)
+    assert maps(idx, version=1) == maps(base_only)
 
     chained = {
         (r["id1"], r["id2"]): r["jaccard"]
         for r in shingle_jaccard_pairs_capped_resume(
-            b2, idx1, "doc_id", 0.1, 5
+            b2, idx, "doc_id", 0.1, 5
         ).collect()
     }
     inc = {
@@ -239,3 +245,49 @@ def test_chained_resume_rolls_index_forward(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert chained == inc
+
+
+def test_torn_index_rollforward_is_invisible(spark, sf_dir, tmp_path):
+    """A roll-forward killed between table writes and the marker commit
+    must leave the prior version fully readable and never poison later
+    publishes: torn v-dirs are absent from index_versions, resume reads
+    the committed version, and the next publish SKIPS the torn version
+    number instead of writing into half-written directories."""
+    from n2kupdate_spark.operators.dedup import (
+        index_versions,
+        persist_shingle_index,
+        shingle_jaccard_pairs_capped_incremental,
+        shingle_jaccard_pairs_capped_resume,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 10 == 0).alias("is_new")
+    )
+    sh = word_shingles(docs, "text").localCheckpoint(eager=True)
+    idx = str(tmp_path / "idx")
+    persist_shingle_index(sh.filter(~F.col("is_new")), idx, "doc_id", max_df=5)
+
+    # simulate the kill: a v2 postings dir exists (even manifest-published
+    # per-table), but the root marker never landed
+    spark.range(5).write.parquet(f"{idx}/postings/v0000000002")
+    from n2kupdate_spark.sources.maintenance import publish_manifest
+
+    publish_manifest(spark, f"{idx}/postings/v0000000002", version=1)
+    assert index_versions(spark, idx) == [1]
+
+    resumed = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in shingle_jaccard_pairs_capped_resume(
+            sh.filter("is_new"), idx, "doc_id", 0.1, 5, update_index_path=idx
+        ).collect()
+    }
+    inc = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in shingle_jaccard_pairs_capped_incremental(
+            sh, "is_new", "doc_id", 0.1, 5
+        ).collect()
+    }
+    assert resumed == inc and resumed
+    # the retry committed PAST the torn number
+    assert index_versions(spark, idx) == [1, 3]
