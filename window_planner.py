@@ -65,6 +65,13 @@ def main() -> None:
 
     print(f"registered queries: {len(QUERIES)} ({len(sql_ops)} SQL-oracle)")
     print(f"latest recorded round: r{latest_round}; planning for r{next_round}")
+    # capacity: 50 slots × 3-round cycle = 150 SQL-oracle ops max under the
+    # ≤2-round freshness invariant (SURVEY §5.2 records the policy past it)
+    print(
+        f"window capacity: {len(sql_ops)}/150 SQL-oracle ops — "
+        f"headroom {150 - len(sql_ops)} "
+        f"(~{(150 - len(sql_ops)) // 3}/round on a 3-round cycle)"
+    )
     print(f"\nnever driver-checked (new ops — window first): {len(never)}")
     for n in never:
         print(f"  {n}")
