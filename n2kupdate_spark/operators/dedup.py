@@ -107,6 +107,35 @@ def shingle_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: inter / min(|A|, |B|) — the
+    asymmetric near-dup measure that catches a document EMBEDDED in a
+    larger one (quote-the-whole-article, boilerplate-wrapped reposts,
+    eval-in-training subsets), which Jaccard structurally misses: a 50-gram
+    doc fully contained in a 5000-gram doc has containment 1.0 but Jaccard
+    ≈ 0.01. Same inverted-index plan as :func:`shingle_jaccard_pairs`
+    (explode → per-shingle buckets → pair gen → collision-sized group), so
+    the same 100 TB cost shape — work follows shingle collisions, never
+    n²; the same stop-shingle cap guidance applies when skew appears."""
+    inv = sh.select(
+        F.col(id_col), F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    ).select(F.xxhash64("s").alias("bucket"), F.struct(id_col, "n").alias("d"))
+    pairs = _bucket_pairs(inv, ["bucket"], "d").select(
+        F.col(f"m1.{id_col}").alias("id1"),
+        F.col(f"m2.{id_col}").alias("id2"),
+        F.col("m1.n").alias("n1"),
+        F.col("m2.n").alias("n2"),
+    )
+    cand = pairs.groupBy("id1", "id2", "n1", "n2").agg(F.count(F.lit(1)).alias("inter"))
+    cont = F.round(F.col("inter") / F.least("n1", "n2"), 4)
+    return (
+        cand.select("id1", "id2", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
     """K-wide MinHash signature per document.
 

@@ -224,6 +224,46 @@ def fit_spherical_centroids(
     return refined
 
 
+def fit_pca_components(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str = "v",
+    k: int = 8,
+    seed_sample: int = 512,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, k×dim components) fit by SVD on a bounded deterministic
+    sample (first ``seed_sample`` rows by id order — the
+    fit_spherical_centroids pattern: driver traffic bounded regardless of
+    corpus size). Components are sign-fixed (largest-|coord| positive) so
+    the decomposition is deterministic — numpy SVD's per-component sign is
+    otherwise arbitrary."""
+    sample_rows = vectors.select(vec_col).orderBy(id_col).limit(seed_sample).collect()
+    S = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    mu = S.mean(axis=0)
+    _, _, vt = np.linalg.svd(S - mu, full_matrices=False)
+    W = vt[:k].copy()
+    for i in range(W.shape[0]):
+        j = int(np.argmax(np.abs(W[i])))
+        if W[i, j] < 0:
+            W[i] = -W[i]
+    return mu, W
+
+
+def pca_project(vc: str, mu: np.ndarray, W: np.ndarray):
+    """Arrow-batched projection (v − mean) @ Wᵀ — one matmul per batch,
+    4dp-rounded (+0.0 to normalize any −0.0 out of the rounding)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, C = mu.copy(), W.copy()
+
+    @pandas_udf("array<double>")
+    def proj(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(list(np.round((V - m) @ C.T, 4) + 0.0))
+
+    return proj(F.col(vc))
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -101,18 +101,23 @@ _ROUND_WINDOW = [
     "window_cume_dist",
     "window_first_last",
     "window_gaps_islands",
-    # -- 12 heaviest r6-green fillers (r9's MUST set, pre-confirmed) ------
+    # -- first-round driver evidence for the 3 SQL-oracle ops born this
+    # round (r6/r7 precedent: new ops window immediately; they displace
+    # three light r6-green fillers — array_basic, embed_norm_stats,
+    # embed_quantize_int8 — which stay within the ≤2-round invariant at
+    # r8 and rotate back as r9 MUSTs) --------------------------------------
+    "dedup_ngram_containment",
+    "sample_reservoir_per_key",
+    "agg_histogram_bins",
+    # -- 9 heaviest r6-green fillers (r9's MUST set, pre-confirmed) -------
     "agg_collect_sorted",
     "agg_group_sums",
-    "array_basic",
     "composite_large_order_customers",
     "corpus_clean_pipeline",
     "dedup_cc_clusters",
     "dedup_cc_pointer_jump",
     "dedup_incremental_jaccard",
     "dedup_jaccard_stop_shingles",
-    "embed_norm_stats",
-    "embed_quantize_int8",
     "events_funnel_steps",
 ]
 

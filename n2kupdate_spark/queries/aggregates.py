@@ -74,6 +74,48 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_histogram_bins",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bin_id,
+           CAST(CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) * 5000 AS DOUBLE)
+             AS bin_lo,
+           COUNT(*) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS bin_min,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS bin_max
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (5000-wide price bins) with per-bin
+    min/max — the one-pass distribution profile that sizes skew salts,
+    picks range-partition bounds, and sanity-checks value drift before a
+    100 TB job commits to a layout. Pure map + one partial-agged shuffle
+    of ≤ #bins groups; output is bounded by the value range, not the row
+    count. Bin id is explicit FLOOR(x/w) in both engines: DuckDB's ``//``
+    is integer division only for INTEGER operands — on DOUBLEs it is
+    plain ``/`` (probed: ``2500.03 // 5000`` → 0.500006), so the usual
+    ``//``-vs-F.floor oracle rule does NOT apply to double columns."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_extendedprice"])
+    bin_id = F.floor(F.col("l_extendedprice") / 5000).cast("long")
+    return (
+        li.select("l_extendedprice", bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").cast("double").alias("bin_min"),
+            F.max("l_extendedprice").cast("double").alias("bin_max"),
+        )
+        .select(
+            "bin_id",
+            (F.col("bin_id") * 5000).cast("double").alias("bin_lo"),
+            "n",
+            "bin_min",
+            "bin_max",
+        )
+    )
+
+
 @register("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++). The sketch

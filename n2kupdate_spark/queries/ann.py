@@ -147,3 +147,28 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cos_to_centroid"),
     )
+
+
+@register("embed_pca_project")  # rows-only: SVD basis is engine-specific
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction for curation/visualization: project every
+    embedding onto the top-8 principal components fit from a bounded
+    deterministic sample (first 512 ids — the fit_spherical_centroids
+    pattern). Downstream uses: cheap pre-filter before exact cosine,
+    2-D corpus maps, per-cluster drift monitoring.
+
+    Scale: the fit collects seed_sample × dim floats once; the projection
+    is one scan with an Arrow-batched matmul per batch — no shuffle, so
+    projecting a 100 TB embedding table is a map (the kmeans/IVF cost
+    shape). Deterministic: id-ordered sample, sign-fixed components
+    (largest-|coord| positive — numpy SVD's sign is otherwise arbitrary).
+    Value-pinned in tests/test_ann_recall.py: projections equal the numpy
+    matmul against the op's own basis, and on the fitting sample the
+    per-component variances are non-increasing (exact SVD property)."""
+    from n2kupdate_spark.operators.similarity import fit_pca_components, pca_project
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu, W = fit_pca_components(e, "vec_id", "v", k=8)
+    return e.select("vec_id", pca_project("v", mu, W).alias("pc"))

@@ -55,6 +55,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_jaccard_pairs(sh, "doc_id", threshold=0.1)
 
 
+@register(
+    "dedup_ngram_containment",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cand AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(inter / LEAST(len(s1.shingles), len(s2.shingles)), 4)
+             AS containment
+    FROM cand
+    JOIN sh s1 ON s1.doc_id = id1
+    JOIN sh s2 ON s2.doc_id = id2
+    WHERE ROUND(inter / LEAST(len(s1.shingles), len(s2.shingles)), 4) >= 0.2
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by word-3-gram CONTAINMENT
+    (inter / min set size, ≥ 0.2) — catches a document EMBEDDED in a
+    larger one (wrapped reposts, eval-slices inside training docs),
+    which Jaccard structurally misses (a fully-contained small doc scores
+    containment 1.0 but Jaccard ~|A|/|B|). Same inverted-index plan as
+    ``dedup_ngram_jaccard``: cost follows shingle collisions, never n²."""
+    sh = word_shingles(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    from n2kupdate_spark.operators.dedup import shingle_containment_pairs
+
+    return shingle_containment_pairs(sh, "doc_id", threshold=0.2)
+
+
 @register("dedup_text_fuzzy")  # rows-only: LSH banding is engine-specific
 def dedup_text_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (Jaccard ≥ 0.5 after exact verification).

@@ -50,6 +50,43 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_reservoir_per_key",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key reservoir: the 20 docs per source whose
+    md5(doc_id) sorts lowest — a content-addressed "random" sample that is
+    identical on every engine, run, and cluster size (the property a
+    rand()-based reservoir lacks), and STABLE under corpus growth: a doc
+    only leaves the sample when a lower-hash doc arrives, so per-domain
+    inspection/eval sets don't churn wholesale between ingests.
+
+    Scale: one hash-partitioned window per key with bounded output
+    (keys × k rows). At 100 TB the refinement is a conservative hash-prefix
+    pre-filter (keep md5 < bound with expected survivors ≫ k, verified
+    per-key, fall back for under-filled keys) so the per-key sort sees a
+    sliver of the corpus; not done here where the op is the exactness
+    anchor. doc_id tiebreak keeps the order total (md5 collisions)."""
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@register(
     "ts_resample_ffill",
     oracle="""
     WITH e AS (

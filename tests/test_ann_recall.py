@@ -59,3 +59,37 @@ def test_kmeans_cluster_assignments_are_exact_argmax(spark):
         )
         seen_clusters.add(got_cluster)
     assert seen_clusters == set(range(1, len(C) + 1)), seen_clusters
+
+
+def test_pca_projection_is_exact_and_sample_variance_monotone(spark):
+    """embed_pca_project's value pin: every projection equals the numpy
+    (v − mean) @ Wᵀ against the op's own (mean, components) at 4dp, and on
+    the FITTING sample the per-component variances are non-increasing —
+    an exact SVD property (singular values descend), so any basis
+    mis-ordering or sign/centering bug trips it deterministically."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.similarity import fit_pca_components
+    from n2kupdate_spark.sources import load
+
+    out = {
+        r["vec_id"]: np.asarray(r["pc"], dtype=np.float64)
+        for r in QUERIES["embed_pca_project"](spark, SF).collect()
+    }
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu, W = fit_pca_components(e, "vec_id", "v", k=8)
+    vecs = {r["vec_id"]: np.asarray(r["v"], dtype=np.float64) for r in e.collect()}
+    assert set(out) == set(vecs)
+    for vid, v in vecs.items():
+        want = np.round((v - mu) @ W.T, 4) + 0.0
+        assert np.array_equal(out[vid], want), (vid, out[vid], want)
+
+    sample_ids = sorted(vecs)[:512]
+    S = np.stack([vecs[i] for i in sample_ids])
+    proj = (S - mu) @ W.T
+    var = proj.var(axis=0)
+    assert all(var[i] + 1e-9 >= var[i + 1] for i in range(len(var) - 1)), var
+    assert var[0] > 0
