@@ -36,6 +36,11 @@ OPS = [
     "pack_sequences_greedy",    # per-source window cumsum
     "embed_kmeans_clusters",    # bounded fit + shuffle-free assignment map
     "corpus_prepare_pipeline",  # the whole gate chain end to end
+    # round-8 additions
+    "dedup_ngram_containment",  # inverted-index pairs, collision-bounded
+    "sample_reservoir_per_key", # per-key window top-k by hash
+    "agg_histogram_bins",       # map + bins-bounded group
+    "embed_pca_project",        # bounded fit + matmul map
 ]
 
 
