@@ -170,6 +170,64 @@ def apply_mixture(
     )
 
 
+def reservoir_per_key(
+    rows: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 20,
+    prefilter_factor: float | None = 8.0,
+) -> DataFrame:
+    """Deterministic per-key reservoir: the ``k`` rows per key whose
+    md5(id) sorts lowest (content-addressed — identical across engines,
+    runs, and cluster sizes, and growth-stable: a row only leaves the
+    sample when a lower-hash row arrives). Emits (id, key, rk).
+
+    ``prefilter_factor`` is the 100 TB path: instead of window-sorting
+    EVERY key's full row set, one #keys-sized count aggregate sets a
+    per-key hash-prefix bound B with E[survivors] = factor·k, the scan
+    keeps only rows whose 32-bit md5 prefix falls below B, and the top-k
+    window runs over those slivers. EXACT by construction, not
+    approximate: md5 is compared prefix-first, so whenever ≥ k rows of a
+    key pass the prefix bound, the k lowest full hashes are all among
+    them (a row failing the bound is lexicographically above every row
+    passing it); keys where the filter underfills (< k survivors — a
+    tail-probability event at factor 8, plus any key with ≤ factor·k
+    rows, where the filter buys nothing) fall back to their full row
+    set. Equality with the plain window is property-tested even at an
+    adversarial factor 0.5 that forces mass fallback
+    (tests/test_mlprep_props.py), and the registered
+    ``sample_reservoir_per_key`` query runs THIS path against a
+    plain-window SQL oracle, so the exactness claim is re-proven by the
+    hash-match gate every round. ``None`` disables (plain window)."""
+    hsh = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(key_col).orderBy(hsh.asc(), F.col(id_col).asc())
+    base = rows.select(id_col, key_col)
+    if prefilter_factor is None:
+        return base.select(
+            id_col, key_col, F.row_number().over(w).alias("rk")
+        ).filter(F.col("rk") <= k)
+
+    prefix = F.conv(F.substring(hsh, 1, 8), 16, 10).cast("long")
+    counts = base.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    # bound on the 32-bit prefix: ceil keeps E[survivors] ≥ factor·k even
+    # for tiny n; bound ≥ 2^32 means "keep everything" (small keys)
+    bound = F.least(
+        F.lit(float(2**32)),
+        F.ceil(F.lit(float(prefilter_factor) * k) / F.col("__n") * (2**32)),
+    ).cast("long")
+    tagged = base.join(F.broadcast(counts.select(key_col, bound.alias("__b"))), key_col)
+    passing = tagged.filter(prefix < F.col("__b"))
+    got = passing.groupBy(key_col).agg(F.count(F.lit(1)).alias("__g"))
+    enough = got.filter(F.col("__g") >= k).select(key_col)
+    fast = passing.join(F.broadcast(enough), key_col, "semi")
+    slow = tagged.join(F.broadcast(enough), key_col, "anti")
+    return (
+        fast.unionByName(slow)
+        .select(id_col, key_col, F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def pack_sequences(
     rows: DataFrame,
     budget: int = 512,

@@ -70,20 +70,20 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     only leaves the sample when a lower-hash doc arrives, so per-domain
     inspection/eval sets don't churn wholesale between ingests.
 
-    Scale: one hash-partitioned window per key with bounded output
-    (keys × k rows). At 100 TB the refinement is a conservative hash-prefix
-    pre-filter (keep md5 < bound with expected survivors ≫ k, verified
-    per-key, fall back for under-filled keys) so the per-key sort sees a
-    sliver of the corpus; not done here where the op is the exactness
-    anchor. doc_id tiebreak keeps the order total (md5 collisions)."""
+    Scale: this runs the PRODUCTION path (operators/corpus.py::
+    reservoir_per_key, prefilter_factor=8) — a #keys-sized count sets a
+    per-key 32-bit md5-prefix bound with E[survivors] = 8k, the scan
+    keeps only those slivers, and the top-k window sorts them instead of
+    every key's full row set; under-filled keys fall back to their full
+    rows, so the result is EXACT (prefix-first md5 comparison makes the
+    k lowest full hashes a subset of any ≥k-row prefix cut). The oracle
+    is the plain one-window SQL, so the hash-match gate re-proves the
+    pre-filter's exactness every round. doc_id tiebreak keeps the order
+    total (md5 collisions)."""
+    from n2kupdate_spark.operators.corpus import reservoir_per_key
+
     d = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    return (
-        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 20)
-    )
+    return reservoir_per_key(d, "source", "doc_id", k=20, prefilter_factor=8.0)
 
 
 @register(

@@ -181,3 +181,30 @@ def test_pack_sequences_subsharded_equals_single_window(spark):
         )
         assert list(sub.columns) == list(base.columns), shards
         assert (sub.values == base.values).all(), f"shards={shards} diverged"
+
+
+def test_reservoir_prefilter_equals_plain_window(spark):
+    """The hash-prefix pre-filter must be a pure cost knob: at any factor
+    — including an adversarial 0.5 where E[survivors] = k/2 forces mass
+    fallback — the output equals the plain one-window reservoir, on a
+    frame mixing a hot key (50k rows), mid keys, and keys SMALLER than k
+    (every row kept, rk dense)."""
+    from n2kupdate_spark.operators.corpus import reservoir_per_key
+
+    rows = [(i, "hot") for i in range(50_000)]
+    rows += [(100_000 + i, f"mid{i % 7}") for i in range(2_100)]
+    rows += [(200_000 + i, "tiny") for i in range(5)]  # < k rows
+    df = spark.createDataFrame(rows, ["doc_id", "source"]).repartition(16)
+
+    key = ["source", "rk"]
+    plain = (
+        reservoir_per_key(df, "source", "doc_id", k=20, prefilter_factor=None)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert (plain[plain.source == "tiny"].rk.values == [1, 2, 3, 4, 5]).all()
+    for factor in (8.0, 0.5):
+        fast = (
+            reservoir_per_key(df, "source", "doc_id", k=20, prefilter_factor=factor)
+            .toPandas().sort_values(key).reset_index(drop=True)
+        )
+        assert (fast.values == plain.values).all(), f"factor={factor} diverged"
