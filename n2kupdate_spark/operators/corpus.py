@@ -320,6 +320,45 @@ def pack_sequences(
     )
 
 
+def gate_documents(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decontam_n: int = 3,
+    decontam_budget: int = 5,
+    gopher_kwargs: dict | None = None,
+    exclude_eval_ids: bool = True,
+) -> DataFrame:
+    """The filtering front half of :func:`prepare_corpus` — Gopher gate →
+    n-gram decontamination (overlap budget) → optional eval-id exclusion →
+    exact dedup (md5, keep lowest id) — returning the SURVIVING docs with
+    their original columns. Factored out so the streaming ingest
+    (streaming/jobs.py::stream_corpus_publish) applies the identical
+    gates per micro-batch that the batch pipeline applies per corpus; the
+    registered `corpus_prepare_pipeline` oracle keeps verifying this code
+    through prepare_corpus."""
+    passing = (
+        gopher_metrics(docs, id_col, text_col, **(gopher_kwargs or {}))
+        .filter(F.col("gopher_pass") == 1)
+        .select(id_col)
+    )
+    contaminated = (
+        decontaminate_ngram(docs, eval_docs, id_col, text_col, n=decontam_n)
+        .filter(F.col("n_shared_grams") >= decontam_budget)
+        .select(id_col)
+    )
+    clean = docs.join(passing, id_col).join(contaminated, id_col, "left_anti")
+    if exclude_eval_ids:
+        clean = clean.join(eval_docs.select(id_col).distinct(), id_col, "left_anti")
+    w_fp = Window.partitionBy(F.md5(text_col)).orderBy(id_col)
+    return (
+        clean.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def prepare_corpus(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -348,24 +387,15 @@ def prepare_corpus(
     ids live in an unrelated space and excluding matching training ids
     would silently drop innocent docs — pass ``False`` there; the n-gram
     overlap gate is id-agnostic either way."""
-    passing = (
-        gopher_metrics(docs, id_col, text_col, **(gopher_kwargs or {}))
-        .filter(F.col("gopher_pass") == 1)
-        .select(id_col)
-    )
-    contaminated = (
-        decontaminate_ngram(docs, eval_docs, id_col, text_col, n=decontam_n)
-        .filter(F.col("n_shared_grams") >= decontam_budget)
-        .select(id_col)
-    )
-    clean = docs.join(passing, id_col).join(contaminated, id_col, "left_anti")
-    if exclude_eval_ids:
-        clean = clean.join(eval_docs.select(id_col).distinct(), id_col, "left_anti")
-    w_fp = Window.partitionBy(F.md5(text_col)).orderBy(id_col)
-    exact = (
-        clean.withColumn("rn", F.row_number().over(w_fp))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    exact = gate_documents(
+        docs,
+        eval_docs,
+        id_col=id_col,
+        text_col=text_col,
+        decontam_n=decontam_n,
+        decontam_budget=decontam_budget,
+        gopher_kwargs=gopher_kwargs,
+        exclude_eval_ids=exclude_eval_ids,
     )
     mixed = apply_mixture(
         exact.select(id_col, source_col, F.size(F.split(text_col, " ")).alias("n_tokens")),

@@ -270,6 +270,85 @@ def publish_manifest(
     return atomic_put_json(spark, data_dir, f"_manifest-{version:010d}.json", doc)
 
 
+def publish_append_manifest(
+    spark: SparkSession, data_dir: str, new_subdir: str, version: int | None = None
+) -> str:
+    """Append-commit: version ``v``'s file list = the PREVIOUS version's
+    list + the ``*.parquet`` files under ``data_dir/new_subdir`` (recorded
+    with their subdir-relative names, which read_manifest resolves). This
+    is the incremental-ingest commit: each batch lands in its own
+    immutable subdir (idempotently rewritable on retry), and the manifest
+    flip makes it visible atomically — a reader never sees a torn batch,
+    and a crashed publisher leaves the prior version intact. The declared
+    schema is the previous version's schema merged by name with the new
+    files' (footer scan over the NEW subdir only — publish cost follows
+    the batch, not the table)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    jvm = spark._jvm
+    hdir = jvm.org.apache.hadoop.fs.Path(data_dir)
+    fs = hdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    manifests = _list_manifests(fs, jvm, data_dir)
+    prev_files: list[dict] = []
+    prev_schema: StructType | None = None
+    if manifests:
+        stream = fs.open(jvm.org.apache.hadoop.fs.Path(manifests[-1][1]))
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        prev = json.loads(raw.decode())
+        prev_files = prev["files"]
+        if "schema" in prev:
+            prev_schema = StructType.fromJson(prev["schema"])
+    if version is None:
+        version = (manifests[-1][0] + 1) if manifests else 1
+
+    sub = jvm.org.apache.hadoop.fs.Path(data_dir, new_subdir)
+    new_files = []
+    new_paths = []
+    for st in fs.listStatus(sub):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            new_files.append(
+                {"name": f"{new_subdir}/{name}", "length": int(st.getLen())}
+            )
+            new_paths.append(f"{data_dir}/{new_subdir}/{name}")
+    new_files.sort(key=lambda f: f["name"])
+    schema = prev_schema
+    if new_paths:
+        new_schema = (
+            spark.read.option("mergeSchema", "true").parquet(*new_paths).schema
+        )
+        if schema is None:
+            schema = new_schema
+        else:
+            have = {f.name for f in schema.fields}
+            schema = StructType(
+                list(schema.fields)
+                + [f for f in new_schema.fields if f.name not in have]
+            )
+    doc = {"version": version, "files": prev_files + new_files}
+    if schema is not None:
+        doc["schema"] = json.loads(schema.json())
+    return atomic_put_json(spark, data_dir, f"_manifest-{version:010d}.json", doc)
+
+
+def manifest_versions(spark: SparkSession, data_dir: str) -> list[int]:
+    """Committed manifest versions under ``data_dir`` (sorted; empty list
+    for a directory with no manifests — the exactly-once skip check for
+    epoch-keyed streaming publishes)."""
+    jvm = spark._jvm
+    hdir = jvm.org.apache.hadoop.fs.Path(data_dir)
+    try:
+        fs = hdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    except Exception:
+        return []
+    return [v for v, _ in _list_manifests(fs, jvm, data_dir)]
+
+
 def atomic_put_json(spark: SparkSession, data_dir: str, name: str, doc: dict) -> str:
     """Commit ``doc`` as ``data_dir/name`` via dotfile-temp + rename — the
     manifest commit primitive, exposed for other commit markers (the
@@ -386,6 +465,21 @@ def vacuum_unreferenced(
             # temp manifest behind; it was never visible to readers, so
             # vacuuming it is always safe
             fs.delete(st.getPath(), False)
+        elif st.isDirectory() and not name.startswith((".", "_")):
+            # append-manifest batch subdirs: vacuum their unreferenced
+            # files too (names are recorded subdir-relative), and drop
+            # the subdir once empty
+            live = 0
+            for sub in fs.listStatus(st.getPath()):
+                sname = sub.getPath().getName()
+                rel = f"{name}/{sname}"
+                if sname.endswith(".parquet") and rel not in referenced:
+                    fs.delete(sub.getPath(), False)
+                    removed += 1
+                elif not sname.startswith((".", "_")):  # _SUCCESS etc. don't pin
+                    live += 1
+            if live == 0:
+                fs.delete(st.getPath(), True)
     return {
         "kept_versions": [v for v, _ in kept],
         "dropped_manifests": len(dropped),

@@ -324,3 +324,75 @@ def stream_stateful_sessions(events: DataFrame, watermark: str = "1 hour") -> Da
             timeoutConf="ProcessingTimeTimeout",
         )
     )
+
+
+def documents_file_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream with the documents schema — parquet files
+    dropped into ``source_dir`` become micro-batches of corpus ingest
+    (the recurring-crawl shape). Same contract as events_file_stream."""
+    reader = spark.readStream.schema(SCHEMAS["documents"])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def stream_corpus_publish(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    decontam_n: int = 3,
+    decontam_budget: int = 5,
+    gopher_kwargs: dict | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming corpus ingest with EXACTLY-ONCE manifest publication:
+    every micro-batch runs the batch pipeline's own gates
+    (operators/corpus.py::gate_documents — Gopher → decontamination →
+    within-batch exact dedup; per-micro-batch ≡ batch is pinned by
+    test_corpus_gates_are_streaming_ready), lands in an immutable
+    ``batch-<v>`` subdir, and becomes visible atomically via
+    publish_append_manifest — readers of the published table never see a
+    torn batch, and a crashed commit leaves the prior version intact.
+
+    Exactly-once: the manifest version is keyed to the epoch id
+    (v = epoch+1). A RETRIED epoch first checks manifest_versions — if
+    its version is already committed the whole batch is skipped; if the
+    crash hit between the subdir write and the manifest flip, the
+    overwrite-mode rewrite of the same subdir is idempotent and the flip
+    completes. That is the classic epoch-id sink protocol, here with the
+    manifest rename as the commit point. Returns the started query."""
+    from n2kupdate_spark.operators.corpus import gate_documents
+    from n2kupdate_spark.sources.maintenance import (
+        manifest_versions,
+        publish_append_manifest,
+    )
+
+    spark = docs.sparkSession
+    ev = eval_docs.select("doc_id", "text").localCheckpoint(eager=True)
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        version = int(epoch_id) + 1
+        if version in manifest_versions(spark, out_dir):
+            return  # retried epoch, already committed — exactly-once skip
+        gated = gate_documents(
+            batch_df,
+            ev,
+            decontam_n=decontam_n,
+            decontam_budget=decontam_budget,
+            gopher_kwargs=gopher_kwargs,
+        )
+        subdir = f"batch-{version:010d}"
+        gated.write.mode("overwrite").parquet(f"{out_dir}/{subdir}")
+        publish_append_manifest(spark, out_dir, subdir, version=version)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_commit)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

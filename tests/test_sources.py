@@ -411,3 +411,41 @@ def test_manifest_declared_schema_pins_evolution(spark, tmp_path):
         spark, str(d), schema=StructType([StructField("id", LongType(), True)])
     )
     assert read_manifest(spark, str(d)).columns == ["id"]
+
+
+def test_append_manifest_vacuum_cleans_batch_subdirs(spark, tmp_path):
+    """publish_append_manifest grows a table batch-subdir by batch-subdir;
+    vacuum must reach INTO those subdirs: stray unreferenced files are
+    removed, fully-unreferenced subdirs are dropped, and referenced batch
+    files survive every kept version."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.sources.maintenance import (
+        manifest_versions,
+        publish_append_manifest,
+        read_manifest,
+        vacuum_unreferenced,
+    )
+
+    d = tmp_path / "tbl"
+    for v, lo in ((1, 0), (2, 100)):
+        spark.range(lo, lo + 50).withColumnRenamed("id", "v").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch-{v:010d}"))
+        publish_append_manifest(spark, str(d), f"batch-{v:010d}", version=v)
+    assert manifest_versions(spark, str(d)) == [1, 2]
+    assert read_manifest(spark, str(d)).count() == 100
+    assert read_manifest(spark, str(d), version=1).count() == 50
+
+    # stray unpublished junk: a file inside a referenced subdir and a
+    # whole never-published subdir
+    spark.range(5).coalesce(1).write.parquet(str(d / "junk"))
+    (d / "batch-0000000001" / "stray.parquet").write_bytes(b"garbage")
+    junk_part = next((d / "junk").glob("part-*.parquet"))
+    (d / "batch-0000000002" / "orphan.parquet").write_bytes(junk_part.read_bytes())
+
+    stats = vacuum_unreferenced(spark, str(d), keep_versions=2)
+    assert stats["removed_files"] >= 3  # junk part + stray + orphan
+    assert not (d / "junk").exists()  # emptied subdir dropped
+    assert read_manifest(spark, str(d)).count() == 100  # table intact
+    assert read_manifest(spark, str(d), version=1).count() == 50

@@ -673,3 +673,71 @@ def test_corpus_gates_run_per_microbatch(spark, sf_dir, tmp_path):
         .reset_index(drop=True)
     )
     assert streamed.equals(expected[streamed.columns])
+
+
+def test_stream_corpus_publish_exactly_once_manifests(spark, sf_dir):
+    """Streaming corpus ingest: two document micro-batches run the batch
+    pipeline's own gates and commit as manifest versions 1 and 2; the
+    published table equals the per-batch batch-mode gate output; a full
+    REPLAY from a fresh checkpoint (same source, epochs restart at 0)
+    hits the committed-version skip for every batch — no duplicate rows,
+    no extra versions (exactly-once at the manifest commit point)."""
+    import tempfile
+
+    from n2kupdate_spark.operators.corpus import gate_documents
+    from n2kupdate_spark.sources.maintenance import manifest_versions, read_manifest
+    from n2kupdate_spark.streaming import documents_file_stream, stream_corpus_publish
+
+    work = tempfile.mkdtemp(prefix="n2k_corpus_stream_")
+    src, out = f"{work}/src", f"{work}/out"
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    b1 = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 97 != 0))
+    b2 = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 97 != 0))
+    # the file source lists src/* without recursing: land each batch as a
+    # single plain parquet FILE in src, not a directory
+    import glob as _glob
+    import os
+    import shutil
+
+    os.makedirs(src, exist_ok=True)
+    for i, b in enumerate((b1, b2), 1):
+        tmp = f"{work}/tmp{i}"
+        b.coalesce(1).write.parquet(tmp)
+        shutil.move(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/b{i}.parquet")
+
+    q = stream_corpus_publish(
+        documents_file_stream(spark, src, max_files_per_trigger=1),
+        ev, out, f"{work}/ckpt1",
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    assert manifest_versions(spark, out) == [1, 2]
+
+    want = {
+        r["doc_id"]
+        for b in (b1, b2)
+        for r in gate_documents(b, ev).select("doc_id").collect()
+    }
+    got = {r["doc_id"] for r in read_manifest(spark, out).select("doc_id").collect()}
+    assert got == want and got, (len(got), len(want))
+    # version 1 stays pinned to batch 1 alone
+    v1 = {
+        r["doc_id"]
+        for r in read_manifest(spark, out, version=1).select("doc_id").collect()
+    }
+    assert v1 == {r["doc_id"] for r in gate_documents(b1, ev).select("doc_id").collect()}
+
+    # replay with a FRESH checkpoint: every epoch's version is already
+    # committed -> skipped; table and version list unchanged
+    q2 = stream_corpus_publish(
+        documents_file_stream(spark, src, max_files_per_trigger=1),
+        ev, out, f"{work}/ckpt2",
+    )
+    q2.awaitTermination(120)
+    assert manifest_versions(spark, out) == [1, 2]
+    assert {r["doc_id"] for r in read_manifest(spark, out).select("doc_id").collect()} == want
+
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
