@@ -133,7 +133,28 @@ def compact_parquet(
         raise ValueError("sort_by and zorder_by are mutually exclusive")
     before = dir_stats(spark, src)
     n_files = max(1, math.ceil(before["bytes"] / (target_mb * 1024 * 1024)))
-    df: DataFrame = spark.read.parquet(src)
+    _compact_write(
+        spark, spark.read.parquet(src), n_files, dst,
+        sort_by=sort_by, zorder_by=zorder_by,
+        bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
+    )
+    after = dir_stats(spark, dst)
+    return {"before": before, "after": after, "target_files": n_files}
+
+
+def _compact_write(
+    spark: SparkSession,
+    df: DataFrame,
+    n_files: int,
+    dst: str,
+    sort_by: list[str] | None,
+    zorder_by: list[str] | None,
+    bloom_cols: list[str] | None,
+    bloom_ndv: int,
+) -> None:
+    """The layout core of :func:`compact_parquet`, on an explicit
+    DataFrame — shared with :func:`compact_manifest_table`, whose input
+    is a manifest snapshot rather than a directory listing."""
     if zorder_by:
         # File cuts come from an explicit equi-depth quantile pass over the
         # Z-value, not from repartitionByRange's sampled boundaries:
@@ -198,8 +219,6 @@ def compact_parquet(
             f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
         )
     writer.parquet(dst)
-    after = dir_stats(spark, dst)
-    return {"before": before, "after": after, "target_files": n_files}
 
 
 # -- Manifest-based atomic publication (round 7) --------------------------
@@ -334,6 +353,78 @@ def publish_append_manifest(
     if schema is not None:
         doc["schema"] = json.loads(schema.json())
     return atomic_put_json(spark, data_dir, f"_manifest-{version:010d}.json", doc)
+
+
+def compact_manifest_table(
+    spark: SparkSession,
+    data_dir: str,
+    target_mb: float = 128,
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_ndv: int = 1_000_000,
+) -> dict:
+    """OPTIMIZE for manifest tables — the missing maintenance step of the
+    streaming-ingest loop: append-manifest commits (stream_corpus_publish)
+    accumulate one small subdir per micro-batch, and scans pay per-file
+    open + tiny-row-group overhead forever. This rewrites the CURRENT
+    version's file set (read via the manifest — concurrent appends are
+    invisible) into one right-sized ``compact-<v>`` subdir with
+    :func:`compact_parquet`'s layout engine (same sort_by / zorder_by /
+    bloom knobs), then publishes version v listing ONLY the compacted
+    files. Readers flip atomically at the manifest rename; prior versions
+    keep reading their batch files until ``vacuum_unreferenced`` retires
+    them (it reaches into subdirs). Sizing comes from the manifest's own
+    byte lengths — no directory listing, no data through the driver.
+
+    Returns {before, after, target_files, version}."""
+    import json
+    import math as _math
+
+    jvm = spark._jvm
+    hdir = jvm.org.apache.hadoop.fs.Path(data_dir)
+    fs = hdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    manifests = _list_manifests(fs, jvm, data_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no _manifest-*.json under {data_dir}")
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(manifests[-1][1]))
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    cur = json.loads(raw.decode())
+    before = {
+        "files": len(cur["files"]),
+        "bytes": sum(f["length"] for f in cur["files"]),
+    }
+    n_files = max(1, _math.ceil(before["bytes"] / (target_mb * 1024 * 1024)))
+    df = read_manifest(spark, data_dir)
+    version = manifests[-1][0] + 1
+    subdir = f"compact-{version:010d}"
+    _compact_write(
+        spark, df, n_files, f"{data_dir}/{subdir}",
+        sort_by=sort_by, zorder_by=zorder_by,
+        bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
+    )
+    sub = jvm.org.apache.hadoop.fs.Path(data_dir, subdir)
+    files = []
+    for st in fs.listStatus(sub):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            files.append({"name": f"{subdir}/{name}", "length": int(st.getLen())})
+    files.sort(key=lambda f: f["name"])
+    doc = {
+        "version": version,
+        "files": files,
+        "schema": json.loads(df.schema.json()),
+    }
+    atomic_put_json(spark, data_dir, f"_manifest-{version:010d}.json", doc)
+    return {
+        "before": before,
+        "after": {"files": len(files), "bytes": sum(f["length"] for f in files)},
+        "target_files": n_files,
+        "version": version,
+    }
 
 
 def manifest_versions(spark: SparkSession, data_dir: str) -> list[int]:

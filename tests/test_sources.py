@@ -449,3 +449,46 @@ def test_append_manifest_vacuum_cleans_batch_subdirs(spark, tmp_path):
     assert not (d / "junk").exists()  # emptied subdir dropped
     assert read_manifest(spark, str(d)).count() == 100  # table intact
     assert read_manifest(spark, str(d), version=1).count() == 50
+
+
+def test_compact_manifest_table_closes_ingest_loop(spark, tmp_path):
+    """The streaming-ingest maintenance loop end-to-end: N append-batch
+    versions (many small files) → compact_manifest_table rewrites the
+    current snapshot into one right-sized subdir and publishes it as the
+    next version (rows and content exactly preserved, file count
+    collapsed) → older versions keep reading until vacuum retires their
+    batch dirs — after which the compacted table still reads bit-equal."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.sources.maintenance import (
+        compact_manifest_table,
+        manifest_versions,
+        publish_append_manifest,
+        read_manifest,
+        vacuum_unreferenced,
+    )
+
+    d = tmp_path / "tbl"
+    for v in (1, 2, 3):
+        spark.range((v - 1) * 100, v * 100).select(
+            F.col("id"), (F.col("id") * 2).alias("x")
+        ).repartition(4).write.parquet(str(d / f"batch-{v:010d}"))
+        publish_append_manifest(spark, str(d), f"batch-{v:010d}", version=v)
+    assert read_manifest(spark, str(d)).count() == 300
+
+    want = sorted(
+        (r["id"], r["x"]) for r in read_manifest(spark, str(d)).collect()
+    )
+    stats = compact_manifest_table(spark, str(d), target_mb=512)
+    assert stats["version"] == 4
+    assert stats["before"]["files"] == 12  # 3 batches × 4 shards
+    assert stats["after"]["files"] == 1    # tiny table → one file
+    cur = read_manifest(spark, str(d))
+    assert sorted((r["id"], r["x"]) for r in cur.collect()) == want
+    assert read_manifest(spark, str(d), version=3).count() == 300  # pre-compact pinned
+
+    stats2 = vacuum_unreferenced(spark, str(d), keep_versions=1)
+    assert stats2["removed_files"] == 12  # every batch file retired
+    assert not sorted(d.glob("batch-*"))  # emptied batch dirs dropped
+    assert sorted((r["id"], r["x"]) for r in read_manifest(spark, str(d)).collect()) == want
+    assert manifest_versions(spark, str(d)) == [4]
