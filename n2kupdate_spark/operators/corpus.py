@@ -215,15 +215,36 @@ def reservoir_per_key(
         F.lit(float(2**32)),
         F.ceil(F.lit(float(prefilter_factor) * k) / F.col("__n") * (2**32)),
     ).cast("long")
-    tagged = base.join(F.broadcast(counts.select(key_col, bound.alias("__b"))), key_col)
-    passing = tagged.filter(prefix < F.col("__b"))
-    got = passing.groupBy(key_col).agg(F.count(F.lit(1)).alias("__g"))
-    enough = got.filter(F.col("__g") >= k).select(key_col)
-    fast = passing.join(F.broadcast(enough), key_col, "semi")
-    slow = tagged.join(F.broadcast(enough), key_col, "anti")
+    bounds = F.broadcast(counts.select(key_col, bound.alias("__b")))
+    # materialize the survivor SLIVER once (E[rows] = keys × factor·k):
+    # everything after — the underfill check and the top-k window — runs
+    # on this checkpointed frame, so the corpus is scanned exactly twice
+    # (counts, filter) instead of once per downstream consumer
+    survivors = (
+        base.join(bounds, key_col)
+        .filter(prefix < F.col("__b"))
+        .select(id_col, key_col)
+        .localCheckpoint(eager=True)
+    )
+    got = survivors.groupBy(key_col).agg(F.count(F.lit(1)).alias("__g"))
+    # underfilled keys (survivors < k) and zero-survivor keys: a
+    # tail-probability event at factor 8 — the driver collects the
+    # (expected-empty, #keys-bounded) list and, in the common case,
+    # skips the fallback scan ENTIRELY
+    under = [
+        r[0]
+        for r in got.filter(F.col("__g") < k).select(key_col).collect()
+    ] + [
+        r[0]
+        for r in counts.join(got, key_col, "left_anti").select(key_col).collect()
+    ]
+    pool = survivors
+    if under:
+        pool = survivors.filter(~F.col(key_col).isin(under)).unionByName(
+            base.filter(F.col(key_col).isin(under))
+        )
     return (
-        fast.unionByName(slow)
-        .select(id_col, key_col, F.row_number().over(w).alias("rk"))
+        pool.select(id_col, key_col, F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= k)
     )
 
