@@ -208,3 +208,34 @@ def test_reservoir_prefilter_equals_plain_window(spark):
             .toPandas().sort_values(key).reset_index(drop=True)
         )
         assert (fast.values == plain.values).all(), f"factor={factor} diverged"
+
+
+def test_reservoir_is_mergeable_bottom_k(spark):
+    """The content-addressed reservoir is a MERGEABLE bottom-k sketch —
+    the property that makes it a 100 TB rollup: the reservoir of a UNION
+    equals the reservoir of the two sides' reservoirs merged (so
+    per-shard/per-day samples combine upward without rescanning raw
+    data), and adding rows never changes survivors except by displacing
+    the highest hashes."""
+    from n2kupdate_spark.operators.corpus import reservoir_per_key
+
+    a = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(0, 3000, 2)], ["doc_id", "source"]
+    )
+    b = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(1, 3000, 2)], ["doc_id", "source"]
+    )
+
+    def res(df):
+        return reservoir_per_key(df, "source", "doc_id", k=20, prefilter_factor=None)
+
+    direct = res(a.unionByName(b)).toPandas()
+    merged = res(
+        res(a).select("doc_id", "source").unionByName(
+            res(b).select("doc_id", "source")
+        )
+    ).toPandas()
+    key = ["source", "rk"]
+    direct = direct.sort_values(key).reset_index(drop=True)
+    merged = merged.sort_values(key).reset_index(drop=True)
+    assert (direct.values == merged.values).all()
