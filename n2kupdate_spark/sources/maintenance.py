@@ -233,11 +233,56 @@ def _compact_write(
 # invisible until a vacuum removes them.
 
 
+def _file_stats(
+    spark: SparkSession, paths: list[str], cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``cols`` over the given parquet files —
+    ONE distributed job (scan grouped by input_file_name), never a
+    per-file driver loop. Returns {uri_suffix_keyed_by_full_path:
+    {col: [lo, hi]}} with only JSON-representable values (int/float/str;
+    other types are skipped for that file+col)."""
+    df = spark.read.parquet(*paths)
+    present = [c for c in cols if c in df.columns]
+    if not present:
+        return {}
+    aggs = []
+    for c in present:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        stats = {}
+        for c in present:
+            lo, hi = r[f"__lo_{c}"], r[f"__hi_{c}"]
+            if isinstance(lo, (int, float, str)) and isinstance(hi, (int, float, str)):
+                stats[c] = [lo, hi]
+        if stats:
+            out[r["__f"]] = stats
+    return out
+
+
+def _attach_stats(
+    spark: SparkSession, data_dir: str, entries: list[dict], stats_cols
+) -> None:
+    """Resolve _file_stats URIs back to manifest-relative names and stamp
+    a ``stats`` field onto each entry that has one."""
+    if not stats_cols or not entries:
+        return
+    paths = [f"{data_dir}/{e['name']}" for e in entries]
+    by_uri = _file_stats(spark, paths, list(stats_cols))
+    for e in entries:
+        for uri, stats in by_uri.items():
+            if uri.endswith("/" + e["name"]) or uri.endswith(e["name"]):
+                e["stats"] = stats
+                break
+
+
 def publish_manifest(
     spark: SparkSession,
     data_dir: str,
     version: int | None = None,
     schema: "StructType | None" = None,
+    stats_cols: list[str] | None = None,
 ) -> str:
     """Write ``_manifest-<version>.json`` into ``data_dir`` listing its
     current ``*.parquet`` files (name, length) plus the table's DECLARED
@@ -283,6 +328,7 @@ def publish_manifest(
             .parquet(*[f"{data_dir}/{f['name']}" for f in files])
             .schema
         )
+    _attach_stats(spark, data_dir, files, stats_cols)
     doc = {"version": version, "files": files}
     if schema is not None:
         doc["schema"] = json.loads(schema.json())
@@ -290,7 +336,11 @@ def publish_manifest(
 
 
 def publish_append_manifest(
-    spark: SparkSession, data_dir: str, new_subdir: str, version: int | None = None
+    spark: SparkSession,
+    data_dir: str,
+    new_subdir: str,
+    version: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> str:
     """Append-commit: version ``v``'s file list = the PREVIOUS version's
     list + the ``*.parquet`` files under ``data_dir/new_subdir`` (recorded
@@ -336,6 +386,7 @@ def publish_append_manifest(
             )
             new_paths.append(f"{data_dir}/{new_subdir}/{name}")
     new_files.sort(key=lambda f: f["name"])
+    _attach_stats(spark, data_dir, new_files, stats_cols)  # NEW files only
     schema = prev_schema
     if new_paths:
         new_schema = (
@@ -363,6 +414,7 @@ def compact_manifest_table(
     zorder_by: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_ndv: int = 1_000_000,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE for manifest tables — the missing maintenance step of the
     streaming-ingest loop: append-manifest commits (stream_corpus_publish)
@@ -413,6 +465,9 @@ def compact_manifest_table(
         if name.endswith(".parquet"):
             files.append({"name": f"{subdir}/{name}", "length": int(st.getLen())})
     files.sort(key=lambda f: f["name"])
+    # stats default to the clustering columns — a zorder/sort compaction
+    # exists precisely so range predicates on those columns prune
+    _attach_stats(spark, data_dir, files, stats_cols or zorder_by or sort_by)
     doc = {
         "version": version,
         "files": files,
@@ -474,7 +529,12 @@ def _list_manifests(fs, jvm, data_dir: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def read_manifest(spark: SparkSession, data_dir: str, version: int | None = None) -> DataFrame:
+def read_manifest(
+    spark: SparkSession,
+    data_dir: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
+) -> DataFrame:
     """Read the table AS OF a manifest: scan exactly the files the
     manifest (highest version by default) names — never a directory
     listing, so concurrent rewrites/compactions are invisible until their
@@ -485,7 +545,18 @@ def read_manifest(spark: SparkSession, data_dir: str, version: int | None = None
     does), the read applies it via ``spark.read.schema(...)`` — zero
     footer scans at planning time, and files written before a column was
     added come back NULL-filled for it, Iceberg/Delta-style. Manifests
-    from before the schema field fall back to plain parquet inference."""
+    from before the schema field fall back to plain parquet inference.
+
+    ``where`` is MANIFEST-LEVEL pruning (the Iceberg read-side win): a
+    list of ``(col, lo, hi)`` range predicates (either bound may be
+    None) matched against the per-file [min, max] the publisher recorded
+    via ``stats_cols``. Files whose range cannot overlap are dropped from
+    the scan BEFORE Spark plans it — at 100 TB / millions of files this
+    skips file opens and footer reads entirely, where parquet row-group
+    pruning still pays a per-file touch. Conservative: files without
+    stats for a predicate column are always kept, so the result is a
+    superset of the matching rows — callers still apply the real filter
+    (and Catalyst pushes it into the surviving scans)."""
     import json
 
     from pyspark.sql.types import StructType
@@ -509,11 +580,31 @@ def read_manifest(spark: SparkSession, data_dir: str, version: int | None = None
     finally:
         stream.close()
     meta = json.loads(raw.decode())
-    paths = [f"{data_dir}/{f['name']}" for f in meta["files"]]
+    entries = meta["files"]
+    if where:
+        def overlaps(e: dict) -> bool:
+            stats = e.get("stats", {})
+            for col, lo, hi in where:
+                if col not in stats:
+                    continue  # no stats -> cannot prune this file
+                fmin, fmax = stats[col]
+                if lo is not None and fmax < lo:
+                    return False
+                if hi is not None and fmin > hi:
+                    return False
+            return True
+        entries = [e for e in entries if overlaps(e)]
     reader = spark.read
-    if "schema" in meta:
-        reader = reader.schema(StructType.fromJson(meta["schema"]))
-    return reader.parquet(*paths)
+    schema = StructType.fromJson(meta["schema"]) if "schema" in meta else None
+    if schema is not None:
+        reader = reader.schema(schema)
+    if not entries:
+        if schema is None:
+            raise FileNotFoundError(
+                f"manifest pruning left no files and no declared schema under {data_dir}"
+            )
+        return spark.createDataFrame([], schema)
+    return reader.parquet(*[f"{data_dir}/{e['name']}" for e in entries])
 
 
 def vacuum_unreferenced(

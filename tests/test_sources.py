@@ -492,3 +492,76 @@ def test_compact_manifest_table_closes_ingest_loop(spark, tmp_path):
     assert not sorted(d.glob("batch-*"))  # emptied batch dirs dropped
     assert sorted((r["id"], r["x"]) for r in read_manifest(spark, str(d)).collect()) == want
     assert manifest_versions(spark, str(d)) == [4]
+
+
+def test_manifest_stats_prune_files_before_planning(spark, tmp_path):
+    """Manifest-level pruning (the Iceberg read-side win): the publisher
+    records per-file [min,max] for stats_cols (one distributed job, never
+    a per-file loop) and read_manifest(where=...) drops non-overlapping
+    files BEFORE Spark plans the scan. On a Z-ordered two-column layout a
+    10% range on EITHER column must prune to <45% of files, the pruned
+    read must still contain every matching row (conservative superset),
+    and files without stats must never be pruned."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.sources.maintenance import (
+        compact_manifest_table,
+        publish_append_manifest,
+        read_manifest,
+    )
+
+    from n2kupdate_spark.sources.maintenance import dir_stats
+
+    d = tmp_path / "tbl"
+    n = 200_000
+    # x random-ish, y independent — the layout zorder exists for
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 48271 % 65536).alias("x"),
+        ((F.col("id") * 16807 + 7) % 65536).alias("y"),
+    )
+    df.repartition(6).write.parquet(str(d / "batch-0000000001"))
+    publish_append_manifest(spark, str(d), "batch-0000000001", version=1)
+
+    # ~64 files for pruning granularity (the footer-pruning test's setup)
+    target_mb = dir_stats(spark, str(d / "batch-0000000001"))["bytes"] / 64 / 1024 / 1024
+    stats = compact_manifest_table(
+        spark, str(d), target_mb=target_mb, zorder_by=["x", "y"]
+    )
+    assert stats["after"]["files"] >= 40
+
+    import json
+
+    mdoc = json.loads(
+        sorted(d.glob("_manifest-*.json"))[-1].read_text()
+    )
+    assert all("stats" in f and set(f["stats"]) == {"x", "y"} for f in mdoc["files"])
+
+    full = read_manifest(spark, str(d))
+    n_files = stats["after"]["files"]
+    for col in ("x", "y"):
+        lo, hi = 30000, 36553  # ~10% of the 65536 domain
+        pruned = read_manifest(spark, str(d), where=[(col, lo, hi)])
+        n_pruned_files = pruned.select(
+            F.input_file_name()
+        ).distinct().count()
+        assert n_pruned_files < 0.45 * n_files, (col, n_pruned_files, n_files)
+        want = sorted(
+            r["id"] for r in full.filter(F.col(col).between(lo, hi)).collect()
+        )
+        got = sorted(
+            r["id"] for r in pruned.filter(F.col(col).between(lo, hi)).collect()
+        )
+        assert got == want, col
+
+    # no-overlap predicate -> zero files but a schema'd empty frame
+    none = read_manifest(spark, str(d), where=[("x", 100_000, None)])
+    assert none.count() == 0 and none.columns == full.columns
+
+    # files lacking stats are never pruned: append a stats-less batch
+    spark.range(n, n + 10).select(
+        F.col("id"), F.lit(999_999).alias("x"), F.lit(0).alias("y")
+    ).coalesce(1).write.parquet(str(d / "batch-extra"))
+    publish_append_manifest(spark, str(d), "batch-extra")  # no stats_cols
+    still = read_manifest(spark, str(d), where=[("x", 100_000, None)])
+    assert still.count() == 10  # the stats-less file survives pruning
