@@ -482,6 +482,37 @@ def compact_manifest_table(
     }
 
 
+def rollback_manifest(spark: SparkSession, data_dir: str, to_version: int) -> str:
+    """Undo a bad publish WITHOUT deleting anything: commit a NEW highest
+    version whose file list (and schema/stats) is a verbatim copy of
+    ``to_version``'s. Readers flip back atomically at the manifest
+    rename; the bad version stays pinned-readable for forensics until a
+    vacuum retires it, and the roll-back itself is just another version —
+    re-rollable, auditable, crash-safe like every other commit here
+    (Iceberg's rollback_to_snapshot semantics)."""
+    import json
+
+    jvm = spark._jvm
+    hdir = jvm.org.apache.hadoop.fs.Path(data_dir)
+    fs = hdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    manifests = _list_manifests(fs, jvm, data_dir)
+    src = next((m for m in manifests if m[0] == to_version), None)
+    if src is None:
+        raise FileNotFoundError(
+            f"manifest version {to_version} not found under {data_dir}"
+        )
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(src[1]))
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    doc = json.loads(raw.decode())
+    new_version = manifests[-1][0] + 1
+    doc["version"] = new_version
+    doc["rolled_back_from"] = to_version
+    return atomic_put_json(spark, data_dir, f"_manifest-{new_version:010d}.json", doc)
+
+
 def manifest_versions(spark: SparkSession, data_dir: str) -> list[int]:
     """Committed manifest versions under ``data_dir`` (sorted; empty list
     for a directory with no manifests — the exactly-once skip check for

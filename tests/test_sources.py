@@ -565,3 +565,36 @@ def test_manifest_stats_prune_files_before_planning(spark, tmp_path):
     publish_append_manifest(spark, str(d), "batch-extra")  # no stats_cols
     still = read_manifest(spark, str(d), where=[("x", 100_000, None)])
     assert still.count() == 10  # the stats-less file survives pruning
+
+
+def test_rollback_manifest_restores_without_deleting(spark, tmp_path):
+    """rollback_manifest commits a NEW version copying the target's file
+    list — readers flip back atomically, the bad version stays readable
+    for forensics, and a vacuum afterwards retires the bad version's
+    files while the restored (shared) files survive."""
+    from n2kupdate_spark.sources.maintenance import (
+        manifest_versions,
+        publish_append_manifest,
+        read_manifest,
+        rollback_manifest,
+        vacuum_unreferenced,
+    )
+
+    d = tmp_path / "tbl"
+    spark.range(100).coalesce(1).write.parquet(str(d / "batch-0000000001"))
+    publish_append_manifest(spark, str(d), "batch-0000000001", version=1)
+    # the "bad" publish: a corrupt-looking batch
+    spark.range(100, 101).coalesce(1).write.parquet(str(d / "batch-0000000002"))
+    publish_append_manifest(spark, str(d), "batch-0000000002", version=2)
+    assert read_manifest(spark, str(d)).count() == 101
+
+    rollback_manifest(spark, str(d), to_version=1)
+    assert manifest_versions(spark, str(d)) == [1, 2, 3]
+    assert read_manifest(spark, str(d)).count() == 100          # restored
+    assert read_manifest(spark, str(d), version=2).count() == 101  # forensics
+
+    # vacuum to the restored state: v3 (+v2 within keep window) decide refs
+    vacuum_unreferenced(spark, str(d), keep_versions=1)
+    assert manifest_versions(spark, str(d)) == [3]
+    assert read_manifest(spark, str(d)).count() == 100
+    assert not (d / "batch-0000000002").exists()  # bad batch retired
