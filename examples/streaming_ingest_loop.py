@@ -94,10 +94,28 @@ def main(sf_dir: str) -> None:
     print(f"near-dup pairs batch-vs-corpus: {pairs.count()}; "
           f"index versions {index_versions(spark, idx)}")
 
-    # --- 3. OPTIMIZE: collapse the per-batch small files
-    stats = compact_manifest_table(spark, table, target_mb=128)
+    # --- 3. OPTIMIZE: collapse the per-batch small files, clustering on
+    # doc_id and recording per-file [min,max] in the manifest
+    stats = compact_manifest_table(
+        spark, table, target_mb=128, sort_by=["doc_id"], stats_cols=["doc_id"]
+    )
     print(f"compacted {stats['before']['files']} files -> "
           f"{stats['after']['files']} (version {stats['version']})")
+
+    # --- 3b. manifest-level pruning: a doc_id range read plans only the
+    # overlapping files (no file opens, no footer reads for the rest)
+    pruned = read_manifest(spark, table, where=[("doc_id", None, 100)])
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    n_rows = pruned.filter(F.col("doc_id") <= 100).count()
+    print(f"stats-pruned read: planned {n_files} file(s), "
+          f"{n_rows} rows with doc_id<=100 (pruning is a conservative "
+          f"superset; the filter still applies)")
+
+    # --- 3c. oops-rollback: any publish can be undone as a NEW version
+    from n2kupdate_spark.sources.maintenance import rollback_manifest
+
+    rollback_manifest(spark, table, to_version=stats["version"])  # no-op demo
+    print(f"rollback committed version {manifest_versions(spark, table)[-1]}")
 
     # --- 4. VACUUM: retire the superseded batch dirs
     v = vacuum_unreferenced(spark, table, keep_versions=1)
