@@ -46,6 +46,30 @@ def load_evidence() -> dict[str, int]:
     return freshest
 
 
+def check() -> int:
+    """--check: validate the COMMITTED window (the registry's first 50)
+    against the invariant — every never-checked op and every op whose
+    freshest row would exceed 2 rounds next round must be inside it.
+    Exit 0 iff the window holds; prints violations otherwise."""
+    freshest = load_evidence()
+    next_round = (max(freshest.values()) if freshest else 0) + 1
+    sql_ops = [n for n in QUERIES if n in ORACLE]
+    window = set(list(QUERIES)[:50])
+    required = [
+        n for n in sql_ops if n not in freshest or freshest[n] <= next_round - 3
+    ]
+    missing = [n for n in required if n not in window]
+    print(f"window check for r{next_round}: first-50 covers "
+          f"{len(required) - len(missing)}/{len(required)} required ops")
+    for n in missing:
+        print(f"  VIOLATION: {n} (freshest "
+              f"{'never' if n not in freshest else 'r%d' % freshest[n]}) "
+              "not in the first 50")
+    if not missing:
+        print("  OK — every never-checked and must-refresh op is windowed")
+    return 1 if missing else 0
+
+
 def main() -> None:
     freshest = load_evidence()
     latest_round = max(freshest.values()) if freshest else 0
@@ -96,4 +120,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--check" in sys.argv:
+        sys.exit(check())
     main()
