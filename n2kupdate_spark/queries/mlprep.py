@@ -690,3 +690,108 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontam_budget=_DECONTAM_BUDGET,
         seq_budget=512,
     )
+
+
+def _gate_report_oracle() -> str:
+    """Per-gate attrition oracle, embedding the registered gates' own
+    oracle SQL as CTEs (the _corpus_prepare_oracle pattern — report and
+    detectors cannot drift). Stages count SEQUENTIALLY, matching
+    prepare_corpus's pipeline order: non-eval docs → Gopher → n-gram
+    decontamination → exact dedup."""
+    from n2kupdate_spark.queries._registry import ORACLE
+    from n2kupdate_spark.queries.text import _EVAL_PRED_SQL
+
+    return f"""
+    WITH g AS ({ORACLE["text_quality_gopher"]}),
+    dc AS ({ORACLE["text_decontaminate_ngram"]}),
+    train AS (
+      SELECT d.doc_id, d.source, d.text,
+             COALESCE(g.gopher_pass, 0) AS gp,
+             COALESCE(dc.n_shared_grams, 0) AS shared
+      FROM documents d
+      LEFT JOIN g ON g.doc_id = d.doc_id
+      LEFT JOIN dc ON dc.doc_id = d.doc_id
+      WHERE NOT (d.{_EVAL_PRED_SQL})
+    ),
+    staged AS (
+      SELECT source,
+             CASE WHEN gp = 0 THEN 'gopher_fail'
+                  WHEN shared >= {_DECONTAM_BUDGET} THEN 'contaminated'
+                  WHEN rn > 1 THEN 'exact_dup'
+                  ELSE 'survivor' END AS stage
+      FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY (gp = 1 AND shared < {_DECONTAM_BUDGET}),
+                                md5(text)
+                   ORDER BY doc_id) AS rn
+        FROM train
+      )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (stage = 'gopher_fail') AS BIGINT) AS n_gopher_fail,
+           CAST(COUNT(*) FILTER (stage = 'contaminated') AS BIGINT) AS n_contaminated,
+           CAST(COUNT(*) FILTER (stage = 'exact_dup') AS BIGINT) AS n_exact_dup,
+           CAST(COUNT(*) FILTER (stage = 'survivor') AS BIGINT) AS n_survivors
+    FROM staged GROUP BY source
+    """
+
+
+@register("corpus_gate_report", oracle=_gate_report_oracle())
+def corpus_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source gate ATTRITION report — the observability view a data
+    team reads daily: how many docs each pipeline stage dropped (Gopher
+    rules, benchmark decontamination, exact dedup) and how many survived,
+    counted SEQUENTIALLY in prepare_corpus's stage order so the columns
+    sum to n_docs exactly. Built from the SAME gate functions the
+    pipeline runs (gopher_metrics, decontaminate_ngram, the md5 keep-
+    lowest-id rule), with the oracle embedding the registered gates' SQL
+    as CTEs — so thresholds re-tune against this report and the numbers
+    are the pipeline's, not a parallel estimate's.
+
+    Scale: the gates are maps/broadcast joins (their plans are audited
+    individually); the stage classification adds one fingerprint window
+    over the clean slice and one #sources-sized aggregate. Nothing here
+    exceeds the pipeline's own cost — the report is a byproduct shape, so
+    running it daily costs one gate pass, not two."""
+    from n2kupdate_spark.operators.corpus import decontaminate_ngram, gopher_metrics
+    from n2kupdate_spark.queries.text import _EVAL_PRED_SQL
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    train = d.filter(~F.expr(_EVAL_PRED_SQL))
+    ev = d.filter(F.expr(_EVAL_PRED_SQL)).select("doc_id", "text")
+    gp = gopher_metrics(train, "doc_id", "text").select(
+        "doc_id", F.col("gopher_pass").alias("gp")
+    )
+    dc = decontaminate_ngram(train, ev, "doc_id", "text", n=3).select(
+        "doc_id", F.col("n_shared_grams").alias("shared")
+    )
+    t = (
+        train.join(gp, "doc_id", "left")
+        .join(dc, "doc_id", "left")
+        .select(
+            "doc_id", "source", "text",
+            F.coalesce("gp", F.lit(0)).alias("gp"),
+            F.coalesce("shared", F.lit(0)).alias("shared"),
+        )
+    )
+    # partition by (clean, fingerprint), NOT a when(clean, md5) key: the
+    # latter would funnel every non-clean row into one NULL partition —
+    # a skew funnel; with the flag in the key, non-clean rows spread
+    # across their own fingerprints and their rn is simply never consulted
+    clean = (F.col("gp") == 1) & (F.col("shared") < 5)
+    w = Window.partitionBy(clean, F.md5("text")).orderBy("doc_id")
+    t = t.withColumn("rn", F.row_number().over(w))
+    stage = (
+        F.when(F.col("gp") == 0, "gopher_fail")
+        .when(F.col("shared") >= 5, "contaminated")
+        .when(F.col("rn") > 1, "exact_dup")
+        .otherwise("survivor")
+    )
+    return t.select("source", stage.alias("stage")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("stage") == "gopher_fail").alias("n_gopher_fail"),
+        F.count_if(F.col("stage") == "contaminated").alias("n_contaminated"),
+        F.count_if(F.col("stage") == "exact_dup").alias("n_exact_dup"),
+        F.count_if(F.col("stage") == "survivor").alias("n_survivors"),
+    )
