@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from n2kupdate_spark.operators.multimodal import attach_fake_payload, decode_images
-from n2kupdate_spark.operators.similarity import ivf_topk, rp_lsh_topk
+from n2kupdate_spark.operators.similarity import ivf_topk, pq_topk, rp_lsh_topk
 from n2kupdate_spark.queries._registry import register
 from n2kupdate_spark.sources import load
 
@@ -67,6 +67,19 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "format")
 
 
+@register("sim_ann_pq")  # rows-only: quantization layout is engine-specific
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (ADC + exact re-rank) — the memory
+    answer of the ANN family: vectors scan as 8 sub-codes (4 bytes vs 256
+    float bytes, 64x), each query scores codes via an (m x ksub) lookup
+    table inside one mapInPandas pass with per-batch shortlist pruning,
+    and the shortlist is re-ranked with exact cosine. Deterministic
+    (seeded sub-codebooks, id tiebreaks); recall floor pinned in
+    tests/test_ann_recall.py alongside LSH/IVF."""
+    e, q = _vectors_and_queries(spark, sf_dir)
+    return pq_topk(e, q, "vec_id", "q_id", "v", "qv", k=10)
+
+
 @register("sim_ann_recall_eval")  # rows-only: evaluates engine-specific ANN
 def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of each ANN variant against the exact brute-force top-10 —
@@ -105,8 +118,10 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_hit") / F.sum("n_true"), 4).alias("recall_at_10"),
             F.count(F.lit(1)).alias("n_queries"),
         )
-    return recall_of("lsh", sim_ann_lsh(spark, sf_dir)).unionByName(
-        recall_of("ivf", sim_ann_ivf(spark, sf_dir))
+    return (
+        recall_of("lsh", sim_ann_lsh(spark, sf_dir))
+        .unionByName(recall_of("ivf", sim_ann_ivf(spark, sf_dir)))
+        .unionByName(recall_of("pq", sim_ann_pq(spark, sf_dir)))
     )
 
 
