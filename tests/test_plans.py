@@ -381,6 +381,9 @@ def test_no_query_plan_has_scale_red_flags(spark, sf_dir):
         "sim_ann_recall_eval",
         "dedup_minhash_est_eval",
         "corpus_prepare_pipeline",
+        # composes the same budget-exempt gate chain as
+        # corpus_prepare_pipeline (each component individually <=2)
+        "corpus_gate_report",
     }
     issues = []
     for name, fn in sorted(QUERIES.items()):
