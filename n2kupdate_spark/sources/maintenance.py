@@ -265,16 +265,32 @@ def _attach_stats(
     spark: SparkSession, data_dir: str, entries: list[dict], stats_cols
 ) -> None:
     """Resolve _file_stats URIs back to manifest-relative names and stamp
-    a ``stats`` field onto each entry that has one."""
+    a ``stats`` field onto each entry that has one. Matching requires the
+    path separator: ``uri.endswith("/" + name)`` — _file_stats keys are
+    full URIs, so the separator form always suffices, and a bare-suffix
+    match would let ``...11.parquet`` claim ``1.parquet``'s stats and
+    prune on the wrong [min,max] (r8 advice, medium)."""
     if not stats_cols or not entries:
         return
     paths = [f"{data_dir}/{e['name']}" for e in entries]
     by_uri = _file_stats(spark, paths, list(stats_cols))
     for e in entries:
         for uri, stats in by_uri.items():
-            if uri.endswith("/" + e["name"]) or uri.endswith(e["name"]):
+            if uri.endswith("/" + e["name"]):
                 e["stats"] = stats
                 break
+
+
+def _read_manifest_doc(fs, jvm, path: str) -> dict:
+    """Read one committed manifest JSON (driver-side metadata read)."""
+    import json
+
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(raw.decode())
 
 
 def publish_manifest(
@@ -290,10 +306,11 @@ def publish_manifest(
     existing version + 1); readers pick the highest version, so
     publishing IS the commit.
 
-    Commit protocol: the JSON is written to a dotfile temp name
-    (``._manifest-<v>.json.tmp`` — excluded by both the ``_manifest-*``
-    glob and Hadoop's hidden-file filter) and then ``fs.rename``d to its
-    final name. Rename is atomic on HDFS and local filesystems, so a
+    Commit protocol: the JSON is written to a per-writer dotfile temp
+    name (``._manifest-<v>.json.<pid>-<rand>.tmp`` — excluded by both
+    the ``_manifest-*`` glob and Hadoop's hidden-file filter, unique so
+    concurrent publishers can't clobber each other's in-progress bytes)
+    and then ``fs.rename``d to its final name. Rename is atomic on HDFS and local filesystems, so a
     concurrent ``read_manifest`` never observes an empty/truncated
     manifest (a bare ``fs.create`` makes the file visible the moment it
     is created). On S3-like stores rename is copy+delete but a single
@@ -319,8 +336,9 @@ def publish_manifest(
         name = st.getPath().getName()
         if name.endswith(".parquet"):
             files.append({"name": name, "length": int(st.getLen())})
+    manifests = _list_manifests(fs, jvm, data_dir)
     if version is None:
-        version = max((v for v, _ in _list_manifests(fs, jvm, data_dir)), default=0) + 1
+        version = (manifests[-1][0] + 1) if manifests else 1
     files.sort(key=lambda f: f["name"])
     if schema is None and files:
         schema = (
@@ -330,6 +348,12 @@ def publish_manifest(
         )
     _attach_stats(spark, data_dir, files, stats_cols)
     doc = {"version": version, "files": files}
+    # Full-list republication on a table with a stream-epoch watermark
+    # must not lose it (idempotence survives any publish interleaving).
+    if manifests:
+        prev = _read_manifest_doc(fs, jvm, manifests[-1][1])
+        if "max_epoch" in prev:
+            doc["max_epoch"] = int(prev["max_epoch"])
     if schema is not None:
         doc["schema"] = json.loads(schema.json())
     return atomic_put_json(spark, data_dir, f"_manifest-{version:010d}.json", doc)
@@ -341,6 +365,7 @@ def publish_append_manifest(
     new_subdir: str,
     version: int | None = None,
     stats_cols: list[str] | None = None,
+    epoch: int | None = None,
 ) -> str:
     """Append-commit: version ``v``'s file list = the PREVIOUS version's
     list + the ``*.parquet`` files under ``data_dir/new_subdir`` (recorded
@@ -351,7 +376,16 @@ def publish_append_manifest(
     and a crashed publisher leaves the prior version intact. The declared
     schema is the previous version's schema merged by name with the new
     files' (footer scan over the NEW subdir only — publish cost follows
-    the batch, not the table)."""
+    the batch, not the table).
+
+    ``epoch`` decouples streaming idempotence from version numbering
+    (r8 advice, high): a streaming sink passes its epoch id, the doc
+    records it plus a carried-forward ``max_epoch`` watermark, and the
+    retry check is :func:`last_committed_epoch` — NOT "is version v
+    committed". Versions then always allocate as max+1 at commit time,
+    so interleaved compactions/rollbacks (which also take max+1) can
+    never collide a version number with a pending epoch and silently
+    drop its batch."""
     import json
 
     from pyspark.sql.types import StructType
@@ -362,14 +396,11 @@ def publish_append_manifest(
     manifests = _list_manifests(fs, jvm, data_dir)
     prev_files: list[dict] = []
     prev_schema: StructType | None = None
+    prev_max_epoch = -1
     if manifests:
-        stream = fs.open(jvm.org.apache.hadoop.fs.Path(manifests[-1][1]))
-        try:
-            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-        finally:
-            stream.close()
-        prev = json.loads(raw.decode())
+        prev = _read_manifest_doc(fs, jvm, manifests[-1][1])
         prev_files = prev["files"]
+        prev_max_epoch = int(prev.get("max_epoch", -1))
         if "schema" in prev:
             prev_schema = StructType.fromJson(prev["schema"])
     if version is None:
@@ -401,6 +432,10 @@ def publish_append_manifest(
                 + [f for f in new_schema.fields if f.name not in have]
             )
     doc = {"version": version, "files": prev_files + new_files}
+    if epoch is not None:
+        doc["epoch"] = int(epoch)
+    if epoch is not None or prev_max_epoch >= 0:
+        doc["max_epoch"] = max(prev_max_epoch, -1 if epoch is None else int(epoch))
     if schema is not None:
         doc["schema"] = json.loads(schema.json())
     return atomic_put_json(spark, data_dir, f"_manifest-{version:010d}.json", doc)
@@ -439,12 +474,7 @@ def compact_manifest_table(
     manifests = _list_manifests(fs, jvm, data_dir)
     if not manifests:
         raise FileNotFoundError(f"no _manifest-*.json under {data_dir}")
-    stream = fs.open(jvm.org.apache.hadoop.fs.Path(manifests[-1][1]))
-    try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    cur = json.loads(raw.decode())
+    cur = _read_manifest_doc(fs, jvm, manifests[-1][1])
     before = {
         "files": len(cur["files"]),
         "bytes": sum(f["length"] for f in cur["files"]),
@@ -473,6 +503,10 @@ def compact_manifest_table(
         "files": files,
         "schema": json.loads(df.schema.json()),
     }
+    # Preserve the stream-epoch watermark: a compaction that dropped it
+    # would let a retried epoch re-commit its batch (duplicate rows).
+    if "max_epoch" in cur:
+        doc["max_epoch"] = int(cur["max_epoch"])
     atomic_put_json(spark, data_dir, f"_manifest-{version:010d}.json", doc)
     return {
         "before": before,
@@ -501,15 +535,19 @@ def rollback_manifest(spark: SparkSession, data_dir: str, to_version: int) -> st
         raise FileNotFoundError(
             f"manifest version {to_version} not found under {data_dir}"
         )
-    stream = fs.open(jvm.org.apache.hadoop.fs.Path(src[1]))
-    try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    doc = json.loads(raw.decode())
+    doc = _read_manifest_doc(fs, jvm, src[1])
+    latest = _read_manifest_doc(fs, jvm, manifests[-1][1])
     new_version = manifests[-1][0] + 1
     doc["version"] = new_version
     doc["rolled_back_from"] = to_version
+    # The epoch watermark comes from the LATEST version, not the one being
+    # restored: a rollback undoes DATA deliberately, but the undone epochs
+    # were committed once — a stream retry must still skip them, and new
+    # epochs are strictly higher anyway.
+    if "max_epoch" in latest:
+        doc["max_epoch"] = int(latest["max_epoch"])
+    elif "max_epoch" in doc:
+        del doc["max_epoch"]
     return atomic_put_json(spark, data_dir, f"_manifest-{new_version:010d}.json", doc)
 
 
@@ -526,20 +564,49 @@ def manifest_versions(spark: SparkSession, data_dir: str) -> list[int]:
     return [v for v, _ in _list_manifests(fs, jvm, data_dir)]
 
 
+def last_committed_epoch(spark: SparkSession, data_dir: str) -> int:
+    """Stream-epoch watermark of ``data_dir``'s LATEST manifest (−1 when
+    no manifest or no watermark). This is the exactly-once retry check
+    for epoch-keyed streaming publishes: skip a batch iff its epoch id is
+    ≤ this value. Decoupled from version numbers so compactions and
+    rollbacks (which allocate max_version+1 on the same table) can never
+    make a pending epoch's version look already-committed (r8 advice,
+    high)."""
+    jvm = spark._jvm
+    hdir = jvm.org.apache.hadoop.fs.Path(data_dir)
+    try:
+        fs = hdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    except Exception:
+        return -1
+    manifests = _list_manifests(fs, jvm, data_dir)
+    if not manifests:
+        return -1
+    return int(_read_manifest_doc(fs, jvm, manifests[-1][1]).get("max_epoch", -1))
+
+
 def atomic_put_json(spark: SparkSession, data_dir: str, name: str, doc: dict) -> str:
     """Commit ``doc`` as ``data_dir/name`` via dotfile-temp + rename — the
     manifest commit primitive, exposed for other commit markers (the
     dedup resume index's root marker). Rename is atomic on HDFS/local; a
     pre-existing destination refuses with FileExistsError instead of
-    silently overwriting a committed object."""
+    silently overwriting a committed object. The temp name is unique per
+    writer (pid + random suffix): a SHARED temp path would let two
+    concurrent publishers of the same name overwrite each other's
+    in-progress bytes, so the winner's rename could commit the loser's
+    torn document (r8 advice, low) — with unique temps the rename-onto-
+    existing refusal is the only possible race outcome."""
     import json
+    import os
+    import uuid
 
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(data_dir).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
     final = jvm.org.apache.hadoop.fs.Path(data_dir, name)
-    tmp = jvm.org.apache.hadoop.fs.Path(data_dir, f".{name}.tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        data_dir, f".{name}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+    )
     out = fs.create(tmp, True)
     out.write(bytearray(json.dumps(doc).encode()))
     out.close()
@@ -673,7 +740,7 @@ def vacuum_unreferenced(
         if name.endswith(".parquet") and name not in referenced:
             fs.delete(st.getPath(), False)
             removed += 1
-        elif name.startswith("._manifest-") and name.endswith(".json.tmp"):
+        elif name.startswith("._manifest-") and name.endswith(".tmp"):
             # a publisher that died between create and rename leaves its
             # temp manifest behind; it was never visible to readers, so
             # vacuuming it is always safe

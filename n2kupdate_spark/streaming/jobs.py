@@ -353,20 +353,26 @@ def stream_corpus_publish(
     (operators/corpus.py::gate_documents — Gopher → decontamination →
     within-batch exact dedup; per-micro-batch ≡ batch is pinned by
     test_corpus_gates_are_streaming_ready), lands in an immutable
-    ``batch-<v>`` subdir, and becomes visible atomically via
+    ``batch-epoch-<id>`` subdir, and becomes visible atomically via
     publish_append_manifest — readers of the published table never see a
     torn batch, and a crashed commit leaves the prior version intact.
 
-    Exactly-once: the manifest version is keyed to the epoch id
-    (v = epoch+1). A RETRIED epoch first checks manifest_versions — if
-    its version is already committed the whole batch is skipped; if the
-    crash hit between the subdir write and the manifest flip, the
-    overwrite-mode rewrite of the same subdir is idempotent and the flip
+    Exactly-once: idempotence is keyed to the EPOCH ID, not the manifest
+    version (r8 advice, high — version-keyed skip collided with
+    compact_manifest_table/rollback_manifest, which allocate
+    max_version+1 on the same table, silently dropping the next epoch's
+    batch). Each commit records its epoch in the manifest doc plus a
+    carried-forward ``max_epoch`` watermark; a RETRIED epoch checks
+    ``last_committed_epoch`` — already-committed epochs skip, and the
+    manifest version is allocated as max+1 at commit time so any
+    compaction/rollback interleaving is harmless. If the crash hit
+    between the subdir write and the manifest flip, the overwrite-mode
+    rewrite of the same epoch-named subdir is idempotent and the flip
     completes. That is the classic epoch-id sink protocol, here with the
     manifest rename as the commit point. Returns the started query."""
     from n2kupdate_spark.operators.corpus import gate_documents
     from n2kupdate_spark.sources.maintenance import (
-        manifest_versions,
+        last_committed_epoch,
         publish_append_manifest,
     )
 
@@ -374,8 +380,7 @@ def stream_corpus_publish(
     ev = eval_docs.select("doc_id", "text").localCheckpoint(eager=True)
 
     def _commit(batch_df: DataFrame, epoch_id: int) -> None:
-        version = int(epoch_id) + 1
-        if version in manifest_versions(spark, out_dir):
+        if int(epoch_id) <= last_committed_epoch(spark, out_dir):
             return  # retried epoch, already committed — exactly-once skip
         gated = gate_documents(
             batch_df,
@@ -384,9 +389,9 @@ def stream_corpus_publish(
             decontam_budget=decontam_budget,
             gopher_kwargs=gopher_kwargs,
         )
-        subdir = f"batch-{version:010d}"
+        subdir = f"batch-epoch-{int(epoch_id):010d}"
         gated.write.mode("overwrite").parquet(f"{out_dir}/{subdir}")
-        publish_append_manifest(spark, out_dir, subdir, version=version)
+        publish_append_manifest(spark, out_dir, subdir, epoch=int(epoch_id))
 
     writer = (
         docs.writeStream.outputMode("append")

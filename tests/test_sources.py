@@ -598,3 +598,95 @@ def test_rollback_manifest_restores_without_deleting(spark, tmp_path):
     assert manifest_versions(spark, str(d)) == [3]
     assert read_manifest(spark, str(d)).count() == 100
     assert not (d / "batch-0000000002").exists()  # bad batch retired
+
+
+def test_manifest_stats_no_suffix_name_collision(spark, tmp_path):
+    """r8 advice (medium): _attach_stats must match URIs only with the
+    path separator — a bare-suffix fallback let '11.parquet' satisfy an
+    endswith('1.parquet') probe, stamping the wrong [min,max] onto
+    '1.parquet' and making where= pruning silently drop files. Pin: two
+    files where one name is a strict suffix of the other get each their
+    OWN range, and a pruned read on the suffix-victim's range is exact."""
+    import glob as _glob
+    import json
+    import shutil
+
+    from n2kupdate_spark.sources.maintenance import publish_manifest, read_manifest
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    for fname, lo, hi in (("1.parquet", 0, 10), ("11.parquet", 100, 110)):
+        tmp = tmp_path / f"tmp_{fname}"
+        spark.range(lo, hi).withColumnRenamed("id", "v").coalesce(1).write.parquet(
+            str(tmp)
+        )
+        shutil.move(_glob.glob(f"{tmp}/part-*.parquet")[0], str(d / fname))
+    publish_manifest(spark, str(d), stats_cols=["v"])
+
+    doc = json.loads((d / "_manifest-0000000001.json").read_text())
+    stats = {f["name"]: f["stats"]["v"] for f in doc["files"]}
+    assert stats["1.parquet"] == [0, 9], stats
+    assert stats["11.parquet"] == [100, 109], stats
+    # range unique to 1.parquet: wrong stats on it would prune it away
+    got = sorted(
+        r["v"] for r in read_manifest(spark, str(d), where=[("v", 0, 9)]).collect()
+    )
+    assert got == list(range(10))
+
+
+def test_atomic_put_json_unique_temp_no_clobber(spark, tmp_path):
+    """r8 advice (low): the commit temp name is unique per writer. A
+    concurrent writer's in-progress bytes under the OLD shared temp name
+    (.{name}.tmp) must never be overwritten or committed by another
+    publisher — the rename-onto-existing refusal is the only race left."""
+    import json
+
+    from n2kupdate_spark.sources.maintenance import atomic_put_json
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    torn = d / "._doc.json.tmp"  # writer A, mid-write, shared-name era
+    torn.write_text('{"torn": tru')
+    atomic_put_json(spark, str(d), "_doc.json", {"ok": 1})
+    assert json.loads((d / "_doc.json").read_text()) == {"ok": 1}
+    assert torn.read_text() == '{"torn": tru'  # untouched, never committed
+
+
+def test_concurrent_publisher_version_race_pinned(spark, tmp_path):
+    """Optimistic-concurrency pin (r8 verdict growth edge): two appenders
+    that both observed max_version=1 race for version 2. Exactly one
+    rename commits; the loser gets FileExistsError (never torn state,
+    never a silent overwrite) and retrying with default allocation lands
+    its batch as the NEXT version with the winner's files preserved."""
+    import pytest as _pytest
+
+    from n2kupdate_spark.sources.maintenance import (
+        manifest_versions,
+        publish_append_manifest,
+        read_manifest,
+    )
+
+    d = tmp_path / "tbl"
+    spark.range(10).withColumnRenamed("id", "v").coalesce(1).write.parquet(
+        str(d / "batch-0000000001")
+    )
+    publish_append_manifest(spark, str(d), "batch-0000000001", version=1)
+    spark.range(10, 20).withColumnRenamed("id", "v").coalesce(1).write.parquet(
+        str(d / "batch-a")
+    )
+    spark.range(20, 30).withColumnRenamed("id", "v").coalesce(1).write.parquet(
+        str(d / "batch-b")
+    )
+    publish_append_manifest(spark, str(d), "batch-a", version=2)  # winner
+    with _pytest.raises(FileExistsError):
+        publish_append_manifest(spark, str(d), "batch-b", version=2)  # loser
+
+    assert manifest_versions(spark, str(d)) == [1, 2]
+    got_v2 = sorted(r["v"] for r in read_manifest(spark, str(d)).collect())
+    assert got_v2 == list(range(20))  # winner's commit, intact
+
+    # loser retries with commit-time allocation -> version 3, both batches in
+    publish_append_manifest(spark, str(d), "batch-b")
+    assert manifest_versions(spark, str(d)) == [1, 2, 3]
+    got_v3 = sorted(r["v"] for r in read_manifest(spark, str(d)).collect())
+    assert got_v3 == list(range(30))

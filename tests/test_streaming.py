@@ -741,3 +741,102 @@ def test_stream_corpus_publish_exactly_once_manifests(spark, sf_dir):
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_epoch_idempotence_survives_compaction(spark, sf_dir):
+    """r8 advice (high): exactly-once must be keyed to EPOCH ids, not
+    manifest versions. The documented loop is ingest → compact →
+    ingest-more → rollback; under version-keyed skip the post-compaction
+    epoch's version (epoch+1) collided with the compaction's max+1 commit
+    and the batch was SILENTLY DROPPED. Pin the whole loop: (1) the
+    post-compaction epoch commits its rows as a fresh version; (2) a
+    rollback carries the epoch watermark of the LATEST version, so (3) a
+    full fresh-checkpoint replay after compaction+rollback still skips
+    every committed epoch — versions and rows unchanged."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from n2kupdate_spark.operators.corpus import gate_documents
+    from n2kupdate_spark.sources.maintenance import (
+        compact_manifest_table,
+        last_committed_epoch,
+        manifest_versions,
+        read_manifest,
+        rollback_manifest,
+    )
+    from n2kupdate_spark.streaming import documents_file_stream, stream_corpus_publish
+
+    work = tempfile.mkdtemp(prefix="n2k_epoch_idem_")
+    src, out = f"{work}/src", f"{work}/out"
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    b1 = docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 97 != 0))
+    b2 = docs.filter((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 97 != 0))
+    b3 = docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 97 != 0))
+
+    def land(b, i):
+        tmp = f"{work}/tmp{i}"
+        b.coalesce(1).write.parquet(tmp)
+        os.makedirs(src, exist_ok=True)
+        shutil.move(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/b{i}.parquet")
+
+    land(b1, 1)
+    land(b2, 2)
+    q = stream_corpus_publish(
+        documents_file_stream(spark, src, max_files_per_trigger=1),
+        ev, out, f"{work}/ckpt1",
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    assert manifest_versions(spark, out) == [1, 2]
+    assert last_committed_epoch(spark, out) == 1
+
+    stats = compact_manifest_table(spark, out)
+    assert stats["version"] == 3
+    assert last_committed_epoch(spark, out) == 1  # watermark survives compaction
+
+    # the regression: epoch 2 after a compaction must COMMIT, not skip
+    land(b3, 3)
+    q2 = stream_corpus_publish(
+        documents_file_stream(spark, src, max_files_per_trigger=1),
+        ev, out, f"{work}/ckpt1",  # same checkpoint -> resumes at epoch 2
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None, q2.exception()
+    assert manifest_versions(spark, out) == [1, 2, 3, 4]
+    assert last_committed_epoch(spark, out) == 2
+    want_all = {
+        r["doc_id"]
+        for b in (b1, b2, b3)
+        for r in gate_documents(b, ev).select("doc_id").collect()
+    }
+    got = {r["doc_id"] for r in read_manifest(spark, out).select("doc_id").collect()}
+    assert got == want_all and got
+
+    # rollback to the compacted (b1+b2) state: watermark comes from LATEST
+    rollback_manifest(spark, out, to_version=3)
+    assert manifest_versions(spark, out) == [1, 2, 3, 4, 5]
+    assert last_committed_epoch(spark, out) == 2  # NOT v3's watermark (1)
+    want_12 = {
+        r["doc_id"]
+        for b in (b1, b2)
+        for r in gate_documents(b, ev).select("doc_id").collect()
+    }
+    got5 = {r["doc_id"] for r in read_manifest(spark, out).select("doc_id").collect()}
+    assert got5 == want_12
+
+    # fresh-checkpoint replay (epochs 0,1,2): every epoch skips — the
+    # rollback was deliberate, a retry must not resurrect the data
+    q3 = stream_corpus_publish(
+        documents_file_stream(spark, src, max_files_per_trigger=1),
+        ev, out, f"{work}/ckpt2",
+    )
+    q3.awaitTermination(120)
+    assert manifest_versions(spark, out) == [1, 2, 3, 4, 5]
+    assert {
+        r["doc_id"] for r in read_manifest(spark, out).select("doc_id").collect()
+    } == want_12
+
+    shutil.rmtree(work, ignore_errors=True)
