@@ -592,6 +592,14 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: keeps reporting raw counts + the any-overlap flag so callers choose.
 _DECONTAM_BUDGET = 5
 
+#: Shingle width for the decontamination gates. The gate-report oracle
+#: embeds ORACLE["text_decontaminate_ngram"] (a 3-gram op) as a CTE, so
+#: this must stay 3 unless that oracle is re-parameterized with it — the
+#: point of naming it is that the Spark side of corpus_gate_report reads
+#: THIS constant (never a literal), so a retune cannot silently split op
+#: from oracle (r8 advice, low).
+_DECONTAM_N = 3
+
 
 def _corpus_prepare_oracle() -> str:
     """Compose the end-to-end preparation oracle by EMBEDDING the
@@ -763,7 +771,7 @@ def corpus_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     gp = gopher_metrics(train, "doc_id", "text").select(
         "doc_id", F.col("gopher_pass").alias("gp")
     )
-    dc = decontaminate_ngram(train, ev, "doc_id", "text", n=3).select(
+    dc = decontaminate_ngram(train, ev, "doc_id", "text", n=_DECONTAM_N).select(
         "doc_id", F.col("n_shared_grams").alias("shared")
     )
     t = (
@@ -779,12 +787,12 @@ def corpus_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # latter would funnel every non-clean row into one NULL partition —
     # a skew funnel; with the flag in the key, non-clean rows spread
     # across their own fingerprints and their rn is simply never consulted
-    clean = (F.col("gp") == 1) & (F.col("shared") < 5)
+    clean = (F.col("gp") == 1) & (F.col("shared") < _DECONTAM_BUDGET)
     w = Window.partitionBy(clean, F.md5("text")).orderBy("doc_id")
     t = t.withColumn("rn", F.row_number().over(w))
     stage = (
         F.when(F.col("gp") == 0, "gopher_fail")
-        .when(F.col("shared") >= 5, "contaminated")
+        .when(F.col("shared") >= _DECONTAM_BUDGET, "contaminated")
         .when(F.col("rn") > 1, "exact_dup")
         .otherwise("survivor")
     )

@@ -99,3 +99,27 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     assert not mismatches, (
         f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
     )
+
+
+def test_gate_report_budget_retune_stays_synced(spark, sf_dir, oracle_con, monkeypatch):
+    """r8 advice (low): corpus_gate_report's Spark side must read
+    _DECONTAM_BUDGET (not literal 5s) so a retune cannot silently split
+    op from oracle. Exercise a NON-default budget end-to-end: with the
+    constant monkeypatched, the Spark plan and a freshly interpolated
+    oracle must still agree row-for-row."""
+    from n2kupdate_spark.queries import mlprep
+
+    monkeypatch.setattr(mlprep, "_DECONTAM_BUDGET", 2)
+    spdf = mlprep.corpus_gate_report(spark, sf_dir).toPandas()
+    opdf = oracle_con.execute(mlprep._gate_report_oracle()).fetchdf()
+    assert len(spdf) == len(opdf) > 0
+    s_cols, s_rows = canonical_rows(spdf)
+    o_cols, o_rows = canonical_rows(opdf)
+    assert s_cols == o_cols
+    assert s_rows == o_rows
+    # a budget this tight must actually change the report vs the default —
+    # ORACLE["corpus_gate_report"] was interpolated at import with budget 5
+    opdf_default = oracle_con.execute(ORACLE["corpus_gate_report"]).fetchdf()
+    assert not opdf.sort_values(s_cols).reset_index(drop=True).equals(
+        opdf_default.sort_values(s_cols).reset_index(drop=True)
+    )
