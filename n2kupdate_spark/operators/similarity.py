@@ -138,7 +138,11 @@ def _kmeans_pp_spherical(
         if total <= 0:
             idx.append(int(rng.randint(n)))
         else:
-            idx.append(int(np.searchsorted(np.cumsum(probs / total), rng.rand())))
+            # clamp: fp rounding can leave cumsum[-1] < rand, and
+            # searchsorted would then return n (IndexError at S[n])
+            idx.append(
+                min(int(np.searchsorted(np.cumsum(probs / total), rng.rand())), n - 1)
+            )
         d2 = np.minimum(d2, 1.0 - S @ S[idx[-1]])
     C = S[idx].copy()
     for _ in range(iters):
@@ -361,7 +365,14 @@ def fit_pq_codebooks(
             if total <= 0:
                 idx.append(int(rng.randint(len(X))))
             else:
-                idx.append(int(np.searchsorted(np.cumsum(d2 / total), rng.rand())))
+                # clamp: fp rounding can leave cumsum[-1] < rand →
+                # searchsorted returns len(X) (IndexError at X[len(X)])
+                idx.append(
+                    min(
+                        int(np.searchsorted(np.cumsum(d2 / total), rng.rand())),
+                        len(X) - 1,
+                    )
+                )
             d2 = np.minimum(d2, ((X - X[idx[-1]]) ** 2).sum(axis=1))
         C = X[idx].copy()
         for _ in range(iters):
@@ -606,6 +617,51 @@ def pairwise_cosine_by_group(
     return exploded.groupBy(group_col, "__bi", "__bj").applyInPandas(
         score_block_pair,
         schema=f"id1 long, id2 long, cos_sim double, {group_col} int",
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str = "v",
+    n_cells: int = 16,
+    tau: float = 0.95,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): cluster the embedding space with
+    spherical k-means, then drop, WITHIN each cluster only, every vector
+    that has a lower-id neighbor at cosine ≥ ``tau``; the minimum id of
+    each near-dup neighborhood survives as the representative (the same
+    deterministic keep-lowest rule as the text dedup family). Returns
+    (drop_id, rep_id, cluster, cos_sim) — one row per dropped vector,
+    cos_sim the similarity to its chosen representative.
+
+    This composes two audited scale paths and adds nothing driver-bound:
+    :func:`fit_spherical_centroids` (bounded sample fit + one distributed
+    Lloyd pass), a map-only Arrow-matmul assignment (:func:`best_cell`),
+    and :func:`pairwise_cosine_by_group` over the CLUSTER key (block-pair
+    decomposed — no executor ever holds a whole cluster, every bucket
+    pair is an independent ≤2×block_rows task). The clustering is what
+    makes 100 TB feasible: candidate pairs are O(Σ n_cluster²) instead of
+    O(n²), the paper's exact trade — cross-cluster near-dups are
+    sacrificed by design, and raising n_cells tightens both cost and
+    recall radius together."""
+    cents = fit_spherical_centroids(vectors, id_col, vec_col, n_cells=n_cells)
+    assigned = vectors.withColumn("cluster", best_cell(vec_col, cents))
+    pairs = pairwise_cosine_by_group(
+        assigned, "cluster", id_col, vec_col, tau=tau, block_rows=block_rows
+    )
+    w = Window.partitionBy("id2").orderBy("id1")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id2").alias("drop_id"),
+            F.col("id1").alias("rep_id"),
+            "cluster",
+            "cos_sim",
+        )
     )
 
 

@@ -96,3 +96,85 @@ def test_pca_projection_is_exact_and_sample_variance_monotone(spark):
     var = proj.var(axis=0)
     assert all(var[i] + 1e-9 >= var[i + 1] for i in range(len(var) - 1)), var
     assert var[0] > 0
+
+
+def test_kmeans_pp_degenerate_and_clamped_init():
+    """r8 advice (low): k-means++ sampling clamps np.searchsorted to the
+    last index (fp rounding can leave cumsum[-1] < rand → index == n →
+    IndexError), and the total<=0 fallback handles fully-degenerate
+    input. Exercise both init loops on adversarial shapes: identical
+    vectors (all-zero distances) and a near-degenerate cloud whose
+    cumulative weights are dominated by one point (the rounding regime)."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.similarity import _kmeans_pp_spherical
+
+    # identical vectors: every d2 == 0 → the total<=0 branch every pick
+    same = np.tile(np.array([1.0, 2.0, 3.0, 4.0]), (32, 1))
+    C = _kmeans_pp_spherical(same, n_cells=4, seed=3)
+    assert C.shape == (4, 4) and np.isfinite(C).all()
+
+    # one far outlier: probability mass ~entirely on a single cumsum step,
+    # the regime where cumsum[-1) < rand rounding bites; must never raise
+    near = np.ones((64, 8)) + 1e-12 * np.random.RandomState(0).rand(64, 8)
+    near[0] = -np.ones(8)
+    C2 = _kmeans_pp_spherical(near, n_cells=8, seed=5)
+    assert C2.shape == (8, 8) and np.isfinite(C2).all()
+
+
+def test_semantic_dedup_kept_dropped_set_pinned(spark):
+    """Value pin for the rows-only dedup_semantic_clusters query
+    (SemDeDup): recompute the ENTIRE kept/dropped set independently in
+    numpy — assign with the op's own deterministic centroids (same seeds
+    → same fit), enumerate every within-cluster pair at round(cos,4) ≥
+    tau, drop each id that has a lower-id neighbor, rep = the MINIMUM
+    such neighbor — and require exact set equality plus per-row rep and
+    cos_sim agreement. Also pins determinism across reruns."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.similarity import fit_spherical_centroids
+    from n2kupdate_spark.sources import load
+
+    tau = 0.3
+    got = {
+        r["drop_id"]: (r["rep_id"], r["cluster"], r["cos_sim"])
+        for r in QUERIES["dedup_semantic_clusters"](spark, SF).collect()
+    }
+    assert got, "no drops at sf0.001 — fixture has near-dups at cos≥0.3"
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = sorted(e.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    C = fit_spherical_centroids(e, "vec_id", "v", n_cells=16)
+    # best_cell: argmax of raw-vector dot, first-wins (numpy argmax too)
+    cell = np.argmax(V @ C.T, axis=1)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    U = V / norms[:, None]
+    S = np.round(U @ U.T, 4) + 0.0
+    want = {}
+    for j in range(len(ids)):
+        lower = [
+            i for i in range(j)
+            if cell[i] == cell[j] and S[i, j] >= tau and ids[i] < ids[j]
+        ]
+        if lower:
+            rep = min(lower, key=lambda i: ids[i])
+            want[int(ids[j])] = (int(ids[rep]), int(cell[j]) + 1, float(S[rep, j]))
+    assert set(got) == set(want), (
+        f"drop-set mismatch: extra={set(got) - set(want)}, "
+        f"missing={set(want) - set(got)}"
+    )
+    for d, (rep, cl, cs) in want.items():
+        assert got[d][0] == rep and got[d][1] == cl, (d, got[d], (rep, cl, cs))
+        assert abs(got[d][2] - cs) < 1e-9, (d, got[d][2], cs)
+
+    rerun = {
+        r["drop_id"]: (r["rep_id"], r["cluster"], r["cos_sim"])
+        for r in QUERIES["dedup_semantic_clusters"](spark, SF).collect()
+    }
+    assert rerun == got
