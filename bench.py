@@ -57,6 +57,9 @@ HEADLINE = [
     "embed_kmeans_clusters",         # bounded driver fit + matmul assignment
     "corpus_prepare_pipeline",       # full gate chain end-to-end
     "dedup_incremental_resume",      # persisted-index resume (batch-footprint work)
+    # r9 addition: the SemDeDup composition joins the radar (centroid fit +
+    # map assignment + block-pair within-cluster pruning)
+    "dedup_semantic_clusters",
 ]
 
 

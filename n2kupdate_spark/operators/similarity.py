@@ -184,7 +184,7 @@ def fit_spherical_centroids(
     id_col: str,
     vec_col: str = "v",
     n_cells: int = 16,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 11,
     seed_sample: int = 512,
 ) -> np.ndarray:
@@ -202,6 +202,8 @@ def fit_spherical_centroids(
         vectors.select(vec_col).orderBy(id_col).limit(seed_sample).collect()
     )
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    if dim is None:
+        dim = sample.shape[1]  # infer from the data; callers can pin it
     cents = _kmeans_pp_spherical(sample, n_cells, seed)
 
     from n2kupdate_spark.functions import l2_norm
@@ -278,7 +280,7 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 11,
     seed_sample: int = 512,
 ) -> DataFrame:

@@ -57,9 +57,9 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
 #: are the heaviest r7-green fillers (they become r10's MUST set;
 #: re-confirming them now keeps the cadence math in SURVEY §5 balanced).
 #: Rows-only ops (source_orc, sketches, sha1, ANN, fuzzy dedup, and the
-#: r9-born dedup_semantic_clusters) stay out — they'd burn slots on
-#: `no_oracle` rows; all are value-pinned locally instead
-#: (tests/test_parity.py, tests/test_sketch_accuracy.py,
+#: r9-born dedup_semantic_clusters / corpus_semantic_prepare) stay out —
+#: they'd burn slots on `no_oracle` rows; all are value-pinned locally
+#: instead (tests/test_parity.py, tests/test_sketch_accuracy.py,
 #: tests/test_ann_recall.py).
 _ROUND_WINDOW = [
     # -- never driver-checked (born mid-r8) -------------------------------

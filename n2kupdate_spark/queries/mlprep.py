@@ -803,3 +803,50 @@ def corpus_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("stage") == "exact_dup").alias("n_exact_dup"),
         F.count_if(F.col("stage") == "survivor").alias("n_survivors"),
     )
+
+
+@register("corpus_semantic_prepare")  # rows-only (r9 capacity policy,
+# SURVEY §5.2): the semantic stage's centroid layout is engine-specific;
+# the composition is value-pinned in tests/test_ann_recall.py
+def corpus_semantic_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM-corpus preparation chain WITH the semantic stage —
+    text gates first (Gopher → decontamination → exact dedup, the
+    gate_documents battery), then SemDeDup-style embedding dedup over the
+    survivors only (operators/corpus.py::gate_semantic), summarized per
+    source: docs surviving the text gates, docs the semantic stage
+    dropped, final survivors.
+
+    Scale: everything up to the semantic stage is maps + broadcast joins
+    + one fingerprint shuffle (audited individually); the semantic stage
+    fits centroids on a bounded sample of the ALREADY-SHRUNK corpus and
+    scans within-cluster pairs in block-pair tasks — the stage ordering
+    is the design (cheap gates shrink, expensive geometry last). Docs
+    without vectors pass the semantic stage untouched. The slim
+    (doc_id, source) gate output is localCheckpoint'd ONCE — the survivor
+    ids feed three consumers (vector semi-join, anti-join, summary join),
+    and without the checkpoint the whole gate chain's lineage replays per
+    consumer (measured: 25 plan exchanges at sf0.1 vs 7 with it; the
+    dedup family's established pattern)."""
+    from n2kupdate_spark.operators.corpus import gate_documents, gate_semantic
+    from n2kupdate_spark.queries.text import _EVAL_PRED_SQL
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    is_eval = F.expr(_EVAL_PRED_SQL)
+    text_ok = gate_documents(
+        d.filter(~is_eval), d.filter(is_eval).select("doc_id", "text"),
+        decontam_n=_DECONTAM_N, decontam_budget=_DECONTAM_BUDGET,
+    ).select("doc_id", "source").localCheckpoint(eager=True)
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    final = gate_semantic(text_ok, vecs, n_cells=16, tau=0.3)
+    t = text_ok.join(
+        final.select(F.col("doc_id").alias("kept_id")),
+        F.col("doc_id") == F.col("kept_id"),
+        "left",
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_text_survivors"),
+        F.count_if(F.col("kept_id").isNull()).alias("n_semantic_dropped"),
+        F.count_if(F.col("kept_id").isNotNull()).alias("n_final"),
+    )

@@ -178,3 +178,53 @@ def test_semantic_dedup_kept_dropped_set_pinned(spark):
         for r in QUERIES["dedup_semantic_clusters"](spark, SF).collect()
     }
     assert rerun == got
+
+
+def test_corpus_semantic_prepare_composition_pinned(spark):
+    """Pin for the rows-only corpus_semantic_prepare composite: the
+    per-source summary must equal the python-set composition of its two
+    library stages run independently — text survivors from
+    gate_documents, drop ids from semantic_dedup over the survivor-
+    restricted vectors — and the arithmetic must be internally exact
+    (n_final = n_text_survivors - n_semantic_dropped, every source)."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.corpus import gate_documents
+    from n2kupdate_spark.operators.similarity import semantic_dedup
+    from n2kupdate_spark.queries.mlprep import _DECONTAM_BUDGET, _DECONTAM_N
+    from n2kupdate_spark.queries.text import _EVAL_PRED_SQL
+    from n2kupdate_spark.sources import load
+
+    got = {
+        r["source"]: (r["n_text_survivors"], r["n_semantic_dropped"], r["n_final"])
+        for r in QUERIES["corpus_semantic_prepare"](spark, SF).collect()
+    }
+    assert got and any(v[1] > 0 for v in got.values()), (
+        "fixture must exercise the semantic stage (tau=0.3 near-dups exist)"
+    )
+    for src, (n_text, n_drop, n_final) in got.items():
+        assert n_final == n_text - n_drop, (src, got[src])
+
+    d = load(spark, SF, "documents", columns=["doc_id", "source", "text"])
+    is_eval = F.expr(_EVAL_PRED_SQL)
+    text_ok = gate_documents(
+        d.filter(~is_eval), d.filter(is_eval).select("doc_id", "text"),
+        decontam_n=_DECONTAM_N, decontam_budget=_DECONTAM_BUDGET,
+    )
+    alive = {(r["doc_id"], r["source"]) for r in text_ok.select("doc_id", "source").collect()}
+    vecs = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(F.col("vec_id").isin([i for i, _ in alive]))
+    drops = {
+        r["drop_id"]
+        for r in semantic_dedup(vecs, "vec_id", "v", n_cells=16, tau=0.3).collect()
+    }
+    want = {}
+    for src in {s for _, s in alive}:
+        ids = {i for i, s in alive if s == src}
+        nd = len(ids & drops)
+        want[src] = (len(ids), nd, len(ids) - nd)
+    assert got == want, {
+        s: (got.get(s), want.get(s)) for s in set(got) | set(want)
+        if got.get(s) != want.get(s)
+    }

@@ -384,6 +384,10 @@ def test_no_query_plan_has_scale_red_flags(spark, sf_dir):
         # composes the same budget-exempt gate chain as
         # corpus_prepare_pipeline (each component individually <=2)
         "corpus_gate_report",
+        # r9: gate chain + semantic stage (checkpointed survivor ids keep
+        # it at 7 exchanges; without the checkpoint the gate lineage
+        # replayed 3x for 25 — see the op's docstring)
+        "corpus_semantic_prepare",
     }
     issues = []
     for name, fn in sorted(QUERIES.items()):
