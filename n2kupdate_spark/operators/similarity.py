@@ -201,6 +201,11 @@ def fit_spherical_centroids(
     sample_rows = (
         vectors.select(vec_col).orderBy(id_col).limit(seed_sample).collect()
     )
+    if not sample_rows:
+        raise ValueError(
+            "fit_spherical_centroids: empty input — no vectors to seed from "
+            "(guard upstream; semantic_dedup returns an empty drop set)"
+        )
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     if dim is None:
         dim = sample.shape[1]  # infer from the data; callers can pin it
@@ -648,7 +653,16 @@ def semantic_dedup(
     makes 100 TB feasible: candidate pairs are O(Σ n_cluster²) instead of
     O(n²), the paper's exact trade — cross-cluster near-dups are
     sacrificed by design, and raising n_cells tightens both cost and
-    recall radius together."""
+    recall radius together.
+
+    An EMPTY vector set returns an empty drop set (schema intact) — an
+    upstream gate legitimately empties a batch (observed: the 10× probe
+    replica, where the scaled eval slice decontaminates everything), and
+    the centroid fit cannot seed from nothing."""
+    if not vectors.select(id_col).limit(1).collect():
+        return vectors.sparkSession.createDataFrame(
+            [], "drop_id long, rep_id long, cluster int, cos_sim double"
+        )
     cents = fit_spherical_centroids(vectors, id_col, vec_col, n_cells=n_cells)
     assigned = vectors.withColumn("cluster", best_cell(vec_col, cents))
     pairs = pairwise_cosine_by_group(

@@ -228,3 +228,28 @@ def test_corpus_semantic_prepare_composition_pinned(spark):
         s: (got.get(s), want.get(s)) for s in set(got) | set(want)
         if got.get(s) != want.get(s)
     }
+
+
+def test_semantic_dedup_empty_input_returns_empty(spark):
+    """An upstream gate can legitimately empty a batch; semantic_dedup
+    must return an EMPTY drop set with the schema intact (the centroid
+    fit raises a clear error instead of numpy's stack crash)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.similarity import (
+        fit_spherical_centroids,
+        semantic_dedup,
+    )
+    from n2kupdate_spark.sources import load
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(F.lit(False))
+    out = semantic_dedup(e, "vec_id", "v")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "drop_id", "rep_id", "cluster", "cos_sim"
+    ]
+    with _pytest.raises(ValueError, match="empty input"):
+        fit_spherical_centroids(e, "vec_id", "v")
