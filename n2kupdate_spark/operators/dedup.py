@@ -874,13 +874,15 @@ def index_versions(spark, path: str) -> list[int]:
     return sorted(out)
 
 
-def _next_index_version(spark, path: str) -> int:
+def _next_index_version(spark, path: str, tables: tuple = None) -> int:
     """Next version number: past every COMMITTED version and every torn
     ``v<NNN>`` table dir a killed publisher left behind, so a retry never
-    writes into a half-written directory."""
+    writes into a half-written directory. ``tables`` defaults to the
+    shingle index's; the semantic index (operators/similarity.py) passes
+    its own — the versioning protocol is table-set-agnostic."""
     jvm, fs = _index_fs(spark, path)
     vs = set(index_versions(spark, path))
-    for t in _INDEX_TABLES:
+    for t in (tables or _INDEX_TABLES):
         pat = jvm.org.apache.hadoop.fs.Path(path, f"{t}/v*")
         for st in fs.globStatus(pat) or []:
             name = st.getPath().getName()
@@ -891,15 +893,16 @@ def _next_index_version(spark, path: str) -> int:
     return max(vs, default=0) + 1
 
 
-def _commit_index_version(spark, path: str, version: int) -> None:
+def _commit_index_version(spark, path: str, version: int, tables: tuple = None) -> None:
     """Publish each table's fresh ``v<NNN>`` dir as a manifest (atomic
     since r8: temp+rename, declared schema), then flip the root marker —
     the single commit point. Killed before the marker → every prior
     version stays readable and the torn dirs are invisible."""
     from n2kupdate_spark.sources.maintenance import atomic_put_json, publish_manifest
 
-    rel = {t: f"{t}/v{version:010d}" for t in _INDEX_TABLES}
-    for t in _INDEX_TABLES:
+    tables = tables or _INDEX_TABLES
+    rel = {t: f"{t}/v{version:010d}" for t in tables}
+    for t in tables:
         publish_manifest(spark, f"{path}/{rel[t]}", version=1)
     atomic_put_json(
         spark,
@@ -909,7 +912,7 @@ def _commit_index_version(spark, path: str, version: int) -> None:
     )
 
 
-def _load_index(spark, path: str, version: int | None = None):
+def _load_index(spark, path: str, version: int | None = None, tables: tuple = None):
     """(version, postings, stoplist, sizes) pinned to a committed index
     version (highest by default) — reads go through read_manifest, so the
     file set AND schema are exactly the published ones; a concurrent
@@ -933,9 +936,9 @@ def _load_index(spark, path: str, version: int | None = None):
         raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
-    tables = json.loads(raw.decode())["tables"]
+    rel = json.loads(raw.decode())["tables"]
     return (version,) + tuple(
-        read_manifest(spark, f"{path}/{tables[t]}") for t in _INDEX_TABLES
+        read_manifest(spark, f"{path}/{rel[t]}") for t in (tables or _INDEX_TABLES)
     )
 
 

@@ -755,3 +755,236 @@ def brute_topk_matmul(
     return vectors.select(id_col, vec_col).mapInPandas(
         score, schema="q_id long, neighbor_id long, cos_sim double"
     )
+
+
+def cross_cosine_by_group(
+    probe: DataFrame,
+    base: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    block: int = 2048,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """All (probe, base) pairs WITHIN a group at round(cos, 4) ≥ tau —
+    the asymmetric sibling of :func:`pairwise_cosine_by_group` for
+    batch-vs-corpus scoring: probe-probe and base-base pairs are never
+    computed, so a recurring batch pays for its own collisions, not the
+    corpus's.
+
+    Scale: the BASE side is hash-salted into nb = ceil(n_base/block_rows)
+    buckets per group and every probe row replicates to each bucket — a
+    task holds ≤ block_rows base rows plus the group's probe rows (a
+    recurring batch's per-cluster footprint, small by construction).
+    Groups with no base rows contribute nothing (inner join on the
+    per-group bucket count). Row-chunked matmul bounds peak memory at
+    block × block_rows doubles. Output: (probe_id, base_id, cos_sim,
+    group_col)."""
+    import pandas as pd
+
+    nbase = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    b = (
+        base.join(nbase, group_col)
+        .withColumn("__nb", F.ceil(F.col("__n") / F.lit(block_rows)).cast("int"))
+        .withColumn("__bk", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int"))
+        .select(group_col, id_col, vec_col, "__bk", F.lit(0).alias("__side"))
+    )
+    p = (
+        probe.join(nbase, group_col)
+        .withColumn("__nb", F.ceil(F.col("__n") / F.lit(block_rows)).cast("int"))
+        .select(
+            group_col,
+            id_col,
+            vec_col,
+            F.explode(F.sequence(F.lit(0), F.col("__nb") - 1)).alias("__bk"),
+            F.lit(1).alias("__side"),
+        )
+    )
+    u = b.unionByName(p)
+
+    def _unit(pdf):
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        return V / norms[:, None], pdf[id_col].to_numpy()
+
+    def score_cross(key, pdf):
+        g = key[0]
+        B = pdf[pdf["__side"] == 0]
+        P = pdf[pdf["__side"] == 1]
+        out_p, out_b, out_s = [], [], []
+        if len(B) and len(P):
+            UB, idb = _unit(B.reset_index(drop=True))
+            UP, idp = _unit(P.reset_index(drop=True))
+            for lo in range(0, len(UP), block):
+                hi = min(lo + block, len(UP))
+                S = np.round(UP[lo:hi] @ UB.T, 4) + 0.0  # fold -0.0
+                rs, cs = np.nonzero(S >= tau)
+                if len(rs):
+                    out_p.extend(idp[rs + lo])
+                    out_b.extend(idb[cs])
+                    out_s.extend(S[rs, cs])
+        return pd.DataFrame(
+            {"probe_id": out_p, "base_id": out_b, "cos_sim": out_s, group_col: g}
+        )
+
+    return u.groupBy(group_col, "__bk").applyInPandas(
+        score_cross,
+        schema=f"probe_id long, base_id long, cos_sim double, {group_col} int",
+    )
+
+
+#: Semantic index tables: the fitted codebook + the deduped survivors.
+_SEM_INDEX_TABLES = ("centroids", "kept")
+
+
+def persist_semantic_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_cells: int = 16,
+    tau: float = 0.95,
+    block_rows: int = 4096,
+) -> int:
+    """Materialize a semantic-dedup index for recurring ingest: fit the
+    codebook on the base corpus, run :func:`semantic_dedup`'s exact
+    drop rule, and persist two tables — ``centroids`` (cell, v) and
+    ``kept`` (id, cluster, v: the survivors with their assignments) — as
+    a committed VERSION (returned) under the shingle index's exact
+    crash-safety protocol (operators/dedup.py: per-table manifest
+    publish + atomic root-marker flip; torn roll-forwards invisible).
+    The codebook is FIXED for the index's lifetime — SemDeDup's
+    incremental practice: batches assign into the base geometry, so
+    batch cost never includes a refit; re-persist from scratch when the
+    embedding distribution drifts."""
+    from n2kupdate_spark.operators.dedup import (
+        _commit_index_version,
+        _next_index_version,
+    )
+
+    spark = vectors.sparkSession
+    cents = fit_spherical_centroids(vectors, id_col, vec_col, n_cells=n_cells)
+    assigned = vectors.select(id_col, vec_col).withColumn(
+        "cluster", best_cell(vec_col, cents)
+    ).localCheckpoint(eager=True)  # pairs + kept-write both reread it
+    pairs = pairwise_cosine_by_group(
+        assigned, "cluster", id_col, vec_col, tau=tau, block_rows=block_rows
+    )
+    drops = pairs.select(F.col("id2").alias("__drop")).distinct()
+    kept = assigned.join(drops, assigned[id_col] == F.col("__drop"), "left_anti")
+
+    v = _next_index_version(spark, path, tables=_SEM_INDEX_TABLES)
+    vdir = f"v{v:010d}"
+    cent_rows = [(i + 1, [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(cent_rows, "cell int, v array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids/{vdir}")
+    kept.write.mode("overwrite").parquet(f"{path}/kept/{vdir}")
+    _commit_index_version(spark, path, v, tables=_SEM_INDEX_TABLES)
+    return v
+
+
+def semantic_dedup_resume(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    tau: float = 0.95,
+    block_rows: int = 4096,
+    update_index_path: str | None = None,
+    index_version: int | None = None,
+) -> DataFrame:
+    """Semantic-dedup a NEW batch against a persisted index
+    (:func:`persist_semantic_index`) without rescoring the corpus: batch
+    vectors assign into the PERSISTED codebook (map-only matmul), then
+    only pairs with ≥1 batch side are scored — batch-vs-kept via
+    :func:`cross_cosine_by_group` (base bucketed, probe replicated) and
+    batch-vs-batch via :func:`pairwise_cosine_by_group`. A batch vector
+    drops iff it has a kept neighbor at cos ≥ tau or a LOWER-id batch
+    neighbor; the representative is the minimum such id. Returns
+    (drop_id, rep_id, cluster, cos_sim).
+
+    Semantics vs one-shot: batch ids must be disjoint from (and, per the
+    recurring-ingest norm, higher than) corpus ids, so keep-lowest
+    prefers corpus representatives. The index stores only SURVIVORS —
+    a batch vector near a base vector that was itself dropped (but not
+    near that vector's representative) is kept here where a full-corpus
+    one-shot would drop it: the ε-ball greediness SemDeDup already
+    accepts, now stated. Kept-kept pairs need no rescoring: keep-lowest
+    guarantees no two survivors sit within tau of each other in the same
+    cluster.
+
+    With ``update_index_path`` (may equal ``index_path``: in-place
+    chaining, old version files never overwritten), the surviving batch
+    vectors roll into a new committed version alongside the unchanged
+    codebook — crash before the marker leaves the prior version fully
+    readable."""
+    import numpy as np  # noqa: F811 — local alias for clarity
+
+    from n2kupdate_spark.operators.dedup import (
+        _commit_index_version,
+        _load_index,
+        _next_index_version,
+    )
+
+    spark = new_vectors.sparkSession
+    v0, cent_df, kept = _load_index(
+        spark, index_path, index_version, tables=_SEM_INDEX_TABLES
+    )
+    cent_rows = sorted(cent_df.collect(), key=lambda r: r["cell"])
+    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+
+    empty = not new_vectors.select(id_col).limit(1).collect()
+    if empty:
+        batch = None
+        drops = spark.createDataFrame(
+            [], "drop_id long, rep_id long, cluster int, cos_sim double"
+        )
+    else:
+        batch = new_vectors.select(id_col, vec_col).withColumn(
+            "cluster", best_cell(vec_col, cents)
+        ).localCheckpoint(eager=True)  # cross, self-pairs and roll-forward
+        cross = cross_cosine_by_group(
+            batch, kept.select(id_col, "cluster", vec_col),
+            "cluster", id_col, vec_col, tau=tau, block_rows=block_rows,
+        )
+        bb = pairwise_cosine_by_group(
+            batch, "cluster", id_col, vec_col, tau=tau, block_rows=block_rows
+        )
+        cand = cross.select(
+            F.col("probe_id").alias("drop_id"),
+            F.col("base_id").alias("rep_id"),
+            "cluster",
+            "cos_sim",
+        ).unionByName(
+            bb.select(
+                F.col("id2").alias("drop_id"),
+                F.col("id1").alias("rep_id"),
+                "cluster",
+                "cos_sim",
+            )
+        )
+        w = Window.partitionBy("drop_id").orderBy("rep_id")
+        drops = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    if update_index_path is not None:
+        drops = drops.localCheckpoint(eager=True)  # consumed twice below
+        v1 = _next_index_version(spark, update_index_path, tables=_SEM_INDEX_TABLES)
+        vdir = f"v{v1:010d}"
+        cent_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{update_index_path}/centroids/{vdir}"
+        )
+        merged = kept if batch is None else kept.unionByName(
+            batch.join(
+                drops.select(F.col("drop_id").alias(id_col)), id_col, "left_anti"
+            ).select(*kept.columns)
+        )
+        merged.write.mode("overwrite").parquet(f"{update_index_path}/kept/{vdir}")
+        _commit_index_version(spark, update_index_path, v1, tables=_SEM_INDEX_TABLES)
+    return drops

@@ -208,3 +208,48 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return semantic_dedup(e, "vec_id", "v", n_cells=16, tau=0.3)
+
+
+_sem_index_cache: dict = {}
+
+
+@register("dedup_semantic_resume")  # rows-only (r9 capacity policy):
+# drop set pinned vs an independent numpy recompute of the documented
+# rule in tests/test_ann_recall.py (persist→resume→roll-forward)
+def dedup_semantic_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring ingest for SEMANTIC dedup: the base corpus's index
+    (fixed codebook + deduped survivors, operators/similarity.py::
+    persist_semantic_index) is built once per fixture generation (cached
+    to /tmp, keyed by a data-freshness token) and every run assigns only
+    the BATCH (vec_id % 5 == 0 here) into the persisted geometry,
+    scoring batch-vs-kept cross pairs and batch-vs-batch pairs only —
+    at 100 TB the corpus is never re-scored per increment, and batch
+    cost follows the batch's per-cluster footprint. The registered run
+    reads the index without rolling it forward (idempotent per driver
+    check); production chains with update_index_path=index_path."""
+    import hashlib
+    import os
+
+    from n2kupdate_spark.operators.dedup import index_versions
+    from n2kupdate_spark.operators.similarity import (
+        persist_semantic_index,
+        semantic_dedup_resume,
+    )
+    from n2kupdate_spark.queries.text import _corpus_freshness
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    token = _corpus_freshness(sf_dir)
+    uid = getattr(os, "getuid", lambda: "u")()
+    path = (
+        f"/tmp/n2k_sem_index_{uid}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    )
+    cached = _sem_index_cache.get(sf_dir)
+    if cached != (token, path) or not index_versions(spark, path):
+        persist_semantic_index(base, path, n_cells=16, tau=0.3)
+        _sem_index_cache[sf_dir] = (token, path)
+    return semantic_dedup_resume(batch, path, tau=0.3)

@@ -253,3 +253,107 @@ def test_semantic_dedup_empty_input_returns_empty(spark):
     ]
     with _pytest.raises(ValueError, match="empty input"):
         fit_spherical_centroids(e, "vec_id", "v")
+
+
+def test_semantic_index_persist_resume_pinned(spark, tmp_path):
+    """Incremental semantic dedup: persist the base corpus's index
+    (codebook + survivors), resume a disjoint higher-id batch against it,
+    and pin the ENTIRE resume drop set against an independent numpy
+    recomputation of the documented rule — drop a batch vector iff it
+    has a persisted-kept neighbor at round(cos,4) ≥ tau or a lower-id
+    batch neighbor; rep = the minimum qualifying id. Also pins the
+    in-place roll-forward: version 2's kept set is exactly
+    kept ∪ (batch − drops), the codebook is byte-identical, and an
+    EMPTY batch resumes to zero drops."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.dedup import _load_index, index_versions
+    from n2kupdate_spark.operators.similarity import (
+        _SEM_INDEX_TABLES,
+        persist_semantic_index,
+        semantic_dedup_resume,
+    )
+    from n2kupdate_spark.sources import load
+
+    tau = 0.3
+    idx = str(tmp_path / "sem_index")
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base, batch = e.filter(F.col("vec_id") < 250), e.filter(F.col("vec_id") >= 250)
+
+    v1 = persist_semantic_index(base, idx, n_cells=16, tau=tau)
+    assert v1 == 1 and index_versions(spark, idx) == [1]
+
+    drops = {
+        r["drop_id"]: (r["rep_id"], r["cluster"], r["cos_sim"])
+        for r in semantic_dedup_resume(
+            batch, idx, tau=tau, update_index_path=idx
+        ).collect()
+    }
+    assert drops, "fixture batch must collide with the base at tau=0.3"
+
+    # independent numpy recomputation from the PERSISTED tables
+    _, cent_df, kept_df = _load_index(spark, idx, 1, tables=_SEM_INDEX_TABLES)
+    C = np.stack([
+        np.asarray(r["v"]) for r in sorted(cent_df.collect(), key=lambda r: r["cell"])
+    ])
+    kept_rows = sorted(kept_df.collect(), key=lambda r: r["vec_id"])
+    batch_rows = sorted(batch.collect(), key=lambda r: r["vec_id"])
+
+    def unit(M):
+        n = np.linalg.norm(M, axis=1)
+        n[n == 0] = 1.0
+        return M / n[:, None]
+
+    KV = np.stack([np.asarray(r["v"], dtype=np.float64) for r in kept_rows])
+    BV = np.stack([np.asarray(r["v"], dtype=np.float64) for r in batch_rows])
+    k_ids = [r["vec_id"] for r in kept_rows]
+    k_cl = [r["cluster"] for r in kept_rows]
+    b_ids = [r["vec_id"] for r in batch_rows]
+    b_cl = list(np.argmax(BV @ C.T, axis=1) + 1)  # best_cell: first-wins argmax
+    UK, UB = unit(KV), unit(BV)
+    S_bk = np.round(UB @ UK.T, 4) + 0.0
+    S_bb = np.round(UB @ UB.T, 4) + 0.0
+    want = {}
+    for j, bj in enumerate(b_ids):
+        cands = [
+            (k_ids[i], S_bk[j, i])
+            for i in range(len(k_ids))
+            if k_cl[i] == b_cl[j] and S_bk[j, i] >= tau
+        ] + [
+            (b_ids[i], S_bb[i, j])
+            for i in range(j)
+            if b_cl[i] == b_cl[j] and S_bb[i, j] >= tau
+        ]
+        if cands:
+            rep, cs = min(cands, key=lambda t: t[0])
+            want[bj] = (rep, int(b_cl[j]), float(cs))
+    assert set(drops) == set(want), (
+        f"extra={set(drops) - set(want)}, missing={set(want) - set(drops)}"
+    )
+    for d in want:
+        assert drops[d][0] == want[d][0] and drops[d][1] == want[d][1], (
+            d, drops[d], want[d]
+        )
+        assert abs(drops[d][2] - want[d][2]) < 1e-9
+
+    # roll-forward: v2 kept = v1 kept + surviving batch; codebook unchanged
+    assert index_versions(spark, idx) == [1, 2]
+    _, cent2, kept2 = _load_index(spark, idx, 2, tables=_SEM_INDEX_TABLES)
+    got_kept2 = {r["vec_id"] for r in kept2.collect()}
+    want_kept2 = set(k_ids) | (set(b_ids) - set(want))
+    assert got_kept2 == want_kept2
+    assert sorted(
+        (r["cell"], tuple(r["v"])) for r in cent2.collect()
+    ) == sorted((r["cell"], tuple(r["v"])) for r in cent_df.collect())
+
+    # empty batch: no drops, clean roll to v3 with identical kept rows
+    out = semantic_dedup_resume(
+        batch.filter(F.lit(False)), idx, tau=tau, update_index_path=idx
+    )
+    assert out.count() == 0
+    assert index_versions(spark, idx) == [1, 2, 3]
+    _, _, kept3 = _load_index(spark, idx, 3, tables=_SEM_INDEX_TABLES)
+    assert {r["vec_id"] for r in kept3.collect()} == want_kept2
