@@ -980,11 +980,15 @@ def semantic_dedup_resume(
         cent_df.coalesce(1).write.mode("overwrite").parquet(
             f"{update_index_path}/centroids/{vdir}"
         )
+        # dropDuplicates makes the roll-forward CONTENT-idempotent: a
+        # retried batch (streaming epoch replayed after a crash between
+        # the index roll and its consumer's own commit) re-rolls to a
+        # version with identical rows instead of duplicating kept ids.
         merged = kept if batch is None else kept.unionByName(
             batch.join(
                 drops.select(F.col("drop_id").alias(id_col)), id_col, "left_anti"
             ).select(*kept.columns)
-        )
+        ).dropDuplicates([id_col])
         merged.write.mode("overwrite").parquet(f"{update_index_path}/kept/{vdir}")
         _commit_index_version(spark, update_index_path, v1, tables=_SEM_INDEX_TABLES)
     return drops

@@ -347,6 +347,10 @@ def stream_corpus_publish(
     decontam_budget: int = 5,
     gopher_kwargs: dict | None = None,
     trigger_available_now: bool = True,
+    vectors: DataFrame | None = None,
+    semantic_index_path: str | None = None,
+    semantic_tau: float = 0.95,
+    semantic_n_cells: int = 16,
 ):
     """Streaming corpus ingest with EXACTLY-ONCE manifest publication:
     every micro-batch runs the batch pipeline's own gates
@@ -369,7 +373,16 @@ def stream_corpus_publish(
     between the subdir write and the manifest flip, the overwrite-mode
     rewrite of the same epoch-named subdir is idempotent and the flip
     completes. That is the classic epoch-id sink protocol, here with the
-    manifest rename as the commit point. Returns the started query."""
+    manifest rename as the commit point.
+
+    With ``vectors`` + ``semantic_index_path`` (r9), each micro-batch
+    additionally runs INCREMENTAL semantic dedup: the first batch seeds
+    the persisted index (operators/similarity.py::persist_semantic_index),
+    later batches resume against it (fixed codebook, batch-side pairs
+    only) and roll it forward in place; semantically-dropped docs leave
+    the batch before it lands. Docs without vectors pass. The index roll
+    is CONTENT-idempotent, so the crash window between index roll and
+    manifest flip retries cleanly. Returns the started query."""
     from n2kupdate_spark.operators.corpus import gate_documents
     from n2kupdate_spark.sources.maintenance import (
         last_committed_epoch,
@@ -378,6 +391,52 @@ def stream_corpus_publish(
 
     spark = docs.sparkSession
     ev = eval_docs.select("doc_id", "text").localCheckpoint(eager=True)
+    vecs = (
+        vectors.select("vec_id", "v").localCheckpoint(eager=True)
+        if vectors is not None and semantic_index_path is not None
+        else None
+    )
+
+    def _semantic_filter(gated: DataFrame) -> DataFrame:
+        """SEMANTIC stage per micro-batch (vectors + index path given):
+        batch docs' vectors resume against the persisted index, the index
+        rolls forward in place, and dropped docs leave the batch — docs
+        without vectors pass. The FIRST batch seeds the index
+        (persist_semantic_index) and applies its own internal drop set
+        (batch ids − kept). Crash safety: the index roll commits BEFORE
+        the manifest flip; a retry after a crash in between re-rolls the
+        index to a CONTENT-identical version (dropDuplicates in the
+        roll-forward) and then completes the manifest — so the published
+        table stays exactly-once and the index never duplicates ids."""
+        from n2kupdate_spark.operators.dedup import index_versions
+        from n2kupdate_spark.operators.similarity import (
+            _SEM_INDEX_TABLES,
+            persist_semantic_index,
+            semantic_dedup_resume,
+        )
+
+        bvecs = vecs.join(
+            gated.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        if not index_versions(spark, semantic_index_path):
+            persist_semantic_index(
+                bvecs, semantic_index_path,
+                n_cells=semantic_n_cells, tau=semantic_tau,
+            )
+            from n2kupdate_spark.operators.dedup import _load_index
+
+            _, _, kept = _load_index(
+                spark, semantic_index_path, tables=_SEM_INDEX_TABLES
+            )
+            drops = bvecs.join(
+                kept.select("vec_id"), "vec_id", "left_anti"
+            ).select(F.col("vec_id").alias("doc_id"))
+        else:
+            drops = semantic_dedup_resume(
+                bvecs, semantic_index_path, tau=semantic_tau,
+                update_index_path=semantic_index_path,
+            ).select(F.col("drop_id").alias("doc_id"))
+        return gated.join(drops, "doc_id", "left_anti")
 
     def _commit(batch_df: DataFrame, epoch_id: int) -> None:
         if int(epoch_id) <= last_committed_epoch(spark, out_dir):
@@ -389,6 +448,8 @@ def stream_corpus_publish(
             decontam_budget=decontam_budget,
             gopher_kwargs=gopher_kwargs,
         )
+        if vecs is not None:
+            gated = _semantic_filter(gated.localCheckpoint(eager=True))
         subdir = f"batch-epoch-{int(epoch_id):010d}"
         gated.write.mode("overwrite").parquet(f"{out_dir}/{subdir}")
         publish_append_manifest(spark, out_dir, subdir, epoch=int(epoch_id))

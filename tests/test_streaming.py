@@ -840,3 +840,98 @@ def test_stream_epoch_idempotence_survives_compaction(spark, sf_dir):
     } == want_12
 
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_corpus_publish_semantic_gate(spark, sf_dir):
+    """Streaming ingest WITH the incremental semantic stage: batch 1
+    seeds the persisted index and applies its own drop set, batch 2
+    resumes against the rolled index — the published table must equal
+    the batch-mode composition (gate_documents → persist/resume chain)
+    computed independently with the library functions, and a full
+    fresh-checkpoint replay leaves table rows, manifest versions AND
+    index versions unchanged (manifest skip fires before any index
+    touch)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from n2kupdate_spark.operators.corpus import gate_documents
+    from n2kupdate_spark.operators.dedup import _load_index, index_versions
+    from n2kupdate_spark.operators.similarity import (
+        _SEM_INDEX_TABLES,
+        persist_semantic_index,
+        semantic_dedup_resume,
+    )
+    from n2kupdate_spark.sources.maintenance import manifest_versions, read_manifest
+    from n2kupdate_spark.streaming import documents_file_stream, stream_corpus_publish
+
+    work = tempfile.mkdtemp(prefix="n2k_sem_stream_")
+    src, out, idx = f"{work}/src", f"{work}/out", f"{work}/idx"
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    b1 = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 97 != 0))
+    b2 = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 97 != 0))
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    os.makedirs(src, exist_ok=True)
+    for i, b in enumerate((b1, b2), 1):
+        tmp = f"{work}/tmp{i}"
+        b.coalesce(1).write.parquet(tmp)
+        shutil.move(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/b{i}.parquet")
+
+    q = stream_corpus_publish(
+        documents_file_stream(spark, src, max_files_per_trigger=1),
+        ev, out, f"{work}/ckpt1",
+        vectors=vecs, semantic_index_path=idx, semantic_tau=0.3,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    assert manifest_versions(spark, out) == [1, 2]
+    assert index_versions(spark, idx) == [1, 2]  # seed + one roll-forward
+
+    # independent batch-mode composition against a FRESH index
+    idx2 = f"{work}/idx2"
+    g1 = gate_documents(b1, ev)
+    bv1 = vecs.join(
+        g1.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    persist_semantic_index(bv1, idx2, n_cells=16, tau=0.3)
+    _, _, kept1 = _load_index(spark, idx2, tables=_SEM_INDEX_TABLES)
+    d1 = {r["vec_id"] for r in bv1.join(
+        kept1.select("vec_id"), "vec_id", "left_anti").collect()}
+    want1 = {r["doc_id"] for r in g1.collect()} - d1
+    g2 = gate_documents(b2, ev)
+    bv2 = vecs.join(
+        g2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    d2 = {r["drop_id"] for r in semantic_dedup_resume(
+        bv2, idx2, tau=0.3, update_index_path=idx2).collect()}
+    want2 = {r["doc_id"] for r in g2.collect()} - d2
+
+    got = {r["doc_id"] for r in read_manifest(spark, out).select("doc_id").collect()}
+    assert got == (want1 | want2) and got
+    assert d1 | d2, "fixture must exercise the semantic stage at tau=0.3"
+    # the streamed index's final kept set equals the batch-composed one
+    _, _, kept_s = _load_index(spark, idx, tables=_SEM_INDEX_TABLES)
+    _, _, kept_b = _load_index(spark, idx2, tables=_SEM_INDEX_TABLES)
+    assert {r["vec_id"] for r in kept_s.collect()} == {
+        r["vec_id"] for r in kept_b.collect()
+    }
+
+    # fresh-checkpoint replay: manifest skip fires before any index touch
+    q2 = stream_corpus_publish(
+        documents_file_stream(spark, src, max_files_per_trigger=1),
+        ev, out, f"{work}/ckpt2",
+        vectors=vecs, semantic_index_path=idx, semantic_tau=0.3,
+    )
+    q2.awaitTermination(180)
+    assert manifest_versions(spark, out) == [1, 2]
+    assert index_versions(spark, idx) == [1, 2]
+    assert {
+        r["doc_id"] for r in read_manifest(spark, out).select("doc_id").collect()
+    } == got
+
+    shutil.rmtree(work, ignore_errors=True)
