@@ -5,8 +5,11 @@ entirely from round-7/8 components (SURVEY.md §2):
 
   1. INGEST   — stream_corpus_publish: document micro-batches run the
                 batch pipeline's own gates (Gopher → decontamination →
-                exact dedup) and commit EXACTLY-ONCE as append-manifest
-                versions — readers never see a torn batch.
+                exact dedup) PLUS the r9 incremental semantic stage
+                (batch 1 seeds a persisted SemDeDup index, later batches
+                resume + roll it forward) and commit EXACTLY-ONCE as
+                epoch-keyed append-manifest versions — readers never see
+                a torn batch.
   2. DEDUP    — the persisted shingle index resumes near-dup detection
                 against each new batch (only the batch is shingled) and
                 rolls itself forward IN PLACE as a new committed index
@@ -15,7 +18,8 @@ entirely from round-7/8 components (SURVEY.md §2):
                 batch files into right-sized files, published as the
                 next manifest version (atomic flip).
   4. VACUUM   — vacuum_unreferenced retires the superseded batch dirs
-                once no kept version references them.
+                once no kept version references them; vacuum_index does
+                the same for old shingle/semantic index versions.
 
 Every commit point in the loop is an atomic manifest/marker rename, so a
 crash at ANY step leaves the previous state fully readable — rerunning
@@ -74,13 +78,19 @@ def main(sf_dir: str) -> None:
         train.filter(pred).coalesce(1).write.parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         shutil.move(f"{tmp}/{part}", f"{src}/drop{i}.parquet")
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sem_idx = f"{work}/semantic_index"
     q = stream_corpus_publish(
         documents_file_stream(spark, src, max_files_per_trigger=1),
         ev, table, f"{work}/ckpt",
+        vectors=vecs, semantic_index_path=sem_idx, semantic_tau=0.3,
     )
     q.awaitTermination(120)
     print(f"ingested: manifest versions {manifest_versions(spark, table)}, "
-          f"{read_manifest(spark, table).count()} gated docs")
+          f"{read_manifest(spark, table).count()} gated docs; "
+          f"semantic index versions {index_versions(spark, sem_idx)}")
 
     # --- 2. DEDUP: build the index from version 1, resume against the
     # version-2 delta, roll the index forward in place
@@ -117,9 +127,15 @@ def main(sf_dir: str) -> None:
     rollback_manifest(spark, table, to_version=stats["version"])  # no-op demo
     print(f"rollback committed version {manifest_versions(spark, table)[-1]}")
 
-    # --- 4. VACUUM: retire the superseded batch dirs
+    # --- 4. VACUUM: retire the superseded batch dirs and old index versions
     v = vacuum_unreferenced(spark, table, keep_versions=1)
-    print(f"vacuumed {v['removed_files']} files; "
+    from n2kupdate_spark.operators.dedup import vacuum_index
+    from n2kupdate_spark.operators.similarity import _SEM_INDEX_TABLES
+    vi = vacuum_index(spark, idx, keep_versions=1)
+    vs = vacuum_index(spark, sem_idx, keep_versions=1, tables=_SEM_INDEX_TABLES)
+    print(f"vacuumed {v['removed_files']} table files, "
+          f"{vi['removed_dirs']} shingle-index dirs, "
+          f"{vs['removed_dirs']} semantic-index dirs; "
           f"{read_manifest(spark, table).count()} docs still served")
 
     shutil.rmtree(work, ignore_errors=True)

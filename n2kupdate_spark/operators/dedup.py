@@ -1138,3 +1138,42 @@ def shingle_jaccard_pairs_capped_resume(
         _commit_index_version(spark, update_index_path, v)
 
     return out
+
+
+def vacuum_index(
+    spark, path: str, keep_versions: int = 2, tables: tuple = None
+) -> dict:
+    """Retire old versions of a persisted index (shingle or semantic —
+    any table set committed via :func:`_commit_index_version`): keep the
+    newest ``keep_versions`` committed versions, delete the rest's root
+    markers FIRST (each version becomes invisible the instant its marker
+    goes — readers pin to committed markers only) and then their
+    ``v<NNN>`` table dirs. Torn dirs BELOW the oldest kept version
+    (a crashed publisher's leftovers, never committed) are swept too;
+    dirs above the newest committed version are left alone — they may be
+    an in-progress publisher racing this vacuum. Returns
+    {kept, removed_versions, removed_dirs}."""
+    jvm, fs = _index_fs(spark, path)
+    tables = tables or _INDEX_TABLES
+    vs = index_versions(spark, path)
+    kept = vs[-keep_versions:] if keep_versions > 0 else []
+    dropped = [v for v in vs if v not in kept]
+    for v in dropped:  # marker first: atomic un-commit per version
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(path, f"_index-manifest-{v:010d}.json"),
+            False,
+        )
+    floor = min(kept) if kept else (max(vs) + 1 if vs else 0)
+    removed_dirs = 0
+    for t in tables:
+        pat = jvm.org.apache.hadoop.fs.Path(path, f"{t}/v*")
+        for st in fs.globStatus(pat) or []:
+            name = st.getPath().getName()
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v < floor:  # committed-and-dropped or torn below the floor
+                fs.delete(st.getPath(), True)
+                removed_dirs += 1
+    return {"kept": kept, "removed_versions": dropped, "removed_dirs": removed_dirs}

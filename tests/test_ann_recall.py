@@ -357,3 +357,51 @@ def test_semantic_index_persist_resume_pinned(spark, tmp_path):
     assert index_versions(spark, idx) == [1, 2, 3]
     _, _, kept3 = _load_index(spark, idx, 3, tables=_SEM_INDEX_TABLES)
     assert {r["vec_id"] for r in kept3.collect()} == want_kept2
+
+
+def test_vacuum_index_retires_old_versions(spark, tmp_path):
+    """vacuum_index keeps the newest N committed versions: older markers
+    and their v<NNN> dirs (plus torn dirs below the floor) are deleted,
+    the kept versions stay fully readable, and a dir ABOVE the newest
+    committed version — a possibly in-progress publisher — is never
+    touched."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.dedup import (
+        _load_index,
+        index_versions,
+        vacuum_index,
+    )
+    from n2kupdate_spark.operators.similarity import (
+        _SEM_INDEX_TABLES,
+        persist_semantic_index,
+        semantic_dedup_resume,
+    )
+    from n2kupdate_spark.sources import load
+
+    idx = str(tmp_path / "idx")
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    persist_semantic_index(e.filter(F.col("vec_id") < 200), idx, tau=0.3)
+    semantic_dedup_resume(
+        e.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)),
+        idx, tau=0.3, update_index_path=idx,
+    ).count()
+    semantic_dedup_resume(
+        e.filter(F.col("vec_id") >= 350), idx, tau=0.3, update_index_path=idx
+    ).count()
+    assert index_versions(spark, idx) == [1, 2, 3]
+    # torn leftovers: below the future floor and above the newest commit
+    (tmp_path / "idx" / "kept" / "v0000000000").mkdir(parents=True)
+    (tmp_path / "idx" / "kept" / "v0000000009").mkdir(parents=True)
+
+    stats = vacuum_index(spark, idx, keep_versions=1, tables=_SEM_INDEX_TABLES)
+    assert stats["removed_versions"] == [1, 2]
+    assert index_versions(spark, idx) == [3]
+    _, cents, kept = _load_index(spark, idx, tables=_SEM_INDEX_TABLES)
+    assert cents.count() == 16 and kept.count() > 0  # v3 fully readable
+    assert not (tmp_path / "idx" / "kept" / "v0000000001").exists()
+    assert not (tmp_path / "idx" / "kept" / "v0000000000").exists()  # torn swept
+    assert (tmp_path / "idx" / "kept" / "v0000000009").exists()  # in-progress kept
+    assert not (tmp_path / "idx" / "centroids" / "v0000000002").exists()
