@@ -291,3 +291,57 @@ def test_torn_index_rollforward_is_invisible(spark, sf_dir, tmp_path):
     assert resumed == inc and resumed
     # the retry committed PAST the torn number
     assert index_versions(spark, idx) == [1, 3]
+
+
+@pytest.mark.parametrize("block_rows", [3, 7, 4096])
+def test_cross_cosine_by_group_exact_vs_numpy(spark, block_rows):
+    """cross_cosine_by_group (the semantic resume's batch-vs-corpus
+    scorer) must emit EXACTLY the numpy-computed (probe, base) pair set
+    at every bucket decomposition: block_rows=3/7 force multi-bucket
+    salting with probe replication, 4096 keeps one bucket per group —
+    all three must agree with brute force and with each other, including
+    groups with no base rows (no pairs) and no probe rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.similarity import cross_cosine_by_group
+
+    rng = np.random.RandomState(7)
+    n, dim, tau = 120, 8, 0.5
+    V = rng.normal(size=(n, dim))
+    V[40:60] = V[0:20] + rng.normal(scale=0.05, size=(20, dim))  # true pairs
+    groups = rng.randint(0, 5, size=n)
+    side = rng.rand(n) < 0.4  # ~40% probe
+    side[groups == 3] = True   # group 3: probe-only (no base rows)
+    side[groups == 4] = False  # group 4: base-only (no probe rows)
+
+    rows = [
+        (int(i), int(groups[i]), [float(x) for x in V[i]], bool(side[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, g int, v array<double>, p boolean")
+    probe, base = df.filter("p").drop("p"), df.filter("NOT p").drop("p")
+
+    got = {
+        (r["probe_id"], r["base_id"]): r["cos_sim"]
+        for r in cross_cosine_by_group(
+            probe, base, "g", "vec_id", "v", tau=tau, block_rows=block_rows
+        ).collect()
+    }
+
+    U = V / np.linalg.norm(V, axis=1)[:, None]
+    S = np.round(U @ U.T, 4) + 0.0
+    want = {
+        (i, j): float(S[i, j])
+        for i in range(n) if side[i]
+        for j in range(n) if not side[j]
+        if groups[i] == groups[j] and S[i, j] >= tau
+    }
+    assert set(got) == set(want), (
+        block_rows, len(got), len(want),
+        list(set(got) ^ set(want))[:5],
+    )
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    assert want, "fixture must produce true cross pairs"
