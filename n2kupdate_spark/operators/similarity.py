@@ -992,3 +992,69 @@ def semantic_dedup_resume(
         merged.write.mode("overwrite").parquet(f"{update_index_path}/kept/{vdir}")
         _commit_index_version(spark, update_index_path, v1, tables=_SEM_INDEX_TABLES)
     return drops
+
+
+def embedding_drift(
+    base_vectors: DataFrame,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_cells: int = 16,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Per-cell distribution-drift profile between a BASE corpus and a
+    NEW batch — the refit signal for every fixed-codebook consumer
+    (semantic_dedup_resume, ivf_topk, pq): both sides assign into the
+    same geometry (``centroids``, or a fit on the base), and each cell
+    reports its population share and mean cosine-to-centroid on both
+    sides. A batch whose shares shift hard (share_new ≫ share_base on a
+    few cells) or whose fit degrades (avg_cos_new ≪ avg_cos_base) has
+    drifted out of the base geometry — re-persist the index before
+    resuming against it. Output: (cell, n_base, n_new, share_base,
+    share_new, avg_cos_base, avg_cos_new), one row per NONEMPTY cell,
+    4dp-rounded.
+
+    Scale: two map-only Arrow-matmul assignment scans + one
+    n_cells-bounded aggregate each — profiling a 100 TB corpus pair
+    costs two scans and a 16-row shuffle. Cells empty on BOTH sides are
+    absent (a cell empty on one side reports 0 there)."""
+    from n2kupdate_spark.functions import l2_norm
+
+    if centroids is None:
+        centroids = fit_spherical_centroids(
+            base_vectors, id_col, vec_col, n_cells=n_cells
+        )
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        cos = F.array_max(cell_scores(vec_col, centroids)) / F.when(
+            l2_norm(vec_col) > 0, l2_norm(vec_col)
+        )
+        return (
+            df.select(best_cell(vec_col, centroids).alias("cell"), cos.alias("c"))
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.avg("c").alias(f"__avg_{tag}"),
+            )
+        )
+
+    b, n = side(base_vectors, "base"), side(new_vectors, "new")
+    tb = base_vectors.count() or 1
+    tn = new_vectors.count() or 1
+    return (
+        b.join(n, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.round(F.coalesce("n_base", F.lit(0)) / F.lit(float(tb)), 4).alias(
+                "share_base"
+            ),
+            F.round(F.coalesce("n_new", F.lit(0)) / F.lit(float(tn)), 4).alias(
+                "share_new"
+            ),
+            F.round(F.coalesce("__avg_base", F.lit(0.0)), 4).alias("avg_cos_base"),
+            F.round(F.coalesce("__avg_new", F.lit(0.0)), 4).alias("avg_cos_new"),
+        )
+        .orderBy("cell")
+    )

@@ -108,3 +108,25 @@ def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
         "n_distinct",
     )
+
+
+@register("diag_embedding_drift")  # rows-only (r9 capacity policy): the
+# codebook geometry is engine-specific; profile pinned vs numpy in
+# tests/test_ann_recall.py
+def diag_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell embedding-drift profile (operators/similarity.py::
+    embedding_drift): base corpus (vec_id % 5 != 0) vs incoming batch
+    (vec_id % 5 == 0) assigned into the SAME base-fit codebook — the
+    refit signal for the fixed-codebook consumers (semantic resume,
+    IVF, PQ). Two map-only assignment scans + n_cells-bounded
+    aggregates; profiling cost is two scans at any corpus size."""
+    from n2kupdate_spark.operators.similarity import embedding_drift
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return embedding_drift(
+        e.filter(F.col("vec_id") % 5 != 0),
+        e.filter(F.col("vec_id") % 5 == 0),
+        n_cells=16,
+    )

@@ -405,3 +405,62 @@ def test_vacuum_index_retires_old_versions(spark, tmp_path):
     assert not (tmp_path / "idx" / "kept" / "v0000000000").exists()  # torn swept
     assert (tmp_path / "idx" / "kept" / "v0000000009").exists()  # in-progress kept
     assert not (tmp_path / "idx" / "centroids" / "v0000000002").exists()
+
+
+def test_embedding_drift_profile_pinned(spark):
+    """Value pin for the rows-only diag_embedding_drift query: recompute
+    the whole per-cell profile in numpy — both sides assigned into the
+    base-fit codebook (raw-dot argmax, first-wins), per-cell counts,
+    shares over each side's total, and mean cosine-to-assigned-centroid
+    — and require exact agreement at the op's 4dp rounding."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.similarity import fit_spherical_centroids
+    from n2kupdate_spark.sources import load
+
+    got = {
+        r["cell"]: (
+            r["n_base"], r["n_new"], r["share_base"], r["share_new"],
+            r["avg_cos_base"], r["avg_cos_new"],
+        )
+        for r in QUERIES["diag_embedding_drift"](spark, SF).collect()
+    }
+    assert got
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    C = fit_spherical_centroids(base, "vec_id", "v", n_cells=16)
+    rows = e.collect()
+    want_cells: dict[int, dict] = {}
+    tot = {True: 0, False: 0}
+    acc: dict[tuple, list] = {}
+    for r in rows:
+        v = np.asarray(r["v"], dtype=np.float64)
+        assert np.linalg.norm(v) > 0
+        is_base = r["vec_id"] % 5 != 0
+        s = v @ C.T
+        cell = int(np.argmax(s)) + 1
+        cos = float(s.max() / np.linalg.norm(v))
+        tot[is_base] += 1
+        acc.setdefault((cell, is_base), []).append(cos)
+    for (cell, is_base), cs in acc.items():
+        d = want_cells.setdefault(cell, {"nb": 0, "nn": 0, "cb": 0.0, "cn": 0.0})
+        if is_base:
+            d["nb"], d["cb"] = len(cs), sum(cs) / len(cs)
+        else:
+            d["nn"], d["cn"] = len(cs), sum(cs) / len(cs)
+    want = {
+        cell: (
+            d["nb"], d["nn"],
+            round(d["nb"] / tot[True], 4), round(d["nn"] / tot[False], 4),
+            round(d["cb"], 4), round(d["cn"], 4),
+        )
+        for cell, d in want_cells.items()
+    }
+    assert set(got) == set(want)
+    for cell in want:
+        for gi, wi in zip(got[cell], want[cell]):
+            assert abs(gi - wi) < 2e-4, (cell, got[cell], want[cell])
