@@ -253,3 +253,25 @@ def dedup_semantic_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist_semantic_index(base, path, n_cells=16, tau=0.3)
         _sem_index_cache[sf_dir] = (token, path)
     return semantic_dedup_resume(batch, path, tau=0.3)
+
+
+@register("multimodal_decode_real")  # rows-only (r9 capacity policy):
+# payload bytes are engine-synthesized; decode pinned vs numpy in
+# tests/test_multimodal.py
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end, no stub and no library: every doc's
+    text becomes a genuine 24bpp BMP payload (pure-Python encoder,
+    md5-derived dimensions), and the decode kernel parses the actual
+    byte layout — width/height from the DIB header, mean luma from the
+    pixel rows (Rec.601) — inside the same mapInPandas batch contract as
+    the stub path. This is the r9 upgrade of the multimodal seam: only
+    COMPRESSED formats remain env-blocked (operators/multimodal.py)."""
+    from n2kupdate_spark.operators.multimodal import (
+        attach_real_payload,
+        decode_images,
+    )
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return decode_images(
+        attach_real_payload(d, "doc_id", "text", kind="bmp"), fake=False
+    )
