@@ -26,8 +26,9 @@ fixture table; swap to ``format("avro")`` the round the module jar
 appears — the reader contract (path in, DataFrame out) is identical.
 
 ``write_avro_local`` is the matching single-file writer (driver-side,
-null codec) used by tests and small-dimension exports; distributed
-writes stay on parquet until the jar lands.
+null codec) for tests and small-dimension exports; ``write_avro`` is the
+DISTRIBUTED writer for POSIX-visible paths (one part file per task,
+plain file IO from executors — object stores need the jar).
 """
 
 from __future__ import annotations
@@ -372,3 +373,60 @@ def write_avro_local(df: DataFrame, path: str, block_records: int = 1000) -> int
     with open(path, "wb") as f:
         f.write(out.getvalue())
     return len(rows)
+
+
+def write_avro(df: DataFrame, dir_path: str, block_records: int = 1000) -> int:
+    """DISTRIBUTED Avro OCF writer for POSIX-visible paths: each task
+    streams its partition's Arrow batches into one ``part-<uuid>.avro``
+    (header once, one block per batch chunk) via plain file IO — on
+    local[/NFS]-visible storage every executor can write directly; object
+    stores need the spark-avro jar (this is the honest jar-free trade,
+    same as the reader's per-file parallelism). Pandas nulls (None/NaN)
+    are written as the null union branch — a true float NaN therefore
+    round-trips as null; route NaN-preserving data through parquet.
+    Returns the total row count (from a tiny (path, n) result set)."""
+    import os
+    import uuid
+
+    import pandas as pd
+
+    schema = _spark_to_avro_schema(df.schema)
+    cols = df.columns
+    os.makedirs(dir_path, exist_ok=True)
+    sync = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f"
+
+    def write_partition(batches):
+        f, n_total, fname = None, 0, None
+        for pdf in batches:
+            pdf = pdf.where(pd.notnull(pdf), None)
+            recs = pdf.to_dict("records")
+            if f is None:
+                fname = os.path.join(dir_path, f"part-{uuid.uuid4().hex}.avro")
+                f = open(fname, "wb")
+                f.write(MAGIC)
+                head = io.BytesIO()
+                meta = {
+                    "avro.schema": json.dumps(schema).encode("utf-8"),
+                    "avro.codec": b"null",
+                }
+                _encode({"type": "map", "values": "bytes"}, meta, head)
+                f.write(head.getvalue())
+                f.write(sync)
+            for lo in range(0, len(recs), block_records):
+                chunk = recs[lo:lo + block_records]
+                body = io.BytesIO()
+                for r in chunk:
+                    _encode(schema, {c: r[c] for c in cols}, body)
+                blk = io.BytesIO()
+                _write_long(blk, len(chunk))
+                _write_long(blk, body.tell())
+                f.write(blk.getvalue())
+                f.write(body.getvalue())
+                f.write(sync)
+            n_total += len(recs)
+        if f is not None:
+            f.close()
+            yield pd.DataFrame({"path": [fname], "n": [n_total]})
+
+    out = df.mapInPandas(write_partition, schema="path string, n long")
+    return int(sum(r["n"] for r in out.collect()))

@@ -803,3 +803,28 @@ def test_source_avro_query_matches_parquet(spark, sf_dir):
             for r in QUERIES["source_avro"](spark, sf_dir).collect()
         )
         assert got == want and len(got) == 25
+
+
+def test_avro_distributed_write_round_trip(spark, sf_dir, tmp_path):
+    """write_avro: each task streams its partition into its own OCF part
+    file; read_avro over the directory returns exactly the input rows
+    (documents table, 4 partitions), and nulls survive the union."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.sources import load
+    from n2kupdate_spark.sources.avro_py import read_avro, write_avro
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang"))
+    ).repartition(4)
+    out = str(tmp_path / "docs_avro")
+    n = write_avro(d, out)
+    assert n == d.count()
+    import glob as _glob
+
+    assert len(_glob.glob(f"{out}/part-*.avro")) == 4
+    back = read_avro(spark, out)
+    key = lambda r: (r["doc_id"],)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
+    nulls = back.filter(F.col("lang").isNull()).count()
+    assert nulls == d.filter(F.col("lang").isNull()).count() > 0
