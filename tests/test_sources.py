@@ -828,3 +828,24 @@ def test_avro_distributed_write_round_trip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
     nulls = back.filter(F.col("lang").isNull()).count()
     assert nulls == d.filter(F.col("lang").isNull()).count() > 0
+
+
+def test_avro_varint_zigzag_property():
+    """Hypothesis: every int64 round-trips through the Avro zigzag
+    varint encoder/decoder byte-exactly (the primitive every other
+    avro_py codepath builds on)."""
+    import io
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from n2kupdate_spark.sources.avro_py import _read_long, _write_long
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def roundtrip(n):
+        out = io.BytesIO()
+        _write_long(out, n)
+        assert _read_long(io.BytesIO(out.getvalue())) == n
+
+    roundtrip()
