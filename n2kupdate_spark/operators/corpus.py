@@ -473,3 +473,33 @@ def prepare_corpus(
             "n_sequences"
         ),
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Temperature-scaled per-source mixture weights (the multilingual
+    up/down-sampling rule published for XLM / mBERT / mT5-class corpora:
+    sample source i with probability ∝ n_i^α, α ∈ (0, 1] — α=1 is
+    natural proportions, α→0 uniform). Returned as the per-source COPY
+    FACTOR dict :func:`apply_mixture` consumes: factor_i =
+    (temp_share_i / natural_share_i), i.e. how many times each source's
+    docs repeat so the realized corpus approximates the tempered
+    distribution while keeping total size ≈ input size.
+
+    Scale: one #sources-bounded count aggregate collected to the driver
+    (sources are a bounded dimension — the diag_key_skew/IDF-literal
+    pattern); everything downstream is apply_mixture's map + explode."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values()) or 1
+    powed = {s: n ** alpha for s, n in counts.items()}
+    ptot = sum(powed.values()) or 1.0
+    return {
+        s: (powed[s] / ptot) / (counts[s] / total)
+        for s in counts
+    }

@@ -850,3 +850,36 @@ def corpus_semantic_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("kept_id").isNull()).alias("n_semantic_dropped"),
         F.count_if(F.col("kept_id").isNotNull()).alias("n_final"),
     )
+
+
+@register("sample_mixture_temperature")  # rows-only (r9 capacity policy):
+# the copy-factor realization is pinned vs a python recompute in
+# tests/test_mlprep_props.py
+def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture (α=0.3, the published multilingual
+    up/down-sampling rule — XLM/mBERT/mT5-class corpora): per-LANGUAGE
+    copy factors derived from corpus counts (factor = tempered share /
+    natural share — the fixture's en holds ~40% of docs, so en
+    down-samples below 1 and the tail languages up-sample above 1),
+    realized through the same deterministic md5-bucket copy machinery as
+    sample_mixture_weights, summarized per language: docs, realized
+    rows, the factor at 4dp. Total size stays ≈ input. One
+    #langs-bounded driver aggregate, then map + explode."""
+    from n2kupdate_spark.operators.corpus import apply_mixture, temperature_weights
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "lang"])
+    w = temperature_weights(d, alpha=0.3, source_col="lang")
+    mixed = apply_mixture(d, w, default_weight=1.0, source_col="lang")
+    # literal CASE chain, not a Python UDF (the fleet plan audit bans
+    # BatchEvalPython outside the udf_ surface) — #langs is bounded
+    factor = F.lit(1.0)
+    for s, fac in w.items():
+        factor = F.when(F.col("lang") == s, F.lit(round(fac, 4))).otherwise(factor)
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("copy_factor", factor)
+    )

@@ -239,3 +239,50 @@ def test_reservoir_is_mergeable_bottom_k(spark):
     direct = direct.sort_values(key).reset_index(drop=True)
     merged = merged.sort_values(key).reset_index(drop=True)
     assert (direct.values == merged.values).all()
+
+
+def test_sample_mixture_temperature_pinned(spark, sf_dir):
+    """Value pin for the rows-only sample_mixture_temperature op: the
+    per-language copy factors must equal the α=0.3 temperature formula
+    ((n^α/Σn^α)/(n/Σn)) computed independently, and the realized row
+    counts must equal a python recompute of the md5-bucket copy rule for
+    every doc — the dominant language's factor < 1 (true down-sampling)
+    and every tail language's > 1."""
+    import hashlib
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    got = {
+        r["lang"]: (r["n_docs"], r["n_rows"], r["copy_factor"])
+        for r in QUERIES["sample_mixture_temperature"](spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "lang"]).collect()
+    counts: dict[str, int] = {}
+    for r in docs:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    total = sum(counts.values())
+    ptot = sum(n ** 0.3 for n in counts.values())
+    factors = {
+        s: (n ** 0.3 / ptot) / (n / total) for s, n in counts.items()
+    }
+    dominant = max(counts, key=counts.get)
+    assert factors[dominant] < 1 < min(
+        f for s, f in factors.items() if s != dominant
+    )
+    want: dict[str, list] = {s: [0, 0] for s in counts}
+    for r in docs:
+        w4 = int(round(factors[r["lang"]] * 10000))
+        bucket = (
+            int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 10000
+        )
+        copies = w4 // 10000 + (1 if bucket < w4 % 10000 else 0)
+        if copies > 0:
+            want[r["lang"]][0] += 1
+            want[r["lang"]][1] += copies
+    for s in counts:
+        assert got[s][0] == want[s][0] and got[s][1] == want[s][1], (s, got[s], want[s])
+        assert abs(got[s][2] - round(factors[s], 4)) < 1e-9
+    # tempered corpus stays ~input-sized (the rule's defining property)
+    realized = sum(v[1] for v in got.values())
+    assert 0.9 <= realized / total <= 1.1
