@@ -341,6 +341,104 @@ def pack_sequences(
     )
 
 
+def pack_sequences_bestfit(
+    rows: DataFrame,
+    budget: int = 512,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    chunk_docs: int = 4096,
+) -> DataFrame:
+    """NO-SPLIT sequence packing by best-fit-decreasing: every doc lands
+    whole in exactly one ``budget``-token bin (the published alternative
+    to concat-then-chunk — packing without splitting removes the
+    cross-document attention contamination and truncation loss that
+    boundary splits cause; see the best-fit packing line of work,
+    e.g. arXiv:2404.10830). Docs are ordered LONGEST-FIRST (the
+    "decreasing" that gives BFD its near-optimal fill) and each is
+    placed in the open bin with the SMALLEST remaining capacity that
+    still fits (ties: lowest bin id), else opens a new bin. Docs with
+    ``n_tokens > budget`` can't fit whole under no-split
+    rules: each becomes its own bin with ``overflow = true`` (callers
+    truncate or reroute those downstream).
+
+    Scale design — BFD is a sequential heuristic, so the distributed
+    form bounds the sequential unit instead of pretending it
+    parallelizes: within each group the descending order is cut into
+    ``chunk_docs``-sized chunks (one row_number window per group — the
+    same per-group window shape as :func:`pack_sequences`) and each
+    (group, chunk) packs independently inside one ``applyInPandas``
+    task — O(chunk_docs · log bins) python per task, Arrow-batched,
+    parallel across groups × chunks. Chunking costs at most one
+    underfilled bin tail per chunk (the only bins a cross-chunk BFD
+    could have merged), a waste bounded by chunks/bins — negligible at
+    chunk_docs=4096 — and keeps every task's memory flat no matter how
+    large the group. Deterministic everywhere: descending-tokens order
+    tie-broken by id, best-fit ties by bin id, so the placement map is
+    reproducible across runs and cluster sizes (property-pinned against
+    an independent python BFD in tests/test_mlprep_props.py).
+
+    Emits the input columns + ``seq_id`` (unique within group:
+    chunk·chunk_docs + local bin — local bins ≤ docs per chunk, so no
+    collision) and ``overflow``.
+    """
+    import bisect
+
+    import pandas as pd
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(token_col).desc(), F.col(id_col).asc()
+    )
+    chunked = rows.withColumn(
+        "__chunk",
+        ((F.row_number().over(w) - 1) / chunk_docs).cast("int"),
+    )
+    out_fields = chunked.schema.fields
+    schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+        + ", seq_id bigint, overflow boolean"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        chunk = int(pdf["__chunk"].iloc[0])
+        base = chunk * chunk_docs
+        open_bins: list[tuple[int, int]] = []  # sorted (remaining, bin_id)
+        n_bins = 0
+        seq_ids, overflows = [], []
+        for toks in pdf[token_col].astype("int64"):
+            toks = int(toks)
+            if toks > budget:
+                seq_ids.append(base + n_bins)
+                overflows.append(True)
+                n_bins += 1
+                continue
+            # best fit: smallest remaining >= toks; ties lowest bin id
+            i = bisect.bisect_left(open_bins, (toks, -1))
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)
+                rem -= toks
+            else:
+                rem, b = budget - toks, n_bins
+                n_bins += 1
+            if rem > 0:
+                bisect.insort(open_bins, (rem, b))
+            seq_ids.append(base + b)
+            overflows.append(False)
+        pdf = pdf.copy()
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["overflow"] = overflows
+        return pdf
+
+    return (
+        chunked.groupBy(group_col, "__chunk")
+        .applyInPandas(_pack, schema)
+        .drop("__chunk")
+    )
+
+
 def gate_documents(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -503,3 +601,53 @@ def temperature_weights(
         s: (powed[s] / ptot) / (counts[s] / total)
         for s in counts
     }
+
+
+def unimax_weights(
+    docs: DataFrame,
+    max_epochs: float = 4.0,
+    source_col: str = "source",
+) -> dict[str, float]:
+    """UniMax mixture weights (arXiv:2304.09151 — the published
+    successor to temperature sampling for multilingual corpora): spread
+    the total budget as UNIFORMLY across sources as possible, but never
+    repeat any source more than ``max_epochs`` times. Exact waterfill:
+    sources too small to absorb a uniform share are capped at
+    max_epochs·n_i and their leftover budget re-spreads uniformly over
+    the still-uncapped (larger) sources, iterated to a fixpoint — so
+    head sources down-sample toward equal shares while tail sources are
+    bounded at max_epochs (temperature sampling's unbounded tail
+    repetition is exactly what UniMax fixes). Budget = input corpus
+    size, so the realized mixture stays ≈ input-sized like the other
+    mixture rules here.
+
+    Returns the per-source COPY FACTOR dict :func:`apply_mixture`
+    consumes (factor_i = alloc_i / n_i ∈ (0, max_epochs]). Scale: one
+    #sources-bounded count aggregate collected to the driver; the
+    waterfill is O(#sources log #sources) python; everything downstream
+    is apply_mixture's map + explode.
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    budget = float(sum(counts.values()))
+    alloc: dict[str, float] = {}
+    active = sorted(counts, key=lambda s: (counts[s], s))
+    remaining = budget
+    # waterfill smallest-capacity-first: one pass suffices because once
+    # the uniform share drops below a source's cap, it stays below for
+    # every LARGER source re-spread
+    while active:
+        share = remaining / len(active)
+        s = active[0]
+        cap = max_epochs * counts[s]
+        if cap <= share:
+            alloc[s] = cap
+            remaining -= cap
+            active.pop(0)
+        else:
+            for s in active:
+                alloc[s] = share
+            break
+    return {s: alloc[s] / counts[s] for s in counts}

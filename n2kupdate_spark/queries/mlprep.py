@@ -883,3 +883,79 @@ def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("copy_factor", factor)
     )
+
+
+@register("sample_mixture_unimax")  # rows-only (r9 capacity policy):
+# factors pinned vs an independent waterfill + realized counts vs the
+# md5-bucket rule in tests/test_mlprep_props.py
+def sample_mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture (arXiv:2304.09151): spread the corpus budget
+    uniformly across LANGUAGES, capped at 4 epochs per language — the
+    published fix for temperature sampling's unbounded tail repetition.
+    Per-language copy factors come from the exact waterfill over corpus
+    counts (the fixture's dominant en down-samples toward the uniform
+    share; tails up-sample but never past 4×), realized through the same
+    deterministic md5-bucket copy machinery as the other mixture ops and
+    summarized per language: docs, realized rows, factor at 4dp. One
+    #langs-bounded driver aggregate, then map + explode — no shuffle in
+    the realization."""
+    from n2kupdate_spark.operators.corpus import apply_mixture, unimax_weights
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "lang"])
+    w = unimax_weights(d, max_epochs=4.0, source_col="lang")
+    mixed = apply_mixture(d, w, default_weight=1.0, source_col="lang")
+    factor = F.lit(1.0)
+    for s, fac in w.items():
+        factor = F.when(F.col("lang") == s, F.lit(round(fac, 4))).otherwise(factor)
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("copy_factor", factor)
+    )
+
+
+@register("pack_sequences_bestfit")  # rows-only (r9 capacity policy):
+# the full placement map is pinned against an independent python BFD in
+# tests/test_mlprep_props.py (chunked == unchunked on the fixture, fill
+# accounting exact)
+def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT best-fit-decreasing packing of documents into 128-token
+    bins (whitespace token counts; the fixture's docs run 10-99 tokens,
+    so bins hold 1-8 whole docs), summarized per source: docs, bins,
+    total tokens, and fill ratio (tokens / (bins·budget), 4dp) — the
+    padding-waste number a no-split packing writer reports. Contrast
+    with `pack_sequences_greedy`, which splits docs at bin boundaries;
+    BFD wastes the fill gap instead but never splits a document across
+    training sequences (arXiv:2404.10830). The per-(source, chunk) BFD
+    runs inside Arrow-batched applyInPandas tasks — the sequential
+    heuristic is bounded per task, parallel across sources × chunks —
+    see operators/corpus.py::pack_sequences_bestfit for the 100 TB
+    chunking design."""
+    from n2kupdate_spark.operators.corpus import pack_sequences_bestfit as bfd
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    t = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = bfd(t, budget=128, group_col="source", chunk_docs=4096)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.round(
+                    F.sum("n_tokens")
+                    / (F.countDistinct("seq_id") * 128)
+                    * 10000,
+                    0,
+                )
+                / 10000
+            ).alias("fill_ratio"),
+            F.count_if(F.col("overflow")).alias("n_overflow"),
+        )
+    )

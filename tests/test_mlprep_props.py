@@ -286,3 +286,150 @@ def test_sample_mixture_temperature_pinned(spark, sf_dir):
     # tempered corpus stays ~input-sized (the rule's defining property)
     realized = sum(v[1] for v in got.values())
     assert 0.9 <= realized / total <= 1.1
+
+
+def test_sample_mixture_unimax_pinned(spark, sf_dir):
+    """Value pin for the rows-only sample_mixture_unimax op: factors must
+    equal an independent waterfill (uniform budget, 4-epoch cap,
+    leftover re-spread over uncapped sources) and realized counts the
+    md5-bucket rule per doc; dominant language down-samples, every
+    factor ≤ 4, corpus size preserved within the bucket-rounding band."""
+    import hashlib
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    got = {
+        r["lang"]: (r["n_docs"], r["n_rows"], r["copy_factor"])
+        for r in QUERIES["sample_mixture_unimax"](spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "lang"]).collect()
+    counts: dict[str, int] = {}
+    for r in docs:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    total = sum(counts.values())
+    # independent waterfill, smallest capacity first
+    alloc: dict[str, float] = {}
+    active = sorted(counts, key=lambda s: (counts[s], s))
+    remaining = float(total)
+    while active:
+        share = remaining / len(active)
+        s = active[0]
+        if 4.0 * counts[s] <= share:
+            alloc[s] = 4.0 * counts[s]
+            remaining -= alloc[s]
+            active.pop(0)
+        else:
+            for s in active:
+                alloc[s] = share
+            break
+    factors = {s: alloc[s] / counts[s] for s in counts}
+    dominant = max(counts, key=counts.get)
+    assert factors[dominant] < 1
+    assert all(f <= 4.0 + 1e-9 for f in factors.values())
+    want: dict[str, list] = {s: [0, 0] for s in counts}
+    for r in docs:
+        w4 = int(round(factors[r["lang"]] * 10000))
+        bucket = (
+            int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 10000
+        )
+        copies = w4 // 10000 + (1 if bucket < w4 % 10000 else 0)
+        if copies > 0:
+            want[r["lang"]][0] += 1
+            want[r["lang"]][1] += copies
+    for s in counts:
+        assert got[s][0] == want[s][0] and got[s][1] == want[s][1], (s, got[s], want[s])
+        assert abs(got[s][2] - round(factors[s], 4)) < 1e-9
+    realized = sum(v[1] for v in got.values())
+    assert 0.9 <= realized / total <= 1.1
+
+
+def _bfd_reference(items, budget):
+    """Independent best-fit-decreasing: items = [(id, toks)], returns
+    {id: (bin, overflow)} with the op's exact tie rules (descending toks,
+    id asc; best-fit ties to lowest bin id)."""
+    import bisect
+
+    bins: list[tuple[int, int]] = []
+    n_bins = 0
+    out = {}
+    for did, toks in sorted(items, key=lambda t: (-t[1], t[0])):
+        if toks > budget:
+            out[did] = (n_bins, True)
+            n_bins += 1
+            continue
+        i = bisect.bisect_left(bins, (toks, -1))
+        if i < len(bins):
+            rem, b = bins.pop(i)
+            rem -= toks
+        else:
+            rem, b = budget - toks, n_bins
+            n_bins += 1
+        if rem > 0:
+            bisect.insort(bins, (rem, b))
+        out[did] = (b, False)
+    return out
+
+
+def test_pack_sequences_bestfit_pinned(spark, sf_dir):
+    """The operator's full placement map must equal an independent python
+    BFD per (source, chunk) — including with a tiny chunk_docs that
+    forces multi-chunk groups — and every realized bin must respect the
+    no-split budget; the registered query's per-source summary must be
+    the exact arithmetic of that map."""
+    from n2kupdate_spark.operators.corpus import pack_sequences_bestfit as bfd
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    budget = 128
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    t = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    rows = t.collect()
+    for chunk_docs in (4096, 8):
+        got = {
+            r["doc_id"]: (r["source"], r["n_tokens"], r["seq_id"], r["overflow"])
+            for r in bfd(
+                t, budget=budget, group_col="source", chunk_docs=chunk_docs
+            ).collect()
+        }
+        assert len(got) == len(rows)
+        # reference: per source, descending order cut into chunk_docs
+        # chunks, BFD within each, seq_id = chunk*chunk_docs + local bin
+        by_src: dict[str, list] = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append((r["doc_id"], r["n_tokens"]))
+        want = {}
+        for src, items in by_src.items():
+            ordered = sorted(items, key=lambda t_: (-t_[1], t_[0]))
+            for ci in range(0, len(ordered), chunk_docs):
+                chunk = ci // chunk_docs
+                ref = _bfd_reference(ordered[ci : ci + chunk_docs], budget)
+                for did, (b, ov) in ref.items():
+                    want[did] = (src, chunk * chunk_docs + b, ov)
+        for did, (src, toks, seq, ov) in got.items():
+            assert want[did] == (src, seq, ov), (did, got[did], want[did])
+        # no-split invariant: every non-overflow bin sums ≤ budget
+        fills: dict[tuple, int] = {}
+        for did, (src, toks, seq, ov) in got.items():
+            if not ov:
+                fills[(src, seq)] = fills.get((src, seq), 0) + toks
+        assert fills and all(v <= budget for v in fills.values())
+    # query summary = arithmetic over the chunk_docs=4096 map
+    summary = {
+        r["source"]: (
+            r["n_docs"], r["n_seqs"], r["total_tokens"],
+            r["fill_ratio"], r["n_overflow"],
+        )
+        for r in QUERIES["pack_sequences_bestfit"](spark, sf_dir).collect()
+    }
+    for src, items in by_src.items():
+        ref = _bfd_reference(sorted(items, key=lambda t_: (-t_[1], t_[0])), budget)
+        n_seqs = len({b for b, _ in ref.values()})
+        tot = sum(tk for _, tk in items)
+        exp_fill = round(tot / (n_seqs * budget) * 10000) / 10000
+        n_over = sum(1 for _, ov in ref.values() if ov)
+        assert summary[src] == (len(items), n_seqs, tot, exp_fill, n_over), (
+            src, summary[src]
+        )
