@@ -41,6 +41,9 @@ OPS = [
     "sample_reservoir_per_key", # per-key window top-k by hash
     "agg_histogram_bins",       # map + bins-bounded group
     "embed_pca_project",        # bounded fit + matmul map
+    # round-9 additions
+    "sample_mixture_unimax",    # #langs-bounded waterfill + map/explode
+    "pack_sequences_bestfit",   # chunk-bounded BFD in applyInPandas
 ]
 
 
