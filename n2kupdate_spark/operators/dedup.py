@@ -1177,3 +1177,81 @@ def vacuum_index(
                 fs.delete(st.getPath(), True)
                 removed_dirs += 1
     return {"kept": kept, "removed_versions": dropped, "removed_dirs": removed_dirs}
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication spans — the windowed form of
+    suffix-array corpus dedup (the published method removes every
+    substring of ≥ N tokens that repeats anywhere in the corpus,
+    arXiv:2107.06499): every duplicated run of ≥ k tokens necessarily
+    contains a duplicated k-token window, so marking all POSITIONED
+    k-windows whose gram occurs ≥ ``min_count`` times corpus-wide
+    (intra-doc repeats count too, as in the original) and merging
+    overlapping/adjacent marked windows per doc recovers the maximal
+    duplicated spans at k-token edge granularity — without the
+    distributed suffix array, which has no shuffle-friendly form.
+
+    Emits one row per (doc, span): ``start``/``end`` token offsets
+    (0-based, end-exclusive) plus the doc's ``n_tokens`` — the cut list
+    a span-removal writer consumes.
+
+    Scale shape (all bounded, no all-pairs anywhere): positioned windows
+    are built with the zip-of-shifted-slices trick (HOF-lambda CSE
+    pitfall, see word_shingles) and explode to one row per token ≈
+    corpus size; the duplicated-gram set comes from one
+    xxhash64-keyed count aggregate (map-side partial, narrow 8-byte
+    shuffle key) and the mark-back is an equi-join on that key against
+    the ≥min_count survivors only — duplication-sized, not
+    corpus-sized; span merge is one per-doc window (sorted by position;
+    equal-width windows make the island rule a lag comparison). A
+    64-bit gram-hash collision could only ever mark an extra window,
+    and the per-op pin recomputes spans from raw text
+    (tests/test_dedup_spans.py)."""
+    from pyspark.sql import Window
+
+    w = F.split(F.col(text_col), " ")
+    n_grams = F.size(w) - (k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(w, 1 + off, n_grams).alias(f"w{off}") for off in range(k)]
+    )
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{off}"] for off in range(k)])
+    )
+    pos = (
+        docs.filter(F.size(w) >= k)
+        .select(
+            id_col,
+            F.size(w).alias("n_tokens"),
+            F.posexplode(grams).alias("i", "g"),
+        )
+        .select(id_col, "n_tokens", "i", F.xxhash64("g").alias("h"))
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    marked = pos.join(dup, "h").select(id_col, "n_tokens", "i")
+    ord_w = Window.partitionBy(id_col).orderBy("i")
+    # windows are all k wide, so position order is also end order: a new
+    # island starts exactly when this window clears the previous one
+    # entirely (gap of untouched tokens in between)
+    island = F.sum(
+        F.when(F.col("i") > F.lag("i").over(ord_w) + k, 1).otherwise(0)
+    ).over(ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        marked.withColumn("island", island)
+        .groupBy(id_col, "n_tokens", "island")
+        .agg(
+            F.min("i").alias("start"),
+            (F.max("i") + k).alias("end"),
+        )
+        .select(id_col, "n_tokens", "start", "end")
+    )

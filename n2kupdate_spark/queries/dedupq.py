@@ -564,3 +564,35 @@ def dedup_minhash_est_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("est_jaccard"), 4).alias("mean_est"),
         F.round(F.avg("jaccard"), 4).alias("mean_exact"),
     )
+
+
+@register("dedup_substring_spans")  # rows-only (r9 capacity policy): the
+# full span list is pinned against a python recompute from raw text in
+# tests/test_dedup_spans.py
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup report (the windowed suffix-array-dedup
+    form, arXiv:2107.06499): per document, the merged spans of tokens
+    covered by 8-token windows that repeat ≥2 times anywhere in the
+    corpus (intra-doc repeats included) — summarized as span count,
+    duplicated-token count and duplicated fraction (4dp, scale-first
+    rounding). Only docs with ≥1 duplicated span appear. The cut-list
+    writer consumes the underlying operator's (start, end) rows
+    directly; see operators/dedup.py::duplicate_spans for the
+    inverted-index + per-doc-window scale shape (shuffles: one 8-byte
+    gram-hash count, one duplication-sized equi-join, one per-doc
+    window)."""
+    from n2kupdate_spark.operators.dedup import duplicate_spans
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    spans = duplicate_spans(d, k=8, min_count=2)
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("end") - F.col("start")).cast("long").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_tokens") / F.col("n_tokens") * 10000, 0) / 10000,
+        )
+    )

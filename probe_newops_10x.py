@@ -44,6 +44,7 @@ OPS = [
     # round-9 additions
     "sample_mixture_unimax",    # #langs-bounded waterfill + map/explode
     "pack_sequences_bestfit",   # chunk-bounded BFD in applyInPandas
+    "dedup_substring_spans",    # positioned-gram inverted index + island merge
 ]
 
 
