@@ -1255,3 +1255,59 @@ def duplicate_spans(
         )
         .select(id_col, "n_tokens", "start", "end")
     )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite each doc with its duplicated spans CUT OUT — the removal
+    half of exact-substring dedup (arXiv:2107.06499 drops every
+    occurrence of a duplicated substring; granularity here is the
+    k-token window edges :func:`duplicate_spans` emits). Takes the
+    (id, start, end) span frame and returns the input docs with
+    ``text`` rebuilt from the surviving tokens plus ``n_tokens_before``
+    / ``n_tokens_after`` accounting; docs without spans pass through
+    byte-identical.
+
+    Scale shape: spans collapse to one per-doc array (they are merged
+    maximal islands, so #spans per doc is small by construction — each
+    needs a k-token gap from the next), broadcast-joined or
+    shuffle-joined on the doc id; the cut itself is a JVM higher-order
+    filter over (token, position) pairs — per-row map, no python. The
+    in-lambda work is field access + a bounded `exists` over the tiny
+    span array (the HOF-CSE pitfall applies to embedded EXPRESSIONS,
+    not field reads)."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start", "end")).alias("__spans")
+    )
+    joined = docs.join(sp, id_col, "left").withColumn(
+        "__spans",
+        F.coalesce(
+            "__spans", F.array().cast("array<struct<start:int,end:int>>")
+        ),
+    )
+    toks = F.split(F.col(text_col), " ")
+    zipped = F.arrays_zip(
+        toks.alias("t"),
+        F.sequence(F.lit(0), F.size(toks) - 1).alias("p"),
+    )
+    kept = F.filter(
+        zipped,
+        lambda s: ~F.exists(
+            "__spans",
+            lambda b: (s["p"] >= b["start"]) & (s["p"] < b["end"]),
+        ),
+    )
+    return (
+        joined.withColumn("n_tokens_before", F.size(toks))
+        .withColumn("__kept", kept)
+        .withColumn(
+            text_col,
+            F.concat_ws(" ", F.transform("__kept", lambda s: s["t"])),
+        )
+        .withColumn("n_tokens_after", F.size("__kept"))
+        .drop("__spans", "__kept")
+    )

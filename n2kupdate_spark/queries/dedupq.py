@@ -596,3 +596,35 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dup_tokens") / F.col("n_tokens") * 10000, 0) / 10000,
         )
     )
+
+
+@register("dedup_substring_trim")  # rows-only (r9 capacity policy): the
+# rewritten text is pinned token-exact against a python recompute in
+# tests/test_dedup_spans.py
+def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup composed end to end:
+    detect duplicated 8-token spans corpus-wide (duplicate_spans), cut
+    them out of every doc (remove_spans — JVM higher-order filter, no
+    python), and report per source: docs, docs trimmed, tokens before /
+    after, and the corpus shrink fraction (4dp). The rewritten texts
+    themselves are what a production caller writes back; the summary
+    keeps the demo row count #sources-bounded."""
+    from n2kupdate_spark.operators.dedup import duplicate_spans, remove_spans
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    spans = duplicate_spans(d.select("doc_id", "text"), k=8, min_count=2)
+    trimmed = remove_spans(d, spans)
+    return trimmed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("n_tokens_after") < F.col("n_tokens_before")).alias(
+            "n_trimmed"
+        ),
+        F.sum("n_tokens_before").cast("long").alias("tokens_before"),
+        F.sum("n_tokens_after").cast("long").alias("tokens_after"),
+        (
+            F.round(
+                (1 - F.sum("n_tokens_after") / F.sum("n_tokens_before")) * 10000, 0
+            )
+            / 10000
+        ).alias("shrink_frac"),
+    )
