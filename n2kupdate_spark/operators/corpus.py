@@ -651,3 +651,132 @@ def unimax_weights(
                 alloc[s] = share
             break
     return {s: alloc[s] / counts[s] for s in counts}
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_n: int = 10,
+    top_thresholds: dict[int, float] | None = None,
+    max_dup_frac: float = 0.10,
+) -> DataFrame:
+    """The full Gopher repetition-signal family (Rae et al. 2021 §A1.1
+    — the rules beyond the single top-bigram check in gopher_metrics):
+    per doc, the fraction of CHARACTERS contained in the most frequent
+    word n-gram for each n in ``top_ns`` (count × gram chars / doc
+    chars; most-frequent ties broken toward more chars then
+    lexicographically largest — deterministic) and the fraction of
+    characters covered by word ``dup_n``-grams that repeat WITHIN the
+    doc (overlapping occurrences merged into maximal spans first, so no
+    character is double-counted — the coverage semantics the published
+    implementations use; span chars include the inner separator
+    spaces). ``repetition_pass`` applies Gopher's thresholds (defaults:
+    top-2/3/4 ≤ 0.20/0.18/0.16, dup-10 coverage ≤ 0.10).
+
+    Scale shape: the top-n counts ride ONE shuffle for all ns (the
+    per-n gram frames union before the (doc, n, gram) partial-agged
+    groupBy, then a per-doc max over a struct — no joins); the dup
+    coverage reuses the duplicate_spans machinery with per-DOC
+    duplication scope (positioned grams → (doc, gram-hash) count ≥ 2 →
+    island merge) and folds each merged span's token slice to chars
+    JVM-side. Docs shorter than a given n score 0 for that signal (no
+    grams — nothing can repeat)."""
+    from pyspark.sql import Window
+
+    from n2kupdate_spark.operators.dedup import gram_array
+
+    top_thresholds = top_thresholds or {2: 0.20, 3: 0.18, 4: 0.16}
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        id_col, F.length(text_col).alias("__chars"), text_col
+    )
+
+    # --- top-n char fractions: one unioned gram frame, one groupBy ---
+    frames = None
+    for n in top_ns:
+        f = base.filter(F.size(toks) >= n).select(
+            id_col,
+            "__chars",
+            F.lit(n).alias("n"),
+            F.explode(gram_array(text_col, n)).alias("g"),
+        )
+        frames = f if frames is None else frames.unionByName(f)
+    counted = frames.groupBy(id_col, "__chars", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = (
+        counted.groupBy(id_col, "__chars", "n")
+        .agg(F.max(F.struct("c", F.length("g").alias("l"), "g")).alias("t"))
+        .select(
+            id_col,
+            "n",
+            (
+                F.round(
+                    F.col("t.c") * F.col("t.l") / F.col("__chars") * 10000, 0
+                )
+                / 10000
+            ).alias("frac"),
+        )
+        .groupBy(id_col)
+        .pivot("n", list(top_ns))
+        .agg(F.first("frac"))
+    )
+
+    # --- dup-n char coverage: per-DOC duplicated positioned grams ---
+    pos = base.filter(F.size(toks) >= dup_n).select(
+        id_col, F.posexplode(gram_array(text_col, dup_n)).alias("i", "g")
+    ).select(id_col, "i", F.xxhash64("g").alias("h"))
+    dup = (
+        pos.groupBy(id_col, "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select(id_col, "h")
+    )
+    marked = pos.join(dup, [id_col, "h"]).select(id_col, "i")
+    ord_w = Window.partitionBy(id_col).orderBy("i")
+    island = F.sum(
+        F.when(F.col("i") > F.lag("i").over(ord_w) + dup_n, 1).otherwise(0)
+    ).over(ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = (
+        marked.withColumn("island", island)
+        .groupBy(id_col, "island")
+        .agg(F.min("i").alias("start"), (F.max("i") + dup_n).alias("end"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("start", "end")).alias("__spans"))
+    )
+    # span chars = token lengths in the slice + inner spaces; #spans/doc
+    # is small by construction (merged islands need a dup_n-token gap),
+    # so the split-per-span re-eval inside the outer lambda is bounded
+    covered = F.aggregate(
+        F.coalesce("__spans", F.array().cast("array<struct<start:int,end:int>>")),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.aggregate(
+            F.slice(F.split(F.col(text_col), " "), b["start"] + 1, b["end"] - b["start"]),
+            F.lit(0).cast("long"),
+            lambda a, t: a + F.length(t),
+        )
+        + (b["end"] - b["start"] - 1).cast("long"),
+    )
+    out = (
+        base.join(top, id_col, "left")
+        .join(spans, id_col, "left")
+        .withColumn("__cov", covered)
+        .select(
+            id_col,
+            *[
+                F.coalesce(F.col(str(n)), F.lit(0.0)).alias(f"top{n}_char_frac")
+                for n in top_ns
+            ],
+            (
+                F.round(F.col("__cov") / F.col("__chars") * 10000, 0) / 10000
+            ).alias(f"dup{dup_n}_char_frac"),
+        )
+    )
+    passed = F.lit(True)
+    for n in top_ns:
+        passed = passed & (F.col(f"top{n}_char_frac") <= top_thresholds[n])
+    passed = passed & (F.col(f"dup{dup_n}_char_frac") <= max_dup_frac)
+    return out.withColumn("repetition_pass", passed.cast("int"))

@@ -47,6 +47,21 @@ def _hash_params(k: int = MINHASH_K, seed: int = 42) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
+def gram_array(text_col: str, n: int):
+    """Column: the ORDERED (positioned, non-distinct) word n-gram array
+    of a space-tokenized text column — element i is tokens[i..i+n).
+    Built with the zip-of-shifted-slices trick (see word_shingles for
+    the HOF-CSE pitfall it avoids); empty when the doc has < n tokens."""
+    w = F.split(F.col(text_col), " ")
+    n_grams = F.size(w) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(w, 1 + off, n_grams).alias(f"w{off}") for off in range(n)]
+    )
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{off}"] for off in range(n)])
+    )
+
+
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (JVM higher-order fns).
 
@@ -1216,13 +1231,7 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     w = F.split(F.col(text_col), " ")
-    n_grams = F.size(w) - (k - 1)
-    zipped = F.arrays_zip(
-        *[F.slice(w, 1 + off, n_grams).alias(f"w{off}") for off in range(k)]
-    )
-    grams = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[f"w{off}"] for off in range(k)])
-    )
+    grams = gram_array(text_col, k)
     pos = (
         docs.filter(F.size(w) >= k)
         .select(

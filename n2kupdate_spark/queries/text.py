@@ -586,3 +586,26 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(c, "c_name").select(
         "c_custkey", "c_name_redacted", "n_emails", "n_id_runs"
     )
+
+
+@register("text_repetition_signals")  # rows-only (r9 capacity policy):
+# whole signal table pinned vs a python recompute in
+# tests/test_repetition.py
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition-signal family (Rae et al. 2021 §A1.1)
+    per document: top-2/3/4-gram character fractions (count × gram
+    chars / doc chars, deterministic tie-breaks) and duplicated-n-gram
+    character COVERAGE (overlaps merged into maximal spans first — no
+    double counting), plus the combined threshold flag. The demo runs
+    coverage at n=3: the fixture's ~55-token docs have no within-doc
+    duplicated ≥5-grams at any test scale (probed), so Gopher's
+    production n ∈ [5, 10] would demonstrate an all-zero column — the
+    same fixture-scale adaptation documented for the decontamination
+    budget; the operator's default stays n=10 and the threshold here is
+    the n-agnostic 0.10. See operators/corpus.py::repetition_signals
+    for the one-shuffle-for-all-ns union plan and the per-doc island
+    merge."""
+    from n2kupdate_spark.operators.corpus import repetition_signals
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_signals(d, dup_n=3, max_dup_frac=0.10)
