@@ -525,12 +525,25 @@ def prepare_corpus(
     gopher_kwargs: dict | None = None,
     exclude_eval_ids: bool = True,
     pack_shards: int = 1,
+    trim_substring_k: int | None = None,
 ) -> DataFrame:
     """End-to-end preparation: Gopher gate → decontamination (overlap
-    budget) → exact dedup (md5, keep lowest id) → mixture weighting →
-    sequence packing → per-source summary (surviving docs, mixture rows,
-    total tokens, packed sequence count). Cheap filters run first so the
-    dedup shuffle and packing window see the shrunk corpus.
+    budget) → exact dedup (md5, keep lowest id) → optional exact-
+    substring trim → mixture weighting → sequence packing → per-source
+    summary (surviving docs, mixture rows, total tokens, packed
+    sequence count). Cheap filters run first so the dedup shuffle and
+    packing window see the shrunk corpus.
+
+    ``trim_substring_k`` switches on the suffix-array-style substring
+    stage (duplicate_spans + remove_spans at that window width, corpus-
+    wide ≥2 occurrences over the SURVIVORS): duplicated spans are cut
+    from the surviving docs before mixture/packing, so token totals and
+    sequence counts reflect the deduplicated text — completing the
+    published dedup ladder (exact doc → near-dup → semantic → substring)
+    inside one composition. Off by default; the registered
+    corpus_prepare_pipeline oracle verifies the default path, the
+    trimmed path is pinned against an independent composition in
+    tests/test_dedup_spans.py.
 
     ``exclude_eval_ids`` governs id-space semantics: when the eval set is
     a SLICE of the training corpus (the demo fixture, or leakage-guarding
@@ -549,8 +562,20 @@ def prepare_corpus(
         gopher_kwargs=gopher_kwargs,
         exclude_eval_ids=exclude_eval_ids,
     )
+    if trim_substring_k:
+        from n2kupdate_spark.operators.dedup import duplicate_spans, remove_spans
+
+        spans = duplicate_spans(
+            exact.select(id_col, text_col), k=trim_substring_k, min_count=2
+        )
+        # keep remove_spans' exact count: a fully-covered doc trims to
+        # "" which would re-split to one phantom token
+        exact = remove_spans(exact, spans, id_col=id_col, text_col=text_col)
+        tokens = F.col("n_tokens_after")
+    else:
+        tokens = F.size(F.split(text_col, " "))
     mixed = apply_mixture(
-        exact.select(id_col, source_col, F.size(F.split(text_col, " ")).alias("n_tokens")),
+        exact.select(id_col, source_col, tokens.alias("n_tokens")),
         weights, default_weight, id_col, source_col,
     )
     packed = pack_sequences(

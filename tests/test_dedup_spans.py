@@ -129,3 +129,59 @@ def test_dedup_substring_trim_summary(spark, sf_dir):
     for s, (nd, nt, tb, ta) in agg.items():
         exp_shrink = round((1 - ta / tb) * 10000) / 10000
         assert got[s] == (nd, nt, tb, ta, exp_shrink), (s, got[s])
+
+
+def test_prepare_corpus_substring_trim_composition(spark, sf_dir):
+    """prepare_corpus(trim_substring_k=8) must equal the independent
+    composition: gate_documents survivors (Spark — itself oracle-
+    verified) → python span trim over the SURVIVOR corpus → python
+    md5-bucket mixture → packing arithmetic. Also: the trimmed totals
+    must be ≤ the untrimmed run's everywhere, strictly < for at least
+    one source (the stage demonstrably bites)."""
+    import hashlib
+
+    from n2kupdate_spark.operators.corpus import gate_documents, prepare_corpus
+    from n2kupdate_spark.queries.mlprep import _MIX_DEFAULT_W4, _MIX_W4
+    from n2kupdate_spark.queries.text import _EVAL_PRED_SQL
+    from n2kupdate_spark.sources import load
+
+    full = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    is_eval = F.expr(_EVAL_PRED_SQL)
+    d, ev = full.filter(~is_eval), full.filter(is_eval)
+    weights = {s: w / 10000 for s, w in _MIX_W4.items()}
+    default_w = _MIX_DEFAULT_W4 / 10000
+    kw = dict(weights=weights, default_weight=default_w)
+
+    surv = gate_documents(d, ev).collect()
+    texts = {r["doc_id"]: r["text"] for r in surv}
+    src = {r["doc_id"]: r["source"] for r in surv}
+    spans, n_toks = _spans_reference(texts, 8, 2)
+    agg: dict[str, list] = {}
+    for did in texts:
+        trimmed = n_toks[did] - sum(hi - lo for lo, hi in spans.get(did, []))
+        w4 = _MIX_W4.get(src[did], _MIX_DEFAULT_W4)
+        bucket = (
+            int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) % 10000
+        )
+        copies = w4 // 10000 + (1 if bucket < w4 % 10000 else 0)
+        if copies == 0:
+            continue
+        a = agg.setdefault(src[did], [0, 0, 0])
+        a[0] += 1
+        a[1] += copies
+        a[2] += copies * trimmed
+    got = {
+        r["source"]: (r["n_docs"], r["n_rows"], r["total_tokens"], r["n_sequences"])
+        for r in prepare_corpus(d, ev, trim_substring_k=8, **kw).collect()
+    }
+    assert set(got) == set(agg)
+    for s, (nd, nr, tt) in ((s, tuple(a)) for s, a in agg.items()):
+        import math
+
+        assert got[s] == (nd, nr, tt, math.ceil(tt / 512)), (s, got[s], agg[s])
+    base = {
+        r["source"]: r["total_tokens"]
+        for r in prepare_corpus(d, ev, **kw).collect()
+    }
+    assert all(got[s][2] <= base[s] for s in got)
+    assert any(got[s][2] < base[s] for s in got)
