@@ -45,6 +45,8 @@ OPS = [
     "sample_mixture_unimax",    # #langs-bounded waterfill + map/explode
     "pack_sequences_bestfit",   # chunk-bounded BFD in applyInPandas
     "dedup_substring_spans",    # positioned-gram inverted index + island merge
+    "dedup_substring_trim",     # spans + HOF token-filter rewrite
+    "text_repetition_signals",  # unioned top-n shuffle + per-doc island merge
 ]
 
 
