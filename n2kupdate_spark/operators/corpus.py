@@ -731,22 +731,32 @@ def repetition_signals(
     counted = frames.groupBy(id_col, "__chars", "n", "g").agg(
         F.count(F.lit(1)).alias("c")
     )
-    top = (
-        counted.groupBy(id_col, "__chars", "n")
-        .agg(F.max(F.struct("c", F.length("g").alias("l"), "g")).alias("t"))
-        .select(
-            id_col,
-            "n",
+    # all per-n maxes fold into ONE per-doc aggregate (a conditional
+    # struct-max per n) instead of a per-(doc, n) max + pivot — two
+    # exchanges fewer, and hash(doc) re-use carries into the final join
+    top = counted.groupBy(id_col).agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("n") == n,
+                    F.struct("c", F.length("g").alias("l"), "g"),
+                )
+            ).alias(f"__t{n}")
+            for n in top_ns
+        ],
+        F.first("__chars").alias("__tc"),
+    ).select(
+        id_col,
+        *[
             (
                 F.round(
-                    F.col("t.c") * F.col("t.l") / F.col("__chars") * 10000, 0
+                    F.col(f"__t{n}.c") * F.col(f"__t{n}.l") / F.col("__tc") * 10000,
+                    0,
                 )
                 / 10000
-            ).alias("frac"),
-        )
-        .groupBy(id_col)
-        .pivot("n", list(top_ns))
-        .agg(F.first("frac"))
+            ).alias(str(n))
+            for n in top_ns
+        ],
     )
 
     # --- dup-n char coverage: per-DOC duplicated positioned grams ---
