@@ -125,6 +125,86 @@ def decontaminate_ngram(
     )
 
 
+def decontaminate_fuzzy(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag training documents whose
+    shingle-set Jaccard against ANY eval document reaches ``threshold`` —
+    the MinHash/LSH complement of :func:`decontaminate_ngram`. Exact
+    n-gram overlap misses paraphrased or lightly-edited benchmark leaks;
+    published pipelines therefore also run a near-duplicate check between
+    the training corpus and the eval suite (the same MinHash machinery
+    used for corpus-internal dedup, pointed across the train/eval split).
+
+    Returns one row per training doc that had ≥1 LSH candidate:
+    ``(id, n_eval_near, max_jaccard, contaminated)`` where ``n_eval_near``
+    counts eval docs at or above the threshold, ``max_jaccard`` is the
+    exact (not estimated) maximum over the doc's candidates, and
+    ``contaminated = 1`` iff ``max_jaccard >= threshold``. Docs with no
+    band collision are absent — at LSH's operating point those have
+    Jaccard far below any sane threshold (banding theory: a 0.7-Jaccard
+    pair collides with p > 0.999 at 16 bands × 2 rows; the pinned recall
+    test covers exactly this bound, tests/test_sketch_accuracy.py).
+
+    Scale shape — the train side NEVER self-joins and never shuffles at
+    corpus size: signatures are map-only (Arrow-vectorized, see
+    minhash_signature); the eval suite is benchmark-sized (thousands of
+    docs), so its band table AND its shingle sets are broadcast; candidate
+    generation is a broadcast-hash probe of the train band stream
+    (bipartite train×eval only — never train×train); the exact-verify
+    join touches only candidate train docs (candidate id set broadcast
+    back as a semi-filter); the single keyed aggregation is
+    candidate-sized. At 100 TB of training text this is one map pass plus
+    a collision-bounded tail."""
+    from n2kupdate_spark.operators.dedup import (
+        band_table,
+        minhash_signature,
+        word_shingles,
+    )
+
+    sh_t = word_shingles(train_docs.select(id_col, text_col), text_col, n=n)
+    sh_e = word_shingles(eval_docs.select(id_col, text_col), text_col, n=n).localCheckpoint(
+        eager=True
+    )
+    bands_t = band_table(minhash_signature(sh_t), id_col)
+    bands_e = band_table(minhash_signature(sh_e), id_col).withColumnRenamed(
+        id_col, "__eval_id"
+    )
+    cands = (
+        bands_t.join(F.broadcast(bands_e), ["band_idx", "band_hash"])
+        .select(id_col, "__eval_id")
+        .distinct()
+    )
+    # Exact verify: candidate ids are collision-bounded (≪ corpus), so the
+    # train-shingle lookup is a broadcast semi-probe, not a corpus shuffle.
+    sh_e_sets = sh_e.select(
+        F.col(id_col).alias("__eval_id"), F.col("shingles").alias("__esh")
+    )
+    # sh_t is deliberately NOT checkpointed: materializing corpus-sized
+    # shingle arrays would dominate storage at scale, while the verify
+    # branch re-scans only to feed a broadcast-filtered sliver.
+    verified = sh_t.join(F.broadcast(cands), id_col).join(
+        F.broadcast(sh_e_sets), "__eval_id"
+    )
+    inter = F.size(F.array_intersect("shingles", "__esh")).cast("double")
+    union = (F.size("shingles") + F.size("__esh")).cast("double") - inter
+    j = inter / union
+    return (
+        verified.select(id_col, "__eval_id", j.alias("__j"))
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.col("__j") >= threshold).cast("int")).cast("int").alias("n_eval_near"),
+            F.round(F.max("__j"), 4).alias("max_jaccard"),
+            F.max((F.col("__j") >= threshold).cast("int")).cast("int").alias("contaminated"),
+        )
+    )
+
+
 def mixture_copy_counts(
     weights: dict[str, float],
     default_weight: float,

@@ -222,10 +222,13 @@ def _bucket_pairs(
     )
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
-    """Banded LSH: explode signatures into (band_idx, band_hash) buckets;
-    only same-bucket documents become candidate pairs (generated in-bucket,
-    deduped across bands)."""
+def band_table(sig_df: DataFrame, id_col: str) -> DataFrame:
+    """Explode MinHash signatures into the banded-LSH bucket table:
+    one row per (id, band_idx, band_hash). Shared by the self-join
+    near-dup path (:func:`lsh_candidate_pairs`) and the bipartite
+    train↔eval contamination path (operators/corpus.py
+    ``decontaminate_fuzzy``) so the band layout cannot drift between
+    them."""
     bands = F.array(
         *[
             F.struct(
@@ -235,9 +238,16 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
             for i in range(MINHASH_BANDS)
         ]
     )
-    exploded = sig_df.select(F.col(id_col), F.explode(bands).alias("b")).select(
+    return sig_df.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, "b.band_idx", "b.band_hash"
     )
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
+    """Banded LSH: explode signatures into (band_idx, band_hash) buckets;
+    only same-bucket documents become candidate pairs (generated in-bucket,
+    deduped across bands)."""
+    exploded = band_table(sig_df, id_col)
     return (
         _bucket_pairs(exploded, ["band_idx", "band_hash"], id_col)
         .select(F.col("m1").alias("id1"), F.col("m2").alias("id2"))

@@ -391,6 +391,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     two shifted slices of the token array (HOF-lambda-safe: no
     re-evaluated split). Scale-first rounding for cross-engine parity."""
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return _bigram_lm_scores(d)
+
+
+def _bigram_lm_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, lm_score) for a (doc_id, text) frame — the
+    corpus-bigram MLE scorer shared by text_bigram_lm_score
+    (oracle-checked) and text_perplexity_buckets (pinned), so the two
+    cannot drift."""
     w = F.split(F.col("text"), " ")
     n = F.size(w) - 1
     zipped = F.arrays_zip(
@@ -474,6 +482,69 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     is_eval = F.expr(_EVAL_PRED_SQL)
     return decontaminate_ngram(d.filter(~is_eval), d.filter(is_eval), n=3)
+
+
+@register("text_decontaminate_fuzzy")
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash/LSH) benchmark decontamination: training docs whose
+    shingle-set Jaccard against any eval-slice doc (``doc_id % 97 = 0``)
+    reaches 0.5 — catches the paraphrased/lightly-edited benchmark leaks
+    the exact 3-gram gate (text_decontaminate_ngram) undercounts.
+
+    Rows-only debut (r9 capacity policy, SURVEY §5.2): the LSH candidate
+    set is hash-seed-determined, so the SQL-oracle form would have to
+    replicate MinHash banding verbatim — a pytest pin against a
+    brute-force bipartite Jaccard (tests/test_sketch_accuracy.py) proves
+    strictly more: zero false positives (exact verify), banding-theory
+    recall at j ≥ 0.7, and exact max_jaccard values.
+
+    Scale: train side is one map pass (shingle+sign) probed against the
+    broadcast benchmark band table; no train×train pair generation
+    anywhere — see operators/corpus.py:decontaminate_fuzzy."""
+    from n2kupdate_spark.operators.corpus import decontaminate_fuzzy
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    is_eval = F.expr(_EVAL_PRED_SQL)
+    return decontaminate_fuzzy(
+        d.filter(~is_eval), d.filter(is_eval), n=3, threshold=0.5
+    ).orderBy("doc_id")
+
+
+@register("text_perplexity_buckets")
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality bucketing: split each language's documents
+    into head/middle/tail thirds by corpus-bigram LM score — the published
+    web-corpus practice of bucketing by LM perplexity per language and
+    keeping (or up-weighting) the head. Reuses the bigram MLE scorer
+    (text_bigram_lm_score) as the cheap stand-in for a real KenLM, which
+    is exactly how the method composes in production: any per-doc fluency
+    score slots into the same per-language ntile.
+
+    Rows-only debut (r9 capacity policy): the pytest pin runs the
+    equivalent DuckDB NTILE query and compares frames exactly
+    (tests/test_parity.py) — oracle-grade evidence without an SQL-oracle
+    registry slot. Determinism: the ntile ordering is total
+    (rounded score desc, doc_id), so ranks agree across engines.
+
+    Scale: the scorer's shuffles follow vocabulary (map-side partial
+    aggregation), the bucketing is one per-language window — partitions
+    follow languages, and a 100 TB corpus has at most a few hundred; for
+    single-language corpora partition the window by (lang, source)
+    instead, which preserves the per-stratum head/tail contract."""
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    scored = _bigram_lm_scores(d.select("doc_id", "text")).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("lm_score"), F.asc("doc_id"))
+    tile = F.ntile(3).over(w)
+    bucket = (
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        "doc_id", "lang", "lm_score", bucket.alias("bucket")
+    ).orderBy("doc_id")
 
 
 @register(

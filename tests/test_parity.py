@@ -123,3 +123,33 @@ def test_gate_report_budget_retune_stays_synced(spark, sf_dir, oracle_con, monke
     assert not opdf.sort_values(s_cols).reset_index(drop=True).equals(
         opdf_default.sort_values(s_cols).reset_index(drop=True)
     )
+
+
+def test_perplexity_buckets_match_duckdb_ntile(spark, sf_dir, oracle_con):
+    """text_perplexity_buckets (rows-only, r9 capacity policy): run the
+    equivalent DuckDB NTILE(3) query — built ON TOP of the already
+    hash-verified text_bigram_lm_score oracle — and compare frames
+    exactly. Oracle-grade evidence without an SQL-oracle registry slot;
+    determinism rests on the total ntile ordering (rounded score DESC,
+    doc_id), interpolated identically on both engines."""
+    base = ORACLE["text_bigram_lm_score"]
+    sql = f"""
+    WITH scored AS ({base}),
+    b AS (SELECT s.doc_id, d.lang, s.lm_score,
+                 NTILE(3) OVER (PARTITION BY d.lang
+                                ORDER BY s.lm_score DESC, s.doc_id) AS t
+          FROM scored s JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, lm_score,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM b
+    """
+    spdf = QUERIES["text_perplexity_buckets"](spark, sf_dir).toPandas()
+    opdf = oracle_con.execute(sql).fetchdf()
+    assert len(spdf) == len(opdf) > 0
+    s_cols, s_rows = canonical_rows(spdf)
+    o_cols, o_rows = canonical_rows(opdf)
+    assert s_cols == o_cols
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches; first 3: {mismatches[:3]}"

@@ -220,3 +220,51 @@ def test_cms_heavy_hitters_never_undercounts_bounded_over(spark, sf_dir):
     for r in rows:
         assert r["est_cnt"] >= r["exact_cnt"], r
         assert r["est_cnt"] <= r["exact_cnt"] + 0.001 * n_events, (r, n_events)
+
+
+def test_fuzzy_decontaminate_bipartite_pins(spark, sf_dir):
+    """text_decontaminate_fuzzy (rows-only, r9): pin the bipartite
+    contamination scan against a brute-force train×eval Jaccard computed
+    in-process. Three contracts: (1) ZERO false positives — the op
+    verifies exactly, so every flagged doc's true max Jaccard must reach
+    the 0.5 threshold; (2) banding recall — every train doc whose true
+    max Jaccard is ≥ 0.7 MUST be flagged (16 bands × 2 rows collide with
+    p > 0.999 at j = 0.7; see test_lsh_fuzzy_recall_on_high_jaccard_pairs);
+    (3) exact values — for those high-j docs the reported max_jaccard
+    equals the brute-force max at 4dp (the top partner is necessarily an
+    LSH candidate at that j)."""
+    from n2kupdate_spark.operators.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sh = {
+        r.doc_id: set(r.shingles)
+        for r in word_shingles(docs, "text").collect()
+    }
+    eval_ids = {i for i in sh if i % 97 == 0}
+    true_max = {}
+    for i, s in sh.items():
+        if i in eval_ids:
+            continue
+        best = 0.0
+        for e in eval_ids:
+            es = sh[e]
+            inter = len(s & es)
+            if inter:
+                best = max(best, inter / (len(s) + len(es) - inter))
+        true_max[i] = best
+    high = {i for i, j in true_max.items() if j >= 0.7}
+    assert high, "fixture must contain >=1 train doc near an eval doc"
+
+    got = {
+        r.doc_id: r
+        for r in QUERIES["text_decontaminate_fuzzy"](spark, sf_dir).collect()
+    }
+    flagged = {i for i, r in got.items() if r.contaminated == 1}
+    false_pos = [i for i in flagged if true_max[i] < 0.5]
+    assert not false_pos, f"false positives: {false_pos[:5]}"
+    missed = high - flagged
+    assert not missed, f"missed {len(missed)} of {len(high)} j>=0.7 docs"
+    for i in high:
+        assert abs(got[i].max_jaccard - round(true_max[i], 4)) <= 1e-9, (
+            i, got[i].max_jaccard, true_max[i]
+        )
