@@ -47,6 +47,8 @@ OPS = [
     "dedup_substring_spans",    # positioned-gram inverted index + island merge
     "dedup_substring_trim",     # spans + HOF token-filter rewrite
     "text_repetition_signals",  # unioned top-n shuffle + per-doc island merge
+    "text_decontaminate_fuzzy", # bipartite LSH probe vs broadcast eval bands
+    "text_perplexity_buckets",  # bigram scorer + per-lang ntile window
 ]
 
 
