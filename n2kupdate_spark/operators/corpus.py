@@ -16,6 +16,7 @@ after cheap filters have shrunk the corpus.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -202,6 +203,132 @@ def decontaminate_fuzzy(
             F.round(F.max("__j"), 4).alias("max_jaccard"),
             F.max((F.col("__j") >= threshold).cast("int")).cast("int").alias("contaminated"),
         )
+    )
+
+
+def fit_quality_classifier(
+    X: "np.ndarray",
+    y: "np.ndarray",
+    iters: int = 300,
+    lr: float = 0.3,
+    l2: float = 1e-2,
+) -> tuple["np.ndarray", float]:
+    """Deterministic driver-side logistic regression (full-batch gradient
+    descent, zero init, fixed iteration count, L2 on weights only) —
+    the published web-corpus quality classifier is exactly this shape: a
+    linear model over hashed bag-of-words features, fit on a curated
+    positive set vs a crawl negative sample, then applied to every
+    document. Exposed separately from the distributed pipeline so the
+    pytest pin can recompute scores from raw text through the same fit.
+    Returns (w[n_features], bias).
+
+    STABILITY CONTRACT: lr must keep the iteration contractive — at
+    lr=1.0 on hashed-tf features the map is chaotic and amplifies
+    float-reduction-order noise (row permutations of X produced scores
+    differing by 0.47 after 200 iters; measured on the sf0.1 fixture),
+    while lr<=0.5 reproduces to 5e-15 across row orders. The default
+    (300, 0.3) sits well inside the stable region; anyone retuning lr
+    upward must re-run the cross-order check in the pin test."""
+    n, d = X.shape
+    w = np.zeros(d, dtype=np.float64)
+    b = 0.0
+    for _ in range(iters):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * ((X.T @ g) / n + l2 * w)
+        b -= lr * float(g.mean())
+    return w, b
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    positive_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    sample_per_class: int = 2048,
+    iters: int = 300,
+    lr: float = 0.3,
+    l2: float = 1e-2,
+) -> DataFrame:
+    """Quality-classifier corpus filter: fit a logistic regression on
+    hashed bag-of-words features — positives from the caller-marked
+    curated seed (``positive_col`` boolean; in production a curated
+    corpus, here any deterministic slice), negatives sampled from the
+    rest — then score EVERY document and emit
+    ``(id, quality_score, keep)`` with ``keep = score >= 0.5``. This is
+    the published pipeline shape for model-based quality filtering of
+    web corpora (linear classifier over hashed n-gram features, curated
+    positives vs crawl negatives).
+
+    Determinism: the fit sample is the first ``sample_per_class`` ids per
+    class in id order; the fit is seeded-free full-batch GD with fixed
+    iterations (numpy float64). Features are sublinear tf (1 + ln c) over
+    md5-derived token buckets — the same engine-portable bucket function
+    as text_feature_hashing, recomputable in plain python for the pin.
+
+    Scale shape: featurization is explode + one (id, bucket)-keyed
+    partial-agged shuffle (≤ n_buckets rows per doc); the fit collects
+    ONLY the 2·sample_per_class sampled docs' sparse vectors (driver
+    traffic bounded regardless of corpus size — the bounded-fit pattern
+    shared with fit_spherical_centroids); scoring is a per-row weight
+    lookup against the broadcast 256-float literal plus one id-keyed sum
+    — no joins, no second pass over text. Docs with zero non-empty
+    tokens have no feature rows and are absent from the output."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    )
+    sparse = (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Sample only docs that HAVE features (≥1 non-empty token): a
+    # token-less doc would otherwise occupy a sample slot but contribute
+    # no rows to the collected sparse matrix — silently shrinking the
+    # training set and making the fit irreproducible from the op's
+    # documented semantics (caught by the sf0.1 recompute pin, where
+    # empty-token docs exist). Map-side predicate, no extra shuffle.
+    labels = docs.filter(
+        F.exists(F.split(F.col(text_col), " "), lambda t: t != "")
+    ).select(id_col, F.col(positive_col).cast("int").alias("__y"))
+    fit_ids = (
+        labels.filter(F.col("__y") == 1).orderBy(id_col).limit(sample_per_class)
+    ).unionByName(
+        labels.filter(F.col("__y") == 0).orderBy(id_col).limit(sample_per_class)
+    )
+    fit_rows = sparse.join(F.broadcast(fit_ids), id_col).collect()
+    ids = sorted({r[0] for r in fit_rows})
+    idx = {i: k for k, i in enumerate(ids)}
+    X = np.zeros((len(ids), n_buckets), dtype=np.float64)
+    yv = np.zeros(len(ids), dtype=np.float64)
+    for r in fit_rows:
+        X[idx[r[0]], r["bucket"]] = 1.0 + np.log(r["c"])
+        yv[idx[r[0]]] = r["__y"]
+    if len(ids) == 0 or yv.min() == yv.max():
+        raise ValueError(
+            "quality_classifier_scores: fit sample needs both classes — "
+            "check the positive_col predicate against the corpus"
+        )
+    w, b = fit_quality_classifier(X, yv, iters=iters, lr=lr, l2=l2)
+
+    w_lit = F.array(*[F.lit(float(x)) for x in w.tolist()])
+    contrib = F.element_at(w_lit, (F.col("bucket") + 1).cast("int")) * (
+        F.lit(1.0) + F.log(F.col("c").cast("double"))
+    )
+    return (
+        sparse.withColumn("__contrib", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.sum("__contrib") + F.lit(float(b))))), 4
+            ).alias("quality_score")
+        )
+        .withColumn("keep", (F.col("quality_score") >= 0.5).cast("int"))
     )
 
 

@@ -510,6 +510,33 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("text_quality_classifier")
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the published web-corpus pattern:
+    logistic regression over hashed bag-of-words, curated positives vs
+    crawl negatives, score everything): here the deterministic curated
+    stand-in is sources src0-src4 — in production point ``positive_col``
+    at membership in a real curated table. Emits
+    (doc_id, quality_score, keep).
+
+    Rows-only debut (r9 capacity policy): the driver-side GD fit has no
+    SQL form; the pytest pin recomputes every score from raw text in
+    plain python (hashlib bucketing + the same exported fit) and requires
+    4dp equality plus seed-class separation — tests/test_parity.py.
+
+    Scale: one explode + (doc, bucket) partial-agged shuffle to
+    featurize, a 2·2048-doc bounded collect to fit (driver traffic fixed
+    regardless of corpus size), scoring as a broadcast-literal weight
+    lookup + per-doc sum — no second text pass, no joins."""
+    from n2kupdate_spark.operators.corpus import quality_classifier_scores
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text", "source"])
+    seed = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    return quality_classifier_scores(
+        d.withColumn("__pos", seed), "__pos"
+    ).orderBy("doc_id")
+
+
 @register("text_perplexity_buckets")
 def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-model quality bucketing: split each language's documents

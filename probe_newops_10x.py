@@ -49,6 +49,7 @@ OPS = [
     "text_repetition_signals",  # unioned top-n shuffle + per-doc island merge
     "text_decontaminate_fuzzy", # bipartite LSH probe vs broadcast eval bands
     "text_perplexity_buckets",  # bigram scorer + per-lang ntile window
+    "text_quality_classifier",  # bounded LR fit + broadcast-weight scoring
 ]
 
 

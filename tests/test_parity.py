@@ -153,3 +153,87 @@ def test_perplexity_buckets_match_duckdb_ntile(spark, sf_dir, oracle_con):
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
     ]
     assert not mismatches, f"{len(mismatches)} mismatches; first 3: {mismatches[:3]}"
+
+
+def test_quality_classifier_matches_python_recompute(spark, sf_dir):
+    """text_quality_classifier (rows-only, r9): recompute every score from
+    raw text in plain python — hashlib md5 bucketing, sublinear tf, the
+    same exported deterministic fit — and require 4dp agreement (small
+    tolerance for float sum order) plus keep-flag agreement away from the
+    0.5 boundary. No separation assert here: the fixture assigns sources
+    independently of content (verified: fit-sample AUC ≈ 0.51 at sf0.1
+    where docs outnumber features), so separation is proven on a
+    planted-signal corpus instead —
+    test_quality_classifier_separates_planted_signal."""
+    import hashlib
+
+    import numpy as np
+
+    from n2kupdate_spark.operators.corpus import fit_quality_classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    ).collect()
+    feats, labels = {}, {}
+    for r in docs:
+        c = {}
+        for t in r.text.split(" "):
+            if t:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 256
+                c[b] = c.get(b, 0) + 1
+        if c:
+            feats[r.doc_id] = c
+        labels[r.doc_id] = 1 if r.source in {"src0", "src1", "src2", "src3", "src4"} else 0
+    pos = sorted(i for i in feats if labels[i] == 1)[:2048]
+    neg = sorted(i for i in feats if labels[i] == 0)[:2048]
+    # canonical (sorted) row order, matching the op: the fit is
+    # row-order-stable at the default lr (pinned below), but the pin
+    # should not rely on that headroom
+    fit_ids = sorted(pos + neg)
+    X = np.zeros((len(fit_ids), 256))
+    y = np.array([labels[i] for i in fit_ids], dtype=np.float64)
+    for k, i in enumerate(fit_ids):
+        for b, c in feats[i].items():
+            X[k, b] = 1.0 + np.log(c)
+    w, bias = fit_quality_classifier(X, y)
+
+    def score(i):
+        z = bias + sum(w[b] * (1.0 + np.log(c)) for b, c in feats[i].items())
+        return 1.0 / (1.0 + np.exp(-z))
+
+    got = {
+        r.doc_id: r
+        for r in QUERIES["text_quality_classifier"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(feats)
+    for i, r in got.items():
+        exp = score(i)
+        assert abs(r.quality_score - round(exp, 4)) <= 1.01e-4, (i, r.quality_score, exp)
+        if abs(exp - 0.5) > 1e-3:
+            assert r.keep == int(exp >= 0.5), (i, exp, r.keep)
+
+def test_quality_classifier_separates_planted_signal(spark):
+    """Contract test for the fit itself: on a corpus where the curated
+    class HAS a distinguishing token distribution (the production
+    situation — curated text does not look like raw crawl), every
+    positive must outscore every negative and the keep flag must track
+    the classes. Uses a planted-marker synthetic corpus so the assert is
+    about the operator, not the fixture's (signal-free) source labels."""
+    from n2kupdate_spark.operators.corpus import quality_classifier_scores
+
+    rows = []
+    for i in range(40):
+        # positives: curated-ish vocabulary; negatives: spammy repetition
+        if i % 2 == 0:
+            rows.append((i, "the curated careful prose reads well " * 3, True))
+        else:
+            rows.append((i, "buy cheap now click buy cheap now click " * 3, False))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "__pos"])
+    got = {
+        r.doc_id: r for r in quality_classifier_scores(docs, "__pos").collect()
+    }
+    pos_scores = [got[i].quality_score for i in range(0, 40, 2)]
+    neg_scores = [got[i].quality_score for i in range(1, 40, 2)]
+    assert min(pos_scores) > max(neg_scores)
+    assert all(got[i].keep == 1 for i in range(0, 40, 2))
+    assert all(got[i].keep == 0 for i in range(1, 40, 2))
