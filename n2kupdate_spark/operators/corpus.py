@@ -332,6 +332,81 @@ def quality_classifier_scores(
     )
 
 
+def importance_weights(
+    docs: DataFrame,
+    target_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Hashed-n-gram importance weights for data selection (the published
+    importance-resampling method: estimate a target distribution from a
+    small curated set and a raw distribution from the corpus, both over
+    hashed n-gram buckets, then weight every document by its
+    log-likelihood ratio — documents that look like the target get high
+    weight and are preferentially sampled into the training mix).
+
+    ``target_col`` marks the curated target slice (in production a
+    separate curated table unioned in). Emits per doc: ``n_tokens``,
+    ``log_weight`` = Σ_tokens ln(p_target(bucket)/p_raw(bucket)), and
+    ``avg_log_ratio`` = log_weight / n_tokens (the length-normalized form
+    to rank on when doc lengths vary wildly — raw log_weight scales with
+    doc length). Both distributions are add-1 smoothed over the bucket
+    vocabulary so no ratio is 0 or ∞. Docs with zero non-empty tokens are
+    absent. A caller then ranks/samples on the weight (deterministic
+    top-fraction, or Gumbel-noise resampling as published — left to the
+    caller because the noise policy is a training-recipe choice, not an
+    engine semantic).
+
+    Scale shape: BOTH distribution estimates are n_buckets-row aggregates
+    (map-side partial, collected as 2·n_buckets floats — driver traffic
+    fixed at any corpus size); the scoring pass reuses the classifier's
+    shape — one (doc, bucket) partial-agged shuffle, a broadcast-literal
+    log-ratio lookup, one per-doc sum. Unigram buckets here; hashing
+    (uni+bi)-grams into the same bucket space is a one-line change to the
+    token stream and changes nothing downstream."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    )
+    toks = docs.select(
+        id_col,
+        F.col(target_col).cast("int").alias("__t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    bucketed = toks.select(id_col, "__t", bucket.alias("bucket"))
+    dist = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum("__t").alias("t_c"),
+            F.count(F.lit(1)).alias("r_c"),
+        )
+        .collect()
+    )
+    t = np.ones(n_buckets, dtype=np.float64)  # add-1 smoothing
+    r = np.ones(n_buckets, dtype=np.float64)
+    for row in dist:
+        t[row["bucket"]] += row["t_c"]
+        r[row["bucket"]] += row["r_c"]
+    log_ratio = np.log(t / t.sum()) - np.log(r / r.sum())
+
+    lr_lit = F.array(*[F.lit(float(x)) for x in log_ratio.tolist()])
+    per_doc = (
+        bucketed.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "__w",
+            F.element_at(lr_lit, (F.col("bucket") + 1).cast("int"))
+            * F.col("c").cast("double"),
+        )
+    )
+    return per_doc.groupBy(id_col).agg(
+        F.sum("c").cast("int").alias("n_tokens"),
+        F.round(F.sum("__w"), 4).alias("log_weight"),
+        (F.round(F.sum("__w") / F.sum("c") * 10000, 0) / 10000).alias("avg_log_ratio"),
+    )
+
+
 def mixture_copy_counts(
     weights: dict[str, float],
     default_weight: float,

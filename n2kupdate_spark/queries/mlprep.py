@@ -852,6 +852,33 @@ def corpus_semantic_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sample_dsir_weights")  # rows-only (r9 capacity policy): every
+# weight recomputed from raw text in plain python — tests/test_mlprep_props.py
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling data selection weights (the published
+    hashed-n-gram importance-weighting method): estimate a target
+    distribution from the curated stand-in slice (sources src0-src4, the
+    same seed the quality classifier uses) and the raw distribution from
+    the whole corpus, both over 256 md5 token buckets, and emit per doc
+    the log-likelihood ratio ``log_weight`` plus the length-normalized
+    ``avg_log_ratio`` to rank selection on. In production the target
+    distribution comes from a real curated table; the resampling policy
+    (deterministic top-fraction vs Gumbel noise) is the caller's.
+
+    Scale: both distributions are 256-row aggregates collected as floats
+    (fixed driver traffic at any corpus size); scoring is one
+    (doc, bucket) partial-agged shuffle + a broadcast-literal lookup +
+    one per-doc sum — the bounded-fit/broadcast-score shape shared with
+    text_quality_classifier."""
+    from n2kupdate_spark.operators.corpus import importance_weights
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text", "source"])
+    target = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    return importance_weights(
+        d.withColumn("__target", target), "__target"
+    ).orderBy("doc_id")
+
+
 @register("sample_mixture_temperature")  # rows-only (r9 capacity policy):
 # the copy-factor realization is pinned vs a python recompute in
 # tests/test_mlprep_props.py

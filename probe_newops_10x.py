@@ -50,6 +50,7 @@ OPS = [
     "text_decontaminate_fuzzy", # bipartite LSH probe vs broadcast eval bands
     "text_perplexity_buckets",  # bigram scorer + per-lang ntile window
     "text_quality_classifier",  # bounded LR fit + broadcast-weight scoring
+    "sample_dsir_weights",      # 256-row distribution collects + ratio scoring
 ]
 
 

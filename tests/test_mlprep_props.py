@@ -433,3 +433,54 @@ def test_pack_sequences_bestfit_pinned(spark, sf_dir):
         assert summary[src] == (len(items), n_seqs, tot, exp_fill, n_over), (
             src, summary[src]
         )
+
+
+def test_sample_dsir_weights_pinned(spark, sf_dir):
+    """sample_dsir_weights (rows-only, r9): recompute every importance
+    weight from raw text in plain python — hashlib md5 bucketing, add-1
+    smoothed target/raw distributions, log-likelihood ratio — and require
+    4dp agreement on log_weight and avg_log_ratio plus exact n_tokens.
+    Also pin the directional contract: the mean avg_log_ratio of the
+    target slice must exceed the non-target mean (the target looks more
+    like itself than the raw mix does — holds for ANY non-identical
+    distributions by Gibbs' inequality applied to the empirical
+    estimates)."""
+    import hashlib
+
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    ).collect()
+    POS = {"src0", "src1", "src2", "src3", "src4"}
+    t = np.ones(256)
+    r = np.ones(256)
+    feats, is_t = {}, {}
+    for row in docs:
+        c = {}
+        for tok in row.text.split(" "):
+            if tok:
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 256
+                c[b] = c.get(b, 0) + 1
+        if c:
+            feats[row.doc_id] = c
+        is_t[row.doc_id] = row.source in POS
+        for b, n in c.items():
+            r[b] += n
+            if is_t[row.doc_id]:
+                t[b] += n
+    log_ratio = np.log(t / t.sum()) - np.log(r / r.sum())
+
+    got = {r2.doc_id: r2 for r2 in QUERIES["sample_dsir_weights"](spark, sf_dir).collect()}
+    assert set(got) == set(feats)
+    for i, c in feats.items():
+        n_tok = sum(c.values())
+        lw = float(sum(log_ratio[b] * n for b, n in c.items()))
+        assert got[i].n_tokens == n_tok, i
+        assert abs(got[i].log_weight - round(lw, 4)) <= 1.01e-4, (i, got[i].log_weight, lw)
+        assert abs(got[i].avg_log_ratio - round(lw / n_tok, 4)) <= 1.01e-4, i
+    mean_t = float(np.mean([got[i].avg_log_ratio for i in feats if is_t[i]]))
+    mean_nt = float(np.mean([got[i].avg_log_ratio for i in feats if not is_t[i]]))
+    assert mean_t > mean_nt, (mean_t, mean_nt)
