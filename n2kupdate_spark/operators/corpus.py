@@ -808,6 +808,8 @@ def prepare_corpus(
     exclude_eval_ids: bool = True,
     pack_shards: int = 1,
     trim_substring_k: int | None = None,
+    fuzzy_decontam_threshold: float | None = None,
+    quality_positive_col: str | None = None,
 ) -> DataFrame:
     """End-to-end preparation: Gopher gate → decontamination (overlap
     budget) → exact dedup (md5, keep lowest id) → optional exact-
@@ -827,6 +829,24 @@ def prepare_corpus(
     trimmed path is pinned against an independent composition in
     tests/test_dedup_spans.py.
 
+    ``fuzzy_decontam_threshold`` switches on the MinHash near-duplicate
+    decontamination stage (:func:`decontaminate_fuzzy` at that Jaccard
+    threshold): survivors of the exact gates that are NEAR-duplicates of
+    any eval doc are dropped too — the paraphrased-leak gap the exact
+    n-gram budget cannot close. The contaminated id set is
+    collision-bounded, so its anti-join broadcasts.
+
+    ``quality_positive_col`` switches on the model-based quality gate
+    (:func:`quality_classifier_scores` with that boolean column of
+    ``docs`` as the curated-positive seed): the classifier is fit on and
+    scores the exact-gate SURVIVORS (the production fit set is curated +
+    already-cleaned crawl — scoring pre-gate text would let boilerplate
+    the other gates already reject shape the decision boundary), and docs
+    with ``keep = 0`` are dropped before mixture/packing via one id-keyed
+    semi-join. Both stages are off by default; the registered oracle
+    verifies the default path and the opt-in paths are pinned against an
+    independent stage-by-stage composition (tests/test_mlprep_props.py).
+
     ``exclude_eval_ids`` governs id-space semantics: when the eval set is
     a SLICE of the training corpus (the demo fixture, or leakage-guarding
     an in-corpus holdout), its ids must also be dropped from the output —
@@ -844,6 +864,32 @@ def prepare_corpus(
         gopher_kwargs=gopher_kwargs,
         exclude_eval_ids=exclude_eval_ids,
     )
+    if fuzzy_decontam_threshold is not None:
+        near = (
+            decontaminate_fuzzy(
+                exact.select(id_col, text_col),
+                eval_docs,
+                id_col=id_col,
+                text_col=text_col,
+                n=decontam_n,
+                threshold=fuzzy_decontam_threshold,
+            )
+            .filter(F.col("contaminated") == 1)
+            .select(id_col)
+        )
+        exact = exact.join(F.broadcast(near), id_col, "left_anti")
+    if quality_positive_col is not None:
+        kept = (
+            quality_classifier_scores(
+                exact.select(id_col, text_col, quality_positive_col),
+                quality_positive_col,
+                id_col=id_col,
+                text_col=text_col,
+            )
+            .filter(F.col("keep") == 1)
+            .select(id_col)
+        )
+        exact = exact.join(kept, id_col, "left_semi")
     if trim_substring_k:
         from n2kupdate_spark.operators.dedup import duplicate_spans, remove_spans
 

@@ -484,3 +484,81 @@ def test_sample_dsir_weights_pinned(spark, sf_dir):
     mean_t = float(np.mean([got[i].avg_log_ratio for i in feats if is_t[i]]))
     mean_nt = float(np.mean([got[i].avg_log_ratio for i in feats if not is_t[i]]))
     assert mean_t > mean_nt, (mean_t, mean_nt)
+
+
+def test_prepare_corpus_optin_gates_pinned(spark, sf_dir):
+    """The r9 opt-in stages of prepare_corpus (fuzzy decontamination +
+    model-based quality gate) must equal an independent stage-by-stage
+    composition of the same operators — pinning the PLUMBING: stage
+    order, column threading, join types, and the summary arithmetic on
+    the doubly-gated corpus. Also asserts both gates actually bite (the
+    opt-in summary differs from the default path's) so a silently
+    disabled flag cannot pass."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.corpus import (
+        apply_mixture,
+        decontaminate_fuzzy,
+        gate_documents,
+        pack_sequences,
+        prepare_corpus,
+        quality_classifier_scores,
+    )
+    from n2kupdate_spark.queries.mlprep import _MIX_DEFAULT_W4, _MIX_W4
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    is_eval = F.expr("doc_id % 97 = 0")
+    seed = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    train = d.filter(~is_eval).withColumn("__pos", seed)
+    evald = d.filter(is_eval)
+    weights = {k: v / 10000 for k, v in _MIX_W4.items()}
+    default_w = _MIX_DEFAULT_W4 / 10000
+
+    got = prepare_corpus(
+        train, eval_docs=evald, weights=weights, default_weight=default_w,
+        seq_budget=512, fuzzy_decontam_threshold=0.5,
+        quality_positive_col="__pos",
+    ).toPandas().sort_values("source").reset_index(drop=True)
+
+    exact = gate_documents(train, evald)
+    near = (
+        decontaminate_fuzzy(exact.select("doc_id", "text"), evald, threshold=0.5)
+        .filter(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    exact = exact.join(near, "doc_id", "left_anti")
+    kept = (
+        quality_classifier_scores(
+            exact.select("doc_id", "text", "__pos"), "__pos"
+        )
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    exact = exact.join(kept, "doc_id", "left_semi")
+    mixed = apply_mixture(
+        exact.select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+        ),
+        weights, default_w, "doc_id", "source",
+    )
+    packed = pack_sequences(
+        mixed, budget=512, group_col="source",
+        order_cols=("doc_id", "copy_n"), token_col="n_tokens",
+    )
+    want = packed.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.ceil(F.sum("n_tokens") / F.lit(512.0)).cast("int").alias("n_sequences"),
+    ).toPandas().sort_values("source").reset_index(drop=True)
+    assert got.equals(want), (got, want)
+
+    base = prepare_corpus(
+        train.drop("__pos"), eval_docs=evald, weights=weights,
+        default_weight=default_w, seq_budget=512,
+    ).toPandas()
+    assert int(got["n_docs"].sum()) < int(base["n_docs"].sum()), (
+        "opt-in gates did not bite"
+    )
