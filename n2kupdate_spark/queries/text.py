@@ -707,3 +707,64 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return repetition_signals(d, dup_n=3, max_dup_frac=0.10)
+
+
+#: Demo BPE size: enough merges for multi-char subwords to dominate the
+#: fixture vocabulary while keeping the learned table human-auditable.
+#: Production callers pass their own budget (32k-class) to the operators.
+_BPE_MERGES = 200
+
+
+@register("text_bpe_vocab")  # rows-only (r9 capacity policy): the merge
+# loop is inherently iterative (no SQL form); the full ranked table is
+# pinned against an independent recount-from-scratch reference learner in
+# tests/test_tokenizer.py
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table itself — rank-ordered (left, right)
+    symbol pairs and the joined subword each produces. This is the
+    artifact a training stack ships to its tokenizer; exposing it as a
+    query makes vocabulary drift between corpus versions diffable with
+    plain SQL (EXCEPT over two runs' tables).
+
+    Scale: one word-type count shuffle + a bounded top-K collect; the
+    merge loop never touches the corpus — see
+    operators/tokenizer.py::learn_bpe_merges."""
+    from n2kupdate_spark.operators.tokenizer import learn_bpe_merges
+
+    d = load(spark, sf_dir, "documents", columns=["text"])
+    merges = learn_bpe_merges(d, num_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        schema="rank int, left string, right string, merged string",
+    )
+
+
+@register("text_bpe_tokenize")  # rows-only (r9 capacity policy): token
+# sequences pinned verbatim vs the reference encoder in
+# tests/test_tokenizer.py
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-subword token accounting per document: train BPE on the
+    corpus, encode every doc, emit (doc_id, n_bpe_tokens, n_chars,
+    chars_per_token). The chars/token ratio is THE tokenizer-health
+    metric a pipeline watches (fertility regression = vocabulary no
+    longer fits the corpus), and n_bpe_tokens is the real unit the
+    sequence-packing budget should count — the whitespace proxy the demo
+    pipeline uses (text_token_count) undercounts rare-word cost.
+
+    Scale: training is the bounded type-table collect; encoding is
+    map-only with broadcast ranks and a per-batch word cache
+    (operators/tokenizer.py::bpe_encode) — no shuffle in the whole
+    plan beyond the type count."""
+    from n2kupdate_spark.operators.tokenizer import bpe_encode, learn_bpe_merges
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    merges = learn_bpe_merges(d, num_merges=_BPE_MERGES)
+    enc = bpe_encode(d, merges, carry_cols=("n_chars",))
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        "n_chars",
+        (
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens") * 10000, 0) / 10000
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")

@@ -51,6 +51,7 @@ OPS = [
     "text_perplexity_buckets",  # bigram scorer + per-lang ntile window
     "text_quality_classifier",  # bounded LR fit + broadcast-weight scoring
     "sample_dsir_weights",      # 256-row distribution collects + ratio scoring
+    "text_bpe_tokenize",        # bounded type-table fit + broadcast-ranks map encode
 ]
 
 

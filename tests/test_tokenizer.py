@@ -1,0 +1,189 @@
+"""Pin the distributed BPE learner/encoder against an independent
+recount-from-scratch reference implementation.
+
+The operator (operators/tokenizer.py) maintains incremental pair-count
+bookkeeping so each merge touches only affected word types; the reference
+here recomputes ALL pair counts from the current vocabulary on every
+iteration — a different algorithm implementing the same spec (Sennrich
+2016 merge rule, count-desc/pair-lex-asc tie order, min_frequency stop).
+Identical merge lists + identical token sequences therefore cross-validate
+the bookkeeping, the truncation, and the encode rule end to end.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+EOW = "</w>"
+
+
+# ---------------------------------------------------------------- reference
+def _ref_merge_word(syms, pair, joined):
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+            out.append(joined)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_learn(word_counts: dict[str, int], num_merges: int, min_frequency=2):
+    """Full recount every iteration — O(V·L) per merge, spec-exact."""
+    vocab = {tuple(list(w) + [EOW]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        stats = Counter()
+        for w, c in vocab.items():
+            for p in zip(w, w[1:]):
+                stats[p] += c
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if stats[best] < min_frequency:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        vocab = {
+            _ref_merge_word(w, best, joined): c for w, c in vocab.items()
+        }
+    return merges
+
+
+def _ref_encode_word(word: str, ranks) -> list[str]:
+    syms = tuple(list(word) + [EOW])
+    while len(syms) > 1:
+        ranked = [
+            (ranks[p], p) for p in zip(syms, syms[1:]) if p in ranks
+        ]
+        if not ranked:
+            break
+        _, best = min(ranked)
+        syms = _ref_merge_word(syms, best, best[0] + best[1])
+    return list(syms)
+
+
+def _ref_encode_doc(text: str, ranks) -> list[str]:
+    out = []
+    for w in text.split(" "):
+        if w:
+            out.extend(_ref_encode_word(w, ranks))
+    return out
+
+
+# -------------------------------------------------------------------- tests
+def test_bpe_toy_merges_hand_computed():
+    """The paper's worked example shape: with {low×5, lower×2, newest×6,
+    widest×3} the first merges must be (e,s) then (es,t) then (est,</w>)
+    — 'est' dominates every other pair (9 occurrences)."""
+    from n2kupdate_spark.operators.tokenizer import _learn_merges_from_types
+
+    counts = [("newest", 6), ("low", 5), ("widest", 3), ("lower", 2)]
+    merges = _learn_merges_from_types(counts, num_merges=3, min_frequency=2)
+    assert merges == [("e", "s"), ("es", "t"), ("est", EOW)], merges
+    assert merges == _ref_learn(dict(counts), 3)
+
+
+def test_bpe_corpus_merges_and_tokens_pinned(spark, sf_dir):
+    """Operator vs reference on the real corpus: identical merge list
+    (incremental bookkeeping == full recount) and identical per-doc token
+    sequences (distributed cached encode == plain per-word encode)."""
+    from n2kupdate_spark.operators.tokenizer import bpe_encode, learn_bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = docs.collect()
+    wc = Counter()
+    for r in rows:
+        for w in r["text"].split(" "):
+            if w:
+                wc[w] += 1
+
+    merges = learn_bpe_merges(docs, num_merges=200)
+    assert merges == _ref_learn(dict(wc), 200), "merge lists diverge"
+    assert len(merges) > 50  # the corpus must actually exercise the loop
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert len(got) == len(rows)
+    for r in rows:
+        assert got[r["doc_id"]] == _ref_encode_doc(r["text"], ranks), r[
+            "doc_id"
+        ]
+
+
+def test_bpe_encode_round_trip(spark, sf_dir):
+    """Concatenating a doc's subwords and splitting on the end-of-word
+    marker reconstructs its words exactly — encoding loses nothing."""
+    from n2kupdate_spark.operators.tokenizer import bpe_encode, learn_bpe_merges
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    merges = learn_bpe_merges(docs, num_merges=80)
+    for r in bpe_encode(docs, merges).join(docs, "doc_id").collect():
+        words = [w for w in r["text"].split(" ") if w]
+        joined = "".join(r["bpe_tokens"])
+        assert joined == "".join(w + EOW for w in words), r["doc_id"]
+
+
+def test_bpe_truncation_and_unseen_words(spark, sf_dir):
+    """max_word_types truncation is the documented deterministic top-K:
+    learning on the truncated type table equals the reference learner fed
+    the same top-K slice; and a word the learner never saw still encodes
+    (chars stay base symbols)."""
+    from n2kupdate_spark.operators.tokenizer import (
+        _encode_word,
+        learn_bpe_merges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    wc = Counter()
+    for r in docs.collect():
+        for w in r["text"].split(" "):
+            if w:
+                wc[w] += 1
+    top = dict(
+        sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    )
+    merges = learn_bpe_merges(docs, num_merges=60, max_word_types=100)
+    assert merges == _ref_learn(top, 60)
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = _encode_word("zzqxunseen", ranks)
+    assert "".join(toks) == "zzqxunseen" + EOW
+
+
+def test_bpe_empty_and_degenerate(spark):
+    """Empty text -> zero tokens; single repeated char merges down to one
+    symbol via the greedy left-to-right rule."""
+    from n2kupdate_spark.operators.tokenizer import (
+        _learn_merges_from_types,
+        _merge_in_word,
+        bpe_encode,
+    )
+
+    assert _merge_in_word(("a", "a", "a"), ("a", "a"), "aa") == ("aa", "a")
+    merges = _learn_merges_from_types([("aa", 4)], 5, min_frequency=2)
+    # 'aa</w>': (a,a) ties (a,</w>)? pairs: (a,a)x1·4, (a,</w>)x1·4 — lex
+    # order puts (a,</w>) first ('<' < 'a').
+    assert merges[0] == ("a", EOW)
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "  "), (3, "ab")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+        for r in bpe_encode(df, [("a", "b")]).collect()
+    }
+    assert got[1] == ([], 0)
+    assert got[2] == ([], 0)
+    assert got[3] == (["ab", EOW], 2)
