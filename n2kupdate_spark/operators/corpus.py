@@ -1143,3 +1143,38 @@ def repetition_signals(
         passed = passed & (F.col(f"top{n}_char_frac") <= top_thresholds[n])
     passed = passed & (F.col(f"dup{dup_n}_char_frac") <= max_dup_frac)
     return out.withColumn("repetition_pass", passed.cast("int"))
+
+
+def shuffle_shards(
+    rows: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Content-addressed global training shuffle: every row gets a
+    ``shard`` in [0, n_shards) and a within-shard ``shuffle_key`` —
+    both pure functions of md5(seed || id), nothing else. This is the
+    final pre-training step (break source/time ordering so every
+    fixed-context batch is an unbiased corpus sample) done WITHOUT a
+    global sort or any RNG state: a 100 TB shuffle is one map to stamp
+    the columns plus one hash exchange to colocate shards; within-shard
+    order comes from sorting each shard partition locally on the key
+    (sortWithinPartitions — never a total order across the corpus).
+
+    Determinism is the point: the same (id, seed) lands in the same
+    shard at the same position on any cluster size, input partitioning,
+    engine, or retry — resumable and auditable where rand()-based
+    shuffles are none of these. Per-EPOCH reshuffling is ``seed``:
+    epoch's seed ⇒ a fresh independent permutation, reproducible
+    forever. The 32-bit md5 prefix keeps the modulo bias ≤ ~1e-6 (the
+    mixture_copy_counts analysis); the full digest as ``shuffle_key``
+    makes within-shard collisions (order nondeterminism) need ~2^64
+    rows per shard. Writers: ``df.repartition(n, "shard").
+    sortWithinPartitions("shard", "shuffle_key")`` then
+    ``partitionBy("shard")`` — hash collisions of shard→partition only
+    affect balance, never placement or order."""
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    return rows.select("*", shard.alias("shard"), h.alias("shuffle_key"))

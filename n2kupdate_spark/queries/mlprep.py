@@ -986,3 +986,30 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("overflow")).alias("n_overflow"),
         )
     )
+
+
+@register("corpus_shuffle_shards")  # rows-only (r9 capacity policy): the
+# md5-bucket arithmetic is already SQL-hash-verified via sample_hash_split;
+# the pytest pin proves the properties an agg oracle can't — assignment
+# invariance under input partitioning, hashlib byte-equality per row,
+# epoch-seed independence, balance — tests/test_mlprep_props.py
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle audited per shard: assign
+    every doc a content-addressed (shard, shuffle_key) at 16 shards and
+    report each shard's size and token mass — the balance view a
+    training job checks before consuming the shuffled corpus (a skewed
+    shard = a slow epoch tail). Map + one 16-group agg; the shuffle
+    itself never total-sorts — see operators/corpus.py::shuffle_shards."""
+    from n2kupdate_spark.operators.corpus import shuffle_shards
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    s = shuffle_shards(d, n_shards=16)
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+            F.min("shuffle_key").alias("first_key"),
+        )
+        .orderBy("shard")
+    )

@@ -562,3 +562,50 @@ def test_prepare_corpus_optin_gates_pinned(spark, sf_dir):
     assert int(got["n_docs"].sum()) < int(base["n_docs"].sum()), (
         "opt-in gates did not bite"
     )
+
+
+def test_shuffle_shards_pinned(spark, sf_dir):
+    """shuffle_shards: per-row hashlib byte-equality (shard AND key),
+    invariance under input partitioning, epoch-seed independence with
+    preserved balance, and every shard populated at corpus scale."""
+    import hashlib
+
+    from n2kupdate_spark.operators.corpus import shuffle_shards
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["shuffle_key"])
+        for r in shuffle_shards(d, 16).collect()
+    }
+    for doc_id, (shard, key) in got.items():
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        assert key == h, doc_id
+        assert shard == int(h[:8], 16) % 16, doc_id
+
+    # partitioning invariance: 1 partition vs 13 → identical assignment
+    again = {
+        r["doc_id"]: (r["shard"], r["shuffle_key"])
+        for r in shuffle_shards(d.repartition(13), 16).collect()
+    }
+    assert again == got
+
+    # every shard populated, none dominant (md5 uniformity at n=500+)
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in got.values())
+    assert len(sizes) == 16
+    assert max(sizes.values()) < 3 * min(sizes.values()), sizes
+
+    # epoch reshuffle: a different seed is a fresh permutation (most
+    # rows move shard) with the same per-row determinism
+    ep1 = {
+        r["doc_id"]: r["shard"]
+        for r in shuffle_shards(d, 16, seed="epoch1").collect()
+    }
+    moved = sum(1 for k in got if ep1[k] != got[k][0])
+    assert moved > len(got) // 2, moved
+    for doc_id, shard in ep1.items():
+        h = hashlib.md5(f"epoch1{doc_id}".encode()).hexdigest()
+        assert shard == int(h[:8], 16) % 16, doc_id
