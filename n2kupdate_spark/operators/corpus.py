@@ -1178,3 +1178,29 @@ def shuffle_shards(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
     ).cast("int")
     return rows.select("*", shard.alias("shard"), h.alias("shuffle_key"))
+
+
+def write_shuffled_shards(
+    rows: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> None:
+    """Materialize the shuffle: parquet partitioned by ``shard``, rows
+    inside every file in ``shuffle_key`` order. The recipe matters:
+    repartition on shard colocates each shard, sortWithinPartitions
+    (shard, key) then SATISFIES the partition-writer's required
+    ordering prefix, so FileFormatWriter performs no re-sort of its own
+    and the key order survives into the files — pinned by reading the
+    files back file-by-file in tests/test_mlprep_props.py. A training
+    reader streams shard dirs in file order and gets the deterministic
+    permutation; hash collisions shard→task only affect balance."""
+    (
+        shuffle_shards(rows, n_shards, id_col=id_col, seed=seed)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -609,3 +609,41 @@ def test_shuffle_shards_pinned(spark, sf_dir):
     for doc_id, shard in ep1.items():
         h = hashlib.md5(f"epoch1{doc_id}".encode()).hexdigest()
         assert shard == int(h[:8], 16) % 16, doc_id
+
+
+def test_write_shuffled_shards_layout(spark, sf_dir, tmp_path):
+    """The materialized shuffle: one dir per shard, every FILE internally
+    in shuffle_key order (the writer recipe must not let the dynamic-
+    partition writer re-sort away the key order), union of dirs == the
+    exact stamped assignment."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from n2kupdate_spark.operators.corpus import (
+        shuffle_shards,
+        write_shuffled_shards,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "shuffled")
+    write_shuffled_shards(d, out, n_shards=8)
+
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert [p.rsplit("=", 1)[1] for p in dirs] == [str(i) for i in range(8)]
+    seen = {}
+    for p in dirs:
+        shard = int(p.rsplit("=", 1)[1])
+        for f in glob.glob(f"{p}/*.parquet"):
+            t = pq.read_table(f, columns=["doc_id", "shuffle_key"])
+            keys = t.column("shuffle_key").to_pylist()
+            assert keys == sorted(keys), f  # in-file key order
+            for doc_id, k in zip(t.column("doc_id").to_pylist(), keys):
+                seen[doc_id] = (shard, k)
+    want = {
+        r["doc_id"]: (r["shard"], r["shuffle_key"])
+        for r in shuffle_shards(d, 8).collect()
+    }
+    assert seen == want
