@@ -217,3 +217,41 @@ def bpe_encode(
     return docs.select(id_col, *carry_cols, text_col).mapInPandas(
         _encode, schema=schema
     )
+
+
+def vocab_drift(
+    merges_a: list[tuple[str, str]], merges_b: list[tuple[str, str]]
+) -> list[tuple[str, int | None, int | None, str]]:
+    """Diff two learned merge tables (driver-side — both are bounded
+    artifacts): per subword, its rank in each vocabulary and a status —
+    ``added`` (B only), ``dropped`` (A only), ``shifted`` (both, rank
+    moved), ``stable``. This is the tokenizer-refit signal: a corpus
+    whose newly-learned vocabulary diverges from the shipped one is a
+    corpus the shipped tokenizer fragments (fertility regression), the
+    subword mirror of the embedding-drift codebook check
+    (operators/similarity.py::embedding_drift). Rows ordered by
+    coalesce(rank_b, rank_a) then subword — deterministic. Distinct
+    pairs can join to one string (("a","bc") and ("ab","c") both make
+    "abc"); the diff keys on the SUBWORD a consumer sees, keeping the
+    lowest (first-learned) rank."""
+    ra: dict[str, int] = {}
+    for i, (a, b) in enumerate(merges_a):
+        ra.setdefault(a + b, i)
+    rb: dict[str, int] = {}
+    for i, (a, b) in enumerate(merges_b):
+        rb.setdefault(a + b, i)
+    out = []
+    for m in set(ra) | set(rb):
+        ia, ib = ra.get(m), rb.get(m)
+        status = (
+            "added"
+            if ia is None
+            else "dropped"
+            if ib is None
+            else "shifted"
+            if ia != ib
+            else "stable"
+        )
+        out.append((m, ia, ib, status))
+    out.sort(key=lambda t: (t[2] if t[2] is not None else t[1], t[0]))
+    return out

@@ -130,3 +130,30 @@ def diag_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") % 5 == 0),
         n_cells=16,
     )
+
+
+@register("diag_vocab_drift")  # rows-only (r9 capacity policy): both
+# merge tables are pinned against the reference learner and the diff is
+# pinned by an independent dict recompute — tests/test_tokenizer.py
+def diag_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary drift between the established corpus
+    (doc_id below the midpoint — the shipped tokenizer's training slice)
+    and the full corpus including the newer half: which subword merges a
+    refit would add, drop, or re-rank. The operational question it
+    answers: is the shipped vocabulary still the one this corpus would
+    learn, or is fertility about to regress on the new data? Two
+    bounded type-table fits + a driver-side diff of two ≤num_merges
+    tables; corpus cost is two count shuffles regardless of scale."""
+    from n2kupdate_spark.operators.tokenizer import (
+        learn_bpe_merges,
+        vocab_drift,
+    )
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    mid = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    old = learn_bpe_merges(d.filter(F.col("doc_id") < mid), num_merges=150)
+    new = learn_bpe_merges(d, num_merges=150)
+    return spark.createDataFrame(
+        vocab_drift(old, new),
+        schema="merged string, rank_old int, rank_new int, status string",
+    )

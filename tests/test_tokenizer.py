@@ -187,3 +187,62 @@ def test_bpe_empty_and_degenerate(spark):
     assert got[1] == ([], 0)
     assert got[2] == ([], 0)
     assert got[3] == (["ab", EOW], 2)
+
+
+def test_vocab_drift_pinned(spark, sf_dir):
+    """diag_vocab_drift: every (rank_old, rank_new, status) recomputed
+    from two independent reference-learner runs; statuses must cover the
+    diff cases and the table must be exactly the union of both vocabs
+    keyed by subword (lowest rank wins on join-collisions)."""
+    from n2kupdate_spark.queries import QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = docs.collect()
+    # percentile_approx at 0.5 returns an actual doc_id; use the query's
+    # own midpoint expression instead of assuming a formula
+    from pyspark.sql import functions as F
+
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+
+    def counts(pred):
+        c = Counter()
+        for r in rows:
+            if pred(r["doc_id"]):
+                for w in r["text"].split(" "):
+                    if w:
+                        c[w] += 1
+        return dict(c)
+
+    old = _ref_learn(counts(lambda i: i < mid), 150)
+    new = _ref_learn(counts(lambda i: True), 150)
+    ra, rb = {}, {}
+    for i, (a, b) in enumerate(old):
+        ra.setdefault(a + b, i)
+    for i, (a, b) in enumerate(new):
+        rb.setdefault(a + b, i)
+    want = {}
+    for m in set(ra) | set(rb):
+        ia, ib = ra.get(m), rb.get(m)
+        want[m] = (
+            ia,
+            ib,
+            "added"
+            if ia is None
+            else "dropped"
+            if ib is None
+            else "shifted"
+            if ia != ib
+            else "stable",
+        )
+
+    got_rows = QUERIES["diag_vocab_drift"](spark, sf_dir).collect()
+    got = {
+        r["merged"]: (r["rank_old"], r["rank_new"], r["status"])
+        for r in got_rows
+    }
+    assert got == want
+    assert len(got_rows) == len(got)  # no duplicate subword rows
+    statuses = {r["status"] for r in got_rows}
+    assert "stable" in statuses and len(statuses) >= 2, statuses
