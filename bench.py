@@ -60,6 +60,9 @@ HEADLINE = [
     # r9 addition: the SemDeDup composition joins the radar (centroid fit +
     # map assignment + block-pair within-cluster pruning)
     "dedup_semantic_clusters",
+    # r9 late addition: the tokenizer family (bounded type-table BPE fit +
+    # broadcast-ranks Arrow encode)
+    "text_bpe_tokenize",
 ]
 
 

@@ -52,3 +52,21 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     past the 4-decimal rounding used in oracle-facing queries.
     """
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def norm_text(col: str | Column) -> Column:
+    """Canonical dedup-grade text normalization, fully JVM-side:
+    lowercase → non-alphanumerics to spaces → collapse runs → trim.
+    This is the standard preprocessing every published near-dup pipeline
+    applies before shingling (case/punctuation variants of one document
+    must hash identically); keeping it a codegen column expression means
+    normalizing 100 TB costs a scan, not a Python boundary.
+
+    Oracle parity: DuckDB mirror is ``TRIM(REGEXP_REPLACE(
+    REGEXP_REPLACE(LOWER(x), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))``
+    — DuckDB replaces FIRST match unless given the 'g' flag, Spark always
+    replaces all; the registered text_normalize query hash-verifies the
+    two engines' regex semantics agree on this battery."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(c, " +", " "))

@@ -1204,3 +1204,45 @@ def write_shuffled_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nfkc: bool = False,
+) -> DataFrame:
+    """Stamp ``norm_text``: the canonical form duplicate detection should
+    hash/shingle (case and punctuation variants of one document must
+    collide). Default path is pure JVM codegen
+    (functions/scalars.py::norm_text — lowercase, strip, collapse);
+    ``nfkc=True`` prepends Unicode NFKC compatibility normalization
+    (fullwidth forms, ligatures, composed accents) via an Arrow-batched
+    pandas_udf over stdlib ``unicodedata`` — the one step Spark has no
+    built-in for, deliberately OFF by default so ASCII corpora never pay
+    the Python boundary. Map-only either way; composes in front of any
+    dedup/fingerprint operator via its ``text_col`` parameter."""
+    from n2kupdate_spark.functions.scalars import norm_text
+
+    src = F.col(text_col)
+    if nfkc:
+        import pandas as pd  # noqa: F401 — pandas_udf resolves the hints
+        from pyspark.sql.functions import pandas_udf
+
+        # NOTE: the type hints must name module-global `pd` under
+        # `from __future__ import annotations`; resolved via the local
+        # import above being passed through the closure's globals by
+        # binding the hint objects eagerly (no string annotations here
+        # because this function object is built at call time).
+        def _nfkc_fn(s):
+            import unicodedata
+
+            return s.map(
+                lambda t: unicodedata.normalize("NFKC", t)
+                if t is not None
+                else None
+            )
+
+        _nfkc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        src = pandas_udf(_nfkc_fn, "string")(src)
+    return docs.withColumn("norm_text", norm_text(src))

@@ -62,8 +62,10 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
 #: instead (tests/test_parity.py, tests/test_sketch_accuracy.py,
 #: tests/test_ann_recall.py).
 _ROUND_WINDOW = [
-    # -- never driver-checked (born mid-r8) -------------------------------
+    # -- never driver-checked (born mid-r8 / mid-r9) ----------------------
     "corpus_gate_report",
+    "text_normalize",  # r9-born SQL op (slot claimed per §5.2 note);
+    # displaced the lightest filler (diag_key_skew, green r7, r10's MUST)
     # -- 41 ops whose freshest driver row is r06 (MUST at r9) -------------
     "array_basic",
     "embed_norm_stats",
@@ -114,7 +116,6 @@ _ROUND_WINDOW = [
     "corpus_prepare_pipeline",
     "dedup_incremental_resume",
     "diag_column_profile",
-    "diag_key_skew",
 ]
 
 

@@ -768,3 +768,50 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_chars") / F.col("n_bpe_tokens") * 10000, 0) / 10000
         ).alias("chars_per_token"),
     ).orderBy("doc_id")
+
+
+_NORM_SQL = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER({x}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "text_normalize",
+    oracle=f"""
+    SELECT p_partkey,
+           {_NORM_SQL.format(x="p_name || ' ' || p_brand || ' ' || p_type")}
+             AS norm_text,
+           CAST(LENGTH({_NORM_SQL.format(x="p_name || ' ' || p_brand || ' ' || p_type")}) AS INT)
+             AS n_norm_chars
+    FROM part
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-grade text normalization (the preprocessing every published
+    near-dup pipeline runs before shingling: case and punctuation
+    variants of one document must hash identically) — registered over
+    part's mixed-case/punctuated description strings (Brand#n, all-caps
+    types) so every row actually changes; the documents fixture is
+    born-normalized and would demonstrate nothing. SQL-oracle op BY
+    EXCEPTION to the r9 rows-only default (SURVEY §5.2 note): the value
+    here is cross-engine REGEX SEMANTICS parity (Java regex replace-all
+    vs DuckDB RE2 needing the 'g' flag — the text_pii_redact precedent),
+    which a python pin cannot prove. Pure codegen map, no shuffle; the
+    optional NFKC path (operators/corpus.py::normalize_text) is pinned
+    against stdlib unicodedata in tests/test_mlprep_props.py."""
+    from n2kupdate_spark.operators.corpus import normalize_text
+
+    p = load(
+        spark, sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_type"]
+    )
+    raw = F.concat_ws(" ", "p_name", "p_brand", "p_type")
+    return normalize_text(
+        p.select("p_partkey", raw.alias("raw_desc")),
+        id_col="p_partkey",
+        text_col="raw_desc",
+    ).select(
+        "p_partkey",
+        "norm_text",
+        F.length("norm_text").cast("int").alias("n_norm_chars"),
+    )

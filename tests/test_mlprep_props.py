@@ -647,3 +647,39 @@ def test_write_shuffled_shards_layout(spark, sf_dir, tmp_path):
         for r in shuffle_shards(d, 8).collect()
     }
     assert seen == want
+
+
+def test_normalize_text_nfkc_pinned(spark):
+    """The opt-in NFKC path: Arrow-batched stdlib unicodedata compat
+    normalization in front of the JVM fold — fullwidth forms, ligatures,
+    and composed accents must land exactly where a plain-python
+    NFKC→lower→strip→collapse pipeline puts them; None stays None-safe
+    (empty norm)."""
+    import re
+    import unicodedata
+
+    from n2kupdate_spark.operators.corpus import normalize_text
+
+    rows = [
+        (1, "ＦＵＬＬＷＩＤＴＨ １２３"),          # fullwidth letters+digits
+        (2, "ﬁne ﬂight ﬃ"),                     # latin ligatures
+        (3, "Café déjà-vu!!"),            # combining accent + composed
+        (4, "  Mixed   CASE,   punct... "),
+        (5, "①②③ Ⅷ ㎞"),                        # circled digits, roman, unit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["norm_text"]
+        for r in normalize_text(df, nfkc=True).collect()
+    }
+
+    def ref(t):
+        t = unicodedata.normalize("NFKC", t).lower()
+        t = re.sub("[^a-z0-9 ]", " ", t)
+        return re.sub(" +", " ", t).strip()
+
+    for doc_id, text in rows:
+        assert got[doc_id] == ref(text), (doc_id, got[doc_id], ref(text))
+    # the unicode actually moved: fullwidth digits became ascii
+    assert got[1] == "fullwidth 123"
+    assert got[2].startswith("fine flight")
