@@ -683,3 +683,31 @@ def test_normalize_text_nfkc_pinned(spark):
     # the unicode actually moved: fullwidth digits became ascii
     assert got[1] == "fullwidth 123"
     assert got[2].startswith("fine flight")
+
+
+def test_normalize_composes_with_exact_dedup(spark):
+    """The composition the operator exists for: case/punctuation variants
+    of one document must collapse to a single survivor once exact dedup
+    fingerprints norm_text instead of text."""
+    from pyspark.sql import Window
+
+    from n2kupdate_spark.operators.corpus import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox."),
+            (2, "the QUICK  brown fox"),
+            (3, "The quick, brown fox!!"),
+            (4, "an entirely different document"),
+        ],
+        "doc_id long, text string",
+    )
+    n = normalize_text(df)
+    w = Window.partitionBy(F.md5("norm_text")).orderBy("doc_id")
+    kept = sorted(
+        r["doc_id"]
+        for r in n.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert kept == [1, 4], kept
