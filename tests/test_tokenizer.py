@@ -246,3 +246,53 @@ def test_vocab_drift_pinned(spark, sf_dir):
     assert len(got_rows) == len(got)  # no duplicate subword rows
     statuses = {r["status"] for r in got_rows}
     assert "stable" in statuses and len(statuses) >= 2, statuses
+
+
+# ---------------------------------------------------- property (hypothesis)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+WORDS = st.dictionaries(
+    st.text(alphabet="abcde", min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=50),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(wc=WORDS, n=st.integers(min_value=0, max_value=40))
+@settings(max_examples=150, deadline=None)
+def test_bpe_incremental_equals_recount_property(wc, n):
+    """For ARBITRARY word-count tables the incremental learner must equal
+    the recount-from-scratch reference — merge list identical, including
+    stop behavior (min_frequency) and tie ordering."""
+    from n2kupdate_spark.operators.tokenizer import _learn_merges_from_types
+
+    rows = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert _learn_merges_from_types(rows, n, 2) == _ref_learn(wc, n)
+
+
+@given(wc=WORDS)
+@settings(max_examples=80, deadline=None)
+def test_bpe_training_words_reach_final_form_property(wc):
+    """The defining BPE property: encoding a TRAINING word with the full
+    learned merge list reproduces exactly the symbol sequence the
+    training loop left that word in (inference replays training)."""
+    from n2kupdate_spark.operators.tokenizer import (
+        _encode_word,
+        _learn_merges_from_types,
+        _merge_in_word,
+    )
+
+    rows = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    merges = _learn_merges_from_types(rows, 200, 2)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # replay training transformations per word
+    final = {}
+    for w in wc:
+        syms = tuple(list(w) + [EOW])
+        for p in merges:
+            syms = _merge_in_word(syms, p, p[0] + p[1])
+        final[w] = syms
+    for w in wc:
+        assert _encode_word(w, ranks) == final[w], w
