@@ -42,80 +42,69 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
     diagnostics,
 )
 
-#: The 50 query ids to place at the front of the registry this round —
-#: i.e. inside the driver's 50-entry correctness window. Round 9 is the
-#: rotation window_planner.py computed from the recorded CORRECTNESS
-#: files (judge r8 item 1, verbatim — the tightest rotation yet, 42/50
-#: mandatory): slot 1 is `corpus_gate_report` (born mid-r8 after the
-#: window was consumed — the only SQL-oracle op with no driver row ever),
-#: slots 2-42 are EVERY SQL-oracle op whose freshest driver row is r06 —
-#: exactly 2 rounds old at r8, so they MUST re-window now to hold the
-#: ≤2-round freshness invariant (the scalar/setop/text/stream-batch/udf
-#: families plus join_star_multiway, the three merge ops, the embed pair,
-#: sim_cosine_topk, csv/json sources, sample_hash_split/stratified,
-#: multimodal_doc_join, window_session_builtin). The remaining 8 slots
-#: are the heaviest r7-green fillers (they become r10's MUST set;
-#: re-confirming them now keeps the cadence math in SURVEY §5 balanced).
-#: Rows-only ops (source_orc, sketches, sha1, ANN, fuzzy dedup, and the
-#: r9-born dedup_semantic_clusters / corpus_semantic_prepare) stay out —
-#: they'd burn slots on `no_oracle` rows; all are value-pinned locally
-#: instead (tests/test_parity.py, tests/test_sketch_accuracy.py,
-#: tests/test_ann_recall.py).
+#: r10 window (planned by window_planner.py at round start, per the
+#: SURVEY §5.2 cadence): 43/50 slots are MANDATORY — the ops whose
+#: freshest driver row is r7 (the join/window/merge/setop-all/
+#: scalar-regex/bitwise families, the r7 corpus gates, diag_key_skew,
+#: multimodal_decode_stub, pack_sequences_greedy) hit the ≤2-round
+#: freshness edge this round. The remaining 7 slots are the heaviest
+#: r8-green fillers (agg_collect_sorted .. agg_percentile_exact),
+#: pre-confirming r11's MUST set. No never-checked ops exist at r10
+#: start; rows-only ops (sketches, sha1, ANN, fuzzy dedup, semantic
+#: dedup) stay out — they'd burn slots on `no_oracle` rows; all are
+#: value-pinned locally (tests/test_parity.py,
+#: tests/test_sketch_accuracy.py, tests/test_ann_recall.py).
 _ROUND_WINDOW = [
-    # -- never driver-checked (born mid-r8 / mid-r9) ----------------------
-    "corpus_gate_report",
-    "text_normalize",  # r9-born SQL op (slot claimed per §5.2 note);
-    # displaced the lightest filler (diag_key_skew, green r7, r10's MUST)
-    # -- 41 ops whose freshest driver row is r06 (MUST at r9) -------------
-    "array_basic",
-    "embed_norm_stats",
-    "embed_quantize_int8",
-    "join_star_multiway",
-    "json_extract_field",
-    "merge_insert_ignore",
-    "merge_scd2_asof",
-    "merge_set_replace",
-    "multimodal_doc_join",
-    "reshape_pivot",
-    "reshape_unpivot",
-    "sample_hash_split",
-    "sample_stratified",
-    "scalar_case_when",
-    "scalar_date",
-    "scalar_math",
-    "scalar_null_handling",
-    "scalar_string",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "setop_union_distinct",
-    "sim_cosine_topk",
-    "source_csv",
-    "source_json",
-    "stream_session_agg",
-    "stream_sliding_counts",
-    "stream_tumbling_counts",
-    "text_fingerprint_rolling",
-    "text_langid_ngram",
-    "text_quality_score",
-    "text_stats_per_source",
-    "text_tfidf_topk",
-    "text_token_count",
-    "text_tokenize_counts",
-    "text_top_terms_per_lang",
-    "udaf_grouped_pandas",
-    "udf_pandas_vectorized",
-    "udf_scalar_py",
-    "udtf_py",
-    "window_session_builtin",
-    # -- 8 heaviest r7-green fillers (r10's MUST set, pre-confirmed) ------
-    "agg_count_distinct",
-    "agg_grouping_cube",
-    "agg_grouping_rollup",
-    "array_hof_ops",
-    "corpus_prepare_pipeline",
-    "dedup_incremental_resume",
-    "diag_column_profile",
+    "diag_key_skew",
+    "events_anomaly_zscore",
+    "events_retention_cohorts",
+    "join_anti_new_rows",
+    "join_cross_small",
+    "join_full_outer_diff",
+    "join_interval_overlap",
+    "join_lateral_topn",
+    "join_left_outer",
+    "join_lookup_inner",
+    "join_semi_existing",
+    "join_skew_salted",
+    "join_theta_range",
+    "json_variant_agg",
+    "map_from_json",
+    "merge_scd1",
+    "merge_scd2_changes",
+    "merge_scd2_close",
+    "ml_split_leakage_audit",
+    "multimodal_decode_stub",
+    "pack_sequences_greedy",
+    "recursive_date_spine",
+    "sample_mixture_weights",
+    "scalar_bitwise",
+    "scalar_regex",
+    "scd2_window_rebuild",
+    "setop_except_all",
+    "setop_intersect_all",
+    "sink_partitioned_parquet",
+    "sort_multi_key",
+    "text_bigram_lm_score",
+    "text_decontaminate_ngram",
+    "text_feature_hashing",
+    "text_length_histogram",
+    "text_pii_redact",
+    "text_quality_gopher",
+    "topk_order_limit",
+    "ts_rollup_from_partials",
+    "window_lag_lead",
+    "window_ntile_pct",
+    "window_range_frame",
+    "window_running_sum",
+    "window_topn_per_group",
+    "agg_collect_sorted",
+    "agg_filtered_pivot",
+    "agg_group_sums",
+    "agg_having",
+    "agg_histogram_bins",
+    "agg_mode_per_group",
+    "agg_percentile_exact",
 ]
 
 
