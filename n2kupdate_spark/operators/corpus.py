@@ -879,17 +879,22 @@ def prepare_corpus(
         )
         exact = exact.join(F.broadcast(near), id_col, "left_anti")
     if quality_positive_col is not None:
-        kept = (
+        # left_anti on keep==0, NOT left_semi on keep==1 (r9 advice,
+        # low): quality_classifier_scores omits docs with zero non-empty
+        # tokens from its output, so a semi-join against the kept set
+        # would silently drop token-less docs the classifier never
+        # scored — the gate must only remove docs it scored as bad.
+        bad = (
             quality_classifier_scores(
                 exact.select(id_col, text_col, quality_positive_col),
                 quality_positive_col,
                 id_col=id_col,
                 text_col=text_col,
             )
-            .filter(F.col("keep") == 1)
+            .filter(F.col("keep") == 0)
             .select(id_col)
         )
-        exact = exact.join(kept, id_col, "left_semi")
+        exact = exact.join(bad, id_col, "left_anti")
     if trim_substring_k:
         from n2kupdate_spark.operators.dedup import duplicate_spans, remove_spans
 

@@ -51,9 +51,13 @@ def gram_array(text_col: str, n: int):
     """Column: the ORDERED (positioned, non-distinct) word n-gram array
     of a space-tokenized text column — element i is tokens[i..i+n).
     Built with the zip-of-shifted-slices trick (see word_shingles for
-    the HOF-CSE pitfall it avoids); empty when the doc has < n tokens."""
+    the HOF-CSE pitfall it avoids); empty when the doc has < n tokens.
+
+    greatest(…, 0) clamps the slice length: it goes negative for docs
+    with < n-1 tokens and ``slice()`` raises on negative lengths, which
+    would break the documented empty-array contract (r9 advice, low)."""
     w = F.split(F.col(text_col), " ")
-    n_grams = F.size(w) - (n - 1)
+    n_grams = F.greatest(F.size(w) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(
         *[F.slice(w, 1 + off, n_grams).alias(f"w{off}") for off in range(n)]
     )
@@ -69,9 +73,15 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     ``element_at`` lookups inside a lambda: expressions in a HOF lambda are
     re-evaluated per *element* (no common-subexpression elimination there),
     which made the original ``element_at(split(text), i+k)`` formulation
-    O(tokens²) per document — measured 10× slower at sf0.1."""
+    O(tokens²) per document — measured 10× slower at sf0.1.
+
+    greatest(…, 0) clamps the slice length even though short docs are
+    filtered out below: the filter sits ABOVE the projection in the plan,
+    so without the clamp a doc with < n-1 tokens evaluates slice() at a
+    negative length and raises before the filter can drop it (same latent
+    contract bug as gram_array, r9 advice)."""
     w = F.split(F.col(text_col), " ")
-    n_grams = F.size(w) - (n - 1)
+    n_grams = F.greatest(F.size(w) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(w, 1 + off, n_grams).alias(f"w{off}") for off in range(n)])
     grams = F.array_distinct(
         F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"w{off}"] for off in range(n)]))

@@ -946,10 +946,16 @@ def semantic_dedup_resume(
         batch = new_vectors.select(id_col, vec_col).withColumn(
             "cluster", best_cell(vec_col, cents)
         ).localCheckpoint(eager=True)  # cross, self-pairs and roll-forward
+        # Self-pair guard (r9 advice, high): batch and corpus ids are
+        # contractually disjoint, so probe_id == base_id can only mean a
+        # REPLAYED batch whose survivors already rolled into `kept` (crash
+        # between index roll and the consumer's commit). Without the
+        # filter every such survivor pairs with itself at cos=1.0 ≥ tau
+        # and the retried epoch publishes without its vector-bearing docs.
         cross = cross_cosine_by_group(
             batch, kept.select(id_col, "cluster", vec_col),
             "cluster", id_col, vec_col, tau=tau, block_rows=block_rows,
-        )
+        ).filter(F.col("probe_id") != F.col("base_id"))
         bb = pairwise_cosine_by_group(
             batch, "cluster", id_col, vec_col, tau=tau, block_rows=block_rows
         )

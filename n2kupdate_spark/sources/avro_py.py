@@ -251,7 +251,7 @@ def _avro_to_spark_type(schema) -> tuple[T.DataType, bool]:
         fields = []
         for f in schema["fields"]:
             dt, nullable = _avro_to_spark_type(f["type"])
-            fields.append(T.StructField(f["name"], dt, nullable or True))
+            fields.append(T.StructField(f["name"], dt, nullable))
         return T.StructType(fields), False
     if t == "array":
         dt, nl = _avro_to_spark_type(schema["items"])
@@ -377,18 +377,28 @@ def write_avro_local(df: DataFrame, path: str, block_records: int = 1000) -> int
 
 def write_avro(df: DataFrame, dir_path: str, block_records: int = 1000) -> int:
     """DISTRIBUTED Avro OCF writer for POSIX-visible paths: each task
-    streams its partition's Arrow batches into one ``part-<uuid>.avro``
-    (header once, one block per batch chunk) via plain file IO — on
+    streams its partition's Arrow batches into one part file (header
+    once, one block per batch chunk) via plain file IO — on
     local[/NFS]-visible storage every executor can write directly; object
     stores need the spark-avro jar (this is the honest jar-free trade,
     same as the reader's per-file parallelism). Pandas nulls (None/NaN)
     are written as the null union branch — a true float NaN therefore
     round-trips as null; route NaN-preserving data through parquet.
-    Returns the total row count (from a tiny (path, n) result set)."""
+    Returns the total row count (from a tiny (path, n) result set).
+
+    Task-commit protocol (r9 advice, medium): each task streams into a
+    DOT-temp file (``.part-...avro.<uuid>.tmp`` — invisible to Spark/
+    Hadoop file listing, so a killed task's truncated output is never
+    read) and atomically renames it to a DETERMINISTIC per-partition
+    final name (``part-<pid>.avro``) only on successful completion.
+    A retried or speculative task therefore overwrites — never
+    duplicates — its partition's part, and ``read_avro`` sees either the
+    complete file or nothing."""
     import os
     import uuid
 
     import pandas as pd
+    from pyspark import TaskContext
 
     schema = _spark_to_avro_schema(df.schema)
     cols = df.columns
@@ -396,13 +406,17 @@ def write_avro(df: DataFrame, dir_path: str, block_records: int = 1000) -> int:
     sync = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f"
 
     def write_partition(batches):
-        f, n_total, fname = None, 0, None
+        f, n_total, fname, tmpname = None, 0, None, None
         for pdf in batches:
             pdf = pdf.where(pd.notnull(pdf), None)
             recs = pdf.to_dict("records")
             if f is None:
-                fname = os.path.join(dir_path, f"part-{uuid.uuid4().hex}.avro")
-                f = open(fname, "wb")
+                pid = TaskContext.get().partitionId()
+                fname = os.path.join(dir_path, f"part-{pid:05d}.avro")
+                tmpname = os.path.join(
+                    dir_path, f".part-{pid:05d}.avro.{uuid.uuid4().hex}.tmp"
+                )
+                f = open(tmpname, "wb")
                 f.write(MAGIC)
                 head = io.BytesIO()
                 meta = {
@@ -426,6 +440,7 @@ def write_avro(df: DataFrame, dir_path: str, block_records: int = 1000) -> int:
             n_total += len(recs)
         if f is not None:
             f.close()
+            os.replace(tmpname, fname)  # atomic commit point
             yield pd.DataFrame({"path": [fname], "n": [n_total]})
 
     out = df.mapInPandas(write_partition, schema="path string, n long")

@@ -464,3 +464,61 @@ def test_embedding_drift_profile_pinned(spark):
     for cell in want:
         for gi, wi in zip(got[cell], want[cell]):
             assert abs(gi - wi) < 2e-4, (cell, got[cell], want[cell])
+
+
+def test_semantic_resume_replayed_batch_matches_first_run(spark, tmp_path):
+    """Self-pair guard (r9 advice, high): a REPLAYED batch — one whose
+    survivors already rolled into the index's kept table because the
+    consumer crashed between the index roll-forward and its own commit —
+    must resume to the SAME drop set as the first run. Without the
+    probe_id != base_id filter in semantic_dedup_resume every surviving
+    batch vector pairs with itself in kept at cos=1.0 ≥ tau and the whole
+    batch drops; with it, survivors' only same-id pairs are filtered as
+    replay artifacts (batch and corpus ids are contractually disjoint, so
+    a same-id cross pair can only be a replay) and keep-lowest guarantees
+    no OTHER kept neighbor sits within tau. The re-roll stays
+    content-idempotent (v3 kept ≡ v2 kept)."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.dedup import _load_index, index_versions
+    from n2kupdate_spark.operators.similarity import (
+        _SEM_INDEX_TABLES,
+        persist_semantic_index,
+        semantic_dedup_resume,
+    )
+    from n2kupdate_spark.sources import load
+
+    tau = 0.3
+    idx = str(tmp_path / "sem_index")
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base, batch = e.filter(F.col("vec_id") < 250), e.filter(F.col("vec_id") >= 250)
+
+    persist_semantic_index(base, idx, n_cells=16, tau=tau)
+    first = {
+        r["drop_id"]: (r["rep_id"], r["cluster"], r["cos_sim"])
+        for r in semantic_dedup_resume(
+            batch, idx, tau=tau, update_index_path=idx
+        ).collect()
+    }
+    assert first, "fixture batch must collide with the base at tau=0.3"
+    n_batch = batch.count()
+    assert len(first) < n_batch, "fixture batch must have survivors"
+    _, _, kept2 = _load_index(spark, idx, 2, tables=_SEM_INDEX_TABLES)
+    kept2_ids = {r["vec_id"] for r in kept2.collect()}
+
+    # replay the FULL batch against the already-rolled index
+    replay = {
+        r["drop_id"]: (r["rep_id"], r["cluster"], r["cos_sim"])
+        for r in semantic_dedup_resume(
+            batch, idx, tau=tau, update_index_path=idx
+        ).collect()
+    }
+    assert replay == first, (
+        f"replay drops diverged: extra={set(replay) - set(first)}, "
+        f"missing={set(first) - set(replay)}"
+    )
+    assert index_versions(spark, idx) == [1, 2, 3]
+    _, _, kept3 = _load_index(spark, idx, 3, tables=_SEM_INDEX_TABLES)
+    assert {r["vec_id"] for r in kept3.collect()} == kept2_ids

@@ -529,14 +529,16 @@ def test_prepare_corpus_optin_gates_pinned(spark, sf_dir):
         .select("doc_id")
     )
     exact = exact.join(near, "doc_id", "left_anti")
-    kept = (
+    # anti-join on keep==0, mirroring the r10 fix: the classifier never
+    # scores token-less docs, so the gate may only REMOVE scored-bad ids
+    bad = (
         quality_classifier_scores(
             exact.select("doc_id", "text", "__pos"), "__pos"
         )
-        .filter(F.col("keep") == 1)
+        .filter(F.col("keep") == 0)
         .select("doc_id")
     )
-    exact = exact.join(kept, "doc_id", "left_semi")
+    exact = exact.join(bad, "doc_id", "left_anti")
     mixed = apply_mixture(
         exact.select(
             "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
@@ -711,3 +713,50 @@ def test_normalize_composes_with_exact_dedup(spark):
         .collect()
     )
     assert kept == [1, 4], kept
+
+
+def test_quality_gate_keeps_tokenless_docs(spark):
+    """r9 advice (low): quality_classifier_scores never scores docs with
+    zero non-empty tokens (they have no feature rows), so prepare_corpus's
+    quality stage must ANTI-join on scored-bad ids rather than semi-join
+    on scored-good ids — a token-less doc that passed every other gate
+    (here: Gopher thresholds relaxed to admit it) must survive the
+    quality gate exactly as it does on the default path.
+
+    The fixture doc is a single space, not "": split(" ") yields two
+    EMPTY tokens, which is enough bigram mass to get a gopher_metrics
+    row (docs with <2 split-tokens are absent from it by documented
+    contract, on every path) while still carrying zero non-empty tokens
+    — exactly the class the classifier never scores."""
+    from n2kupdate_spark.operators.corpus import prepare_corpus
+
+    rows = [
+        (1, "s1", "the cat sat of the mat and stretched out in the warm sun", True),
+        (2, "s1", "a dog ran to the park and is barking in the cold rain", True),
+        (3, "s1", "the bird flew of the nest and is singing in the tall tree", True),
+        (4, "s2", "zzz qqq www eee rrr ttt yyy uuu of the and is in aaa bbb", False),
+        (5, "s2", "mmm nnn ooo ppp qqq rrr sss of the and is in ttt uuu", False),
+        (6, "s2", "vvv www xxx yyy zzz aaa bbb of the and is in ccc ddd", False),
+        (99, "szero", " ", False),  # token-less: no feature rows, never scored
+    ]
+    train = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, __pos boolean"
+    )
+    evald = spark.createDataFrame(
+        [(1000, "unrelated holdout sentence nothing shared here")],
+        "doc_id long, text string",
+    )
+    relaxed = dict(
+        min_words=0, min_mean_word_len=0.0, max_mean_word_len=1e9,
+        min_stop_hits=0, max_top_bigram_frac=1.0,
+    )
+    kwargs = dict(
+        eval_docs=evald, weights={}, default_weight=1.0, seq_budget=512,
+        gopher_kwargs=relaxed,
+    )
+    base = prepare_corpus(train, **kwargs).toPandas()
+    gated = prepare_corpus(train, quality_positive_col="__pos", **kwargs).toPandas()
+    assert "szero" in set(base["source"]), "fixture: doc 99 must pass the gates"
+    assert "szero" in set(gated["source"]), (
+        "token-less doc silently dropped by the quality stage"
+    )

@@ -375,8 +375,9 @@ def test_no_query_plan_has_scale_red_flags(spark, sf_dir):
     # Composed multi-pipeline plans legitimately exceed the per-OPERATOR
     # exchange budget: the eval harnesses chain 2 ANN variants + comparison
     # joins, and corpus_prepare_pipeline chains five registered gates
-    # (quality, decontamination, dedup, mixture, packing — 6 exchanges,
-    # each individually audited in PLANS.md under its own operator id).
+    # (quality, decontamination, dedup, mixture, packing — 8 exchanges
+    # per PLANS.md, each individually audited there under its own
+    # operator id).
     ALLOWED_MANY_EXCHANGES = {
         "sim_ann_recall_eval",
         "dedup_minhash_est_eval",

@@ -935,3 +935,107 @@ def test_stream_corpus_publish_semantic_gate(spark, sf_dir):
     } == got
 
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_corpus_publish_retry_after_crash_between_roll_and_flip(
+    spark, sf_dir
+):
+    """Crash-injection at the one boundary the epoch-id sink protocol
+    cannot cover alone (r9 advice, high): the semantic index rolls
+    forward BEFORE the manifest flip, so a crash in between leaves the
+    retried epoch's survivors already sitting in the index's kept table.
+    The retry re-runs the semantic stage against that rolled index —
+    without semantic_dedup_resume's self-pair guard every vector-bearing
+    survivor pairs with itself at cos=1.0 and the epoch publishes
+    WITHOUT them. This test simulates the crash (manual gate + resume
+    with no manifest flip), retries via a fresh-checkpoint replay, and
+    asserts the published table still equals the batch-mode composition
+    — vector-bearing survivors included — and the re-roll stayed
+    content-idempotent."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from n2kupdate_spark.operators.corpus import gate_documents
+    from n2kupdate_spark.operators.dedup import _load_index, index_versions
+    from n2kupdate_spark.operators.similarity import (
+        _SEM_INDEX_TABLES,
+        semantic_dedup_resume,
+    )
+    from n2kupdate_spark.sources.maintenance import manifest_versions, read_manifest
+    from n2kupdate_spark.streaming import documents_file_stream, stream_corpus_publish
+
+    work = tempfile.mkdtemp(prefix="n2k_sem_crash_")
+    src, out, idx = f"{work}/src", f"{work}/out", f"{work}/idx"
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    b1 = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 97 != 0))
+    b2 = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 97 != 0))
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    os.makedirs(src, exist_ok=True)
+    tmp = f"{work}/tmp1"
+    b1.coalesce(1).write.parquet(tmp)
+    shutil.move(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/b1.parquet")
+
+    # epoch 0 (b1) seeds the index and publishes manifest v1
+    q = stream_corpus_publish(
+        documents_file_stream(spark, src, max_files_per_trigger=1),
+        ev, out, f"{work}/ckpt1",
+        vectors=vecs, semantic_index_path=idx, semantic_tau=0.3,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    assert manifest_versions(spark, out) == [1]
+    assert index_versions(spark, idx) == [1]
+
+    # --- simulated crash: b2's epoch rolls the index, then dies before
+    # the manifest flip (exactly what _commit does up to the flip) -----
+    g2 = gate_documents(b2, ev)
+    bv2 = vecs.join(
+        g2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    d2 = {r["drop_id"] for r in semantic_dedup_resume(
+        bv2, idx, tau=0.3, update_index_path=idx
+    ).collect()}
+    assert index_versions(spark, idx) == [1, 2]  # rolled…
+    assert manifest_versions(spark, out) == [1]  # …but never flipped
+    want2 = {r["doc_id"] for r in g2.collect()} - d2
+    surv_vec = {r["vec_id"] for r in bv2.collect()} - d2
+    assert d2 and surv_vec, (
+        "fixture must drop some batch-2 vectors AND keep some — the kept "
+        "vector-bearing docs are exactly what the self-pair bug loses"
+    )
+    _, _, kept2 = _load_index(spark, idx, 2, tables=_SEM_INDEX_TABLES)
+    kept2_ids = {r["vec_id"] for r in kept2.collect()}
+
+    # --- retry: b2 lands; fresh-checkpoint replay skips epoch 0 (already
+    # committed) and re-runs b2's epoch against the ROLLED index --------
+    tmp = f"{work}/tmp2"
+    b2.coalesce(1).write.parquet(tmp)
+    shutil.move(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/b2.parquet")
+    q2 = stream_corpus_publish(
+        documents_file_stream(spark, src, max_files_per_trigger=1),
+        ev, out, f"{work}/ckpt2",
+        vectors=vecs, semantic_index_path=idx, semantic_tau=0.3,
+    )
+    q2.awaitTermination(180)
+    assert q2.exception() is None, q2.exception()
+
+    assert manifest_versions(spark, out) == [1, 2]
+    got = {r["doc_id"] for r in read_manifest(spark, out).select("doc_id").collect()}
+    want1 = {r["doc_id"] for r in read_manifest(spark, out).filter(
+        F.input_file_name().contains("batch-epoch-0000000000")
+    ).select("doc_id").collect()}
+    assert got == want1 | want2
+    assert surv_vec <= got, (
+        f"vector-bearing survivors lost on retry: {sorted(surv_vec - got)[:10]}"
+    )
+    # re-roll is content-idempotent: v3 kept ≡ v2 kept
+    assert index_versions(spark, idx) == [1, 2, 3]
+    _, _, kept3 = _load_index(spark, idx, 3, tables=_SEM_INDEX_TABLES)
+    assert {r["vec_id"] for r in kept3.collect()} == kept2_ids
+
+    shutil.rmtree(work, ignore_errors=True)
