@@ -721,6 +721,61 @@ def pack_sequences_bestfit(
     )
 
 
+def pack_sequences_bpe(
+    docs: DataFrame,
+    budget: int = 512,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_docs: int = 4096,
+    merges: list[tuple[str, str]] | None = None,
+    num_merges: int = 200,
+    max_word_types: int = 50_000,
+) -> DataFrame:
+    """Tokenizer-aware no-split packing: budget bins in LEARNED BPE
+    tokens, not whitespace tokens. :func:`pack_sequences_bestfit` packs
+    whatever count column it is handed; handing it the whitespace proxy
+    systematically under-budgets rare-word-heavy docs (subword fertility
+    >1 exactly where whitespace counting is blindest), so a 512-"token"
+    bin can overflow the real model context. This composition closes the
+    loop: learn merges (or take a caller-supplied list — production
+    reuses the frozen tokenizer, so packing N corpora costs ONE learn),
+    encode every doc map-only with broadcast ranks
+    (:func:`~n2kupdate_spark.operators.tokenizer.bpe_encode`, the group
+    column riding through ``carry_cols`` so no post-encode join), and
+    best-fit-decreasing pack on ``n_bpe_tokens``.
+
+    Scale shape is the sum of its audited parts: one bounded word-type
+    shuffle for the learn (skipped when ``merges`` is given), a
+    shuffle-free Arrow encode whose cost follows distinct words per
+    batch, and the per-(group, chunk) BFD window — nothing new is added
+    by the composition. Emits (``id_col``, ``group_col``,
+    ``n_bpe_tokens``, ``seq_id``, ``overflow``); pinned against the
+    independent python learn→encode→BFD chain in
+    tests/test_tokenizer.py::test_pack_sequences_bpe_pinned."""
+    from n2kupdate_spark.operators.tokenizer import bpe_encode, learn_bpe_merges
+
+    if merges is None:
+        merges = learn_bpe_merges(
+            docs, num_merges, text_col=text_col, max_word_types=max_word_types
+        )
+    enc = bpe_encode(
+        docs.select(id_col, group_col, text_col),
+        merges,
+        id_col=id_col,
+        text_col=text_col,
+        carry_cols=(group_col,),
+    ).select(id_col, group_col, "n_bpe_tokens")
+    return pack_sequences_bestfit(
+        enc,
+        budget=budget,
+        group_col=group_col,
+        id_col=id_col,
+        token_col="n_bpe_tokens",
+        chunk_docs=chunk_docs,
+    )
+
+
 def gate_documents(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -52,6 +52,8 @@ OPS = [
     "text_quality_classifier",  # bounded LR fit + broadcast-weight scoring
     "sample_dsir_weights",      # 256-row distribution collects + ratio scoring
     "text_bpe_tokenize",        # bounded type-table fit + broadcast-ranks map encode
+    # round-10 additions
+    "pack_sequences_bpe",       # bounded learn + map encode + chunk-bounded BFD
 ]
 
 

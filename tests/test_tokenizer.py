@@ -296,3 +296,91 @@ def test_bpe_training_words_reach_final_form_property(wc):
         final[w] = syms
     for w in wc:
         assert _encode_word(w, ranks) == final[w], w
+
+
+def test_pack_sequences_bpe_pinned(spark, sf_dir):
+    """Tokenizer-aware packing pin (r10): the composed operator's full
+    placement map must equal the independent python chain — reference
+    BPE learn (recount-from-scratch) → reference encode (per-doc token
+    counts) → reference BFD per (source, chunk) with the operator's
+    exact chunking and tie rules — at a tiny chunk_docs too, and every
+    realized bin must respect the budget in BPE tokens. The registered
+    query's per-source summary must be the exact arithmetic of that map
+    (192-token bins, whitespace totals included for the fertility gap)."""
+    from n2kupdate_spark.operators.corpus import pack_sequences_bpe as pbpe
+    from n2kupdate_spark.operators.tokenizer import learn_bpe_merges
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    budget, num_merges = 192, 200
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    rows = d.collect()
+
+    # independent chain: learn (reference), count (reference encode)
+    wc = Counter(w for r in rows for w in r["text"].split(" ") if w)
+    ref_merges = _ref_learn(dict(wc), num_merges)
+    assert learn_bpe_merges(d, num_merges) == ref_merges, "learn diverged"
+    ranks = {p: i for i, p in enumerate(ref_merges)}
+    word_len = {w: len(_ref_encode_word(w, ranks)) for w in wc}
+    ref_counts = {
+        r["doc_id"]: sum(word_len[w] for w in r["text"].split(" ") if w)
+        for r in rows
+    }
+    src_of = {r["doc_id"]: r["source"] for r in rows}
+
+    from tests.test_mlprep_props import _bfd_reference
+
+    for chunk_docs in (4096, 8):
+        got = {
+            r["doc_id"]: (r["source"], r["n_bpe_tokens"], r["seq_id"], r["overflow"])
+            for r in pbpe(
+                d,
+                budget=budget,
+                group_col="source",
+                chunk_docs=chunk_docs,
+                merges=ref_merges,
+            ).collect()
+        }
+        assert len(got) == len(rows)
+        by_src: dict[str, list] = {}
+        for did, n in ref_counts.items():
+            by_src.setdefault(src_of[did], []).append((did, n))
+        want = {}
+        for src, items in by_src.items():
+            ordered = sorted(items, key=lambda t_: (-t_[1], t_[0]))
+            for ci in range(0, len(ordered), chunk_docs):
+                chunk = ci // chunk_docs
+                ref = _bfd_reference(ordered[ci : ci + chunk_docs], budget)
+                for did, (b, ov) in ref.items():
+                    want[did] = (src, chunk * chunk_docs + b, ov)
+        for did, (src, toks, seq, ov) in got.items():
+            assert toks == ref_counts[did], (did, toks, ref_counts[did])
+            assert want[did] == (src, seq, ov), (did, got[did], want[did])
+        fills: dict[tuple, int] = {}
+        for did, (src, toks, seq, ov) in got.items():
+            if not ov:
+                fills[(src, seq)] = fills.get((src, seq), 0) + toks
+        assert fills and all(v <= budget for v in fills.values())
+
+    # registered query summary = arithmetic over the chunk_docs=4096 map
+    ws_tot: dict[str, int] = {}
+    for r in rows:
+        ws_tot[r["source"]] = ws_tot.get(r["source"], 0) + len(
+            r["text"].split(" ")
+        )
+    summary = {
+        r["source"]: (
+            r["n_docs"], r["n_seqs"], r["total_bpe_tokens"],
+            r["total_ws_tokens"], r["fill_ratio"], r["n_overflow"],
+        )
+        for r in QUERIES["pack_sequences_bpe"](spark, sf_dir).collect()
+    }
+    for src, items in by_src.items():
+        ref = _bfd_reference(sorted(items, key=lambda t_: (-t_[1], t_[0])), budget)
+        n_seqs = len({b for b, _ in ref.values()})
+        tot = sum(tk for _, tk in items)
+        exp_fill = round(tot / (n_seqs * budget) * 10000) / 10000
+        n_over = sum(1 for _, ov in ref.values() if ov)
+        assert summary[src] == (
+            len(items), n_seqs, tot, ws_tot[src], exp_fill, n_over
+        ), (src, summary[src])
