@@ -210,6 +210,31 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, "vec_id", "v", n_cells=16, tau=0.3)
 
 
+@register("dedup_semantic_pq")  # rows-only debut (§5.2 capacity policy):
+# quantization layout is engine-specific; drop set pinned ≡ the float
+# path's in tests/test_ann_recall.py
+def dedup_semantic_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with product-quantized pair generation — the 100 TB
+    memory path of dedup_semantic_clusters (VERDICT r9 item 5): the
+    replicated within-cluster block-pair shuffle carries m=32 PQ codes
+    instead of 64 float doubles per vector (4× here; 24× on 768-dim
+    production embeddings), candidates shortlist
+    via the SDC lookup table at tau − margin, and the exact float
+    re-rank (a join sized by candidate mass, not corpus) applies the
+    true tau — so the output CONTRACT is identical to the float path,
+    and the pin test requires exact kept/dropped equality at fixture
+    scale. Same deterministic fits (seeded centroids + sub-codebooks,
+    id tiebreaks). operators/similarity.py::semantic_dedup(codes=True)
+    has the full scale story; probe_semantic_pq_10x.py records the
+    wall/memory trade."""
+    from n2kupdate_spark.operators.similarity import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return semantic_dedup(e, "vec_id", "v", n_cells=16, tau=0.3, codes=True)
+
+
 _sem_index_cache: dict = {}
 
 

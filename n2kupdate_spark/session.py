@@ -48,8 +48,13 @@ def get_spark(
     app_name: str = "n2kupdate-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict | None = None,
 ) -> SparkSession:
-    """Build (or reuse) a SparkSession tuned for this engine."""
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``extra_confs`` overlays create-time configs (probes use it to turn
+    the UI back on for REST metric scrapes); it only takes effect when
+    this call actually creates the JVM."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     builder = (
@@ -69,6 +74,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return tune(spark)

@@ -180,6 +180,36 @@ def test_semantic_dedup_kept_dropped_set_pinned(spark):
     assert rerun == got
 
 
+def test_semantic_dedup_pq_equals_float_path(spark):
+    """Pin for the rows-only dedup_semantic_pq query (VERDICT r9 item 5):
+    the PQ codes path — SDC-shortlisted candidates at tau − margin,
+    exact float re-rank — must produce the EXACT kept/dropped set of the
+    float path, row for row (drop_id, rep_id, cluster, cos_sim). The
+    fixture's max SDC error over true pairs is 0.095 at m=32 (measured;
+    operators/similarity.py::semantic_dedup docstring), strictly inside
+    the 0.12 margin, so no true pair escapes the shortlist and the
+    exact re-rank makes the rest byte-identical. Also pins determinism
+    across reruns (seeded codebook fit + id tiebreaks)."""
+    flt = {
+        r["drop_id"]: (r["rep_id"], r["cluster"], r["cos_sim"])
+        for r in QUERIES["dedup_semantic_clusters"](spark, SF).collect()
+    }
+    pq = {
+        r["drop_id"]: (r["rep_id"], r["cluster"], r["cos_sim"])
+        for r in QUERIES["dedup_semantic_pq"](spark, SF).collect()
+    }
+    assert flt, "no drops at sf0.001 — fixture has near-dups at cos≥0.3"
+    assert pq == flt, (
+        f"PQ/float drop-set mismatch: extra={set(pq) - set(flt)}, "
+        f"missing={set(flt) - set(pq)}"
+    )
+    rerun = {
+        r["drop_id"]: (r["rep_id"], r["cluster"], r["cos_sim"])
+        for r in QUERIES["dedup_semantic_pq"](spark, SF).collect()
+    }
+    assert rerun == pq
+
+
 def test_corpus_semantic_prepare_composition_pinned(spark):
     """Pin for the rows-only corpus_semantic_prepare composite: the
     per-source summary must equal the python-set composition of its two
