@@ -415,6 +415,35 @@ def pq_encode(vc: str, codebooks: np.ndarray):
     return enc(F.col(vc))
 
 
+def pq_encode_residual(vc: str, codebooks: np.ndarray):
+    """PQ encoding PLUS the per-vector quantization residual
+    e = ‖u − reconstruction(u)‖₂ (struct<codes, e>). The residual is the
+    key to PROVABLY-lossless candidate generation: for unit vectors,
+    |u·v − r_u·r_v| ≤ e_u + e_v + e_u·e_v (Cauchy–Schwarz on the two
+    substitution steps), so a scorer that keeps SDC ≥ tau − that bound
+    can never miss a true pair — no tuned margin, exactness guaranteed
+    at any scale, with per-pair adaptivity (well-quantized pairs get
+    tight thresholds). Costs one extra double per vector."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = codebooks.copy()
+    m, ksub, dsub = B.shape
+
+    @pandas_udf("struct<codes: array<int>, e: double>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        res2 = np.zeros(len(V))
+        for j in range(m):
+            X = V[:, j * dsub:(j + 1) * dsub]
+            d2 = ((X[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+            res2 += d2.min(axis=1)
+        return pd.DataFrame({"codes": list(codes), "e": np.sqrt(res2)})
+
+    return enc(F.col(vc))
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -669,9 +698,11 @@ def pq_pair_candidates_by_group(
     id_col: str,
     codes_col: str,
     codebooks: np.ndarray,
-    threshold: float,
+    tau: float,
+    margin: float | None,
     block: int = 2048,
     block_rows: int = 4096,
+    e_col: str | None = None,
 ) -> DataFrame:
     """Within-group candidate pairs (id1 < id2) whose SDC-approximate
     cosine ≥ ``threshold``, generated from PQ CODES only — the
@@ -696,20 +727,45 @@ def pq_pair_candidates_by_group(
     bucket-pair key rides along so the exact re-rank can cogroup each
     candidate with its endpoints' float rows in the SAME layout
     (:func:`_rerank_candidates_cogrouped`) instead of paying two
-    full-vector joins over the candidate mass."""
+    full-vector joins over the candidate mass.
+
+    Thresholding has two modes. FIXED (``margin`` a float): keep
+    SDC ≥ tau − margin — fast, probabilistic (a pair whose quantization
+    error exceeds the margin is silently missed; choose margin from a
+    measured error profile). ADAPTIVE (``margin=None``, requires
+    ``e_col`` = per-vector residuals from :func:`pq_encode_residual`):
+    keep SDC ≥ tau − (e_i + e_j + e_i·e_j), the provable error bound —
+    NO true pair can be missed at any scale, at the cost of a candidate
+    band that widens with quantization error (degenerate on noise-floor
+    fixtures, tight on real clustered embeddings)."""
     m, ksub, dsub = codebooks.shape
     B = codebooks
+    payload = [codes_col] + ([e_col] if margin is None else [])
+    if margin is None and e_col is None:
+        raise ValueError("adaptive thresholding (margin=None) requires e_col")
     exploded = _explode_incident_bucket_pairs(
-        df, group_col, id_col, [codes_col], block_rows
+        df, group_col, id_col, payload, block_rows
     )
 
-    def _decode(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-        """Codes → centroid reconstructions: (n, m·dsub) float64."""
+    def _decode(pdf: pd.DataFrame):
+        """Codes → centroid reconstructions (n, m·dsub), ids, residuals."""
         C = np.stack(pdf[codes_col].to_numpy()).astype(np.int64)
         R = np.empty((len(C), m * dsub))
         for j in range(m):
             R[:, j * dsub:(j + 1) * dsub] = B[j][C[:, j]]
-        return R, pdf[id_col].to_numpy()
+        e = (
+            pdf[e_col].to_numpy().astype(np.float64)
+            if margin is None
+            else None
+        )
+        return R, pdf[id_col].to_numpy(), e
+
+    def _keep(S, ea, eb):
+        """Row/col indices passing the mode's threshold."""
+        if margin is not None:
+            return np.nonzero(S >= tau - margin)
+        bound = ea[:, None] + eb[None, :] + np.outer(ea, eb)
+        return np.nonzero(S >= tau - bound)
 
     def score_block_pair(key, pdf):
         # candidate mass can dwarf the true-pair mass (the whole point of
@@ -721,11 +777,13 @@ def pq_pair_candidates_by_group(
             sub = pdf.sort_values(id_col).reset_index(drop=True)
             n = len(sub)
             if n >= 2:
-                R, ids = _decode(sub)
+                R, ids, e = _decode(sub)
                 for lo in range(0, n, block):
                     hi = min(lo + block, n)
                     S = R[lo:hi] @ R.T
-                    rs, cs = np.nonzero(S >= threshold)
+                    rs, cs = _keep(
+                        S, e[lo:hi] if e is not None else None, e
+                    )
                     upper = cs > rs + lo  # strict i<j half, ids sorted
                     rs, cs = rs[upper], cs[upper]
                     if len(rs):
@@ -736,12 +794,14 @@ def pq_pair_candidates_by_group(
             A = pdf[pdf["__bk"] == bi]
             Bb = pdf[pdf["__bk"] == bj]
             if len(A) and len(Bb):
-                RA, ida = _decode(A.reset_index(drop=True))
-                RB, idb = _decode(Bb.reset_index(drop=True))
+                RA, ida, ea = _decode(A.reset_index(drop=True))
+                RB, idb, eb = _decode(Bb.reset_index(drop=True))
                 for lo in range(0, len(RA), block):
                     hi = min(lo + block, len(RA))
                     S = RA[lo:hi] @ RB.T
-                    rs, cs = np.nonzero(S >= threshold)
+                    rs, cs = _keep(
+                        S, ea[lo:hi] if ea is not None else None, eb
+                    )
                     if len(rs):
                         a_ids = ida[rs + lo]
                         b_ids = idb[cs]
@@ -847,7 +907,7 @@ def semantic_dedup(
     codes: bool = False,
     pq_m: int = 32,
     pq_ksub: int = 64,
-    pq_margin: float = 0.12,
+    pq_margin: float | None = 0.12,
     pq_seed: int = 13,
     pq_seed_sample: int = 512,
 ) -> DataFrame:
@@ -891,7 +951,13 @@ def semantic_dedup(
     wider margin costs shortlist mass, not correctness, because the
     re-rank is exact; quantization error beyond ``pq_margin`` can drop
     a true pair (none at fixture scale — the pin test requires exact
-    kept/dropped equality with the float path).
+    kept/dropped equality with the float path). ``pq_margin=None``
+    switches to the PROVABLE per-pair threshold tau − (e_i + e_j +
+    e_i·e_j) from the stored quantization residuals
+    (:func:`pq_encode_residual`): no true pair can be missed at any
+    scale, at the cost of a candidate band that widens with
+    quantization error — the right mode when exactness must be
+    guaranteed rather than measured.
 
     An EMPTY vector set returns an empty drop set (schema intact) — an
     upstream gate legitimately empties a batch (observed: the 10× probe
@@ -910,11 +976,15 @@ def semantic_dedup(
             seed=pq_seed, seed_sample=pq_seed_sample,
         )
         encoded = uv.select(
-            id_col, "cluster", pq_encode("__uv", books).alias("__codes")
+            id_col, "cluster", pq_encode_residual("__uv", books).alias("__ce")
+        ).select(
+            id_col, "cluster",
+            F.col("__ce.codes").alias("__codes"),
+            F.col("__ce.e").alias("__e"),
         )
         cand = pq_pair_candidates_by_group(
             encoded, "cluster", id_col, "__codes", books,
-            threshold=tau - pq_margin, block_rows=block_rows,
+            tau=tau, margin=pq_margin, block_rows=block_rows, e_col="__e",
         )
         pairs = _rerank_candidates_cogrouped(
             assigned.select(id_col, vec_col, "cluster"),
@@ -1018,6 +1088,46 @@ def brute_topk_matmul(
     )
 
 
+def _explode_cross_buckets(
+    probe: DataFrame,
+    base: DataFrame,
+    group_col: str,
+    id_col: str,
+    payload_cols: list,
+    block_rows: int,
+) -> DataFrame:
+    """The asymmetric bucketing frame shared by every batch-vs-corpus
+    scorer (float, PQ-codes, and the PQ cross re-rank's cogrouped float
+    side — all MUST agree on the layout so a candidate's endpoints land
+    in its scorer task): the BASE side is hash-salted into
+    nb = ceil(n_base / block_rows) buckets per group and every probe row
+    replicates to each bucket; groups with no base rows vanish (inner
+    join on the per-group count). Output columns: group, id, payload,
+    __bk, __side (0 = base, 1 = probe). Deterministic — nb and __bk are
+    pure functions of (base group size, id)."""
+    nbase = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    b = (
+        base.join(nbase, group_col)
+        .withColumn("__nb", F.ceil(F.col("__n") / F.lit(block_rows)).cast("int"))
+        .withColumn(
+            "__bk", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int")
+        )
+        .select(group_col, id_col, *payload_cols, "__bk", F.lit(0).alias("__side"))
+    )
+    p = (
+        probe.join(nbase, group_col)
+        .withColumn("__nb", F.ceil(F.col("__n") / F.lit(block_rows)).cast("int"))
+        .select(
+            group_col,
+            id_col,
+            *payload_cols,
+            F.explode(F.sequence(F.lit(0), F.col("__nb") - 1)).alias("__bk"),
+            F.lit(1).alias("__side"),
+        )
+    )
+    return b.unionByName(p)
+
+
 def cross_cosine_by_group(
     probe: DataFrame,
     base: DataFrame,
@@ -1044,25 +1154,9 @@ def cross_cosine_by_group(
     group_col)."""
     import pandas as pd
 
-    nbase = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    b = (
-        base.join(nbase, group_col)
-        .withColumn("__nb", F.ceil(F.col("__n") / F.lit(block_rows)).cast("int"))
-        .withColumn("__bk", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int"))
-        .select(group_col, id_col, vec_col, "__bk", F.lit(0).alias("__side"))
+    u = _explode_cross_buckets(
+        probe, base, group_col, id_col, [vec_col], block_rows
     )
-    p = (
-        probe.join(nbase, group_col)
-        .withColumn("__nb", F.ceil(F.col("__n") / F.lit(block_rows)).cast("int"))
-        .select(
-            group_col,
-            id_col,
-            vec_col,
-            F.explode(F.sequence(F.lit(0), F.col("__nb") - 1)).alias("__bk"),
-            F.lit(1).alias("__side"),
-        )
-    )
-    u = b.unionByName(p)
 
     def _unit(pdf):
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -1096,8 +1190,174 @@ def cross_cosine_by_group(
     )
 
 
+def cross_pq_candidates_by_group(
+    probe: DataFrame,
+    base: DataFrame,
+    group_col: str,
+    id_col: str,
+    codes_col: str,
+    codebooks: np.ndarray,
+    tau: float,
+    margin: float | None,
+    block: int = 2048,
+    block_rows: int = 4096,
+    e_col: str | None = None,
+) -> DataFrame:
+    """Batch-vs-corpus candidate pairs at SDC-approximate cosine ≥
+    ``threshold``, generated from PQ CODES only — the asymmetric sibling
+    of :func:`pq_pair_candidates_by_group` over
+    :func:`_explode_cross_buckets`'s frame (base bucketed, probe
+    replicated). This is the steady-state 100 TB win: the CORPUS side of
+    the recurring-ingest shuffle — by far the heavy side — moves m small
+    ints per survivor instead of dim doubles, and the persisted index
+    can serve codes without touching the float vectors at all. Tasks
+    decode both sides and BLAS-matmul (the decode-and-matmul design;
+    see pq_pair_candidates_by_group for the rejected alternatives).
+    Output: (probe_id, base_id, sdc_sim, group, __bk) — the bucket key
+    rides along for :func:`_rerank_cross_cogrouped`.
+
+    Thresholding modes as in :func:`pq_pair_candidates_by_group`:
+    fixed tau − margin, or (``margin=None`` + ``e_col``) the provable
+    per-pair bound tau − (e_p + e_b + e_p·e_b) — lossless at any scale,
+    the right default for the recurring-ingest path where a silent miss
+    would persist into every later epoch's survivor set."""
+    m, ksub, dsub = codebooks.shape
+    B = codebooks
+    if margin is None and e_col is None:
+        raise ValueError("adaptive thresholding (margin=None) requires e_col")
+    payload = [codes_col] + ([e_col] if margin is None else [])
+    u = _explode_cross_buckets(probe, base, group_col, id_col, payload, block_rows)
+
+    def _decode(pdf: pd.DataFrame):
+        C = np.stack(pdf[codes_col].to_numpy()).astype(np.int64)
+        R = np.empty((len(C), m * dsub))
+        for j in range(m):
+            R[:, j * dsub:(j + 1) * dsub] = B[j][C[:, j]]
+        e = (
+            pdf[e_col].to_numpy().astype(np.float64)
+            if margin is None
+            else None
+        )
+        return R, pdf[id_col].to_numpy(), e
+
+    def score_cross(key, pdf):
+        g, bk = key
+        chunks_p, chunks_b, chunks_s = [], [], []
+        Bb = pdf[pdf["__side"] == 0]
+        P = pdf[pdf["__side"] == 1]
+        if len(Bb) and len(P):
+            RB, idb, eb = _decode(Bb.reset_index(drop=True))
+            RP, idp, ep = _decode(P.reset_index(drop=True))
+            for lo in range(0, len(RP), block):
+                hi = min(lo + block, len(RP))
+                S = RP[lo:hi] @ RB.T
+                if margin is not None:
+                    rs, cs = np.nonzero(S >= tau - margin)
+                else:
+                    ea = ep[lo:hi]
+                    bound = ea[:, None] + eb[None, :] + np.outer(ea, eb)
+                    rs, cs = np.nonzero(S >= tau - bound)
+                if len(rs):
+                    chunks_p.append(idp[rs + lo])
+                    chunks_b.append(idb[cs])
+                    chunks_s.append(S[rs, cs])
+        cat = lambda ch, dt: (  # noqa: E731
+            np.concatenate(ch) if ch else np.array([], dtype=dt)
+        )
+        return pd.DataFrame(
+            {
+                "probe_id": cat(chunks_p, np.int64),
+                "base_id": cat(chunks_b, np.int64),
+                "sdc_sim": cat(chunks_s, np.float64),
+                group_col: g,
+                "__bk": bk,
+            }
+        )
+
+    return u.groupBy(group_col, "__bk").applyInPandas(
+        score_cross,
+        schema=(
+            f"probe_id long, base_id long, sdc_sim double, {group_col} int, "
+            "__bk int"
+        ),
+    )
+
+
+def _rerank_cross_cogrouped(
+    probe_floats: DataFrame,
+    base_floats: DataFrame,
+    cand: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Exact re-rank of cross (probe, base) PQ candidates, cogrouped on
+    the SAME (group, __bk) cross-bucket frame the candidates were
+    generated under — each candidate's base endpoint is in its bucket
+    and its probe endpoint is replicated to every bucket, so both float
+    rows are present by construction. Scoring uses the float path's
+    exact recipe (unit-normalize float64, np.round(·, 4) + 0.0), so
+    survivors are bit-identical to :func:`cross_cosine_by_group`'s.
+    Emits (probe_id, base_id, cos_sim, group)."""
+    fl = _explode_cross_buckets(
+        probe_floats, base_floats, group_col, id_col, [vec_col], block_rows
+    )
+    cd = cand.select("probe_id", "base_id", group_col, "__bk")
+
+    def rerank(key, fl_pdf, cd_pdf):
+        g = key[0]
+        if not len(cd_pdf) or not len(fl_pdf):
+            return pd.DataFrame(
+                {"probe_id": [], "base_id": [], "cos_sim": [], group_col: []}
+            )
+        V = np.stack(fl_pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        U = V / norms[:, None]
+        # probe/base id spaces may overlap a replayed batch (the resume
+        # self-pair case), so index each side within its own rows
+        side = fl_pdf["__side"].to_numpy()
+        ids = fl_pdf[id_col].to_numpy()
+
+        def _pos(want, mask):
+            rows = np.nonzero(mask)[0]
+            order = rows[np.argsort(ids[rows], kind="stable")]
+            return order[np.searchsorted(ids[order], want)]
+
+        i_p = _pos(cd_pdf["probe_id"].to_numpy(), side == 1)
+        i_b = _pos(cd_pdf["base_id"].to_numpy(), side == 0)
+        s = np.round(np.einsum("id,id->i", U[i_p], U[i_b]), 4) + 0.0
+        keep = s >= tau
+        return pd.DataFrame(
+            {
+                "probe_id": cd_pdf["probe_id"].to_numpy()[keep],
+                "base_id": cd_pdf["base_id"].to_numpy()[keep],
+                "cos_sim": s[keep],
+                group_col: g,
+            }
+        )
+
+    return (
+        fl.groupBy(group_col, "__bk")
+        .cogroup(cd.groupBy(group_col, "__bk"))
+        .applyInPandas(
+            rerank,
+            schema=(
+                f"probe_id long, base_id long, cos_sim double, {group_col} int"
+            ),
+        )
+    )
+
+
 #: Semantic index tables: the fitted codebook + the deduped survivors.
 _SEM_INDEX_TABLES = ("centroids", "kept")
+
+#: PQ-augmented layout: + flattened sub-codebooks, and `kept` carries a
+#: `__codes` column so the corpus side of a resume never ships floats to
+#: the candidate generator.
+_SEM_INDEX_TABLES_PQ = ("centroids", "kept", "pqbooks")
 
 
 def persist_semantic_index(
@@ -1108,6 +1368,11 @@ def persist_semantic_index(
     n_cells: int = 16,
     tau: float = 0.95,
     block_rows: int = 4096,
+    pq: bool = False,
+    pq_m: int = 32,
+    pq_ksub: int = 64,
+    pq_seed: int = 13,
+    pq_seed_sample: int = 512,
 ) -> int:
     """Materialize a semantic-dedup index for recurring ingest: fit the
     codebook on the base corpus, run :func:`semantic_dedup`'s exact
@@ -1119,13 +1384,24 @@ def persist_semantic_index(
     The codebook is FIXED for the index's lifetime — SemDeDup's
     incremental practice: batches assign into the base geometry, so
     batch cost never includes a refit; re-persist from scratch when the
-    embedding distribution drifts."""
+    embedding distribution drifts.
+
+    ``pq=True`` additionally fits PQ sub-codebooks on the base's UNIT
+    vectors (bounded sample, same contract as the spherical fit), stores
+    them as a third table ``pqbooks`` (j, c, v), and encodes every
+    survivor into a ``__codes`` column of ``kept`` — so a
+    ``codes=True`` resume serves the corpus side of candidate
+    generation from codes alone, never shipping survivor floats until
+    the exact re-rank. Like the centroids, the sub-codebooks are fixed
+    for the index's lifetime (a batch must encode into the SAME
+    quantization geometry its corpus codes live in)."""
     from n2kupdate_spark.operators.dedup import (
         _commit_index_version,
         _next_index_version,
     )
 
     spark = vectors.sparkSession
+    tables = _SEM_INDEX_TABLES_PQ if pq else _SEM_INDEX_TABLES
     cents = fit_spherical_centroids(vectors, id_col, vec_col, n_cells=n_cells)
     assigned = vectors.select(id_col, vec_col).withColumn(
         "cluster", best_cell(vec_col, cents)
@@ -1135,15 +1411,37 @@ def persist_semantic_index(
     )
     drops = pairs.select(F.col("id2").alias("__drop")).distinct()
     kept = assigned.join(drops, assigned[id_col] == F.col("__drop"), "left_anti")
+    if pq:
+        uvdf = assigned.withColumn("__uv", unit_vec(vec_col))
+        books = fit_pq_codebooks(
+            uvdf, id_col, "__uv", m=pq_m, ksub=pq_ksub,
+            seed=pq_seed, seed_sample=pq_seed_sample,
+        )
+        kept = (
+            kept.withColumn("__uv", unit_vec(vec_col))
+            .withColumn("__ce", pq_encode_residual("__uv", books))
+            .withColumn("__codes", F.col("__ce.codes"))
+            .withColumn("__e", F.col("__ce.e"))
+            .drop("__uv", "__ce")
+        )
 
-    v = _next_index_version(spark, path, tables=_SEM_INDEX_TABLES)
+    v = _next_index_version(spark, path, tables=tables)
     vdir = f"v{v:010d}"
     cent_rows = [(i + 1, [float(x) for x in c]) for i, c in enumerate(cents)]
     spark.createDataFrame(cent_rows, "cell int, v array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/centroids/{vdir}")
     kept.write.mode("overwrite").parquet(f"{path}/kept/{vdir}")
-    _commit_index_version(spark, path, v, tables=_SEM_INDEX_TABLES)
+    if pq:
+        book_rows = [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        spark.createDataFrame(
+            book_rows, "j int, c int, v array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pqbooks/{vdir}")
+    _commit_index_version(spark, path, v, tables=tables)
     return v
 
 
@@ -1156,6 +1454,8 @@ def semantic_dedup_resume(
     block_rows: int = 4096,
     update_index_path: str | None = None,
     index_version: int | None = None,
+    codes: bool = False,
+    pq_margin: float | None = None,
 ) -> DataFrame:
     """Semantic-dedup a NEW batch against a persisted index
     (:func:`persist_semantic_index`) without rescoring the corpus: batch
@@ -1181,7 +1481,20 @@ def semantic_dedup_resume(
     chaining, old version files never overwritten), the surviving batch
     vectors roll into a new committed version alongside the unchanged
     codebook — crash before the marker leaves the prior version fully
-    readable."""
+    readable.
+
+    ``codes=True`` requires an index persisted with ``pq=True`` and
+    routes BOTH candidate generators through PQ codes with cogrouped
+    exact re-ranks (the semantic_dedup(codes=True) machinery applied to
+    the steady state): the corpus side ships its PERSISTED ``__codes``
+    (+ residuals) — survivor floats are touched only by the re-rank —
+    and the batch encodes once into the index's fixed sub-codebooks.
+    The default ``pq_margin=None`` uses the PROVABLE per-pair threshold
+    from the stored residuals, so the drop set is bit-identical to the
+    float resume at ANY scale — the right default here because a missed
+    pair would persist a duplicate survivor into every later epoch; a
+    float margin switches to the fast fixed-band mode (see
+    semantic_dedup)."""
     import numpy as np  # noqa: F811 — local alias for clarity
 
     from n2kupdate_spark.operators.dedup import (
@@ -1191,9 +1504,19 @@ def semantic_dedup_resume(
     )
 
     spark = new_vectors.sparkSession
-    v0, cent_df, kept = _load_index(
-        spark, index_path, index_version, tables=_SEM_INDEX_TABLES
-    )
+    tables = _SEM_INDEX_TABLES_PQ if codes else _SEM_INDEX_TABLES
+    loaded = _load_index(spark, index_path, index_version, tables=tables)
+    if codes:
+        v0, cent_df, kept, books_df = loaded
+        b_rows = books_df.collect()
+        m = max(r["j"] for r in b_rows) + 1
+        ksub = max(r["c"] for r in b_rows) + 1
+        dsub = len(b_rows[0]["v"])
+        books = np.empty((m, ksub, dsub))
+        for r in b_rows:
+            books[r["j"], r["c"]] = np.asarray(r["v"], dtype=np.float64)
+    else:
+        v0, cent_df, kept = loaded
     cent_rows = sorted(cent_df.collect(), key=lambda r: r["cell"])
     cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
 
@@ -1206,20 +1529,54 @@ def semantic_dedup_resume(
     else:
         batch = new_vectors.select(id_col, vec_col).withColumn(
             "cluster", best_cell(vec_col, cents)
-        ).localCheckpoint(eager=True)  # cross, self-pairs and roll-forward
+        )
+        if codes:
+            batch = (
+                batch.withColumn("__uv", unit_vec(vec_col))
+                .withColumn("__ce", pq_encode_residual("__uv", books))
+                .withColumn("__codes", F.col("__ce.codes"))
+                .withColumn("__e", F.col("__ce.e"))
+                .drop("__uv", "__ce")
+            )
+        batch = batch.localCheckpoint(eager=True)  # cross, self-pairs, roll
         # Self-pair guard (r9 advice, high): batch and corpus ids are
         # contractually disjoint, so probe_id == base_id can only mean a
         # REPLAYED batch whose survivors already rolled into `kept` (crash
         # between index roll and the consumer's commit). Without the
         # filter every such survivor pairs with itself at cos=1.0 ≥ tau
         # and the retried epoch publishes without its vector-bearing docs.
-        cross = cross_cosine_by_group(
-            batch, kept.select(id_col, "cluster", vec_col),
-            "cluster", id_col, vec_col, tau=tau, block_rows=block_rows,
-        ).filter(F.col("probe_id") != F.col("base_id"))
-        bb = pairwise_cosine_by_group(
-            batch, "cluster", id_col, vec_col, tau=tau, block_rows=block_rows
-        )
+        if codes:
+            x_cand = cross_pq_candidates_by_group(
+                batch.select(id_col, "cluster", "__codes", "__e"),
+                kept.select(id_col, "cluster", "__codes", "__e"),
+                "cluster", id_col, "__codes", books,
+                tau=tau, margin=pq_margin, block_rows=block_rows,
+                e_col="__e",
+            )
+            cross = _rerank_cross_cogrouped(
+                batch.select(id_col, "cluster", vec_col),
+                kept.select(id_col, "cluster", vec_col),
+                x_cand, "cluster", id_col, vec_col, tau,
+                block_rows=block_rows,
+            ).filter(F.col("probe_id") != F.col("base_id"))
+            bb_cand = pq_pair_candidates_by_group(
+                batch.select(id_col, "cluster", "__codes", "__e"),
+                "cluster", id_col, "__codes", books,
+                tau=tau, margin=pq_margin, block_rows=block_rows,
+                e_col="__e",
+            )
+            bb = _rerank_candidates_cogrouped(
+                batch.select(id_col, vec_col, "cluster"), bb_cand,
+                "cluster", id_col, vec_col, tau, block_rows=block_rows,
+            )
+        else:
+            cross = cross_cosine_by_group(
+                batch, kept.select(id_col, "cluster", vec_col),
+                "cluster", id_col, vec_col, tau=tau, block_rows=block_rows,
+            ).filter(F.col("probe_id") != F.col("base_id"))
+            bb = pairwise_cosine_by_group(
+                batch, "cluster", id_col, vec_col, tau=tau, block_rows=block_rows
+            )
         cand = cross.select(
             F.col("probe_id").alias("drop_id"),
             F.col("base_id").alias("rep_id"),
@@ -1242,7 +1599,7 @@ def semantic_dedup_resume(
 
     if update_index_path is not None:
         drops = drops.localCheckpoint(eager=True)  # consumed twice below
-        v1 = _next_index_version(spark, update_index_path, tables=_SEM_INDEX_TABLES)
+        v1 = _next_index_version(spark, update_index_path, tables=tables)
         vdir = f"v{v1:010d}"
         cent_df.coalesce(1).write.mode("overwrite").parquet(
             f"{update_index_path}/centroids/{vdir}"
@@ -1257,7 +1614,11 @@ def semantic_dedup_resume(
             ).select(*kept.columns)
         ).dropDuplicates([id_col])
         merged.write.mode("overwrite").parquet(f"{update_index_path}/kept/{vdir}")
-        _commit_index_version(spark, update_index_path, v1, tables=_SEM_INDEX_TABLES)
+        if codes:
+            books_df.coalesce(1).write.mode("overwrite").parquet(
+                f"{update_index_path}/pqbooks/{vdir}"
+            )
+        _commit_index_version(spark, update_index_path, v1, tables=tables)
     return drops
 
 

@@ -280,6 +280,55 @@ def dedup_semantic_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_resume(batch, path, tau=0.3)
 
 
+@register("dedup_semantic_resume_pq")  # rows-only debut (§5.2 capacity
+# policy): quantization layout is engine-specific; drop set pinned ≡ the
+# float resume's in tests/test_ann_recall.py
+def dedup_semantic_resume_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring semantic-dedup ingest over a PQ-augmented index — the
+    steady-state completion of dedup_semantic_pq: persist_semantic_index
+    (pq=True) stores fixed sub-codebooks and each survivor's __codes
+    alongside its float vector, so a resume generates batch-vs-kept and
+    batch-vs-batch candidates entirely in the code domain (the CORPUS
+    side — the heavy side of recurring ingest — never ships floats to
+    the candidate generator) and re-ranks exactly via the cogrouped
+    bucket-pair frames. Candidate thresholds use the PROVABLE per-pair
+    bound from the stored quantization residuals (pq_margin=None), so
+    the drop set is guaranteed — not just measured — identical to the
+    float resume at any scale (pinned at sf0.001 AND sf0.1; the fixed
+    0.12 margin provably used by the one-shot misses one sf0.1 rep
+    assignment, which is exactly why the recurring path defaults to the
+    bound: a missed pair would persist a duplicate survivor into every
+    later epoch). Same index layout/caching contract as
+    dedup_semantic_resume; same replay-safe self-pair guard."""
+    import hashlib
+    import os
+
+    from n2kupdate_spark.operators.dedup import index_versions
+    from n2kupdate_spark.operators.similarity import (
+        persist_semantic_index,
+        semantic_dedup_resume,
+    )
+    from n2kupdate_spark.queries.text import _corpus_freshness
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    token = _corpus_freshness(sf_dir)
+    uid = getattr(os, "getuid", lambda: "u")()
+    path = (
+        f"/tmp/n2k_sem_index_pq2_{uid}_"  # pq2: kept carries __codes+__e
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    )
+    key = (sf_dir, "pq")
+    cached = _sem_index_cache.get(key)
+    if cached != (token, path) or not index_versions(spark, path):
+        persist_semantic_index(base, path, n_cells=16, tau=0.3, pq=True)
+        _sem_index_cache[key] = (token, path)
+    return semantic_dedup_resume(batch, path, tau=0.3, codes=True)
+
+
 @register("multimodal_decode_real")  # rows-only (r9 capacity policy):
 # payload bytes are engine-synthesized; decode pinned vs numpy in
 # tests/test_multimodal.py

@@ -61,7 +61,14 @@ def main() -> None:
         b1 = _shuffle_write_bytes(spark)
         return wall, (b1 - b0 if b0 >= 0 and b1 >= 0 else -1)
 
-    names = ["dedup_semantic_clusters", "dedup_semantic_pq"]
+    # resume rows: the index build lands in rep 1 (cache miss) and
+    # min-of-3 discards it, so those numbers are steady-state per-batch
+    names = [
+        "dedup_semantic_clusters",
+        "dedup_semantic_pq",
+        "dedup_semantic_resume",
+        "dedup_semantic_resume_pq",
+    ]
     for n in names:  # warm-up
         run(n, "/root/testdata/sf0.001")
     t1: dict = {}

@@ -210,6 +210,39 @@ def test_semantic_dedup_pq_equals_float_path(spark):
     assert rerun == pq
 
 
+def test_semantic_resume_pq_equals_float_resume_both_sfs(spark):
+    """Pin for the rows-only dedup_semantic_resume_pq query: the
+    codes-domain resume — candidates from persisted PQ codes at the
+    PROVABLE per-pair threshold tau − (e_p + e_b + e_p·e_b), cogrouped
+    exact re-rank — must equal the float resume row-for-row at BOTH
+    fixture scales. sf0.1 is the load-bearing scale here: the one-shot's
+    fixed 0.12 margin misses one rep assignment there (out-of-sample
+    quantization error 0.122 > margin, measured), and the adaptive bound
+    is exactly what closes that class of miss — this test is the
+    guarantee's regression pin. Also pins rerun determinism (cached
+    index + seeded encodes)."""
+    for sf in (SF, "/root/testdata/sf0.1"):
+        flt = {
+            r["drop_id"]: (r["rep_id"], r["cluster"], r["cos_sim"])
+            for r in QUERIES["dedup_semantic_resume"](spark, sf).collect()
+        }
+        pq = {
+            r["drop_id"]: (r["rep_id"], r["cluster"], r["cos_sim"])
+            for r in QUERIES["dedup_semantic_resume_pq"](spark, sf).collect()
+        }
+        assert flt, f"no drops at {sf} — fixture has near-dups at cos≥0.3"
+        assert pq == flt, (
+            f"{sf}: PQ/float resume mismatch: "
+            f"extra={set(pq) - set(flt)}, missing={set(flt) - set(pq)}, "
+            f"valdiff={ {k: (flt[k], pq[k]) for k in set(flt) & set(pq) if flt[k] != pq[k]} }"
+        )
+        rerun = {
+            r["drop_id"]: (r["rep_id"], r["cluster"], r["cos_sim"])
+            for r in QUERIES["dedup_semantic_resume_pq"](spark, sf).collect()
+        }
+        assert rerun == pq
+
+
 def test_corpus_semantic_prepare_composition_pinned(spark):
     """Pin for the rows-only corpus_semantic_prepare composite: the
     per-source summary must equal the python-set composition of its two

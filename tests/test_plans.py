@@ -389,6 +389,14 @@ def test_no_query_plan_has_scale_red_flags(spark, sf_dir):
         # it at 7 exchanges; without the checkpoint the gate lineage
         # replayed 3x for 25 — see the op's docstring)
         "corpus_semantic_prepare",
+        # r10: the PQ resume is a TWO-PHASE composition by design — a
+        # code-domain candidate pass plus a cogrouped exact re-rank, each
+        # for batch-vs-kept AND batch-vs-batch — so it runs ~2x the float
+        # resume's groupings (12 exchanges at sf0.01, PLANS.md). Every
+        # exchange is bounded: batch-footprint frames, 16-row per-cluster
+        # counts, candidate-mass cogroups; the trade buys candidate
+        # generation that never ships corpus floats.
+        "dedup_semantic_resume_pq",
     }
     issues = []
     for name, fn in sorted(QUERIES.items()):
