@@ -206,6 +206,119 @@ def decontaminate_fuzzy(
     )
 
 
+def eval_bloom_filter(
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom filter over the eval corpus's distinct word n-grams, as a
+    DataFrame of set 64-bit words: ``(word_idx int, word long)`` with at
+    most ``m_bits / 64`` rows — 16 Ki rows / 128 KiB at the default
+    m = 2^20 — regardless of how many grams the eval suite contains.
+
+    Built fully distributed: distinct eval grams → k positions each
+    (xxhash64 with seeds 0..k-1, pmod m) → bit_or-aggregated into words.
+    No driver collect; the result is small enough to broadcast into the
+    probe joins of :func:`decontaminate_bloom`. Rows for words with no
+    set bit are absent (a left-join probe treats absent as all-zeros)."""
+    from n2kupdate_spark.operators.dedup import word_shingles
+
+    g = (
+        word_shingles(eval_docs.select(text_col), text_col, n=n)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    pos = g.select(
+        F.explode(
+            F.array(*[F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m_bits)) for i in range(k)])
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def decontaminate_bloom(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: per-training-doc
+    count of distinct word n-grams whose k Bloom probes ALL hit, plus an
+    any-hit flag — same output shape as :func:`decontaminate_ngram` with
+    ``n_shared_grams`` → ``n_flagged_grams``.
+
+    Why a Bloom variant at all: :func:`decontaminate_ngram` broadcasts the
+    eval suite's distinct gram STRINGS, whose size grows with the eval
+    battery (a modern multi-benchmark suite reaches GBs of distinct
+    grams — too big to broadcast). Here the broadcast is the fixed-size
+    bitset — ``m_bits / 8`` bytes (128 KiB at the default), INDEPENDENT of
+    eval-suite size — and the probe is k broadcast-hash joins on 64-bit
+    word indexes, entirely JVM-side whole-stage codegen: no Python, no
+    corpus-sized shuffle before the per-doc count, no row multiplication
+    (the k probes are k columns, not k exploded rows).
+
+    Guarantees (the Bloom contract, both directions pinned in
+    tests/test_sketch_accuracy.py):
+    - NO false negatives: every gram actually shared with the eval set is
+      flagged (both sides use the same hash family), so the flagged doc
+      set is a SUPERSET of decontaminate_ngram's — safe for filtering.
+    - Bounded false positives: after inserting N distinct eval grams, a
+      non-shared gram is flagged with p ≈ (1 - e^(-kN/m))^k — at the
+      default m = 2^20, k = 4 and a 100k-gram eval suite, p ≈ 1e-4;
+      size m ≈ 1.44 · k · N bits upward for larger suites.
+
+    Use as the scale path directly (accepting the tiny FP over-removal,
+    the usual production trade) or as a pre-filter whose survivors feed
+    the exact gate — the exact join then touches only the Bloom-flagged
+    sliver. Docs with < n tokens have no grams and are absent."""
+    from n2kupdate_spark.operators.dedup import word_shingles
+
+    # Tiny (≤ m/64 rows) and probed k times: checkpoint so the k joins
+    # don't each re-scan the eval corpus.
+    bloom = eval_bloom_filter(
+        eval_docs, text_col=text_col, n=n, m_bits=m_bits, k=k
+    ).localCheckpoint(eager=True)
+    cur = word_shingles(train_docs.select(id_col, text_col), text_col, n=n).select(
+        id_col, F.explode("shingles").alias("g")
+    )
+    hit = F.lit(True)
+    for i in range(k):
+        cur = cur.withColumn(f"__p{i}", F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m_bits)))
+        b = bloom.select(
+            F.col("word_idx").alias(f"__wi{i}"), F.col("word").alias(f"__w{i}")
+        )
+        cur = cur.join(
+            F.broadcast(b),
+            (F.col(f"__p{i}") / 64).cast("int") == F.col(f"__wi{i}"),
+            "left",
+        )
+        # Absent word row (left-join null) = no bits set in that word.
+        hit = hit & F.coalesce(
+            F.expr(f"(__w{i} & shiftleft(1L, cast(__p{i} % 64 AS int))) != 0"),
+            F.lit(False),
+        )
+    return (
+        cur.select(id_col, hit.cast("int").alias("__hit"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__hit").cast("int").alias("n_flagged_grams"),
+            F.max("__hit").cast("int").alias("contaminated"),
+        )
+    )
+
+
 def fit_quality_classifier(
     X: "np.ndarray",
     y: "np.ndarray",
@@ -1306,3 +1419,68 @@ def normalize_text(
         _nfkc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
         src = pandas_udf(_nfkc_fn, "string")(src)
     return docs.withColumn("norm_text", norm_text(src))
+
+
+def information_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    zlib_level: int = 6,
+) -> DataFrame:
+    """Per-doc information-theoretic quality signals — the published
+    complement to rule-based (Gopher) and model-based (classifier)
+    filtering: machine-generated spam and boilerplate sit at the entropy
+    extremes, and near-incompressible or hyper-compressible text is a
+    strong repetition/gibberish proxy used by web-corpus pipelines
+    (CCNet-family and Dolma-style compression-ratio gates).
+
+    Emits ``(id, n_chars, char_entropy, word_entropy, zlib_ratio)``:
+    Shannon entropy in bits of the character and word unigram
+    distributions, and ``len(zlib(text)) / len(text)`` at the given
+    level. Null/empty docs get 0.0 entropies and ratio 0.0 (nothing to
+    compress), and are KEPT — a quality gate must see them to reject
+    them. All values round to 4dp for pin stability.
+
+    Scale shape: ONE Arrow-batched ``mapInPandas`` pass — zero shuffle,
+    zero collect, no gram explosion (the entropy accumulates in a
+    per-batch Python dict, never a (doc, gram) row stream). Python is
+    unavoidable here only because of zlib; the entropies ride the same
+    batch loop for free rather than paying a second pass or a char-level
+    explode (which at 100 TB would shuffle 100 TB of single characters).
+    """
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, n_chars int, char_entropy double, "
+        "word_entropy double, zlib_ratio double"
+    )
+
+    def _batches(it):
+        import zlib
+        from collections import Counter
+
+        import numpy as np
+
+        def entropy_bits(counts):
+            n = sum(counts)
+            if n == 0:
+                return 0.0
+            p = np.asarray(counts, dtype=np.float64) / n
+            return float(-(p * np.log2(p)).sum())
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None or len(t) == 0:
+                    out.append((i, 0, 0.0, 0.0, 0.0))
+                    continue
+                ce = entropy_bits(list(Counter(t).values()))
+                we = entropy_bits(list(Counter(t.split(" ")).values()))
+                zr = len(zlib.compress(t.encode("utf-8"), zlib_level)) / len(t)
+                out.append((i, len(t), round(ce, 4), round(we, 4), round(zr, 4)))
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "n_chars", "char_entropy", "word_entropy", "zlib_ratio"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, schema)

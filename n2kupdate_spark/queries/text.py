@@ -510,6 +510,34 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("text_decontaminate_bloom")
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination: per-training-doc count of
+    word 3-grams whose k=4 Bloom probes all hit the eval slice's bitset
+    (``doc_id % 97 = 0``), same output shape as text_decontaminate_ngram.
+
+    Rows-only debut (capacity policy, SURVEY §5.2): the flagged set is
+    xxhash64-seed-determined (Bloom false positives), so a SQL oracle
+    would have to replicate Spark's hash bit-for-bit — the pytest pin
+    (tests/test_sketch_accuracy.py) proves strictly more: the flagged set
+    is a SUPERSET of the exact gate's (no false negatives, the Bloom
+    contract), and an undersized-filter run measures the FP rate against
+    the analytic (1-e^(-kN/m))^k bound.
+
+    Scale design — what this buys over the exact gate: the broadcast is
+    the FIXED 128 KiB bitset (m = 2^20 bits), independent of eval-suite
+    size, vs. the exact gate's broadcast of every distinct eval gram
+    string (GBs for a modern multi-benchmark battery); the probe is k
+    broadcast-hash joins on 64-bit word indexes, fully JVM-side codegen,
+    with no corpus shuffle before the per-doc count. See
+    operators/corpus.py:decontaminate_bloom."""
+    from n2kupdate_spark.operators.corpus import decontaminate_bloom
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    is_eval = F.expr(_EVAL_PRED_SQL)
+    return decontaminate_bloom(d.filter(~is_eval), d.filter(is_eval), n=3)
+
+
 @register("text_quality_classifier")
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (the published web-corpus pattern:
@@ -815,3 +843,23 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm_text",
         F.length("norm_text").cast("int").alias("n_norm_chars"),
     )
+
+
+@register("text_information_signals")  # rows-only (capacity policy): zlib
+# lives outside SQL; the pin recomputes all three signals in-process
+# (tests/test_repetition.py) — strictly stronger than a hash match.
+def text_information_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic quality signals per document: character- and
+    word-unigram Shannon entropy (bits) plus the zlib compression ratio —
+    the CCNet/Dolma-style gibberish & repetition proxies that complement
+    the rule-based (text_quality_gopher) and model-based
+    (text_quality_classifier) gates.
+
+    Scale design: one Arrow-batched mapInPandas pass over (doc_id, text) —
+    zero shuffle, zero collect, no char/gram explosion; Python is paid
+    once because of zlib and the entropies ride the same batch loop. See
+    operators/corpus.py:information_signals."""
+    from n2kupdate_spark.operators.corpus import information_signals
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return information_signals(d)

@@ -99,3 +99,49 @@ def test_repetition_signals_nondefault_params(spark, sf_dir):
             want["top2_char_frac"] <= 0.5 and want["dup2_char_frac"] <= 0.5
         )
         assert r["repetition_pass"] == want_pass
+
+
+def test_information_signals_pinned(spark, sf_dir):
+    """text_information_signals (rows-only, r10): recompute all three
+    signals in-process (Counter entropies + stdlib zlib at the same
+    level) and pin every doc's values to 4dp — strictly stronger than a
+    value-hash. Also pins the null/empty contract: such docs are KEPT
+    with zeroed signals (a quality gate must see them to reject them)."""
+    import math
+    import zlib
+
+    from n2kupdate_spark.operators.corpus import information_signals
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def ent(counts):
+        n = sum(counts)
+        return -sum(c / n * math.log2(c / n) for c in counts) if n else 0.0
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents", columns=["doc_id", "text"]).collect()
+    }
+    got = {r.doc_id: r for r in QUERIES["text_information_signals"](spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for i, t in docs.items():
+        r = got[i]
+        ce = round(ent(list(Counter(t).values())), 4)
+        we = round(ent(list(Counter(t.split(" ")).values())), 4)
+        zr = round(len(zlib.compress(t.encode("utf-8"), 6)) / len(t), 4)
+        assert (r.n_chars, r.char_entropy, r.word_entropy, r.zlib_ratio) == (
+            len(t), ce, we, zr
+        ), (i, r)
+
+    # null/empty contract
+    from pyspark.sql import Row
+
+    edge = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text=""), Row(doc_id=3, text="x x")]
+    )
+    er = {r.doc_id: r for r in information_signals(edge).collect()}
+    assert (er[1].n_chars, er[1].char_entropy, er[1].zlib_ratio) == (0, 0.0, 0.0)
+    assert (er[2].n_chars, er[2].word_entropy, er[2].zlib_ratio) == (0, 0.0, 0.0)
+    assert er[3].word_entropy == 0.0 and er[3].char_entropy == round(
+        ent([2, 1]), 4
+    )

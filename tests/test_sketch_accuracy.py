@@ -268,3 +268,62 @@ def test_fuzzy_decontaminate_bipartite_pins(spark, sf_dir):
         assert abs(got[i].max_jaccard - round(true_max[i], 4)) <= 1e-9, (
             i, got[i].max_jaccard, true_max[i]
         )
+
+
+def test_bloom_decontaminate_contract_pins(spark, sf_dir):
+    """text_decontaminate_bloom (rows-only, r10): pin the Bloom contract
+    in both directions against the SQL-oracled exact gate.
+
+    (1) No false negatives — at the registered sizing (m=2^20, k=4) the
+    flagged-gram count per doc is ≥ the exact shared-gram count and every
+    exactly-contaminated doc is flagged: the same hash family inserts and
+    probes, so membership NEVER misses (superset by construction, safe as
+    a filter). (2) Bounded false positives — an undersized filter
+    (m=4096, k=2) forces measurable collisions; the per-gram FP rate over
+    the non-shared gram population must stay within 3x the analytic
+    (1 - e^(-kN/m))^k bound (N = distinct eval grams), and must be > 0 so
+    this half of the test demonstrably bites."""
+    import math
+
+    from n2kupdate_spark.operators.corpus import decontaminate_bloom
+    from n2kupdate_spark.operators.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    exact = {
+        r.doc_id: r
+        for r in QUERIES["text_decontaminate_ngram"](spark, sf_dir).collect()
+    }
+    got = {
+        r.doc_id: r
+        for r in QUERIES["text_decontaminate_bloom"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(exact)  # same <3-token absence semantics
+    for i, e in exact.items():
+        b = got[i]
+        assert b.n_flagged_grams >= e.n_shared_grams, (i, b, e)
+        assert b.contaminated >= e.contaminated, (i, b, e)
+
+    train = docs.filter("doc_id % 97 != 0")
+    evald = docs.filter("doc_id % 97 = 0")
+    n_eval_grams = (
+        word_shingles(evald, "text")
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+        .count()
+    )
+    per_doc_grams = {
+        r.doc_id: r.n
+        for r in word_shingles(train, "text")
+        .select("doc_id", F.size("shingles").alias("n"))
+        .collect()
+    }
+    m, k = 4096, 2
+    tiny = {
+        r.doc_id: r.n_flagged_grams
+        for r in decontaminate_bloom(train, evald, n=3, m_bits=m, k=k).collect()
+    }
+    fp = sum(tiny[i] - exact[i].n_shared_grams for i in tiny)
+    nonshared = sum(per_doc_grams[i] - exact[i].n_shared_grams for i in tiny)
+    p_bound = (1.0 - math.exp(-k * n_eval_grams / m)) ** k
+    assert fp > 0, "undersized filter produced no collisions; test is vacuous"
+    assert fp / nonshared <= 3.0 * p_bound, (fp, nonshared, p_bound)
