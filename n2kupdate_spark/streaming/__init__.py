@@ -1,6 +1,7 @@
 from n2kupdate_spark.streaming.jobs import (
     documents_file_stream,
     events_file_stream,
+    stream_dedup_bloom,
     stream_dedup_within_watermark,
     stream_session_window_agg,
     stream_corpus_publish,
@@ -15,6 +16,7 @@ __all__ = [
     "events_file_stream",
     "documents_file_stream",
     "stream_corpus_publish",
+    "stream_dedup_bloom",
     "stream_dedup_within_watermark",
     "stream_session_window_agg",
     "stream_sessions_tws",

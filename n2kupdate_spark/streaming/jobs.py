@@ -326,6 +326,109 @@ def stream_stateful_sessions(events: DataFrame, watermark: str = "1 hour") -> Da
     )
 
 
+BLOOM_DEDUP_OUT_SCHEMA = "doc_id long, fp string, bloom_group int"
+BLOOM_DEDUP_STATE_SCHEMA = "bits binary, n_inserted long"
+
+
+def _bloom_dedup_fold(m_bits: int, k: int):
+    """Per-group fold for :func:`stream_dedup_bloom`: probe-then-insert each
+    fingerprint against the group's Bloom bitset held in state. Exposed as a
+    factory so the FP-bound unit test can drive it against a fake state at
+    an undersized ``m_bits`` (tests/test_streaming.py)."""
+
+    def fold(key, pdf_iter, state):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            raw, n_inserted = state.get
+            bits = np.frombuffer(raw, dtype=np.uint8).copy()
+        else:
+            bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            n_inserted = 0
+        # Deterministic within-batch order: keep-lowest doc_id per batch
+        # (cross-batch it is keep-first-arrival, the streaming contract).
+        rows = pd.concat(list(pdf_iter)).sort_values("doc_id")
+        out_ids, out_fps = [], []
+        for doc_id, fp in zip(rows["doc_id"], rows["fp"]):
+            pos = [
+                int.from_bytes(
+                    hashlib.md5(f"{fp}|{i}".encode("utf-8")).digest()[:8], "big"
+                )
+                % m_bits
+                for i in range(k)
+            ]
+            if all((bits[p >> 3] >> (p & 7)) & 1 for p in pos):
+                continue  # maybe-seen: duplicate (or a bounded-rate FP)
+            for p in pos:
+                bits[p >> 3] |= np.uint8(1 << (p & 7))
+            n_inserted += 1
+            out_ids.append(int(doc_id))
+            out_fps.append(fp)
+        state.update((bits.tobytes(), n_inserted))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "fp": out_fps,
+                    "bloom_group": int(key[0]),
+                }
+            )
+
+    return fold
+
+
+def stream_dedup_bloom(
+    docs: DataFrame,
+    n_groups: int = 64,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """Fixed-memory streaming dedup: emit only first-seen document
+    fingerprints, with the seen-set held as per-group Bloom bitsets in
+    ``applyInPandasWithState`` state instead of exact keys.
+
+    Why: ``dropDuplicates`` state stores EVERY distinct key — unbounded at
+    corpus scale (billions of fingerprints), and
+    ``dropDuplicatesWithinWatermark`` only bounds it by forgetting, which
+    re-admits old duplicates. Here total state is EXACTLY
+    ``n_groups × m_bits / 8`` bytes forever (1 MiB at the defaults) at any
+    key cardinality.
+
+    The Bloom trade, quantified: a true duplicate always probes
+    all-bits-set (inserted by its first occurrence, same hash family), so
+    NO duplicate is ever emitted — the dedup guarantee is exact. The cost
+    is wrongly-dropped NEW docs at the false-positive rate: with n keys
+    inserted into a group's filter, p ≈ (1 − e^(−k·n/m))^k; keys spread
+    over groups by xxhash64, so n ≈ N_total / n_groups — at the defaults
+    p < 1e-4 up to ~1.3 M distinct docs; size ``m_bits ≈ 1.44 · k · n``
+    upward for more. Both directions pinned in tests/test_streaming.py.
+
+    Scale shape: fingerprint + group stamp are JVM map-side; the one
+    shuffle is the groupBy on ``n_groups`` buckets (raise for parallelism
+    — state cost scales with it, 16 KiB per group); per-row Python inside
+    the stateful fold is the declared escape-hatch surface (probe/insert
+    is inherently per-row against mutable state). Determinism: within a
+    micro-batch the keep-lowest doc_id survives; across batches,
+    first-arrival. NoTimeout: the seen-set is corpus-lifetime by design —
+    that is the semantics exact dedup cannot afford."""
+    keyed = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+    ).withColumn(
+        "bloom_group", F.pmod(F.xxhash64("fp"), F.lit(n_groups)).cast("int")
+    )
+    return keyed.groupBy("bloom_group").applyInPandasWithState(
+        _bloom_dedup_fold(m_bits, k),
+        outputStructType=BLOOM_DEDUP_OUT_SCHEMA,
+        stateStructType=BLOOM_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def documents_file_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -54,6 +54,8 @@ OPS = [
     "text_bpe_tokenize",        # bounded type-table fit + broadcast-ranks map encode
     # round-10 additions
     "pack_sequences_bpe",       # bounded learn + map encode + chunk-bounded BFD
+    "text_decontaminate_bloom", # fixed-bitset build + k broadcast word probes
+    "text_information_signals", # single Arrow map pass, zero shuffle
 ]
 
 

@@ -1039,3 +1039,116 @@ def test_stream_corpus_publish_retry_after_crash_between_roll_and_flip(
     assert {r["vec_id"] for r in kept3.collect()} == kept2_ids
 
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_dedup_bloom_cross_batch_keeps_first_only(spark, tmp_path):
+    """stream_dedup_bloom e2e (r10): scripted two-run corpus with known
+    duplication — in-batch dups collapse to keep-lowest doc_id, a resumed
+    checkpoint remembers batch-1 fingerprints so re-sent docs emit
+    NOTHING in run 2, and genuinely-new docs still pass. At the default
+    sizing (m=2^17 per group) the FP probability over this key count is
+    ~0, so the assertions are exact set equality."""
+    import pandas as pd
+
+    from n2kupdate_spark.sources.catalog import SCHEMAS
+    from n2kupdate_spark.streaming import documents_file_stream, stream_dedup_bloom
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def write_docs(ids_texts):
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in ids_texts],
+            SCHEMAS["documents"],
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        emitted = []
+
+        def collect_fn(batch_df, epoch_id):
+            emitted.append(batch_df.toPandas())
+
+        q = (
+            stream_dedup_bloom(documents_file_stream(spark, src))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(collect_fn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        frames = [p for p in emitted if len(p)]
+        return (
+            pd.concat(frames)
+            if frames
+            else pd.DataFrame(columns=["doc_id", "fp", "bloom_group"])
+        )
+
+    # run 1: ids 0..99, texts t0..t59 cycling -> 40 in-batch duplicates
+    write_docs([(i, f"text number {i % 60}") for i in range(100)])
+    got1 = drain()
+    assert sorted(got1["doc_id"]) == list(range(60))  # keep-lowest per fp
+    assert got1["fp"].is_unique
+
+    # run 2 (resumed checkpoint): 50 re-sends of seen texts + 10 new
+    write_docs([(100 + j, f"text number {j % 60}") for j in range(50)])
+    write_docs([(150 + j, f"text number {60 + j}") for j in range(10)])
+    got2 = drain()
+    assert sorted(got2["doc_id"]) == list(range(150, 160))  # only the new
+    assert not set(got2["fp"]) & set(got1["fp"])
+
+
+def test_stream_dedup_bloom_fold_state_and_fp_bound():
+    """Unit-drive the stateful fold with a fake state: (1) dedup is EXACT
+    — a repeated fingerprint is never emitted twice, in-batch or across
+    batches; (2) state size is CONSTANT at m/8 bytes no matter how many
+    keys are inserted (the whole point vs dropDuplicates); (3) at an
+    undersized filter the wrongly-dropped-new count stays within 3x the
+    analytic n·(1-e^(-kn/m))^k bound and is >0 so the bound demonstrably
+    bites."""
+    import math
+
+    import pandas as pd
+
+    from n2kupdate_spark.streaming.jobs import _bloom_dedup_fold
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def run(fold, state, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "fp"])
+        return pd.concat(
+            list(fold((0,), iter([pdf]), state))
+            or [pd.DataFrame(columns=["doc_id", "fp", "bloom_group"])]
+        )
+
+    # (1)+(2): generous sizing, repeats in-batch and across batches
+    m, k = 1 << 17, 4
+    fold, st = _bloom_dedup_fold(m, k), FakeState()
+    out1 = run(fold, st, [(i, f"f{i % 50}") for i in range(100)])
+    assert sorted(out1["doc_id"]) == list(range(50))
+    assert len(st.get[0]) == m // 8
+    out2 = run(fold, st, [(200 + i, f"f{i}") for i in range(80)])  # 50 dup + 30 new
+    assert sorted(out2["doc_id"]) == list(range(250, 280))
+    assert len(st.get[0]) == m // 8  # state constant after 80 distinct keys
+
+    # (3): undersized filter -> measurable FP drops, bounded
+    m, k, n = 1024, 2, 120
+    fold, st = _bloom_dedup_fold(m, k), FakeState()
+    out = run(fold, st, [(i, f"uniq{i}") for i in range(n)])
+    drops = n - len(out)
+    p_final = (1.0 - math.exp(-k * n / m)) ** k
+    assert drops > 0, "undersized filter produced no FP drops; test is vacuous"
+    assert drops <= 3.0 * n * p_final, (drops, n * p_final)
