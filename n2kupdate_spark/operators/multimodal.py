@@ -7,15 +7,18 @@ functions over ``mapInPandas`` so each executor processes whole record
 batches without driver involvement.
 
 The container has no image/audio LIBRARIES (PIL/cv2/soundfile/ffmpeg), but
-since round 9 the UNCOMPRESSED formats decode for real in pure Python —
-BMP 24bpp and PPM P6 images (`_decode_bmp`/`_decode_ppm`), PCM16 WAV audio
-(`decode_audio`) — with matching deterministic encoders
-(`encode_bmp`/`encode_wav`) so the whole pipeline runs on genuine payload
-bytes end-to-end. Only compressed formats (png/jpeg/mp3/...) remain
-stubbed: ``decode_image`` raises NotImplementedError for them unless
-``fake=True``, which derives deterministic pseudo-metadata from the
-payload bytes (md5-seeded), keeping every Spark-side contract — schema,
-batch iteration, partitioning — real and testable either way.
+real pure-Python decodes cover BMP 24bpp and PPM P6 images
+(`_decode_bmp`/`_decode_ppm`, r9), PCM16 WAV audio (`decode_audio`, r9),
+and — since round 10 — PNG (`_decode_png`: chunk walk with CRC checks,
+stdlib-zlib inflate, full 5-filter scanline reconstruction; gray/RGB/
+palette/RGBA at bit depth 8), each with a matching deterministic encoder
+(`encode_bmp`/`encode_wav`/`encode_png`) so the whole pipeline runs on
+genuine payload bytes end-to-end. Only entropy-coded formats with no
+stdlib codec (jpeg/mp3/video) remain stubbed: ``decode_image`` raises
+NotImplementedError for them unless ``fake=True``, which derives
+deterministic pseudo-metadata from the payload bytes (md5-seeded),
+keeping every Spark-side contract — schema, batch iteration,
+partitioning — real and testable either way.
 
 Scale notes: payload bytes never pass through Python row-by-row (Arrow
 batches), never collect to the driver, and metadata-only queries prune the
@@ -86,20 +89,24 @@ def decode_image(payload: bytes, fmt: str, fake: bool = False) -> dict:
     fully exercisable either way.
     """
     if not fake:
-        # uncompressed formats decode for REAL without any library (r9):
-        # BMP 24bpp / PPM P6 are plain byte layouts — sniff by magic
+        # library-free REAL decodes, sniffed by magic: BMP 24bpp / PPM P6
+        # are plain byte layouts (r9); PNG (r10) is zlib-compressed and
+        # zlib is stdlib — chunk walk + inflate + full 5-filter
+        # reconstruction, no image library involved
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
         if payload[:2] == b"P6":
             return _decode_ppm(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(payload)
         try:
             import io
 
             from PIL import Image
         except ImportError:
             raise NotImplementedError(
-                "compressed-image codecs unavailable in this environment "
-                f"(available_codecs()={available_codecs()}); BMP/PPM/WAV "
+                "jpeg/mp3-class codecs unavailable in this environment "
+                f"(available_codecs()={available_codecs()}); BMP/PPM/PNG/WAV "
                 "decode library-free, or pass fake=True for deterministic "
                 "pseudo-decode (see module docstring)"
             ) from None
@@ -322,6 +329,164 @@ def _decode_ppm(payload: bytes) -> dict:
     }
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, seed: bytes) -> bytes:
+    """Deterministic 8-bit RGB PNG with md5-seeded pixels — a REAL
+    compressed image payload built from the public spec with stdlib zlib
+    only. Rows are filtered with a CYCLING filter type (0,1,2,3,4,0,…),
+    so any decoder of these payloads must implement ALL five PNG filter
+    reconstructions — the e2e pin therefore proves the full unfilter
+    logic, not just the trivial None path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(
+        int.from_bytes(hashlib.md5(seed).digest()[:4], "little")
+    )
+    px = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    bpp = 3
+    raw = px.reshape(height, width * bpp).astype(np.int16)
+    lines = []
+    prior = np.zeros(width * bpp, dtype=np.int16)
+    for r in range(height):
+        line = raw[r]
+        left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
+        ft = r % 5
+        if ft == 0:
+            filt = line
+        elif ft == 1:
+            filt = line - left
+        elif ft == 2:
+            filt = line - prior
+        elif ft == 3:
+            filt = line - (left + prior) // 2
+        else:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul))
+            filt = line - pred
+        lines.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Pure-Python PNG decode from the public spec (stdlib zlib): chunk
+    walk with CRC verification, IDAT inflate, scanline reconstruction for
+    all five filter types, luma over the reconstructed pixels. Supports
+    the byte-depth mainstream: bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 6 (RGBA); interlaced (Adam7) files raise — the
+    spec's progressive layout is a different reconstruction order, not a
+    different capability class, and synthetic training payloads are never
+    interlaced."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, meta, palette = 8, [], None, None
+    while pos + 8 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_i, comp, filt, interlace = meta
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp}, filter={filt})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype_i)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype_i}")
+    bpp = channels
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has wrong length")
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        off = r * (stride + 1)
+        ft = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up — fully vectorized
+            rec = (line + prior) % 256
+        elif ft == 1:  # Sub — per-channel cumulative sum
+            rec = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
+        elif ft in (3, 4):  # Average / Paeth — inherently sequential
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                if ft == 3:
+                    rec[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        recon[r] = rec.astype(np.uint8)
+        prior = rec
+    px = recon.reshape(h, w, channels).astype(np.float64)
+    if ctype_i == 0:
+        luma = px[..., 0]
+    elif ctype_i == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = palette[recon.reshape(h, w)].astype(np.float64)
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    else:  # RGB / RGBA (alpha ignored for luma, matching the BMP/PPM path)
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    return {
+        "n_bytes": len(payload),
+        "format": "png",
+        "width": int(w),
+        "height": int(h),
+        "mean_luma": round(float(luma.mean()) / 255.0, 4),
+    }
+
+
 #: Schema of the decoded-audio feature frame produced by decode_audios().
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
@@ -413,27 +578,36 @@ def attach_real_payload(
     df: DataFrame, id_col: str, text_col: str, kind: str = "bmp"
 ) -> DataFrame:
     """Attach a GENUINE media payload column derived deterministically
-    from each row's text — real BMP bytes (``kind="bmp"``) or real PCM16
-    WAV bytes (``kind="wav"``) via the pure-Python encoders, so the
-    decode pipeline downstream exercises true byte-layout parsing, not a
+    from each row's text — real BMP bytes (``kind="bmp"``), real PNG
+    bytes (``kind="png"``, zlib-compressed with cycling row filters),
+    real PCM16 WAV bytes (``kind="wav"``), or a deterministic
+    uncompressed/compressed mix (``kind="image_mix"``: bmp or png by the
+    md5 seed's parity) via the pure-Python encoders, so the decode
+    pipeline downstream exercises true byte-layout parsing, not a
     pseudo-decode. Dimensions/sample counts are md5-derived and small
     (8–39 px / ≤2k samples) to keep synthesis cheap; Arrow-batched."""
 
     def make_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            payloads, fmts = [], []
             for txt in pdf[text_col]:
                 seed = (txt or "").encode("utf-8")
                 d = hashlib.md5(seed).digest()
-                if kind == "bmp":
+                k = kind
+                if k == "image_mix":
+                    k = "png" if d[2] % 2 else "bmp"
+                if k == "bmp":
                     payloads.append(encode_bmp(8 + d[0] % 32, 8 + d[1] % 32, seed))
+                elif k == "png":
+                    payloads.append(encode_png(8 + d[0] % 32, 8 + d[1] % 32, seed))
                 else:
                     payloads.append(encode_wav(256 + d[0] * 8, 16000, seed))
+                fmts.append(k)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
                     "payload": payloads,
-                    "format": kind,
+                    "format": fmts,
                 }
             )
 

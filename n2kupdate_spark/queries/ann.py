@@ -334,12 +334,14 @@ def dedup_semantic_resume_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_multimodal.py
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end, no stub and no library: every doc's
-    text becomes a genuine 24bpp BMP payload (pure-Python encoder,
-    md5-derived dimensions), and the decode kernel parses the actual
-    byte layout — width/height from the DIB header, mean luma from the
-    pixel rows (Rec.601) — inside the same mapInPandas batch contract as
-    the stub path. This is the r9 upgrade of the multimodal seam: only
-    COMPRESSED formats remain env-blocked (operators/multimodal.py)."""
+    text becomes a genuine image payload — a 24bpp BMP or (r10) a
+    zlib-compressed PNG with cycling row filters, deterministically mixed
+    by content hash — and the decode kernel parses the actual byte
+    layouts: BMP DIB header + pixel rows, PNG chunk walk + inflate +
+    full 5-filter scanline reconstruction, mean luma via Rec.601, inside
+    the same mapInPandas batch contract as the stub path. After the r10
+    PNG codec only entropy-coded formats with no stdlib codec (jpeg/mp3)
+    remain env-blocked (operators/multimodal.py)."""
     from n2kupdate_spark.operators.multimodal import (
         attach_real_payload,
         decode_images,
@@ -347,5 +349,5 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return decode_images(
-        attach_real_payload(d, "doc_id", "text", kind="bmp"), fake=False
+        attach_real_payload(d, "doc_id", "text", kind="image_mix"), fake=False
     )

@@ -132,19 +132,25 @@ def test_pure_python_bmp_ppm_wav_decode_pinned(spark):
     wav_odd = wav + b"junk" + struct.pack("<I", 3) + b"abc\x00"
     assert decode_audio(wav_odd)["n_samples"] == 512
 
-    # compressed formats remain env-blocked
-    with _pytest.raises(NotImplementedError, match="compressed-image"):
+    # entropy-coded formats remain env-blocked (PNG decodes for real
+    # since r10 — a malformed PNG now fails loudly as a ValueError)
+    with _pytest.raises(NotImplementedError, match="codecs unavailable"):
+        decode_image(b"\xff\xd8\xff\xe0....", "jpeg", fake=False)
+    with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....", "png", fake=False)
 
 
 def test_multimodal_decode_real_query_pinned(spark):
     """The registered multimodal_decode_real op: every row's metadata
     must equal a driver-side decode of the same deterministically
-    synthesized BMP payload (true end-to-end byte parity, no stub), and
-    reruns are identical."""
-    from pyspark.sql import functions as F
-
-    from n2kupdate_spark.operators.multimodal import decode_image, encode_bmp
+    synthesized payload — BMP or PNG by the r10 image_mix parity rule —
+    (true end-to-end byte parity, no stub), the mix must actually
+    contain BOTH formats, and reruns are identical."""
+    from n2kupdate_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+    )
     from n2kupdate_spark.queries import QUERIES
     from n2kupdate_spark.sources import load
 
@@ -152,21 +158,23 @@ def test_multimodal_decode_real_query_pinned(spark):
 
     sf = "/root/testdata/sf0.001"
     got = {
-        r["doc_id"]: (r["n_bytes"], r["width"], r["height"], r["mean_luma"])
+        r["doc_id"]: (r["n_bytes"], r["format"], r["width"], r["height"], r["mean_luma"])
         for r in QUERIES["multimodal_decode_real"](spark, sf).collect()
     }
     docs = load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
     assert len(got) == len(docs) > 0
+    assert {f for _, f, *_ in got.values()} == {"bmp", "png"}
     for r in docs:
         seed = (r["text"] or "").encode("utf-8")
         d = _hl.md5(seed).digest()
-        payload = encode_bmp(8 + d[0] % 32, 8 + d[1] % 32, seed)
-        m = decode_image(payload, "bmp", fake=False)
+        enc = encode_png if d[2] % 2 else encode_bmp
+        payload = enc(8 + d[0] % 32, 8 + d[1] % 32, seed)
+        m = decode_image(payload, None, fake=False)
         assert got[r["doc_id"]] == (
-            m["n_bytes"], m["width"], m["height"], m["mean_luma"]
+            m["n_bytes"], m["format"], m["width"], m["height"], m["mean_luma"]
         ), r["doc_id"]
     rerun = {
-        r["doc_id"]: (r["n_bytes"], r["width"], r["height"], r["mean_luma"])
+        r["doc_id"]: (r["n_bytes"], r["format"], r["width"], r["height"], r["mean_luma"])
         for r in QUERIES["multimodal_decode_real"](spark, sf).collect()
     }
     assert rerun == got
@@ -200,3 +208,94 @@ def test_decode_audios_mapinpandas_path(spark):
         n = 256 + _hl.md5(seed).digest()[0] * 8
         m = decode_audio(encode_wav(n, 16000, seed))
         assert got[r["doc_id"]] == (m["sample_rate"], m["n_samples"], m["rms"])
+
+
+def test_pure_python_png_codec_pinned():
+    """r10 PNG codec pins. (1) Roundtrip: encode_png cycles ALL five PNG
+    row filters, so a successful decode proves every unfilter
+    reconstruction (the encoder filters vectorized, the decoder
+    reconstructs sequentially — two independent implementations of the
+    spec math); mean_luma must equal a numpy recompute from the same
+    seeded pixels. (2) Hand-built gray / RGBA / palette variants decode
+    with correct luma semantics (alpha ignored, palette mapped).
+    (3) Corruption honesty: CRC flip, Adam7, truncation, bad color type
+    all raise rather than return garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from n2kupdate_spark.operators.multimodal import (
+        _decode_png,
+        _png_chunk,
+        encode_png,
+    )
+
+    # (1) roundtrip across sizes spanning >5 rows so every filter fires
+    for w, h, seed in ((8, 11, b"a"), (39, 7, b"b"), (16, 16, b"png-pin")):
+        payload = encode_png(w, h, seed)
+        m = _decode_png(payload)
+        rng = np.random.RandomState(
+            int.from_bytes(__import__("hashlib").md5(seed).digest()[:4], "little")
+        )
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.float64)
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        assert (m["width"], m["height"], m["format"]) == (w, h, "png")
+        assert m["mean_luma"] == round(float(luma.mean()) / 255.0, 4)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def build(ctype_i, channels, px, extra=b""):
+        h_, w_ = px.shape[0], px.shape[1]
+        ihdr = struct.pack(">IIBBBBB", w_, h_, 8, ctype_i, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + px[r].reshape(-1).astype(np.uint8).tobytes() for r in range(h_)
+        )
+        return (
+            sig
+            + _png_chunk(b"IHDR", ihdr)
+            + extra
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # (2) gray: luma is the channel itself
+    g = np.arange(24, dtype=np.uint8).reshape(4, 6, 1)
+    m = _decode_png(build(0, 1, g))
+    assert m["mean_luma"] == round(float(g.mean()) / 255.0, 4)
+    # RGBA: alpha ignored
+    rgba = np.zeros((3, 5, 4), dtype=np.uint8)
+    rgba[..., 0], rgba[..., 3] = 200, 7  # red + junk alpha
+    m = _decode_png(build(6, 4, rgba))
+    assert m["mean_luma"] == round(0.299 * 200 / 255.0, 4)
+    # palette: indexes map through PLTE before luma
+    plte = _png_chunk(b"PLTE", bytes([0, 0, 0, 255, 255, 255]))
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8).reshape(2, 2, 1)
+    m = _decode_png(build(3, 1, idx, extra=plte))
+    assert m["mean_luma"] == 0.5
+
+    # (3) corruption honesty
+    ok = encode_png(8, 8, b"z")
+    bad = bytearray(ok)
+    bad[40] ^= 0xFF  # inside IHDR/IDAT territory -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(bad))
+    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlace=1
+    with pytest.raises(ValueError, match="Adam7"):
+        _decode_png(
+            sig
+            + _png_chunk(b"IHDR", ihdr_i)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+            + _png_chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError):
+        _decode_png(ok[: len(ok) // 2])  # truncated: missing IEND/IDAT tail
+    ihdr_bad = struct.pack(">IIBBBBB", 4, 4, 8, 5, 0, 0, 0)
+    with pytest.raises(ValueError, match="color type"):
+        _decode_png(
+            sig
+            + _png_chunk(b"IHDR", ihdr_bad)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+            + _png_chunk(b"IEND", b"")
+        )
