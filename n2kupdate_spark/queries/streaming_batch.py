@@ -423,3 +423,35 @@ def ts_rollup_from_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value"),
         )
     )
+
+
+@register("events_markov_transitions")  # rows-only debut (capacity policy
+# §5.2) — but cross-engine verified anyway: the pytest pin runs the
+# equivalent DuckDB SQL through the same canonical-rows compare the
+# driver uses (tests/test_parity.py), without spending a rotation slot.
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each (event_type → next event_type) pair, the transition count and
+    probability — the standard user-behavior model behind funnel
+    diagnostics and synthetic-session generation. Ordering is
+    deterministic: (ts, event_id) within user.
+
+    Scale shape: one user-keyed window shuffle for the lead(), one
+    partial-agged count shuffle, and the per-source normalization runs as
+    a window over the COUNTS table (|event_type|² rows — tiny at any
+    corpus size). Probability uses scale-first rounding (×1e4, round,
+    /1e4) for cross-engine 4dp parity."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = trans.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.round(F.col("n") * 10000.0 / F.sum("n").over(tot), 0) / 10000).alias("p"),
+    )

@@ -237,3 +237,38 @@ def test_quality_classifier_separates_planted_signal(spark):
     assert min(pos_scores) > max(neg_scores)
     assert all(got[i].keep == 1 for i in range(0, 40, 2))
     assert all(got[i].keep == 0 for i in range(1, 40, 2))
+
+
+def test_markov_transitions_duckdb_pinned(spark, sf_dir, oracle_con):
+    """events_markov_transitions (rows-only, r10): run the equivalent
+    DuckDB SQL through the SAME canonical-rows compare the driver's
+    oracle gate uses — cross-engine value verification without a rotation
+    slot. Also pins the row-count invariant: transitions sum to
+    (events - distinct users), since exactly the last event per user has
+    no successor."""
+    spdf = QUERIES["events_markov_transitions"](spark, sf_dir).toPandas()
+    opdf = oracle_con.execute(
+        """
+        WITH seq AS (
+          SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+          FROM events
+        ), c AS (
+          SELECT event_type, next_type, COUNT(*) AS n
+          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+               ROUND(n * 10000.0 / SUM(n) OVER (PARTITION BY event_type)) / 10000 AS p
+        FROM c
+        """
+    ).fetchdf()
+    assert len(spdf) == len(opdf)
+    s_cols, s_rows = canonical_rows(spdf)
+    o_cols, o_rows = canonical_rows(opdf)
+    assert s_cols == o_cols
+    assert s_rows == o_rows
+    n_events, n_users = oracle_con.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()
+    assert int(spdf["n"].sum()) == n_events - n_users
