@@ -351,3 +351,22 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(
         attach_real_payload(d, "doc_id", "text", kind="image_mix"), fake=False
     )
+
+
+@register("multimodal_audio_features")  # rows-only (capacity policy):
+# payload bytes are engine-synthesized; features pinned vs an in-process
+# numpy recompute in tests/test_multimodal.py
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction, library-free: every doc's text
+    becomes a genuine PCM16 WAV payload and the DSP kernel computes RMS,
+    zero-crossing rate, and FFT spectral centroid per clip inside one
+    Arrow mapInPandas pass (zero shuffle) — the multimodal mandate's
+    'feature-extract' stage running actual signal processing. See
+    operators/multimodal.py:audio_dsp_features."""
+    from n2kupdate_spark.operators.multimodal import (
+        attach_real_payload,
+        audio_features,
+    )
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return audio_features(attach_real_payload(d, "doc_id", "text", kind="wav"))

@@ -299,3 +299,69 @@ def test_pure_python_png_codec_pinned():
             + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 4))
             + _png_chunk(b"IEND", b"")
         )
+
+
+def test_audio_dsp_features_pinned(spark):
+    """r10 audio DSP: recompute ZCR and spectral centroid in-process from
+    the same seeded PCM samples (independent numpy math on the raw
+    int16 block) and pin the registered query row-for-row; plus analytic
+    edge pins — a pure sine's centroid lands on its own frequency bin and
+    its ZCR equals 2f/rate; silence yields zeroed features."""
+    import hashlib as _hl
+    import struct
+
+    import numpy as np
+
+    from n2kupdate_spark.operators.multimodal import (
+        audio_dsp_features,
+        encode_wav,
+    )
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["n_samples"], r["rms"], r["zcr"], r["spectral_centroid_hz"])
+        for r in QUERIES["multimodal_audio_features"](spark, sf).collect()
+    }
+    docs = load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
+    assert len(got) == len(docs) > 0
+    for r in docs[:50]:  # byte-parity sample; full determinism via rerun
+        seed = (r["text"] or "").encode("utf-8")
+        d = _hl.md5(seed).digest()
+        m = audio_dsp_features(encode_wav(256 + d[0] * 8, 16000, seed))
+        assert got[r["doc_id"]] == (
+            m["n_samples"], m["rms"], m["zcr"], m["spectral_centroid_hz"]
+        ), r["doc_id"]
+
+    # independent recompute for one payload (raw math, not the kernel)
+    seed = b"dsp-pin"
+    d = _hl.md5(seed).digest()
+    n = 256 + d[0] * 8
+    rng = np.random.RandomState(int.from_bytes(d[4:8], "little"))
+    s = rng.randint(-32768, 32768, size=n, dtype=np.int16).astype(np.float64) / 32768.0
+    zcr = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1])))
+    mag = np.abs(np.fft.rfft(s))
+    centroid = float((np.fft.rfftfreq(n, 1 / 16000) * mag).sum() / mag.sum())
+    m = audio_dsp_features(encode_wav(n, 16000, seed))
+    assert m["zcr"] == round(zcr, 4) and m["spectral_centroid_hz"] == round(centroid, 4)
+
+    # analytic pins: 1 kHz sine at 16 kHz over a whole number of periods
+    rate, f, n = 16000, 1000, 4096
+    t = np.arange(n) / rate
+    sine = (np.sin(2 * np.pi * f * t) * 20000).astype(np.int16)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + 2 * n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", 2 * n) + sine.tobytes()
+    )
+    m = audio_dsp_features(hdr)
+    assert abs(m["spectral_centroid_hz"] - f) < 25  # leakage-bounded
+    assert abs(m["zcr"] - 2 * f / rate) < 0.001
+    silence = (
+        b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    )
+    m0 = audio_dsp_features(silence)
+    assert (m0["rms"], m0["zcr"], m0["spectral_centroid_hz"]) == (0.0, 0.0, 0.0)
