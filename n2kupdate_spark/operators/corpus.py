@@ -898,6 +898,7 @@ def gate_documents(
     decontam_budget: int = 5,
     gopher_kwargs: dict | None = None,
     exclude_eval_ids: bool = True,
+    decontam_method: str = "exact",
 ) -> DataFrame:
     """The filtering front half of :func:`prepare_corpus` — Gopher gate →
     n-gram decontamination (overlap budget) → optional eval-id exclusion →
@@ -906,16 +907,29 @@ def gate_documents(
     (streaming/jobs.py::stream_corpus_publish) applies the identical
     gates per micro-batch that the batch pipeline applies per corpus; the
     registered `corpus_prepare_pipeline` oracle keeps verifying this code
-    through prepare_corpus."""
+    through prepare_corpus.
+
+    ``decontam_method`` picks the overlap gate: ``"exact"`` (default,
+    broadcast eval gram strings — the oracle-verified path) or
+    ``"bloom"`` (:func:`decontaminate_bloom`, fixed 128 KiB bitset probes
+    — the path for eval suites too large to broadcast as strings; its
+    flagged-gram count is a superset of exact's, so the same budget drops
+    at least the same docs, plus bounded-FP extras)."""
     passing = (
         gopher_metrics(docs, id_col, text_col, **(gopher_kwargs or {}))
         .filter(F.col("gopher_pass") == 1)
         .select(id_col)
     )
+    if decontam_method == "bloom":
+        overlap = decontaminate_bloom(docs, eval_docs, id_col, text_col, n=decontam_n)
+        overlap_col = "n_flagged_grams"
+    elif decontam_method == "exact":
+        overlap = decontaminate_ngram(docs, eval_docs, id_col, text_col, n=decontam_n)
+        overlap_col = "n_shared_grams"
+    else:
+        raise ValueError(f"unknown decontam_method {decontam_method!r}")
     contaminated = (
-        decontaminate_ngram(docs, eval_docs, id_col, text_col, n=decontam_n)
-        .filter(F.col("n_shared_grams") >= decontam_budget)
-        .select(id_col)
+        overlap.filter(F.col(overlap_col) >= decontam_budget).select(id_col)
     )
     clean = docs.join(passing, id_col).join(contaminated, id_col, "left_anti")
     if exclude_eval_ids:
@@ -978,6 +992,7 @@ def prepare_corpus(
     trim_substring_k: int | None = None,
     fuzzy_decontam_threshold: float | None = None,
     quality_positive_col: str | None = None,
+    decontam_method: str = "exact",
 ) -> DataFrame:
     """End-to-end preparation: Gopher gate → decontamination (overlap
     budget) → exact dedup (md5, keep lowest id) → optional exact-
@@ -1015,6 +1030,14 @@ def prepare_corpus(
     verifies the default path and the opt-in paths are pinned against an
     independent stage-by-stage composition (tests/test_mlprep_props.py).
 
+    ``decontam_method="bloom"`` swaps the exact n-gram overlap gate for
+    the fixed-memory Bloom probe (:func:`decontaminate_bloom`) — same
+    budget semantics over a flagged-gram count that is a SUPERSET of the
+    exact gate's, for eval suites whose distinct-gram strings are too
+    large to broadcast (pin: tests/test_mlprep_props.py — bloom survivors
+    ⊆ exact survivors always, equal at the registered sizing on the
+    fixture where the filter has no collisions).
+
     ``exclude_eval_ids`` governs id-space semantics: when the eval set is
     a SLICE of the training corpus (the demo fixture, or leakage-guarding
     an in-corpus holdout), its ids must also be dropped from the output —
@@ -1031,6 +1054,7 @@ def prepare_corpus(
         decontam_budget=decontam_budget,
         gopher_kwargs=gopher_kwargs,
         exclude_eval_ids=exclude_eval_ids,
+        decontam_method=decontam_method,
     )
     if fuzzy_decontam_threshold is not None:
         near = (

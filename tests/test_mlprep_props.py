@@ -760,3 +760,34 @@ def test_quality_gate_keeps_tokenless_docs(spark):
     assert "szero" in set(gated["source"]), (
         "token-less doc silently dropped by the quality stage"
     )
+
+
+def test_gate_documents_bloom_method_pinned(spark, sf_dir):
+    """r10: gate_documents(decontam_method="bloom") vs the exact method.
+    Two contracts: (1) bloom survivors ⊆ exact survivors (the Bloom gate
+    flags a SUPERSET of grams, so with the same budget it can only drop
+    MORE docs — never re-admit one); (2) at the registered sizing the
+    fixture's eval gram count is far below the filter's capacity, so the
+    two gates agree EXACTLY. An unknown method raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.corpus import gate_documents
+    from n2kupdate_spark.sources import load
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    is_eval = F.expr("doc_id % 97 = 0")
+    train, evald = d.filter(~is_eval), d.filter(is_eval)
+    exact = {
+        r.doc_id for r in gate_documents(train, evald, decontam_budget=1).collect()
+    }
+    bloom = {
+        r.doc_id
+        for r in gate_documents(
+            train, evald, decontam_budget=1, decontam_method="bloom"
+        ).collect()
+    }
+    assert bloom <= exact
+    assert bloom == exact  # no collisions at registered sizing on fixture
+    with _pytest.raises(ValueError, match="decontam_method"):
+        gate_documents(train, evald, decontam_method="minhash").collect()
