@@ -56,6 +56,8 @@ OPS = [
     "pack_sequences_bpe",       # bounded learn + map encode + chunk-bounded BFD
     "text_decontaminate_bloom", # fixed-bitset build + k broadcast word probes
     "text_information_signals", # single Arrow map pass, zero shuffle
+    "multimodal_audio_features", # WAV synth + FFT features, one Arrow pass
+    "events_markov_transitions", # user-keyed lead window + tiny count table
 ]
 
 
