@@ -538,6 +538,151 @@ def pq_topk(
     ).filter(F.col("rn") <= k)
 
 
+def cell_and_residual(vc: str, centroids: np.ndarray):
+    """Arrow-batched coarse assignment + residual: (cell 1-based, r = v −
+    centroid[cell]) in one pass. argmax is first-occurrence like
+    best_cell's array_position, and the scores come from the same numpy
+    matmul, so assignments agree with best_cell by construction."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids.copy()
+
+    @pandas_udf("struct<cell: int, res: array<double>>")
+    def f(vecs: pd.Series) -> pd.DataFrame:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        cell = np.argmax(V @ C.T, axis=1)
+        res = V - C[cell]
+        return pd.DataFrame({"cell": (cell + 1).astype(np.int32), "res": list(res)})
+
+    return f(F.col(vc))
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str = "v",
+    query_vec_col: str = "qv",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 10,
+    m: int = 16,
+    ksub: int = 64,
+    shortlist: int = 150,
+    cell_seed: int = 11,
+    pq_seed: int = 13,
+    seed_sample: int = 512,
+    max_queries: int = 256,
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition (the FAISS IndexIVFPQ
+    shape) — a coarse spherical-k-means quantizer prunes the corpus to
+    ``nprobe`` cells per query, PQ codes OF THE RESIDUALS score the
+    survivors via lookup tables, and the ADC shortlist is re-ranked with
+    exact cosine. Residual encoding is the composition's point: within a
+    cell the residual v − c_cell spans a much smaller ball than v, so the
+    same (m, ksub) budget quantizes finer than global PQ; the inner
+    product decomposes exactly as q·v = q·c_cell + q·r, making the ADC
+    estimate = per-(query, cell) scalar offset + LUT sum.
+
+    Scale design — what each stage touches at 100 TB: the two fits
+    collect bounded samples (house bounded-fit contract); assignment +
+    residual encoding are shuffle-free Arrow maps; the scan reads ONLY
+    probed cells' CODES (nprobe/n_cells of the corpus, each row m bytes
+    not dim floats — both pruning factors multiply); per-batch top-
+    shortlist keeps the shuffle at batches × Q × shortlist; the exact
+    re-rank touches Q × shortlist float rows. Deterministic end to end
+    (seeded fits, first-wins argmax, id tiebreaks); recall floor pinned
+    in tests/test_ann_recall.py. Output schema matches sim_cosine_topk."""
+    cents = fit_spherical_centroids(
+        vectors, id_col, vec_col, n_cells, None, cell_seed, seed_sample
+    )
+    assigned = vectors.select(
+        id_col, cell_and_residual(vec_col, cents).alias("__cr")
+    ).select(id_col, F.col("__cr.cell").alias("cell"), F.col("__cr.res").alias("__res"))
+    books = fit_pq_codebooks(
+        assigned, id_col, "__res", m, ksub, pq_seed, seed_sample
+    )
+    mm, kk, dsub = books.shape
+    codes = assigned.select(id_col, "cell", pq_encode("__res", books).alias("__codes"))
+
+    q_rows = queries.select(query_id_col, query_vec_col).limit(max_queries).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    offsets = Q @ cents.T  # (nq, n_cells): the q·c_cell scalar term
+    # top-nprobe cells per query, score desc with cell-asc tiebreak
+    order = np.lexsort((np.arange(n_cells)[None, :].repeat(len(Q), 0), -offsets))
+    probe_map: dict[int, list[int]] = {}
+    for qi in range(len(Q)):
+        for cell0 in order[qi, :nprobe]:
+            probe_map.setdefault(int(cell0) + 1, []).append(qi)
+    LUT = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), books)
+
+    import pandas as _pd
+
+    out_schema = f"{id_col} long, q_i int, adc double"
+
+    def score(batches):
+        for pdf in batches:
+            C = np.stack(pdf["__codes"].to_numpy()).astype(np.int64)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for cell in np.unique(cells):
+                qs = probe_map.get(int(cell))
+                if not qs:
+                    continue
+                mask = cells == cell
+                Cc, idc = C[mask], ids[mask]
+                sub = np.zeros((len(qs), len(Cc)))
+                L = LUT[qs]
+                for j in range(mm):
+                    sub += L[:, j, :][np.arange(len(qs))[:, None], Cc[:, j]]
+                sub += offsets[qs, int(cell) - 1][:, None]
+                top = min(shortlist, sub.shape[1])
+                part = np.argpartition(-sub, top - 1, axis=1)[:, :top]
+                frames.append(
+                    _pd.DataFrame(
+                        {
+                            id_col: idc[part.ravel()],
+                            "q_i": np.repeat(np.array(qs, dtype=np.int32), top),
+                            "adc": np.take_along_axis(sub, part, axis=1).ravel(),
+                        }
+                    )
+                )
+            if frames:
+                yield _pd.concat(frames)
+
+    per_batch = codes.mapInPandas(score, out_schema)
+    w_s = Window.partitionBy("q_i").orderBy(F.col("adc").desc(), F.col(id_col).asc())
+    short = (
+        per_batch.withColumn("__rn", F.row_number().over(w_s))
+        .filter(F.col("__rn") <= shortlist)
+        .select(id_col, "q_i")
+    )
+    q_map = vectors.sparkSession.createDataFrame(
+        [(int(i), q_ids[i].item() if hasattr(q_ids[i], "item") else q_ids[i],
+          [float(x) for x in Q[i]]) for i in range(len(Q))],
+        ["q_i", "q_id", "qv"],
+    )
+    scored = (
+        short.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q_map), "q_i")
+        .filter(F.col("q_id") != F.col(id_col))
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine("qv", vec_col), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.select(
+        "q_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= k)
+
+
 def _explode_incident_bucket_pairs(
     df: DataFrame,
     group_col: str,

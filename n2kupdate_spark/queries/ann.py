@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from n2kupdate_spark.operators.multimodal import attach_fake_payload, decode_images
-from n2kupdate_spark.operators.similarity import ivf_topk, pq_topk, rp_lsh_topk
+from n2kupdate_spark.operators.similarity import (
+    ivf_topk,
+    ivfpq_topk,
+    pq_topk,
+    rp_lsh_topk,
+)
 from n2kupdate_spark.queries._registry import register
 from n2kupdate_spark.sources import load
 
@@ -80,6 +85,19 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, q, "vec_id", "q_id", "v", "qv", k=10)
 
 
+@register("sim_ann_ivfpq")  # rows-only: index layout is engine-specific
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 — the production composition (FAISS IndexIVFPQ
+    shape): coarse cells prune the corpus to nprobe=10 of 16, PQ codes of
+    the RESIDUALS score survivors via offset+LUT ADC (q·v = q·c_cell +
+    q·r decomposes exactly), exact cosine re-ranks the shortlist. Both
+    pruning factors multiply at scan time: nprobe/n_cells of the rows ×
+    m bytes instead of dim floats per row. Deterministic; recall floor
+    pinned in tests/test_ann_recall.py. See similarity.py:ivfpq_topk."""
+    e, q = _vectors_and_queries(spark, sf_dir)
+    return ivfpq_topk(e, q, "vec_id", "q_id", "v", "qv", k=10, nprobe=10)
+
+
 @register("sim_ann_recall_eval")  # rows-only: evaluates engine-specific ANN
 def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of each ANN variant against the exact brute-force top-10 —
@@ -93,7 +111,7 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale."""
     from n2kupdate_spark.queries.vectors import sim_cosine_topk
 
-    # The exact baseline feeds three consumers (denominator + one hit-join
+    # The exact baseline feeds five consumers (denominator + one hit-join
     # per method); checkpointing its Q×k rows computes the brute-force scan
     # once instead of three times.
     exact = (
@@ -122,6 +140,7 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_of("lsh", sim_ann_lsh(spark, sf_dir))
         .unionByName(recall_of("ivf", sim_ann_ivf(spark, sf_dir)))
         .unionByName(recall_of("pq", sim_ann_pq(spark, sf_dir)))
+        .unionByName(recall_of("ivfpq", sim_ann_ivfpq(spark, sf_dir)))
     )
 
 

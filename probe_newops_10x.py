@@ -58,6 +58,7 @@ OPS = [
     "text_information_signals", # single Arrow map pass, zero shuffle
     "multimodal_audio_features", # WAV synth + FFT features, one Arrow pass
     "events_markov_transitions", # user-keyed lead window + tiny count table
+    "sim_ann_ivfpq",            # coarse-pruned code scan + shortlist re-rank
 ]
 
 

@@ -16,11 +16,15 @@ def test_ann_recall_bounds(spark):
         r["method"]: r
         for r in QUERIES["sim_ann_recall_eval"](spark, SF).collect()
     }
-    assert set(rows) == {"lsh", "ivf", "pq"}
+    assert set(rows) == {"lsh", "ivf", "pq", "ivfpq"}
     # measured at sf0.001 / sf0.1: lsh 0.90 / 0.945 (24x5 bands),
     # ivf 0.96 / 0.89 (nprobe=10), pq 1.0 / 0.99 (m=16, ksub=64,
-    # shortlist=150 + exact re-rank); deterministic seeds throughout
-    floors = {"lsh": 0.85, "ivf": 0.85, "pq": 0.9}
+    # shortlist=150 + exact re-rank), ivfpq 0.96 / 0.885 (r10: the
+    # residual-PQ shortlist costs only ~0.005 vs pure IVF at the same
+    # nprobe while scanning m-byte codes instead of floats — the coarse
+    # quantizer, shared with IVF, is the recall bound); deterministic
+    # seeds throughout
+    floors = {"lsh": 0.85, "ivf": 0.85, "pq": 0.9, "ivfpq": 0.85}
     for method, row in rows.items():
         assert row["n_queries"] >= 4, method
         assert row["recall_at_10"] >= floors[method], (method, row["recall_at_10"])
