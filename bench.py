@@ -63,6 +63,10 @@ HEADLINE = [
     # r9 late addition: the tokenizer family (bounded type-table BPE fit +
     # broadcast-ranks Arrow encode)
     "text_bpe_tokenize",
+    # r10 additions: the fixed-memory decontamination gate and the
+    # production ANN composition (coarse cells + residual-PQ code scan)
+    "text_decontaminate_bloom",
+    "sim_ann_ivfpq",
 ]
 
 

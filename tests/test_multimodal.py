@@ -365,3 +365,38 @@ def test_audio_dsp_features_pinned(spark):
     )
     m0 = audio_dsp_features(silence)
     assert (m0["rms"], m0["zcr"], m0["spectral_centroid_hz"]) == (0.0, 0.0, 0.0)
+
+
+def test_png_codec_roundtrip_property():
+    """Hypothesis roundtrip for the r10 PNG codec: for arbitrary
+    dimensions (including the w=1/h=1 filter edge cases where the left/
+    upper-left neighbors vanish) and arbitrary seeds, decode(encode(..))
+    must return the exact dimensions and a mean luma equal to the numpy
+    recompute from the same seeded pixels — across the cycling filter
+    types this exercises every unfilter branch at every width class.
+    Driver-side only (no Spark), so examples are cheap."""
+    import hashlib as _hl
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from n2kupdate_spark.operators.multimodal import _decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        seed=st.binary(min_size=0, max_size=8),
+    )
+    def check(w, h, seed):
+        m = _decode_png(encode_png(w, h, seed))
+        rng = np.random.RandomState(
+            int.from_bytes(_hl.md5(seed).digest()[:4], "little")
+        )
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.float64)
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        assert (m["width"], m["height"]) == (w, h)
+        assert m["mean_luma"] == round(float(luma.mean()) / 255.0, 4)
+
+    check()

@@ -1152,3 +1152,47 @@ def test_stream_dedup_bloom_fold_state_and_fp_bound():
     p_final = (1.0 - math.exp(-k * n / m)) ** k
     assert drops > 0, "undersized filter produced no FP drops; test is vacuous"
     assert drops <= 3.0 * n * p_final, (drops, n * p_final)
+
+
+def test_stream_dedup_bloom_under_rocksdb_provider(spark, tmp_path):
+    """The 100 TB configuration of the r10 Bloom dedup: binary bitset
+    state must round-trip through the RocksDB state store provider
+    identically to the default HDFS-backed heap provider (BinaryType
+    state is the non-trivial part — 16 KiB opaque values per group), and
+    the progress metrics must prove RocksDB actually engaged."""
+    import pandas as pd
+
+    from n2kupdate_spark.sources.catalog import SCHEMAS
+    from n2kupdate_spark.streaming import documents_file_stream, stream_dedup_bloom
+
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(i, f"rocks text {i % 40}", "en", "src0", 12) for i in range(80)],
+            SCHEMAS["documents"],
+        ).coalesce(2).write.parquet(src)
+        emitted = []
+        q = (
+            stream_dedup_bloom(documents_file_stream(spark, src))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(lambda df, eid: emitted.append(df.toPandas()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = pd.concat([p for p in emitted if len(p)])
+        assert sorted(got["doc_id"]) == list(range(40))  # keep-lowest per fp
+        ops = [p for p in q.recentProgress if p.get("stateOperators")]
+        metrics = ops[-1]["stateOperators"][0].get("customMetrics", {})
+        assert any("rocksdb" in k.lower() for k in metrics), metrics
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
