@@ -1157,6 +1157,64 @@ def semantic_dedup(
     )
 
 
+def hard_negative_topk(
+    vectors: DataFrame,
+    query_rows: list,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training: for each
+    query vector, the top-k most-similar vectors with a DIFFERENT label —
+    the negatives closest to the decision boundary, which published
+    retrieval recipes mine from the corpus itself (random negatives are
+    too easy to teach the margin). Same vectorized shape as
+    brute_topk_matmul (query matrix in the task closure, one matmul per
+    Arrow batch, per-batch top-k prefilter, caller ranks globally) with
+    the label-mismatch mask applied INSIDE the batch scorer — masking
+    after a plain top-k would silently lose hard negatives crowded out by
+    same-label neighbors. query_rows carry (id, vec, label)."""
+    import pandas as pd
+
+    q_ids = np.array([r[0] for r in query_rows], dtype=np.int64)
+    q_labels = np.array([r[2] for r in query_rows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in query_rows])
+    Qn = np.linalg.norm(Q, axis=1)
+    Qn[Qn == 0] = 1.0
+    Q = Q / Qn[:, None]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            norms[norms == 0] = 1.0
+            U = V / norms[:, None]
+            ids = pdf[id_col].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            S = np.round(Q @ U.T, 4) + 0.0
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = (ids != q_ids[qi]) & (labels != q_labels[qi])
+                cand_ids, cand_s = ids[mask], S[qi][mask]
+                if len(cand_ids) > k:
+                    order = np.lexsort((cand_ids, -cand_s))[:k]
+                    cand_ids, cand_s = cand_ids[order], cand_s[order]
+                out_q.extend([int(q_ids[qi])] * len(cand_ids))
+                out_id.extend(cand_ids.tolist())
+                out_s.extend(cand_s.tolist())
+            if out_q:
+                yield pd.DataFrame(
+                    {"q_id": out_q, "neg_id": out_id, "cos_sim": out_s}
+                )
+
+    return vectors.select(id_col, vec_col, label_col).mapInPandas(
+        score, "q_id long, neg_id long, cos_sim double"
+    )
+
+
 def brute_topk_matmul(
     vectors: DataFrame,
     query_rows: list,

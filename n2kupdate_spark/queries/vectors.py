@@ -210,3 +210,43 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_maxcode"
         ),
     )
+
+
+@register("embed_hard_negatives")  # rows-only debut (capacity policy
+# §5.2) — cross-engine verified anyway: the pytest pin runs the
+# equivalent DuckDB list_cosine_similarity SQL through the driver's own
+# canonical-rows compare (tests/test_parity.py).
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training: for each
+    query vector (every 100th, the shared predicate), the 10 most-similar
+    embeddings with a DIFFERENT label — the near-boundary negatives that
+    published retrieval recipes mine from the corpus because random
+    negatives are too easy to teach the margin. Emits
+    (q_id, neg_id, cos_sim, rn) ranked on the rounded score with neg_id
+    tiebreak.
+
+    Scale design: same shape as sim_cosine_topk — the bounded query
+    matrix rides in task closures, one numpy matmul per Arrow batch, and
+    the label-mismatch mask is applied INSIDE the batch scorer so a
+    same-label crowd can't evict true hard negatives from the per-batch
+    top-k prefilter; the final window ranks ~batches × Q × k survivors.
+    See operators/similarity.py:hard_negative_topk."""
+    from n2kupdate_spark.operators.similarity import hard_negative_topk
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    query_rows = (
+        e.filter(F.expr(_QUERY_PRED_SQL))
+        .select("vec_id", "v", "label")
+        .orderBy("vec_id")
+        .limit(_Q_MAX)
+        .collect()
+    )
+    cand = hard_negative_topk(e, query_rows, "vec_id", "v", "label", k=_TOP_K)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return cand.select(
+        "q_id", "neg_id", "cos_sim", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _TOP_K)

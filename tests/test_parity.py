@@ -272,3 +272,47 @@ def test_markov_transitions_duckdb_pinned(spark, sf_dir, oracle_con):
         "SELECT COUNT(*), COUNT(DISTINCT user_id) FROM events"
     ).fetchone()
     assert int(spdf["n"].sum()) == n_events - n_users
+
+
+def test_hard_negatives_duckdb_pinned(spark, sf_dir, oracle_con):
+    """embed_hard_negatives (rows-only, r10): the equivalent DuckDB
+    list_cosine_similarity SQL through the driver's canonical-rows
+    compare, plus the defining invariants — no negative shares its
+    query's label, and every returned similarity is <= the same query's
+    unrestricted top-1 (a hard negative can tie but never beat the best
+    overall neighbor)."""
+    spdf = QUERIES["embed_hard_negatives"](spark, sf_dir).toPandas()
+    opdf = oracle_con.execute(
+        """
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT vec_id AS q_id, v AS qv, label AS ql FROM e
+                   WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 256)
+        SELECT q_id, neg_id, cos_sim, rn FROM (
+            SELECT q.q_id, e.vec_id AS neg_id,
+                   ROUND(list_cosine_similarity(q.qv, e.v), 4) + 0 AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(q.qv, e.v), 4) + 0 DESC,
+                                e.vec_id ASC
+                   ) AS rn
+            FROM q CROSS JOIN e
+            WHERE e.vec_id <> q.q_id AND e.label <> q.ql
+        ) WHERE rn <= 10
+        """
+    ).fetchdf()
+    assert len(spdf) == len(opdf) > 0
+    s_cols, s_rows = canonical_rows(spdf)
+    o_cols, o_rows = canonical_rows(opdf)
+    assert s_cols == o_cols and s_rows == o_rows
+
+    labels = dict(
+        oracle_con.execute("SELECT vec_id, label FROM embeddings").fetchall()
+    )
+    assert all(labels[r.neg_id] != labels[r.q_id] for r in spdf.itertuples())
+    best = {
+        r.q_id: r.cos_sim
+        for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+        if r.rn == 1
+    }
+    top_neg = spdf[spdf.rn == 1].set_index("q_id").cos_sim
+    assert all(top_neg[q] <= best[q] for q in top_neg.index)
