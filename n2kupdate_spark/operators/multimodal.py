@@ -11,14 +11,17 @@ real pure-Python decodes cover BMP 24bpp and PPM P6 images
 (`_decode_bmp`/`_decode_ppm`, r9), PCM16 WAV audio (`decode_audio`, r9),
 and — since round 10 — PNG (`_decode_png`: chunk walk with CRC checks,
 stdlib-zlib inflate, full 5-filter scanline reconstruction; gray/RGB/
-palette/RGBA at bit depth 8), each with a matching deterministic encoder
-(`encode_bmp`/`encode_wav`/`encode_png`) so the whole pipeline runs on
-genuine payload bytes end-to-end. Only entropy-coded formats with no
-stdlib codec (jpeg/mp3/video) remain stubbed: ``decode_image`` raises
-NotImplementedError for them unless ``fake=True``, which derives
-deterministic pseudo-metadata from the payload bytes (md5-seeded),
-keeping every Spark-side contract — schema, batch iteration,
-partitioning — real and testable either way.
+palette/RGBA at bit depth 8) AND baseline JPEG (operators/jpeg_py.py:
+stream-defined Huffman tables, zigzag, dequant, spec IDCT, 444/422/420
+sampling, restart markers — progressive/arithmetic raise loudly), each
+with a matching deterministic encoder (`encode_bmp`/`encode_wav`/
+`encode_png`/`encode_jpeg`) so the whole pipeline runs on genuine
+payload bytes end-to-end. Only formats with neither a stdlib codec nor
+a tractable pure-Python one (mp3, video containers) remain stubbed:
+``decode_image`` raises NotImplementedError for them unless
+``fake=True``, which derives deterministic pseudo-metadata from the
+payload bytes (md5-seeded), keeping every Spark-side contract — schema,
+batch iteration, partitioning — real and testable either way.
 
 Scale notes: payload bytes never pass through Python row-by-row (Arrow
 batches), never collect to the driver, and metadata-only queries prune the
@@ -99,16 +102,20 @@ def decode_image(payload: bytes, fmt: str, fake: bool = False) -> dict:
             return _decode_ppm(payload)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return _decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            from n2kupdate_spark.operators.jpeg_py import decode_jpeg
+
+            return decode_jpeg(payload)
         try:
             import io
 
             from PIL import Image
         except ImportError:
             raise NotImplementedError(
-                "jpeg/mp3-class codecs unavailable in this environment "
-                f"(available_codecs()={available_codecs()}); BMP/PPM/PNG/WAV "
-                "decode library-free, or pass fake=True for deterministic "
-                "pseudo-decode (see module docstring)"
+                "no library-free codec for this format and no image library "
+                f"in this environment (available_codecs()={available_codecs()}); "
+                "BMP/PPM/PNG/JPEG/WAV decode library-free, or pass fake=True "
+                "for deterministic pseudo-decode (see module docstring)"
             ) from None
         img = Image.open(io.BytesIO(payload))
         gray = img.convert("L")
@@ -651,9 +658,10 @@ def attach_real_payload(
     """Attach a GENUINE media payload column derived deterministically
     from each row's text — real BMP bytes (``kind="bmp"``), real PNG
     bytes (``kind="png"``, zlib-compressed with cycling row filters),
+    real baseline JPEG bytes (``kind="jpeg"``, DCT + stream Huffman),
     real PCM16 WAV bytes (``kind="wav"``), or a deterministic
-    uncompressed/compressed mix (``kind="image_mix"``: bmp or png by the
-    md5 seed's parity) via the pure-Python encoders, so the decode
+    uncompressed/compressed mix (``kind="image_mix"``: bmp, png, or jpeg
+    by the md5 seed mod 3) via the pure-Python encoders, so the decode
     pipeline downstream exercises true byte-layout parsing, not a
     pseudo-decode. Dimensions/sample counts are md5-derived and small
     (8–39 px / ≤2k samples) to keep synthesis cheap; Arrow-batched."""
@@ -666,11 +674,15 @@ def attach_real_payload(
                 d = hashlib.md5(seed).digest()
                 k = kind
                 if k == "image_mix":
-                    k = "png" if d[2] % 2 else "bmp"
+                    k = ("bmp", "png", "jpeg")[d[2] % 3]
                 if k == "bmp":
                     payloads.append(encode_bmp(8 + d[0] % 32, 8 + d[1] % 32, seed))
                 elif k == "png":
                     payloads.append(encode_png(8 + d[0] % 32, 8 + d[1] % 32, seed))
+                elif k == "jpeg":
+                    from n2kupdate_spark.operators.jpeg_py import encode_jpeg
+
+                    payloads.append(encode_jpeg(8 + d[0] % 32, 8 + d[1] % 32, seed))
                 else:
                     payloads.append(encode_wav(256 + d[0] * 8, 16000, seed))
                 fmts.append(k)

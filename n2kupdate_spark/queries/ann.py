@@ -353,14 +353,15 @@ def dedup_semantic_resume_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_multimodal.py
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end, no stub and no library: every doc's
-    text becomes a genuine image payload — a 24bpp BMP or (r10) a
-    zlib-compressed PNG with cycling row filters, deterministically mixed
-    by content hash — and the decode kernel parses the actual byte
-    layouts: BMP DIB header + pixel rows, PNG chunk walk + inflate +
-    full 5-filter scanline reconstruction, mean luma via Rec.601, inside
-    the same mapInPandas batch contract as the stub path. After the r10
-    PNG codec only entropy-coded formats with no stdlib codec (jpeg/mp3)
-    remain env-blocked (operators/multimodal.py)."""
+    text becomes a genuine image payload — a 24bpp BMP, a zlib-compressed
+    PNG with cycling row filters, or a baseline JPEG (r10),
+    deterministically mixed by content hash — and the decode kernel
+    parses the actual byte layouts: BMP DIB header + pixel rows, PNG
+    chunk walk + inflate + 5-filter reconstruction, JPEG stream-Huffman
+    decode + dequant + spec IDCT, mean luma via Rec.601, inside the same
+    mapInPandas batch contract as the stub path. After the r10 PNG+JPEG
+    codecs only mp3/video remain env-blocked
+    (operators/multimodal.py, operators/jpeg_py.py)."""
     from n2kupdate_spark.operators.multimodal import (
         attach_real_payload,
         decode_images,

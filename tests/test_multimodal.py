@@ -23,8 +23,8 @@ def payloads(spark, sf_dir):
 
 
 def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError, match="codecs unavailable"):
-        decode_image(b"bytes", "png", fake=False)
+    with pytest.raises(NotImplementedError, match="no library-free codec"):
+        decode_image(b"bytes", "mp3", fake=False)
 
 
 def test_decode_features_deterministic(spark, payloads):
@@ -132,20 +132,24 @@ def test_pure_python_bmp_ppm_wav_decode_pinned(spark):
     wav_odd = wav + b"junk" + struct.pack("<I", 3) + b"abc\x00"
     assert decode_audio(wav_odd)["n_samples"] == 512
 
-    # entropy-coded formats remain env-blocked (PNG decodes for real
-    # since r10 — a malformed PNG now fails loudly as a ValueError)
-    with _pytest.raises(NotImplementedError, match="codecs unavailable"):
-        decode_image(b"\xff\xd8\xff\xe0....", "jpeg", fake=False)
+    # formats with no library-free codec remain env-blocked (PNG and
+    # baseline JPEG decode for real since r10 — malformed payloads of
+    # those now fail loudly as ValueErrors)
+    with _pytest.raises(NotImplementedError, match="no library-free codec"):
+        decode_image(b"GIF89a......", "gif", fake=False)
     with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....", "png", fake=False)
+    with _pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0....", "jpeg", fake=False)
 
 
 def test_multimodal_decode_real_query_pinned(spark):
     """The registered multimodal_decode_real op: every row's metadata
     must equal a driver-side decode of the same deterministically
-    synthesized payload — BMP or PNG by the r10 image_mix parity rule —
-    (true end-to-end byte parity, no stub), the mix must actually
-    contain BOTH formats, and reruns are identical."""
+    synthesized payload — BMP, PNG, or JPEG by the r10 image_mix mod-3
+    rule — (true end-to-end byte parity, no stub), the mix must actually
+    contain ALL THREE formats, and reruns are identical."""
+    from n2kupdate_spark.operators.jpeg_py import encode_jpeg
     from n2kupdate_spark.operators.multimodal import (
         decode_image,
         encode_bmp,
@@ -163,11 +167,11 @@ def test_multimodal_decode_real_query_pinned(spark):
     }
     docs = load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
     assert len(got) == len(docs) > 0
-    assert {f for _, f, *_ in got.values()} == {"bmp", "png"}
+    assert {f for _, f, *_ in got.values()} == {"bmp", "png", "jpeg"}
     for r in docs:
         seed = (r["text"] or "").encode("utf-8")
         d = _hl.md5(seed).digest()
-        enc = encode_png if d[2] % 2 else encode_bmp
+        enc = (encode_bmp, encode_png, encode_jpeg)[d[2] % 3]
         payload = enc(8 + d[0] % 32, 8 + d[1] % 32, seed)
         m = decode_image(payload, None, fake=False)
         assert got[r["doc_id"]] == (
@@ -398,5 +402,188 @@ def test_png_codec_roundtrip_property():
         luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
         assert (m["width"], m["height"]) == (w, h)
         assert m["mean_luma"] == round(float(luma.mean()) / 255.0, 4)
+
+    check()
+
+
+def test_jpeg_codec_defined_loss_pinned():
+    """r10 baseline JPEG codec. (1) Defined-loss exactness: JPEG is lossy
+    but the loss is a pure function — the decoder's grayscale output must
+    EXACTLY equal an independent numpy recompute of
+    clip(round(IDCT(dequant(quant(DCT(block)))))+128), not merely be
+    close; dims crop back from block padding. (2) Color roundtrip stays
+    within quantization-bounded error of the original. (3) Honesty:
+    progressive (SOF2), truncated streams, and garbage after SOI raise
+    ValueError — never silent garbage."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from n2kupdate_spark.operators.jpeg_py import (
+        _QT_LUMA,
+        _T,
+        _ZZ_FLAT,
+        _pad_to_8,
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    rng = np.random.RandomState(42)
+    px = rng.randint(0, 256, size=(13, 19), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_pixels(px))
+    pp = _pad_to_8(px).astype(np.float64) - 128.0
+    exp = np.empty_like(pp)
+    for r in range(pp.shape[0] // 8):
+        for c in range(pp.shape[1] // 8):
+            coef = _T @ pp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] @ _T.T
+            q = np.round(coef.reshape(64)[_ZZ_FLAT] / _QT_LUMA)
+            deq = np.zeros(64)
+            deq[_ZZ_FLAT] = q * _QT_LUMA
+            exp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                _T.T @ deq.reshape(8, 8) @ _T + 128.0
+            )
+    expected = np.clip(np.round(exp[:13, :19]), 0, 255).astype(np.uint8)
+    assert dec.shape == (13, 19)
+    assert np.array_equal(dec, expected)
+
+    pxc = rng.randint(0, 256, size=(17, 9, 3), dtype=np.uint8)
+    decc = decode_jpeg_pixels(encode_jpeg_pixels(pxc))
+    assert decc.shape == (17, 9, 3)
+    # flat qt=8/16 bounds per-coefficient error; random-noise images are
+    # the worst case and still land well under this envelope
+    assert float(np.abs(decc.astype(int) - pxc.astype(int)).mean()) < 16.0
+
+    ok = encode_jpeg_pixels(px)
+    with pytest.raises(ValueError, match="baseline"):
+        # flip SOF0 -> SOF2 (progressive): find the C0 marker
+        i = ok.index(b"\xff\xc0")
+        bad = ok[:i] + b"\xff\xc2" + ok[i + 2 :]
+        decode_jpeg_pixels(bad)
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(ok[: len(ok) - 30])  # truncated entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\xff\xd8\x00garbage")
+
+
+def test_jpeg_decoder_handles_420_subsampling():
+    """The decoder's general-sampling path, fed by an independently
+    hand-built 4:2:0 stream (2x2 Y sampling, one MCU = 4 Y + Cb + Cr
+    blocks) — the encoder never emits this, so the test constructs the
+    entropy stream itself with the module's writer + tables: flat-gray
+    blocks whose DC values differ per block. Expected image: each 8x8 Y
+    quadrant shows its own gray level (chroma neutral at 128 -> R=G=B=Y
+    exactly), proving MCU block order, per-component DC predictors, and
+    replication upsampling."""
+    import struct
+
+    import numpy as np
+
+    from n2kupdate_spark.operators.jpeg_py import (
+        _AC_BITS,
+        _AC_VALS,
+        _DC_BITS,
+        _DC_VALS,
+        _BitWriter,
+        _amplitude,
+        _huff_encode_map,
+        decode_jpeg_pixels,
+    )
+
+    qt_flat = bytes([1] * 64)  # qt=1: DC quantization is exact
+    dc_map = _huff_encode_map(_DC_BITS, _DC_VALS)
+    ac_map = _huff_encode_map(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    # DC(coef) for a flat block of value v (level-shifted) is 8*(v-128);
+    # with qt=1 the quantized DC is exactly that. Four Y quadrants at
+    # 8,16,24,32 above 128; chroma at exactly 128 (DC diff 0).
+    prev = 0
+    for dv in (64, 128, 192, 256):  # 8*(v-128) for v-128 in {8,16,24,32}
+        size, amp = _amplitude(dv - prev)
+        prev = dv
+        ln, code = dc_map[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(amp, size)
+        ln, code = ac_map[0x00]
+        bw.write(code, ln)  # EOB
+    for _ in range(2):  # Cb, Cr: DC diff 0, EOB
+        ln, code = dc_map[0]
+        bw.write(code, ln)
+        ln, code = ac_map[0x00]
+        bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    jpg = bytearray(b"\xff\xd8")
+    jpg += seg(0xFFDB, bytes([0]) + qt_flat)
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0])  # Y: 2x2 sampling
+    sof += bytes([2, 0x11, 0])
+    sof += bytes([3, 0x11, 0])
+    jpg += seg(0xFFC0, sof)
+    jpg += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    jpg += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    jpg += seg(0xFFDA, bytes([3, 1, 0, 2, 0, 3, 0]) + b"\x00\x3f\x00")
+    jpg += bw.out + b"\xff\xd9"
+
+    px = decode_jpeg_pixels(bytes(jpg))
+    assert px.shape == (16, 16, 3)
+    # quadrants in MCU block order: (0,0)=136, (0,1)=144, (1,0)=152, (1,1)=160
+    quads = {
+        (0, 0): 136, (0, 1): 144, (1, 0): 152, (1, 1): 160,
+    }
+    for (qr, qc), v in quads.items():
+        block = px[qr * 8 : qr * 8 + 8, qc * 8 : qc * 8 + 8]
+        assert (block == v).all(), ((qr, qc), np.unique(block.reshape(-1, 3), axis=0))
+
+
+def test_jpeg_roundtrip_property():
+    """Hypothesis dims sweep for the JPEG codec: arbitrary (w, h) incl.
+    non-multiples of 8 and 1-pixel edges, gray and color — decode of
+    encode must return exact dims, and grayscale output must equal the
+    defined-loss recompute exactly (the strong pin, per-example)."""
+    import hashlib as _hl
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from n2kupdate_spark.operators.jpeg_py import (
+        _QT_LUMA,
+        _T,
+        _ZZ_FLAT,
+        _pad_to_8,
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=20),
+        h=st.integers(min_value=1, max_value=20),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg_pixels(px))
+        assert dec.shape == (h, w)
+        pp = _pad_to_8(px).astype(np.float64) - 128.0
+        exp = np.empty_like(pp)
+        for r in range(pp.shape[0] // 8):
+            for c in range(pp.shape[1] // 8):
+                coef = _T @ pp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] @ _T.T
+                q = np.round(coef.reshape(64)[_ZZ_FLAT] / _QT_LUMA)
+                deq = np.zeros(64)
+                deq[_ZZ_FLAT] = q * _QT_LUMA
+                exp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                    _T.T @ deq.reshape(8, 8) @ _T + 128.0
+                )
+        assert np.array_equal(
+            dec, np.clip(np.round(exp[:h, :w]), 0, 255).astype(np.uint8)
+        )
 
     check()
