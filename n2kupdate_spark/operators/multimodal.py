@@ -169,20 +169,52 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def decode_image_pixels(payload: bytes):
+    """(h, w, 3) RGB uint8 pixels from any library-free-decodable format
+    (BMP / PPM P6 / PNG / baseline JPEG), sniffed by magic — the
+    pixel-level companion of :func:`decode_image`'s metadata view."""
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        return _bmp_bgr(payload)[..., ::-1].copy()  # BGR → RGB
+    if payload[:2] == b"P6":
+        raise_if = _decode_ppm(payload)  # validates header; cheap at these sizes
+        w, h = raise_if["width"], raise_if["height"]
+        pos = len(payload) - w * h * 3
+        return np.frombuffer(payload, np.uint8, w * h * 3, pos).reshape(h, w, 3)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png_rgb(payload)
+    if payload[:2] == b"\xff\xd8":
+        from n2kupdate_spark.operators.jpeg_py import decode_jpeg_pixels
+
+        px = decode_jpeg_pixels(payload)
+        import numpy as _np
+
+        return _np.repeat(px[..., None], 3, axis=2) if px.ndim == 2 else px
+    raise ValueError("no library-free pixel decoder for this payload")
+
+
 def resize_images(
     df: DataFrame, width: int, height: int, id_col: str = "doc_id", fake: bool = True
 ) -> DataFrame:
     """mapInPandas resize: payload batches → resized payload batches.
 
-    STUB kernel (no codecs in this container): ``fake=True`` derives the
-    resized bytes deterministically (md5-keyed stream sized ∝ w·h) so the
-    batch shape, binary round-trip, and schema are all real. A production
-    kernel swaps one function: bytes→bytes, per element, inside the batch
-    loop — nothing else changes."""
+    ``fake=False`` is REAL since r10: decode pixels (BMP/PPM/PNG/JPEG via
+    the library-free codecs), deterministic nearest-neighbor resample
+    (index map ys = floor(y·ih/oh) — no interpolation ties, identical on
+    any platform), re-encode as PNG. ``fake=True`` keeps the original
+    deterministic stub (md5-keyed stream sized ∝ w·h) for payloads in
+    formats the container can't decode."""
 
     def resize_one(payload: bytes) -> bytes:
         if not fake:
-            raise NotImplementedError("image codecs unavailable; pass fake=True")
+            import numpy as np
+
+            px = decode_image_pixels(payload)
+            ih, iw = px.shape[:2]
+            ys = (np.arange(height) * ih) // height
+            xs = (np.arange(width) * iw) // width
+            return encode_png_pixels(np.ascontiguousarray(px[ys][:, xs]))
         seed = hashlib.md5(payload).digest()
         n = max(1, (width * height) // 64)
         return (seed * (n // len(seed) + 1))[:n]
@@ -273,6 +305,30 @@ def encode_bmp(width: int, height: int, seed: bytes) -> bytes:
     return header + dib + body
 
 
+def _bmp_bgr(payload: bytes):
+    """(h, w, 3) BGR uint8 pixel array from a 24bpp BI_RGB BMP."""
+    import numpy as np
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24bpp BI_RGB supported (got bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (3 * w + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=pixel_off
+    ).reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows
+
+
 def _decode_bmp(payload: bytes) -> dict:
     import numpy as np
     import struct
@@ -355,15 +411,23 @@ def encode_png(width: int, height: int, seed: bytes) -> bytes:
     so any decoder of these payloads must implement ALL five PNG filter
     reconstructions — the e2e pin therefore proves the full unfilter
     logic, not just the trivial None path."""
-    import struct
-    import zlib
-
     import numpy as np
 
     rng = np.random.RandomState(
         int.from_bytes(hashlib.md5(seed).digest()[:4], "little")
     )
-    px = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    return encode_png_pixels(rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8))
+
+
+def encode_png_pixels(px) -> bytes:
+    """8-bit RGB PNG bytes from an (h, w, 3) uint8 array (cycling row
+    filters — see encode_png)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    height, width = px.shape[:2]
     bpp = 3
     raw = px.reshape(height, width * bpp).astype(np.int16)
     lines = []
@@ -397,15 +461,10 @@ def encode_png(width: int, height: int, seed: bytes) -> bytes:
     )
 
 
-def _decode_png(payload: bytes) -> dict:
-    """Pure-Python PNG decode from the public spec (stdlib zlib): chunk
-    walk with CRC verification, IDAT inflate, scanline reconstruction for
-    all five filter types, luma over the reconstructed pixels. Supports
-    the byte-depth mainstream: bit depth 8, color types 0 (gray),
-    2 (RGB), 3 (palette), 6 (RGBA); interlaced (Adam7) files raise — the
-    spec's progressive layout is a different reconstruction order, not a
-    different capability class, and synthetic training payloads are never
-    interlaced."""
+def _png_planes(payload: bytes):
+    """(w, h, color_type, channels, recon, palette) — full PNG decode to
+    reconstructed scanline bytes; shared by the metadata and pixel views.
+    See _decode_png for the supported-subset contract."""
     import struct
     import zlib
 
@@ -475,6 +534,21 @@ def _decode_png(payload: bytes) -> dict:
             raise ValueError(f"bad PNG filter type {ft}")
         recon[r] = rec.astype(np.uint8)
         prior = rec
+    return w, h, ctype_i, channels, recon, palette
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Pure-Python PNG decode from the public spec (stdlib zlib): chunk
+    walk with CRC verification, IDAT inflate, scanline reconstruction for
+    all five filter types, luma over the reconstructed pixels. Supports
+    the byte-depth mainstream: bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 6 (RGBA); interlaced (Adam7) files raise — the
+    spec's progressive layout is a different reconstruction order, not a
+    different capability class, and synthetic training payloads are never
+    interlaced."""
+    import numpy as np
+
+    w, h, ctype_i, channels, recon, palette = _png_planes(payload)
     px = recon.reshape(h, w, channels).astype(np.float64)
     if ctype_i == 0:
         luma = px[..., 0]
@@ -492,6 +566,22 @@ def _decode_png(payload: bytes) -> dict:
         "height": int(h),
         "mean_luma": round(float(luma.mean()) / 255.0, 4),
     }
+
+
+def _decode_png_rgb(payload: bytes):
+    """(h, w, 3) RGB uint8 pixels from a PNG (gray replicated to three
+    channels, palette mapped, alpha dropped)."""
+    import numpy as np
+
+    w, h, ctype_i, channels, recon, palette = _png_planes(payload)
+    px = recon.reshape(h, w, channels)
+    if ctype_i == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_i == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return palette[recon.reshape(h, w)]
+    return px[..., :3]
 
 
 #: Schema of the decoded-audio feature frame produced by decode_audios().

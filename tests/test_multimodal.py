@@ -587,3 +587,51 @@ def test_jpeg_roundtrip_property():
         )
 
     check()
+
+
+def test_resize_images_real_kernel(spark):
+    """r10: resize_images(fake=False) is REAL — decode pixels through the
+    library-free codecs (BMP/PNG/JPEG mix), deterministic nearest-
+    neighbor index resample, re-encode as PNG. Pins: every output payload
+    is a valid PNG at the target dims; a checkerboard upsampled by an
+    integer factor reproduces the exact pixel expansion; constant-color
+    images stay constant through any target size; reruns identical."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.multimodal import (
+        attach_real_payload,
+        decode_image,
+        decode_image_pixels,
+        encode_png_pixels,
+        resize_images,
+    )
+    from n2kupdate_spark.sources import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents", columns=["doc_id", "text"]).limit(60)
+    payloads = attach_real_payload(docs, "doc_id", "text", kind="image_mix")
+    out = resize_images(payloads, 16, 12, fake=False).collect()
+    assert len(out) == 60
+    for r in out:
+        m = decode_image(bytes(r["payload"]), None, fake=False)
+        assert (m["format"], m["width"], m["height"]) == ("png", 16, 12), r["doc_id"]
+
+    # exact pixel semantics, driver-side
+    board = np.array(
+        [[[0, 0, 0], [255, 255, 255]], [[255, 255, 255], [0, 0, 0]]], dtype=np.uint8
+    )
+    ih = iw = 2
+    ys = (np.arange(4) * ih) // 4
+    xs = (np.arange(4) * iw) // 4
+    up = decode_image_pixels(encode_png_pixels(np.ascontiguousarray(board[ys][:, xs])))
+    assert np.array_equal(up, np.repeat(np.repeat(board, 2, 0), 2, 1))
+
+    flat = np.full((5, 7, 3), 137, dtype=np.uint8)
+    ys = (np.arange(3) * 5) // 3
+    xs = (np.arange(11) * 7) // 11
+    rs = decode_image_pixels(encode_png_pixels(np.ascontiguousarray(flat[ys][:, xs])))
+    assert rs.shape == (3, 11, 3) and (rs == 137).all()
+
+    rerun = resize_images(payloads, 16, 12, fake=False).collect()
+    assert sorted(bytes(r["payload"]) for r in rerun) == sorted(
+        bytes(r["payload"]) for r in out
+    )
