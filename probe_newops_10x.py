@@ -59,6 +59,7 @@ OPS = [
     "multimodal_audio_features", # WAV synth + FFT features, one Arrow pass
     "events_markov_transitions", # user-keyed lead window + tiny count table
     "sim_ann_ivfpq",            # coarse-pruned code scan + shortlist re-rank
+    "embed_hard_negatives",     # label-masked closure matmul + per-batch top-k
 ]
 
 
