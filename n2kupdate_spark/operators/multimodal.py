@@ -178,9 +178,7 @@ def decode_image_pixels(payload: bytes):
     if payload[:2] == b"BM":
         return _bmp_bgr(payload)[..., ::-1].copy()  # BGR → RGB
     if payload[:2] == b"P6":
-        raise_if = _decode_ppm(payload)  # validates header; cheap at these sizes
-        w, h = raise_if["width"], raise_if["height"]
-        pos = len(payload) - w * h * 3
+        w, h, _maxval, pos = _ppm_header(payload)
         return np.frombuffer(payload, np.uint8, w * h * 3, pos).reshape(h, w, 3)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_rgb(payload)
@@ -360,12 +358,11 @@ def _decode_bmp(payload: bytes) -> dict:
     }
 
 
-def _decode_ppm(payload: bytes) -> dict:
-    import numpy as np
-
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(w, h, maxval, pixel_offset) from a P6 PPM header — tokens are
+    whitespace/comment separated, one whitespace byte after maxval."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    # header tokens: P6 <w> <h> <maxval>, whitespace/comment separated
     pos, tokens = 2, []
     while len(tokens) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
@@ -380,6 +377,13 @@ def _decode_ppm(payload: bytes) -> dict:
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = tokens
+    return w, h, maxval, pos
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    import numpy as np
+
+    w, h, maxval, pos = _ppm_header(payload)
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     rgb = px.reshape(h, w, 3).astype(np.float64)
     luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
