@@ -993,6 +993,7 @@ def prepare_corpus(
     fuzzy_decontam_threshold: float | None = None,
     quality_positive_col: str | None = None,
     decontam_method: str = "exact",
+    zlib_ratio_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """End-to-end preparation: Gopher gate → decontamination (overlap
     budget) → exact dedup (md5, keep lowest id) → optional exact-
@@ -1037,6 +1038,13 @@ def prepare_corpus(
     large to broadcast (pin: tests/test_mlprep_props.py — bloom survivors
     ⊆ exact survivors always, equal at the registered sizing on the
     fixture where the filter has no collisions).
+
+    ``zlib_ratio_bounds=(lo, hi)`` switches on the compression-ratio
+    gate: survivors whose :func:`information_signals` zlib ratio falls
+    outside the bounds are dropped before mixture/packing — the
+    published gibberish/boilerplate proxy, composed after the exact
+    gates so the one Python pass sees the shrunk corpus (pin:
+    tests/test_mlprep_props.py, independent composition).
 
     ``exclude_eval_ids`` governs id-space semantics: when the eval set is
     a SLICE of the training corpus (the demo fixture, or leakage-guarding
@@ -1087,6 +1095,20 @@ def prepare_corpus(
             .select(id_col)
         )
         exact = exact.join(bad, id_col, "left_anti")
+    if zlib_ratio_bounds is not None:
+        # compression-ratio gate (the CCNet/Dolma-style gibberish &
+        # boilerplate proxy): hyper-compressible text is repetition,
+        # near-incompressible is noise/binary junk. One Arrow map pass
+        # over the SURVIVORS (information_signals: zero shuffle) + an
+        # id-keyed anti-join; not broadcast-forced — adversarial bounds
+        # can make the violator side corpus-sized.
+        lo, hi = zlib_ratio_bounds
+        noisy = (
+            information_signals(exact.select(id_col, text_col), id_col, text_col)
+            .filter(~F.col("zlib_ratio").between(lo, hi))
+            .select(id_col)
+        )
+        exact = exact.join(noisy, id_col, "left_anti")
     if trim_substring_k:
         from n2kupdate_spark.operators.dedup import duplicate_spans, remove_spans
 

@@ -791,3 +791,81 @@ def test_gate_documents_bloom_method_pinned(spark, sf_dir):
     assert bloom == exact  # no collisions at registered sizing on fixture
     with _pytest.raises(ValueError, match="decontam_method"):
         gate_documents(train, evald, decontam_method="minhash").collect()
+
+
+def test_prepare_corpus_zlib_gate_pinned(spark, sf_dir):
+    """r10 opt-in compression-ratio gate: prepare_corpus(zlib_ratio_bounds)
+    must equal the independent composition gate_documents →
+    information_signals filter → mixture → packing → summary, the gate
+    must actually bite on the fixture (summary differs from the default
+    path), and docs are only ever REMOVED relative to the default."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.corpus import (
+        apply_mixture,
+        gate_documents,
+        information_signals,
+        pack_sequences,
+        prepare_corpus,
+    )
+    from n2kupdate_spark.queries.mlprep import _MIX_DEFAULT_W4, _MIX_W4
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    is_eval = F.expr("doc_id % 97 = 0")
+    train, evald = d.filter(~is_eval), d.filter(is_eval)
+    weights = {k: v / 10000 for k, v in _MIX_W4.items()}
+    default_w = _MIX_DEFAULT_W4 / 10000
+    bounds = (0.0, 0.5)  # fixture zlib ratios span ~0.39-1.13: the gate bites
+
+    got = (
+        prepare_corpus(
+            train, eval_docs=evald, weights=weights, default_weight=default_w,
+            seq_budget=512, zlib_ratio_bounds=bounds,
+        )
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    base = (
+        prepare_corpus(
+            train, eval_docs=evald, weights=weights, default_weight=default_w,
+            seq_budget=512,
+        )
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert not got.equals(base), "bounds did not bite; pin is vacuous"
+    assert (got.set_index("source")["n_docs"]
+            <= base.set_index("source")["n_docs"]).all()
+
+    exact = gate_documents(train, evald)
+    noisy = (
+        information_signals(exact.select("doc_id", "text"))
+        .filter(~F.col("zlib_ratio").between(*bounds))
+        .select("doc_id")
+    )
+    exact = exact.join(noisy, "doc_id", "left_anti")
+    mixed = apply_mixture(
+        exact.select("doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")),
+        weights, default_w, "doc_id", "source",
+    )
+    packed = pack_sequences(
+        mixed, budget=512, group_col="source",
+        order_cols=("doc_id", "copy_n"), token_col="n_tokens",
+    )
+    want = (
+        packed.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens") / F.lit(512.0)).cast("int").alias("n_sequences"),
+        )
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (got, want)
