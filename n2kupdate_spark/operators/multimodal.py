@@ -13,11 +13,14 @@ and — since round 10 — PNG (`_decode_png`: chunk walk with CRC checks,
 stdlib-zlib inflate, full 5-filter scanline reconstruction; gray/RGB/
 palette/RGBA at bit depth 8) AND baseline JPEG (operators/jpeg_py.py:
 stream-defined Huffman tables, zigzag, dequant, spec IDCT, 444/422/420
-sampling, restart markers — progressive/arithmetic raise loudly), each
-with a matching deterministic encoder (`encode_bmp`/`encode_wav`/
-`encode_png`/`encode_jpeg`) so the whole pipeline runs on genuine
-payload bytes end-to-end. Only formats with neither a stdlib codec nor
-a tractable pure-Python one (mp3, video containers) remain stubbed:
+sampling, restart markers — progressive/arithmetic raise loudly) AND
+GIF (`_decode_gif`: full LZW with dictionary growth and CLEAR resets,
+87a/89a, local color tables, interlace de-permutation; first frame of
+animations), each with a matching deterministic encoder (`encode_bmp`/
+`encode_wav`/`encode_png`/`encode_jpeg`/`encode_gif`) so the whole
+pipeline runs on genuine payload bytes end-to-end. Only formats with
+neither a stdlib codec nor a tractable pure-Python one (mp3, video
+containers) remain stubbed:
 ``decode_image`` raises NotImplementedError for them unless
 ``fake=True``, which derives deterministic pseudo-metadata from the
 payload bytes (md5-seeded), keeping every Spark-side contract — schema,
@@ -106,6 +109,8 @@ def decode_image(payload: bytes, fmt: str, fake: bool = False) -> dict:
             from n2kupdate_spark.operators.jpeg_py import decode_jpeg
 
             return decode_jpeg(payload)
+        if payload[:4] == b"GIF8":
+            return _decode_gif(payload)
         try:
             import io
 
@@ -114,7 +119,7 @@ def decode_image(payload: bytes, fmt: str, fake: bool = False) -> dict:
             raise NotImplementedError(
                 "no library-free codec for this format and no image library "
                 f"in this environment (available_codecs()={available_codecs()}); "
-                "BMP/PPM/PNG/JPEG/WAV decode library-free, or pass fake=True "
+                "BMP/PPM/PNG/JPEG/GIF/WAV decode library-free, or pass fake=True "
                 "for deterministic pseudo-decode (see module docstring)"
             ) from None
         img = Image.open(io.BytesIO(payload))
@@ -171,7 +176,7 @@ RESIZED_SCHEMA = T.StructType(
 
 def decode_image_pixels(payload: bytes):
     """(h, w, 3) RGB uint8 pixels from any library-free-decodable format
-    (BMP / PPM P6 / PNG / baseline JPEG), sniffed by magic — the
+    (BMP / PPM P6 / PNG / baseline JPEG / GIF), sniffed by magic — the
     pixel-level companion of :func:`decode_image`'s metadata view."""
     import numpy as np
 
@@ -189,6 +194,8 @@ def decode_image_pixels(payload: bytes):
         import numpy as _np
 
         return _np.repeat(px[..., None], 3, axis=2) if px.ndim == 2 else px
+    if payload[:4] == b"GIF8":
+        return _gif_first_frame(payload)[2]
     raise ValueError("no library-free pixel decoder for this payload")
 
 
@@ -588,6 +595,204 @@ def _decode_png_rgb(payload: bytes):
     return px[..., :3]
 
 
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> list[int]:
+    """GIF-flavor LZW decode (LSB-first variable-width codes, CLEAR/EOI,
+    dictionary growth to 12 bits) → color-table indices. The full
+    algorithm, including the 'code == next_code' self-referential case
+    (cScSc pattern) — pinned in tests against an independent real-LZW
+    compressor so the dictionary-hit and width-growth branches are
+    exercised, not just literal codes."""
+    CLEAR, EOI = 1 << mcs, (1 << mcs) + 1
+    pos_bits = 0
+    total_bits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal pos_bits
+        if pos_bits + width > total_bits:
+            raise ValueError("truncated GIF LZW stream")
+        v = 0
+        for i in range(width):
+            byte = data[(pos_bits + i) >> 3]
+            v |= ((byte >> ((pos_bits + i) & 7)) & 1) << i
+        pos_bits += width
+        return v
+
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = mcs + 1
+    prev: list[int] | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [[i] for i in range(1 << mcs)] + [[], []]  # CLEAR/EOI slots
+        width = mcs + 1
+        prev = None
+
+    reset()
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if code < len(table) and code != EOI:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended before all pixels decoded")
+    return out[:n_pixels]
+
+
+def _gif_first_frame(payload: bytes):
+    """(w, h, rgb array) of the first image in a GIF87a/89a file —
+    extensions skipped, local color tables honored, interlaced row order
+    de-permuted (GIF interlacing is a 4-pass row shuffle, implemented —
+    unlike PNG Adam7, which is a different sub-image geometry)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 14:
+        raise ValueError("truncated GIF header")
+    w0, h0, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.array(
+                _gif_lzw_decode(b"".join(chunks), mcs, iw * ih), dtype=np.int64
+            ).reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: de-permute the 4 passes
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                fixed = np.empty_like(idx)
+                fixed[order] = idx
+                idx = fixed
+            if int(idx.max()) >= len(ct):
+                raise ValueError("GIF pixel index outside color table")
+            return iw, ih, ct[idx]
+        elif b == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """First-frame GIF decode to the standard feature frame (animated
+    GIFs report frame 1 — the thumbnail/dedup semantics)."""
+    import numpy as np
+
+    w, h, rgb = _gif_first_frame(payload)
+    p = rgb.astype(np.float64)
+    luma = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    return {
+        "n_bytes": len(payload),
+        "format": "gif",
+        "width": int(w),
+        "height": int(h),
+        "mean_luma": round(float(luma.mean()) / 255.0, 4),
+    }
+
+
+def encode_gif(width: int, height: int, seed: bytes) -> bytes:
+    """Deterministic GIF89a with an md5-seeded 256-color palette and
+    seeded indices, LZW-coded with literal codes + periodic CLEAR resets
+    (spec-valid; the dictionary-USING compressor lives in the test pin,
+    keeping encoder and decoder independent implementations)."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(
+        int.from_bytes(hashlib.md5(seed).digest()[:4], "little")
+    )
+    palette = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.randint(0, 256, size=height * width, dtype=np.uint8)
+    mcs = 8
+    CLEAR = 1 << mcs
+    out_bits = bytearray()
+    acc = n = 0
+
+    def emit(code: int, width_bits: int) -> None:
+        nonlocal acc, n
+        acc |= code << n
+        n += width_bits
+        while n >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    emit(CLEAR, 9)
+    since_clear = 0
+    for v in idx.tolist():
+        emit(int(v), 9)
+        since_clear += 1
+        if since_clear == 250:  # stay inside the 9-bit window (≤255 codes)
+            emit(CLEAR, 9)
+            since_clear = 0
+    emit(CLEAR + 1, 9)  # EOI
+    if n:
+        out_bits.append(acc & 0xFF)
+    data = bytes(out_bits)
+    sub = b"".join(
+        bytes([min(255, len(data) - i)]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
+        + palette.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([mcs])
+        + sub
+        + b"\x00\x3b"
+    )
+
+
 #: Schema of the decoded-audio feature frame produced by decode_audios().
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
@@ -753,9 +958,10 @@ def attach_real_payload(
     from each row's text — real BMP bytes (``kind="bmp"``), real PNG
     bytes (``kind="png"``, zlib-compressed with cycling row filters),
     real baseline JPEG bytes (``kind="jpeg"``, DCT + stream Huffman),
-    real PCM16 WAV bytes (``kind="wav"``), or a deterministic
-    uncompressed/compressed mix (``kind="image_mix"``: bmp, png, or jpeg
-    by the md5 seed mod 3) via the pure-Python encoders, so the decode
+    real GIF bytes (``kind="gif"``, LZW-coded palette image), real PCM16
+    WAV bytes (``kind="wav"``), or a deterministic mix
+    (``kind="image_mix"``: bmp, png, jpeg, or gif by the md5 seed mod 4)
+    via the pure-Python encoders, so the decode
     pipeline downstream exercises true byte-layout parsing, not a
     pseudo-decode. Dimensions/sample counts are md5-derived and small
     (8–39 px / ≤2k samples) to keep synthesis cheap; Arrow-batched."""
@@ -768,7 +974,7 @@ def attach_real_payload(
                 d = hashlib.md5(seed).digest()
                 k = kind
                 if k == "image_mix":
-                    k = ("bmp", "png", "jpeg")[d[2] % 3]
+                    k = ("bmp", "png", "jpeg", "gif")[d[2] % 4]
                 if k == "bmp":
                     payloads.append(encode_bmp(8 + d[0] % 32, 8 + d[1] % 32, seed))
                 elif k == "png":
@@ -777,6 +983,8 @@ def attach_real_payload(
                     from n2kupdate_spark.operators.jpeg_py import encode_jpeg
 
                     payloads.append(encode_jpeg(8 + d[0] % 32, 8 + d[1] % 32, seed))
+                elif k == "gif":
+                    payloads.append(encode_gif(8 + d[0] % 32, 8 + d[1] % 32, seed))
                 else:
                     payloads.append(encode_wav(256 + d[0] * 8, 16000, seed))
                 fmts.append(k)

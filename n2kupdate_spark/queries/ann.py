@@ -354,11 +354,12 @@ def dedup_semantic_resume_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end, no stub and no library: every doc's
     text becomes a genuine image payload — a 24bpp BMP, a zlib-compressed
-    PNG with cycling row filters, or a baseline JPEG (r10),
+    PNG with cycling row filters, a baseline JPEG, or an LZW GIF (r10),
     deterministically mixed by content hash — and the decode kernel
     parses the actual byte layouts: BMP DIB header + pixel rows, PNG
     chunk walk + inflate + 5-filter reconstruction, JPEG stream-Huffman
-    decode + dequant + spec IDCT, mean luma via Rec.601, inside the same
+    decode + dequant + spec IDCT, GIF LZW + palette, mean luma via
+    Rec.601, inside the same
     mapInPandas batch contract as the stub path. After the r10 PNG+JPEG
     codecs only mp3/video remain env-blocked
     (operators/multimodal.py, operators/jpeg_py.py)."""

@@ -132,27 +132,30 @@ def test_pure_python_bmp_ppm_wav_decode_pinned(spark):
     wav_odd = wav + b"junk" + struct.pack("<I", 3) + b"abc\x00"
     assert decode_audio(wav_odd)["n_samples"] == 512
 
-    # formats with no library-free codec remain env-blocked (PNG and
-    # baseline JPEG decode for real since r10 — malformed payloads of
-    # those now fail loudly as ValueErrors)
+    # formats with no library-free codec remain env-blocked (PNG,
+    # baseline JPEG, and GIF decode for real since r10 — malformed
+    # payloads of those now fail loudly as ValueErrors)
     with _pytest.raises(NotImplementedError, match="no library-free codec"):
-        decode_image(b"GIF89a......", "gif", fake=False)
+        decode_image(b"RIFF....WEBP", "webp", fake=False)
     with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....", "png", fake=False)
     with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0....", "jpeg", fake=False)
+    with _pytest.raises(ValueError):
+        decode_image(b"GIF89a......", "gif", fake=False)
 
 
 def test_multimodal_decode_real_query_pinned(spark):
     """The registered multimodal_decode_real op: every row's metadata
     must equal a driver-side decode of the same deterministically
-    synthesized payload — BMP, PNG, or JPEG by the r10 image_mix mod-3
-    rule — (true end-to-end byte parity, no stub), the mix must actually
-    contain ALL THREE formats, and reruns are identical."""
+    synthesized payload — BMP, PNG, JPEG, or GIF by the r10 image_mix
+    mod-4 rule — (true end-to-end byte parity, no stub), the mix must
+    actually contain ALL FOUR formats, and reruns are identical."""
     from n2kupdate_spark.operators.jpeg_py import encode_jpeg
     from n2kupdate_spark.operators.multimodal import (
         decode_image,
         encode_bmp,
+        encode_gif,
         encode_png,
     )
     from n2kupdate_spark.queries import QUERIES
@@ -167,11 +170,11 @@ def test_multimodal_decode_real_query_pinned(spark):
     }
     docs = load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
     assert len(got) == len(docs) > 0
-    assert {f for _, f, *_ in got.values()} == {"bmp", "png", "jpeg"}
+    assert {f for _, f, *_ in got.values()} == {"bmp", "png", "jpeg", "gif"}
     for r in docs:
         seed = (r["text"] or "").encode("utf-8")
         d = _hl.md5(seed).digest()
-        enc = (encode_bmp, encode_png, encode_jpeg)[d[2] % 3]
+        enc = (encode_bmp, encode_png, encode_jpeg, encode_gif)[d[2] % 4]
         payload = enc(8 + d[0] % 32, 8 + d[1] % 32, seed)
         m = decode_image(payload, None, fake=False)
         assert got[r["doc_id"]] == (
@@ -635,3 +638,122 @@ def test_resize_images_real_kernel(spark):
     assert sorted(bytes(r["payload"]) for r in rerun) == sorted(
         bytes(r["payload"]) for r in out
     )
+
+
+def test_gif_codec_pinned():
+    """r10 GIF codec pins. (1) Roundtrip: encode_gif's seeded palette +
+    indices decode back pixel-exact (exercises CLEAR resets and
+    sub-block splitting on the larger sizes). (2) Dictionary path: a
+    REAL LZW compressor written here (actual longest-match dictionary,
+    independent of both the literal-code encoder and the decoder)
+    compresses a repetitive index stream; the decoder must reproduce it
+    exactly — covering dictionary hits, the self-referential
+    code==next_code case, and 9→10-bit width growth. (3) Interlaced
+    rows de-permute correctly. (4) Truncation/garbage raise."""
+    import hashlib as _hl
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from n2kupdate_spark.operators.multimodal import (
+        _decode_gif,
+        _gif_first_frame,
+        encode_gif,
+    )
+
+    # (1) roundtrip incl. multi-CLEAR and >255-byte sub-blocks
+    for w, h, seed in ((14, 9, b"gif-pin"), (40, 30, b"big"), (1, 1, b"px")):
+        payload = encode_gif(w, h, seed)
+        rng = np.random.RandomState(
+            int.from_bytes(_hl.md5(seed).digest()[:4], "little")
+        )
+        palette = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+        idx = rng.randint(0, 256, size=h * w, dtype=np.uint8).reshape(h, w)
+        gw, gh, rgb = _gif_first_frame(payload)
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(rgb, palette[idx])
+        m = _decode_gif(payload)
+        exp = palette[idx].astype(np.float64)
+        luma = 0.299 * exp[..., 0] + 0.587 * exp[..., 1] + 0.114 * exp[..., 2]
+        assert m["mean_luma"] == round(float(luma.mean()) / 255.0, 4)
+
+    # helpers to build GIFs around hand-made LZW streams
+    def wrap(w, h, mcs, data, palette, ipacked=0):
+        sub = b"".join(
+            bytes([min(255, len(data) - i)]) + data[i : i + 255]
+            for i in range(0, len(data), 255)
+        )
+        return (
+            b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+            + palette.tobytes()
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+            + bytes([mcs])
+            + sub
+            + b"\x00\x3b"
+        )
+
+    class LZW:  # real compressor: longest-match dictionary, width growth
+        def __init__(self, mcs):
+            self.mcs, self.out, self.acc, self.n = mcs, bytearray(), 0, 0
+            self.width = mcs + 1
+            self.table = {(i,): i for i in range(1 << mcs)}
+            self.next = (1 << mcs) + 2
+
+        def emit(self, code):
+            self.acc |= code << self.n
+            self.n += self.width
+            while self.n >= 8:
+                self.out.append(self.acc & 0xFF)
+                self.acc >>= 8
+                self.n -= 8
+
+        def compress(self, seq):
+            self.emit(1 << self.mcs)  # CLEAR
+            cur = (seq[0],)
+            for v in seq[1:]:
+                if cur + (v,) in self.table:
+                    cur = cur + (v,)
+                    continue
+                self.emit(self.table[cur])
+                self.table[cur + (v,)] = self.next
+                self.next += 1
+                # decoder grows its width when ITS next_code reaches
+                # 2^width; mirror that here
+                if self.next - 1 == (1 << self.width) and self.width < 12:
+                    self.width += 1
+                cur = (v,)
+            self.emit(self.table[cur])
+            self.emit((1 << self.mcs) + 1)  # EOI
+            if self.n:
+                self.out.append(self.acc & 0xFF)
+            return bytes(self.out)
+
+    # repetitive stream -> dictionary hits + the cScSc self-reference;
+    # long enough to push next_code past 512 (width growth at mcs=8)
+    seq = (list(range(8)) * 40 + [3, 3, 3, 3] * 30) * 4
+    w, h = len(seq) // 8, 8
+    gray = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    payload = wrap(w, h, 8, LZW(8).compress(seq), gray)
+    gw, gh, rgb = _gif_first_frame(payload)
+    assert np.array_equal(rgb[..., 0].reshape(-1), np.array(seq, dtype=np.uint8))
+
+    # (3) interlace: rows written in pass order must de-permute back
+    h_i = 8
+    rows = [[r] * 4 for r in range(h_i)]  # row r filled with value r
+    pass_order = (
+        list(range(0, h_i, 8)) + list(range(4, h_i, 8))
+        + list(range(2, h_i, 4)) + list(range(1, h_i, 2))
+    )
+    stream = [v for r in pass_order for v in rows[r]]
+    payload = wrap(4, h_i, 8, LZW(8).compress(stream), gray, ipacked=0x40)
+    _, _, rgb = _gif_first_frame(payload)
+    assert [int(rgb[r, 0, 0]) for r in range(h_i)] == list(range(h_i))
+
+    # (4) honesty
+    with pytest.raises(ValueError):
+        _decode_gif(encode_gif(8, 8, b"t")[:40])  # truncated mid-stream
+    with pytest.raises(ValueError):
+        _decode_gif(b"GIF89a" + b"\x00" * 20)  # no image block
