@@ -7,8 +7,9 @@ runs on genuine bytes with zero external libraries:
 
   1. synthesize   — attach_real_payload(kind="image_mix"): every doc's
                     text becomes a real 24bpp BMP, a zlib-compressed PNG
-                    (cycling row filters), or a baseline JPEG
-                    (stream-Huffman + DCT), mixed by content hash;
+                    (cycling row filters), a baseline JPEG
+                    (stream-Huffman + DCT), or an LZW GIF, mixed by
+                    content hash;
   2. decode       — decode_images(fake=False): magic-sniffed pure-Python
                     decoders emit (n_bytes, format, width, height,
                     mean_luma);
