@@ -250,17 +250,33 @@ FRAME_SCHEMA = T.StructType(
 def sample_frames(
     df: DataFrame, every_n: int = 10, max_frames: int = 8, id_col: str = "doc_id", fake: bool = True
 ) -> DataFrame:
-    """mapInPandas frame sampling: one input row (video payload) → several
-    output rows (sampled frames) — the row-expanding shape of a UDTF, kept
-    in mapInPandas so frames stay Arrow-batched.
+    """mapInPandas frame sampling: one input row (animation/video payload)
+    → several output rows (sampled frames) — the row-expanding shape of a
+    UDTF, kept in mapInPandas so frames stay Arrow-batched.
 
-    STUB kernel: frame count is derived from payload length (1 frame per
-    ``every_n`` payload bytes, capped), frame bytes md5-derived — the
-    expansion topology and batch memory profile are the real contract."""
+    ``fake=False`` is REAL for animated GIF since r10 (the one animated
+    format the library-free codecs cover): every ``every_n``-th frame up
+    to ``max_frames`` is decoded and re-encoded as a standalone PNG
+    payload. ffmpeg-class video containers remain env-blocked and raise.
+    ``fake=True`` keeps the deterministic stub (frame count from payload
+    length, md5-derived bytes) — the expansion topology and batch memory
+    profile are identical either way."""
 
     def frames_of(payload: bytes) -> list[bytes]:
         if not fake:
-            raise NotImplementedError("video codecs unavailable; pass fake=True")
+            import numpy as np
+
+            if payload[:4] != b"GIF8":
+                raise NotImplementedError(
+                    "video codecs unavailable (only animated GIF samples "
+                    "library-free); pass fake=True"
+                )
+            frames = _gif_frames(payload)
+            picked = frames[::every_n][:max_frames]
+            return [
+                encode_png_pixels(np.ascontiguousarray(rgb))
+                for _w, _h, rgb in picked
+            ]
         n = min(max_frames, max(1, len(payload) // every_n))
         return [hashlib.md5(payload + bytes([i])).digest() for i in range(n)]
 
@@ -653,11 +669,16 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> list[int]:
     return out[:n_pixels]
 
 
-def _gif_first_frame(payload: bytes):
-    """(w, h, rgb array) of the first image in a GIF87a/89a file —
-    extensions skipped, local color tables honored, interlaced row order
-    de-permuted (GIF interlacing is a 4-pass row shuffle, implemented —
-    unlike PNG Adam7, which is a different sub-image geometry)."""
+def _gif_frames(payload: bytes, first_only: bool = False):
+    """List of (w, h, rgb array) for the image blocks of a GIF87a/89a
+    file — extensions (incl. per-frame graphic-control blocks) skipped,
+    local color tables honored, interlaced row order de-permuted (GIF
+    interlacing is a 4-pass row shuffle, implemented — unlike PNG Adam7,
+    which is a different sub-image geometry). Frames are decoded
+    STANDALONE: partial frames (nonzero left/top offsets, the
+    disposal-compositing optimization) raise rather than composite wrong
+    — full-frame animations, which is what synthetic and
+    thumbnail-grade media are, decode exactly."""
     import struct
 
     import numpy as np
@@ -673,6 +694,7 @@ def _gif_first_frame(payload: bytes):
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    frames = []
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks
@@ -681,7 +703,12 @@ def _gif_first_frame(payload: bytes):
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
-            _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            if left or top:
+                raise ValueError(
+                    "partial GIF frame (nonzero offset) — disposal "
+                    "compositing not supported; full-frame animations only"
+                )
             pos += 10
             ct = gct
             if ipacked & 0x80:
@@ -697,6 +724,7 @@ def _gif_first_frame(payload: bytes):
                 ln = payload[pos]
                 chunks.append(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
+            pos += 1  # block terminator
             idx = np.array(
                 _gif_lzw_decode(b"".join(chunks), mcs, iw * ih), dtype=np.int64
             ).reshape(ih, iw)
@@ -712,12 +740,21 @@ def _gif_first_frame(payload: bytes):
                 idx = fixed
             if int(idx.max()) >= len(ct):
                 raise ValueError("GIF pixel index outside color table")
-            return iw, ih, ct[idx]
-        elif b == 0x3B:  # trailer before any image
+            frames.append((iw, ih, ct[idx]))
+            if first_only:
+                return frames
+        elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
-    raise ValueError("GIF contains no image data")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def _gif_first_frame(payload: bytes):
+    """(w, h, rgb array) of the first image in a GIF file."""
+    return _gif_frames(payload, first_only=True)[0]
 
 
 def _decode_gif(payload: bytes) -> dict:
@@ -751,6 +788,20 @@ def encode_gif(width: int, height: int, seed: bytes) -> bytes:
     )
     palette = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
     idx = rng.randint(0, 256, size=height * width, dtype=np.uint8)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
+        + palette.tobytes()
+        + _gif_image_block(width, height, idx)
+        + b"\x3b"
+    )
+
+
+def _gif_image_block(width: int, height: int, idx) -> bytes:
+    """One full-frame GIF image block: descriptor + literal-code LZW
+    stream (mcs=8, periodic CLEARs keep the code width at 9 bits)."""
+    import struct
+
     mcs = 8
     CLEAR = 1 << mcs
     out_bits = bytearray()
@@ -782,15 +833,41 @@ def encode_gif(width: int, height: int, seed: bytes) -> bytes:
         for i in range(0, len(data), 255)
     )
     return (
-        b"GIF89a"
-        + struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
-        + palette.tobytes()
-        + b"\x2c"
+        b"\x2c"
         + struct.pack("<HHHHB", 0, 0, width, height, 0)
         + bytes([mcs])
         + sub
-        + b"\x00\x3b"
+        + b"\x00"
     )
+
+
+def encode_gif_animated(
+    width: int, height: int, n_frames: int, seed: bytes
+) -> bytes:
+    """Deterministic animated GIF89a: one global seeded palette, NETSCAPE
+    loop extension, and per-frame graphic-control blocks + full-frame
+    seeded image blocks — a REAL multi-frame media payload for the
+    frame-sampling pipeline, no video library required."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(
+        int.from_bytes(hashlib.md5(seed).digest()[:4], "little")
+    )
+    palette = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
+        + palette.tobytes()
+    )
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for _f in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 100ms delay
+        idx = rng.randint(0, 256, size=height * width, dtype=np.uint8)
+        out += _gif_image_block(width, height, idx)
+    out += b"\x3b"
+    return bytes(out)
 
 
 #: Schema of the decoded-audio feature frame produced by decode_audios().

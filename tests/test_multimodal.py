@@ -757,3 +757,69 @@ def test_gif_codec_pinned():
         _decode_gif(encode_gif(8, 8, b"t")[:40])  # truncated mid-stream
     with pytest.raises(ValueError):
         _decode_gif(b"GIF89a" + b"\x00" * 20)  # no image block
+
+
+def test_sample_frames_real_gif_animation(spark):
+    """r10: frame sampling is REAL for animated GIF — the one animated
+    format the library-free codecs cover. Pins: (1) _gif_frames decodes
+    every frame of encode_gif_animated pixel-exact vs the seeded
+    recompute (shared palette, per-frame indices in RNG order);
+    (2) the Spark path samples every_n-th frame up to max_frames and
+    each emitted payload is a standalone PNG whose pixels equal the
+    sampled frame; (3) non-GIF payloads still raise the env-blocked
+    video seam; (4) partial frames (nonzero offset) raise rather than
+    composite wrong."""
+    import hashlib as _hl
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from n2kupdate_spark.operators.multimodal import (
+        _gif_frames,
+        decode_image_pixels,
+        encode_gif_animated,
+        sample_frames,
+    )
+
+    pa = encode_gif_animated(10, 7, 6, b"anim")
+    frames = _gif_frames(pa)
+    rng = np.random.RandomState(int.from_bytes(_hl.md5(b"anim").digest()[:4], "little"))
+    palette = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    expect = []
+    for _ in range(6):
+        idx = rng.randint(0, 256, size=7 * 10, dtype=np.uint8).reshape(7, 10)
+        expect.append(palette[idx])
+    assert len(frames) == 6
+    for (w, h, rgb), exp in zip(frames, expect):
+        assert (w, h) == (10, 7) and np.array_equal(rgb, exp)
+
+    df = spark.createDataFrame(
+        [(1, pa), (2, encode_gif_animated(8, 8, 3, b"anim2"))],
+        "doc_id long, payload binary",
+    )
+    out = sample_frames(df, every_n=2, max_frames=2, fake=False).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame_payload"])
+    assert sorted(by_doc[1]) == [0, 1] and sorted(by_doc[2]) == [0, 1]
+    # doc 1: frames[::2][:2] == original frames 0 and 2
+    for out_i, src_i in ((0, 0), (1, 2)):
+        px = decode_image_pixels(by_doc[1][out_i])
+        assert np.array_equal(px, expect[src_i]), (out_i, src_i)
+
+    with pytest.raises(Exception, match="video codecs unavailable"):
+        sample_frames(
+            spark.createDataFrame([(1, b"\x00\x01\x02\x03")], "doc_id long, payload binary"),
+            fake=False,
+        ).collect()
+
+    # partial frame honesty: patch a nonzero left offset into the first
+    # image descriptor (located via its preceding graphic-control block —
+    # a bare 0x2C byte search would hit palette data)
+    bad = bytearray(pa)
+    i = bytes(bad).index(b"\x21\xf9") + 8  # GCE is 8 bytes; 0x2C follows
+    assert bad[i] == 0x2C
+    struct.pack_into("<H", bad, i + 1, 3)  # left = 3
+    with pytest.raises(ValueError, match="partial GIF frame"):
+        _gif_frames(bytes(bad))
