@@ -66,6 +66,42 @@ def main() -> None:
     n_ok = check.filter("format = 'png' AND width = 16 AND height = 12").count()
     print(f"-- resized payloads that re-decode as 16x12 PNG: {n_ok}/{docs.count()}")
 
+    # frame sampling on REAL animated GIFs (every 2nd frame, max 3)
+    from pyspark.sql import types as T
+
+    from n2kupdate_spark.operators.multimodal import (
+        encode_gif_animated,
+        sample_frames,
+    )
+
+    def gif_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode_gif_animated(12, 8, 6, (t or "").encode("utf-8"))
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    anims = docs.limit(100).mapInPandas(
+        gif_batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    frames = sample_frames(anims, every_n=2, max_frames=3, fake=False)
+    n_frames = frames.count()
+    print(f"-- sampled {n_frames} real PNG frames from 100 six-frame GIFs "
+          "(every 2nd frame, capped at 3)")
+
     wavs = attach_real_payload(docs, "doc_id", "text", kind="wav")
     dsp = audio_features(wavs)
     print("-- audio DSP features (RMS / ZCR / spectral centroid):")
