@@ -449,6 +449,7 @@ def stream_corpus_publish(
     decontam_n: int = 3,
     decontam_budget: int = 5,
     gopher_kwargs: dict | None = None,
+    decontam_method: str = "exact",
     trigger_available_now: bool = True,
     vectors: DataFrame | None = None,
     semantic_index_path: str | None = None,
@@ -457,9 +458,10 @@ def stream_corpus_publish(
 ):
     """Streaming corpus ingest with EXACTLY-ONCE manifest publication:
     every micro-batch runs the batch pipeline's own gates
-    (operators/corpus.py::gate_documents — Gopher → decontamination →
-    within-batch exact dedup; per-micro-batch ≡ batch is pinned by
-    test_corpus_gates_are_streaming_ready), lands in an immutable
+    (operators/corpus.py::gate_documents — Gopher → decontamination
+    [``decontam_method`` picks the exact or fixed-memory Bloom gate,
+    same as prepare_corpus] → within-batch exact dedup; per-micro-batch
+    ≡ batch is pinned by test_corpus_gates_are_streaming_ready), lands in an immutable
     ``batch-epoch-<id>`` subdir, and becomes visible atomically via
     publish_append_manifest — readers of the published table never see a
     torn batch, and a crashed commit leaves the prior version intact.
@@ -550,6 +552,7 @@ def stream_corpus_publish(
             decontam_n=decontam_n,
             decontam_budget=decontam_budget,
             gopher_kwargs=gopher_kwargs,
+            decontam_method=decontam_method,
         )
         if vecs is not None:
             gated = _semantic_filter(gated.localCheckpoint(eager=True))
