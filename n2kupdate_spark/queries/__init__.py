@@ -42,69 +42,71 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
     diagnostics,
 )
 
-#: r10 window (planned by window_planner.py at round start, per the
+#: r11 window (planned by window_planner.py at round start, per the
 #: SURVEY §5.2 cadence): 43/50 slots are MANDATORY — the ops whose
-#: freshest driver row is r7 (the join/window/merge/setop-all/
-#: scalar-regex/bitwise families, the r7 corpus gates, diag_key_skew,
-#: multimodal_decode_stub, pack_sequences_greedy) hit the ≤2-round
-#: freshness edge this round. The remaining 7 slots are the heaviest
-#: r8-green fillers (agg_collect_sorted .. agg_percentile_exact),
-#: pre-confirming r11's MUST set. No never-checked ops exist at r10
-#: start; rows-only ops (sketches, sha1, ANN, fuzzy dedup, semantic
-#: dedup) stay out — they'd burn slots on `no_oracle` rows; all are
-#: value-pinned locally (tests/test_parity.py,
+#: freshest driver row is r8 (the scan/fingerprint/projection families,
+#: join_asof, all 9 TPC-H composites, the ngram/containment/cc dedup
+#: family, corpus_clean_pipeline, ts_resample/gap_interpolate,
+#: stats/string-concat/subquery aggs, window_first_last/gaps_islands/
+#: cume_dist, events_funnel, sim_pairs_threshold, reservoir sampling)
+#: hit the ≤2-round freshness edge this round. The remaining 7 slots are
+#: r9-green fillers (agg_count_distinct .. corpus_prepare_pipeline),
+#: pre-confirming r12's MUST set. No never-checked SQL-oracle ops exist
+#: at r11 start; rows-only ops (sketches, sha1, ANN, fuzzy/semantic
+#: dedup, PQ variants) stay out — they'd burn slots on `no_oracle` rows;
+#: all are value-pinned locally (tests/test_parity.py,
 #: tests/test_sketch_accuracy.py, tests/test_ann_recall.py).
 _ROUND_WINDOW = [
-    "diag_key_skew",
-    "events_anomaly_zscore",
-    "events_retention_cohorts",
-    "join_anti_new_rows",
-    "join_cross_small",
-    "join_full_outer_diff",
-    "join_interval_overlap",
-    "join_lateral_topn",
-    "join_left_outer",
-    "join_lookup_inner",
-    "join_semi_existing",
-    "join_skew_salted",
-    "join_theta_range",
-    "json_variant_agg",
-    "map_from_json",
-    "merge_scd1",
-    "merge_scd2_changes",
-    "merge_scd2_close",
-    "ml_split_leakage_audit",
-    "multimodal_decode_stub",
-    "pack_sequences_greedy",
-    "recursive_date_spine",
-    "sample_mixture_weights",
-    "scalar_bitwise",
-    "scalar_regex",
-    "scd2_window_rebuild",
-    "setop_except_all",
-    "setop_intersect_all",
-    "sink_partitioned_parquet",
-    "sort_multi_key",
-    "text_bigram_lm_score",
-    "text_decontaminate_ngram",
-    "text_feature_hashing",
-    "text_length_histogram",
-    "text_pii_redact",
-    "text_quality_gopher",
-    "topk_order_limit",
-    "ts_rollup_from_partials",
-    "window_lag_lead",
-    "window_ntile_pct",
-    "window_range_frame",
-    "window_running_sum",
-    "window_topn_per_group",
-    "agg_collect_sorted",
-    "agg_filtered_pivot",
-    "agg_group_sums",
-    "agg_having",
-    "agg_histogram_bins",
-    "agg_mode_per_group",
-    "agg_percentile_exact",
+    "agg_stats_moments",
+    "agg_string_concat",
+    "composite_above_customer_avg",
+    "composite_disjunctive_part_revenue",
+    "composite_large_order_customers",
+    "composite_local_supplier_volume",
+    "composite_nation_volume_pairs",
+    "composite_order_priority_check",
+    "composite_promo_revenue",
+    "composite_returned_item_revenue",
+    "composite_shipping_priority",
+    "corpus_clean_pipeline",
+    "dedup_cc_clusters",
+    "dedup_cc_pointer_jump",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental_jaccard",
+    "dedup_jaccard_stop_shingles",
+    "dedup_keep_latest",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "dedup_text_exact",
+    "events_funnel_steps",
+    "filter_null_guard",
+    "filter_predicate",
+    "fingerprint_md5",
+    "fingerprint_sha256",
+    "join_asof",
+    "project_cast_keys",
+    "project_rename",
+    "sample_reservoir_per_key",
+    "scalar_subquery_agg",
+    "scan_filter_pushdown",
+    "scan_parquet",
+    "scan_prune_columns",
+    "sim_pairs_threshold",
+    "source_schema_evolution",
+    "ts_gap_interpolate",
+    "ts_resample_ffill",
+    "validate_domain",
+    "window_cume_dist",
+    "window_first_last",
+    "window_gaps_islands",
+    "agg_count_distinct",
+    "agg_grouping_cube",
+    "agg_grouping_rollup",
+    "array_basic",
+    "array_hof_ops",
+    "corpus_gate_report",
+    "corpus_prepare_pipeline",
 ]
 
 
