@@ -1482,8 +1482,9 @@ def information_signals(
 
     Emits ``(id, n_chars, char_entropy, word_entropy, zlib_ratio)``:
     Shannon entropy in bits of the character and word unigram
-    distributions, and ``len(zlib(text)) / len(text)`` at the given
-    level. Null/empty docs get 0.0 entropies and ratio 0.0 (nothing to
+    distributions, and ``len(zlib(utf8)) / len(utf8)`` at the given
+    level (bytes over bytes — a character denominator would inflate the
+    ratio for multi-byte scripts and bias a zlib gate against them). Null/empty docs get 0.0 entropies and ratio 0.0 (nothing to
     compress), and are KEPT — a quality gate must see them to reject
     them. All values round to 4dp for pin stability.
 
@@ -1522,7 +1523,12 @@ def information_signals(
                     continue
                 ce = entropy_bits(list(Counter(t).values()))
                 we = entropy_bits(list(Counter(t.split(" ")).values()))
-                zr = len(zlib.compress(t.encode("utf-8"), zlib_level)) / len(t)
+                # bytes/bytes, not bytes/chars: a chars denominator
+                # inflates the ratio for multi-byte scripts, so a
+                # zlib_ratio_bounds gate would disproportionately drop
+                # non-ASCII documents (r10 advice).
+                raw = t.encode("utf-8")
+                zr = len(zlib.compress(raw, zlib_level)) / len(raw)
                 out.append((i, len(t), round(ce, 4), round(we, 4), round(zr, 4)))
             yield pd.DataFrame(
                 out,

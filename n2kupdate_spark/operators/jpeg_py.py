@@ -335,6 +335,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker byte — skip them so the length read lands on the real
+        # segment header.
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("truncated JPEG (fill bytes run off end)")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI with no scan
             raise ValueError("JPEG has no scan data")
@@ -402,6 +409,36 @@ def _decode_scan(payload, pos, sof, qts, huff, scan_tables, restart_interval):
     sel = {cid: (dc, ac) for cid, dc, ac in scan_tables}
     br = _BitReader(payload, pos)
     prev_dc = {cid: 0 for cid, *_ in comps}
+    try:
+        _decode_mcus(
+            br, comps, sel, huff, qts, planes, prev_dc,
+            mcus_x, mcus_y, restart_interval,
+        )
+    except _MarkerHit as exc:
+        # Corruption-honesty contract: decoders raise ValueError, never an
+        # internal exception type (r10 advice). A marker mid-entropy-stream
+        # outside an expected RST position means a truncated/corrupt scan.
+        raise ValueError(
+            f"unexpected marker 0x{exc.marker:04x} in JPEG entropy stream"
+        ) from None
+    out_planes = []
+    for cid, ch, cv, _ in comps:
+        p = planes[cid]
+        if ch != max_h or cv != max_v:
+            p = np.repeat(np.repeat(p, max_v // cv, axis=0), max_h // ch, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_mcus(br, comps, sel, huff, qts, planes, prev_dc,
+                 mcus_x, mcus_y, restart_interval):
     mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -442,20 +479,6 @@ def _decode_scan(payload, pos, sof, qts, huff, scan_tables, restart_interval):
                         x0 = (mx * ch + hh) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
-    out_planes = []
-    for cid, ch, cv, _ in comps:
-        p = planes[cid]
-        if ch != max_h or cv != max_v:
-            p = np.repeat(np.repeat(p, max_v // cv, axis=0), max_h // ch, axis=1)
-        out_planes.append(p[:h, :w])
-    if len(out_planes) == 1:
-        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def decode_jpeg(payload: bytes) -> dict:

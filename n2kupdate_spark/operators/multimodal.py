@@ -699,8 +699,10 @@ def _gif_frames(payload: bytes, first_only: bool = False):
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("truncated GIF (extension sub-blocks run off end)")
             pos += 1
         elif b == 0x2C:  # image descriptor
             left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
@@ -717,13 +719,19 @@ def _gif_frames(payload: bytes, first_only: bool = False):
                 pos += n * 3
             if ct is None:
                 raise ValueError("GIF image has no color table")
+            if pos >= len(payload):
+                raise ValueError("truncated GIF (missing LZW code size)")
             mcs = payload[pos]
             pos += 1
             chunks = []
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 ln = payload[pos]
+                if pos + 1 + ln > len(payload):
+                    raise ValueError("truncated GIF (image sub-block runs off end)")
                 chunks.append(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("truncated GIF (image sub-blocks run off end)")
             pos += 1  # block terminator
             idx = np.array(
                 _gif_lzw_decode(b"".join(chunks), mcs, iw * ih), dtype=np.int64

@@ -479,7 +479,15 @@ def pq_topk(
     Output schema matches sim_cosine_topk (q_id, neighbor_id, cos_sim, rn)."""
     books = fit_pq_codebooks(vectors, id_col, vec_col, m, ksub, seed, seed_sample)
     mm, kk, dsub = books.shape
-    q_rows = queries.select(query_id_col, query_vec_col).limit(max_queries).collect()
+    q_rows = (
+        queries.select(query_id_col, query_vec_col)
+        # orderBy before limit: without it the selected subset is
+        # plan-dependent when len(queries) > max_queries (r10 advice);
+        # matches the fit_spherical_centroids bounded-fit convention.
+        .orderBy(query_id_col)
+        .limit(max_queries)
+        .collect()
+    )
     q_ids = np.array([r[0] for r in q_rows])
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     # LUT[q, j, c] = q_sub_j · codebook[j][c]
@@ -606,7 +614,15 @@ def ivfpq_topk(
     mm, kk, dsub = books.shape
     codes = assigned.select(id_col, "cell", pq_encode("__res", books).alias("__codes"))
 
-    q_rows = queries.select(query_id_col, query_vec_col).limit(max_queries).collect()
+    q_rows = (
+        queries.select(query_id_col, query_vec_col)
+        # orderBy before limit: without it the selected subset is
+        # plan-dependent when len(queries) > max_queries (r10 advice);
+        # matches the fit_spherical_centroids bounded-fit convention.
+        .orderBy(query_id_col)
+        .limit(max_queries)
+        .collect()
+    )
     q_ids = np.array([r[0] for r in q_rows])
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     offsets = Q @ cents.T  # (nq, n_cells): the q·c_cell scalar term

@@ -823,3 +823,61 @@ def test_sample_frames_real_gif_animation(spark):
     struct.pack_into("<H", bad, i + 1, 3)  # left = 3
     with pytest.raises(ValueError, match="partial GIF frame"):
         _gif_frames(bytes(bad))
+
+
+def test_jpeg_fill_bytes_and_midstream_marker_honesty():
+    """r11 advice fixes. (1) T.81 B.1.1.2 permits 0xFF fill bytes between
+    marker segments — a compliant file padded that way must decode to the
+    same pixels as the unpadded one. (2) A non-RST marker appearing
+    mid-entropy-stream is corruption; it must surface as the documented
+    ValueError, never the internal _MarkerHit type."""
+    import numpy as np
+    import pytest
+
+    from n2kupdate_spark.operators.jpeg_py import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(11, 14), dtype=np.uint8)
+    ok = encode_jpeg_pixels(px)
+
+    # pad every non-SOI segment marker with two fill bytes
+    i = ok.index(b"\xff\xdb")
+    padded = ok[:i] + b"\xff\xff" + ok[i:]
+    j = padded.index(b"\xff\xda")
+    padded = padded[:j] + b"\xff" + padded[j:]
+    assert np.array_equal(decode_jpeg_pixels(padded), decode_jpeg_pixels(ok))
+
+    # splice a DHT marker into the entropy-coded data (4 bytes past SOS
+    # header end — mid-MCU for any nontrivial image)
+    sos = ok.index(b"\xff\xda")
+    (ln,) = __import__("struct").unpack_from(">H", ok, sos + 2)
+    ent = sos + 2 + ln
+    bad = ok[: ent + 4] + b"\xff\xc4" + ok[ent + 4 :]
+    with pytest.raises(ValueError, match="entropy stream"):
+        decode_jpeg_pixels(bad)
+
+
+def test_gif_truncated_subblocks_raise_valueerror():
+    """r11 advice fix: extension/image sub-block walks that run off the
+    end of a truncated payload must raise ValueError (the corruption-
+    honesty contract), not IndexError."""
+    import struct
+
+    import pytest
+
+    from n2kupdate_spark.operators.multimodal import _gif_frames, encode_gif
+
+    header = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0, 0, 0)
+    # extension whose declared sub-block length points past the end
+    bad_ext = header + b"\x21\xf9" + b"\xff"
+    with pytest.raises(ValueError, match="truncated GIF"):
+        _gif_frames(bad_ext)
+
+    # real image cut inside the LZW sub-block chain: ValueError, not Index
+    ok = encode_gif(8, 8, b"abc")
+    img = ok.index(b"\x2c")
+    with pytest.raises(ValueError):
+        _gif_frames(ok[: img + 14])

@@ -128,7 +128,8 @@ def test_information_signals_pinned(spark, sf_dir):
         r = got[i]
         ce = round(ent(list(Counter(t).values())), 4)
         we = round(ent(list(Counter(t.split(" ")).values())), 4)
-        zr = round(len(zlib.compress(t.encode("utf-8"), 6)) / len(t), 4)
+        raw = t.encode("utf-8")
+        zr = round(len(zlib.compress(raw, 6)) / len(raw), 4)
         assert (r.n_chars, r.char_entropy, r.word_entropy, r.zlib_ratio) == (
             len(t), ce, we, zr
         ), (i, r)
