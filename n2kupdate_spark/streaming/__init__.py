@@ -2,6 +2,7 @@ from n2kupdate_spark.streaming.jobs import (
     documents_file_stream,
     events_file_stream,
     stream_dedup_bloom,
+    stream_dedup_bloom_scalable,
     stream_dedup_within_watermark,
     stream_session_window_agg,
     stream_corpus_publish,
@@ -17,6 +18,7 @@ __all__ = [
     "documents_file_stream",
     "stream_corpus_publish",
     "stream_dedup_bloom",
+    "stream_dedup_bloom_scalable",
     "stream_dedup_within_watermark",
     "stream_session_window_agg",
     "stream_sessions_tws",

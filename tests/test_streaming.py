@@ -21,6 +21,10 @@ from n2kupdate_spark.streaming import (
     stream_upsert_foreachbatch,
 )
 
+BLOOM_DEDUP_OUT_COLS = [
+    "doc_id", "fp", "bloom_group", "n_inserted", "est_fp", "saturated",
+]
+
 
 @pytest.fixture()
 def stream_dirs(spark, sf_dir):
@@ -1080,7 +1084,7 @@ def test_stream_dedup_bloom_cross_batch_keeps_first_only(spark, tmp_path):
         return (
             pd.concat(frames)
             if frames
-            else pd.DataFrame(columns=["doc_id", "fp", "bloom_group"])
+            else pd.DataFrame(columns=BLOOM_DEDUP_OUT_COLS)
         )
 
     # run 1: ids 0..99, texts t0..t59 cycling -> 40 in-batch duplicates
@@ -1131,7 +1135,7 @@ def test_stream_dedup_bloom_fold_state_and_fp_bound():
         pdf = pd.DataFrame(rows, columns=["doc_id", "fp"])
         return pd.concat(
             list(fold((0,), iter([pdf]), state))
-            or [pd.DataFrame(columns=["doc_id", "fp", "bloom_group"])]
+            or [pd.DataFrame(columns=BLOOM_DEDUP_OUT_COLS)]
         )
 
     # (1)+(2): generous sizing, repeats in-batch and across batches
@@ -1196,3 +1200,188 @@ def test_stream_dedup_bloom_under_rocksdb_provider(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+
+
+def test_stream_dedup_bloom_saturation_alarm():
+    """r11 (r10 verdict item 2): the fixed-size filter must ANNOUNCE its
+    own saturation instead of silently dropping new docs. Drive one group
+    past its analytic FP budget and observe the alarm: emitted rows carry
+    monotone n_inserted, est_fp tracks the (1−e^(−kn/m))^k curve exactly,
+    and `saturated` flips true in the batch where est_fp crosses
+    fp_budget — while early batches are unflagged."""
+    import math
+
+    import pandas as pd
+
+    from n2kupdate_spark.streaming.jobs import _bloom_dedup_fold
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def run(fold, state, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "fp"])
+        out = list(fold((0,), iter([pdf]), state))
+        return pd.concat(out) if out else pd.DataFrame(columns=BLOOM_DEDUP_OUT_COLS)
+
+    m, k, budget = 4096, 4, 1e-3
+    fold, st = _bloom_dedup_fold(m, k, fp_budget=budget), FakeState()
+
+    # batch 1: far under capacity — alarm must NOT fire
+    out = run(fold, st, [(i, f"a{i}") for i in range(50)])
+    n1 = int(out["n_inserted"].iloc[-1])
+    exp_fp = (1.0 - math.exp(-k * n1 / m)) ** k
+    assert out["est_fp"].iloc[-1] == pytest.approx(exp_fp)
+    assert not out["saturated"].any()
+
+    # keep inserting distinct docs until the analytic curve crosses budget
+    out = run(fold, st, [(1000 + i, f"b{i}") for i in range(400)])
+    n2 = int(out["n_inserted"].iloc[-1])
+    assert n2 > n1  # monotone across batches (state carried)
+    exp_fp2 = (1.0 - math.exp(-k * n2 / m)) ** k
+    assert exp_fp2 > budget, "test sizing failed to cross the budget"
+    assert out["est_fp"].iloc[-1] == pytest.approx(exp_fp2)
+    assert bool(out["saturated"].iloc[-1]), "alarm did not fire past budget"
+    # state is still EXACTLY m/8 bytes — alarm, not growth, is this op's story
+    assert len(st.get[0]) == m // 8
+
+
+def test_stream_dedup_bloom_scalable_chains_and_holds_budget():
+    """Scalable-Bloom escalation (Almeida et al. 2007 shape): at an
+    undersized m0 the chain must (1) grow filters exactly when the newest
+    filter hits its analytic capacity — observable in n_filters and in the
+    state bitset length Σ m0·2^i/8; (2) still NEVER emit a duplicate;
+    (3) wrongly-drop far fewer new docs than the fixed filter at the same
+    m0 — the chain-wide drop rate stays within the total fp_budget bound
+    (×3 slack, same convention as the fixed-filter pin)."""
+    import numpy as np
+    import pandas as pd
+
+    from n2kupdate_spark.streaming.jobs import (
+        _bloom_dedup_fold,
+        _scalable_bloom_capacity,
+        _scalable_bloom_fold,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def run(fold, state, rows, cols):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "fp"])
+        out = list(fold((0,), iter([pdf]), state))
+        return pd.concat(out) if out else pd.DataFrame(columns=cols)
+
+    sc_cols = ["doc_id", "fp", "bloom_group", "n_filters", "total_inserted", "est_fp"]
+    m0, k, budget, n = 2048, 4, 1e-2, 1500
+    cap0 = _scalable_bloom_capacity(m0, k, budget / 2)
+    assert cap0 < n, "test sizing: n must exceed the first filter's capacity"
+
+    fold, st = _scalable_bloom_fold(m0, k, budget), FakeState()
+    rows = [(i, f"uniq{i}") for i in range(n)]
+    out = run(fold, st, rows, sc_cols)
+
+    # (1) chained: >1 filter, state bytes = sum of chained sizes
+    n_filters = int(out["n_filters"].iloc[-1])
+    assert n_filters >= 2
+    expected_bytes = sum((m0 << i) // 8 for i in range(n_filters))
+    assert len(st.get[0]) == expected_bytes
+    counts = np.frombuffer(st.get[1], dtype=np.int64)
+    assert len(counts) == n_filters and counts[0] == cap0
+
+    # (2) duplicates never emitted: re-send everything, nothing comes out
+    out2 = run(fold, st, rows, sc_cols)
+    assert len(out2) == 0
+
+    # (3) drop rate bounded by the TOTAL budget (the fixed filter at the
+    # same m0 is saturated garbage by now)
+    drops = n - int(out["total_inserted"].iloc[-1])
+    assert drops <= max(3.0 * budget * n, 10), drops
+    fixed, stf = _bloom_dedup_fold(m0, k, fp_budget=budget), FakeState()
+    out_fixed = run(fixed, stf, rows, BLOOM_DEDUP_OUT_COLS)
+    fixed_drops = n - int(out_fixed["n_inserted"].iloc[-1])
+    assert fixed_drops > drops, (fixed_drops, drops)
+    # chain-wide estimate stays ≤ budget by construction
+    assert float(out["est_fp"].iloc[-1]) <= budget * 1.001
+
+
+def test_stream_dedup_bloom_scalable_e2e_resumed_checkpoint(spark, tmp_path):
+    """Scalable variant e2e: same two-run contract as the fixed op —
+    in-batch dups collapse keep-lowest, a resumed checkpoint remembers
+    run-1 fingerprints (including state that round-trips the CHAIN's
+    variable-length binary), and new docs pass. Undersized m0 forces ≥2
+    chained filters so the multi-filter state actually exercises the
+    state-store round trip."""
+    import pandas as pd
+
+    from n2kupdate_spark.sources.catalog import SCHEMAS
+    from n2kupdate_spark.streaming import stream_dedup_bloom_scalable
+    from n2kupdate_spark.streaming.jobs import documents_file_stream
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    sc_cols = ["doc_id", "fp", "bloom_group", "n_filters", "total_inserted", "est_fp"]
+
+    def write_docs(ids_texts):
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in ids_texts],
+            SCHEMAS["documents"],
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        emitted = []
+        q = (
+            stream_dedup_bloom_scalable(
+                documents_file_stream(spark, src),
+                n_groups=2, m0_bits=1 << 10, fp_budget=1e-2,
+            )
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, eid: emitted.append(df.toPandas()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        frames = [p for p in emitted if len(p)]
+        return pd.concat(frames) if frames else pd.DataFrame(columns=sc_cols)
+
+    # run 1: 400 distinct texts across 2 groups of 1024-bit first filters
+    # (capacity ~17 each at the tightened budget) -> chains guaranteed
+    write_docs([(i, f"scalable text {i}") for i in range(400)])
+    got1 = drain()
+    assert int(got1["n_filters"].max()) >= 2, "e2e never chained; m0 too big"
+    assert got1["fp"].is_unique
+    kept1 = set(got1["doc_id"])
+
+    # run 2 (resumed): re-send first 100 (nothing emits), 20 new (pass)
+    write_docs([(1000 + j, f"scalable text {j}") for j in range(100)])
+    write_docs([(2000 + j, f"scalable new {j}") for j in range(20)])
+    got2 = drain()
+    resent_fps = set(got1["fp"])
+    assert not set(got2["fp"]) & resent_fps, "resumed chain forgot run-1 docs"
+    new_ids = set(got2["doc_id"])
+    assert new_ids <= set(range(2000, 2020)) and len(new_ids) >= 18
+    assert kept1 and new_ids.isdisjoint(kept1)
