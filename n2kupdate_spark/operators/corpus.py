@@ -281,8 +281,33 @@ def decontaminate_bloom(
 
     Use as the scale path directly (accepting the tiny FP over-removal,
     the usual production trade) or as a pre-filter whose survivors feed
-    the exact gate — the exact join then touches only the Bloom-flagged
-    sliver. Docs with < n tokens have no grams and are absent."""
+    the exact gate (:func:`decontaminate_bloom_exact`) — the exact join
+    then touches only the Bloom-flagged sliver. Docs with < n tokens
+    have no grams and are absent."""
+    cur = _bloom_probe_grams(train_docs, eval_docs, id_col, text_col, n, m_bits, k)
+    return (
+        cur.select(id_col, F.col("__hit").cast("int").alias("__hit"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__hit").cast("int").alias("n_flagged_grams"),
+            F.max("__hit").cast("int").alias("contaminated"),
+        )
+    )
+
+
+def _bloom_probe_grams(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Shared Bloom-probe core: per-doc-distinct train grams ``(id, g)``
+    with a boolean ``__hit`` column — true iff all k probes against the
+    eval bitset hit. Pure JVM codegen: k broadcast-hash joins on the
+    constant ``m_bits / 8``-byte word table."""
     from n2kupdate_spark.operators.dedup import word_shingles
 
     # Tiny (≤ m/64 rows) and probed k times: checkpoint so the k joins
@@ -309,13 +334,72 @@ def decontaminate_bloom(
             F.expr(f"(__w{i} & shiftleft(1L, cast(__p{i} % 64 AS int))) != 0"),
             F.lit(False),
         )
+    return cur.select(id_col, "g", hit.alias("__hit"))
+
+
+def decontaminate_bloom_exact(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Two-stage benchmark decontamination (r10 verdict item 3): Bloom
+    pre-filter → exact gram verification on the flagged sliver only.
+    Output is IDENTICAL to :func:`decontaminate_ngram` — zero false
+    positives, zero false negatives — at Bloom-scale memory cost.
+
+    Why the composition wins at 100 TB with a GB-scale eval battery:
+    - :func:`decontaminate_ngram` must BROADCAST every distinct eval gram
+      string — GBs for a modern multi-benchmark suite; dead on arrival.
+    - :func:`decontaminate_bloom` broadcasts only the 128 KiB bitset but
+      over-drops at the FP rate.
+    - Here stage 1 probes the constant bitset (JVM codegen, no corpus
+      shuffle), and stage 2 exact-joins ONLY the Bloom-flagged grams —
+      truly-shared grams plus the bounded-FP sliver, ≪ corpus-sized —
+      against the eval gram set. That join is a plain shuffle join whose
+      train side is the sliver, so neither a GB broadcast nor a
+      corpus-sized shuffle exists anywhere in the plan. Bloom's
+      no-false-negative guarantee (same hash family both sides) means
+      every truly-shared gram reaches stage 2, so correctness is exact.
+
+    Per-doc rows match decontaminate_ngram exactly: every doc with ≥ n
+    tokens appears, with the count of its distinct grams shared with the
+    eval set (flagged-but-unverified grams contribute 0)."""
+    probed = _bloom_probe_grams(
+        train_docs, eval_docs, id_col, text_col, n, m_bits, k
+    )
+    eval_g = (
+        _eval_grams(eval_docs, text_col, n)
+        .withColumn("__shared", F.lit(1))
+    )
+    # Stage 2: the flagged sliver re-checks exactly; unflagged grams are
+    # guaranteed non-shared (no false negatives) and contribute 0 via the
+    # left join's null. The join is NOT broadcast-hinted — at production
+    # eval-battery size the optimizer picks a shuffle join keyed on the
+    # sliver, which is the point.
+    verified = probed.filter(F.col("__hit")).join(eval_g, "g", "left")
+    counts = verified.groupBy(id_col).agg(
+        F.sum(F.coalesce(F.col("__shared"), F.lit(0))).cast("int").alias("__n")
+    )
+    universe = probed.select(id_col).distinct()
+    return universe.join(counts, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_shared_grams"),
+        (F.coalesce(F.col("__n"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+def _eval_grams(eval_docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams of the eval corpus, one column ``g``."""
+    from n2kupdate_spark.operators.dedup import word_shingles
+
     return (
-        cur.select(id_col, hit.cast("int").alias("__hit"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("__hit").cast("int").alias("n_flagged_grams"),
-            F.max("__hit").cast("int").alias("contaminated"),
-        )
+        word_shingles(eval_docs.select(text_col), text_col, n=n)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
     )
 
 
@@ -910,11 +994,14 @@ def gate_documents(
     through prepare_corpus.
 
     ``decontam_method`` picks the overlap gate: ``"exact"`` (default,
-    broadcast eval gram strings — the oracle-verified path) or
-    ``"bloom"`` (:func:`decontaminate_bloom`, fixed 128 KiB bitset probes
-    — the path for eval suites too large to broadcast as strings; its
-    flagged-gram count is a superset of exact's, so the same budget drops
-    at least the same docs, plus bounded-FP extras)."""
+    broadcast eval gram strings — the oracle-verified path), ``"bloom"``
+    (:func:`decontaminate_bloom`, fixed 128 KiB bitset probes — the path
+    for eval suites too large to broadcast as strings; its flagged-gram
+    count is a superset of exact's, so the same budget drops at least
+    the same docs, plus bounded-FP extras), or ``"bloom_exact"``
+    (:func:`decontaminate_bloom_exact`, the r11 two-stage composition:
+    Bloom pre-filter then exact verification of the flagged sliver —
+    EQUALS the exact gate's output at Bloom-scale broadcast cost)."""
     passing = (
         gopher_metrics(docs, id_col, text_col, **(gopher_kwargs or {}))
         .filter(F.col("gopher_pass") == 1)
@@ -923,6 +1010,11 @@ def gate_documents(
     if decontam_method == "bloom":
         overlap = decontaminate_bloom(docs, eval_docs, id_col, text_col, n=decontam_n)
         overlap_col = "n_flagged_grams"
+    elif decontam_method == "bloom_exact":
+        overlap = decontaminate_bloom_exact(
+            docs, eval_docs, id_col, text_col, n=decontam_n
+        )
+        overlap_col = "n_shared_grams"
     elif decontam_method == "exact":
         overlap = decontaminate_ngram(docs, eval_docs, id_col, text_col, n=decontam_n)
         overlap_col = "n_shared_grams"
@@ -1038,6 +1130,11 @@ def prepare_corpus(
     large to broadcast (pin: tests/test_mlprep_props.py — bloom survivors
     ⊆ exact survivors always, equal at the registered sizing on the
     fixture where the filter has no collisions).
+    ``decontam_method="bloom_exact"`` (r11) composes both: Bloom
+    pre-filter, exact gram join over the flagged sliver only — output
+    EQUALS the exact gate's with neither a GB gram broadcast nor a
+    corpus-sized exact shuffle (pin: tests/test_mlprep_props.py, whole
+    pipeline equality vs decontam_method="exact" at two sfs).
 
     ``zlib_ratio_bounds=(lo, hi)`` switches on the compression-ratio
     gate: survivors whose :func:`information_signals` zlib ratio falls

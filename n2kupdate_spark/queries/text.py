@@ -538,6 +538,34 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_bloom(d.filter(~is_eval), d.filter(is_eval), n=3)
 
 
+@register("text_decontaminate_bloom_exact")
+def text_decontaminate_bloom_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage decontamination (r11, r10 verdict item 3): Bloom
+    pre-filter on the constant 128 KiB bitset, then exact gram
+    verification of ONLY the flagged sliver — output IDENTICAL to
+    text_decontaminate_ngram (zero false positives) without ever
+    broadcasting the eval gram strings.
+
+    Rows-only debut (capacity policy, SURVEY §5.2): a DuckDB oracle would
+    duplicate text_decontaminate_ngram's — the pytest pin proves the
+    stronger statement directly: full-result equality with the exact
+    gate (itself driver-oracle-checked) at two sfs
+    (tests/test_sketch_accuracy.py).
+
+    Scale: stage 1 is the decontaminate_bloom plan (k codegen
+    broadcast-joins against the fixed bitset, no corpus shuffle); stage 2
+    exact-joins the Bloom-flagged gram sliver (truly-shared + bounded-FP
+    extras, ≪ corpus) against the eval grams WITHOUT a broadcast hint —
+    at GB eval-battery scale the optimizer shuffles the sliver, which is
+    the composition's whole point. See
+    operators/corpus.py:decontaminate_bloom_exact."""
+    from n2kupdate_spark.operators.corpus import decontaminate_bloom_exact
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    is_eval = F.expr(_EVAL_PRED_SQL)
+    return decontaminate_bloom_exact(d.filter(~is_eval), d.filter(is_eval), n=3)
+
+
 @register("text_quality_classifier")
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (the published web-corpus pattern:

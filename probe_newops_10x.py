@@ -60,6 +60,8 @@ OPS = [
     "events_markov_transitions", # user-keyed lead window + tiny count table
     "sim_ann_ivfpq",            # coarse-pruned code scan + shortlist re-rank
     "embed_hard_negatives",     # label-masked closure matmul + per-batch top-k
+    # round-11 additions
+    "text_decontaminate_bloom_exact",  # bitset probe + sliver-only exact join
 ]
 
 

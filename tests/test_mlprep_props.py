@@ -789,6 +789,15 @@ def test_gate_documents_bloom_method_pinned(spark, sf_dir):
     }
     assert bloom <= exact
     assert bloom == exact  # no collisions at registered sizing on fixture
+    # r11: the two-stage bloom_exact method equals the exact gate BY
+    # CONSTRUCTION (stage-2 verify), not merely by generous sizing
+    bloom_exact = {
+        r.doc_id
+        for r in gate_documents(
+            train, evald, decontam_budget=1, decontam_method="bloom_exact"
+        ).collect()
+    }
+    assert bloom_exact == exact
     with _pytest.raises(ValueError, match="decontam_method"):
         gate_documents(train, evald, decontam_method="minhash").collect()
 
@@ -869,3 +878,32 @@ def test_prepare_corpus_zlib_gate_pinned(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert got.equals(want), (got, want)
+
+
+def test_prepare_corpus_bloom_exact_equals_exact_two_sfs(spark):
+    """r11 (verdict item 3): the whole prepare_corpus pipeline under
+    decontam_method="bloom_exact" must produce EXACTLY the summary the
+    default exact method produces — at two scales, since gram-overlap
+    structure is scale-sensitive (sf0.001 and sf0.01 have different
+    eval-slice gram populations)."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.corpus import prepare_corpus
+    from n2kupdate_spark.sources import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = load(spark, sf, "documents")
+        is_eval = F.expr("doc_id % 97 = 0")
+        train, evald = d.filter(~is_eval), d.filter(is_eval)
+        kwargs = dict(weights={"src0": 2.0}, default_weight=1.0, seq_budget=512)
+        base = {
+            r.source: (r.n_docs, r.n_rows, r.total_tokens, r.n_sequences)
+            for r in prepare_corpus(train, evald, **kwargs).collect()
+        }
+        two_stage = {
+            r.source: (r.n_docs, r.n_rows, r.total_tokens, r.n_sequences)
+            for r in prepare_corpus(
+                train, evald, decontam_method="bloom_exact", **kwargs
+            ).collect()
+        }
+        assert two_stage == base, sf

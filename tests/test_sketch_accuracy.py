@@ -327,3 +327,37 @@ def test_bloom_decontaminate_contract_pins(spark, sf_dir):
     p_bound = (1.0 - math.exp(-k * n_eval_grams / m)) ** k
     assert fp > 0, "undersized filter produced no collisions; test is vacuous"
     assert fp / nonshared <= 3.0 * p_bound, (fp, nonshared, p_bound)
+
+
+def test_bloom_exact_decontaminate_equals_exact_gate(spark, sf_dir):
+    """text_decontaminate_bloom_exact (rows-only, r11): the two-stage
+    composition must EQUAL the SQL-oracled exact gate row-for-row —
+    including n_shared_grams values and <3-token absence semantics.
+
+    The decisive half: at an UNDERSIZED stage-1 filter (m=4096, k=2 —
+    proven above to produce real collisions on this fixture) the output
+    must STILL equal the exact gate's, because stage 2's exact join
+    kills every Bloom false positive while no-false-negatives guarantees
+    every truly-shared gram reaches it."""
+    from n2kupdate_spark.operators.corpus import decontaminate_bloom_exact
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    exact = {
+        r.doc_id: (r.n_shared_grams, r.contaminated)
+        for r in QUERIES["text_decontaminate_ngram"](spark, sf_dir).collect()
+    }
+    got = {
+        r.doc_id: (r.n_shared_grams, r.contaminated)
+        for r in QUERIES["text_decontaminate_bloom_exact"](spark, sf_dir).collect()
+    }
+    assert got == exact
+
+    train = docs.filter("doc_id % 97 != 0")
+    evald = docs.filter("doc_id % 97 = 0")
+    tiny = {
+        r.doc_id: (r.n_shared_grams, r.contaminated)
+        for r in decontaminate_bloom_exact(
+            train, evald, n=3, m_bits=4096, k=2
+        ).collect()
+    }
+    assert tiny == exact, "stage-2 exact verify failed to kill a Bloom FP"
