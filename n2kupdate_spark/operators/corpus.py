@@ -1086,6 +1086,9 @@ def prepare_corpus(
     quality_positive_col: str | None = None,
     decontam_method: str = "exact",
     zlib_ratio_bounds: tuple[float, float] | None = None,
+    pack_method: str = "whitespace",
+    bpe_merges: list[tuple[str, str]] | None = None,
+    bpe_num_merges: int = 200,
 ) -> DataFrame:
     """End-to-end preparation: Gopher gate → decontamination (overlap
     budget) → exact dedup (md5, keep lowest id) → optional exact-
@@ -1142,6 +1145,19 @@ def prepare_corpus(
     published gibberish/boilerplate proxy, composed after the exact
     gates so the one Python pass sees the shrunk corpus (pin:
     tests/test_mlprep_props.py, independent composition).
+
+    ``pack_method="bpe"`` (r11, mirroring the decontam_method plumbing)
+    budgets mixture token totals and sequence packing in LEARNED BPE
+    tokens instead of whitespace tokens: merges are learned on the
+    SURVIVORS (or taken from ``bpe_merges`` — production reuses the
+    frozen tokenizer, one learn for N corpora) and every surviving doc
+    is encoded map-only with broadcast ranks, so ``total_tokens`` /
+    ``n_sequences`` reflect what the model context actually sees —
+    whitespace counting under-budgets rare-word-heavy docs exactly where
+    subword fertility is highest. Composes with ``trim_substring_k``
+    (the encode sees the TRIMMED text remove_spans rebuilds). Pin:
+    composition ≡ independent stage-by-stage recompute at two sfs
+    (tests/test_tokenizer.py).
 
     ``exclude_eval_ids`` governs id-space semantics: when the eval set is
     a SLICE of the training corpus (the demo fixture, or leakage-guarding
@@ -1218,8 +1234,28 @@ def prepare_corpus(
         tokens = F.col("n_tokens_after")
     else:
         tokens = F.size(F.split(text_col, " "))
+    if pack_method == "bpe":
+        from n2kupdate_spark.operators.tokenizer import bpe_encode, learn_bpe_merges
+
+        if bpe_merges is None:
+            bpe_merges = learn_bpe_merges(
+                exact, bpe_num_merges, text_col=text_col
+            )
+        # map-only encode of the (possibly trimmed) survivor text; the
+        # source column rides through carry_cols so no post-encode join
+        tok_docs = bpe_encode(
+            exact.select(id_col, source_col, text_col),
+            bpe_merges,
+            id_col=id_col,
+            text_col=text_col,
+            carry_cols=(source_col,),
+        ).select(id_col, source_col, F.col("n_bpe_tokens").alias("n_tokens"))
+    elif pack_method == "whitespace":
+        tok_docs = exact.select(id_col, source_col, tokens.alias("n_tokens"))
+    else:
+        raise ValueError(f"unknown pack_method {pack_method!r}")
     mixed = apply_mixture(
-        exact.select(id_col, source_col, tokens.alias("n_tokens")),
+        tok_docs,
         weights, default_weight, id_col, source_col,
     )
     packed = pack_sequences(

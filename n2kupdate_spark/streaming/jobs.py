@@ -656,8 +656,8 @@ def stream_corpus_publish(
     """Streaming corpus ingest with EXACTLY-ONCE manifest publication:
     every micro-batch runs the batch pipeline's own gates
     (operators/corpus.py::gate_documents — Gopher → decontamination
-    [``decontam_method`` picks the exact or fixed-memory Bloom gate,
-    same as prepare_corpus] → within-batch exact dedup; per-micro-batch
+    [``decontam_method`` picks the exact, fixed-memory Bloom, or r11
+    two-stage bloom_exact gate, same as prepare_corpus] → within-batch exact dedup; per-micro-batch
     ≡ batch is pinned by test_corpus_gates_are_streaming_ready), lands in an immutable
     ``batch-epoch-<id>`` subdir, and becomes visible atomically via
     publish_append_manifest — readers of the published table never see a

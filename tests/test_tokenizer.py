@@ -384,3 +384,102 @@ def test_pack_sequences_bpe_pinned(spark, sf_dir):
         assert summary[src] == (
             len(items), n_seqs, tot, ws_tot[src], exp_fill, n_over
         ), (src, summary[src])
+
+
+def test_prepare_corpus_pack_method_bpe_pinned(spark):
+    """r11 (r10 verdict item 4): prepare_corpus(pack_method="bpe") must
+    equal the independent stage-by-stage composition — gate_documents →
+    learn_bpe_merges on the survivors → bpe_encode → apply_mixture →
+    pack_sequences → summary — at two sfs (gram/vocab structure is
+    scale-sensitive). Also pins that the stage is LIVE (BPE totals differ
+    from whitespace totals on real text), that a caller-supplied frozen
+    merge list short-circuits the learn, and that an unknown pack_method
+    raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.corpus import (
+        apply_mixture,
+        gate_documents,
+        pack_sequences,
+        prepare_corpus,
+    )
+    from n2kupdate_spark.operators.tokenizer import bpe_encode, learn_bpe_merges
+    from n2kupdate_spark.sources import load
+
+    weights, default_w = {"src0": 2.0}, 1.0
+
+    def summarize(packed, budget=512):
+        return {
+            r.source: (r.n_docs, r.n_rows, r.total_tokens, r.n_sequences)
+            for r in packed.groupBy("source")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+                F.ceil(F.sum("n_tokens") / F.lit(float(budget)))
+                .cast("int")
+                .alias("n_sequences"),
+            )
+            .collect()
+        }
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = load(spark, sf, "documents")
+        is_eval = F.expr("doc_id % 97 = 0")
+        train, evald = d.filter(~is_eval), d.filter(is_eval)
+
+        got = {
+            r.source: (r.n_docs, r.n_rows, r.total_tokens, r.n_sequences)
+            for r in prepare_corpus(
+                train, evald, weights, default_w, pack_method="bpe"
+            ).collect()
+        }
+
+        # independent composition from the component operators
+        exact = gate_documents(train, evald)
+        merges = learn_bpe_merges(exact, 200)
+        enc = bpe_encode(
+            exact.select("doc_id", "source", "text"),
+            merges,
+            carry_cols=("source",),
+        ).select("doc_id", "source", F.col("n_bpe_tokens").alias("n_tokens"))
+        mixed = apply_mixture(enc, weights, default_w, "doc_id", "source")
+        packed = pack_sequences(
+            mixed, budget=512, group_col="source",
+            order_cols=("doc_id", "copy_n"), token_col="n_tokens",
+        )
+        want = summarize(packed)
+        assert got == want, sf
+
+        # the stage is live: at a starved merge budget words stay
+        # fragmented, so BPE totals must EXCEED whitespace totals (at the
+        # default 200 merges the tiny fixture fully merges every word and
+        # the two counts legitimately coincide — not a liveness signal)
+        ws = {
+            r.source: r.total_tokens
+            for r in prepare_corpus(train, evald, weights, default_w).collect()
+        }
+        starved = {
+            r.source: r.total_tokens
+            for r in prepare_corpus(
+                train, evald, weights, default_w,
+                pack_method="bpe", bpe_num_merges=5,
+            ).collect()
+        }
+        assert all(starved[s] > ws[s] for s in starved), sf
+
+        # frozen-tokenizer path: supplying the same merges reproduces it
+        frozen = {
+            r.source: (r.n_docs, r.n_rows, r.total_tokens, r.n_sequences)
+            for r in prepare_corpus(
+                train, evald, weights, default_w,
+                pack_method="bpe", bpe_merges=merges,
+            ).collect()
+        }
+        assert frozen == got, sf
+
+    with _pytest.raises(ValueError, match="pack_method"):
+        prepare_corpus(
+            train, evald, weights, default_w, pack_method="wordpiece"
+        ).collect()
