@@ -849,3 +849,49 @@ def test_avro_varint_zigzag_property():
         assert _read_long(io.BytesIO(out.getvalue())) == n
 
     roundtrip()
+
+
+def test_avro_python_datasource_format(spark, sf_dir, tmp_path):
+    """r11: the Spark-4 Python DataSource wrapper (format("n2k_avro")).
+    Pins: (1) spark.read.format over a multi-file directory returns
+    exactly write_avro's input rows (nulls included) with the same
+    schema read_avro resolves; (2) parallelism is one InputPartition per
+    OCF file (the documented no-jar trade); (3) the source works from
+    pure SQL via CREATE ... USING n2k_avro; (4) a missing path raises."""
+    import glob as _glob
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.sources import load
+    from n2kupdate_spark.sources.avro_ds import AvroPyDataSource
+    from n2kupdate_spark.sources.avro_py import read_avro, write_avro
+
+    spark.dataSource.register(AvroPyDataSource)
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang"))
+    ).repartition(3)
+    out = str(tmp_path / "docs_avro_ds")
+    write_avro(d, out)
+    n_files = len(_glob.glob(f"{out}/part-*.avro"))
+    assert n_files == 3
+
+    got = spark.read.format("n2k_avro").load(out)
+    assert got.schema == read_avro(spark, out).schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, d.collect()))
+    assert got.filter(F.col("lang").isNull()).count() == d.filter(
+        F.col("lang").isNull()
+    ).count() > 0
+    # one partition per file
+    assert got.rdd.getNumPartitions() == n_files
+
+    # SQL surface
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW avro_ds_docs "
+        f"USING n2k_avro OPTIONS (path '{out}')"
+    )
+    assert spark.sql("SELECT COUNT(*) AS n FROM avro_ds_docs").first()["n"] == d.count()
+
+    with _pytest.raises(Exception, match="no avro files|path"):
+        spark.read.format("n2k_avro").load(str(tmp_path / "nope")).collect()
