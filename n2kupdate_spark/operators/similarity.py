@@ -275,6 +275,35 @@ def pca_project(vc: str, mu: np.ndarray, W: np.ndarray):
     return proj(F.col(vc))
 
 
+def jl_projection_matrix(in_dim: int, out_dim: int, seed: int = 17) -> np.ndarray:
+    """Johnson–Lindenstrauss random projection matrix (out_dim × in_dim):
+    seeded i.i.d. Gaussian entries scaled by 1/√out_dim, so for any pair
+    of vectors ‖Rx − Ry‖² ∈ (1±ε)·‖x − y‖² with probability ≥ 1 − 2e^(−
+    (ε²−ε³)·out_dim/4) (the JL lemma's Gaussian construction —
+    Dasgupta & Gupta 2003 form). Deterministic from the seed: every
+    executor materializes the IDENTICAL matrix, so — unlike a PCA basis —
+    there is NOTHING to fit, collect, or even broadcast."""
+    rng = np.random.RandomState(seed)
+    return rng.normal(0.0, 1.0, size=(out_dim, in_dim)) / np.sqrt(out_dim)
+
+
+def jl_project(vc: str, R: np.ndarray):
+    """Arrow-batched JL projection v @ Rᵀ — the zero-fit complement of
+    :func:`pca_project`: no sample collect, no SVD, no mean-centering
+    (JL preserves pairwise distances, which are translation-invariant).
+    One matmul per batch, 4dp-rounded (+0.0 normalizes −0.0)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = R.copy()
+
+    @pandas_udf("array<double>")
+    def proj(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(list(np.round(V @ C.T, 4) + 0.0))
+
+    return proj(F.col(vc))
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -208,6 +208,36 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", pca_project("v", mu, W).alias("pc"))
 
 
+@register("embed_jl_project")  # rows-only: the projection matrix is
+# RNG-seed-determined; distance preservation + numpy equality pinned in
+# tests/test_ann_recall.py
+def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to 16 dims — the ZERO-FIT
+    complement of embed_pca_project for 100 TB preprocessing: where PCA
+    collects a sample and SVDs it, JL's Gaussian matrix is a pure
+    function of (dim, out_dim, seed), so every executor materializes the
+    identical matrix locally — no collect, no fit, not even a broadcast.
+    The plan is one Arrow-batched matmul scan: strictly a map at any
+    corpus size, and pairwise distances survive within the JL (1±ε)
+    bound with high probability, which is what ANN pre-filtering and
+    coarse clustering need (they never needed the variance-optimal
+    basis). Deterministic end to end; pinned: projections equal the
+    numpy recompute, and the measured pairwise-distance distortion on
+    the fixture stays inside the lemma's envelope
+    (tests/test_ann_recall.py)."""
+    from n2kupdate_spark.operators.similarity import (
+        jl_project,
+        jl_projection_matrix,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = len(e.select("v").first()[0])
+    R = jl_projection_matrix(dim, out_dim=16, seed=17)
+    return e.select("vec_id", jl_project("v", R).alias("jl"))
+
+
 @register("dedup_semantic_clusters")  # rows-only (r9 capacity policy,
 # SURVEY §5.2): centroid layout is engine-specific, so the kept/dropped
 # set is value-pinned in tests/test_ann_recall.py instead of SQL-oracled
