@@ -1278,6 +1278,126 @@ def prepare_corpus(
     )
 
 
+def select_token_budget(
+    docs: DataFrame,
+    token_budget: int,
+    weight_col: str = "weight",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shards: int = 1,
+) -> DataFrame:
+    """Budget-constrained data selection: keep the highest-``weight_col``
+    documents whose running token total fits ``token_budget`` — the
+    "train on the best N tokens" step every quality-scored pipeline ends
+    with (DSIR/classifier/perplexity scores in, a fixed token budget
+    out). Selection rule is the prefix form: order by (weight DESC,
+    id ASC) and keep every doc whose INCLUSIVE running ``token_col`` sum
+    is ≤ budget — deterministic, oracle-expressible, no knapsack
+    re-ordering. Emits the selected docs with ``sel_rank`` (1-based
+    position in the selection order) and ``cum_tokens``.
+
+    Scale shape: a naive global ORDER BY window funnels the corpus
+    through ONE task. ``shards`` > 1 applies the pack_sequences
+    range-sharding trick to the weight axis: percentile_approx cuts
+    split the corpus into contiguous weight-descending shards, the
+    cumsum windows per shard (parallel), and exact per-shard base
+    offsets come from a tiny shards-sized totals frame. The budget then
+    PRUNES: any shard whose base offset already exceeds the budget is
+    dropped BEFORE its window runs — at a 1% selection rate on 100 TB,
+    ~99% of the corpus never enters a sort. Identical output to the
+    single-window form for every cut placement (exact prefix-sum
+    reconstruction; property-tested)."""
+    if shards <= 1:
+        w = (
+            Window.orderBy(F.col(weight_col).desc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum(token_col).over(w).cast("long")
+        rk = F.row_number().over(
+            Window.orderBy(F.col(weight_col).desc(), F.col(id_col).asc())
+        )
+        return (
+            docs.select("*", cum.alias("cum_tokens"), rk.alias("sel_rank"))
+            .filter(F.col("cum_tokens") <= token_budget)
+            .select(*docs.columns, "sel_rank", "cum_tokens")
+        )
+
+    key = F.col(weight_col).cast("double")
+    # Driver-inlined cut points (shards−1 doubles — the docs.count()
+    # literal pattern): joining the 1-row percentile frame would plan a
+    # BroadcastNestedLoopJoin (Catalyst constant-folds the condition),
+    # which the fleet plan audit rightly rejects.
+    cut_vals = docs.select(
+        F.percentile_approx(
+            key, [i / shards for i in range(1, shards)], 1000
+        )
+    ).first()[0]
+    cut_arr = F.array(*[F.lit(float(c)) for c in cut_vals])
+    # weight-DESC shard id = number of cut points strictly ABOVE the key;
+    # equal weights colocate, id tie-break happens inside the shard.
+    sharded = docs.withColumn(
+        "__shard", F.size(F.filter(cut_arr, lambda c: c > key))
+    )
+    # Exact per-shard base offsets from a shards-sized totals frame,
+    # COLLECTED (bounded: ≤ shards rows — the docs.count() literal
+    # pattern) and inlined as literal maps: a broadcast self-join back
+    # onto `sharded` both hits Spark's self-join attribute ambiguity and
+    # would defeat the prune-before-sort below.
+    totals = {
+        int(r["__shard"]): (int(r["__tot"]), int(r["__cnt"]))
+        for r in sharded.groupBy("__shard")
+        .agg(
+            F.sum(token_col).cast("long").alias("__tot"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .collect()
+    }
+    base_tok, base_cnt, run_t, run_n = {}, {}, 0, 0
+    for s in sorted(totals):
+        base_tok[s], base_cnt[s] = run_t, run_n
+        run_t += totals[s][0]
+        run_n += totals[s][1]
+    # budget pruning: a shard whose base offset already exceeds the
+    # budget cannot select anything — it never enters the window sort.
+    # At a 1% selection rate this drops ~99% of the corpus pre-sort.
+    eligible = sorted(s for s, b in base_tok.items() if b < token_budget)
+    if not eligible:
+        empty = docs.limit(0)
+        return empty.select(
+            *docs.columns,
+            F.lit(None).cast("int").alias("sel_rank"),
+            F.lit(None).cast("long").alias("cum_tokens"),
+        )
+    map_tok = F.create_map(
+        *[x for s in eligible for x in (F.lit(s), F.lit(base_tok[s]))]
+    )
+    map_cnt = F.create_map(
+        *[x for s in eligible for x in (F.lit(s), F.lit(base_cnt[s]))]
+    )
+    w_shard = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col(weight_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sharded.filter(F.col("__shard").isin(*[int(s) for s in eligible]))
+        .select(
+            "*",
+            F.sum(token_col).over(w_shard).cast("long").alias("__cum"),
+            F.row_number().over(w_shard).alias("__rn"),
+        )
+        .withColumn(
+            "cum_tokens",
+            (map_tok[F.col("__shard")] + F.col("__cum")).cast("long"),
+        )
+        .withColumn(
+            "sel_rank", (map_cnt[F.col("__shard")] + F.col("__rn")).cast("int")
+        )
+        .filter(F.col("cum_tokens") <= token_budget)
+        .select(*docs.columns, "sel_rank", "cum_tokens")
+    )
+
+
 def temperature_weights(
     docs: DataFrame,
     alpha: float = 0.3,

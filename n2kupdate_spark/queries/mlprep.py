@@ -1058,3 +1058,70 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "corpus_select_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 3 AS budget FROM t),
+    r AS (
+      SELECT doc_id,
+             CAST(n_tokens AS INT) AS n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY w DESC, doc_id) AS BIGINT)
+               AS cum_tokens,
+             CAST(ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS INT)
+               AS sel_rank
+      FROM t
+    )
+    SELECT doc_id, n_tokens, sel_rank, cum_tokens
+    FROM r, b WHERE cum_tokens <= budget
+    """,
+)
+def corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained data selection (r11): keep the most lexically
+    diverse documents (distinct-word ratio — the deterministic stand-in
+    for any quality score: DSIR, classifier, perplexity) until a token
+    budget of one third of the corpus is filled. The prefix rule —
+    order by (weight DESC, doc_id), keep while the inclusive running
+    token sum fits — is the "train on the best N tokens" step every
+    scored pipeline ends with.
+
+    SQL-oracle slot claimed deliberately (capacity policy, SURVEY §5.2):
+    the selected SET flips on exact boundary sums of an ordered window —
+    boundary-heavy semantics where a DuckDB hash-match is distinctly
+    stronger evidence than a pin (one off-by-one in the cumsum or the
+    tie-break surfaces as a hash mismatch, not a plausible-looking row
+    count).
+
+    Scale: runs the SHARDED path (shards=4) through the oracle — the
+    percentile-cut range sharding parallelizes the global-order cumsum
+    and the budget PRUNES whole shards before their window sort (at a 1%
+    selection rate, ~99% of a 100 TB corpus never enters a sort); output
+    is identical to the single-window form by exact prefix-sum
+    reconstruction (see operators/corpus.py::select_token_budget).
+    Integer-only output columns — no float canonicalization risk; the
+    budget is integer floor-division on both engines."""
+    from n2kupdate_spark.operators.corpus import select_token_budget
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("weight"),
+    )
+    total = scored.agg(F.sum("n_tokens")).first()[0]
+    budget = int(total) // 3
+    return select_token_budget(
+        scored, budget, weight_col="weight", token_col="n_tokens",
+        id_col="doc_id", shards=4,
+    ).select("doc_id", "n_tokens", "sel_rank", "cum_tokens")

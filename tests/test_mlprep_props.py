@@ -907,3 +907,49 @@ def test_prepare_corpus_bloom_exact_equals_exact_two_sfs(spark):
             ).collect()
         }
         assert two_stage == base, sf
+
+
+def test_select_token_budget_sharded_equals_single_window(spark):
+    """select_token_budget shards>1 must be a pure parallelism knob: the
+    percentile-cut range sharding + per-shard cumsum + exact base
+    offsets reconstructs the single global-order window EXACTLY — on an
+    adversarial frame (heavy weight ties so cuts land ON tied values,
+    doc_id doing the tie-break, budget landing mid-tie-group). Also pins
+    the prefix rule's boundary: the first excluded doc would overflow
+    the budget, and every selected doc's cum_tokens is the true running
+    sum."""
+    from n2kupdate_spark.operators.corpus import select_token_budget
+
+    rows = []
+    for i in range(5000):
+        # 10 distinct weights → ~500-row tie groups; token sizes vary
+        rows.append((i, (i * 7) % 10 / 10.0, 3 + (i * 13) % 50))
+    df = spark.createDataFrame(rows, ["doc_id", "weight", "n_tokens"]).repartition(16)
+    total = sum(r[2] for r in rows)
+    budget = total // 4
+
+    key = ["doc_id"]
+    base = (
+        select_token_budget(df, budget)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    # independent recompute of the prefix rule
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, want = 0, {}
+    for rank, (i, w, n) in enumerate(ordered, start=1):
+        cum += n
+        if cum > budget:
+            break
+        want[i] = (rank, cum)
+    assert {
+        int(r.doc_id): (int(r.sel_rank), int(r.cum_tokens))
+        for r in base.itertuples()
+    } == want
+
+    for shards in (2, 5, 32):
+        sub = (
+            select_token_budget(df, budget, shards=shards)
+            .toPandas().sort_values(key).reset_index(drop=True)
+        )
+        assert list(sub.columns) == list(base.columns), shards
+        assert (sub.values == base.values).all(), f"shards={shards} diverged"
