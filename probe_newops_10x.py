@@ -62,6 +62,8 @@ OPS = [
     "embed_hard_negatives",     # label-masked closure matmul + per-batch top-k
     # round-11 additions
     "text_decontaminate_bloom_exact",  # bitset probe + sliver-only exact join
+    "embed_jl_project",         # zero-fit seeded matmul map, no shuffle
+    "corpus_select_budget",     # range-sharded budget cumsum w/ shard pruning
 ]
 
 

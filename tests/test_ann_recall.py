@@ -16,15 +16,17 @@ def test_ann_recall_bounds(spark):
         r["method"]: r
         for r in QUERIES["sim_ann_recall_eval"](spark, SF).collect()
     }
-    assert set(rows) == {"lsh", "ivf", "pq", "ivfpq"}
+    assert set(rows) == {"lsh", "ivf", "pq", "ivfpq", "jl"}
     # measured at sf0.001 / sf0.1: lsh 0.90 / 0.945 (24x5 bands),
     # ivf 0.96 / 0.89 (nprobe=10), pq 1.0 / 0.99 (m=16, ksub=64,
     # shortlist=150 + exact re-rank), ivfpq 0.96 / 0.885 (r10: the
     # residual-PQ shortlist costs only ~0.005 vs pure IVF at the same
     # nprobe while scanning m-byte codes instead of floats — the coarse
-    # quantizer, shared with IVF, is the recall bound); deterministic
-    # seeds throughout
-    floors = {"lsh": 0.85, "ivf": 0.85, "pq": 0.9, "ivfpq": 0.85}
+    # quantizer, shared with IVF, is the recall bound), jl 1.0 / 0.855
+    # (r11: 32-dim projection + 400-shortlist exact re-rank — the r11
+    # sweep on these near-worst-case embeddings is in the query
+    # docstring); deterministic seeds throughout
+    floors = {"lsh": 0.85, "ivf": 0.85, "pq": 0.9, "ivfpq": 0.85, "jl": 0.8}
     for method, row in rows.items():
         assert row["n_queries"] >= 4, method
         assert row["recall_at_10"] >= floors[method], (method, row["recall_at_10"])
