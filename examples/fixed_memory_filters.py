@@ -20,6 +20,17 @@ grow with the thing it filters against:
    at ANY key cardinality, with duplicates NEVER re-emitted; the trade
    is new docs wrongly dropped at the bounded FP rate.
 
+Round 11 adds the two honesty completions, demonstrated below:
+
+3. `decontaminate_bloom_exact` — Bloom pre-filter, then the exact gram
+   join over ONLY the flagged sliver: output EQUALS the exact gate's
+   (zero false positives) while still never broadcasting gram strings.
+
+4. `stream_dedup_bloom_scalable` — when a fixed filter would saturate
+   (its est_fp alarm fires), the scalable variant chains geometrically
+   growing filters with tightening budgets: total wrongly-dropped-new
+   rate stays under fp_budget at ANY cardinality, memory grows O(log N).
+
     python examples/fixed_memory_filters.py [sf_dir]   # default sf0.01
 """
 
@@ -36,6 +47,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from n2kupdate_spark.operators.corpus import (  # noqa: E402
     decontaminate_bloom,
+    decontaminate_bloom_exact,
     decontaminate_ngram,
 )
 from n2kupdate_spark.session import get_spark  # noqa: E402
@@ -79,6 +91,16 @@ def main() -> None:
         "bloom = 128 KiB bitset (constant at ANY suite size)"
     )
 
+    # ---- 1b. two-stage: Bloom pre-filter + exact verify (r11) -----------
+    two_stage = (
+        decontaminate_bloom_exact(train, evald, n=3).toPandas().set_index("doc_id")
+    )
+    identical = two_stage.sort_index().equals(
+        exact[["n_shared_grams", "contaminated"]].sort_index()
+    )
+    print(f"bloom_exact ≡ exact gate row-for-row: {identical} "
+          "(stage 2 verified only the Bloom-flagged sliver)")
+
     # ---- 2. streaming: fixed-state Bloom dedup ---------------------------
     work = tempfile.mkdtemp(prefix="n2k_bloom_example_")
     src, ckpt = f"{work}/src", f"{work}/ckpt"
@@ -108,6 +130,59 @@ def main() -> None:
         print(f"run 1 emitted {first} first-seen docs")
         print(f"run 2 (all re-sends) emitted {second} — the checkpointed "
               "bitsets remembered every fingerprint in 1 MiB of state")
+
+        # ---- 2b. saturation alarm + scalable escalation (r11) ------------
+        # drive one UNDERSIZED group past its budget: the fixed filter
+        # alarms (saturated=True on emitted rows); the scalable variant at
+        # the same m0 chains filters instead and keeps accepting new docs
+        from n2kupdate_spark.streaming import stream_dedup_bloom_scalable
+
+        work2 = tempfile.mkdtemp(prefix="n2k_bloom_scalable_")
+        src2 = f"{work2}/src"
+        try:
+            d.write.parquet(src2)  # the full corpus into tiny filters
+            rows = []
+            q = (
+                stream_dedup_bloom(
+                    documents_file_stream(spark, src2),
+                    n_groups=2, m_bits=1 << 10, fp_budget=1e-3,
+                )
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", f"{work2}/ckpt_fixed")
+                .foreachBatch(lambda b, e: rows.append(b.toPandas()))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            import pandas as pd
+
+            fixed = pd.concat([r for r in rows if len(r)])
+            rows2 = []
+            q = (
+                stream_dedup_bloom_scalable(
+                    documents_file_stream(spark, src2),
+                    n_groups=2, m0_bits=1 << 10, fp_budget=1e-3,
+                )
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", f"{work2}/ckpt_scal")
+                .foreachBatch(lambda b, e: rows2.append(b.toPandas()))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            scal = pd.concat([r for r in rows2 if len(r)])
+            print(
+                f"undersized fixed filter: emitted {len(fixed)}, alarm fired: "
+                f"{bool(fixed['saturated'].any())} "
+                f"(final est_fp {float(fixed['est_fp'].max()):.4f})"
+            )
+            print(
+                f"scalable at same m0: emitted {len(scal)} "
+                f"(chained to {int(scal['n_filters'].max())} filters, "
+                f"est_fp held at {float(scal['est_fp'].max()):.6f})"
+            )
+        finally:
+            shutil.rmtree(work2, ignore_errors=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     spark.stop()
