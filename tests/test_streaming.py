@@ -1385,3 +1385,46 @@ def test_stream_dedup_bloom_scalable_e2e_resumed_checkpoint(spark, tmp_path):
     new_ids = set(got2["doc_id"])
     assert new_ids <= set(range(2000, 2020)) and len(new_ids) >= 18
     assert kept1 and new_ids.isdisjoint(kept1)
+
+
+def test_stream_corpus_publish_bloom_exact_method(spark, sf_dir, tmp_path):
+    """r11: the two-stage bloom_exact decontamination threads through the
+    streaming ingest — one micro-batch published under
+    decontam_method="bloom_exact" equals the batch-mode gate under the
+    SAME method, which in turn equals the default exact gate (the
+    two-stage equality contract, here verified through the
+    streaming+manifest stack)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from n2kupdate_spark.operators.corpus import gate_documents
+    from n2kupdate_spark.sources.maintenance import read_manifest
+    from n2kupdate_spark.streaming import documents_file_stream, stream_corpus_publish
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 97 != 0)
+    os.makedirs(src, exist_ok=True)
+    tmp = str(tmp_path / "tmp1")
+    b1.coalesce(1).write.parquet(tmp)
+    shutil.move(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/b1.parquet")
+
+    q = stream_corpus_publish(
+        documents_file_stream(spark, src),
+        ev, out, str(tmp_path / "ckpt"),
+        decontam_method="bloom_exact",
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+
+    got = {r["doc_id"] for r in read_manifest(spark, out).select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in gate_documents(
+            b1, ev, decontam_method="bloom_exact"
+        ).select("doc_id").collect()
+    }
+    exact = {r["doc_id"] for r in gate_documents(b1, ev).select("doc_id").collect()}
+    assert got == want == exact and got
