@@ -654,6 +654,80 @@ def _cc_should_salt(
     return max_degree > skew_factor * per_partition
 
 
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """PageRank over an undirected graph by fixed-count power iteration —
+    centrality for the near-dup graph: the highest-ranked member of a
+    duplicate cluster is its most-connected (most "canonical") document,
+    a principled alternative to keep-lowest-id representative selection,
+    and the same machinery ranks domain/link graphs for crawl-quality
+    weighting.
+
+    Per iteration the plan is the CC propagation shape: one join of
+    ranks to the symmetrized edge list (contribution = rank/degree) +
+    one sum-aggregate, with ``localCheckpoint`` truncating lineage so
+    the plan never grows with the iteration count. Isolated nodes (no
+    edges) are the dangling set; their mass is redistributed uniformly
+    each round via one scalar aggregate on the already-materialized
+    ranks (a driver literal, never a 1-row join — that would plan the
+    BNLJ the fleet audit rejects). Fixed ``iters`` (no convergence
+    test) keeps the result deterministic and the job count static;
+    ranks sum to 1 every round by construction and round to 4dp only at
+    the end. Pinned against an independent numpy power iteration in
+    tests/test_graph.py."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
+    n = nodes.count()
+    base = nodes.select(F.col(id_col).alias("__node")).localCheckpoint(eager=True)
+    ranks = base.select("__node", F.lit(1.0 / n).alias("__rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        linked = ranks.join(deg, ranks["__node"] == deg["a"], "left")
+        # dangling mass: ranks of nodes with no edges (deg null)
+        dm = (
+            linked.filter(F.col("__deg").isNull())
+            .agg(F.sum("__rank"))
+            .first()[0]
+            or 0.0
+        )
+        contrib = (
+            linked.filter(F.col("__deg").isNotNull())
+            .select("__node", (F.col("__rank") / F.col("__deg")).alias("__c"))
+            .join(sym, F.col("__node") == F.col("a"))
+            .groupBy(F.col("b").alias("__dst"))
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            base.join(contrib, base["__node"] == contrib["__dst"], "left")
+            .select(
+                "__node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.lit(dm / n))
+                ).alias("__rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("__node").alias(id_col),
+        (F.round(F.col("__rank") * 10000) / 10000).alias("rank"),
+    )
+
+
 def connected_components_auto(
     nodes: DataFrame,
     edges: DataFrame,

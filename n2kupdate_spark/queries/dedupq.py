@@ -628,3 +628,28 @@ def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("shrink_frac"),
     )
+
+
+@register("graph_pagerank")  # rows-only (§2 legend: iterative algorithm —
+# fixed-count power iteration has no SQL form; numpy-pinned in
+# tests/test_graph.py)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup graph (r11): rank every
+    document by its connectivity in the word-3-gram Jaccard ≥ 0.1 pair
+    graph — the principled representative-selection signal (a cluster's
+    highest-ranked member is its most-canonical doc, vs the arbitrary
+    keep-lowest-id rule), and the same operator ranks domain/link graphs
+    for crawl-quality weighting.
+
+    Scale: per iteration one edge join + one sum-agg (the CC propagation
+    plan shape), lineage truncated by localCheckpoint so 10 iterations
+    never deepen the plan; dangling mass is a per-round driver SCALAR on
+    the materialized ranks (never a 1-row join → no BNLJ). Deterministic:
+    fixed iteration count, 4dp scale-first rounding at the end only.
+    Pinned vs an independent numpy power iteration (same damping/iters)
+    in tests/test_graph.py."""
+    from n2kupdate_spark.operators.dedup import pagerank
+
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    return pagerank(nodes, edges, id_col="doc_id", damping=0.85, iters=10)

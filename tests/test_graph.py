@@ -158,3 +158,49 @@ def test_cc_auto_matches_union_find_both_branches(spark, seed):
         )
         == expect
     )
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """graph_pagerank (rows-only, r11): the distributed join+agg power
+    iteration must equal an independent numpy recompute (same damping,
+    same fixed iteration count, same dangling-mass redistribution) to
+    4dp on an adversarial graph — a star (hub centrality), a path
+    (gradient), a triangle (symmetry), and isolated nodes (dangling
+    mass). Also pins: ranks sum to 1, the hub outranks its leaves, and
+    isolated nodes all share the same rank."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.dedup import pagerank
+
+    # star 0-(1..5), path 6-7-8, triangle 9-10-11, isolated 12,13
+    edge_list = [(0, i) for i in range(1, 6)] + [(6, 7), (7, 8),
+                 (9, 10), (10, 11), (9, 11)]
+    n = 14
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(edge_list, ["id1", "id2"])
+    got = {
+        int(r["id"]): float(r["rank"])
+        for r in pagerank(nodes, edges, id_col="id", damping=0.85, iters=10).collect()
+    }
+    assert set(got) == set(range(n))
+
+    # independent numpy recompute
+    d, iters = 0.85, 10
+    sym = set()
+    for a, b in edge_list:
+        sym.add((a, b))
+        sym.add((b, a))
+    deg = {i: sum(1 for a, _ in sym if a == i) for i in range(n)}
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dm = sum(r[i] for i in range(n) if deg[i] == 0)
+        nxt = np.full(n, (1.0 - d) / n + d * dm / n)
+        for a, b in sym:
+            nxt[b] += d * r[a] / deg[a]
+        r = nxt
+    want = {i: float(np.round(r[i] * 10000) / 10000) for i in range(n)}
+    assert got == want, {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+
+    assert abs(sum(got.values()) - 1.0) < 5e-3
+    assert got[0] > max(got[i] for i in range(1, 6))  # hub beats leaves
+    assert got[12] == got[13]  # isolated nodes identical (pure dangling)
