@@ -64,6 +64,7 @@ OPS = [
     "text_decontaminate_bloom_exact",  # bitset probe + sliver-only exact join
     "embed_jl_project",         # zero-fit seeded matmul map, no shuffle
     "corpus_select_budget",     # range-sharded budget cumsum w/ shard pruning
+    "graph_pagerank",           # fixed-round power iteration, CC plan shape
 ]
 
 
