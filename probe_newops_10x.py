@@ -65,6 +65,7 @@ OPS = [
     "embed_jl_project",         # zero-fit seeded matmul map, no shuffle
     "corpus_select_budget",     # range-sharded budget cumsum w/ shard pruning
     "graph_pagerank",           # fixed-round power iteration, CC plan shape
+    "sim_ann_jl",               # JL shortlist scan + exact re-rank
 ]
 
 
