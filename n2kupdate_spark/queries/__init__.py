@@ -42,71 +42,71 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
     diagnostics,
 )
 
-#: r11 window (planned by window_planner.py at round start, per the
-#: SURVEY §5.2 cadence): 43/50 slots are MANDATORY — the ops whose
-#: freshest driver row is r8 (the scan/fingerprint/projection families,
-#: join_asof, all 9 TPC-H composites, the ngram/containment/cc dedup
-#: family, corpus_clean_pipeline, ts_resample/gap_interpolate,
-#: stats/string-concat/subquery aggs, window_first_last/gaps_islands/
-#: cume_dist, events_funnel, sim_pairs_threshold, reservoir sampling)
-#: hit the ≤2-round freshness edge this round. The remaining 7 slots are
-#: r9-green fillers (agg_count_distinct .. corpus_prepare_pipeline),
-#: pre-confirming r12's MUST set. No never-checked SQL-oracle ops exist
-#: at r11 start; rows-only ops (sketches, sha1, ANN, fuzzy/semantic
-#: dedup, PQ variants) stay out — they'd burn slots on `no_oracle` rows;
-#: all are value-pinned locally (tests/test_parity.py,
+#: r12 window (planned by window_planner.py at round start, per the
+#: SURVEY §5.2 cadence): 44/50 slots are MANDATORY — the 43 ops whose
+#: freshest driver row is r9 (the scalar/setop/reshape/sample families,
+#: text analysis ops, streaming batch-mode counts, source_csv/json,
+#: merge trio, udf/udtf surface, sim_cosine_topk, window_session_builtin)
+#: hit the ≤2-round freshness edge this round, PLUS the driver DEBUT of
+#: corpus_select_budget — the only oracle-carrying op with no driver row
+#: ever (registered mid-r11 after that window was committed; r8→r9
+#: corpus_gate_report precedent). It fronts the window. The remaining 6
+#: slots are r10-green fillers (agg_collect_sorted .. agg_mode_per_group),
+#: pre-confirming r13's MUST set. Rows-only ops (sketches, sha1, ANN,
+#: fuzzy/semantic dedup, PQ variants) stay out — they'd burn slots on
+#: `no_oracle` rows; all are value-pinned locally (tests/test_parity.py,
 #: tests/test_sketch_accuracy.py, tests/test_ann_recall.py).
 _ROUND_WINDOW = [
-    "agg_stats_moments",
-    "agg_string_concat",
-    "composite_above_customer_avg",
-    "composite_disjunctive_part_revenue",
-    "composite_large_order_customers",
-    "composite_local_supplier_volume",
-    "composite_nation_volume_pairs",
-    "composite_order_priority_check",
-    "composite_promo_revenue",
-    "composite_returned_item_revenue",
-    "composite_shipping_priority",
-    "corpus_clean_pipeline",
-    "dedup_cc_clusters",
-    "dedup_cc_pointer_jump",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental_jaccard",
-    "dedup_jaccard_stop_shingles",
-    "dedup_keep_latest",
-    "dedup_ngram_containment",
-    "dedup_ngram_jaccard",
-    "dedup_text_exact",
-    "events_funnel_steps",
-    "filter_null_guard",
-    "filter_predicate",
-    "fingerprint_md5",
-    "fingerprint_sha256",
-    "join_asof",
-    "project_cast_keys",
-    "project_rename",
-    "sample_reservoir_per_key",
-    "scalar_subquery_agg",
-    "scan_filter_pushdown",
-    "scan_parquet",
-    "scan_prune_columns",
-    "sim_pairs_threshold",
-    "source_schema_evolution",
-    "ts_gap_interpolate",
-    "ts_resample_ffill",
-    "validate_domain",
-    "window_cume_dist",
-    "window_first_last",
-    "window_gaps_islands",
-    "agg_count_distinct",
-    "agg_grouping_cube",
-    "agg_grouping_rollup",
-    "array_basic",
-    "array_hof_ops",
-    "corpus_gate_report",
-    "corpus_prepare_pipeline",
+    "corpus_select_budget",
+    "dedup_incremental_resume",
+    "diag_column_profile",
+    "embed_norm_stats",
+    "embed_quantize_int8",
+    "join_star_multiway",
+    "json_extract_field",
+    "merge_insert_ignore",
+    "merge_scd2_asof",
+    "merge_set_replace",
+    "multimodal_doc_join",
+    "reshape_pivot",
+    "reshape_unpivot",
+    "sample_hash_split",
+    "sample_stratified",
+    "scalar_case_when",
+    "scalar_date",
+    "scalar_math",
+    "scalar_null_handling",
+    "scalar_string",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_distinct",
+    "sim_cosine_topk",
+    "source_csv",
+    "source_json",
+    "stream_session_agg",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "text_fingerprint_rolling",
+    "text_langid_ngram",
+    "text_normalize",
+    "text_quality_score",
+    "text_stats_per_source",
+    "text_tfidf_topk",
+    "text_token_count",
+    "text_tokenize_counts",
+    "text_top_terms_per_lang",
+    "udaf_grouped_pandas",
+    "udf_pandas_vectorized",
+    "udf_scalar_py",
+    "udtf_py",
+    "window_session_builtin",
+    "agg_collect_sorted",
+    "agg_filtered_pivot",
+    "agg_group_sums",
+    "agg_having",
+    "agg_histogram_bins",
+    "agg_mode_per_group",
 ]
 
 
