@@ -1307,7 +1307,8 @@ def select_token_budget(
     ~99% of the corpus never enters a sort. Identical output to the
     single-window form for every cut placement (exact prefix-sum
     reconstruction; property-tested)."""
-    if shards <= 1:
+
+    def _single_window() -> DataFrame:
         w = (
             Window.orderBy(F.col(weight_col).desc(), F.col(id_col).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1322,6 +1323,9 @@ def select_token_budget(
             .select(*docs.columns, "sel_rank", "cum_tokens")
         )
 
+    if shards <= 1:
+        return _single_window()
+
     key = F.col(weight_col).cast("double")
     # Driver-inlined cut points (shards−1 doubles — the docs.count()
     # literal pattern): joining the 1-row percentile frame would plan a
@@ -1332,6 +1336,12 @@ def select_token_budget(
             key, [i / shards for i in range(1, shards)], 1000
         )
     ).first()[0]
+    if cut_vals is None:
+        # empty input (or all-null weights): percentile_approx yields
+        # NULL, so there is nothing to shard — the single-window plan
+        # returns the same typed (possibly empty) frame instead of a
+        # driver-side TypeError on float(None)
+        return _single_window()
     cut_arr = F.array(*[F.lit(float(c)) for c in cut_vals])
     # weight-DESC shard id = number of cut points strictly ABOVE the key;
     # equal weights colocate, id tie-break happens inside the shard.

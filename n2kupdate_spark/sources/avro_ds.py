@@ -17,7 +17,11 @@ API, which buys the integration a function cannot provide:
   uses.
 
 Schema resolution happens once, driver-side, from the first file's
-header (``avro.schema`` metadata precedes all data). Codecs/type
+header (``avro.schema`` metadata precedes all data) — every file under
+the path must therefore carry the SAME record schema; a file whose
+header lacks a resolved field fails its task with an explicit
+mixed-schema ValueError naming the file (not an opaque KeyError).
+Codecs/type
 surface are exactly avro_py's (null/deflate; records, arrays, maps,
 null-unions, enum→string, fixed→bytes). Paths are driver/executor-
 visible filesystems (POSIX/NFS — the no-jar deployment this exists
@@ -89,6 +93,21 @@ class AvroPyReader(DataSourceReader):
         cols = [f.name for f in self._schema.fields]
         with open(partition.path, "rb") as fh:
             content = fh.read()
+        # the driver resolved the schema from the directory's FIRST file;
+        # a directory mixing evolved Avro schemas would otherwise surface
+        # as an opaque executor KeyError — check this file's own header
+        # once and fail with the actual contract violation instead
+        file_schema, _, _ = _parse_header(io.BytesIO(content))
+        file_fields = {f["name"] for f in file_schema.get("fields", [])}
+        missing = [c for c in cols if c not in file_fields]
+        if missing:
+            raise ValueError(
+                f"n2k_avro: field(s) {missing} missing in "
+                f"{partition.path!r} — schema is resolved from the "
+                "directory's first file, so every file must carry the "
+                "same record schema (write evolved schemas to separate "
+                "directories, or use sources/avro_py's per-file path)"
+            )
         rows = [{c: rec[c] for c in cols} for rec in _iter_records(content)]
         if rows:
             table = pa.Table.from_pylist(rows, schema=arrow_schema)

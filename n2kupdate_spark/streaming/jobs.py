@@ -466,8 +466,9 @@ def stream_dedup_bloom(
     is wrongly-dropped NEW docs at the false-positive rate: with n keys
     inserted into a group's filter, p ≈ (1 − e^(−k·n/m))^k; keys spread
     over groups by xxhash64, so n ≈ N_total / n_groups — at the defaults
-    p < 1e-4 up to ~1.3 M distinct docs; size ``m_bits ≈ 1.44 · k · n``
-    upward for more. Both directions pinned in tests/test_streaming.py.
+    p stays < 1e-4 up to ~220 k distinct docs (~410 k before crossing the
+    1e-3 ``fp_budget``); the sizing recipe below scales it. Both
+    directions pinned in tests/test_streaming.py.
 
     Scale shape: fingerprint + group stamp are JVM map-side; the one
     shuffle is the groupBy on ``n_groups`` buckets (raise for parallelism
@@ -485,9 +486,16 @@ def stream_dedup_bloom(
     ``(n_inserted, est_fp, saturated)`` — monitor ``saturated`` (est_fp >
     ``fp_budget``) and resize, or run
     :func:`stream_dedup_bloom_scalable`, which escalates automatically.
-    Sizing recipe: for N expected distinct docs and target p, set
-    ``m_bits ≥ 1.44 · k · N / n_groups`` per group (defaults hold p<1e-4
-    to ~1.3 M distinct docs)."""
+    Sizing recipe: a filter of m bits with k hashes absorbs
+    n = −(m/k)·ln(1 − p^(1/k)) inserts before its FP rate crosses p
+    (same formula as :func:`_scalable_bloom_capacity`) — at the default
+    k=4 that is ~38 bits/doc for p=1e-4, i.e. set
+    ``m_bits ≥ 38 · N / n_groups`` for N expected distinct docs
+    (defaults hold p<1e-4 to ~220 k docs). The textbook
+    ``1.44 · log2(1/p)`` bits/doc (~19 for p=1e-4) is reachable only at
+    the OPTIMAL ``k ≈ 0.7 · m/n`` (≈13 for p=1e-4) — raise k with m if
+    you need that density. Beware ``m_bits = 1.44 · k · n`` alone: that
+    sizes for p ≈ 2^−k (~6 % at k=4), not any chosen target."""
     return _bloom_keyed(docs, n_groups).groupBy("bloom_group").applyInPandasWithState(
         _bloom_dedup_fold(m_bits, k, fp_budget),
         outputStructType=BLOOM_DEDUP_OUT_SCHEMA,

@@ -953,3 +953,34 @@ def test_select_token_budget_sharded_equals_single_window(spark):
         )
         assert list(sub.columns) == list(base.columns), shards
         assert (sub.values == base.values).all(), f"shards={shards} diverged"
+
+
+def test_select_token_budget_empty_and_allnull_sharded(spark):
+    """r12 (ADVICE): shards>1 on an EMPTY frame used to crash driver-side
+    (percentile_approx → NULL → float(None) TypeError) while shards=1
+    returned a typed empty frame — the sharded path must degrade to the
+    same clean answer. Same guard covers the all-NULL-weights frame,
+    where there are no cut points either."""
+    from pyspark.sql import types as T
+
+    from n2kupdate_spark.operators.corpus import select_token_budget
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("weight", T.DoubleType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    for shards in (1, 4):
+        out = select_token_budget(empty, 100, shards=shards)
+        assert out.columns == ["doc_id", "weight", "n_tokens", "sel_rank", "cum_tokens"]
+        assert out.count() == 0, shards
+
+    allnull = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20)], schema
+    )
+    single = sorted(map(tuple, select_token_budget(allnull, 100).collect()))
+    sharded = sorted(map(tuple, select_token_budget(allnull, 100, shards=4).collect()))
+    assert sharded == single

@@ -895,3 +895,36 @@ def test_avro_python_datasource_format(spark, sf_dir, tmp_path):
 
     with _pytest.raises(Exception, match="no avro files|path"):
         spark.read.format("n2k_avro").load(str(tmp_path / "nope")).collect()
+
+
+def test_avro_ds_mixed_schema_directory_raises(spark, tmp_path):
+    """r12 (ADVICE): n2k_avro resolves the schema from the directory's
+    FIRST file; a directory mixing evolved Avro schemas used to die with
+    an opaque executor KeyError mid-decode. Now each task checks its own
+    file's header against the resolved schema and raises a ValueError
+    naming the file and the missing field(s)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from n2kupdate_spark.sources.avro_ds import AvroPyDataSource
+    from n2kupdate_spark.sources.avro_py import write_avro
+
+    spark.dataSource.register(AvroPyDataSource)
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "extra"]).coalesce(1)
+    b = spark.createDataFrame([(3,), (4,)], ["id"]).coalesce(1)
+    write_avro(a, str(tmp_path / "a"))
+    write_avro(b, str(tmp_path / "b"))
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    import glob as _glob
+
+    # 'a' sorts first → schema (id, extra) resolved from it; 'b' lacks extra
+    shutil.copy(_glob.glob(str(tmp_path / "a" / "part-*.avro"))[0], mixed / "a.avro")
+    shutil.copy(_glob.glob(str(tmp_path / "b" / "part-*.avro"))[0], mixed / "b.avro")
+
+    df = spark.read.format("n2k_avro").load(str(mixed))
+    assert [f.name for f in df.schema.fields] == ["id", "extra"]
+    with _pytest.raises(Exception, match="missing in.*b\\.avro|same record schema"):
+        df.collect()

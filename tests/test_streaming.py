@@ -1428,3 +1428,18 @@ def test_stream_corpus_publish_bloom_exact_method(spark, sf_dir, tmp_path):
     }
     exact = {r["doc_id"] for r in gate_documents(b1, ev).select("doc_id").collect()}
     assert got == want == exact and got
+
+
+def test_bloom_sizing_recipe_numbers():
+    """r12 (ADVICE): the stream_dedup_bloom docstring's sizing recipe was
+    rewritten around n = −(m/k)·ln(1 − p^(1/k)). Pin the quoted figures
+    to the formula so the doc can't drift from the math again: defaults
+    (64 groups × 2^17 bits, k=4) hold p<1e-4 to ~220 k distinct docs
+    (~38 bits/doc), ~410 k before crossing the 1e-3 fp_budget."""
+    from n2kupdate_spark.streaming.jobs import _scalable_bloom_capacity
+
+    per_group = _scalable_bloom_capacity(1 << 17, 4, 1e-4)
+    assert 3300 <= per_group <= 3600
+    assert 200_000 <= per_group * 64 <= 240_000
+    assert 36 <= (1 << 17) / per_group <= 40
+    assert 380_000 <= _scalable_bloom_capacity(1 << 17, 4, 1e-3) * 64 <= 440_000
