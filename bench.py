@@ -142,7 +142,24 @@ def main() -> None:
     )
     with open(out_path, "w") as fh:
         fh.write(blob + "\n")
+    # Self-healing capture (r11 verdict item 7): emit a COMPACT summary
+    # line (everything but the bulky per-query spread) BEFORE and AFTER
+    # the full blob, so whichever end of stdout a truncation keeps still
+    # contains one complete parseable JSON line with the totals.
+    compact = json.dumps(
+        {
+            "metric": "headline_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "value_min": total_min,
+            "queries": timings,
+            "sf": sf_dir,
+            "reps": reps,
+        }
+    )
+    print(compact)
     print(blob)
+    print(compact)
 
 
 if __name__ == "__main__":
