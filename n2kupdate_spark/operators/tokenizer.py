@@ -255,3 +255,317 @@ def vocab_drift(
         out.append((m, ia, ib, status))
     out.sort(key=lambda t: (t[2] if t[2] is not None else t[1], t[0]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model tokenizer (Kudo 2018, "Subword Regularization:
+# Improving Neural Network Translation Models with Multiple Subword
+# Candidates" — the SentencePiece unigram model). Same distributed shape
+# as BPE above: the corpus-size-independent part (word-TYPE counting) is
+# the one shuffle; the inherently iterative part (EM + likelihood-loss
+# pruning) runs driver-side over the bounded type table; encoding is a
+# broadcast-table Viterbi map with per-batch caching.
+# ---------------------------------------------------------------------------
+
+#: Longest candidate piece considered during seeding/EM/encode. Bounds the
+#: lattice fan-in (every DP below scans at most this many predecessors per
+#: position) and the seed substring blow-up (O(L·max) per word type).
+MAX_PIECE_LEN = 10
+
+
+def _viterbi_word(
+    word: str, logp: dict[str, float], unk_logp: float
+) -> tuple[tuple[str, ...], float]:
+    """Best (max-log-prob) segmentation of one word over the piece
+    lattice — the unigram inference rule. Characters absent from the
+    vocabulary score ``unk_logp`` so the lattice always connects. Ties
+    on score prefer the LONGER last piece (deterministic; matches the
+    enumeration reference's max() tie rule in tests)."""
+    n = len(word)
+    best: list[float] = [0.0] + [float("-inf")] * n
+    back: list[int] = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - MAX_PIECE_LEN), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j > 1:
+                    continue
+                lp = unk_logp
+            s = best[j] + lp
+            # j ascends (longest piece first) and the test is strict >,
+            # so an equal-scoring shorter piece never displaces — the
+            # smallest j (longest last piece) wins ties
+            if s > best[i]:
+                best[i], back[i] = s, j
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return tuple(out), best[n]
+
+
+def _forward_backward_counts(
+    word: str,
+    freq: int,
+    prob: dict[str, float],
+    expected: dict[str, float],
+) -> float:
+    """E-step contribution of one word type: marginal expected count of
+    every lattice piece under the current unigram probabilities, via the
+    standard forward-backward pass (alpha[j]·p·beta[i]/Z). Plain float64
+    probabilities — words are bounded at MAX_PIECE_LEN-fanin lattices and
+    real-token lengths, nowhere near underflow. Returns the word's total
+    lattice probability Z (0.0 if the lattice is disconnected, in which
+    case nothing is added)."""
+    n = len(word)
+    alpha = [1.0] + [0.0] * n
+    for i in range(1, n + 1):
+        a = 0.0
+        for j in range(max(0, i - MAX_PIECE_LEN), i):
+            p = prob.get(word[j:i])
+            if p:
+                a += alpha[j] * p
+        alpha[i] = a
+    z = alpha[n]
+    if z <= 0.0:
+        return 0.0
+    beta = [0.0] * n + [1.0]
+    for j in range(n - 1, -1, -1):
+        b = 0.0
+        for i in range(j + 1, min(n, j + MAX_PIECE_LEN) + 1):
+            p = prob.get(word[j:i])
+            if p:
+                b += p * beta[i]
+        beta[j] = b
+    scale = freq / z
+    for i in range(1, n + 1):
+        for j in range(max(0, i - MAX_PIECE_LEN), i):
+            piece = word[j:i]
+            p = prob.get(piece)
+            if p:
+                expected[piece] = (
+                    expected.get(piece, 0.0) + alpha[j] * p * beta[i] * scale
+                )
+    return z
+
+
+def _em_rounds(
+    type_counts: list[tuple[str, int]],
+    prob: dict[str, float],
+    iters: int,
+) -> dict[str, float]:
+    """``iters`` full EM passes over the word-type table; returns the
+    re-normalized piece probabilities. Single characters are floored at
+    ``1e-12`` of the expected mass (SentencePiece's required-chars rule:
+    EM concentrates mass on whole-word pieces and would otherwise
+    underflow char probabilities to exact 0, silently pruning the
+    connectivity floor). Iteration order is the table's (count desc,
+    word asc) order and the vocab's insertion order — fully
+    deterministic float arithmetic."""
+    for _ in range(iters):
+        expected: dict[str, float] = {}
+        for w, c in type_counts:
+            _forward_backward_counts(w, c, prob, expected)
+        total = sum(expected.values())
+        if total <= 0.0:
+            return prob
+        floor = total * 1e-12
+        new_prob: dict[str, float] = {}
+        for p in prob:
+            e = expected.get(p, 0.0)
+            if len(p) == 1:
+                e = max(e, floor)
+            if e > 0.0:
+                new_prob[p] = e
+        denom = sum(new_prob.values())
+        prob = {p: v / denom for p, v in new_prob.items()}
+    return prob
+
+
+def _learn_unigram_from_types(
+    type_counts: list[tuple[str, int]],
+    vocab_size: int,
+    seed_size: int = 2000,
+    em_iters: int = 2,
+    keep_frac: float = 0.75,
+) -> list[tuple[str, float]]:
+    """Driver-side unigram-LM training over the bounded word-type table.
+
+    Published recipe (Kudo 2018 §3.2, as SentencePiece implements it):
+    (1) SEED a large candidate set — every substring up to MAX_PIECE_LEN,
+    frequency-scored, truncated to the top ``seed_size`` multi-char
+    pieces (count desc, piece asc — deterministic), plus EVERY single
+    character (the connectivity floor, never pruned); (2) iterate: run
+    ``em_iters`` EM passes (forward-backward expected counts → renorm),
+    then PRUNE the multi-char pieces whose removal costs the corpus the
+    least Viterbi log-likelihood — each surviving round keeps the top
+    ``keep_frac`` by loss — until the vocabulary fits ``vocab_size``;
+    (3) one final EM pass re-estimates probabilities on the survivor set.
+    The per-piece loss is the HF-course/SentencePiece approximation:
+    only words whose CURRENT best segmentation uses the piece pay a
+    re-segmentation cost (best-score-without minus best-score-with).
+
+    Returns (piece, logp) ranked by probability desc then piece asc —
+    the bounded artifact the encoder broadcasts. Cross-validated in
+    tests/test_tokenizer.py against an independent reference whose
+    E-step ENUMERATES every segmentation and whose Viterbi is an
+    enumeration argmax (exponential but exact on bounded words)."""
+    import math
+
+    chars = sorted({ch for w, _ in type_counts for ch in w})
+    sub_counts: dict[str, int] = {}
+    for w, c in type_counts:
+        n = len(w)
+        for i in range(n):
+            for k in range(2, min(MAX_PIECE_LEN, n - i) + 1):
+                s = w[i : i + k]
+                sub_counts[s] = sub_counts.get(s, 0) + c
+    multi = [
+        s
+        for s, _ in sorted(sub_counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :seed_size
+        ]
+    ]
+    char_counts: dict[str, int] = {}
+    for w, c in type_counts:
+        for ch in w:
+            char_counts[ch] = char_counts.get(ch, 0) + c
+    total0 = float(sum(char_counts.values()) + sum(sub_counts[s] for s in multi))
+    prob: dict[str, float] = {}
+    for ch in chars:
+        prob[ch] = char_counts[ch] / total0
+    for s in multi:
+        prob[s] = sub_counts[s] / total0
+
+    target_multi = max(0, vocab_size - len(chars))
+    while True:
+        prob = _em_rounds(type_counts, prob, em_iters)
+        cur_multi = [p for p in prob if len(p) > 1]
+        if len(cur_multi) <= target_multi:
+            break
+        logp = {p: math.log(v) for p, v in prob.items() if v > 0.0}
+        unk = min(logp.values()) - 10.0
+        loss: dict[str, float] = {p: 0.0 for p in cur_multi}
+        for w, c in type_counts:
+            seg, score = _viterbi_word(w, logp, unk)
+            for piece in set(seg):
+                if len(piece) <= 1:
+                    continue
+                # temporarily ban the piece instead of copying the table
+                lp_saved = logp.pop(piece)
+                _, alt = _viterbi_word(w, logp, unk)
+                logp[piece] = lp_saved
+                loss[piece] = loss.get(piece, 0.0) + c * (score - alt)
+        keep = max(target_multi, int(len(cur_multi) * keep_frac))
+        survivors = set(
+            p
+            for p, _ in sorted(
+                loss.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:keep]
+        )
+        prob = {
+            p: v for p, v in prob.items() if len(p) == 1 or p in survivors
+        }
+        s = sum(prob.values())
+        prob = {p: v / s for p, v in prob.items()}
+
+    prob = _em_rounds(type_counts, prob, 1)
+    return sorted(
+        ((p, math.log(v)) for p, v in prob.items() if v > 0.0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+
+
+def learn_unigram_vocab(
+    docs: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    max_word_types: int = 50_000,
+    seed_size: int = 2000,
+) -> list[tuple[str, float]]:
+    """Learn a unigram-LM piece table from a corpus — the SentencePiece
+    counterpart of :func:`learn_bpe_merges`, with the identical
+    distributed shape: ONE partial-agged shuffle builds the word-type
+    frequency table, the top-``max_word_types`` types (count desc, word
+    asc — deterministic truncation) are collected, and the EM + prune
+    loop runs driver-side over that bounded table — cost independent of
+    corpus size, Zipf making the truncation benign exactly as documented
+    on the BPE learner above."""
+    rows = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(max_word_types)
+        .collect()
+    )
+    return _learn_unigram_from_types(
+        [(r["w"], r["c"]) for r in rows], vocab_size, seed_size=seed_size
+    )
+
+
+def unigram_encode(
+    docs: DataFrame,
+    pieces: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Viterbi-encode every document with a learned unigram piece table.
+    Emits (``id_col``, *carry_cols, ``ug_tokens`` array<string>,
+    ``n_ug_tokens`` int). Word boundaries survive by construction:
+    pieces are substrings of their word, so concatenating a word's
+    pieces reproduces the word (property-tested) — no end-of-word
+    marker needed, unlike the BPE convention above.
+
+    Map-only, same scale shape as :func:`bpe_encode`: the (piece, logp)
+    table ships once per executor as a broadcast, each Arrow batch keeps
+    a word→segmentation cache (Zipf: per-batch cost follows distinct
+    words, not tokens), characters never seen in training score a
+    floor-penalty logp so every word still encodes. No shuffle anywhere."""
+    import pandas as pd  # noqa: F401 — mapInPandas iterator types
+
+    sc = docs.sparkSession.sparkContext
+    b_table = sc.broadcast(dict(pieces))
+
+    def _encode(batches):
+        logp = b_table.value
+        unk = (min(logp.values()) if logp else 0.0) - 10.0
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks, counts = [], []
+            for text in pdf[text_col]:
+                out: list[str] = []
+                for w in (text or "").split(" "):
+                    if not w:
+                        continue
+                    got = cache.get(w)
+                    if got is None:
+                        got = list(_viterbi_word(w, logp, unk)[0])
+                        cache[w] = got
+                    out.extend(got)
+                toks.append(out)
+                counts.append(len(out))
+            cols = {id_col: pdf[id_col]}
+            for c in carry_cols:
+                cols[c] = pdf[c]
+            cols["ug_tokens"] = toks
+            cols["n_ug_tokens"] = pd.array(counts, dtype="int32")
+            yield pd.DataFrame(cols)
+
+    carried = ", ".join(
+        f"{c} {docs.schema[c].dataType.simpleString()}" for c in carry_cols
+    )
+    schema = (
+        f"{id_col} {docs.schema[id_col].dataType.simpleString()}, "
+        + (carried + ", " if carried else "")
+        + "ug_tokens array<string>, n_ug_tokens int"
+    )
+    return docs.select(id_col, *carry_cols, text_col).mapInPandas(
+        _encode, schema=schema
+    )

@@ -769,6 +769,9 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fixture vocabulary while keeping the learned table human-auditable.
 #: Production callers pass their own budget (32k-class) to the operators.
 _BPE_MERGES = 200
+#: Unigram-LM demo vocab size (same spirit: big enough to exercise the
+#: prune loop on the fixture's 31-type corpus, small enough to stay fast).
+_UG_VOCAB = 40
 
 
 @register("text_bpe_vocab")  # rows-only (r9 capacity policy): the merge
@@ -891,3 +894,64 @@ def text_information_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return information_signals(d)
+
+
+@register("text_unigram_vocab")  # rows-only (r9 capacity policy): EM +
+# likelihood-loss pruning is inherently iterative (no SQL form); the full
+# piece table is pinned against an independent enumeration-based EM/
+# Viterbi reference at two sfs in tests/test_tokenizer.py
+def text_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned unigram-LM piece table (Kudo 2018 / SentencePiece) —
+    rank-ordered pieces with their log-probabilities, the probabilistic
+    counterpart of text_bpe_vocab's merge table and the other vocabulary
+    a production tokenizer stack ships. Exposing it as a query makes the
+    two tokenizer families diffable with plain SQL (which subwords does
+    unigram keep that BPE's greedy merges never form?).
+
+    Scale: one word-type count shuffle + a bounded top-K collect; the
+    EM/prune loop never touches the corpus — see
+    operators/tokenizer.py::learn_unigram_vocab."""
+    from n2kupdate_spark.operators.tokenizer import learn_unigram_vocab
+
+    d = load(spark, sf_dir, "documents", columns=["text"])
+    pieces = learn_unigram_vocab(d, vocab_size=_UG_VOCAB)
+    return spark.createDataFrame(
+        [
+            (i, p, round(lp, 6), len(p) == 1)
+            for i, (p, lp) in enumerate(pieces)
+        ],
+        schema="rank int, piece string, logp double, is_char boolean",
+    )
+
+
+@register("text_unigram_tokenize")  # rows-only (r9 capacity policy):
+# per-word segmentations are enumeration-argmax-verified and the token
+# stream round-trips to the source text in tests/test_tokenizer.py
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM token accounting per document — text_bpe_tokenize's
+    twin: train on the corpus, Viterbi-encode every doc, emit (doc_id,
+    n_ug_tokens, n_chars, chars_per_token). Comparing the two families'
+    chars_per_token on the SAME corpus is the standard tokenizer bake-off
+    (unigram's global-likelihood segmentation typically wins fertility at
+    equal vocab size — measurable here with one join).
+
+    Scale: training is the bounded type-table collect; encoding is
+    map-only with a broadcast piece table and a per-batch word cache
+    (operators/tokenizer.py::unigram_encode) — no shuffle beyond the
+    type count."""
+    from n2kupdate_spark.operators.tokenizer import (
+        learn_unigram_vocab,
+        unigram_encode,
+    )
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    pieces = learn_unigram_vocab(d, vocab_size=_UG_VOCAB)
+    enc = unigram_encode(d, pieces, carry_cols=("n_chars",))
+    return enc.select(
+        "doc_id",
+        "n_ug_tokens",
+        "n_chars",
+        (
+            F.round(F.col("n_chars") / F.col("n_ug_tokens") * 10000, 0) / 10000
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")

@@ -66,6 +66,8 @@ OPS = [
     "corpus_select_budget",     # range-sharded budget cumsum w/ shard pruning
     "graph_pagerank",           # fixed-round power iteration, CC plan shape
     "sim_ann_jl",               # JL shortlist scan + exact re-rank
+    # round-12 additions
+    "text_unigram_tokenize",    # bounded type-table EM fit + broadcast Viterbi map
 ]
 
 

@@ -483,3 +483,234 @@ def test_prepare_corpus_pack_method_bpe_pinned(spark):
         prepare_corpus(
             train, evald, weights, default_w, pack_method="wordpiece"
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (r12). Independence of the reference: the library
+# E-step is forward-backward over the lattice and its Viterbi is DP with
+# backpointers; the reference below ENUMERATES every segmentation of every
+# word (exact, exponential — the test corpus words are bounded) for both
+# the expected counts and the argmax, sharing zero lattice code.
+# ---------------------------------------------------------------------------
+
+
+def _enum_segs(word, in_vocab, max_len=10):
+    """All segmentations of ``word`` into pieces satisfying ``in_vocab``
+    (single chars always allowed — mirrors the library's unk floor)."""
+    if word == "":
+        yield ()
+        return
+    for k in range(1, min(max_len, len(word)) + 1):
+        head = word[:k]
+        if k == 1 or in_vocab(head):
+            for rest in _enum_segs(word[k:], in_vocab, max_len):
+                yield (head,) + rest
+
+
+def _ref_expected_counts(type_counts, prob):
+    """Enumeration E-step: marginal expected piece counts, exactly."""
+    expected = {}
+    for w, c in type_counts:
+        segs, weights = [], []
+        for seg in _enum_segs(w, lambda p: p in prob):
+            prod = 1.0
+            for p in seg:
+                prod *= prob.get(p, 0.0)
+            if prod > 0.0:
+                segs.append(seg)
+                weights.append(prod)
+        z = sum(weights)
+        if z <= 0.0:
+            continue
+        for seg, wt in zip(segs, weights):
+            for p in seg:
+                expected[p] = expected.get(p, 0.0) + c * wt / z
+    return expected
+
+
+def _ref_viterbi(word, logp, unk):
+    """Enumeration argmax: best (score, pieces-multiset). Scores sum
+    left-to-right like the DP, so equal-score comparisons are exact."""
+    best_score, best_seg = float("-inf"), None
+    for seg in _enum_segs(word, lambda p: p in logp):
+        s = 0.0
+        for p in seg:
+            s += logp[p] if p in logp else unk
+        if s > best_score:
+            best_score, best_seg = s, seg
+    return best_seg, best_score
+
+
+def _ref_learn_unigram(type_counts, vocab_size, seed_size=2000,
+                       em_iters=2, keep_frac=0.75):
+    """Reference trainer: the published loop re-derived with the
+    enumeration E-step/argmax above in place of the library's lattice
+    passes. Seeding/prune bookkeeping recomputed from the spec."""
+    import math
+
+    chars = sorted({ch for w, _ in type_counts for ch in w})
+    sub = {}
+    for w, c in type_counts:
+        for i in range(len(w)):
+            for k in range(2, min(10, len(w) - i) + 1):
+                s = w[i:i + k]
+                sub[s] = sub.get(s, 0) + c
+    multi = [s for s, _ in sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_size]]
+    ch_counts = {}
+    for w, c in type_counts:
+        for ch in w:
+            ch_counts[ch] = ch_counts.get(ch, 0) + c
+    tot = float(sum(ch_counts.values()) + sum(sub[s] for s in multi))
+    prob = {ch: ch_counts[ch] / tot for ch in chars}
+    prob.update({s: sub[s] / tot for s in multi})
+
+    def em(prob, iters):
+        for _ in range(iters):
+            exp = _ref_expected_counts(type_counts, prob)
+            total = sum(exp.values())
+            if total <= 0.0:
+                return prob
+            floor = total * 1e-12
+            new = {}
+            for p in prob:
+                e = exp.get(p, 0.0)
+                if len(p) == 1:
+                    e = max(e, floor)
+                if e > 0.0:
+                    new[p] = e
+            denom = sum(new.values())
+            prob = {p: v / denom for p, v in new.items()}
+        return prob
+
+    target_multi = max(0, vocab_size - len(chars))
+    while True:
+        prob = em(prob, em_iters)
+        cur_multi = [p for p in prob if len(p) > 1]
+        if len(cur_multi) <= target_multi:
+            break
+        logp = {p: math.log(v) for p, v in prob.items() if v > 0.0}
+        unk = min(logp.values()) - 10.0
+        loss = {p: 0.0 for p in cur_multi}
+        for w, c in type_counts:
+            seg, score = _ref_viterbi(w, logp, unk)
+            for piece in set(seg):
+                if len(piece) <= 1:
+                    continue
+                saved = logp.pop(piece)
+                _, alt = _ref_viterbi(w, logp, unk)
+                logp[piece] = saved
+                loss[piece] = loss.get(piece, 0.0) + c * (score - alt)
+        keep = max(target_multi, int(len(cur_multi) * keep_frac))
+        survivors = set(
+            p for p, _ in sorted(loss.items(), key=lambda kv: (-kv[1], kv[0]))[:keep]
+        )
+        prob = {p: v for p, v in prob.items() if len(p) == 1 or p in survivors}
+        s = sum(prob.values())
+        prob = {p: v / s for p, v in prob.items()}
+    prob = em(prob, 1)
+    return sorted(((p, math.log(v)) for p, v in prob.items() if v > 0.0),
+                  key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_unigram_toy_vocab_and_floor():
+    """Hand-checkable corpus: whole words win the vocabulary, ranked by
+    frequency; every single character survives at the floor; training is
+    deterministic run to run."""
+    from n2kupdate_spark.operators.tokenizer import _learn_unigram_from_types
+
+    tc = [("hello", 10), ("help", 6), ("low", 4), ("lower", 3), ("hell", 2)]
+    vocab = _learn_unigram_from_types(tc, vocab_size=12, seed_size=50)
+    pieces = [p for p, _ in vocab]
+    assert pieces[:5] == ["hello", "help", "low", "lower", "hell"]
+    assert set("helopwr") <= set(pieces)
+    assert len(vocab) == 12
+    assert vocab == _learn_unigram_from_types(tc, vocab_size=12, seed_size=50)
+    # probabilities descend and are log-space
+    lps = [lp for _, lp in vocab]
+    assert lps == sorted(lps, reverse=True) and all(lp < 0 for lp in lps)
+
+
+def test_unigram_vocab_matches_enumeration_reference(spark):
+    """Full-training equivalence at TWO sfs: the library's lattice EM +
+    DP-Viterbi pruning must land on the identical piece set with
+    probabilities equal to the enumeration reference within float
+    accumulation tolerance."""
+    import pytest as _pytest
+
+    from n2kupdate_spark.operators.tokenizer import learn_unigram_vocab
+    from n2kupdate_spark.sources import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load(spark, sf, "documents", columns=["text"])
+        got = learn_unigram_vocab(docs, vocab_size=40, seed_size=300)
+        tc = sorted(
+            (
+                (r["w"], r["c"])
+                for r in docs.selectExpr("explode(split(text, ' ')) AS w")
+                .where("w <> ''")
+                .groupBy("w")
+                .count()
+                .withColumnRenamed("count", "c")
+                .collect()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert max(len(w) for w, _ in tc) <= 16  # enumeration stays exact
+        want = _ref_learn_unigram(tc, vocab_size=40, seed_size=300)
+        assert [p for p, _ in got] == [p for p, _ in want], sf
+        for (pg, lg), (pw, lw) in zip(got, want):
+            assert lg == _pytest.approx(lw, rel=1e-9, abs=1e-9), (sf, pg)
+
+
+def test_unigram_encode_round_trip_and_viterbi(spark, sf_dir):
+    """Encode pins: (1) concatenating a word's pieces reproduces the word
+    (no EOW marker by construction); (2) every word's segmentation is an
+    enumeration-verified argmax (same score, same piece multiset);
+    (3) unseen characters fall back to the unk floor instead of failing;
+    (4) n_ug_tokens matches the array length."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.tokenizer import (
+        learn_unigram_vocab,
+        unigram_encode,
+    )
+    from n2kupdate_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = learn_unigram_vocab(docs, vocab_size=40, seed_size=300)
+    logp = dict(vocab)
+    unk = min(logp.values()) - 10.0
+
+    enc = {r["doc_id"]: (list(r["ug_tokens"]), r["n_ug_tokens"])
+           for r in unigram_encode(docs, vocab).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert enc.keys() == texts.keys()
+    checked_words = set()
+    for did in sorted(enc):
+        toks, n = enc[did]
+        assert n == len(toks)
+        words = [w for w in texts[did].split(" ") if w]
+        # greedy re-split of the token stream back into words
+        it = iter(toks)
+        for w in words:
+            built = ""
+            while len(built) < len(w):
+                built += next(it)
+            assert built == w
+            if w not in checked_words:
+                checked_words.add(w)
+                ref_seg, ref_score = _ref_viterbi(w, logp, unk)
+                lib_score = sum(logp.get(p, unk) for p in _lib_seg(w, logp, unk))
+                assert lib_score == ref_score or abs(lib_score - ref_score) < 1e-12
+        assert next(it, None) is None  # token stream fully consumed
+
+    # unseen chars: a word with characters absent from training
+    extra = spark.createDataFrame([(10**6, "zq!! batch")], ["doc_id", "text"])
+    row = unigram_encode(extra, vocab).collect()[0]
+    assert "".join(row["ug_tokens"]).replace("batch", "") == "zq!!"
+
+
+def _lib_seg(w, logp, unk):
+    from n2kupdate_spark.operators.tokenizer import _viterbi_word
+
+    return _viterbi_word(w, logp, unk)[0]
