@@ -425,7 +425,20 @@ def fit_quality_classifier(
     differing by 0.47 after 200 iters; measured on the sf0.1 fixture),
     while lr<=0.5 reproduces to 5e-15 across row orders. The default
     (300, 0.3) sits well inside the stable region; anyone retuning lr
-    upward must re-run the cross-order check in the pin test."""
+    upward must re-run the cross-order check in the pin test.
+
+    The L2 term has its own hard stability bound: the weight-decay
+    factor per step is (1 − lr·l2), so lr·l2 ≥ 2 makes the iteration
+    expansive — weights oscillate to overflow and every score is NaN
+    (observed at lr=0.3, l2=10 while tuning langid_hashgram_scores).
+    Guarded explicitly because the failure is silent otherwise: NaN
+    scores argmax to NULL predictions downstream, not to an error."""
+    if lr * l2 >= 2.0:
+        raise ValueError(
+            f"fit_quality_classifier: lr*l2 = {lr * l2:g} >= 2 makes "
+            "gradient descent expansive (weights diverge to NaN) — "
+            "lower lr or l2"
+        )
     n, d = X.shape
     w = np.zeros(d, dtype=np.float64)
     b = 0.0
@@ -526,6 +539,159 @@ def quality_classifier_scores(
             ).alias("quality_score")
         )
         .withColumn("keep", (F.col("quality_score") >= 0.5).cast("int"))
+    )
+
+
+def langid_hashgram_scores(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    n_buckets: int = 256,
+    sample_per_class: int = 2048,
+    train_col: str | None = None,
+    iters: int = 300,
+    lr: float = 0.3,
+    l2: float = 1e-2,
+) -> DataFrame:
+    """Trained language ID over hashed character n-grams — the published
+    fastText-style recipe (linear classifier, word-internal char n-gram
+    features, hashing trick) in place of the fixed marker-stopword
+    heuristic (queries/text.py::text_langid_ngram): one-vs-rest logistic
+    regressions (the bounded-fit machinery of
+    :func:`fit_quality_classifier`, one y per language over ONE shared
+    feature matrix) fit on rows where ``train_col`` is true (default:
+    all rows), then EVERY doc scored map-only. Emits
+    (``id_col``, ``pred_lang``, ``conf``) — argmax language with
+    alphabetical tiebreak, conf = round(sigmoid(z_best), 4).
+
+    Determinism: the fit sample is the first ``sample_per_class`` ids
+    per language in id order; languages sort alphabetically; the GD is
+    the stability-contracted fixed-iteration fit. Features are sublinear
+    tf (1 + ln c) over md5-derived buckets of within-word character
+    ``ngram``-grams (words shorter than ``ngram`` contribute nothing;
+    docs with NO features are absent from the output, same contract as
+    quality_classifier_scores).
+
+    Prior correction: the per-class cap deliberately BALANCES the fit
+    sample (collecting a proportional sample of a skewed 100 TB corpus
+    would drown the driver in the majority language), which silently
+    erases the class priors a language-ID argmax needs when the n-gram
+    evidence is weak. Each one-vs-rest intercept is therefore shifted by
+    the log sampling-odds ratio ln(π/(1−π)) − ln(s/(1−s)) (the published
+    case-control correction — King & Zeng 2001), where π is the
+    language's share of the TRAIN slice and s its share of the fit
+    sample — so under heavy regularization the argmax degrades to the
+    true prior ranking, not to sampling noise.
+
+    Scale shape: gram explode + ONE (id, bucket)-keyed partial-agged
+    shuffle (≤ n_buckets rows per doc); the fit collects only the
+    sampled docs' sparse vectors (driver traffic ≤ langs ·
+    sample_per_class · n_buckets regardless of corpus size); scoring is
+    a broadcast-literal weight lookup per (id, bucket) row + one
+    id-keyed sum — per-language columns in one agg, no joins, no second
+    text pass, no Python UDF anywhere."""
+    guard = (
+        f"CASE WHEN length(w) >= {ngram} "
+        f"THEN transform(sequence(1, length(w) - {ngram - 1}), "
+        f"i -> substring(w, i, {ngram})) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    grams = F.explode(
+        F.expr(
+            f"flatten(transform(split({text_col}, ' '), w -> {guard}))"
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    )
+    sparse = (
+        docs.select(id_col, grams.alias("gram"))
+        .select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    featured = docs.filter(
+        F.exists(
+            F.split(F.col(text_col), " "), lambda w: F.length(w) >= ngram
+        )
+    )
+    if train_col is not None:
+        featured = featured.filter(F.col(train_col))
+    labels = featured.select(id_col, F.col(lang_col).alias("__lang"))
+    langs = sorted(
+        r["__lang"] for r in labels.select("__lang").distinct().collect()
+    )
+    if len(langs) < 2:
+        raise ValueError(
+            "langid_hashgram_scores: need >= 2 languages in the training "
+            "slice"
+        )
+    per_lang = [
+        labels.filter(F.col("__lang") == l)
+        .orderBy(id_col)
+        .limit(sample_per_class)
+        for l in langs
+    ]
+    fit_ids = per_lang[0]
+    for d in per_lang[1:]:
+        fit_ids = fit_ids.unionByName(d)
+    fit_rows = sparse.join(F.broadcast(fit_ids), id_col).collect()
+    ids = sorted({r[0] for r in fit_rows})
+    idx = {i: k for k, i in enumerate(ids)}
+    X = np.zeros((len(ids), n_buckets), dtype=np.float64)
+    doc_lang: dict = {}
+    for r in fit_rows:
+        X[idx[r[0]], r["bucket"]] = 1.0 + np.log(r["c"])
+        doc_lang[r[0]] = r["__lang"]
+    train_counts = {
+        r["__lang"]: r["n"]
+        for r in labels.groupBy("__lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_train = sum(train_counts.values())
+    sample_counts = {l: 0 for l in langs}
+    for i in ids:
+        sample_counts[doc_lang[i]] += 1
+    W = np.zeros((len(langs), n_buckets), dtype=np.float64)
+    B = np.zeros(len(langs), dtype=np.float64)
+    for li, l in enumerate(langs):
+        y = np.array([1.0 if doc_lang[i] == l else 0.0 for i in ids])
+        if y.min() == y.max():
+            raise ValueError(
+                f"langid_hashgram_scores: language {l!r} has no "
+                "counter-examples in the fit sample"
+            )
+        W[li], B[li] = fit_quality_classifier(X, y, iters=iters, lr=lr, l2=l2)
+        pi = train_counts[l] / n_train
+        s = sample_counts[l] / len(ids)
+        B[li] += float(
+            np.log(pi / (1.0 - pi)) - np.log(s / (1.0 - s))
+        )
+
+    tf = F.lit(1.0) + F.log(F.col("c").cast("double"))
+    aggs = []
+    for li, l in enumerate(langs):
+        w_lit = F.array(*[F.lit(float(x)) for x in W[li].tolist()])
+        aggs.append(
+            F.sum(
+                F.element_at(w_lit, (F.col("bucket") + 1).cast("int")) * tf
+            ).alias(f"__z_{li}")
+        )
+    scored = sparse.groupBy(id_col).agg(*aggs)
+    zs = [
+        (F.col(f"__z_{li}") + F.lit(float(B[li]))) for li in range(len(langs))
+    ]
+    best = F.greatest(*zs) if len(zs) > 1 else zs[0]
+    pred = F.lit(None).cast("string")
+    # alphabetical tiebreak: first lang attaining the max wins
+    for li in range(len(langs) - 1, -1, -1):
+        pred = F.when(zs[li] == best, F.lit(langs[li])).otherwise(pred)
+    conf = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-best)), 4)
+    return scored.select(
+        id_col, pred.alias("pred_lang"), conf.alias("conf")
     )
 
 

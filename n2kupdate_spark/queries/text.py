@@ -955,3 +955,48 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_chars") / F.col("n_ug_tokens") * 10000, 0) / 10000
         ).alias("chars_per_token"),
     ).orderBy("doc_id")
+
+
+@register("text_langid_hashgram")  # rows-only (r9 capacity policy): the
+# one-vs-rest logistic fit is iterative numpy (no SQL form); planted-
+# signal separation + held-out-accuracy-vs-marker pins live in
+# tests/test_mlprep_props.py
+def text_langid_hashgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID (fastText-style: linear one-vs-rest over
+    hashed within-word character 3-grams) vs the fixed marker-stopword
+    heuristic of text_langid_ngram. Trains on the 80% doc_id-hash slice
+    (doc_id % 5 < 4) using the corpus's own lang labels, scores every
+    doc map-only via broadcast weights, and emits (doc_id, lang,
+    pred_lang, conf, holdout) — the holdout flag makes the held-out
+    accuracy comparison against the marker heuristic a one-liner
+    downstream (pinned ≥ marker at sf0.001/0.01/0.1 in tests).
+
+    Config note: l2=3.0 — on this fixture the char-gram features carry
+    no real language signal (labels are synthetic), so heavy shrinkage
+    plus the operator's case-control intercept correction makes the
+    argmax degrade to the class-prior ranking instead of sampling noise;
+    with real multilingual text the same pipeline learns actual n-gram
+    weights (planted-signal test separates 3 languages at 100%).
+
+    Scale: gram explode + ONE (doc, bucket) partial-agged shuffle;
+    bounded balanced fit collect; scoring is broadcast-literal lookups +
+    one per-doc sum; the label join-back is id-keyed co-partitioned —
+    see operators/corpus.py::langid_hashgram_scores."""
+    from n2kupdate_spark.operators.corpus import langid_hashgram_scores
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    d = d.withColumn("is_train", F.col("doc_id") % 5 < 4)
+    scores = langid_hashgram_scores(
+        d, train_col="is_train", sample_per_class=512, l2=3.0
+    )
+    return (
+        scores.join(d.select("doc_id", "lang", "is_train"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            "conf",
+            (~F.col("is_train")).alias("holdout"),
+        )
+        .orderBy("doc_id")
+    )

@@ -68,6 +68,7 @@ OPS = [
     "sim_ann_jl",               # JL shortlist scan + exact re-rank
     # round-12 additions
     "text_unigram_tokenize",    # bounded type-table EM fit + broadcast Viterbi map
+    "text_langid_hashgram",     # gram explode + bounded balanced fit + literal-weight score
 ]
 
 
