@@ -673,14 +673,19 @@ def pagerank(
     Per iteration the plan is the CC propagation shape: one join of
     ranks to the symmetrized edge list (contribution = rank/degree) +
     one sum-aggregate, with ``localCheckpoint`` truncating lineage so
-    the plan never grows with the iteration count. Isolated nodes (no
-    edges) are the dangling set; their mass is redistributed uniformly
-    each round via one scalar aggregate on the already-materialized
-    ranks (a driver literal, never a 1-row join — that would plan the
-    BNLJ the fleet audit rejects). Fixed ``iters`` (no convergence
-    test) keeps the result deterministic and the job count static;
-    ranks sum to 1 every round by construction and round to 4dp only at
-    the end. Pinned against an independent numpy power iteration in
+    the plan never grows with the iteration count — ONE Spark job per
+    iteration (the eager checkpoint), asserted by the job-count
+    listener pin in tests/test_graph.py. Isolated nodes (no edges) are
+    the dangling set, and on an undirected graph they are also
+    contribution-less: their rank follows the closed recurrence
+    rank_{t+1} = (1−d)/n + d·dm_t/n exactly, so the per-round dangling
+    mass dm_{t+1} = n_dangling · rank_{t+1}(dangling) is advanced as a
+    DRIVER-SIDE scalar recurrence — no per-iteration aggregate job (the
+    r11 shape), and still never a 1-row join (that would plan the BNLJ
+    the fleet audit rejects). Fixed ``iters`` (no convergence test)
+    keeps the result deterministic and the job count static; ranks sum
+    to 1 every round by construction and round to 4dp only at the end.
+    Pinned against an independent numpy power iteration in
     tests/test_graph.py."""
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -690,21 +695,17 @@ def pagerank(
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
     n = nodes.count()
+    # one count, once: isolated (= dangling) node total — the scalar
+    # recurrence below replaces r11's per-iteration dangling aggregate
+    n_dangling = n - deg.count()
     base = nodes.select(F.col(id_col).alias("__node")).localCheckpoint(eager=True)
     ranks = base.select("__node", F.lit(1.0 / n).alias("__rank")).localCheckpoint(
         eager=True
     )
+    dm = n_dangling / n  # uniform init: each dangling node holds 1/n
     for _ in range(iters):
-        linked = ranks.join(deg, ranks["__node"] == deg["a"], "left")
-        # dangling mass: ranks of nodes with no edges (deg null)
-        dm = (
-            linked.filter(F.col("__deg").isNull())
-            .agg(F.sum("__rank"))
-            .first()[0]
-            or 0.0
-        )
         contrib = (
-            linked.filter(F.col("__deg").isNotNull())
+            ranks.join(deg, ranks["__node"] == deg["a"])
             .select("__node", (F.col("__rank") / F.col("__deg")).alias("__c"))
             .join(sym, F.col("__node") == F.col("a"))
             .groupBy(F.col("b").alias("__dst"))
@@ -722,6 +723,7 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        dm = n_dangling * ((1.0 - damping) / n + damping * dm / n)
     return ranks.select(
         F.col("__node").alias(id_col),
         (F.round(F.col("__rank") * 10000) / 10000).alias("rank"),
