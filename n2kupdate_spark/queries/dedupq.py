@@ -643,11 +643,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per iteration one edge join + one sum-agg (the CC propagation
     plan shape), lineage truncated by localCheckpoint so 10 iterations
-    never deepen the plan; dangling mass is a per-round driver SCALAR on
-    the materialized ranks (never a 1-row join → no BNLJ). Deterministic:
-    fixed iteration count, 4dp scale-first rounding at the end only.
-    Pinned vs an independent numpy power iteration (same damping/iters)
-    in tests/test_graph.py."""
+    never deepen the plan — ONE action per iteration since r12: the
+    dangling (isolated-node) mass advances as a driver-side closed
+    recurrence, no per-round aggregate (and never a 1-row join → no
+    BNLJ). Deterministic: fixed iteration count, 4dp scale-first
+    rounding at the end only. Pinned vs an independent numpy power
+    iteration (same damping/iters) in tests/test_graph.py."""
     from n2kupdate_spark.operators.dedup import pagerank
 
     nodes = load(spark, sf_dir, "documents").select("doc_id")

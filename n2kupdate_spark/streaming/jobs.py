@@ -395,28 +395,58 @@ def _bloom_dedup_fold(m_bits: int, k: int, fp_budget: float = 1e-3):
         # (cross-batch it is keep-first-arrival, the streaming contract).
         rows = pd.concat(list(pdf_iter)).sort_values("doc_id")
         h1, h2 = _bloom_hashes(rows)
-        # (n, k) probe positions, vectorized — the per-row loop below only
-        # does bit probes/inserts against the mutable filter.
-        strides = np.arange(k, dtype=np.uint64)
-        pos_all = (
-            (h1[:, None] + strides[None, :] * h2[:, None]) % np.uint64(m_bits)
-        ).astype(np.int64)
-        out_ids, out_fps = [], []
-        for doc_id, fp, pos in zip(rows["doc_id"], rows["fp"], pos_all):
-            if all((bits[p >> 3] >> (p & 7)) & 1 for p in pos):
-                continue  # maybe-seen: duplicate (or a bounded-rate FP)
-            for p in pos:
-                bits[p >> 3] |= np.uint8(1 << (p & 7))
-            n_inserted += 1
-            out_ids.append(int(doc_id))
-            out_fps.append(fp)
+        # (n, k) probe positions, vectorized (r12): the whole batch
+        # probes the PRE-STATE filter in one fancy-indexed matrix op;
+        # since bits only ever get SET, a row seen against pre-state is
+        # seen in any sequential order — dropped outright. Of the rest,
+        # a candidate whose positions are disjoint from every OTHER
+        # candidate's cannot be affected by (or affect) in-batch inserts,
+        # so its sequential outcome is provably "insert" — accepted and
+        # written with one bitwise_or.at. Only candidates whose bits
+        # intersect another candidate's (in-batch exact duplicates, or
+        # position collisions) replay through the sequential loop, whose
+        # outcome then exactly matches the r11 row-at-a-time fold.
+        accept = np.zeros(len(rows), dtype=bool)
+        if len(rows):
+            strides = np.arange(k, dtype=np.uint64)
+            pos_all = (
+                (h1[:, None] + strides[None, :] * h2[:, None])
+                % np.uint64(m_bits)
+            ).astype(np.int64)
+            masks = np.uint8(1) << (pos_all & 7).astype(np.uint8)
+            pre_seen = ((bits[pos_all >> 3] & masks) != 0).all(axis=1)
+            cand = np.flatnonzero(~pre_seen)
+            flat = pos_all[cand].ravel()
+            uniq, n_occ = np.unique(flat, return_counts=True)
+            shared = uniq[n_occ > 1]
+            conflict = (
+                np.isin(pos_all[cand], shared).any(axis=1)
+                if len(shared)
+                else np.zeros(len(cand), dtype=bool)
+            )
+            free = cand[~conflict]
+            accept[free] = True
+            if len(free):
+                fp_pos = pos_all[free].ravel()
+                np.bitwise_or.at(
+                    bits, fp_pos >> 3, np.uint8(1) << (fp_pos & 7).astype(np.uint8)
+                )
+            for i in cand[conflict]:
+                pos = pos_all[i]
+                if all((bits[p >> 3] >> (p & 7)) & 1 for p in pos):
+                    continue  # in-batch duplicate (or bounded-rate FP)
+                for p in pos:
+                    bits[p >> 3] |= np.uint8(1 << (p & 7))
+                accept[i] = True
+            n_inserted += int(accept.sum())
         state.update((bits.tobytes(), n_inserted))
-        if out_ids:
+        if accept.any():
+            kept = rows[accept]
             est_fp = _bloom_est_fp(n_inserted, m_bits, k)
             yield pd.DataFrame(
                 {
-                    "doc_id": out_ids,
-                    "fp": out_fps,
+                    "doc_id": kept["doc_id"].astype("int64").to_numpy(),
+                    "fp": kept["fp"].to_numpy(),
                     "bloom_group": int(key[0]),
                     "n_inserted": int(n_inserted),
                     "est_fp": est_fp,
@@ -559,44 +589,87 @@ def _scalable_bloom_fold(m0_bits: int, k: int, fp_budget: float):
         rows = pd.concat(list(pdf_iter)).sort_values("doc_id")
         h1, h2 = _bloom_hashes(rows)
         strides = np.arange(k, dtype=np.uint64)
-        out_ids, out_fps = [], []
-        for doc_id, fp, a, b in zip(rows["doc_id"], rows["fp"], h1, h2):
-            probes = a + strides * b
-            seen = False
-            for f, m in zip(filters, sizes):
-                pos = (probes % np.uint64(m)).astype(np.int64)
-                if all((f[p >> 3] >> (p & 7)) & 1 for p in pos):
-                    seen = True
-                    break
-            if seen:
-                continue
-            if counts[-1] >= cap_last:
-                # newest filter at capacity: chain the next (2× size,
-                # half the error budget) and insert there
-                m_new = sizes[-1] << 1
-                sizes.append(m_new)
-                filters.append(np.zeros(m_new // 8, dtype=np.uint8))
+        # batch-probe the WHOLE chain vectorized (r12): one fancy-indexed
+        # matrix test per filter; a row seen against any pre-state filter
+        # is seen in any sequential order (bits only get set) — dropped.
+        probes_all = h1[:, None] + strides[None, :] * h2[:, None]  # (n, k)
+        pre_seen = np.zeros(len(rows), dtype=bool)
+        for f, m in zip(filters, sizes):
+            pos = (probes_all % np.uint64(m)).astype(np.int64)
+            masks = np.uint8(1) << (pos & 7).astype(np.uint8)
+            pre_seen |= ((f[pos >> 3] & masks) != 0).all(axis=1)
+        cand = np.flatnonzero(~pre_seen)
+        accept = np.zeros(len(rows), dtype=bool)
+        # candidates process in CHUNKS bounded by the newest filter's
+        # remaining capacity, so no chunk can cross a chain boundary and
+        # every chunk gets the fixed-filter fast path: conflict-free
+        # candidates (no newest-filter position shared with any other
+        # chunk member) provably insert — accepted with one
+        # bitwise_or.at; intersecting ones replay sequentially. Between
+        # chunks the survivors re-probe the (only-dirtied) newest filter
+        # vectorized, and a full filter chains the next (2× size, half
+        # budget) exactly where the r11 row-at-a-time loop would.
+        while len(cand):
+            room = cap_last - int(counts[-1])
+            if room <= 0:
+                m_next = sizes[-1] << 1
+                sizes.append(m_next)
+                filters.append(np.zeros(m_next // 8, dtype=np.uint8))
                 budgets.append(fp_budget / (1 << (len(sizes) + 0)))
                 counts = np.append(counts, np.int64(0))
-                cap_last = _scalable_bloom_capacity(m_new, k, budgets[-1])
-            f, m = filters[-1], sizes[-1]
-            for p in (probes % np.uint64(m)).astype(np.int64):
-                f[p >> 3] |= np.uint8(1 << (p & 7))
-            counts[-1] += 1
-            out_ids.append(int(doc_id))
-            out_fps.append(fp)
+                cap_last = _scalable_bloom_capacity(m_next, k, budgets[-1])
+                continue
+            chunk, rest = cand[:room], cand[room:]
+            m_new = sizes[-1]
+            f_new = filters[-1]
+            pos_chunk = (probes_all[chunk] % np.uint64(m_new)).astype(
+                np.int64
+            )
+            flat = pos_chunk.ravel()
+            uniq, n_occ = np.unique(flat, return_counts=True)
+            shared = uniq[n_occ > 1]
+            conflict = (
+                np.isin(pos_chunk, shared).any(axis=1)
+                if len(shared)
+                else np.zeros(len(chunk), dtype=bool)
+            )
+            free = chunk[~conflict]
+            accept[free] = True
+            if len(free):
+                fp_pos = pos_chunk[~conflict].ravel()
+                np.bitwise_or.at(
+                    f_new,
+                    fp_pos >> 3,
+                    np.uint8(1) << (fp_pos & 7).astype(np.uint8),
+                )
+            for i, pos in zip(chunk[conflict], pos_chunk[conflict]):
+                if all((f_new[p >> 3] >> (p & 7)) & 1 for p in pos):
+                    continue
+                for p in pos:
+                    f_new[p >> 3] |= np.uint8(1 << (p & 7))
+                accept[i] = True
+            counts[-1] += int(accept[chunk].sum())
+            if len(rest):
+                pos_rest = (probes_all[rest] % np.uint64(m_new)).astype(
+                    np.int64
+                )
+                masks = np.uint8(1) << (pos_rest & 7).astype(np.uint8)
+                now_seen = ((f_new[pos_rest >> 3] & masks) != 0).all(axis=1)
+                rest = rest[~now_seen]
+            cand = rest
         state.update(
             (np.concatenate(filters).tobytes(), counts.tobytes())
         )
-        if out_ids:
+        if accept.any():
+            kept = rows[accept]
             # chain-wide FP estimate: 1 − Π(1 − p_i)
             miss = 1.0
             for n_i, m_i in zip(counts, sizes):
                 miss *= 1.0 - _bloom_est_fp(int(n_i), m_i, k)
             yield pd.DataFrame(
                 {
-                    "doc_id": out_ids,
-                    "fp": out_fps,
+                    "doc_id": kept["doc_id"].astype("int64").to_numpy(),
+                    "fp": kept["fp"].to_numpy(),
                     "bloom_group": int(key[0]),
                     "n_filters": len(sizes),
                     "total_inserted": int(counts.sum()),
