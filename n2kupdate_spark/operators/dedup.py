@@ -730,6 +730,62 @@ def pagerank(
     )
 
 
+def host_pagerank(
+    host_map: DataFrame,
+    pairs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """PageRank over the HOST co-duplication graph (r12 domain-axis
+    curation): lift a doc-level near-dup pair list to host granularity —
+    two hosts are linked when any of their documents form a near-dup
+    pair — and rank hosts by :func:`pagerank`. A high-ranked host is one
+    whose content is heavily mirrored across the crawl (boilerplate /
+    SEO-farm signal); an isolated host (no cross-host duplication) is
+    dangling and bottoms out at the base rank.
+
+    Scale shape: the pair list is the bounded near-dup output, far
+    smaller than the corpus; each endpoint maps to its host with one
+    id-keyed join (only pair rows shuffle — the host map is a projection
+    of the scan), self-loops drop, host pairs dedupe, and the power
+    iteration runs over #hosts nodes — graph size bounded by the host
+    universe, not the corpus. Planted-structure pins (hub host ranks
+    highest, isolated host lowest, mass conserved) in
+    tests/test_graph.py."""
+    edges = (
+        pairs.select(src_col, dst_col)
+        .join(
+            host_map.select(
+                F.col(id_col).alias(src_col), F.col(host_col).alias("__h1")
+            ),
+            src_col,
+        )
+        .join(
+            host_map.select(
+                F.col(id_col).alias(dst_col), F.col(host_col).alias("__h2")
+            ),
+            dst_col,
+        )
+        .filter(F.col("__h1") != F.col("__h2"))
+        .select("__h1", "__h2")
+        .distinct()
+    )
+    nodes = host_map.select(F.col(host_col).alias("__hn")).distinct()
+    return pagerank(
+        nodes,
+        edges,
+        id_col="__hn",
+        src_col="__h1",
+        dst_col="__h2",
+        damping=damping,
+        iters=iters,
+    ).select(F.col("__hn").alias(host_col), "rank")
+
+
 def connected_components_auto(
     nodes: DataFrame,
     edges: DataFrame,

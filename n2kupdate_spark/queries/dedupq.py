@@ -654,3 +654,37 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = load(spark, sf_dir, "documents").select("doc_id")
     edges = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
     return pagerank(nodes, edges, id_col="doc_id", damping=0.85, iters=10)
+
+
+@register("graph_domain_pagerank")  # rows-only (§2 legend: iterative
+# algorithm — no SQL form); hub-vs-leaf ordering, mass conservation and
+# planted-graph structure pinned in tests/test_graph.py
+def graph_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-axis curation, step 4 (r12): PageRank over the HOST
+    co-duplication graph — hosts are linked when they share a near-dup
+    document pair (word-3-gram Jaccard ≥ 0.1), so a high-ranked host is
+    one whose content is heavily mirrored across the crawl: exactly the
+    boilerplate/SEO-farm signal a curation pipeline downweights, the
+    domain-granular complement of doc-level graph_pagerank and of
+    curation_domain_quality's content scores.
+
+    Scale: the doc-level pair list is the bounded near-dup output; each
+    endpoint maps to its host via the derived pseudo-URL (one id-keyed
+    join per endpoint against the (doc_id, host) projection — the pair
+    side is tiny next to the corpus, and the host map is a map-side
+    derivation of the scan, so both joins shuffle only pair rows);
+    self-loops drop, host pairs dedupe, and the fixed-iteration
+    pagerank runs over #hosts nodes — graph size bounded by the host
+    universe, not the corpus."""
+    from n2kupdate_spark.operators.dedup import host_pagerank
+    from n2kupdate_spark.queries.mlprep import _HOST_RE, _pseudo_url
+
+    hosts = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_extract(_pseudo_url(), _HOST_RE, 1).alias("host"),
+        )
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    return host_pagerank(hosts, pairs).orderBy("host")

@@ -1125,3 +1125,94 @@ def corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, budget, weight_col="weight", token_col="n_tokens",
         id_col="doc_id", shards=4,
     ).select("doc_id", "n_tokens", "sel_rank", "cum_tokens")
+
+
+def _pseudo_url() -> "F.Column":
+    """Deterministic pseudo-URL per document — the payload-fixture
+    pattern (the testdata has no URL column, so one is DERIVED
+    identically in Spark and the DuckDB oracle): host =
+    'h' + first-2-md5-hex-of-doc_id + '.' + source + '.example.com'
+    (≈256 hosts per source), path = the doc_id. Everything downstream
+    (host parse, rollups, graphs) treats it as an opaque crawl URL."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("https://h"),
+        F.substring(F.md5(did), 1, 2),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example.com/"),
+        did,
+    )
+
+
+_PSEUDO_URL_SQL = (
+    "'https://h' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) || '.' "
+    "|| source || '.example.com/' || CAST(doc_id AS VARCHAR)"
+)
+
+#: URL → host scalar, shared by the rollup and the domain graph.
+_HOST_RE = "^https://([^/]+)/"
+
+
+@register(
+    "curation_domain_quality",
+    # SQL-ORACLE SLOT CLAIMED (capacity policy §5.2 note): the op chains
+    # string derivation → regexp host parse → float ratio aggregates —
+    # boundary-heavy string+float surface across two engines where the
+    # hash-match is distinctly stronger evidence than a value pin.
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_PSEUDO_URL_SQL} AS url,
+               n_chars,
+               LEAST(n_chars / 500.0, 1.0) AS len_score,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS distinct_ratio
+        FROM documents
+    )
+    SELECT regexp_extract(url, '{_HOST_RE}', 1) AS host,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(len_score) * 10000) / 10000 AS avg_len_score,
+           ROUND(AVG(distinct_ratio) * 10000) / 10000 AS avg_distinct_ratio,
+           ROUND(AVG(len_score) * AVG(distinct_ratio) * 10000) / 10000
+               AS domain_weight
+    FROM scored
+    GROUP BY host
+    """,
+)
+def curation_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-axis curation, step 1+2 (r12): derive the pseudo-URL,
+    parse its host with the same regexp a crawl pipeline would, and roll
+    quality up PER DOMAIN — (n_docs, total_chars, avg length score, avg
+    lexical diversity, and their product as ``domain_weight``). Domains,
+    not documents, are the unit real curation acts on (a spam host is
+    downweighted wholesale); the emitted weight column is exactly the
+    per-source dict :func:`operators.corpus.apply_mixture` consumes —
+    the composition is pinned in tests/test_mlprep_props.py.
+
+    Scale: derivation + parse + per-doc scores are one JVM map; the
+    rollup is ONE partial-agged shuffle on ~#hosts groups (bounded far
+    below corpus size). Scale-first 4dp rounding (ROUND(x·10⁴)/10⁴) on
+    both engines per the §7.4 float contract."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        F.regexp_extract(_pseudo_url(), _HOST_RE, 1).alias("host"),
+        "n_chars",
+        F.least(F.col("n_chars") / 500.0, F.lit(1.0)).alias("len_score"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("distinct_ratio"),
+    )
+    return scored.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.round(F.avg("len_score") * 10000) / 10000).alias("avg_len_score"),
+        (F.round(F.avg("distinct_ratio") * 10000) / 10000).alias(
+            "avg_distinct_ratio"
+        ),
+        (
+            F.round(F.avg("len_score") * F.avg("distinct_ratio") * 10000)
+            / 10000
+        ).alias("domain_weight"),
+    )

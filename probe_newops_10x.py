@@ -69,6 +69,8 @@ OPS = [
     # round-12 additions
     "text_unigram_tokenize",    # bounded type-table EM fit + broadcast Viterbi map
     "text_langid_hashgram",     # gram explode + bounded balanced fit + literal-weight score
+    "curation_domain_quality",  # URL derive + host parse map, #hosts-bounded rollup
+    "graph_domain_pagerank",    # near-dup pair lift to hosts + #hosts power iteration
 ]
 
 

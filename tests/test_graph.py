@@ -240,3 +240,41 @@ def test_pagerank_one_job_per_iteration(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     assert j10 - j5 == 5, (j5, j10)
+
+
+def test_host_pagerank_planted_structure(spark):
+    """r12 domain-axis curation: lift doc pairs to host granularity and
+    rank. Planted graph: host A's docs co-duplicate with B, C and D
+    (hub); B–C also link; E exists but shares nothing (isolated →
+    dangling). Pins: hub ranks strictly highest, the isolated host
+    strictly lowest, self-loops (intra-host pairs) contribute no edge,
+    mass conserved at 4dp, deterministic."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.dedup import host_pagerank
+
+    host_map = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(
+            ["A", "A", "A", "B", "B", "C", "D", "E"]
+        )],
+        ["doc_id", "host"],
+    )
+    pairs = spark.createDataFrame(
+        [
+            (0, 3),  # A-B
+            (1, 5),  # A-C
+            (2, 6),  # A-D
+            (4, 5),  # B-C
+            (0, 1),  # A-A intra-host: must NOT create an edge
+        ],
+        ["id1", "id2"],
+    )
+    out = host_pagerank(host_map, pairs)
+    ranks = {r["host"]: r["rank"] for r in out.collect()}
+    assert set(ranks) == {"A", "B", "C", "D", "E"}
+    assert ranks["A"] == max(ranks.values())
+    assert ranks["E"] == min(ranks.values())
+    assert ranks["B"] == ranks["C"]  # symmetric positions
+    assert abs(sum(ranks.values()) - 1.0) < 5e-4
+    again = {r["host"]: r["rank"] for r in host_pagerank(host_map, pairs).collect()}
+    assert again == ranks

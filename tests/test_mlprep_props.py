@@ -1067,3 +1067,52 @@ def test_fit_quality_classifier_divergence_guard():
     with _pytest.raises(ValueError, match="expansive"):
         fit_quality_classifier(X, y, lr=0.3, l2=10.0)
     fit_quality_classifier(X, y, lr=0.3, l2=3.0)  # stable region: fine
+
+
+def test_domain_quality_weights_feed_apply_mixture(spark):
+    """r12 domain-axis curation, step 3: the rollup's domain_weight
+    column is directly consumable as apply_mixture's per-key weight dict
+    (source_col='host'). Pins the full composition on the fixture:
+    every host's docs get floor(w) or floor(w)+1 copies, the +1 set is
+    the md5-bucket rule's (content-addressed — recomputed here in
+    python), and hosts absent from the dict get the default."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.corpus import apply_mixture
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.mlprep import _HOST_RE, _pseudo_url
+    from n2kupdate_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    rollup = QUERIES["curation_domain_quality"](spark, sf)
+    # scale weights into a mixing range: weight 2.x => 2-3 copies
+    weights = {
+        r["host"]: round(1.0 + r["domain_weight"], 4)
+        for r in rollup.collect()
+        if r["host"] is not None
+    }
+    some_hosts = sorted(weights)[:50]
+    weights = {h: weights[h] for h in some_hosts}
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_extract(_pseudo_url(), _HOST_RE, 1).alias("host"),
+    )
+    mixed = apply_mixture(
+        docs, weights, default_weight=1.0, source_col="host"
+    )
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in mixed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for row in docs.collect():
+        w = weights.get(row["host"], 1.0)
+        w4 = int(round(w * 10000))
+        bucket = (
+            int(hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:8], 16)
+            % 10000
+        )
+        want = w4 // 10000 + (1 if bucket < w4 % 10000 else 0)
+        assert counts.get(row["doc_id"], 0) == want, row
