@@ -569,3 +569,207 @@ def unigram_encode(
     return docs.select(id_col, *carry_cols, text_col).mapInPandas(
         _encode, schema=schema
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) — the third
+# tokenizer family: BPE's greedy merge loop but scored by the likelihood
+# RATIO count(ab)/(count(a)·count(b)) instead of raw pair frequency, the
+# BERT '##' continuation convention, and greedy longest-match-first
+# inference (which, unlike BPE's ranked-merge replay, is NOT guaranteed
+# to reproduce training segmentations — the documented property of the
+# family). Distributed shape identical to the other two learners.
+# ---------------------------------------------------------------------------
+
+#: BERT continuation prefix: a piece that does not start its word.
+WP_CONT = "##"
+#: Emitted for a word no vocab walk can cover (unseen character).
+WP_UNK = "[UNK]"
+
+
+def _wp_units(word: str) -> tuple[str, ...]:
+    """A word as WordPiece base units: first char plain, rest
+    ``##``-prefixed."""
+    return tuple(
+        c if i == 0 else WP_CONT + c for i, c in enumerate(word)
+    )
+
+
+def _wp_join(a: str, b: str) -> str:
+    """Merge two adjacent units: the right side always drops its ``##``
+    (it is absorbed into the left, which keeps its own word-position
+    marker)."""
+    return a + (b[len(WP_CONT):] if b.startswith(WP_CONT) else b)
+
+
+def _learn_wordpiece_from_types(
+    type_counts: list[tuple[str, int]],
+    num_merges: int,
+    min_frequency: int = 2,
+) -> list[str]:
+    """Driver-side WordPiece training over the bounded word-type table.
+
+    Published rule: repeatedly merge the adjacent pair maximizing
+    score = pair_count / (unit_count(a) · unit_count(b)) — the pair
+    whose merge most increases a unigram LM's corpus likelihood —
+    subject to ``min_frequency`` on the raw pair count. Bookkeeping is
+    incremental like the BPE learner (pair counts + occurrence maps +
+    per-unit counts, touched only for words containing the winner); tie
+    order is (score desc, pair lex asc) — deterministic, as required for
+    a hash-verified engine. Returns the learned VOCABULARY (base units
+    first — sorted — then merged symbols in learn order): greedy
+    longest-match inference needs the piece set, not the merge list.
+    Cross-validated against a recount-from-scratch naive reference in
+    tests/test_tokenizer.py."""
+    words: list[tuple[str, ...]] = [_wp_units(w) for w, _ in type_counts]
+    freqs = [int(c) for _, c in type_counts]
+    pair_n: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], dict[int, int]] = {}
+    unit_n: dict[str, int] = {}
+
+    def _add(i: int, sign: int) -> None:
+        f = freqs[i] * sign
+        w = words[i]
+        for u in w:
+            unit_n[u] = unit_n.get(u, 0) + f
+            if unit_n[u] == 0:
+                del unit_n[u]
+        for p in zip(w, w[1:]):
+            pair_n[p] = pair_n.get(p, 0) + f
+            d = where.setdefault(p, {})
+            d[i] = d.get(i, 0) + sign
+            if d[i] == 0:
+                del d[i]
+            if pair_n[p] == 0:
+                del pair_n[p]
+                where.pop(p, None)
+
+    for i in range(len(words)):
+        _add(i, +1)
+
+    base = sorted(unit_n)
+    merged: list[str] = []
+    for _ in range(num_merges):
+        best, best_score = None, 0.0
+        for p, c in pair_n.items():
+            if c < min_frequency:
+                continue
+            s = c / (unit_n[p[0]] * unit_n[p[1]])
+            if best is None or s > best_score or (s == best_score and p < best):
+                best, best_score = p, s
+        if best is None:
+            break
+        joined = _wp_join(*best)
+        merged.append(joined)
+        for i in list(where.get(best, {})):
+            _add(i, -1)
+            words[i] = _merge_in_word(words[i], best, joined)
+            _add(i, +1)
+    return base + merged
+
+
+def _wp_encode_word(word: str, vocab: set[str]) -> tuple[str, ...]:
+    """Greedy longest-match-first WordPiece inference (the published
+    BERT rule): repeatedly take the LONGEST vocabulary piece matching at
+    the cursor (continuation positions search with the ``##`` prefix);
+    if no piece matches at some position the whole word becomes
+    ``[UNK]``."""
+    out: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        prefix = WP_CONT if i > 0 else ""
+        j = n
+        piece = None
+        while j > i:
+            cand = prefix + word[i:j]
+            if cand in vocab:
+                piece = cand
+                break
+            j -= 1
+        if piece is None:
+            return (WP_UNK,)
+        out.append(piece)
+        i = j
+    return tuple(out)
+
+
+def learn_wordpiece_vocab(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    max_word_types: int = 50_000,
+    min_frequency: int = 2,
+) -> list[str]:
+    """Learn a WordPiece vocabulary from a corpus — same distributed
+    shape as :func:`learn_bpe_merges` / :func:`learn_unigram_vocab`:
+    ONE partial-agged word-type count shuffle, deterministic bounded
+    top-K collect, driver-side merge loop whose cost is independent of
+    corpus size."""
+    rows = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(max_word_types)
+        .collect()
+    )
+    return _learn_wordpiece_from_types(
+        [(r["w"], r["c"]) for r in rows], num_merges, min_frequency
+    )
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Greedy longest-match WordPiece encoding. Emits (``id_col``,
+    *carry_cols, ``wp_tokens`` array<string>, ``n_wp_tokens`` int).
+    Map-only with the vocab as a broadcast set and a per-batch
+    word→segmentation cache — the scale shape shared by all three
+    encoder families (no shuffle; per-batch cost follows distinct
+    words). A word containing an unseen character emits the single
+    ``[UNK]`` piece, the BERT convention."""
+    import pandas as pd  # noqa: F401 — mapInPandas iterator types
+
+    sc = docs.sparkSession.sparkContext
+    b_vocab = sc.broadcast(set(vocab))
+
+    def _encode(batches):
+        vocab_set = b_vocab.value
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks, counts = [], []
+            for text in pdf[text_col]:
+                out: list[str] = []
+                for w in (text or "").split(" "):
+                    if not w:
+                        continue
+                    got = cache.get(w)
+                    if got is None:
+                        got = list(_wp_encode_word(w, vocab_set))
+                        cache[w] = got
+                    out.extend(got)
+                toks.append(out)
+                counts.append(len(out))
+            cols = {id_col: pdf[id_col]}
+            for c in carry_cols:
+                cols[c] = pdf[c]
+            cols["wp_tokens"] = toks
+            cols["n_wp_tokens"] = pd.array(counts, dtype="int32")
+            yield pd.DataFrame(cols)
+
+    carried = ", ".join(
+        f"{c} {docs.schema[c].dataType.simpleString()}" for c in carry_cols
+    )
+    schema = (
+        f"{id_col} {docs.schema[id_col].dataType.simpleString()}, "
+        + (carried + ", " if carried else "")
+        + "wp_tokens array<string>, n_wp_tokens int"
+    )
+    return docs.select(id_col, *carry_cols, text_col).mapInPandas(
+        _encode, schema=schema
+    )

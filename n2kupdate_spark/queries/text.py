@@ -1000,3 +1000,63 @@ def text_langid_hashgram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("text_wordpiece_vocab")  # rows-only (r9 capacity policy): the
+# likelihood-ratio merge loop is iterative (no SQL form); the vocabulary
+# is pinned ≡ a recount-from-scratch naive reference at two sfs in
+# tests/test_tokenizer.py
+def text_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned WordPiece vocabulary (Schuster & Nakajima 2012 — the
+    BERT tokenizer), completing the three-family tokenizer surface
+    (BPE / unigram-LM / WordPiece): pieces in base-then-learn order with
+    the BERT ``##`` continuation convention. WordPiece is BPE's merge
+    loop re-scored by the likelihood RATIO count(ab)/(count(a)·count(b)),
+    so rare-but-exclusive pairs merge before frequent-but-promiscuous
+    ones — the difference is pinned on a constructed corpus in tests.
+
+    Scale: one word-type count shuffle + bounded top-K collect; the
+    merge loop never touches the corpus — see
+    operators/tokenizer.py::learn_wordpiece_vocab."""
+    from n2kupdate_spark.operators.tokenizer import learn_wordpiece_vocab
+
+    d = load(spark, sf_dir, "documents", columns=["text"])
+    vocab = learn_wordpiece_vocab(d, num_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [
+            (i, p, p.startswith("##"), len(p.removeprefix("##")) == 1)
+            for i, p in enumerate(vocab)
+        ],
+        schema="rank int, piece string, is_continuation boolean, is_char boolean",
+    )
+
+
+@register("text_wordpiece_tokenize")  # rows-only (r9 capacity policy):
+# greedy longest-match segmentations brute-force-verified per distinct
+# word and the [UNK] contract pinned in tests/test_tokenizer.py
+def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match WordPiece encoding + per-doc accounting
+    (doc_id, n_wp_tokens, n_chars, chars_per_token) — the third column
+    of the tokenizer bake-off next to text_bpe_tokenize and
+    text_unigram_tokenize: same corpus, same fertility metric, three
+    published segmentation rules, comparable with one two-join SQL.
+
+    Scale: bounded type-table fit + broadcast-vocab map encode with the
+    shared per-batch word cache — no shuffle beyond the type count
+    (operators/tokenizer.py::wordpiece_encode)."""
+    from n2kupdate_spark.operators.tokenizer import (
+        learn_wordpiece_vocab,
+        wordpiece_encode,
+    )
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    vocab = learn_wordpiece_vocab(d, num_merges=_BPE_MERGES)
+    enc = wordpiece_encode(d, vocab, carry_cols=("n_chars",))
+    return enc.select(
+        "doc_id",
+        "n_wp_tokens",
+        "n_chars",
+        (
+            F.round(F.col("n_chars") / F.col("n_wp_tokens") * 10000, 0) / 10000
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")

@@ -71,6 +71,7 @@ OPS = [
     "text_langid_hashgram",     # gram explode + bounded balanced fit + literal-weight score
     "curation_domain_quality",  # URL derive + host parse map, #hosts-bounded rollup
     "graph_domain_pagerank",    # near-dup pair lift to hosts + #hosts power iteration
+    "text_wordpiece_tokenize",  # ratio-scored bounded fit + greedy longest-match map
 ]
 
 

@@ -714,3 +714,162 @@ def _lib_seg(w, logp, unk):
     from n2kupdate_spark.operators.tokenizer import _viterbi_word
 
     return _viterbi_word(w, logp, unk)[0]
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (r12). Reference independence: the naive learner below
+# recounts pair/unit frequencies FROM SCRATCH after every merge (the
+# O(V·L)-per-merge spec form) vs the library's incremental bookkeeping,
+# and the encode check re-derives greedy longest-match by brute force.
+# ---------------------------------------------------------------------------
+
+
+def _ref_learn_wordpiece(type_counts, num_merges, min_frequency=2):
+    from n2kupdate_spark.operators.tokenizer import (
+        _merge_in_word,
+        _wp_join,
+        _wp_units,
+    )
+
+    words = {i: _wp_units(w) for i, (w, _) in enumerate(type_counts)}
+    freqs = {i: c for i, (_, c) in enumerate(type_counts)}
+    base = sorted({u for w in words.values() for u in w})
+    merged = []
+    for _ in range(num_merges):
+        pair_n, unit_n = {}, {}
+        for i, w in words.items():
+            for u in w:
+                unit_n[u] = unit_n.get(u, 0) + freqs[i]
+            for p in zip(w, w[1:]):
+                pair_n[p] = pair_n.get(p, 0) + freqs[i]
+        best, best_score = None, 0.0
+        for p, c in sorted(pair_n.items()):
+            if c < min_frequency:
+                continue
+            s = c / (unit_n[p[0]] * unit_n[p[1]])
+            if best is None or s > best_score:
+                best, best_score = p, s
+        if best is None:
+            break
+        joined = _wp_join(*best)
+        merged.append(joined)
+        words = {i: _merge_in_word(w, best, joined) for i, w in words.items()}
+    return base + merged
+
+
+def test_wordpiece_learner_matches_naive_recount(spark):
+    """Library incremental learner ≡ recount-from-scratch reference on
+    the fixture corpus at two sfs, plus the score rule on a hand case:
+    with counts the(10), th(2) — pair ('t','##h') has count 12 but score
+    12/(12·12); ('th','##e')-style low-frequency pairs with rarer units
+    can win, which is exactly WordPiece's departure from BPE."""
+    from n2kupdate_spark.operators.tokenizer import (
+        _learn_wordpiece_from_types,
+        learn_wordpiece_vocab,
+    )
+    from n2kupdate_spark.sources import load
+
+    tc = [("the", 10), ("th", 2), ("ten", 5), ("net", 4)]
+    assert _learn_wordpiece_from_types(tc, 6) == _ref_learn_wordpiece(tc, 6)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load(spark, sf, "documents", columns=["text"])
+        got = learn_wordpiece_vocab(docs, num_merges=120)
+        tc = sorted(
+            (
+                (r["w"], r["c"])
+                for r in docs.selectExpr("explode(split(text, ' ')) AS w")
+                .where("w <> ''")
+                .groupBy("w")
+                .count()
+                .withColumnRenamed("count", "c")
+                .collect()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == _ref_learn_wordpiece(tc, 120), sf
+
+
+def test_wordpiece_score_differs_from_bpe_choice():
+    """The likelihood-ratio score must actually change the merge order
+    vs raw pair frequency on a corpus built to split them: pair (a,b)
+    is the most FREQUENT, but both units are ubiquitous, so the rarer
+    exclusive pair (x,y) scores higher and merges first."""
+    from n2kupdate_spark.operators.tokenizer import (
+        _learn_merges_from_types,
+        _learn_wordpiece_from_types,
+    )
+
+    # 'ab' appears in many words (units a,b very common); 'xy' only as
+    # its own word (units exclusive to each other)
+    tc = [("ab", 30), ("ac", 25), ("bc", 25), ("xy", 6)]
+    # score('x','##y') = 6/(6·6) = 0.167 beats ('a','##b') = 30/(55·30)
+    wp = _learn_wordpiece_from_types(tc, 1, min_frequency=2)
+    assert wp[-1] == "xy"
+    bpe = _learn_merges_from_types(tc, 1, min_frequency=2)
+    assert bpe[0] != ("x", "y")  # BPE picks the frequent pair instead
+
+
+def test_wordpiece_encode_greedy_and_unk(spark, sf_dir):
+    """Encode pins: (1) greedy longest-match-first against a brute-force
+    re-derivation for every distinct fixture word; (2) concatenating
+    pieces (## stripped) reproduces the word; (3) a word with an unseen
+    character becomes exactly [UNK]; (4) counts match array lengths."""
+    from n2kupdate_spark.operators.tokenizer import (
+        WP_CONT,
+        WP_UNK,
+        learn_wordpiece_vocab,
+        wordpiece_encode,
+    )
+    from n2kupdate_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = learn_wordpiece_vocab(docs, num_merges=120)
+    vset = set(vocab)
+
+    def brute(word):
+        out, i = [], 0
+        while i < len(word):
+            matches = [
+                j
+                for j in range(len(word), i, -1)
+                if ((WP_CONT if i else "") + word[i:j]) in vset
+            ]
+            if not matches:
+                return [WP_UNK]
+            j = max(matches)
+            out.append((WP_CONT if i else "") + word[i:j])
+            i = j
+        return out
+
+    enc = {r["doc_id"]: (list(r["wp_tokens"]), r["n_wp_tokens"])
+           for r in wordpiece_encode(docs, vocab).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    seen_words = set()
+    for did, (toks, n) in enc.items():
+        assert n == len(toks)
+        it = iter(toks)
+        for w in (x for x in texts[did].split(" ") if x):
+            if w in seen_words:
+                # consume this word's pieces from the stream
+                built = ""
+                while len(built) < len(w):
+                    t = next(it)
+                    built += t[len(WP_CONT):] if t.startswith(WP_CONT) else t
+                continue
+            seen_words.add(w)
+            want = brute(w)
+            got, built = [], ""
+            while len(built) < len(w):
+                t = next(it)
+                got.append(t)
+                if t == WP_UNK:
+                    built = w  # UNK consumes the word
+                else:
+                    built += t[len(WP_CONT):] if t.startswith(WP_CONT) else t
+            assert got == want, (w, got, want)
+            if WP_UNK not in got:
+                assert built == w
+    extra = spark.createDataFrame([(10**6, "zqé batch")], ["doc_id", "text"])
+    row = wordpiece_encode(extra, vocab).collect()[0]
+    assert row["wp_tokens"][0] == WP_UNK
