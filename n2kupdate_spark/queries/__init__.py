@@ -43,20 +43,24 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
 )
 
 #: r12 window (planned by window_planner.py at round start, per the
-#: SURVEY §5.2 cadence): 44/50 slots are MANDATORY — the 43 ops whose
+#: SURVEY §5.2 cadence; amended mid-round): 45/50 slots are MANDATORY — the 43 ops whose
 #: freshest driver row is r9 (the scalar/setop/reshape/sample families,
 #: text analysis ops, streaming batch-mode counts, source_csv/json,
 #: merge trio, udf/udtf surface, sim_cosine_topk, window_session_builtin)
 #: hit the ≤2-round freshness edge this round, PLUS the driver DEBUT of
-#: corpus_select_budget — the only oracle-carrying op with no driver row
+#: corpus_select_budget — the only r11-start oracle op with no driver row
 #: ever (registered mid-r11 after that window was committed; r8→r9
-#: corpus_gate_report precedent). It fronts the window. The remaining 6
-#: slots are r10-green fillers (agg_collect_sorted .. agg_mode_per_group),
+#: corpus_gate_report precedent) — PLUS curation_domain_quality,
+#: registered mid-r12 while this window was still uncommitted, so it
+#: debuts immediately instead of waiting a round (it displaced the
+#: r10-green filler agg_mode_per_group). The remaining 5 slots are
+#: r10-green fillers (agg_collect_sorted .. agg_histogram_bins),
 #: pre-confirming r13's MUST set. Rows-only ops (sketches, sha1, ANN,
 #: fuzzy/semantic dedup, PQ variants) stay out — they'd burn slots on
 #: `no_oracle` rows; all are value-pinned locally (tests/test_parity.py,
 #: tests/test_sketch_accuracy.py, tests/test_ann_recall.py).
 _ROUND_WINDOW = [
+    "curation_domain_quality",
     "corpus_select_budget",
     "dedup_incremental_resume",
     "diag_column_profile",
@@ -106,7 +110,6 @@ _ROUND_WINDOW = [
     "agg_group_sums",
     "agg_having",
     "agg_histogram_bins",
-    "agg_mode_per_group",
 ]
 
 
