@@ -157,3 +157,82 @@ def diag_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab_drift(old, new),
         schema="merged string, rank_old int, rank_new int, status string",
     )
+
+
+@register("diag_tokenizer_bakeoff")  # rows-only (r9 capacity policy):
+# each family's learner/encoder is independently reference-pinned in
+# tests/test_tokenizer.py; the bake-off totals are pinned against the
+# three per-doc tokenize queries in tests/test_mlprep_props.py
+def diag_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-family tokenizer bake-off on the SAME corpus — the
+    comparison table a training stack builds before committing to a
+    vocabulary: per family (bpe / unigram / wordpiece), the vocabulary
+    size actually learned, total tokens emitted over the corpus, and
+    corpus-level fertility (total chars / total tokens; higher = fewer
+    tokens per character = cheaper training). BPE and WordPiece get the
+    same merge budget; unigram's vocab budget is its registered demo
+    size — the table states each family's size so the comparison is
+    honest about unequal budgets.
+
+    Scale: three bounded type-table fits (driver-side, corpus-size-
+    independent) + three broadcast-table map encodes, then a 3-row
+    aggregate — the per-doc encodes never shuffle."""
+    from n2kupdate_spark.operators.tokenizer import (
+        EOW,
+        bpe_encode,
+        learn_bpe_merges,
+        learn_unigram_vocab,
+        learn_wordpiece_vocab,
+        unigram_encode,
+        wordpiece_encode,
+    )
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    merges = learn_bpe_merges(d, num_merges=200)
+    ug = learn_unigram_vocab(d, vocab_size=40)
+    wp = learn_wordpiece_vocab(d, num_merges=200)
+    # vocab sizes: BPE = base chars (incl EOW) + merges; others are their tables
+    base_chars = {
+        c
+        for r in d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.explode(F.split("w", "")).alias("c"))
+        .distinct()
+        .collect()
+        for c in [r["c"]]
+    }
+    sizes = {
+        "bpe": len(base_chars) + 1 + len(merges),  # +1: the EOW symbol
+        "unigram": len(ug),
+        "wordpiece": len(wp),
+    }
+    encs = {
+        "bpe": bpe_encode(d, merges, carry_cols=("n_chars",)).select(
+            F.col("n_bpe_tokens").alias("n_tokens"), "n_chars"
+        ),
+        "unigram": unigram_encode(d, ug, carry_cols=("n_chars",)).select(
+            F.col("n_ug_tokens").alias("n_tokens"), "n_chars"
+        ),
+        "wordpiece": wordpiece_encode(d, wp, carry_cols=("n_chars",)).select(
+            F.col("n_wp_tokens").alias("n_tokens"), "n_chars"
+        ),
+    }
+    rows = []
+    for fam in ("bpe", "unigram", "wordpiece"):
+        agg = encs[fam].agg(
+            F.sum("n_tokens").cast("long").alias("t"),
+            F.sum("n_chars").cast("long").alias("c"),
+        ).first()
+        rows.append(
+            (
+                fam,
+                sizes[fam],
+                int(agg["t"]),
+                round(int(agg["c"]) / int(agg["t"]) * 10000) / 10000,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema="family string, vocab_size int, total_tokens long, "
+        "chars_per_token double",
+    )

@@ -504,8 +504,11 @@ def stream_dedup_bloom(
     shuffle is the groupBy on ``n_groups`` buckets (raise for parallelism
     — state cost scales with it, 16 KiB per group); the probe positions
     derive from two JVM-codegen xxhash64 columns (Kirsch–Mitzenmacher),
-    so the stateful fold's per-row Python — the declared escape-hatch
-    surface — is bit probes/inserts only, no hashing. Determinism: within
+    and the fold itself is numpy-vectorized (r12): one matrix bit-test
+    against pre-state, one ``bitwise_or.at`` for conflict-free inserts,
+    row-at-a-time Python only for candidates whose positions intersect
+    another candidate's (4.7–27× measured, BASELINE §5; bit-exact vs the
+    sequential reference). Determinism: within
     a micro-batch the keep-lowest doc_id survives; across batches,
     first-arrival. NoTimeout: the seen-set is corpus-lifetime by design —
     that is the semantics exact dedup cannot afford.

@@ -1116,3 +1116,38 @@ def test_domain_quality_weights_feed_apply_mixture(spark):
         )
         want = w4 // 10000 + (1 if bucket < w4 % 10000 else 0)
         assert counts.get(row["doc_id"], 0) == want, row
+
+
+def test_tokenizer_bakeoff_consistent_with_per_doc_queries(spark, sf_dir):
+    """r12: diag_tokenizer_bakeoff's corpus totals must equal the sums of
+    the three registered per-doc tokenize queries (same budgets by
+    construction), and its fertility = total_chars/total_tokens at 4dp.
+    Also pins the family set and that every vocab_size is positive."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.queries import QUERIES
+
+    bake = {
+        r["family"]: r
+        for r in QUERIES["diag_tokenizer_bakeoff"](spark, sf_dir).collect()
+    }
+    assert set(bake) == {"bpe", "unigram", "wordpiece"}
+    per_doc = {
+        "bpe": ("text_bpe_tokenize", "n_bpe_tokens"),
+        "unigram": ("text_unigram_tokenize", "n_ug_tokens"),
+        "wordpiece": ("text_wordpiece_tokenize", "n_wp_tokens"),
+    }
+    for fam, (qname, col) in per_doc.items():
+        agg = (
+            QUERIES[qname](spark, sf_dir)
+            .agg(
+                F.sum(col).cast("long").alias("t"),
+                F.sum("n_chars").cast("long").alias("c"),
+            )
+            .first()
+        )
+        row = bake[fam]
+        assert row["total_tokens"] == agg["t"], fam
+        assert row["vocab_size"] > 0
+        want = round(int(agg["c"]) / int(agg["t"]) * 10000) / 10000
+        assert row["chars_per_token"] == want, fam
