@@ -1965,3 +1965,58 @@ def information_signals(
             )
 
     return docs.select(id_col, text_col).mapInPandas(_batches, schema)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into overlapping token windows — the
+    long-document preparation step both pretraining (context-window
+    slicing) and retrieval indexing (passage chunking) need: windows of
+    ``size`` whitespace tokens starting every ``size − overlap`` tokens,
+    so consecutive chunks share exactly ``overlap`` tokens and every
+    token of every doc appears in at least one chunk (the last window
+    ends exactly at the doc's final token). A doc with ≤ ``size`` tokens
+    yields one chunk; a doc with zero non-empty tokens yields none.
+    Chunk count: 1 if n ≤ size else ceil((n − size)/stride) + 1.
+
+    Emits (``id_col``, chunk_id 0-based, start_tok 1-based,
+    n_chunk_tokens, chunk_text). Entirely JVM codegen — split + filter +
+    sequence + explode + slice + array_join; no shuffle, no Python: a
+    100 TB chunking pass is pure scan-parallel map work, and the output
+    inherits the scan's partitioning (chunks of a doc stay in its
+    partition). Coverage/overlap/boundary properties pinned against an
+    independent python reference in tests/test_mlprep_props.py."""
+    if overlap >= size:
+        raise ValueError(
+            f"chunk_documents: overlap ({overlap}) must be < size ({size})"
+        )
+    stride = size - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.when(n <= size, F.lit(1)).otherwise(
+            F.ceil((n - F.lit(size)) / F.lit(float(stride))).cast("int") + 1
+        )
+    )
+    base = docs.select(
+        id_col, toks.alias("__toks"), n_chunks.alias("__nc")
+    ).filter(F.col("__nc") > 0)
+    exploded = base.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride + 1
+    chunk = F.slice(F.col("__toks"), start, size)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        start.alias("start_tok"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -1060,3 +1060,26 @@ def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_chars") / F.col("n_wp_tokens") * 10000, 0) / 10000
         ).alias("chars_per_token"),
     ).orderBy("doc_id")
+
+
+@register("text_chunk_overlap")  # rows-only (r9 capacity policy,
+# headroom preserved): boundary behavior is pinned against an
+# independent python reference + coverage/overlap invariants in
+# tests/test_mlprep_props.py
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking of every document (128-token
+    windows, 16-token overlap) — the long-document slicing step context-
+    window training and passage-retrieval indexing both start from.
+    Emits (doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_text);
+    consecutive chunks of a doc share exactly 16 tokens, every token is
+    covered, the final window ends on the doc's last token.
+
+    Scale: pure JVM map (split → sequence → explode → slice →
+    array_join), zero shuffle, zero Python — see
+    operators/corpus.py::chunk_documents."""
+    from n2kupdate_spark.operators.corpus import chunk_documents
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(d, size=128, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )

@@ -72,6 +72,7 @@ OPS = [
     "curation_domain_quality",  # URL derive + host parse map, #hosts-bounded rollup
     "graph_domain_pagerank",    # near-dup pair lift to hosts + #hosts power iteration
     "text_wordpiece_tokenize",  # ratio-scored bounded fit + greedy longest-match map
+    "text_chunk_overlap",       # pure-codegen explode/slice window chunking, zero shuffle
 ]
 
 

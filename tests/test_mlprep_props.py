@@ -1151,3 +1151,55 @@ def test_tokenizer_bakeoff_consistent_with_per_doc_queries(spark, sf_dir):
         assert row["vocab_size"] > 0
         want = round(int(agg["c"]) / int(agg["t"]) * 10000) / 10000
         assert row["chars_per_token"] == want, fam
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    """r12: chunk_documents vs an independent python recompute on
+    adversarial lengths — n = 0, 1, size−1, size, size+1, exact multiple
+    of stride, huge — plus the structural invariants: consecutive chunks
+    share exactly `overlap` tokens, every token is covered, the last
+    window ends on the final token, concatenating each chunk's slice
+    reproduces the doc."""
+    import pytest as _pytest
+
+    from n2kupdate_spark.operators.corpus import chunk_documents
+
+    size, overlap = 16, 4
+    stride = size - overlap
+    lengths = [0, 1, 15, 16, 17, 28, 40, 100]
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got: dict = {}
+    for r in chunk_documents(df, size=size, overlap=overlap).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_tok"], r["n_chunk_tokens"], r["chunk_text"])
+        )
+
+    for i, n in enumerate(lengths):
+        toks = [f"t{i}_{j}" for j in range(n)]
+        if n == 0:
+            assert i not in got
+            continue
+        n_chunks = 1 if n <= size else -(-(n - size) // stride) + 1
+        want = []
+        for ci in range(n_chunks):
+            s = ci * stride
+            piece = toks[s : s + size]
+            want.append((ci, s + 1, len(piece), " ".join(piece)))
+        assert sorted(got[i]) == want, (i, n)
+        # invariants
+        last = want[-1]
+        assert last[1] - 1 + last[2] == n  # final window ends on last token
+        covered = set()
+        for ci, s1, nc, _ in want:
+            covered.update(range(s1 - 1, s1 - 1 + nc))
+        assert covered == set(range(n))
+        for (c1, s1, n1, t1), (c2, s2, n2, t2) in zip(want, want[1:]):
+            shared = (s1 - 1 + n1) - (s2 - 1)
+            assert shared == overlap  # exact overlap between neighbours
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, size=8, overlap=8)
