@@ -586,12 +586,16 @@ def langid_hashgram_scores(
     true prior ranking, not to sampling noise.
 
     Scale shape: gram explode + ONE (id, bucket)-keyed partial-agged
-    shuffle (≤ n_buckets rows per doc); the fit collects only the
-    sampled docs' sparse vectors (driver traffic ≤ langs ·
-    sample_per_class · n_buckets regardless of corpus size); scoring is
-    a broadcast-literal weight lookup per (id, bucket) row + one
-    id-keyed sum — per-language columns in one agg, no joins, no second
-    text pass, no Python UDF anywhere."""
+    shuffle, materialized once via eager localCheckpoint because both
+    the fit collect and the scoring pass consume it (≤ n_buckets rows
+    per doc); the fit collects only the sampled docs' sparse vectors
+    (driver traffic ≤ langs · sample_per_class · n_buckets regardless
+    of corpus size); scoring is a broadcast-literal weight lookup per
+    (id, bucket) row + one id-keyed sum — per-language columns in one
+    agg, no joins, no second gram pass, no Python UDF anywhere. The
+    label side costs one more scan (no explode) feeding a single
+    #langs-row aggregate that serves both the language list and the
+    prior correction."""
     guard = (
         f"CASE WHEN length(w) >= {ngram} "
         f"THEN transform(sequence(1, length(w) - {ngram - 1}), "
@@ -607,11 +611,16 @@ def langid_hashgram_scores(
         F.conv(F.substring(F.md5(F.col("gram")), 1, 4), 16, 10).cast("long")
         % n_buckets
     )
+    # The (id, bucket) tf table is consumed TWICE — the bounded fit
+    # collect and the full scoring pass — so materialize it once
+    # (eager localCheckpoint): without this the gram explode + shuffle,
+    # the dominant corpus-scale cost, would run twice (r12 review).
     sparse = (
         docs.select(id_col, grams.alias("gram"))
         .select(id_col, bucket.alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
 
     featured = docs.filter(
@@ -622,9 +631,13 @@ def langid_hashgram_scores(
     if train_col is not None:
         featured = featured.filter(F.col(train_col))
     labels = featured.select(id_col, F.col(lang_col).alias("__lang"))
-    langs = sorted(
-        r["__lang"] for r in labels.select("__lang").distinct().collect()
-    )
+    # one labels aggregate serves both the language list and the prior
+    # correction below (was two separate scans — r12 review)
+    train_counts = {
+        r["__lang"]: r["n"]
+        for r in labels.groupBy("__lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    langs = sorted(train_counts)
     if len(langs) < 2:
         raise ValueError(
             "langid_hashgram_scores: need >= 2 languages in the training "
@@ -647,10 +660,6 @@ def langid_hashgram_scores(
     for r in fit_rows:
         X[idx[r[0]], r["bucket"]] = 1.0 + np.log(r["c"])
         doc_lang[r[0]] = r["__lang"]
-    train_counts = {
-        r["__lang"]: r["n"]
-        for r in labels.groupBy("__lang").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
     n_train = sum(train_counts.values())
     sample_counts = {l: 0 for l in langs}
     for i in ids:

@@ -695,10 +695,16 @@ def pagerank(
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
     n = nodes.count()
-    # one count, once: isolated (= dangling) node total — the scalar
-    # recurrence below replaces r11's per-iteration dangling aggregate
-    n_dangling = n - deg.count()
     base = nodes.select(F.col(id_col).alias("__node")).localCheckpoint(eager=True)
+    # one count, once: isolated (= dangling) node total — the scalar
+    # recurrence below replaces r11's per-iteration dangling aggregate.
+    # Counted as NODES absent from the degree table (left_semi), not
+    # n − deg.count(): edges may reference ids outside `nodes` (r12
+    # review), and counting those endpoints would under-count (even
+    # negative-count) the dangling set.
+    n_dangling = n - base.join(
+        deg, base["__node"] == deg["a"], "left_semi"
+    ).count()
     ranks = base.select("__node", F.lit(1.0 / n).alias("__rank")).localCheckpoint(
         eager=True
     )

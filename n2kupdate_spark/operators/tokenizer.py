@@ -35,6 +35,27 @@ from pyspark.sql import functions as F
 EOW = "</w>"
 
 
+def _word_type_counts(
+    docs: DataFrame, text_col: str, max_word_types: int
+) -> list[tuple[str, int]]:
+    """THE one corpus-scale job all three tokenizer learners share:
+    whitespace tokens → partial-agged word-type counts → deterministic
+    top-``max_word_types`` collect (count desc, word asc). Factored out
+    (r12 review) so the truncation/determinism contract lives in exactly
+    one place — Zipf makes the truncation benign for every family, as
+    documented on each learner."""
+    rows = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(max_word_types)
+        .collect()
+    )
+    return [(r["w"], r["c"]) for r in rows]
+
+
 def _merge_in_word(
     syms: tuple[str, ...], pair: tuple[str, str], joined: str
 ) -> tuple[str, ...]:
@@ -124,17 +145,10 @@ def learn_bpe_merges(
     because single characters remain base symbols. Driver traffic is
     bounded at ``max_word_types`` rows regardless of corpus size; the
     merge loop never sees the corpus."""
-    rows = (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), "w")
-        .limit(max_word_types)
-        .collect()
-    )
     return _learn_merges_from_types(
-        [(r["w"], r["c"]) for r in rows], num_merges, min_frequency
+        _word_type_counts(docs, text_col, max_word_types),
+        num_merges,
+        min_frequency,
     )
 
 
@@ -495,17 +509,10 @@ def learn_unigram_vocab(
     loop runs driver-side over that bounded table — cost independent of
     corpus size, Zipf making the truncation benign exactly as documented
     on the BPE learner above."""
-    rows = (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), "w")
-        .limit(max_word_types)
-        .collect()
-    )
     return _learn_unigram_from_types(
-        [(r["w"], r["c"]) for r in rows], vocab_size, seed_size=seed_size
+        _word_type_counts(docs, text_col, max_word_types),
+        vocab_size,
+        seed_size=seed_size,
     )
 
 
@@ -705,17 +712,10 @@ def learn_wordpiece_vocab(
     ONE partial-agged word-type count shuffle, deterministic bounded
     top-K collect, driver-side merge loop whose cost is independent of
     corpus size."""
-    rows = (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), "w")
-        .limit(max_word_types)
-        .collect()
-    )
     return _learn_wordpiece_from_types(
-        [(r["w"], r["c"]) for r in rows], num_merges, min_frequency
+        _word_type_counts(docs, text_col, max_word_types),
+        num_merges,
+        min_frequency,
     )
 
 

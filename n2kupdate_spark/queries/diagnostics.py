@@ -186,25 +186,31 @@ def diag_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_encode,
         wordpiece_encode,
     )
+    # budgets shared with the per-doc tokenize queries by IMPORT, not by
+    # copied literals (r12 review) — the consistency pin in
+    # tests/test_mlprep_props.py depends on them staying in lockstep
+    from n2kupdate_spark.queries.text import _BPE_MERGES, _UG_VOCAB
 
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
-    merges = learn_bpe_merges(d, num_merges=200)
-    ug = learn_unigram_vocab(d, vocab_size=40)
-    wp = learn_wordpiece_vocab(d, num_merges=200)
-    # vocab sizes: BPE = base chars (incl EOW) + merges; others are their tables
+    merges = learn_bpe_merges(d, num_merges=_BPE_MERGES)
+    ug = learn_unigram_vocab(d, vocab_size=_UG_VOCAB)
+    wp = learn_wordpiece_vocab(d, num_merges=_BPE_MERGES)
+    # base chars from DISTINCT words (bounded, partial-agged) rather than
+    # a full-corpus per-character explode (r12 review); distinct merge
+    # products can collide on the joined string, so vocab sizes count
+    # the SET of symbols, not the merge-list length
     base_chars = {
-        c
+        ch
         for r in d.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
-        .select(F.explode(F.split("w", "")).alias("c"))
         .distinct()
         .collect()
-        for c in [r["c"]]
+        for ch in r["w"]
     }
     sizes = {
-        "bpe": len(base_chars) + 1 + len(merges),  # +1: the EOW symbol
+        "bpe": len(base_chars | {EOW} | {a + b for a, b in merges}),
         "unigram": len(ug),
-        "wordpiece": len(wp),
+        "wordpiece": len(set(wp)),
     }
     encs = {
         "bpe": bpe_encode(d, merges, carry_cols=("n_chars",)).select(
@@ -223,6 +229,11 @@ def diag_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("t"),
             F.sum("n_chars").cast("long").alias("c"),
         ).first()
+        if agg["t"] is None or int(agg["t"]) == 0:
+            # empty / all-whitespace corpus: degrade to a typed empty
+            # frame like the sibling queries (r12 review) instead of a
+            # TypeError on int(None)
+            continue
         rows.append(
             (
                 fam,

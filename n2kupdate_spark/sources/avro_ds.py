@@ -95,11 +95,14 @@ class AvroPyReader(DataSourceReader):
             content = fh.read()
         # the driver resolved the schema from the directory's FIRST file;
         # a directory mixing evolved Avro schemas would otherwise surface
-        # as an opaque executor KeyError — check this file's own header
-        # once and fail with the actual contract violation instead
+        # as an opaque executor KeyError / ArrowTypeError — check this
+        # file's own header once (names AND types, r12 review: a shared
+        # field whose type evolved is just as mixed as a missing one)
+        # and fail with the actual contract violation instead
         file_schema, _, _ = _parse_header(io.BytesIO(content))
-        file_fields = {f["name"] for f in file_schema.get("fields", [])}
-        missing = [c for c in cols if c not in file_fields]
+        file_struct, _ = _avro_to_spark_type(file_schema)
+        file_types = {f.name: f.dataType for f in file_struct.fields}
+        missing = [c for c in cols if c not in file_types]
         if missing:
             raise ValueError(
                 f"n2k_avro: field(s) {missing} missing in "
@@ -107,6 +110,21 @@ class AvroPyReader(DataSourceReader):
                 "directory's first file, so every file must carry the "
                 "same record schema (write evolved schemas to separate "
                 "directories, or use sources/avro_py's per-file path)"
+            )
+        mistyped = [
+            (f.name, f.dataType.simpleString(), file_types[f.name].simpleString())
+            for f in self._schema.fields
+            if file_types[f.name] != f.dataType
+        ]
+        if mistyped:
+            detail = ", ".join(
+                f"{n}: resolved {a} but file has {b}" for n, a, b in mistyped
+            )
+            raise ValueError(
+                f"n2k_avro: field type mismatch in {partition.path!r} "
+                f"({detail}) — schema is resolved from the directory's "
+                "first file, so every file must carry the same record "
+                "schema (write evolved schemas to separate directories)"
             )
         rows = [{c: rec[c] for c in cols} for rec in _iter_records(content)]
         if rows:

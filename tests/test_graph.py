@@ -278,3 +278,45 @@ def test_host_pagerank_planted_structure(spark):
     assert abs(sum(ranks.values()) - 1.0) < 5e-4
     again = {r["host"]: r["rank"] for r in host_pagerank(host_map, pairs).collect()}
     assert again == ranks
+
+
+def test_pagerank_foreign_edge_endpoints(spark):
+    """r12 review: edges may reference ids absent from `nodes` (a pair
+    list filtered differently than the node universe). The dangling
+    count must come from NODES absent from the degree table, not from
+    n − deg.count() — with foreign endpoints the latter under-counts
+    (node 2 here is dangling even though the edge list mentions two
+    distinct foreign-inclusive endpoints). Pins vs a numpy recompute of
+    the operator's documented semantics: contributions to foreign ids
+    are dropped, dangling mass of real isolated nodes redistributes."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.dedup import pagerank
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    edges = spark.createDataFrame([(0, 1), (0, 3)], ["id1", "id2"])
+    got = {
+        int(r["id"]): float(r["rank"])
+        for r in pagerank(nodes, edges, id_col="id", damping=0.85, iters=10).collect()
+    }
+
+    d, iters, n = 0.85, 10, 3
+    # symmetrized adjacency incl foreign 3: 0-1, 0-3; deg over all endpoints
+    nbrs = {0: [1, 3], 1: [0], 3: [0]}
+    ranks = {i: 1.0 / n for i in (0, 1, 2)}
+    dm = 1.0 / n  # node 2
+    for _ in range(iters):
+        contrib = {i: 0.0 for i in (0, 1, 2)}
+        for src, ns in nbrs.items():
+            if src not in ranks:
+                continue  # foreign ids hold no rank
+            share = ranks[src] / len(ns)
+            for dst in ns:
+                if dst in contrib:
+                    contrib[dst] += share
+        ranks = {
+            i: (1 - d) / n + d * (contrib[i] + dm / n) for i in (0, 1, 2)
+        }
+        dm = 1 * ((1 - d) / n + d * dm / n)  # one dangling node (id 2)
+    want = {i: float(np.round(v * 10000) / 10000) for i, v in ranks.items()}
+    assert got == want, (got, want)

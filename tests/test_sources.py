@@ -928,3 +928,32 @@ def test_avro_ds_mixed_schema_directory_raises(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == ["id", "extra"]
     with _pytest.raises(Exception, match="missing in.*b\\.avro|same record schema"):
         df.collect()
+
+
+def test_avro_ds_mixed_type_directory_raises(spark, tmp_path):
+    """r12 review follow-up: the mixed-schema guard must catch a shared
+    field whose TYPE evolved, not just a missing field — otherwise the
+    task still dies with an opaque ArrowTypeError downstream."""
+    import shutil
+
+    import pytest as _pytest
+
+    from n2kupdate_spark.sources.avro_ds import AvroPyDataSource
+    from n2kupdate_spark.sources.avro_py import write_avro
+
+    spark.dataSource.register(AvroPyDataSource)
+
+    a = spark.createDataFrame([(1, 5)], ["id", "v"]).coalesce(1)
+    b = spark.createDataFrame([(2, "s")], ["id", "v"]).coalesce(1)
+    write_avro(a, str(tmp_path / "a"))
+    write_avro(b, str(tmp_path / "b"))
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    import glob as _glob
+
+    shutil.copy(_glob.glob(str(tmp_path / "a" / "part-*.avro"))[0], mixed / "a.avro")
+    shutil.copy(_glob.glob(str(tmp_path / "b" / "part-*.avro"))[0], mixed / "b.avro")
+
+    df = spark.read.format("n2k_avro").load(str(mixed))
+    with _pytest.raises(Exception, match="type mismatch.*b\\.avro|same record schema"):
+        df.collect()
