@@ -73,6 +73,11 @@ HEADLINE = [
     # complex plan (12 bounded exchanges). Index build amortized in
     # warm-up, mirroring dedup_incremental_resume.
     "dedup_semantic_resume_pq",
+    # r12 addition: the trained-classifier family at its heaviest — char
+    # 3-gram explode + (doc,bucket) shuffle + 5 one-vs-rest bounded fits
+    # + literal-weight scoring + label join-back. Catches regressions in
+    # both the bounded-fit collect path and the checkpointed tf table.
+    "text_langid_hashgram",
 ]
 
 
