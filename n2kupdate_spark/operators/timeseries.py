@@ -1,0 +1,106 @@
+"""Time-series operators: per-key transforms that need imperative
+per-series logic (the regular-grid/window ops live SQL-side in
+queries/mlprep.py — resample/ffill, gap interpolation — because those
+are pure window algebra; what lives here is the sequential-dependence
+remainder Spark SQL cannot express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lttb_indices(ts, vals, n_out):
+    """Largest-Triangle-Three-Buckets (Steinarsson 2013) point selection
+    over ONE sorted series — returns the kept indices, ascending.
+
+    Published rule: always keep the first and last points; split the
+    interior into ``n_out − 2`` equal-size buckets; walking left to
+    right, keep from each bucket the point forming the LARGEST triangle
+    with the previously-kept point and the CENTROID of the next bucket
+    (the sequential dependence that makes this non-SQL). Ties take the
+    earliest point (np.argmax); a constant series therefore keeps each
+    bucket's first point — deterministic for a deterministic sort."""
+    import numpy as np
+
+    n = len(ts)
+    if n_out >= n:
+        return list(range(n))
+    if n_out < 3:
+        raise ValueError(f"lttb: n_out must be >= 3, got {n_out}")
+    ts = np.asarray(ts, dtype=np.float64)
+    vals = np.asarray(vals, dtype=np.float64)
+    # interior bucket boundaries over indices 1..n-1 (exclusive of last)
+    edges = (
+        1 + np.floor(np.arange(n_out - 1) * (n - 2) / (n_out - 2))
+    ).astype(np.int64)
+    edges[-1] = n - 1
+    kept = [0]
+    prev = 0
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        nlo, nhi = (edges[b + 1], edges[b + 2]) if b < n_out - 3 else (
+            edges[b + 1],
+            n,
+        )
+        cx = ts[nlo:nhi].mean()
+        cy = vals[nlo:nhi].mean()
+        # 2x triangle area vs (prev, candidate, next-bucket centroid)
+        area = np.abs(
+            (ts[prev] - cx) * (vals[lo:hi] - vals[prev])
+            - (ts[prev] - ts[lo:hi]) * (cy - vals[prev])
+        )
+        prev = lo + int(np.argmax(area))
+        kept.append(prev)
+    kept.append(n - 1)
+    return kept
+
+
+def lttb_downsample(
+    events: DataFrame,
+    n_out: int = 20,
+    key_col: str = "user_id",
+    ts_col: str = "ts_s",
+    val_col: str = "value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Downsample every key's series to ``n_out`` visually-representative
+    points with LTTB — the published dashboarding/monitoring reduction
+    (a 100 TB metrics lake rendered at screen resolution keeps extremes
+    and shape, where naive every-kth sampling aliases spikes away).
+    Series with ≤ ``n_out`` points pass through whole. Emits
+    (``key_col``, sel_rank 0-based within the kept series, ``ts_col``,
+    ``val_col``).
+
+    Scale shape: ONE shuffle — the applyInPandas groupBy on ``key_col``;
+    each task sorts and reduces only its keys' series with vectorized
+    numpy area computations (the per-bucket argmax loop is n_out-bounded,
+    not series-bounded). Deterministic: series sort by (ts, order_col)
+    so equal timestamps break ties stably; area ties keep the earliest
+    point. Pinned against an independent pure-python reference plus
+    structural invariants in tests/test_mlprep_props.py."""
+    import pandas as pd  # noqa: F401
+
+    sort_cols = [ts_col] + ([order_col] if order_col else [])
+    cols = [key_col, ts_col, val_col] + ([order_col] if order_col else [])
+
+    def _one_key(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        idx = _lttb_indices(
+            pdf[ts_col].to_numpy(), pdf[val_col].to_numpy(), n_out
+        )
+        out = pdf.iloc[idx][[key_col, ts_col, val_col]].copy()
+        out.insert(1, "sel_rank", range(len(idx)))
+        return out
+
+    schema = (
+        f"{key_col} {events.schema[key_col].dataType.simpleString()}, "
+        f"sel_rank int, "
+        f"{ts_col} {events.schema[ts_col].dataType.simpleString()}, "
+        f"{val_col} {events.schema[val_col].dataType.simpleString()}"
+    )
+    return (
+        events.select(*cols)
+        .groupBy(key_col)
+        .applyInPandas(_one_key, schema=schema)
+    )

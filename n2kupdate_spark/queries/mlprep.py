@@ -1216,3 +1216,33 @@ def curation_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("domain_weight"),
     )
+
+
+@register("ts_downsample_lttb")  # rows-only (§2 legend: the walk's
+# sequential dependence on the previously-kept point has no SQL form);
+# kept indices ≡ the canonical pure-python reference + spike-retention /
+# boundary invariants pinned in tests/test_mlprep_props.py
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    every user's event series to 20 visually-representative points — the
+    published dashboard/monitoring reduction: keeps extremes and shape
+    (a spike survives; naive every-kth sampling aliases it away), always
+    keeps each series' first and last points. Completes the time-series
+    family next to resample/ffill and gap interpolation.
+
+    Scale: ONE shuffle (the per-user applyInPandas groupBy); per-series
+    work is a vectorized numpy area computation per bucket, bounded by
+    n_out buckets — see operators/timeseries.py::lttb_downsample."""
+    from n2kupdate_spark.operators.timeseries import lttb_downsample
+
+    e = load(
+        spark, sf_dir, "events", columns=["user_id", "event_id", "value", "ts"]
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    return lttb_downsample(
+        e, n_out=20, order_col="event_id"
+    ).orderBy("user_id", "sel_rank")

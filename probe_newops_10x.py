@@ -73,6 +73,7 @@ OPS = [
     "graph_domain_pagerank",    # near-dup pair lift to hosts + #hosts power iteration
     "text_wordpiece_tokenize",  # ratio-scored bounded fit + greedy longest-match map
     "text_chunk_overlap",       # pure-codegen explode/slice window chunking, zero shuffle
+    "ts_downsample_lttb",       # per-key applyInPandas, n_out-bounded numpy per series
 ]
 
 

@@ -1203,3 +1203,79 @@ def test_chunk_documents_matches_python_reference(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, size=8, overlap=8)
+
+
+def test_lttb_downsample_matches_reference(spark):
+    """r12: the distributed LTTB vs the canonical pure-python
+    flot-downsample reference on random, constant, spiky and short
+    series — identical kept indices per key — plus the structural
+    invariants: first/last always kept, output sorted by ts, count =
+    min(n, n_out), an extreme spike is always retained (the aliasing
+    case naive every-kth sampling fails), n_out<3 rejected."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from n2kupdate_spark.operators.timeseries import lttb_downsample
+
+    def ref_lttb(ts, vals, threshold):
+        n = len(ts)
+        if threshold >= n:
+            return list(range(n))
+        every = (n - 2) / (threshold - 2)
+        a = 0
+        kept = [0]
+        for i in range(threshold - 2):
+            avg_s = int(math.floor((i + 1) * every) + 1)
+            avg_e = min(int(math.floor((i + 2) * every) + 1), n)
+            cx = sum(ts[avg_s:avg_e]) / (avg_e - avg_s)
+            cy = sum(vals[avg_s:avg_e]) / (avg_e - avg_s)
+            r0 = int(math.floor(i * every) + 1)
+            r1 = int(math.floor((i + 1) * every) + 1)
+            best, best_area = r0, -1.0
+            for j in range(r0, r1):
+                area = abs(
+                    (ts[a] - cx) * (vals[j] - vals[a])
+                    - (ts[a] - ts[j]) * (cy - vals[a])
+                )
+                if area > best_area:
+                    best, best_area = j, area
+            kept.append(best)
+            a = best
+        kept.append(n - 1)
+        return kept
+
+    random.seed(11)
+    series = {
+        0: sorted((random.uniform(0, 1000), random.gauss(0, 1)) for _ in range(80)),
+        1: [(float(i), 1.0) for i in range(40)],           # constant
+        2: [(float(i), 0.0 if i != 33 else 500.0) for i in range(60)],  # spike
+        3: [(float(i), float(i % 3)) for i in range(10)],  # short, > n_out
+        4: [(float(i), float(i)) for i in range(7)],       # n <= n_out: all
+    }
+    rows = [
+        (k, t, v) for k, pts in series.items() for t, v in pts
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_s", "value"])
+    n_out = 8
+    got: dict = {}
+    for r in lttb_downsample(df, n_out=n_out).collect():
+        got.setdefault(r["user_id"], []).append(
+            (r["sel_rank"], r["ts_s"], r["value"])
+        )
+    for k, pts in series.items():
+        ts = [t for t, _ in pts]
+        vals = [v for _, v in pts]
+        want_idx = ref_lttb(ts, vals, n_out)
+        want = [(i, ts[j], vals[j]) for i, j in enumerate(want_idx)]
+        assert sorted(got[k]) == want, k
+        out_ts = [t for _, t, _ in sorted(got[k])]
+        assert out_ts[0] == ts[0] and out_ts[-1] == ts[-1]
+        assert out_ts == sorted(out_ts)
+        assert len(out_ts) == min(len(ts), n_out)
+    # the spike is kept
+    assert any(v == 500.0 for _, _, v in got[2])
+
+    with _pytest.raises(Exception, match="n_out"):
+        lttb_downsample(df, n_out=2).collect()
