@@ -1246,3 +1246,73 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb_downsample(
         e, n_out=20, order_col="event_id"
     ).orderBy("user_id", "sel_rank")
+
+
+@register("corpus_passage_search")  # rows-only (r9 capacity policy):
+# compositional pipeline over the numpy matmul scorer; end-to-end
+# python-reference recompute pinned in tests/test_mlprep_props.py
+def corpus_passage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-retrieval preparation end to end — the RAG-indexing shape
+    the chunking op exists for: (1) split every document into 64-token
+    windows with 8-token overlap (chunk_documents), (2) embed each
+    passage with a vocabulary-free hashed-tf vector (the md5 bucket
+    function shared with text_feature_hashing — deterministic, engine-
+    portable, 64 dims), (3) retrieve top-3 passages per query passage
+    (the doc_id % 97 slice) by exact cosine over the blocked-matmul
+    scorer. Emits (q_pid, neighbor_pid, cos_sim, rn). Self-matches and
+    same-document passages are excluded — retrieval quality is about
+    OTHER documents' passages (a passage's own overlap-sibling is a
+    degenerate near-perfect match).
+
+    Scale: chunking and bucket counts are map + one (pid, bucket)
+    shuffle; the dense 64-dim vector forms in the same aggregate (64
+    conditional sums — JVM codegen, no Python); queries are a bounded
+    collect; scoring is per-batch numpy matmul with per-batch top-k
+    pruning, the sim_cosine_topk plan shape."""
+    from n2kupdate_spark.operators.corpus import chunk_documents
+    from n2kupdate_spark.operators.similarity import brute_topk_matmul
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = chunk_documents(d, size=64, overlap=8).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("pid"),
+        "chunk_text",
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long")
+        % 64
+    )
+    toks = chunks.select(
+        "pid", F.explode(F.split("chunk_text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vec = toks.select("pid", bucket.alias("b")).groupBy("pid").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("b") == i, 1).otherwise(0)).cast("double")
+                for i in range(64)
+            ]
+        ).alias("v")
+    )
+    query_rows = (
+        vec.filter((F.col("pid") / 1000).cast("long") % 97 == 0)
+        .orderBy("pid")
+        .limit(64)
+        .collect()
+    )
+    cand = brute_topk_matmul(vec, query_rows, "pid", "v", k=24)
+    # drop same-document passages (own overlap-siblings), then rank
+    same_doc = (F.col("q_id") / 1000).cast("long") == (
+        F.col("neighbor_id") / 1000
+    ).cast("long")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.filter(~same_doc)
+        .select(
+            F.col("q_id").alias("q_pid"),
+            F.col("neighbor_id").alias("neighbor_pid"),
+            "cos_sim",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

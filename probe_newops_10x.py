@@ -74,6 +74,7 @@ OPS = [
     "text_wordpiece_tokenize",  # ratio-scored bounded fit + greedy longest-match map
     "text_chunk_overlap",       # pure-codegen explode/slice window chunking, zero shuffle
     "ts_downsample_lttb",       # per-key applyInPandas, n_out-bounded numpy per series
+    "corpus_passage_search",    # chunk + hashed-tf embed + pruned matmul top-k
 ]
 
 

@@ -1279,3 +1279,67 @@ def test_lttb_downsample_matches_reference(spark):
 
     with _pytest.raises(Exception, match="n_out"):
         lttb_downsample(df, n_out=2).collect()
+
+
+def test_corpus_passage_search_matches_python_recompute(spark):
+    """r12: the chunk → hashed-tf embed → cosine top-3 retrieval
+    composition recomputed end-to-end in plain python (chunk windows,
+    md5 buckets, dense tf vectors, exact cosine, (score desc, id asc)
+    rank, same-document passages excluded) — exact set equality of
+    (q_pid, neighbor_pid, 4dp score, rank). The per-batch top-24 prune
+    is safe under the same-doc exclusion because a doc yields ≤ ~6
+    passages at these settings, so ≥ 18 cross-doc candidates survive
+    per batch per query."""
+    import hashlib
+    import math
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["q_pid"], r["rn"]): (r["neighbor_pid"], r["cos_sim"])
+        for r in QUERIES["corpus_passage_search"](spark, sf).collect()
+    }
+
+    size, overlap = 64, 8
+    stride = size - overlap
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
+    }
+    vecs = {}
+    for did, text in docs.items():
+        toks = [t for t in text.split(" ") if t]
+        n = len(toks)
+        if n == 0:
+            continue
+        n_chunks = 1 if n <= size else -(-(n - size) // stride) + 1
+        for ci in range(n_chunks):
+            piece = toks[ci * stride : ci * stride + size]
+            v = [0.0] * 64
+            for t in piece:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 64
+                v[b] += 1.0
+            vecs[did * 1000 + ci] = v
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a)) or 1.0
+        db = math.sqrt(sum(x * x for x in b)) or 1.0
+        s = round(num / (da * db), 4)
+        return s + 0.0
+
+    q_pids = sorted(p for p in vecs if (p // 1000) % 97 == 0)[:64]
+    want = {}
+    for q in q_pids:
+        scored = sorted(
+            (
+                (-cos(vecs[q], v), p)
+                for p, v in vecs.items()
+                if p != q and p // 1000 != q // 1000
+            ),
+        )[:3]
+        for rn, (negs, p) in enumerate(scored, start=1):
+            want[(q, rn)] = (p, -negs)
+    assert got == want
