@@ -45,6 +45,10 @@ from n2kupdate_spark.operators.corpus import (  # noqa: E402
 from n2kupdate_spark.operators.tokenizer import (  # noqa: E402
     bpe_encode,
     learn_bpe_merges,
+    learn_unigram_vocab,
+    learn_wordpiece_vocab,
+    unigram_encode,
+    wordpiece_encode,
 )
 from n2kupdate_spark.session import get_spark  # noqa: E402
 from n2kupdate_spark.sources import load  # noqa: E402
@@ -64,8 +68,21 @@ def main() -> None:
         "norm_text", "text"
     )
 
-    # 2-3. learn the vocabulary, then encode with it
+    # 2a. family bake-off (r12): all three published learners share the
+    #     same bounded type-table fit, so comparing fertility before
+    #     committing to a vocabulary costs three cheap fits + map encodes
     merges = learn_bpe_merges(norm, num_merges=200)
+    ug = learn_unigram_vocab(norm, vocab_size=40)
+    wp = learn_wordpiece_vocab(norm, num_merges=200)
+    for fam, enc_df, col in (
+        ("bpe", bpe_encode(norm, merges), "n_bpe_tokens"),
+        ("unigram", unigram_encode(norm, ug), "n_ug_tokens"),
+        ("wordpiece", wordpiece_encode(norm, wp), "n_wp_tokens"),
+    ):
+        t = enc_df.agg(F.sum(col)).collect()[0][0]
+        print(f"  {fam:9s}: {t} corpus tokens")
+
+    # 2b-3. commit to BPE for the rest of the pipeline, encode with it
     enc = bpe_encode(norm, merges, carry_cols=("source",))
     fertility = enc.agg(
         (F.sum("n_bpe_tokens") / F.count(F.lit(1))).alias("tok_per_doc")
