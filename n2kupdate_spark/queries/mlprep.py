@@ -1316,3 +1316,51 @@ def corpus_passage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register("ts_anomaly_zscore")  # rows-only (r9 capacity policy, headroom
+# preserved): cross-engine verification still runs EVERY pytest via a
+# local DuckDB recompute pin (tests/test_parity.py — the
+# perplexity-buckets precedent), it just doesn't burn a driver slot
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over each user's event series —
+    the standard metrics-monitoring rule: score each event against the
+    mean/σ of its PRECEDING 20 events (current row excluded — an outlier
+    must not mask itself), flag |z| ≥ 3, suppress scores with fewer than
+    5 priors (cold-start noise) or σ = 0 (constant window: z undefined,
+    never flagged). Emits (user_id, event_id, ts_s, value, n_prior,
+    z_score 4dp, is_anomaly).
+
+    Scale: ONE shuffle (the per-user window); the frame is
+    rows-bounded (20), so state per row is O(1) and the plan is a
+    single WindowExec over the sorted partition — no self-joins, no
+    Python. Deterministic order: (ts_s, event_id)."""
+    e = load(
+        spark, sf_dir, "events", columns=["user_id", "event_id", "value", "ts"]
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mean = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n_prior = F.count("value").over(w)
+    z = F.when(
+        (n_prior >= 5) & sd.isNotNull() & (sd > 0),
+        F.round((F.col("value") - mean) / sd * 10000) / 10000,
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        "value",
+        n_prior.cast("int").alias("n_prior"),
+        z.alias("z_score"),
+        (z.isNotNull() & (F.abs(z) >= 3.0)).alias("is_anomaly"),
+    )

@@ -75,6 +75,7 @@ OPS = [
     "text_chunk_overlap",       # pure-codegen explode/slice window chunking, zero shuffle
     "ts_downsample_lttb",       # per-key applyInPandas, n_out-bounded numpy per series
     "corpus_passage_search",    # chunk + hashed-tf embed + pruned matmul top-k
+    "ts_anomaly_zscore",        # per-user rows-bounded rolling window, O(1)/row
 ]
 
 

@@ -316,3 +316,56 @@ def test_hard_negatives_duckdb_pinned(spark, sf_dir, oracle_con):
     }
     top_neg = spdf[spdf.rn == 1].set_index("q_id").cos_sim
     assert all(top_neg[q] <= best[q] for q in top_neg.index)
+
+
+def test_ts_anomaly_zscore_matches_duckdb(spark, sf_dir, oracle_con):
+    """ts_anomaly_zscore (rows-only, r12): full-result equality vs a
+    DuckDB recompute of the same rolling frame (ROWS BETWEEN 20
+    PRECEDING AND 1 PRECEDING over (ts, event_id) order, stddev_samp,
+    min-5-priors + sigma>0 gating, scale-first 4dp) — the cross-engine
+    check runs every pytest without burning a driver oracle slot (the
+    perplexity-buckets precedent)."""
+    from n2kupdate_spark.queries import QUERIES
+
+    got = {
+        r["event_id"]: (
+            r["n_prior"],
+            r["z_score"],
+            r["is_anomaly"],
+        )
+        for r in QUERIES["ts_anomaly_zscore"](spark, sf_dir).collect()
+    }
+    want_rows = oracle_con.execute(
+        """
+        WITH e AS (
+            SELECT event_id, user_id, value,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+            FROM events
+        ),
+        scored AS (
+            SELECT event_id,
+                   COUNT(value) OVER w AS n_prior,
+                   AVG(value) OVER w AS m,
+                   STDDEV_SAMP(value) OVER w AS sd,
+                   value
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, CAST(n_prior AS INT) AS n_prior,
+               CASE WHEN n_prior >= 5 AND sd IS NOT NULL AND sd > 0
+                    THEN ROUND((value - m) / sd * 10000) / 10000 END AS z,
+               COALESCE(ABS(CASE WHEN n_prior >= 5 AND sd IS NOT NULL
+                                      AND sd > 0
+                                 THEN ROUND((value - m) / sd * 10000) / 10000
+                            END) >= 3.0, FALSE) AS is_anomaly
+        FROM scored
+        """
+    ).fetchall()
+    want = {r[0]: (r[1], r[2], r[3]) for r in want_rows}
+    assert got.keys() == want.keys()
+    mismatches = [
+        (k, got[k], want[k]) for k in got if got[k] != want[k]
+    ]
+    assert not mismatches, mismatches[:5]
+    assert any(v[2] for v in got.values())  # the rule demonstrably fires
