@@ -104,3 +104,93 @@ def lttb_downsample(
         .groupBy(key_col)
         .applyInPandas(_one_key, schema=schema)
     )
+
+
+def _cusum_walk(vals, mu0, sigma, slack_k, threshold_h):
+    """Tabular CUSUM (Page 1954) over one calibrated series segment:
+    S⁺_t = max(0, S⁺_{t−1} + (x_t − μ0 − kσ)), S⁻ symmetric; alarm when
+    either sum crosses hσ, then both sums reset to 0 (the standard
+    restart — detection continues against the same baseline). Returns
+    [(offset, direction, s_value)] per alarm."""
+    s_pos = s_neg = 0.0
+    k = slack_k * sigma
+    h = threshold_h * sigma
+    out = []
+    for i, x in enumerate(vals):
+        s_pos = max(0.0, s_pos + (x - mu0 - k))
+        s_neg = max(0.0, s_neg + (mu0 - x - k))
+        if s_pos > h:
+            out.append((i, "up", s_pos))
+            s_pos = s_neg = 0.0
+        elif s_neg > h:
+            out.append((i, "down", s_neg))
+            s_pos = s_neg = 0.0
+    return out
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    calib: int = 20,
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts_s",
+    val_col: str = "value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Mean-shift changepoint detection per key with tabular CUSUM (Page
+    1954) — the sequential test that detects SMALL persistent level
+    shifts a per-point z-score misses entirely (each post-shift point
+    can sit within ±3σ while their cumulative drift is unbounded).
+    Baseline μ0/σ estimate on each series' first ``calib`` points
+    (population σ; series shorter than ``calib`` + 2, or with σ = 0,
+    emit nothing — no baseline to test against); the walk runs over the
+    remainder with slack ``k·σ`` and alarm threshold ``h·σ``, resetting
+    both sums after each alarm. Emits (``key_col``, ``ts_col``,
+    ``val_col``, direction up/down, s_value 4dp) — one row per alarm,
+    output ∝ changepoints, not events.
+
+    Scale shape: ONE shuffle (per-key applyInPandas); the walk is the
+    sequential dependence that has no SQL form, O(series) per key.
+    Deterministic: (ts, order_col) stable sort. Pinned against an
+    independent python recompute + planted-shift/stationary behavior in
+    tests/test_mlprep_props.py."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    sort_cols = [ts_col] + ([order_col] if order_col else [])
+    cols = [key_col, ts_col, val_col] + ([order_col] if order_col else [])
+
+    def _one_key(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        vals = pdf[val_col].to_numpy(dtype=float)
+        empty = pdf.iloc[0:0][[key_col, ts_col, val_col]].assign(
+            direction=pd.Series(dtype="str"),
+            s_value=pd.Series(dtype="float64"),
+        )
+        if len(vals) < calib + 2:
+            return empty
+        mu0 = float(vals[:calib].mean())
+        sigma = float(vals[:calib].std())
+        if sigma <= 0.0:
+            return empty
+        alarms = _cusum_walk(vals[calib:], mu0, sigma, slack_k, threshold_h)
+        if not alarms:
+            return empty
+        idx = [calib + off for off, _, _ in alarms]
+        out = pdf.iloc[idx][[key_col, ts_col, val_col]].copy()
+        out["direction"] = [d for _, d, _ in alarms]
+        out["s_value"] = [round(s, 4) for _, _, s in alarms]
+        return out
+
+    schema = (
+        f"{key_col} {events.schema[key_col].dataType.simpleString()}, "
+        f"{ts_col} {events.schema[ts_col].dataType.simpleString()}, "
+        f"{val_col} {events.schema[val_col].dataType.simpleString()}, "
+        f"direction string, s_value double"
+    )
+    return (
+        events.select(*cols)
+        .groupBy(key_col)
+        .applyInPandas(_one_key, schema=schema)
+    )

@@ -1364,3 +1364,34 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         (z.isNotNull() & (F.abs(z) >= 3.0)).alias("is_anomaly"),
     )
+
+
+@register("ts_changepoint_cusum")  # rows-only (§2 legend: the walk's
+# alarm-reset state has no SQL form); independent python recompute +
+# planted-shift/stationary behavior pinned in tests/test_mlprep_props.py
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint detection per user with tabular CUSUM
+    (Page 1954) — the sequential test that catches SMALL persistent
+    level shifts the per-point z-score ops miss (each post-shift point
+    sits near baseline; the cumulative drift is unbounded — pinned at a
+    +1.2σ planted shift where |z|≥3 fires on only ~12% of shifted
+    points). Baseline μ0/σ calibrates on each series' first 20 events;
+    slack 0.5σ, alarm at 5σ, sums reset per alarm. Output ∝ alarms, not
+    events. Completes the monitoring trio (rolling z-score outliers,
+    LTTB rendering, CUSUM level shifts).
+
+    Scale: ONE per-user applyInPandas shuffle; the walk is O(series)
+    per key — see operators/timeseries.py::cusum_changepoints."""
+    from n2kupdate_spark.operators.timeseries import cusum_changepoints
+
+    e = load(
+        spark, sf_dir, "events", columns=["user_id", "event_id", "value", "ts"]
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    return cusum_changepoints(e, calib=20, order_col="event_id").orderBy(
+        "user_id", "ts_s"
+    )

@@ -76,6 +76,7 @@ OPS = [
     "ts_downsample_lttb",       # per-key applyInPandas, n_out-bounded numpy per series
     "corpus_passage_search",    # chunk + hashed-tf embed + pruned matmul top-k
     "ts_anomaly_zscore",        # per-user rows-bounded rolling window, O(1)/row
+    "ts_changepoint_cusum",     # per-key applyInPandas CUSUM walk, output ∝ alarms
 ]
 
 

@@ -1343,3 +1343,84 @@ def test_corpus_passage_search_matches_python_recompute(spark):
         for rn, (negs, p) in enumerate(scored, start=1):
             want[(q, rn)] = (p, -negs)
     assert got == want
+
+
+def test_cusum_changepoints_reference_and_planted_shift(spark):
+    """r12: tabular CUSUM vs an independent python recompute on mixed
+    series, plus behavior pins: (1) a planted +1.2σ mean shift alarms
+    within a few points of the shift (direction 'up') while a per-point
+    |z|>=3 test over the same series fires on only a ~12% sliver of
+    post-shift points (the small-persistent-shift case CUSUM exists
+    for — cumulative drift is unbounded while each point sits near
+    baseline); (2) a stationary series produces no
+    alarms at h=5; (3) a downward shift alarms 'down'; (4) short and
+    constant-baseline series emit nothing."""
+    import math
+    import random
+
+    from n2kupdate_spark.operators.timeseries import cusum_changepoints
+
+    rng = random.Random(3)
+
+    def noise():
+        return rng.gauss(0.0, 1.0)
+
+    series = {
+        # 40 baseline + 60 shifted by +1.2 (sigma≈1): must alarm 'up'
+        0: [10.0 + noise() for _ in range(40)] + [11.2 + noise() for _ in range(60)],
+        # stationary: no alarms
+        1: [5.0 + noise() for _ in range(100)],
+        # downward shift
+        2: [3.0 + noise() for _ in range(40)] + [1.0 + noise() for _ in range(60)],
+        # too short
+        3: [1.0, 2.0, 3.0],
+        # constant baseline (sigma 0)
+        4: [7.0] * 50,
+    }
+    rows = [
+        (k, float(i), v) for k, vals in series.items() for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_s", "value"])
+    got: dict = {}
+    for r in cusum_changepoints(df, calib=20).collect():
+        got.setdefault(r["user_id"], []).append(
+            (r["ts_s"], r["direction"], r["s_value"])
+        )
+
+    # independent recompute
+    def ref(vals, calib=20, k=0.5, h=5.0):
+        if len(vals) < calib + 2:
+            return []
+        mu = sum(vals[:calib]) / calib
+        sig = math.sqrt(sum((x - mu) ** 2 for x in vals[:calib]) / calib)
+        if sig <= 0:
+            return []
+        sp = sn = 0.0
+        out = []
+        for i in range(calib, len(vals)):
+            sp = max(0.0, sp + (vals[i] - mu - k * sig))
+            sn = max(0.0, sn + (mu - vals[i] - k * sig))
+            if sp > h * sig:
+                out.append((float(i), "up", round(sp, 4)))
+                sp = sn = 0.0
+            elif sn > h * sig:
+                out.append((float(i), "down", round(sn, 4)))
+                sp = sn = 0.0
+        return out
+
+    for kkey, vals in series.items():
+        want = ref(vals)
+        assert sorted(got.get(kkey, [])) == sorted(want), kkey
+
+    # planted-shift behavior
+    ups = [t for t, d, _ in got[0] if d == "up"]
+    assert ups and 40 <= min(ups) <= 55  # alarms shortly after the shift
+    assert 1 not in got  # stationary silent
+    assert any(d == "down" for _, d, _ in got[2])
+    assert 3 not in got and 4 not in got
+    # the z-score foil: per-point 3-sigma testing catches only a sliver
+    # of the shifted regime that CUSUM flags outright
+    mu = sum(series[0][:20]) / 20
+    sig = math.sqrt(sum((x - mu) ** 2 for x in series[0][:20]) / 20)
+    frac = sum(1 for x in series[0][40:] if abs(x - mu) / sig >= 3.0) / 60
+    assert frac < 0.2
