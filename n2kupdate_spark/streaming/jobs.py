@@ -849,3 +849,113 @@ def stream_corpus_publish(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+CUSUM_OUT_SCHEMA = (
+    "user_id long, ts_s long, value double, direction string, "
+    "s_value double, n_seen long"
+)
+CUSUM_STATE_SCHEMA = (
+    "n long, s1 double, s2 double, mu double, sigma double, "
+    "s_pos double, s_neg double"
+)
+
+
+def _cusum_stream_fold(calib: int, slack_k: float, threshold_h: float):
+    """Per-user fold for :func:`stream_changepoint_cusum`: the tabular
+    CUSUM walk (operators/timeseries.py::_cusum_walk semantics) held as
+    7 scalars of per-user state. Phase 1 (n < calib) accumulates
+    (n, Σx, Σx²); the row that completes calibration fixes μ0 = Σx/calib
+    and population σ (σ ≤ 0 → degenerate: state keeps σ = 0 and the user
+    never alarms, mirroring the batch operator's empty result); phase 2
+    advances S⁺/S⁻ per row, emits an alarm row when either crosses h·σ
+    and resets both sums — identical arithmetic to the batch walk, so a
+    single-batch stream equals the batch operator row-for-row and any
+    batch split of the same arrival order produces the same alarms
+    (pinned in tests/test_streaming.py). Within a micro-batch rows walk
+    in (ts_s, event_id) order; across batches arrival order IS the
+    stream order (the streaming contract — there is no future to sort)."""
+
+    def fold(key, pdf_iter, state):
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            n, s1, s2, mu, sigma, s_pos, s_neg = state.get
+        else:
+            n, s1, s2, mu, sigma, s_pos, s_neg = 0, 0.0, 0.0, None, None, 0.0, 0.0
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts_s", "event_id"])
+        out_ts, out_val, out_dir, out_s, out_n = [], [], [], [], []
+        for ts_s, value in zip(rows["ts_s"], rows["value"]):
+            n += 1
+            if mu is None:
+                s1 += float(value)
+                s2 += float(value) * float(value)
+                if n == calib:
+                    mu = s1 / calib
+                    var = s2 / calib - mu * mu
+                    sigma = math.sqrt(var) if var > 0 else 0.0
+                continue
+            if sigma <= 0.0:
+                continue  # degenerate baseline: never alarms
+            k = slack_k * sigma
+            h = threshold_h * sigma
+            s_pos = max(0.0, s_pos + (float(value) - mu - k))
+            s_neg = max(0.0, s_neg + (mu - float(value) - k))
+            if s_pos > h or s_neg > h:
+                up = s_pos > h
+                out_ts.append(int(ts_s))
+                out_val.append(float(value))
+                out_dir.append("up" if up else "down")
+                out_s.append(round(s_pos if up else s_neg, 4))
+                out_n.append(n)
+                s_pos = s_neg = 0.0
+        state.update((n, s1, s2, mu, sigma, s_pos, s_neg))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "user_id": int(key[0]),
+                    "ts_s": out_ts,
+                    "value": out_val,
+                    "direction": out_dir,
+                    "s_value": out_s,
+                    "n_seen": out_n,
+                }
+            )
+
+    return fold
+
+
+def stream_changepoint_cusum(
+    events: DataFrame,
+    calib: int = 20,
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+) -> DataFrame:
+    """Streaming mean-shift changepoint detection — the stateful form of
+    :func:`operators.timeseries.cusum_changepoints` (tabular CUSUM, Page
+    1954) for a live metrics/ingest stream: per-user state is SEVEN
+    scalars forever (calibration moments + μ0/σ + the two cumulative
+    sums), so unlike windowed anomaly detection there is no per-event
+    state growth at any stream length; alarms emit as they happen,
+    output ∝ level shifts, not traffic. Degenerate baselines (σ = 0)
+    never alarm; arrival order is the stream order across micro-batches
+    (within a batch rows sort by (ts_s, event_id)).
+
+    Scale: the one shuffle is the per-user state partitioning every
+    applyInPandasWithState op pays; the fold is O(batch rows) with O(1)
+    state per user — checkpoint size ∝ distinct users, not events."""
+    prepped = events.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _cusum_stream_fold(calib, slack_k, threshold_h),
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -1560,3 +1560,149 @@ def test_bloom_folds_match_sequential_reference():
     want_s = ref_scalable(batches, m0, k, budget)
     got_s = drive(lambda: _scalable_bloom_fold(m0, k, budget), batches)
     assert got_s == want_s
+
+
+def test_stream_cusum_fold_matches_batch_and_split(spark):
+    """r12: the streaming CUSUM fold must equal the batch operator
+    row-for-row when fed a whole series in one micro-batch, and any
+    batch SPLIT of the same arrival order — including one that cuts the
+    calibration window in half — must produce identical alarms via the
+    carried 7-scalar state. Degenerate (constant-baseline) users alarm
+    never; the checkpointed state stays 7 scalars regardless of rows."""
+    import random
+
+    import pandas as pd
+
+    from n2kupdate_spark.operators.timeseries import cusum_changepoints
+    from n2kupdate_spark.streaming.jobs import _cusum_stream_fold
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    rng = random.Random(5)
+    series = (
+        [10.0 + rng.gauss(0, 1) for _ in range(40)]
+        + [11.5 + rng.gauss(0, 1) for _ in range(60)]
+    )
+    rows = [(7, float(i), i, v) for i, (v) in enumerate(series)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_s", "event_id", "value"])
+
+    def run_stream(batches):
+        fold, st = _cusum_stream_fold(20, 0.5, 5.0), FakeState()
+        out = []
+        for b in batches:
+            for o in fold((7,), iter([b]), st):
+                out.extend(
+                    (r.ts_s, r.direction, r.s_value) for r in o.itertuples()
+                )
+        return out, st.get
+
+    one, state_one = run_stream([pdf])
+    # batch operator on the same series
+    df = spark.createDataFrame(
+        [(7, float(i), i, v) for i, v in enumerate(series)],
+        ["user_id", "ts_s", "event_id", "value"],
+    )
+    want = [
+        (r["ts_s"], r["direction"], r["s_value"])
+        for r in cusum_changepoints(df, calib=20, order_col="event_id")
+        .orderBy("ts_s")
+        .collect()
+    ]
+    assert one == want and want  # non-vacuous: the shift alarms
+
+    # splits: mid-calibration, at the boundary, many small batches
+    for cuts in ([10], [20], [13, 37, 61], list(range(5, 100, 5))):
+        parts, lo = [], 0
+        for c in cuts + [len(pdf)]:
+            parts.append(pdf.iloc[lo:c])
+            lo = c
+        split, state_split = run_stream([p for p in parts if len(p)])
+        assert split == one, cuts
+        assert state_split == state_one, cuts
+    assert len(state_one) == 7
+
+    # constant baseline: never alarms, state records sigma 0
+    const = pd.DataFrame(
+        [(9, float(i), i, 5.0) for i in range(60)],
+        columns=["user_id", "ts_s", "event_id", "value"],
+    )
+    fold, st = _cusum_stream_fold(20, 0.5, 5.0), FakeState()
+    assert list(fold((9,), iter([const]), st)) == []
+    assert st.get[4] == 0.0  # sigma
+
+
+def test_stream_cusum_e2e_resumed_checkpoint(spark, tmp_path):
+    """r12 e2e: calibration survives a checkpoint resume — run 1 streams
+    a stationary prefix (calibrates, no alarms), run 2 resumes the
+    checkpoint and streams the shifted tail: the alarm fires WITHOUT
+    recalibration (state carried μ0/σ across runs), at the level run 1
+    established."""
+    import pandas as pd
+
+    from n2kupdate_spark.sources.catalog import SCHEMAS
+    from n2kupdate_spark.streaming import stream_changepoint_cusum
+    from n2kupdate_spark.streaming.jobs import events_file_stream
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def write_events(rows):
+        spark.createDataFrame(
+            [
+                (eid, pd.Timestamp(2026, 1, 1).value // 10**9 + i, uid, "t", v)
+                for eid, i, uid, v in rows
+            ],
+            "event_id long, ts_i long, user_id long, event_type string, value double",
+        ).select(
+            "event_id",
+            F.col("ts_i").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            F.col("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        emitted = []
+        q = (
+            stream_changepoint_cusum(events_file_stream(spark, src), calib=20)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, eid: emitted.append(df.toPandas()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        frames = [p for p in emitted if len(p)]
+        return pd.concat(frames) if frames else pd.DataFrame()
+
+    from pyspark.sql import functions as F
+
+    # run 1: 30 stationary points (value 10 ± small deterministic wiggle)
+    write_events(
+        [(i, i, 1, 10.0 + ((i * 7) % 5 - 2) * 0.1) for i in range(30)]
+    )
+    got1 = drain()
+    assert len(got1) == 0  # stationary: calibrated, silent
+
+    # run 2 (resumed): 30 shifted points — must alarm using run-1 baseline
+    write_events(
+        [(100 + i, 100 + i, 1, 12.0 + ((i * 7) % 5 - 2) * 0.1) for i in range(30)]
+    )
+    got2 = drain()
+    assert len(got2) >= 1
+    assert set(got2["direction"]) == {"up"}
+    assert int(got2["n_seen"].min()) > 30  # counted past run 1's rows
