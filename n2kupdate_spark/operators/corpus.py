@@ -2029,3 +2029,113 @@ def chunk_documents(
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def stratified_neyman(
+    rows: DataFrame,
+    total_n: int,
+    stratum_col: str,
+    id_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Budgeted stratified sampling with NEYMAN ALLOCATION (Neyman 1934,
+    the optimum-allocation result every sampling textbook teaches):
+    split a fixed sample budget across strata ∝ N_h·σ_h, so
+    high-variance strata get proportionally MORE of the budget than
+    plain proportional allocation — the minimum-variance estimator of
+    the population mean at a fixed n. The practical corpus use: sampling
+    a validation set where volatile sources deserve more scrutiny per
+    row than uniform ones.
+
+    Allocation is exact-integer: largest-remainder rounding makes the
+    n_h sum to ``min(total_n, N)``, per-stratum caps n_h ≤ N_h are
+    enforced with iterative redistribution of the excess (strata order:
+    remainder desc, stratum asc — deterministic), and a stratum with
+    σ_h = 0 (or a single row) still receives its floor share via the
+    N_h·σ_h → 0 limit (it simply competes with weight 0; if EVERY
+    stratum has zero weight the allocation degrades to proportional).
+    Selection within a stratum is the content-addressed md5-rank rule
+    shared with reservoir_per_key — identical membership on every
+    engine/run/cluster size. Emits (``id_col``, ``stratum_col``, rk).
+
+    Scale shape: ONE #strata-row aggregate (count + population σ,
+    map-side partial) collected driver-side; the allocation arithmetic
+    is #strata-bounded; selection is one per-stratum window over
+    md5-ranked rows with the allocation inlined as a literal map — no
+    joins, one shuffle. Pinned against an independent python recompute
+    (allocation AND membership) at two sfs in
+    tests/test_mlprep_props.py."""
+    stats = {
+        r["__s"]: (int(r["__n"]), float(r["__sd"] or 0.0))
+        for r in rows.groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.stddev_pop(val_col).alias("__sd"),
+        )
+        .collect()
+    }
+    n_total = sum(n for n, _ in stats.values())
+    budget = min(total_n, n_total)
+    weights = {s: n * sd for s, (n, sd) in stats.items()}
+    if sum(weights.values()) <= 0.0:
+        weights = {s: float(n) for s, (n, _) in stats.items()}
+    alloc = _largest_remainder_capped(
+        weights, {s: n for s, (n, _) in stats.items()}, budget
+    )
+
+    hsh = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(hsh.asc(), F.col(id_col).asc())
+    alloc_map = F.create_map(
+        *[x for s in sorted(alloc) for x in (F.lit(s), F.lit(alloc[s]))]
+    )
+    return (
+        rows.select(id_col, stratum_col)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= alloc_map[F.col(stratum_col)])
+    )
+
+
+def _largest_remainder_capped(
+    weights: dict, caps: dict, budget: int
+) -> dict:
+    """Exact-integer proportional allocation: largest-remainder rounding
+    of ``budget`` across ``weights``, with per-key ``caps`` enforced by
+    iterative redistribution (a capped key's excess re-allocates over
+    the uncapped rest — terminates in ≤ #keys rounds). Deterministic
+    tie order (remainder desc, key asc). Driver-side over #strata keys."""
+    keys = sorted(weights)
+    alloc = {k: 0 for k in keys}
+    active = [k for k in keys if caps[k] > 0]
+    remaining = budget
+    while remaining > 0 and active:
+        tot_w = sum(weights[k] for k in active)
+        if tot_w <= 0.0:
+            tot_w = float(len(active))
+            shares = {k: remaining / len(active) for k in active}
+        else:
+            shares = {k: remaining * weights[k] / tot_w for k in active}
+        floors = {k: min(int(shares[k]), caps[k] - alloc[k]) for k in active}
+        give = sum(floors.values())
+        rema = sorted(
+            active,
+            key=lambda k: (-(shares[k] - int(shares[k])), k),
+        )
+        for k in rema:
+            if give >= remaining:
+                break
+            if alloc[k] + floors[k] < caps[k]:
+                floors[k] += 1
+                give += 1
+        for k in active:
+            alloc[k] += floors[k]
+        remaining -= give
+        active = [k for k in active if alloc[k] < caps[k]]
+        if give == 0 and remaining > 0 and active:
+            # all floors zero (tiny remainder): hand out 1 each by rule
+            for k in sorted(active):
+                if remaining == 0:
+                    break
+                alloc[k] += 1
+                remaining -= 1
+            active = [k for k in active if alloc[k] < caps[k]]
+    return alloc

@@ -1395,3 +1395,31 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(e, calib=20, order_col="event_id").orderBy(
         "user_id", "ts_s"
     )
+
+
+@register("sample_stratified_neyman")  # rows-only (r9 capacity policy,
+# headroom preserved): allocation + membership recomputed independently
+# in python at two sfs in tests/test_mlprep_props.py
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted stratified sampling with Neyman optimum allocation
+    (Neyman 1934): a ⌊N/10⌋ sample budget split across event-type strata
+    ∝ N_h·σ_h(value) — volatile strata get proportionally more of the
+    budget than plain proportional sampling, the minimum-variance
+    design at fixed n; exact-integer largest-remainder rounding, caps
+    redistributed, selection by the content-addressed md5 rank (stable
+    membership across runs/engines/cluster sizes). Complements the
+    rate-based `sample_stratified` (fixed per-stratum rates, no budget)
+    and the size-based `corpus_select_budget` (token budget, no strata).
+
+    Scale: one #strata-row aggregate collect + one per-stratum window
+    with the allocation inlined as a literal map — no joins, one
+    shuffle (operators/corpus.py::stratified_neyman)."""
+    from n2kupdate_spark.operators.corpus import stratified_neyman
+
+    e = load(
+        spark, sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+    budget = int(e.count()) // 10
+    return stratified_neyman(
+        e, budget, "event_type", "event_id", "value"
+    ).orderBy("event_type", "rk")

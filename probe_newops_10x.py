@@ -77,6 +77,7 @@ OPS = [
     "corpus_passage_search",    # chunk + hashed-tf embed + pruned matmul top-k
     "ts_anomaly_zscore",        # per-user rows-bounded rolling window, O(1)/row
     "ts_changepoint_cusum",     # per-key applyInPandas CUSUM walk, output ∝ alarms
+    "sample_stratified_neyman", # #strata-bounded collect + md5-rank window
 ]
 
 

@@ -1424,3 +1424,98 @@ def test_cusum_changepoints_reference_and_planted_shift(spark):
     sig = math.sqrt(sum((x - mu) ** 2 for x in series[0][:20]) / 20)
     frac = sum(1 for x in series[0][40:] if abs(x - mu) / sig >= 3.0) / 60
     assert frac < 0.2
+
+
+def test_stratified_neyman_matches_python_recompute(spark):
+    """r12: Neyman allocation + md5-rank membership recomputed
+    independently in python at two sfs — exact row-set equality — plus
+    the design properties: allocations sum to the budget, caps
+    respected, and on a constructed frame a high-variance stratum
+    receives MORE than its proportional share (the point of Neyman over
+    proportional)."""
+    import hashlib
+    import math
+
+    from n2kupdate_spark.operators.corpus import stratified_neyman
+    from n2kupdate_spark.sources import load
+
+    def ref(rows, total_n):
+        # rows: (id, stratum, value)
+        strata: dict = {}
+        for i, s, v in rows:
+            strata.setdefault(s, []).append((i, v))
+        stats = {}
+        for s, pts in strata.items():
+            vals = [v for _, v in pts]
+            mu = sum(vals) / len(vals)
+            sd = math.sqrt(sum((x - mu) ** 2 for x in vals) / len(vals))
+            stats[s] = (len(pts), sd)
+        n_total = sum(n for n, _ in stats.values())
+        budget = min(total_n, n_total)
+        weights = {s: n * sd for s, (n, sd) in stats.items()}
+        if sum(weights.values()) <= 0:
+            weights = {s: float(n) for s, (n, _) in stats.items()}
+        caps = {s: n for s, (n, _) in stats.items()}
+        # same largest-remainder-with-caps spec, independent code
+        alloc = {s: 0 for s in weights}
+        active = [s for s in sorted(weights) if caps[s] > 0]
+        remaining = budget
+        while remaining > 0 and active:
+            tw = sum(weights[s] for s in active)
+            if tw <= 0:
+                shares = {s: remaining / len(active) for s in active}
+            else:
+                shares = {s: remaining * weights[s] / tw for s in active}
+            floors = {s: min(int(shares[s]), caps[s] - alloc[s]) for s in active}
+            give = sum(floors.values())
+            for s in sorted(active, key=lambda k: (-(shares[k] - int(shares[k])), k)):
+                if give >= remaining:
+                    break
+                if alloc[s] + floors[s] < caps[s]:
+                    floors[s] += 1
+                    give += 1
+            for s in active:
+                alloc[s] += floors[s]
+            remaining -= give
+            active = [s for s in active if alloc[s] < caps[s]]
+            if give == 0 and remaining > 0 and active:
+                for s in sorted(active):
+                    if remaining == 0:
+                        break
+                    alloc[s] += 1
+                    remaining -= 1
+                active = [s for s in active if alloc[s] < caps[s]]
+        picked = set()
+        for s, pts in strata.items():
+            ranked = sorted(
+                pts, key=lambda p: (hashlib.md5(str(p[0]).encode()).hexdigest(), p[0])
+            )
+            picked.update((i, s) for i, _ in ranked[: alloc[s]])
+        return picked, alloc
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load(spark, sf, "events", columns=["event_id", "event_type", "value"])
+        rows = [(r["event_id"], r["event_type"], r["value"]) for r in e.collect()]
+        budget = len(rows) // 10
+        got = {
+            (r["event_id"], r["event_type"])
+            for r in stratified_neyman(
+                e, budget, "event_type", "event_id", "value"
+            ).collect()
+        }
+        want, alloc = ref(rows, budget)
+        assert got == want, sf
+        assert sum(alloc.values()) == budget
+
+    # Neyman beats proportional where variance is skewed: stratum 'hi'
+    # has 10x the sigma of 'lo' at equal size -> gets ~10/11 of budget
+    rows = [(i, "hi", float((i * 13) % 100)) for i in range(200)] + [
+        (1000 + i, "lo", float((i % 10) / 10.0)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = stratified_neyman(df, 40, "event_type", "event_id", "value")
+    by = {r["event_type"]: r["n"] for r in out.groupBy("event_type").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    lo = by.get("lo", 0)
+    assert by["hi"] >= 36 and by["hi"] + lo == 40  # σ-heavy stratum dominates
