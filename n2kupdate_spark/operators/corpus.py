@@ -2082,6 +2082,12 @@ def stratified_neyman(
     alloc = _largest_remainder_capped(
         weights, {s: n for s, (n, _) in stats.items()}, budget
     )
+    if not alloc:
+        # empty input: F.create_map() would type its keys as VOID and
+        # break the lookup — return the typed empty frame directly
+        return rows.select(id_col, stratum_col).limit(0).select(
+            "*", F.lit(None).cast("int").alias("rk")
+        )
 
     hsh = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy(stratum_col).orderBy(hsh.asc(), F.col(id_col).asc())

@@ -1519,3 +1519,32 @@ def test_stratified_neyman_matches_python_recompute(spark):
     ).collect()}
     lo = by.get("lo", 0)
     assert by["hi"] >= 36 and by["hi"] + lo == 40  # σ-heavy stratum dominates
+
+
+def test_stratified_neyman_edges(spark):
+    """r12: degenerate inputs return typed results, never crash — empty
+    frame (no strata: the literal allocation map would otherwise type as
+    VOID), single row, zero budget, budget exceeding N (everything
+    selected)."""
+    from pyspark.sql import types as T
+
+    from n2kupdate_spark.operators.corpus import stratified_neyman
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    out = stratified_neyman(empty, 10, "event_type", "event_id", "value")
+    assert out.columns == ["event_id", "event_type", "rk"]
+    assert out.count() == 0
+    one = spark.createDataFrame([(1, "a", 5.0)], schema)
+    assert stratified_neyman(one, 10, "event_type", "event_id", "value").count() == 1
+    assert stratified_neyman(one, 0, "event_type", "event_id", "value").count() == 0
+    four = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(4)], schema
+    )
+    assert stratified_neyman(four, 99, "event_type", "event_id", "value").count() == 4
