@@ -2145,3 +2145,54 @@ def _largest_remainder_capped(
                 remaining -= 1
             active = [k for k in active if alloc[k] < caps[k]]
     return alloc
+
+
+def sample_weighted_topk(
+    rows: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, the one-pass algorithm): each row draws u ∈ (0,1) and keeps
+    key u^(1/w); the k LARGEST keys are a weight-proportional sample —
+    the published way to realize importance weights as an actual
+    training subset (the Gumbel-resampling step
+    :func:`importance_weights` documents as the caller's job; this is
+    that caller). Computed in log space (ln(u)/w — the same ordering,
+    no underflow at tiny weights) with u CONTENT-ADDRESSED from
+    md5(id) (13 hex chars / 16¹³), so membership is deterministic
+    across runs/engines/cluster sizes like every sampler here; rows
+    with weight ≤ 0 or NULL can never be drawn. Emits
+    (``id_col``, ``weight_col``, es_key, sel_rank 1-based).
+
+    Scale shape: one map computes the key; the global top-k plans as
+    TakeOrderedAndProject (per-partition partial top-k merged on the
+    driver — no global sort, no single-task window); the final rank is
+    a window over k rows. Pinned against an independent python
+    recompute + planted-weight inclusion in tests/test_mlprep_props.py."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    # u = 0 is impossible only up to hash collision with zero — clamp to
+    # the smallest positive step so ln() stays finite either way
+    u = F.greatest(u, F.lit(1.0 / float(16**13)))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    scored = (
+        rows.filter(w.isNotNull() & (w > 0))
+        .select(id_col, weight_col, key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+    )
+    return scored.select(
+        id_col,
+        weight_col,
+        (F.round(F.col("es_key") * 10000) / 10000).alias("es_key"),
+        rk.alias("sel_rank"),
+    )

@@ -1423,3 +1423,32 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_neyman(
         e, budget, "event_type", "event_id", "value"
     ).orderBy("event_type", "rk")
+
+
+@register("sample_weighted_topk")  # rows-only (r9 capacity policy,
+# headroom preserved): membership + ranks recomputed independently in
+# python at two sfs in tests/test_mlprep_props.py
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis 2006)
+    over quality-scored documents: ⌊N/10⌋ docs drawn with probability ∝
+    lexical-diversity weight — the resampling step that turns
+    importance/DSIR weights into an actual training subset (the gap the
+    importance_weights docstring leaves to the caller). Deterministic:
+    u is content-addressed from md5(doc_id), so the sample is identical
+    on every run/engine/cluster size.
+
+    Scale: one map + TakeOrderedAndProject global top-k (per-partition
+    partial top-k merged on the driver — no global sort, no single-task
+    window) — see operators/corpus.py::sample_weighted_topk."""
+    from n2kupdate_spark.operators.corpus import sample_weighted_topk as es_topk
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("weight"),
+    )
+    k = int(scored.count()) // 10
+    return es_topk(scored, k, "weight").orderBy("sel_rank")

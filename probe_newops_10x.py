@@ -78,6 +78,7 @@ OPS = [
     "ts_anomaly_zscore",        # per-user rows-bounded rolling window, O(1)/row
     "ts_changepoint_cusum",     # per-key applyInPandas CUSUM walk, output ∝ alarms
     "sample_stratified_neyman", # #strata-bounded collect + md5-rank window
+    "sample_weighted_topk",     # ES06 log-key map + TakeOrderedAndProject
 ]
 
 

