@@ -2196,3 +2196,63 @@ def sample_weighted_topk(
         (F.round(F.col("es_key") * 10000) / 10000).alias("es_key"),
         rk.alias("sel_rank"),
     )
+
+
+def normalize_urls(
+    rows: DataFrame,
+    url_col: str = "url",
+    tracking_prefixes: tuple[str, ...] = ("utm_",),
+    tracking_params: tuple[str, ...] = ("gclid", "fbclid", "msclkid"),
+) -> DataFrame:
+    """URL canonicalization — the step crawl-level dedup starts with
+    (two fetches of one resource must map to one key before any content
+    dedup runs). The standard normalization set (RFC 3986 §6 syntax
+    invariants + the universal tracking-param scrub): lowercase scheme
+    and host, strip default ports (:80 http / :443 https), drop the
+    fragment, remove tracking query params (``utm_*`` prefixes and the
+    click-id set), SORT the surviving params (order-insensitive
+    canonical form), and trim a trailing slash off non-root paths.
+    Emits the input plus ``url_norm``.
+
+    Entirely JVM codegen — regexp captures + split/filter/sort/join
+    higher-order functions, no UDF: at 100 TB this is a pure map the
+    scan absorbs. Pinned against an independent python recompute on
+    adversarial forms (mixed case, explicit default/non-default ports,
+    tracking-only queries, fragments, root/non-root slashes) in
+    tests/test_mlprep_props.py."""
+    scheme = F.lower(F.regexp_extract(url_col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "/", path).otherwise(F.regexp_replace(path, "/$", ""))
+    query = F.regexp_extract(url_col, r"\?([^#]*)", 1)
+    is_tracking = None
+    for pfx in tracking_prefixes:
+        cond = lambda p, _pfx=pfx: F.startswith(p, F.lit(_pfx))  # noqa: E731
+        is_tracking = cond if is_tracking is None else (
+            lambda p, _a=is_tracking, _b=cond: _a(p) | _b(p)
+        )
+    tracked = F.array(*[F.lit(t) for t in tracking_params])
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~is_tracking(F.split(p, "=").getItem(0))
+            & ~F.array_contains(tracked, F.split(p, "=").getItem(0)),
+        )
+    )
+    qstr = F.array_join(kept, "&")
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+    return rows.withColumn("url_norm", norm)

@@ -1452,3 +1452,69 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = int(scored.count()) // 10
     return es_topk(scored, k, "weight").orderBy("sel_rank")
+
+
+def _messy_pseudo_url() -> "F.Column":
+    """A deliberately MESSY pseudo-URL per document (the payload-fixture
+    pattern, crawl edition): the clean _pseudo_url host/path wrapped in
+    the non-canonical forms real fetch logs carry, varied by doc_id
+    residues — uppercased scheme/host (%3==0), an explicit default port
+    (%4==0) or a real non-default port (%4==1), tracking params mixed
+    into unsorted real ones (%2==0), and a fragment (%5==0)."""
+    did = F.col("doc_id").cast("string")
+    host = F.concat(
+        F.lit("h"),
+        F.substring(F.md5(did), 1, 2),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example.com"),
+    )
+    host = F.when(
+        F.col("doc_id") % 3 == 0, F.upper(host)
+    ).otherwise(host)
+    scheme = F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS")).otherwise(
+        F.lit("https")
+    )
+    port = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(":8443"))
+        .otherwise(F.lit(""))
+    )
+    query = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("?utm_source=feed&z="), did, F.lit("&a=1&gclid=g")),
+    ).otherwise(F.lit(""))
+    frag = F.when(F.col("doc_id") % 5 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), host, port, F.lit("/"), did, F.lit("/"),
+        query, frag,
+    )
+
+
+@register("curation_url_normalize")  # rows-only (r9 capacity policy,
+# headroom preserved): every output recomputed by an independent python
+# normalizer in tests/test_mlprep_props.py
+def curation_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over the messy pseudo-crawl — the step
+    crawl-level dedup starts with: two fetch-log spellings of one
+    resource must map to one key BEFORE any content dedup runs
+    (lowercase scheme/host, strip default ports, drop fragments, scrub
+    utm_*/click-id params, sort survivors, trim non-root trailing
+    slashes). The fixture URLs vary case/port/params/fragment by doc_id
+    residues so every rule demonstrably fires (pinned non-vacuous per
+    rule). Emits (doc_id, url, url_norm, changed).
+
+    Scale: pure JVM map (regexp captures + split/filter/sort/join HOFs,
+    no UDF) the scan absorbs — see
+    operators/corpus.py::normalize_urls."""
+    from n2kupdate_spark.operators.corpus import normalize_urls
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source"]).select(
+        "doc_id", _messy_pseudo_url().alias("url")
+    )
+    return normalize_urls(d).select(
+        "doc_id",
+        "url",
+        "url_norm",
+        (F.col("url") != F.col("url_norm")).alias("changed"),
+    ).orderBy("doc_id")

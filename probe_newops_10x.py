@@ -79,6 +79,7 @@ OPS = [
     "ts_changepoint_cusum",     # per-key applyInPandas CUSUM walk, output ∝ alarms
     "sample_stratified_neyman", # #strata-bounded collect + md5-rank window
     "sample_weighted_topk",     # ES06 log-key map + TakeOrderedAndProject
+    "curation_url_normalize",   # pure regexp/HOF codegen map, zero shuffle
 ]
 
 

@@ -1586,3 +1586,61 @@ def test_sample_weighted_topk_matches_python_recompute(spark):
             for rk, (key, i, _) in enumerate(scored[:k], start=1)
         ]
         assert got == want, sf
+
+
+def test_url_normalize_matches_python_reference(spark):
+    """r12: normalize_urls vs an independent python normalizer (same
+    RFC-3986 rule set, separate parsing code) on BOTH the registered
+    query's messy fixture URLs at two sfs AND a hand-built adversarial
+    set; every rule pinned non-vacuous (case, default port, non-default
+    port kept, fragment, tracking scrub, param sort, trailing slash)."""
+    import re
+
+    from n2kupdate_spark.operators.corpus import normalize_urls
+    from n2kupdate_spark.queries import QUERIES
+
+    def ref(url):
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?([^#]*))?(#.*)?$", url)
+        scheme, hostport, path, _, query, _ = m.groups()
+        scheme = scheme.lower()
+        hostport = hostport.lower()
+        if scheme == "http" and hostport.endswith(":80"):
+            hostport = hostport[:-3]
+        if scheme == "https" and hostport.endswith(":443"):
+            hostport = hostport[:-4]
+        if path != "/" and path.endswith("/"):
+            path = path[:-1]
+        kept = []
+        for p in (query or "").split("&"):
+            if not p:
+                continue
+            k = p.split("=")[0]
+            if k.startswith("utm_") or k in ("gclid", "fbclid", "msclkid"):
+                continue
+            kept.append(p)
+        kept.sort()
+        return scheme + "://" + hostport + path + ("?" + "&".join(kept) if kept else "")
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = QUERIES["curation_url_normalize"](spark, sf).collect()
+        for r in rows:
+            assert r["url_norm"] == ref(r["url"]), r["url"]
+            assert r["changed"] == (r["url"] != r["url_norm"])
+        # each rule fires somewhere in the fixture
+        assert any("HTTPS" in r["url"] for r in rows)
+        assert any(":443" in r["url"] for r in rows)
+        assert any(":8443" in r["url_norm"] for r in rows)  # real port kept
+        assert any("#" in r["url"] for r in rows)
+        assert any("utm_" in r["url"] and "utm_" not in r["url_norm"] for r in rows)
+
+    adversarial = [
+        "HTTP://A.B:80/x/",
+        "https://a.b:443/",
+        "https://a.b/?utm_a=1&utm_b=2",      # tracking-only query drops the '?'
+        "https://a.b/p?c=2&b&a=1",           # bare param sorts too
+        "ftp://Weird.Host:80/f/",            # non-http scheme: port kept
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(adversarial)], ["i", "url"])
+    got = {r["i"]: r["url_norm"] for r in normalize_urls(df).collect()}
+    for i, u in enumerate(adversarial):
+        assert got[i] == ref(u), u
