@@ -42,74 +42,70 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
     diagnostics,
 )
 
-#: r12 window (planned by window_planner.py at round start, per the
-#: SURVEY §5.2 cadence; amended mid-round): 45/50 slots are MANDATORY — the 43 ops whose
-#: freshest driver row is r9 (the scalar/setop/reshape/sample families,
-#: text analysis ops, streaming batch-mode counts, source_csv/json,
-#: merge trio, udf/udtf surface, sim_cosine_topk, window_session_builtin)
-#: hit the ≤2-round freshness edge this round, PLUS the driver DEBUT of
-#: corpus_select_budget — the only r11-start oracle op with no driver row
-#: ever (registered mid-r11 after that window was committed; r8→r9
-#: corpus_gate_report precedent) — PLUS curation_domain_quality,
-#: registered mid-r12 while this window was still uncommitted, so it
-#: debuts immediately instead of waiting a round (it displaced the
-#: r10-green filler agg_mode_per_group). The remaining 5 slots are
-#: r10-green fillers (agg_collect_sorted .. agg_histogram_bins),
-#: pre-confirming r13's MUST set. Rows-only ops (sketches, sha1, ANN,
-#: fuzzy/semantic dedup, PQ variants) stay out — they'd burn slots on
-#: `no_oracle` rows; all are value-pinned locally (tests/test_parity.py,
+#: r13 window (planned by window_planner.py at round start, per the
+#: SURVEY §5.2 cadence): 45/50 slots are MANDATORY — the ops whose
+#: freshest driver row is r10 (the join family, window family, merges/
+#: scd2, setop *_all pair, scalar regex/bitwise/json-map surface,
+#: events/ts rollup batch ops, text quality/decontam/PII/LM-score ops,
+#: sampling/packing/leakage mlprep ops, diag_key_skew,
+#: multimodal_decode_stub, sink_partitioned_parquet) hit the ≤2-round
+#: freshness edge this round. The remaining 5 slots are r11-green
+#: fillers (agg_count_distinct .. agg_string_concat), pre-confirming
+#: r14's MUST set. Rows-only ops (sketches, sha1, ANN, fuzzy/semantic
+#: dedup, PQ variants) stay out — they'd burn slots on `no_oracle`
+#: rows; all are value-pinned locally (tests/test_parity.py,
 #: tests/test_sketch_accuracy.py, tests/test_ann_recall.py).
 _ROUND_WINDOW = [
-    "curation_domain_quality",
-    "corpus_select_budget",
-    "dedup_incremental_resume",
-    "diag_column_profile",
-    "embed_norm_stats",
-    "embed_quantize_int8",
-    "join_star_multiway",
-    "json_extract_field",
-    "merge_insert_ignore",
-    "merge_scd2_asof",
-    "merge_set_replace",
-    "multimodal_doc_join",
-    "reshape_pivot",
-    "reshape_unpivot",
-    "sample_hash_split",
-    "sample_stratified",
-    "scalar_case_when",
-    "scalar_date",
-    "scalar_math",
-    "scalar_null_handling",
-    "scalar_string",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "setop_union_distinct",
-    "sim_cosine_topk",
-    "source_csv",
-    "source_json",
-    "stream_session_agg",
-    "stream_sliding_counts",
-    "stream_tumbling_counts",
-    "text_fingerprint_rolling",
-    "text_langid_ngram",
-    "text_normalize",
-    "text_quality_score",
-    "text_stats_per_source",
-    "text_tfidf_topk",
-    "text_token_count",
-    "text_tokenize_counts",
-    "text_top_terms_per_lang",
-    "udaf_grouped_pandas",
-    "udf_pandas_vectorized",
-    "udf_scalar_py",
-    "udtf_py",
-    "window_session_builtin",
-    "agg_collect_sorted",
-    "agg_filtered_pivot",
-    "agg_group_sums",
-    "agg_having",
-    "agg_histogram_bins",
+    "agg_mode_per_group",
+    "agg_percentile_exact",
+    "diag_key_skew",
+    "events_anomaly_zscore",
+    "events_retention_cohorts",
+    "join_anti_new_rows",
+    "join_cross_small",
+    "join_full_outer_diff",
+    "join_interval_overlap",
+    "join_lateral_topn",
+    "join_left_outer",
+    "join_lookup_inner",
+    "join_semi_existing",
+    "join_skew_salted",
+    "join_theta_range",
+    "json_variant_agg",
+    "map_from_json",
+    "merge_scd1",
+    "merge_scd2_changes",
+    "merge_scd2_close",
+    "ml_split_leakage_audit",
+    "multimodal_decode_stub",
+    "pack_sequences_greedy",
+    "recursive_date_spine",
+    "sample_mixture_weights",
+    "scalar_bitwise",
+    "scalar_regex",
+    "scd2_window_rebuild",
+    "setop_except_all",
+    "setop_intersect_all",
+    "sink_partitioned_parquet",
+    "sort_multi_key",
+    "text_bigram_lm_score",
+    "text_decontaminate_ngram",
+    "text_feature_hashing",
+    "text_length_histogram",
+    "text_pii_redact",
+    "text_quality_gopher",
+    "topk_order_limit",
+    "ts_rollup_from_partials",
+    "window_lag_lead",
+    "window_ntile_pct",
+    "window_range_frame",
+    "window_running_sum",
+    "window_topn_per_group",
+    "agg_count_distinct",
+    "agg_grouping_cube",
+    "agg_grouping_rollup",
+    "agg_stats_moments",
+    "agg_string_concat",
 ]
 
 
