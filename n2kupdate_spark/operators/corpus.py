@@ -2230,21 +2230,34 @@ def normalize_urls(
         .otherwise(hostport)
     )
     path = F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    path = F.when(path == "/", path).otherwise(F.regexp_replace(path, "/$", ""))
+    # RFC 3986 §6.2.3: with an authority present, an EMPTY path is
+    # equivalent to "/" — unify them or "https://host" and
+    # "https://host/" stay two keys for one resource (r12 ADVICE)
+    path = (
+        F.when(path == "", F.lit("/"))
+        .when(path == "/", path)
+        .otherwise(F.regexp_replace(path, "/$", ""))
+    )
     query = F.regexp_extract(url_col, r"\?([^#]*)", 1)
-    is_tracking = None
-    for pfx in tracking_prefixes:
-        cond = lambda p, _pfx=pfx: F.startswith(p, F.lit(_pfx))  # noqa: E731
-        is_tracking = cond if is_tracking is None else (
-            lambda p, _a=is_tracking, _b=cond: _a(p) | _b(p)
-        )
-    tracked = F.array(*[F.lit(t) for t in tracking_params])
+
+    def _is_tracking(name):
+        # seeded with lit(False) so EMPTY prefix/param tuples mean
+        # "scrub nothing" instead of a None-call TypeError (r12 ADVICE);
+        # F.array() of zero literals is VOID-typed, so the param-set
+        # term is only added when the tuple is non-empty
+        cond = F.lit(False)
+        for pfx in tracking_prefixes:
+            cond = cond | F.startswith(name, F.lit(pfx))
+        if tracking_params:
+            cond = cond | F.array_contains(
+                F.array(*[F.lit(t) for t in tracking_params]), name
+            )
+        return cond
+
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
-            lambda p: (p != "")
-            & ~is_tracking(F.split(p, "=").getItem(0))
-            & ~F.array_contains(tracked, F.split(p, "=").getItem(0)),
+            lambda p: (p != "") & ~_is_tracking(F.split(p, "=").getItem(0)),
         )
     )
     qstr = F.array_join(kept, "&")

@@ -143,10 +143,14 @@ def cusum_changepoints(
     shifts a per-point z-score misses entirely (each post-shift point
     can sit within ±3σ while their cumulative drift is unbounded).
     Baseline μ0/σ estimate on each series' first ``calib`` points
-    (population σ; series shorter than ``calib`` + 2, or with σ = 0,
-    emit nothing — no baseline to test against); the walk runs over the
-    remainder with slack ``k·σ`` and alarm threshold ``h·σ``, resetting
-    both sums after each alarm. Emits (``key_col``, ``ts_col``,
+    (population σ; series with no post-calibration point — length ≤
+    ``calib`` — or with σ = 0 emit nothing: no walk to run / no baseline
+    to test against); the walk runs over the remainder with slack
+    ``k·σ`` and alarm threshold ``h·σ``, resetting both sums after each
+    alarm. The walk starts at the FIRST post-calibration point (r12
+    ADVICE: an earlier ``calib + 2`` length floor silently dropped
+    series of exactly ``calib + 1`` points that the streaming twin
+    alarms on — batch and stream are now row-equal at every length). Emits (``key_col``, ``ts_col``,
     ``val_col``, direction up/down, s_value 4dp) — one row per alarm,
     output ∝ changepoints, not events.
 
@@ -168,7 +172,7 @@ def cusum_changepoints(
             direction=pd.Series(dtype="str"),
             s_value=pd.Series(dtype="float64"),
         )
-        if len(vals) < calib + 2:
+        if len(vals) <= calib:
             return empty
         mu0 = float(vals[:calib].mean())
         sigma = float(vals[:calib].std())

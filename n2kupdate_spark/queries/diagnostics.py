@@ -195,17 +195,25 @@ def diag_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = learn_bpe_merges(d, num_merges=_BPE_MERGES)
     ug = learn_unigram_vocab(d, vocab_size=_UG_VOCAB)
     wp = learn_wordpiece_vocab(d, num_merges=_BPE_MERGES)
-    # base chars from DISTINCT words (bounded, partial-agged) rather than
-    # a full-corpus per-character explode (r12 review); distinct merge
+    # base chars aggregated ENGINE-side: per-row array_distinct bounds
+    # the explode at alphabet size per doc, the distinct partial-aggs,
+    # and the collect is alphabet-sized — distinct WORD types are
+    # unbounded at corpus scale, so collecting them (pre-r13 shape)
+    # violated the bounded-driver-traffic contract (r12 ADVICE).
+    # Space is the word delimiter in every learner, so stripping it
+    # first yields exactly the union of word characters. Distinct merge
     # products can collide on the joined string, so vocab sizes count
-    # the SET of symbols, not the merge-list length
+    # the SET of symbols, not the merge-list length.
     base_chars = {
-        ch
-        for r in d.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
+        r["ch"]
+        for r in d.select(
+            F.explode(
+                F.array_distinct(F.split(F.regexp_replace("text", " ", ""), ""))
+            ).alias("ch")
+        )
+        .filter(F.col("ch") != "")
         .distinct()
         .collect()
-        for ch in r["w"]
     }
     sizes = {
         "bpe": len(base_chars | {EOW} | {a + b for a, b in merges}),

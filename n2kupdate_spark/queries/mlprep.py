@@ -18,6 +18,12 @@ from n2kupdate_spark.sources import load
 #: the property random() splits lack (SURVEY.md §7.4.4 determinism rule).
 _BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
 
+#: corpus_passage_search packs (doc_id, chunk_id) into one long pid.
+#: Must exceed any plausible per-document chunk count (1e9 chunks ≈ a
+#: 56-gigatoken document at size 64 / stride 56) — and the op asserts
+#: chunk_id < this at runtime so overflow fails loudly (r12 ADVICE).
+_PASSAGE_PID_MULT = 1_000_000_000
+
 
 @register(
     "sample_hash_split",
@@ -1273,9 +1279,26 @@ def corpus_passage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n2kupdate_spark.operators.similarity import brute_topk_matmul
 
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # pid encodes (doc_id, chunk_id) in one long because the matmul
+    # scorer keys on a single id column. The multiplier must exceed any
+    # possible chunk count or passages collide/mislabel silently (r12
+    # ADVICE: a 1000 multiplier broke at ~56k-token docs); 1e9 chunks ≈
+    # a 56-GIGATOKEN single document, and the assert_true below makes
+    # even that fail LOUDLY instead of corrupting neighbor identity.
+    # Long range holds doc_id up to ~9.2e9 at this multiplier.
+    pid = (
+        F.col("doc_id").cast("long") * F.lit(_PASSAGE_PID_MULT).cast("long")
+        + F.col("chunk_id").cast("long")
+        + F.coalesce(
+            F.assert_true(
+                F.col("chunk_id") < F.lit(_PASSAGE_PID_MULT),
+                F.lit("chunk_id overflows the pid encoding"),
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
+    )
     chunks = chunk_documents(d, size=64, overlap=8).select(
-        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("pid"),
-        "chunk_text",
+        pid.alias("pid"), "chunk_text"
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long")
@@ -1292,17 +1315,18 @@ def corpus_passage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("v")
     )
+    # `div` is exact integer division on longs — floor(pid/mult) via
+    # doubles would lose low bits past 2^53 at extreme doc_id ranges
+    doc_of = f"div {_PASSAGE_PID_MULT}L"
     query_rows = (
-        vec.filter((F.col("pid") / 1000).cast("long") % 97 == 0)
+        vec.filter(F.expr(f"(pid {doc_of}) % 97 = 0"))
         .orderBy("pid")
         .limit(64)
         .collect()
     )
     cand = brute_topk_matmul(vec, query_rows, "pid", "v", k=24)
     # drop same-document passages (own overlap-siblings), then rank
-    same_doc = (F.col("q_id") / 1000).cast("long") == (
-        F.col("neighbor_id") / 1000
-    ).cast("long")
+    same_doc = F.expr(f"(q_id {doc_of}) = (neighbor_id {doc_of})")
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

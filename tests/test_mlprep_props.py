@@ -1294,6 +1294,7 @@ def test_corpus_passage_search_matches_python_recompute(spark):
     import math
 
     from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.mlprep import _PASSAGE_PID_MULT
     from n2kupdate_spark.sources import load
 
     sf = "/root/testdata/sf0.001"
@@ -1321,7 +1322,7 @@ def test_corpus_passage_search_matches_python_recompute(spark):
             for t in piece:
                 b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 64
                 v[b] += 1.0
-            vecs[did * 1000 + ci] = v
+            vecs[did * _PASSAGE_PID_MULT + ci] = v
 
     def cos(a, b):
         num = sum(x * y for x, y in zip(a, b))
@@ -1330,14 +1331,14 @@ def test_corpus_passage_search_matches_python_recompute(spark):
         s = round(num / (da * db), 4)
         return s + 0.0
 
-    q_pids = sorted(p for p in vecs if (p // 1000) % 97 == 0)[:64]
+    q_pids = sorted(p for p in vecs if (p // _PASSAGE_PID_MULT) % 97 == 0)[:64]
     want = {}
     for q in q_pids:
         scored = sorted(
             (
                 (-cos(vecs[q], v), p)
                 for p, v in vecs.items()
-                if p != q and p // 1000 != q // 1000
+                if p != q and p // _PASSAGE_PID_MULT != q // _PASSAGE_PID_MULT
             ),
         )[:3]
         for rn, (negs, p) in enumerate(scored, start=1):
@@ -1376,6 +1377,10 @@ def test_cusum_changepoints_reference_and_planted_shift(spark):
         3: [1.0, 2.0, 3.0],
         # constant baseline (sigma 0)
         4: [7.0] * 50,
+        # exactly calib+1 points with a huge post-calibration jump:
+        # the single walkable point must alarm (r12 ADVICE — the old
+        # calib+2 floor dropped this series while the stream alarmed)
+        5: [10.0 + noise() for _ in range(20)] + [25.0],
     }
     rows = [
         (k, float(i), v) for k, vals in series.items() for i, v in enumerate(vals)
@@ -1389,7 +1394,7 @@ def test_cusum_changepoints_reference_and_planted_shift(spark):
 
     # independent recompute
     def ref(vals, calib=20, k=0.5, h=5.0):
-        if len(vals) < calib + 2:
+        if len(vals) <= calib:
             return []
         mu = sum(vals[:calib]) / calib
         sig = math.sqrt(sum((x - mu) ** 2 for x in vals[:calib]) / calib)
@@ -1418,6 +1423,8 @@ def test_cusum_changepoints_reference_and_planted_shift(spark):
     assert 1 not in got  # stationary silent
     assert any(d == "down" for _, d, _ in got[2])
     assert 3 not in got and 4 not in got
+    # calib+1 boundary: the lone post-calibration point alarms
+    assert got[5] == [(20.0, "up", got[5][0][2])] and got[5][0][2] > 0
     # the z-score foil: per-point 3-sigma testing catches only a sliver
     # of the shifted regime that CUSUM flags outright
     mu = sum(series[0][:20]) / 20
@@ -1608,6 +1615,8 @@ def test_url_normalize_matches_python_reference(spark):
             hostport = hostport[:-3]
         if scheme == "https" and hostport.endswith(":443"):
             hostport = hostport[:-4]
+        if path == "":
+            path = "/"  # RFC 3986 §6.2.3 empty path ≡ "/" (r13)
         if path != "/" and path.endswith("/"):
             path = path[:-1]
         kept = []
@@ -1639,8 +1648,22 @@ def test_url_normalize_matches_python_reference(spark):
         "https://a.b/?utm_a=1&utm_b=2",      # tracking-only query drops the '?'
         "https://a.b/p?c=2&b&a=1",           # bare param sorts too
         "ftp://Weird.Host:80/f/",            # non-http scheme: port kept
+        "https://a.b",                       # empty path ≡ "/" (r12 ADVICE)
+        "https://a.b?x=1",                   # empty path + query
     ]
     df = spark.createDataFrame([(i, u) for i, u in enumerate(adversarial)], ["i", "url"])
     got = {r["i"]: r["url_norm"] for r in normalize_urls(df).collect()}
     for i, u in enumerate(adversarial):
         assert got[i] == ref(u), u
+    # "https://a.b" and "https://a.b/" must land on ONE canonical key
+    assert got[5] == "https://a.b/"
+
+    # empty scrub tuples mean "scrub nothing", not a TypeError (r12 ADVICE)
+    got0 = {
+        r["i"]: r["url_norm"]
+        for r in normalize_urls(
+            df, tracking_prefixes=(), tracking_params=()
+        ).collect()
+    }
+    assert got0[2] == "https://a.b/?utm_a=1&utm_b=2"
+    assert got0[0] == ref(adversarial[0])
