@@ -1542,3 +1542,147 @@ def curation_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_norm",
         (F.col("url") != F.col("url_norm")).alias("changed"),
     ).orderBy("doc_id")
+
+
+def _messy_pseudo_fetch() -> "F.Column":
+    """A pseudo-FETCH-LOG url per document (the payload-fixture pattern,
+    dedup edition): every 3 consecutive doc_ids are three fetches of ONE
+    resource (rid = doc_id div 3), each spelled with different
+    non-canonical noise — plain with sorted params, uppercased scheme/
+    host + explicit :443 + trailing slash + unsorted params + a utm
+    param, and a click-id + fragment variant. Normalization must
+    collapse all three onto one canonical key; every 7th resource's
+    third fetch carries a genuinely DIFFERENT real param (a=2), so some
+    fetches are true distinct resources and the dedup is demonstrably
+    not collapse-everything. ~256 hosts derive from md5(rid), giving a
+    real per-host rollup."""
+    rid = F.expr("doc_id div 3")
+    rids = rid.cast("string")
+    v = F.col("doc_id") % 3
+    host = F.concat(
+        F.lit("h"), F.substring(F.md5(rids), 1, 2), F.lit(".example.com")
+    )
+    base = F.concat(F.lit("https://"), host, F.lit("/r/"), rids)
+    return (
+        F.when(v == 0, F.concat(base, F.lit("?a=1&b=2")))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://"),
+                F.upper(host),
+                F.lit(":443/r/"),
+                rids,
+                F.lit("/?b=2&a=1&utm_source=feed"),
+            ),
+        )
+        .when(rid % 7 == 0, F.concat(base, F.lit("?a=2&b=2#top")))
+        .otherwise(F.concat(base, F.lit("?gclid=g&b=2&a=1#sec")))
+    )
+
+
+#: DuckDB twin of normalize_urls' rule set over the fetch fixture — the
+#: corpus_gate_report CTE precedent: the oracle EMBEDS the normalizer's
+#: SQL so the composite and the component cannot drift.
+_URL_DEDUP_ORACLE = """
+    WITH raw AS (
+      SELECT doc_id, doc_id // 3 AS rid, doc_id % 3 AS v,
+             'h' || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 2)
+                 || '.example.com' AS host
+      FROM documents),
+    fetched AS (
+      SELECT doc_id,
+        CASE
+          WHEN v = 0 THEN 'https://' || host || '/r/' || CAST(rid AS VARCHAR) || '?a=1&b=2'
+          WHEN v = 1 THEN 'HTTPS://' || upper(host) || ':443/r/' || CAST(rid AS VARCHAR) || '/?b=2&a=1&utm_source=feed'
+          WHEN rid % 7 = 0 THEN 'https://' || host || '/r/' || CAST(rid AS VARCHAR) || '?a=2&b=2#top'
+          ELSE 'https://' || host || '/r/' || CAST(rid AS VARCHAR) || '?gclid=g&b=2&a=1#sec'
+        END AS url
+      FROM raw),
+    parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+          x -> x <> '' AND NOT starts_with(string_split(x, '=')[1], 'utm_')
+               AND string_split(x, '=')[1] NOT IN ('gclid', 'fbclid', 'msclkid')
+        )), '&') AS qs
+      FROM fetched),
+    norm AS (
+      SELECT doc_id,
+        scheme || '://' ||
+        CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END ||
+        CASE WHEN path0 = '' THEN '/' WHEN path0 = '/' THEN '/'
+             ELSE regexp_replace(path0, '/$', '') END ||
+        CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_norm
+      FROM parts),
+    per_url AS (
+      SELECT url_norm, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_fetch
+      FROM norm GROUP BY url_norm)
+    SELECT regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1) AS host,
+           CAST(SUM(n_fetch) AS BIGINT) AS n_fetches,
+           CAST(COUNT(*) AS BIGINT) AS n_resources,
+           CAST(SUM(n_fetch) - COUNT(*) AS BIGINT) AS n_dup_fetches,
+           ROUND(((SUM(n_fetch) - COUNT(*)) / CAST(SUM(n_fetch) AS DOUBLE)) * 10000) / 10000 AS dup_rate,
+           CAST(SUM(kept_doc_id) AS BIGINT) AS kept_docid_sum
+    FROM per_url
+    GROUP BY 1
+    ORDER BY host
+"""
+
+
+@register("curation_url_dedup", oracle=_URL_DEDUP_ORACLE)
+# SQL-ORACLE SLOT CLAIMED (r13; exception to the §5.2 rows-only
+# default, noted in SURVEY §2): the load-bearing risk is cross-engine
+# STRING-CANONICALIZATION parity — regex captures, HOF filter/sort
+# semantics, keyed keep-lowest — which the hash gate proves end to end
+# and a python pin cannot (the text_normalize precedent); the oracle
+# embeds the normalizer's SQL (corpus_gate_report CTE precedent) so
+# composite and component cannot drift.
+def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL dedup end to end (closes the r12 curation-axis
+    loop): canonicalize every fetch-log URL (normalize_urls), collapse
+    fetches onto canonical resources keeping the LOWEST doc_id per key
+    (content-addressed, deterministic — re-crawls keep the same
+    representative), then roll up per host: fetch count, distinct
+    resources, duplicate-fetch count and rate, and the sum of kept
+    doc_ids (pins the keep-lowest rule in the hash, not just the
+    counts). The fixture (see :func:`_messy_pseudo_fetch`) spells each
+    resource three messy ways and plants true-distinct variants so the
+    collapse is demonstrably selective.
+
+    Scale: the normalizer is a pure JVM map the scan absorbs; then two
+    keyed, map-side-partial-agged shuffles — (url_norm) then (host) —
+    each output-∝-groups. No collects, no UDFs, no row multiplication;
+    the same plan shape at 100 TB shuffles bytes ∝ distinct URLs, not
+    corpus bytes."""
+    from n2kupdate_spark.operators.corpus import normalize_urls
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id"]).select(
+        "doc_id", _messy_pseudo_fetch().alias("url")
+    )
+    per_url = (
+        normalize_urls(d)
+        .groupBy("url_norm")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_fetch"),
+        )
+    )
+    host = F.regexp_extract("url_norm", r"^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+    n_dup = F.sum("n_fetch") - F.count(F.lit(1))
+    return (
+        per_url.select(host.alias("host"), "kept_doc_id", "n_fetch")
+        .groupBy("host")
+        .agg(
+            F.sum("n_fetch").cast("long").alias("n_fetches"),
+            F.count(F.lit(1)).cast("long").alias("n_resources"),
+            n_dup.cast("long").alias("n_dup_fetches"),
+            (F.round((n_dup / F.sum("n_fetch").cast("double")) * 10000) / 10000).alias("dup_rate"),
+            F.sum("kept_doc_id").cast("long").alias("kept_docid_sum"),
+        )
+        .orderBy("host")
+    )
