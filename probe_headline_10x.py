@@ -78,14 +78,21 @@ def replicate(df: DataFrame, keys: list[str], mark_text: bool) -> DataFrame:
 
 
 def build_replica(spark) -> None:
+    # Replicated tables are written as COPIES files — "10× the data" at
+    # a fixed per-file size IS the production layout (a crawl grows by
+    # adding files, not by growing one file), and parquet row groups
+    # don't split, so a 1-file replica (the pre-r13 layout) capped every
+    # zero-shuffle map at ONE task and made pure-map ops read as
+    # falsely linear at 10× (r13 probe fix; rows recorded before/after
+    # the change are flagged in BASELINE §5).
     if os.path.isdir(f"{X10_DIR}/lineitem.parquet"):
         return
     for t in ("region", "nation"):
         load(spark, SF, t).write.mode("overwrite").parquet(f"{X10_DIR}/{t}.parquet")
     for t, keys in SHIFT_COLS.items():
-        replicate(load(spark, SF, t), keys, mark_text=(t == "documents")).write.mode(
-            "overwrite"
-        ).parquet(f"{X10_DIR}/{t}.parquet")
+        replicate(load(spark, SF, t), keys, mark_text=(t == "documents")).repartition(
+            COPIES
+        ).write.mode("overwrite").parquet(f"{X10_DIR}/{t}.parquet")
 
 
 def bench_pair(spark, reps: int = 3) -> tuple[dict[str, float], dict[str, float]]:

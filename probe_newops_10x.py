@@ -80,20 +80,27 @@ OPS = [
     "sample_stratified_neyman", # #strata-bounded collect + md5-rank window
     "sample_weighted_topk",     # ES06 log-key map + TakeOrderedAndProject
     "curation_url_normalize",   # pure regexp/HOF codegen map, zero shuffle
+    # round-13 additions
+    "text_perplexity_kn",       # KN fit: vocab+bigram shuffles, broadcast score tables
+    "text_extract_html",        # pure regexp/HOF codegen map, zero shuffle
+    "curation_url_dedup",       # normalize map + two keyed partial-agged rollups
 ]
 
 
 def main() -> None:
+    import sys
+
+    ops = [o for o in OPS if not sys.argv[1:] or o in sys.argv[1:]]
     spark = get_spark(app_name="probe-newops-10x")
     spark.sparkContext.setLogLevel("ERROR")
     build_replica(spark)
-    for name in OPS:  # warm-up (JIT + code cache), same policy as bench.py
+    for name in ops:  # warm-up (JIT + code cache), same policy as bench.py
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
     t1: dict[str, float] = {}
     t10: dict[str, float] = {}
-    for name in OPS:
+    for name in ops:
         s1, s10 = [], []
         for _ in range(3):
             for sf_dir, out in ((SF, s1), (X10_DIR, s10)):
