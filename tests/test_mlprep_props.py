@@ -1953,3 +1953,29 @@ def test_gate_documents_kn_ppl_gate(spark):
     }
     assert gated == {d for d in base if ppl[d] <= thr}
     assert gated < base  # the gate demonstrably dropped someone
+
+
+def test_ts_bucketed_apply_equals_per_key(spark):
+    """r13: the two-level-key Arrow batching (pmod(hash,B) groups,
+    per-key pandas sub-groups) produces BIT-IDENTICAL output to direct
+    per-key grouping for both ts ops, at the registered fixture and at
+    a skewed B=2 bucket count where collisions are guaranteed."""
+    from n2kupdate_spark.operators.timeseries import (
+        cusum_changepoints,
+        lttb_downsample,
+    )
+    from n2kupdate_spark.sources import load
+
+    sf = "/root/testdata/sf0.01"
+    ev = load(spark, sf, "events", columns=["event_id", "user_id", "ts", "value"]).select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ts_s"), "value"
+    )
+    for op, kw in (
+        (lttb_downsample, dict(order_col="event_id")),
+        (cusum_changepoints, dict(order_col="event_id")),
+    ):
+        base = {tuple(r) for r in op(ev, group_buckets=0, **kw).collect()}
+        for b in (None, 2):
+            got = {tuple(r) for r in op(ev, group_buckets=b, **kw).collect()}
+            assert got == base, (op.__name__, b)
+        assert base  # non-vacuous
