@@ -2493,6 +2493,12 @@ def kn_perplexity(
         .select(id_col, F.explode("_z").alias("b"))
         .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
+    # vocab is consumed TWICE per pass (the w1 and w2 mapping joins) and
+    # the transition stream runs twice (fit + scoring) — without the
+    # eager checkpoint Catalyst would inline the unigram count into
+    # every consumer and scan the corpus 6×; with it, the corpus is
+    # scanned once here and once per transition pass (3 total), and the
+    # checkpoint itself is ≤ max_vocab rows
     vocab = (
         docs.select(F.explode(arr).alias("w"))
         .groupBy("w")
@@ -2500,6 +2506,7 @@ def kn_perplexity(
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(max_vocab)
         .select("w")
+        .localCheckpoint(eager=True)
     )
     v1 = F.broadcast(
         vocab.select(F.col("w").alias("w1"), F.lit(1).alias("k1"))
@@ -2533,16 +2540,30 @@ def kn_perplexity(
     ).first()
     n1, n2, tt = int(coc["n1"]), int(coc["n2"]), int(coc["tt"])
     d_disc = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.5
-    ctx = big.groupBy("w1m").agg(
-        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nt")
+    # ctx/cont are each consumed twice (prob-table build + the scoring
+    # backoff joins); both are vocab-bounded, so the eager checkpoint
+    # costs ≤ V+1 rows and removes a recompute-from-checkpointed-big
+    # exchange pair per consumer
+    ctx = (
+        big.groupBy("w1m")
+        .agg(F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nt"))
+        .localCheckpoint(eager=True)
     )
-    cont = big.groupBy("w2m").agg(
-        (F.count(F.lit(1)).cast("double") / F.lit(float(tt))).alias("pcont")
+    cont = (
+        big.groupBy("w2m")
+        .agg(
+            (F.count(F.lit(1)).cast("double") / F.lit(float(tt))).alias(
+                "pcont"
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     kept = big.orderBy(F.desc("c2"), "w1m", "w2m").limit(max_bigrams)
+    # ctx/cont are vocab-bounded — broadcast them here too, or Catalyst
+    # plans sort-merge joins (an exchange pair each) for the table build
     probs = (
-        kept.join(ctx, "w1m")
-        .join(cont, "w2m")
+        kept.join(F.broadcast(ctx), "w1m")
+        .join(F.broadcast(cont), "w2m")
         .select(
             "w1m",
             "w2m",

@@ -1277,4 +1277,4 @@ def text_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n2kupdate_spark.operators.corpus import kn_perplexity
 
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    return kn_perplexity(d).orderBy("doc_id")
+    return kn_perplexity(d)
