@@ -178,10 +178,19 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     n = 14
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
     edges = spark.createDataFrame(edge_list, ["id1", "id2"])
-    got = {
-        int(r["id"]): float(r["rank"])
-        for r in pagerank(nodes, edges, id_col="id", damping=0.85, iters=10).collect()
-    }
+    # BOTH paths: the r13 driver fast path (default gate) and the
+    # distributed loop (gate disabled) must agree with the reference
+    got_by_path = {}
+    for thr in (100_000, 0):
+        got_by_path[thr] = {
+            int(r["id"]): float(r["rank"])
+            for r in pagerank(
+                nodes, edges, id_col="id", damping=0.85, iters=10,
+                driver_edge_threshold=thr,
+            ).collect()
+        }
+    got = got_by_path[100_000]
+    assert got == got_by_path[0]
     assert set(got) == set(range(n))
 
     # independent numpy recompute
@@ -227,7 +236,8 @@ def test_pagerank_one_job_per_iteration(spark):
     def n_jobs(iters: int, group: str) -> int:
         sc.setJobGroup(group, "pagerank job-count pin")
         try:
-            pagerank(nodes, edges, iters=iters).collect()
+            # gate disabled: this pin is about the DISTRIBUTED loop
+            pagerank(nodes, edges, iters=iters, driver_edge_threshold=0).collect()
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
         return len(sc.statusTracker().getJobIdsForGroup(group))
@@ -271,6 +281,12 @@ def test_host_pagerank_planted_structure(spark):
     )
     out = host_pagerank(host_map, pairs)
     ranks = {r["host"]: r["rank"] for r in out.collect()}
+    # distributed loop agrees with the (default) driver fast path
+    dist = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(host_map, pairs, driver_edge_threshold=0).collect()
+    }
+    assert dist == ranks
     assert set(ranks) == {"A", "B", "C", "D", "E"}
     assert ranks["A"] == max(ranks.values())
     assert ranks["E"] == min(ranks.values())
@@ -295,10 +311,17 @@ def test_pagerank_foreign_edge_endpoints(spark):
 
     nodes = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
     edges = spark.createDataFrame([(0, 1), (0, 3)], ["id1", "id2"])
-    got = {
-        int(r["id"]): float(r["rank"])
-        for r in pagerank(nodes, edges, id_col="id", damping=0.85, iters=10).collect()
-    }
+    got_by_path = {}
+    for thr in (100_000, 0):
+        got_by_path[thr] = {
+            int(r["id"]): float(r["rank"])
+            for r in pagerank(
+                nodes, edges, id_col="id", damping=0.85, iters=10,
+                driver_edge_threshold=thr,
+            ).collect()
+        }
+    got = got_by_path[100_000]
+    assert got == got_by_path[0]
 
     d, iters, n = 0.85, 10, 3
     # symmetrized adjacency incl foreign 3: 0-1, 0-3; deg over all endpoints
