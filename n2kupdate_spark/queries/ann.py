@@ -442,3 +442,82 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return audio_features(attach_real_payload(d, "doc_id", "text", kind="wav"))
+
+
+@register("embed_mrl_recall")  # rows-only (r9 capacity policy): recall
+# floors + structural contracts pinned in tests/test_ann_recall.py
+def embed_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati et al. 2022):
+    recall@10 of brute-force cosine search over PREFIX slices of the
+    embedding (8/16/32 of 64 dims) against the full-dim exact top-10 —
+    the harness that tells a pipeline whether its vectors tolerate
+    dimension truncation (an MRL-trained encoder front-loads
+    information, so a short prefix retains most recall at a fraction of
+    the memory/FLOPs; a non-MRL encoder measurably does not — this
+    fixture's random-ish embeddings are the honest negative control).
+    The full-dim row rides along as the recall=1.0 sanity anchor.
+    Emits (prefix_dim, recall_at_10, n_queries).
+
+    Scale: per prefix one brute-matmul scan (per-batch top-k pruning,
+    the sim_cosine_topk plan) over vectors truncated by F.slice at the
+    scan — column bytes shrink with the prefix; the exact baseline is
+    computed once and checkpointed (Q×k rows); comparisons are Q×k
+    joins — driver traffic stays ≤ Q×dim doubles for the query
+    collect."""
+    from pyspark.sql import Window
+
+    from n2kupdate_spark.operators.similarity import brute_topk_matmul
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qrows = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(256)
+        .collect()
+    ]
+    full_dim = len(qrows[0][1]) if qrows else 0
+
+    def topk_at(d: int) -> DataFrame:
+        vecs = (
+            e if d >= full_dim
+            else e.select("vec_id", F.slice("v", 1, d).alias("v"))
+        )
+        q = [(i, v[:d]) for i, v in qrows]
+        cand = brute_topk_matmul(vecs, q, "vec_id", "v", k=10)
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            cand.select(
+                "q_id", "neighbor_id", F.row_number().over(w).alias("rn")
+            )
+            .filter(F.col("rn") <= 10)
+            .select("q_id", "neighbor_id")
+        )
+
+    exact = topk_at(full_dim).localCheckpoint(eager=True)
+    n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_true"))
+
+    def recall_of(d: int) -> DataFrame:
+        hits = (
+            topk_at(d)
+            .join(exact, ["q_id", "neighbor_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        per_q = n_exact.join(hits, "q_id", "left").select(
+            "q_id", F.coalesce("n_hit", F.lit(0)).alias("n_hit"), "n_true"
+        )
+        return per_q.agg(
+            F.lit(d).alias("prefix_dim"),
+            F.round(F.sum("n_hit") / F.sum("n_true"), 4).alias("recall_at_10"),
+            F.count(F.lit(1)).alias("n_queries"),
+        )
+
+    out = recall_of(8)
+    for d in (16, 32, full_dim):
+        out = out.unionByName(recall_of(d))
+    return out

@@ -647,3 +647,58 @@ def test_jl_projection_pinned(spark, sf_dir):
         r.vec_id: np.asarray(r.jl) for r in QUERIES["embed_jl_project"](spark, sf_dir).collect()
     }
     assert all(np.array_equal(again[i], got[i]) for i in got)
+
+
+def test_mrl_recall_harness(spark):
+    """r13: the Matryoshka truncation eval. Structural contracts on the
+    registered query (full-dim row ≡ 1.0 by construction, recall
+    monotone nondecreasing in prefix width, query count = the vec_id
+    slice) + a PLANTED positive control: vectors whose information is
+    front-loaded in the first 8 dims (tail = tiny id-derived noise)
+    must score prefix-8 recall ≥ 0.9 — proving the harness measures
+    front-loading rather than reading low on any input — while the
+    registered fixture's random-ish embeddings stay the honest
+    negative control (prefix-8 recall < 0.5)."""
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.ann import embed_mrl_recall
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["prefix_dim"]: (r["recall_at_10"], r["n_queries"])
+        for r in QUERIES["embed_mrl_recall"](spark, sf).collect()
+    }
+    dims = sorted(rows)
+    assert rows[dims[-1]][0] == 1.0  # full dim is the exact baseline
+    recalls = [rows[d][0] for d in dims]
+    assert recalls == sorted(recalls)  # more prefix never hurts
+    assert len({n for _, n in rows.values()}) == 1  # same query slice
+    assert rows[8][0] < 0.5  # fixture = honest negative control
+
+    # planted MRL-like corpus: 200 vectors, 64-dim, all signal in the
+    # first 8 dims, deterministic tiny tail noise
+    rng = np.random.RandomState(11)
+    head = rng.randn(200, 8)
+    tail = rng.randn(200, 56) * 1e-3
+    vecs = np.hstack([head, tail])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    import pyspark.sql.functions as F  # noqa: F401
+
+    import n2kupdate_spark.queries.ann as ann_mod
+    import n2kupdate_spark.sources as sources_mod
+
+    real_load = ann_mod.load
+    try:
+        ann_mod.load = lambda spark_, sf_, tbl, columns=None: df
+        planted = {
+            r["prefix_dim"]: r["recall_at_10"]
+            for r in embed_mrl_recall(spark, sf).collect()
+        }
+    finally:
+        ann_mod.load = real_load
+    assert planted[8] >= 0.9, planted
+    assert planted[64] == 1.0

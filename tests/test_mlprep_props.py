@@ -1979,3 +1979,38 @@ def test_ts_bucketed_apply_equals_per_key(spark):
             got = {tuple(r) for r in op(ev, group_buckets=b, **kw).collect()}
             assert got == base, (op.__name__, b)
         assert base  # non-vacuous
+
+
+def test_kn_buckets_match_python_ntile(spark):
+    """r13: the CCNet head/middle/tail split recomputed in python from
+    the (already reference-pinned) KN scorer output — exact bucket
+    equality at two sfs, plus the design contracts: per-lang thirds
+    sized like NTILE(3), head ppl ≤ tail ppl within every language."""
+    from collections import defaultdict
+
+    from n2kupdate_spark.queries import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ppl = {
+            r["doc_id"]: r["ppl"]
+            for r in QUERIES["text_perplexity_kn"](spark, sf).collect()
+        }
+        got = {
+            r["doc_id"]: (r["lang"], r["ppl"], r["bucket"])
+            for r in QUERIES["text_perplexity_kn_buckets"](spark, sf).collect()
+        }
+        assert set(got) == set(ppl)
+        by_lang = defaultdict(list)
+        for did, (lang, p, b) in got.items():
+            assert p == ppl[did]
+            by_lang[lang].append((p, did, b))
+        for lang, rows in by_lang.items():
+            rows.sort()
+            n = len(rows)
+            base, extra = divmod(n, 3)
+            sizes = [base + (1 if i < extra else 0) for i in range(3)]
+            want = ["head"] * sizes[0] + ["middle"] * sizes[1] + ["tail"] * sizes[2]
+            assert [b for _, _, b in rows] == want, lang
+            heads = [p for p, _, b in rows if b == "head"]
+            tails = [p for p, _, b in rows if b == "tail"]
+            assert max(heads) <= min(tails), lang
