@@ -84,6 +84,8 @@ OPS = [
     "text_perplexity_kn",       # KN fit: vocab+bigram shuffles, broadcast score tables
     "text_extract_html",        # pure regexp/HOF codegen map, zero shuffle
     "curation_url_dedup",       # normalize map + two keyed partial-agged rollups
+    "text_perplexity_kn_buckets",  # KN scorer + per-lang ntile window
+    "embed_mrl_recall",         # 4 prefix-sliced brute-matmul scans + Qxk joins
 ]
 
 
