@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: MinHash parameters: K hashes, banded K = BANDS × ROWS_PER_BAND.
@@ -1565,4 +1565,78 @@ def remove_spans(
         )
         .withColumn("n_tokens_after", F.size("__kept"))
         .drop("__spans", "__kept")
+    )
+
+
+def dedup_lines_global(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """C4-style GLOBAL line deduplication (Raffel et al. 2020 §2.2: "we
+    removed all but one of any three-sentence span occurring more than
+    once in the data set" — here at line granularity, the form
+    C4/FineWeb-class pipelines ship): split every document on ``sep``,
+    fingerprint each line (md5 of the exact line), keep only the FIRST
+    occurrence corpus-wide (ordered by (``id_col``, line position) — a
+    content-addressed total order, so re-runs keep the same copy), and
+    reassemble each document from its surviving lines in original
+    order. Documents whose every line was seen earlier vanish entirely
+    (the C4 behavior — their content exists verbatim elsewhere). Lines
+    shorter than ``min_line_chars`` pass through unexamined (never
+    deduped, never counted): punctuation-only / empty fragments are not
+    evidence of duplication. Emits (``id_col``, ``text_col`` rebuilt,
+    n_lines, n_kept, removed_frac 4dp).
+
+    Scale shape: one posexplode map, ONE fingerprint-keyed window (the
+    dedup_text_exact shape — shuffle bytes ∝ line bytes, the window
+    touches each fingerprint group once), one id-keyed reassembly
+    aggregate. The boilerplate skew case (one line shared by millions
+    of docs) lands one fingerprint group on one task with row_number —
+    rank-1-of-group, not a sort of the corpus; AQE skew handling splits
+    it like any hot aggregation key."""
+    lines = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line")
+    )
+    examined = F.length("__line") >= min_line_chars
+    w = Window.partitionBy(F.md5("__line")).orderBy(id_col, "__pos")
+    flagged = lines.select(
+        id_col,
+        "__pos",
+        "__line",
+        F.when(examined, F.row_number().over(w)).otherwise(F.lit(1)).alias(
+            "__rn"
+        ),
+    )
+    kept = flagged.filter(F.col("__rn") == 1)
+    stats = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return rebuilt.join(stats, id_col).select(
+        id_col,
+        text_col,
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+        (
+            F.round(
+                (F.col("n_lines") - F.col("n_kept"))
+                / F.col("n_lines").cast("double")
+                * 10000
+            )
+            / 10000
+        ).alias("removed_frac"),
     )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from n2kupdate_spark.operators.dedup import (
+    dedup_lines_global,
     minhash_dedup_pairs,
     shingle_jaccard_pairs,
     simhash_near_pairs,
@@ -259,6 +260,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is checkpointed once. The keep-decision join is on doc_id — the same
     key the cluster labels already carry."""
     from n2kupdate_spark.operators.dedup import (
+    dedup_lines_global,
         connected_components,
         shingle_jaccard_pairs,
         word_shingles,
@@ -425,6 +427,7 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``shingle_jaccard_pairs_capped_resume`` (see
     ``dedup_incremental_resume``) so the corpus is never re-shingled."""
     from n2kupdate_spark.operators.dedup import (
+    dedup_lines_global,
         shingle_jaccard_pairs_capped_incremental,
     )
 
@@ -486,6 +489,7 @@ def dedup_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from n2kupdate_spark.operators.dedup import (
+    dedup_lines_global,
         index_versions,
         persist_shingle_index,
         shingle_jaccard_pairs_capped_resume,
@@ -528,6 +532,7 @@ def dedup_minhash_est_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     case, much tighter near 0/1. All inputs deterministic (fixed hash
     params); the comparison join is candidate-sized."""
     from n2kupdate_spark.operators.dedup import (
+    dedup_lines_global,
         exact_jaccard,
         lsh_candidate_pairs,
         minhash_signature,
@@ -688,3 +693,59 @@ def graph_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
     return host_pagerank(hosts, pairs).orderBy("host")
+
+
+#: Constant boilerplate line planted on every 5th doc — after global
+#: line dedup it must survive in exactly ONE document corpus-wide.
+_BOILER_LINE = "subscribe to the newsletter for weekly updates"
+
+
+def _pseudo_lines() -> "F.Column":
+    """A line-structured payload per document (the payload-fixture
+    pattern, line edition — the fixture text is single-space separated,
+    so line structure is derived): the doc's tokens split into three
+    lines of ~equal length; every 3rd doc's FIRST line replaced by a
+    block shared across its doc_id-div-9 group (~3 docs share each —
+    planted cross-doc duplicates); every 5th doc additionally carries
+    the constant boilerplate footer line. All deterministic, both
+    reproducible in the python reference pin."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n = F.size(toks)
+    third = F.greatest(F.lit(1), F.expr("size(filter(split(text, ' '), t -> t != '')) div 3"))
+    l1 = F.array_join(F.slice(toks, F.lit(1), third), " ")
+    l2 = F.array_join(F.slice(toks, third + 1, third), " ")
+    l3 = F.array_join(F.slice(toks, third * 2 + 1, n - third * 2), " ")
+    shared = F.concat(
+        F.lit("shared intro block "),
+        F.expr("doc_id div 9").cast("string"),
+    )
+    line1 = F.when(F.col("doc_id") % 3 == 0, shared).otherwise(l1)
+    base = F.concat_ws("\n", line1, l2, l3)
+    return F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(base, F.lit("\n"), F.lit(_BOILER_LINE)),
+    ).otherwise(base)
+
+
+@register("dedup_lines_c4")  # rows-only (r9 capacity policy, headroom
+# preserved): full output ≡ an independent python recompute at two sfs
+# + planted-duplicate survival counts in tests/test_mlprep_props.py
+def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style GLOBAL line dedup over the line-structured pseudo-corpus
+    (Raffel et al. 2020 §2.2's "remove all but one of any span occurring
+    more than once", at line granularity — the C4/FineWeb boilerplate
+    killer that doc-level and fuzzy dedup both miss: a footer repeated
+    across a million pages survives every whole-doc fingerprint).
+    Keep-first is content-addressed ((doc_id, position) order), so
+    re-runs keep the same copy. The fixture plants both duplicate
+    classes (a constant footer on every 5th doc, a shared intro across
+    each div-9 group of every 3rd doc) so the dedup is demonstrably
+    selective. Emits (doc_id, text rebuilt, n_lines, n_kept,
+    removed_frac).
+
+    Scale: one posexplode map + ONE fingerprint-keyed window + one
+    id-keyed reassembly — see operators/dedup.py::dedup_lines_global."""
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"]).select(
+        "doc_id", _pseudo_lines().alias("text")
+    )
+    return dedup_lines_global(d)

@@ -86,6 +86,7 @@ OPS = [
     "curation_url_dedup",       # normalize map + two keyed partial-agged rollups
     "text_perplexity_kn_buckets",  # KN scorer + per-lang ntile window
     "embed_mrl_recall",         # 4 prefix-sliced brute-matmul scans + Qxk joins
+    "dedup_lines_c4",           # posexplode + fingerprint window + id reassembly
 ]
 
 

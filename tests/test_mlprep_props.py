@@ -2014,3 +2014,74 @@ def test_kn_buckets_match_python_ntile(spark):
             heads = [p for p, _, b in rows if b == "head"]
             tails = [p for p, _, b in rows if b == "tail"]
             assert max(heads) <= min(tails), lang
+
+
+def test_dedup_lines_c4_matches_python_reference(spark):
+    """r13: C4-style global line dedup vs an independent python
+    recompute (same fixture derivation + keep-first spec, separate
+    code) — exact (text, n_lines, n_kept, 4dp removed_frac) equality at
+    two sfs; planted-duplicate contracts: the constant boilerplate
+    footer survives in exactly ONE document corpus-wide, each shared
+    intro line survives once per div-9 group, and a majority of docs
+    are untouched (the dedup is selective, not a shredder)."""
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.dedupq import _BOILER_LINE
+    from n2kupdate_spark.sources import load
+
+    def fixture_lines(doc_id, text):
+        toks = [t for t in text.split(" ") if t]
+        third = max(1, len(toks) // 3)
+        l1 = " ".join(toks[:third])
+        l2 = " ".join(toks[third : 2 * third])
+        l3 = " ".join(toks[2 * third :])
+        if doc_id % 3 == 0:
+            l1 = f"shared intro block {doc_id // 9}"
+        lines = [l1, l2, l3]
+        if doc_id % 5 == 0:
+            lines.append(_BOILER_LINE)
+        return lines
+
+    def ref(texts):
+        seen = set()
+        out = {}
+        for did in sorted(texts):
+            lines = fixture_lines(did, texts[did])
+            kept = []
+            for ln in lines:
+                if len(ln) < 1:
+                    kept.append(ln)
+                    continue
+                if ln in seen:
+                    continue
+                seen.add(ln)
+                kept.append(ln)
+            if kept:
+                rf = round((len(lines) - len(kept)) / len(lines) * 10000) / 10000
+                out[did] = ("\n".join(kept), len(lines), len(kept), rf + 0.0)
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
+        }
+        want = ref(texts)
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"], r["removed_frac"])
+            for r in QUERIES["dedup_lines_c4"](spark, sf).collect()
+        }
+        assert got == want, sf
+        survivors = [d for d, (t, *_id) in got.items() if _BOILER_LINE in t]
+        assert survivors == [0]
+        untouched = sum(1 for v in got.values() if v[3] == 0.0)
+        assert untouched > len(got) / 2
+        # each shared-intro line survives exactly once corpus-wide
+        from collections import Counter
+
+        intro_counts = Counter(
+            ln
+            for t, *_ in got.values()
+            for ln in t.split("\n")
+            if ln.startswith("shared intro block ")
+        )
+        assert intro_counts and set(intro_counts.values()) == {1}
