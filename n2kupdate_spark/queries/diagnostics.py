@@ -255,3 +255,77 @@ def diag_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="family string, vocab_size int, total_tokens long, "
         "chars_per_token double",
     )
+
+
+@register("diag_gate_sweep")  # rows-only (r9 capacity policy, headroom
+# preserved): the whole sweep table ≡ a python recompute from the two
+# already-pinned scorers in tests/test_mlprep_props.py
+def diag_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-threshold tuning table (r13) — the grid a curation team
+    actually builds before committing filter settings: for every
+    (min_words × KN-perplexity-percentile-cutoff) combination, how many
+    documents survive and what fraction of the corpus that is. Word
+    bounds come from the Gopher metrics, fluency cutoffs from the
+    corpus-KN perplexity at its own exact p50/p75/p90 (quantile-relative
+    cutoffs transfer across corpora where absolute ppl does not). Emits
+    (min_words, ppl_pct, ppl_cutoff, n_survivors, survivor_frac 4dp) —
+    9 rows.
+
+    Scale: both scorers' bounded shuffles + ONE 3-double percentile
+    collect (inlined as literals — the IDF/BNLJ rule) + one
+    explode-a-9-struct-literal map and a 9-group aggregate: sweeping
+    thresholds costs one extra pass over the per-doc metric rows, never
+    one pass per grid cell."""
+    from n2kupdate_spark.operators.corpus import gopher_metrics, kn_perplexity
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    scored = (
+        gopher_metrics(d)
+        .select("doc_id", "n_words")
+        .join(kn_perplexity(d).select("doc_id", "ppl"), "doc_id")
+        .localCheckpoint(eager=True)  # consumed by the percentile agg AND the sweep
+    )
+    cuts = scored.agg(
+        *[
+            F.expr(f"percentile(ppl, {p})").alias(f"p{int(p * 100)}")
+            for p in (0.5, 0.75, 0.9)
+        ]
+    ).first()
+    n_docs = scored.count()
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(mw).alias("min_words"),
+                F.lit(f"p{pct}").alias("ppl_pct"),
+                F.lit(
+                    round(float(cuts[f"p{pct}"]) * 10000) / 10000
+                ).alias("ppl_cutoff"),
+            )
+            for mw in (30, 50, 70)
+            for pct in (50, 75, 90)
+        ]
+    )
+    return (
+        scored.select(F.explode(grid).alias("g"), "n_words", "ppl")
+        .groupBy("g.min_words", "g.ppl_pct", "g.ppl_cutoff")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("n_words") >= F.col("g.min_words"))
+                    & (F.col("ppl") <= F.col("g.ppl_cutoff")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_survivors")
+        )
+        .select(
+            "min_words",
+            "ppl_pct",
+            "ppl_cutoff",
+            "n_survivors",
+            (F.round(F.col("n_survivors") / F.lit(float(n_docs)) * 10000) / 10000).alias(
+                "survivor_frac"
+            ),
+        )
+    )

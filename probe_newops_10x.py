@@ -87,6 +87,7 @@ OPS = [
     "text_perplexity_kn_buckets",  # KN scorer + per-lang ntile window
     "embed_mrl_recall",         # 4 prefix-sliced brute-matmul scans + Qxk joins
     "dedup_lines_c4",           # posexplode + fingerprint window + id reassembly
+    "diag_gate_sweep",          # two scorers + 9-struct literal-grid sweep pass
 ]
 
 

@@ -2085,3 +2085,50 @@ def test_dedup_lines_c4_matches_python_reference(spark):
             if ln.startswith("shared intro block ")
         )
         assert intro_counts and set(intro_counts.values()) == {1}
+
+
+def test_diag_gate_sweep_matches_python_recompute(spark):
+    """r13: the gate-threshold sweep table ≡ a python recompute from the
+    two already-pinned scorers (gopher n_words, KN ppl) — exact 9-row
+    equality at two sfs including the percentile cutoffs (numpy linear
+    interpolation ≡ Spark exact percentile) — plus monotonicity: more
+    words required / tighter ppl never ADDS survivors."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.corpus import gopher_metrics, kn_perplexity
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = load(spark, sf, "documents", columns=["doc_id", "text"])
+        words = {r["doc_id"]: r["n_words"] for r in gopher_metrics(d).collect()}
+        ppl = {r["doc_id"]: r["ppl"] for r in kn_perplexity(d).collect()}
+        vals = np.array([ppl[i] for i in sorted(ppl)])
+        n_docs = len(words)
+        want = {}
+        for mw in (30, 50, 70):
+            for pct in (50, 75, 90):
+                cut = round(float(np.percentile(vals, pct)) * 10000) / 10000
+                n = sum(
+                    1
+                    for i in words
+                    if words[i] >= mw and i in ppl and ppl[i] <= cut
+                )
+                want[(mw, f"p{pct}")] = (
+                    cut,
+                    n,
+                    round(n / n_docs * 10000) / 10000 + 0.0,
+                )
+        got = {
+            (r["min_words"], r["ppl_pct"]): (
+                r["ppl_cutoff"], r["n_survivors"], r["survivor_frac"],
+            )
+            for r in QUERIES["diag_gate_sweep"](spark, sf).collect()
+        }
+        assert got == want, sf
+        for pct in ("p50", "p75", "p90"):
+            ns = [got[(mw, pct)][1] for mw in (30, 50, 70)]
+            assert ns == sorted(ns, reverse=True)
+        for mw in (30, 50, 70):
+            ns = [got[(mw, p)][1] for p in ("p50", "p75", "p90")]
+            assert ns == sorted(ns)
