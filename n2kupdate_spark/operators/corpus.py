@@ -2336,13 +2336,15 @@ def _html_anchor_chars(b) -> "F.Column":
     )
 
 
-def _html_decode_entities(t) -> "F.Column":
+def _html_decode_entities(t, collapse_pat: str = r"\s+") -> "F.Column":
     """The once-per-document entity decode (&amp; LAST, exactly once),
     followed by one more collapse/trim pass because &nbsp; decodes to a
-    space that can double up."""
+    space that can double up. ``collapse_pat`` narrows to horizontal
+    whitespace (``[^\\S\\n]+``) when the caller joins blocks with
+    newlines, so the separator survives the pass."""
     for ent, ch in _HTML_ENTITIES:
         t = F.regexp_replace(t, ent, ch)
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.trim(F.regexp_replace(t, collapse_pat, " "))
 
 
 def extract_html_text(
@@ -2351,6 +2353,7 @@ def extract_html_text(
     min_block_chars: int = 25,
     max_link_density: float = 0.33,
     out_col: str = "extracted_text",
+    block_sep: str = " ",
 ) -> DataFrame:
     """HTML boilerplate extraction — the step every real crawl pipeline
     runs BEFORE the quality gates this library already has (jusText,
@@ -2433,7 +2436,10 @@ def extract_html_text(
         base.withColumn(
             out_col,
             _html_decode_entities(
-                F.array_join(F.transform(F.col("_kept"), lambda s: s["t"]), " ")
+                F.array_join(
+                    F.transform(F.col("_kept"), lambda s: s["t"]), block_sep
+                ),
+                collapse_pat=r"\s+" if block_sep == " " else r"[^\S\n]+",
             ),
         )
         .withColumn("n_blocks", F.size("_nonempty"))

@@ -1686,3 +1686,103 @@ def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+@register("corpus_crawl_pipeline")  # rows-only (r9 capacity policy):
+# composition pinned ≡ the manually-chained library stages in
+# tests/test_mlprep_props.py (each stage independently reference-pinned)
+def corpus_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRAWL-half of corpus preparation end to end (r13 — ties the
+    round's additions into the production order a real web pipeline
+    runs BEFORE the gate chain corpus_prepare_pipeline covers):
+
+      1. HTML boilerplate extraction over the pseudo-crawl markup
+         (extract_html_text — scripts/styles/comments/CDATA dropped,
+         link-dense blocks killed),
+      2. C4-style GLOBAL line dedup of the extracted text
+         (dedup_lines_global — repeated footers/intros survive once
+         corpus-wide; the fixture's planted boilerplate line is
+         injected into every 5th page's markup),
+      3. the standard gate chain on what remains (gate_documents:
+         Gopher rules → 3-gram eval decontamination → exact dedup),
+      4. per-source attrition summary: pages in, docs surviving
+         extraction+line-dedup, docs surviving the gates, chars kept.
+
+    Emits (source, n_pages, n_after_crawl, n_final, chars_final) —
+    the funnel table a crawl-ingest team reads per snapshot.
+
+    Scale: extraction is a pure JVM map; line dedup is one
+    fingerprint-keyed window; the gates are maps/broadcast joins + one
+    fingerprint shuffle (all individually audited in PLANS.md) —
+    expensive stages run on the post-extraction, post-dedup remnant
+    (the corpus_clean stage-ordering lesson)."""
+    from n2kupdate_spark.operators.corpus import (
+        extract_html_text,
+        gate_documents,
+    )
+    from n2kupdate_spark.operators.dedup import dedup_lines_global
+    from n2kupdate_spark.queries.text import _EVAL_PRED_SQL, _pseudo_html
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    pages = d.select("doc_id", "source", _pseudo_html().alias("html"))
+    # planted boilerplate footer inside the MARKUP of every 5th page —
+    # extraction must pull it out as a text line, line dedup must then
+    # collapse it corpus-wide
+    pages = pages.withColumn(
+        "html",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("html"),
+                F.lit(
+                    "<footer><p>all rights reserved - subscribe to the "
+                    "weekly newsletter for updates and offers</p></footer>"
+                ),
+            ),
+        ).otherwise(F.col("html")),
+    )
+    # line granularity for the dedup = the extractor's kept BLOCKS:
+    # join them with newlines (block_sep) so dedup_lines_global sees one
+    # line per block, then flatten back to the single-space form the
+    # downstream gates tokenize
+    extracted = extract_html_text(pages, "html", block_sep="\n").select(
+        "doc_id", F.col("extracted_text").alias("text")
+    )
+    deduped = dedup_lines_global(extracted).select(
+        "doc_id", F.regexp_replace("text", "\n", " ").alias("text")
+    )
+    clean = deduped.join(d.select("doc_id", "source"), "doc_id")
+    is_eval = F.expr(_EVAL_PRED_SQL)
+    # fixture-scale gate adaptation (the _DECONTAM_BUDGET precedent):
+    # extraction appends a constant inline tail to every page, which
+    # alone shares 4+ 3-grams between every train doc and the eval
+    # slice — budget 8 restores "share substantive content" semantics;
+    # min_words 30 because line dedup legitimately shrinks near-floor
+    # docs that lost a duplicated intro/content line
+    survivors = gate_documents(
+        clean.filter(~is_eval),
+        eval_docs=clean.filter(is_eval),
+        gopher_kwargs={"min_words": 30},
+        decontam_budget=8,
+    )
+    n_pages = pages.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    n_crawl = clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_crawl")
+    )
+    n_final = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum(F.length("text")).cast("long").alias("chars_final"),
+    )
+    return (
+        n_pages.join(n_crawl, "source", "left")
+        .join(n_final, "source", "left")
+        .select(
+            "source",
+            "n_pages",
+            F.coalesce("n_after_crawl", F.lit(0)).cast("long").alias("n_after_crawl"),
+            F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
+            F.coalesce("chars_final", F.lit(0)).cast("long").alias("chars_final"),
+        )
+    )

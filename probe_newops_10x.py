@@ -88,6 +88,7 @@ OPS = [
     "embed_mrl_recall",         # 4 prefix-sliced brute-matmul scans + Qxk joins
     "dedup_lines_c4",           # posexplode + fingerprint window + id reassembly
     "diag_gate_sweep",          # two scorers + 9-struct literal-grid sweep pass
+    "corpus_crawl_pipeline",    # extract map + line-dedup window + gate chain
 ]
 
 

@@ -2132,3 +2132,77 @@ def test_diag_gate_sweep_matches_python_recompute(spark):
         for mw in (30, 50, 70):
             ns = [got[(mw, p)][1] for p in ("p50", "p75", "p90")]
             assert ns == sorted(ns)
+
+
+def test_corpus_crawl_pipeline_composition(spark):
+    """r13: the crawl-half composite ≡ python-side composition of its
+    library stages run independently (extract_html_text with newline
+    block separator → dedup_lines_global → gate_documents with the
+    composite's documented fixture adaptations), aggregated to the
+    funnel table in plain python. Also pins the funnel is non-trivial:
+    every stage demonstrably removes something at sf0.001."""
+    from collections import defaultdict
+
+    from n2kupdate_spark.operators.corpus import (
+        extract_html_text,
+        gate_documents,
+    )
+    from n2kupdate_spark.operators.dedup import dedup_lines_global
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.text import _EVAL_PRED_SQL, _pseudo_html
+    from n2kupdate_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    d = load(spark, sf, "documents", columns=["doc_id", "source", "text"])
+    pages = d.select("doc_id", "source", _pseudo_html().alias("html"))
+    pages = pages.withColumn(
+        "html",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("html"),
+                F.lit(
+                    "<footer><p>all rights reserved - subscribe to the "
+                    "weekly newsletter for updates and offers</p></footer>"
+                ),
+            ),
+        ).otherwise(F.col("html")),
+    )
+    extracted = extract_html_text(pages, "html", block_sep="\n").select(
+        "doc_id", F.col("extracted_text").alias("text")
+    )
+    deduped = dedup_lines_global(extracted).select(
+        "doc_id", F.regexp_replace("text", "\n", " ").alias("text")
+    )
+    clean = deduped.join(d.select("doc_id", "source"), "doc_id")
+    is_eval = F.expr(_EVAL_PRED_SQL)
+    survivors = gate_documents(
+        clean.filter(~is_eval),
+        eval_docs=clean.filter(is_eval),
+        gopher_kwargs={"min_words": 30},
+        decontam_budget=8,
+    ).collect()
+
+    src_of = {r["doc_id"]: r["source"] for r in d.collect()}
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for did, s in src_of.items():
+        want[s][0] += 1
+    for r in clean.collect():
+        want[r["source"]][1] += 1
+    for r in survivors:
+        want[r["source"]][2] += 1
+        want[r["source"]][3] += len(r["text"])
+    got = {
+        r["source"]: [
+            r["n_pages"], r["n_after_crawl"], r["n_final"], r["chars_final"]
+        ]
+        for r in QUERIES["corpus_crawl_pipeline"](spark, sf).collect()
+    }
+    assert got == {s: list(v) for s, v in want.items()}
+    tp = sum(v[0] for v in got.values())
+    tf = sum(v[2] for v in got.values())
+    assert 0 < tf < tp  # the funnel removes something and keeps something
+    # the planted footer survives extraction+dedup exactly once corpus-wide
+    foot = "all rights reserved - subscribe to the weekly newsletter"
+    n_foot = sum(1 for r in deduped.collect() if foot in r["text"])
+    assert n_foot == 1
