@@ -1751,7 +1751,14 @@ def corpus_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_lines_global(extracted).select(
         "doc_id", F.regexp_replace("text", "\n", " ").alias("text")
     )
-    clean = deduped.join(d.select("doc_id", "source"), "doc_id")
+    # gate_documents consumes its input from several gate branches —
+    # checkpoint the crawl-half output once or every branch replays the
+    # extraction + line-dedup lineage (the corpus_semantic_prepare
+    # checkpoint precedent; a real pipeline materializes exactly this
+    # boundary between its crawl half and its gate half)
+    clean = deduped.join(
+        d.select("doc_id", "source"), "doc_id"
+    ).localCheckpoint(eager=True)
     is_eval = F.expr(_EVAL_PRED_SQL)
     # fixture-scale gate adaptation (the _DECONTAM_BUDGET precedent):
     # extraction appends a constant inline tail to every page, which

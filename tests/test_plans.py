@@ -397,6 +397,14 @@ def test_no_query_plan_has_scale_red_flags(spark, sf_dir):
         # counts, candidate-mass cogroups; the trade buys candidate
         # generation that never ships corpus floats.
         "dedup_semantic_resume_pq",
+        # r13: the MRL eval harness runs FOUR prefix-sliced brute-topk
+        # scans (a window each) + Q×k comparison joins — the
+        # sim_ann_recall_eval class, every exchange batches×Q×k-bounded
+        "embed_mrl_recall",
+        # r13: crawl-half composite (extract → line dedup →
+        # checkpointed boundary → the budget-exempt gate chain); each
+        # component individually audited under its own op id
+        "corpus_crawl_pipeline",
     }
     issues = []
     for name, fn in sorted(QUERIES.items()):
