@@ -2544,7 +2544,18 @@ def kn_perplexity(
         F.sum(F.when(F.col("c2") == 2, 1).otherwise(0)).alias("n2"),
         F.count(F.lit(1)).alias("tt"),
     ).first()
-    n1, n2, tt = int(coc["n1"]), int(coc["n2"]), int(coc["tt"])
+    tt = int(coc["tt"])
+    if tt == 0:
+        # empty / all-empty-text corpus: no transitions exist, so no doc
+        # can be scored — the typed empty frame, not an int(None) crash
+        # (the r11 empty-shard / r12 empty-tuple ADVICE class)
+        return docs.select(id_col).limit(0).select(
+            id_col,
+            F.lit(0).cast("long").alias("n_transitions"),
+            F.lit(0.0).alias("avg_logprob"),
+            F.lit(0.0).alias("ppl"),
+        )
+    n1, n2 = int(coc["n1"]), int(coc["n2"])
     d_disc = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.5
     # ctx/cont are each consumed twice (prob-table build + the scoring
     # backoff joins); both are vocab-bounded, so the eager checkpoint

@@ -478,7 +478,16 @@ def embed_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(256)
         .collect()
     ]
-    full_dim = len(qrows[0][1]) if qrows else 0
+    if not qrows:
+        # no query vectors (empty table / empty modulo slice): the typed
+        # empty frame, not an np.stack-on-empty crash (the empty-input
+        # ADVICE class)
+        return e.limit(0).select(
+            F.lit(0).alias("prefix_dim"),
+            F.lit(0.0).alias("recall_at_10"),
+            F.lit(0).cast("long").alias("n_queries"),
+        )
+    full_dim = len(qrows[0][1])
 
     def topk_at(d: int) -> DataFrame:
         vecs = (

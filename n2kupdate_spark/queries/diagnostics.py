@@ -292,6 +292,16 @@ def diag_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ).first()
     n_docs = scored.count()
+    if n_docs == 0:
+        # no scoreable docs → no percentiles to sweep: the typed empty
+        # table, not a float(None) crash (the empty-input ADVICE class)
+        return scored.limit(0).select(
+            F.lit(0).alias("min_words"),
+            F.lit("").alias("ppl_pct"),
+            F.lit(0.0).alias("ppl_cutoff"),
+            F.lit(0).cast("long").alias("n_survivors"),
+            F.lit(0.0).alias("survivor_frac"),
+        )
     grid = F.array(
         *[
             F.struct(

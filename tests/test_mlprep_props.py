@@ -2206,3 +2206,59 @@ def test_corpus_crawl_pipeline_composition(spark):
     foot = "all rights reserved - subscribe to the weekly newsletter"
     n_foot = sum(1 for r in deduped.collect() if foot in r["text"])
     assert n_foot == 1
+
+
+def test_r13_ops_empty_input_degenerate(spark):
+    """r13: the round's new fit/eval ops degrade to TYPED EMPTY frames
+    on empty or feature-less input instead of crashing driver-side
+    (int(None) / float(None) / np.stack([]) — the empty-input class the
+    r11/r12 advice flagged in other ops)."""
+    from n2kupdate_spark.operators.corpus import (
+        extract_html_text,
+        kn_perplexity,
+    )
+    from n2kupdate_spark.operators.dedup import dedup_lines_global
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert kn_perplexity(empty).collect() == []
+    assert kn_perplexity(
+        spark.createDataFrame([(1, ""), (2, "  ")], ["doc_id", "text"])
+    ).collect() == []
+    assert dedup_lines_global(empty).collect() == []
+    assert (
+        extract_html_text(
+            spark.createDataFrame([], "doc_id long, html string"), "html"
+        ).collect()
+        == []
+    )
+
+    # embed_mrl_recall with an empty embeddings table
+    import n2kupdate_spark.queries.ann as ann_mod
+    from n2kupdate_spark.queries.ann import embed_mrl_recall
+
+    real_load = ann_mod.load
+    try:
+        ann_mod.load = lambda s, sf, tbl, columns=None: spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        out = embed_mrl_recall(spark, "unused")
+        assert out.collect() == []
+        assert [f.name for f in out.schema.fields] == [
+            "prefix_dim", "recall_at_10", "n_queries",
+        ]
+    finally:
+        ann_mod.load = real_load
+
+    # diag_gate_sweep with an all-empty-text corpus
+    import n2kupdate_spark.queries.diagnostics as diag_mod
+    from n2kupdate_spark.queries.diagnostics import diag_gate_sweep
+
+    real_load2 = diag_mod.load
+    try:
+        diag_mod.load = lambda s, sf, tbl, columns=None: spark.createDataFrame(
+            [(1, ""), (2, "")], ["doc_id", "text"]
+        )
+        out = diag_gate_sweep(spark, "unused")
+        assert out.collect() == []
+    finally:
+        diag_mod.load = real_load2
