@@ -296,3 +296,31 @@ def source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_regionkey") >= 0)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@register("source_xml")  # rows-only (r9 capacity policy, headroom
+# preserved): round-trip pinned byte-exact vs the parquet table +
+# type/null/markup battery in tests/test_sources.py
+def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip via the no-package pure-Python datasource
+    (sources/xml_py.py, the avro_py architecture): the nation table is
+    written once per run as an XML document (driver-side writer; NULL =
+    absent element, ""/NULL distinction preserved) and read back through
+    binaryFile + per-file ElementTree decode on the executors with a
+    DECLARED schema — the honest XML contract (the format carries no
+    types). Swap to the spark-xml package the round it appears; the
+    reader contract (path + schema in, DataFrame out) is identical."""
+    import os
+
+    from n2kupdate_spark.sources import load
+    from n2kupdate_spark.sources.xml_py import read_xml, write_xml_local
+
+    uid = getattr(os, "getuid", lambda: "u")()
+    path = f"/tmp/n2k_xml_{uid}/nation.xml"
+    nation = load(spark, sf_dir, "nation")
+    write_xml_local(nation, path)
+    return (
+        read_xml(spark, path, nation.schema)
+        .filter(F.col("n_regionkey") >= 0)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

@@ -957,3 +957,91 @@ def test_avro_ds_mixed_type_directory_raises(spark, tmp_path):
     df = spark.read.format("n2k_avro").load(str(mixed))
     with _pytest.raises(Exception, match="type mismatch.*b\\.avro|same record schema"):
         df.collect()
+
+
+def test_xml_pure_python_round_trip_all_types(spark, tmp_path):
+    """r13: the stdlib-ElementTree XML datasource round-trips the common
+    scalar surface byte-exact — incl. NULLs (absent element), the
+    ""/NULL distinction, markup characters in values (& < > \" '),
+    unicode, booleans, decimals-as-declared-doubles, dates and
+    timestamps — and a malformed document raises loudly."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from n2kupdate_spark.sources.xml_py import read_xml, write_xml_local
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("dt", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    rows = [
+        Row(i=1, s="plain", d=1.5, b=True,
+            dt=dt.date(2026, 1, 2), ts=dt.datetime(2026, 1, 2, 3, 4, 5)),
+        Row(i=2, s="mark<up> & \"quotes\" 'too'", d=-0.0001220703125, b=False,
+            dt=None, ts=None),
+        Row(i=None, s=None, d=None, b=None, dt=None, ts=None),
+        Row(i=4, s="", d=2.0, b=True, dt=dt.date(1999, 12, 31), ts=None),
+        Row(i=5, s="unicodé ✓ Ω", d=3.14159, b=False, dt=None, ts=None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "t.xml")
+    write_xml_local(df, path)
+    back = read_xml(spark, path, schema).collect()
+    assert sorted(
+        [tuple(r) for r in back], key=lambda t: (t[0] is None, t[0])
+    ) == sorted([tuple(r) for r in rows], key=lambda t: (t[0] is None, t[0]))
+    # "" survived as "" and NULL as NULL
+    by_i = {r["i"]: r for r in back}
+    assert by_i[4]["s"] == "" and by_i[None]["s"] is None
+
+    bad = tmp_path / "bad.xml"
+    bad.write_bytes(b"<rows><row><i>1</i></row>")  # unclosed root
+    with pytest.raises(Exception, match="ParseError|no element found|mismatch"):
+        read_xml(spark, str(bad), schema).collect()
+
+
+def test_xml_distributed_write_round_trip(spark, sf_dir, tmp_path):
+    """r13: the distributed XML writer emits one part file per
+    partition and the reader reassembles the exact table with one
+    parse task per file (per-file parallelism — the avro_py layout)."""
+    import glob as _glob
+
+    from n2kupdate_spark.sources import load
+    from n2kupdate_spark.sources.xml_py import read_xml, write_xml
+
+    nation = load(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_xml")
+    write_xml(nation.repartition(4), out)
+    parts = _glob.glob(out + "/part-*.xml")
+    assert len(parts) == 4
+    back = read_xml(spark, out, nation.schema)
+    assert back.rdd.getNumPartitions() >= 1
+    a = sorted(tuple(r) for r in back.collect())
+    b = sorted(tuple(r) for r in nation.collect())
+    assert a == b
+
+
+def test_xml_query_matches_parquet_nation(spark, sf_dir):
+    """r13: the registered source_xml query equals the parquet nation
+    projection row-for-row."""
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    got = sorted(tuple(r) for r in QUERIES["source_xml"](spark, sf_dir).collect())
+    want = sorted(
+        tuple(r)
+        for r in load(spark, sf_dir, "nation")
+        .filter("n_regionkey >= 0")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    assert got == want
