@@ -1045,3 +1045,44 @@ def test_xml_query_matches_parquet_nation(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_xml_python_datasource_format(spark, sf_dir, tmp_path):
+    """r13: the n2k_xml Spark 4 Python DataSource — format() with a
+    DECLARED schema equals the write_xml input row-for-row; one
+    partition per file; no-schema read infers an all-string struct
+    (names only — the source refuses to guess types); SQL USING works;
+    missing path raises."""
+    import pytest
+
+    from n2kupdate_spark.sources import load
+    from n2kupdate_spark.sources.xml_ds import XmlPyDataSource
+    from n2kupdate_spark.sources.xml_py import write_xml
+
+    spark.dataSource.register(XmlPyDataSource)
+    nation = load(spark, sf_dir, "nation")
+    out = str(tmp_path / "nx")
+    write_xml(nation.repartition(3), out)
+
+    back = spark.read.schema(nation.schema).format("n2k_xml").load(out)
+    assert back.rdd.getNumPartitions() == 3
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in nation.collect()
+    )
+
+    inferred = spark.read.format("n2k_xml").load(out)
+    assert all(f.dataType.simpleString() == "string" for f in inferred.schema.fields)
+    assert {f.name for f in inferred.schema.fields} <= {
+        f.name for f in nation.schema.fields
+    }
+    assert inferred.count() == nation.count()
+
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW nx_sql USING n2k_xml OPTIONS (path '{out}')"
+    )
+    assert spark.table("nx_sql").count() == nation.count()
+
+    with pytest.raises(Exception):
+        spark.read.schema(nation.schema).format("n2k_xml").load(
+            str(tmp_path / "missing")
+        ).collect()
