@@ -2380,7 +2380,14 @@ def extract_html_text(
     transform/filter/aggregate HOFs over the per-row block array; no
     shuffle, no Python, absorbed by the scan at 100 TB. The block
     array is materialized in its own projection so downstream HOFs
-    reference the computed column instead of re-splitting per use."""
+    reference the computed column instead of re-splitting per use.
+
+    Known limitation (regex-based, shared with the python reference
+    pin): a bare ``<`` in BODY text followed by a later ``>`` is eaten
+    as if it were a tag (``x < 2 && y > 1`` loses the middle) — real
+    pages escape these as entities (which this op decodes correctly);
+    tolerating raw unescaped angle brackets needs a true HTML parser,
+    which is the spec'd trade of the deterministic regexp core."""
     nocode = F.col(html_col)
     for pat in (
         r"(?is)<script\b[^>]*>.*?</script>",
