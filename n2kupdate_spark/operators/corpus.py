@@ -2616,3 +2616,52 @@ def kn_perplexity(
         (F.round(F.avg("lp") * 10000) / 10000).alias("avg_logprob"),
         (F.round(F.exp(-F.avg("lp")) * 10000) / 10000).alias("ppl"),
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2: pages
+    containing any word from a caller-supplied blocklist are dropped
+    wholesale — the other famous C4 cleaning step next to global line
+    dedup). Matching is whole-token, case-insensitive (the published
+    rule is word-level, so "class" never matches a blocked "ass").
+    Emits every input doc with ``n_blocked_terms`` (total blocked-token
+    occurrences) and ``blocked`` (the drop flag). The TERMS ARE THE
+    CALLER'S: real deployments ship a vetted list; nothing is baked in.
+
+    Scale shape: tokens explode and broadcast-hash-join the (tiny)
+    blocklist table, then ONE id-keyed partial-agged count — shuffle
+    rows ∝ blocked-token occurrences only (the join filters first), and
+    the un-hit fast path is a map. A literal-array membership test per
+    token would cost O(|list|) per token at the multi-thousand-term
+    production list size; the broadcast join stays O(1) per token."""
+    if not terms:
+        return docs.select(
+            id_col,
+            F.lit(0).cast("long").alias("n_blocked_terms"),
+            F.lit(False).alias("blocked"),
+        )
+    spark = docs.sparkSession
+    bl = F.broadcast(
+        spark.createDataFrame(
+            [(t.lower(),) for t in sorted(set(terms))], "term string"
+        )
+    )
+    toks = docs.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    hits = toks.join(bl, "term").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocked_terms")
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_blocked_terms", F.lit(0)).cast("long").alias(
+            "n_blocked_terms"
+        ),
+        (F.coalesce("n_blocked_terms", F.lit(0)) > 0).alias("blocked"),
+    )

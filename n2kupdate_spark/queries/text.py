@@ -1311,3 +1311,42 @@ def text_perplexity_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
     )
     return scored.select("doc_id", "lang", "ppl", bucket.alias("bucket"))
+
+
+#: Demo blocklist — deliberately nonsense tokens (real deployments ship
+#: a vetted list; the engine bakes nothing in). The fixture plants them
+#: by doc_id residue so the gate demonstrably fires.
+_BLOCKLIST_DEMO = ("zorblax", "quuxbad")
+
+
+@register("text_blocklist_filter")  # rows-only (r9 capacity policy,
+# headroom preserved): output ≡ an independent python recompute at two
+# sfs + planted-marker contracts in tests/test_mlprep_props.py
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate over a marker-planted corpus (Raffel et
+    al. 2020 §2.2 — pages containing any blocklisted word are dropped
+    wholesale; with r13's dedup_lines_c4 this completes the two famous
+    C4 cleaning steps). The fixture appends a blocklist token to every
+    7th doc (uppercased on every 14th — case-insensitivity must
+    demonstrably fire) and a SUBSTRING-colliding token ("zorblaxes") to
+    every 11th — whole-token matching must NOT flag those. Emits
+    (doc_id, n_blocked_terms, blocked).
+
+    Scale: explode + broadcast-hash join against the tiny term table +
+    one id-keyed partial-agged count — see
+    operators/corpus.py::blocklist_filter."""
+    from n2kupdate_spark.operators.corpus import blocklist_filter
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    marker = (
+        F.when(F.col("doc_id") % 14 == 0, F.lit(" ZORBLAX"))
+        .when(F.col("doc_id") % 7 == 0, F.lit(" zorblax quuxbad"))
+        .otherwise(F.lit(""))
+    )
+    near_miss = F.when(
+        F.col("doc_id") % 11 == 0, F.lit(" zorblaxes")
+    ).otherwise(F.lit(""))
+    demo = d.select(
+        "doc_id", F.concat("text", marker, near_miss).alias("text")
+    )
+    return blocklist_filter(demo, _BLOCKLIST_DEMO)

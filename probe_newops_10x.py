@@ -89,6 +89,7 @@ OPS = [
     "dedup_lines_c4",           # posexplode + fingerprint window + id reassembly
     "diag_gate_sweep",          # two scorers + 9-struct literal-grid sweep pass
     "corpus_crawl_pipeline",    # extract map + line-dedup window + gate chain
+    "text_blocklist_filter",    # explode + broadcast term join + id-keyed count
 ]
 
 

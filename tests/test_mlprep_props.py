@@ -2262,3 +2262,54 @@ def test_r13_ops_empty_input_degenerate(spark):
         assert out.collect() == []
     finally:
         diag_mod.load = real_load2
+
+
+def test_blocklist_filter_matches_python_reference(spark):
+    """r13: the C4 blocklist gate ≡ an independent python recompute at
+    two sfs, plus the rule contracts: whole-token only (the planted
+    substring collider "zorblaxes" never flags), case-insensitive (the
+    uppercased marker flags), empty blocklist = nothing blocked, and
+    multi-hit docs count every occurrence."""
+    from n2kupdate_spark.operators.corpus import blocklist_filter
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.text import _BLOCKLIST_DEMO
+    from n2kupdate_spark.sources import load
+
+    terms = {t.lower() for t in _BLOCKLIST_DEMO}
+
+    def fixture_text(doc_id, text):
+        if doc_id % 14 == 0:
+            text += " ZORBLAX"
+        elif doc_id % 7 == 0:
+            text += " zorblax quuxbad"
+        if doc_id % 11 == 0:
+            text += " zorblaxes"
+        return text
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = {
+            r["doc_id"]: fixture_text(r["doc_id"], r["text"])
+            for r in load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
+        }
+        want = {}
+        for did, t in texts.items():
+            n = sum(1 for tok in t.lower().split(" ") if tok in terms)
+            want[did] = (n, n > 0)
+        got = {
+            r["doc_id"]: (r["n_blocked_terms"], r["blocked"])
+            for r in QUERIES["text_blocklist_filter"](spark, sf).collect()
+        }
+        assert got == want, sf
+        # planted contracts
+        assert all(got[d][1] for d in got if d % 7 == 0)
+        assert all(
+            not got[d][1] for d in got if d % 11 == 0 and d % 7 != 0
+        )  # substring collider never flags
+        assert any(got[d][0] == 2 for d in got if d % 7 == 0 and d % 14 != 0)
+
+    # empty blocklist: nothing blocked, typed columns intact
+    df = spark.createDataFrame([(1, "a zorblax b")], ["doc_id", "text"])
+    out = blocklist_filter(df, ()).collect()
+    assert out == [(1, 0, False)] or (
+        out[0]["n_blocked_terms"] == 0 and out[0]["blocked"] is False
+    )
