@@ -2054,3 +2054,74 @@ def embedding_drift(
         )
         .orderBy("cell")
     )
+
+
+def d4_diversify(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_cells: int = 16,
+    drop_frac: float = 0.25,
+    seed: int = 11,
+) -> DataFrame:
+    """D4-style diversification (Tirumala et al. 2023, arXiv:2308.12284
+    — the stage AFTER SemDeDup): cluster the embedding space, score
+    every point's PROTOTYPICALITY (cosine to its cluster centroid), and
+    drop the most prototypical ``drop_frac`` of every cluster — the
+    templated/boilerplate core that semantic dedup's pairwise threshold
+    leaves behind — keeping the diverse remainder. Emits every input
+    row as (``id_col``, cell, proto_score 4dp, kept).
+
+    Ranking is total ((4dp score desc, id asc)) and the per-cell drop
+    count is ceil(drop_frac · cell size), so the selection is
+    deterministic and re-runnable; drop_frac = 0 keeps everything.
+
+    Scale shape: the bounded-sample centroid fit
+    (:func:`fit_spherical_centroids` — driver traffic ≤ n_cells × dim),
+    ONE Arrow matmul map computing all cell scores per batch (shared
+    with assignment — the score array is materialized once, so best
+    cell and prototypicality cost one matmul, not two), and ONE
+    per-cell window shuffle. Never a pairwise term — this composes
+    AFTER semantic_dedup precisely because it is O(n), not O(Σ n_c²)."""
+    from pyspark.sql import Window
+
+    from n2kupdate_spark.functions import l2_norm
+
+    cents = fit_spherical_centroids(
+        vectors, id_col, vec_col, n_cells=n_cells, seed=seed
+    )
+    scored = (
+        vectors.withColumn("_scores", cell_scores(vec_col, cents))
+        .withColumn(
+            "cell",
+            F.array_position(F.col("_scores"), F.array_max("_scores")).cast(
+                "int"
+            ),
+        )
+        .withColumn("_norm", l2_norm(vec_col))
+        .withColumn(
+            "proto_score",
+            F.round(
+                F.when(
+                    F.col("_norm") > 0,
+                    F.array_max("_scores") / F.col("_norm"),
+                ).otherwise(F.lit(0.0))
+                * 10000
+            )
+            / 10000,
+        )
+        .drop("_scores", "_norm")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("proto_score").desc(), F.col(id_col).asc()
+    )
+    n_in_cell = F.count(F.lit(1)).over(Window.partitionBy("cell"))
+    return scored.select(
+        id_col,
+        "cell",
+        "proto_score",
+        (
+            F.row_number().over(w)
+            > F.ceil(n_in_cell * F.lit(float(drop_frac)))
+        ).alias("kept"),
+    )

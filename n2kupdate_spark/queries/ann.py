@@ -530,3 +530,27 @@ def embed_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (16, 32, full_dim):
         out = out.unionByName(recall_of(d))
     return out
+
+
+@register("sample_d4_diverse")  # rows-only (r9 capacity policy):
+# selection ≡ an independent numpy recompute + planted-structure
+# behavior pins in tests/test_ann_recall.py
+def sample_d4_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style diversification over the embeddings table (Tirumala et
+    al. 2023 — the published data-curation stage AFTER SemDeDup):
+    cluster, score prototypicality (cosine to own centroid), drop the
+    most prototypical 25% of every cluster, keep the diverse remainder.
+    Complements dedup_semantic_clusters (which removes pairwise
+    NEAR-DUPLICATES; this removes the templated cluster CORE that
+    survives any pairwise threshold). Emits (vec_id, cell, proto_score,
+    kept) for every vector so callers can re-threshold.
+
+    Scale: bounded centroid fit + one Arrow-matmul score map + one
+    per-cell window — O(n), never pairwise; see
+    operators/similarity.py::d4_diversify."""
+    from n2kupdate_spark.operators.similarity import d4_diversify
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return d4_diversify(e, n_cells=16, drop_frac=0.25)

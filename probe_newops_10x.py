@@ -90,6 +90,7 @@ OPS = [
     "diag_gate_sweep",          # two scorers + 9-struct literal-grid sweep pass
     "corpus_crawl_pipeline",    # extract map + line-dedup window + gate chain
     "text_blocklist_filter",    # explode + broadcast term join + id-keyed count
+    "sample_d4_diverse",        # bounded fit + one matmul map + per-cell window
 ]
 
 

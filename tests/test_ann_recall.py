@@ -702,3 +702,74 @@ def test_mrl_recall_harness(spark):
         ann_mod.load = real_load
     assert planted[8] >= 0.9, planted
     assert planted[64] == 1.0
+
+
+def test_d4_diversify_matches_numpy_and_planted_structure(spark):
+    """r13: D4 diversification — full (cell, 4dp proto, kept) table ≡ an
+    independent numpy recompute from the SAME deterministic centroid fit
+    (assignment argmax, cosine, per-cell (score desc, id) rank, ceil
+    drop) on the fixture; plus a planted corpus — a tight clump + far
+    outliers — where the clump CORE drops and every outlier survives;
+    drop_frac=0 keeps everything; per-cell drop counts are exactly
+    ceil(frac·n)."""
+    import math
+    from collections import defaultdict
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.similarity import (
+        d4_diversify,
+        fit_spherical_centroids,
+    )
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    vecs = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = fit_spherical_centroids(vecs, "vec_id", "v", n_cells=16, seed=11)
+    rows = {r["vec_id"]: np.asarray(r["v"], dtype=np.float64) for r in vecs.collect()}
+    want = {}
+    per_cell = defaultdict(list)
+    for vid in rows:
+        s = cents @ rows[vid]
+        cell = int(np.argmax(s)) + 1
+        nrm = float(np.linalg.norm(rows[vid]))
+        proto = round(float(s.max()) / nrm * 10000) / 10000 + 0.0 if nrm > 0 else 0.0
+        want[vid] = (cell, proto)
+        per_cell[cell].append((-proto, vid))
+    kept_want = {}
+    for cell, members in per_cell.items():
+        members.sort()
+        n_drop = math.ceil(0.25 * len(members))
+        for rank, (_, vid) in enumerate(members, start=1):
+            kept_want[vid] = rank > n_drop
+    got = {
+        r["vec_id"]: (r["cell"], r["proto_score"], r["kept"])
+        for r in QUERIES["sample_d4_diverse"](spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for vid in got:
+        assert got[vid] == (want[vid][0], want[vid][1], kept_want[vid]), vid
+
+    # planted structure: 40 near-identical clump vectors + 8 orthogonal-ish
+    # outliers; one cell, drop_frac=0.25 → 12 drops, ALL from the clump
+    rng = np.random.RandomState(5)
+    base = rng.randn(8)
+    clump = [base + rng.randn(8) * 0.01 for _ in range(40)]
+    outliers = [rng.randn(8) * 3 for _ in range(8)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(clump + outliers)],
+        "vec_id long, v array<double>",
+    )
+    out = {r["vec_id"]: r for r in d4_diversify(df, n_cells=1, drop_frac=0.25).collect()}
+    dropped = {i for i, r in out.items() if not r["kept"]}
+    assert len(dropped) == 12  # ceil(0.25 * 48)
+    assert dropped <= set(range(40))  # every drop is a clump member
+    assert all(out[i]["kept"] for i in range(40, 48))  # outliers survive
+
+    # drop_frac = 0 keeps everything
+    out0 = d4_diversify(df, n_cells=1, drop_frac=0.0).collect()
+    assert all(r["kept"] for r in out0)
