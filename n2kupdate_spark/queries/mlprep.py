@@ -1793,3 +1793,37 @@ def corpus_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("chars_final", F.lit(0)).cast("long").alias("chars_final"),
         )
     )
+
+
+@register("ts_winsorize_clamp")  # rows-only (r9 capacity policy,
+# headroom preserved): output ≡ an independent numpy recompute at two
+# sfs + clamp-algebra contracts in tests/test_mlprep_props.py
+def ts_winsorize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key winsorization — the standard numeric cleaner between raw
+    event streams and model features (clamp each user's values into
+    their own exact [p05, p95] band; outliers saturate instead of
+    dominating a scale-sensitive fit; the per-KEY band is the point —
+    a global band would let one hot user define everyone's tails).
+    Emits (user_id, ts_s, value, value_w 4dp, clipped).
+
+    Scale: ONE user-keyed window shuffle — the exact percentiles ride
+    as window aggregates over the same partition the clamp reads, so
+    there is no second pass and no percentile-table join; output rows =
+    input rows. Exact percentile (not approx) keeps the band
+    deterministic and python-recomputable."""
+    e = load(spark, sf_dir, "events", columns=["user_id", "ts", "value"]).select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+        "value",
+    )
+    w = Window.partitionBy("user_id")
+    lo = F.expr("percentile(value, 0.05)").over(w)
+    hi = F.expr("percentile(value, 0.95)").over(w)
+    clamped = F.greatest(lo, F.least(hi, F.col("value")))
+    return e.select(
+        "user_id",
+        "ts_s",
+        "value",
+        (F.round(clamped * 10000) / 10000).alias("value_w"),
+        (F.col("value") != clamped).alias("clipped"),
+    )

@@ -91,6 +91,7 @@ OPS = [
     "corpus_crawl_pipeline",    # extract map + line-dedup window + gate chain
     "text_blocklist_filter",    # explode + broadcast term join + id-keyed count
     "sample_d4_diverse",        # bounded fit + one matmul map + per-cell window
+    "ts_winsorize_clamp",       # one user-keyed window: percentile + clamp in-pass
 ]
 
 

