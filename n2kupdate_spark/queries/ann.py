@@ -554,3 +554,65 @@ def sample_d4_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return d4_diversify(e, n_cells=16, drop_frac=0.25)
+
+
+#: τ grid for the semantic-dedup threshold sweep. The fixture's real
+#: near-dup structure sits at cos ≈ 0.3 (dedup_semantic_clusters' τ),
+#: so the grid brackets it; production text embeddings sweep 0.9–0.99.
+_TAU_GRID = (0.25, 0.3, 0.35, 0.4, 0.5)
+
+
+@register("diag_semantic_tau_sweep")  # rows-only (r9 capacity policy):
+# sweep ≡ python recompute from the pair list + consistency with the
+# registered SemDeDup op at the shared τ — tests/test_ann_recall.py
+def diag_semantic_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup threshold tuning table (the embedding-side companion of
+    diag_gate_sweep, r13): for each candidate τ, how many vectors the
+    within-cluster keep-lowest rule would drop and what corpus fraction
+    that is — the table a curation team reads before committing THE
+    SemDeDup hyperparameter. Same geometry as dedup_semantic_clusters
+    (16 spherical cells, identical deterministic fit), so the row at
+    the registered op's τ = 0.3 equals that op's drop count exactly
+    (pinned). Emits (tau, n_dropped, drop_frac 4dp).
+
+    Scale: the pair list is generated ONCE at the grid minimum (the
+    block-pair bounded within-cluster path — O(Σ n_cluster²) candidates,
+    never corpus²), reduced to one max-cos row per candidate vector,
+    and the 5-τ sweep is a tiny explode over that bounded table —
+    sweeping thresholds costs one pair pass, not one per grid cell."""
+    from n2kupdate_spark.operators.similarity import (
+        best_cell,
+        fit_spherical_centroids,
+        pairwise_cosine_by_group,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n_total = e.count()
+    cents = fit_spherical_centroids(e, "vec_id", "v", n_cells=16, seed=11)
+    assigned = e.withColumn("cell", best_cell("v", cents))
+    pairs = pairwise_cosine_by_group(
+        assigned, "cell", "vec_id", "v", tau=min(_TAU_GRID)
+    )
+    # SemDeDup drop rule: a vector drops at τ iff it has a LOWER-id
+    # neighbor at cos ≥ τ — i.e. it appears as id2 of a ≥τ pair
+    per_j = pairs.groupBy("id2").agg(F.max("cos_sim").alias("max_cos"))
+    grid = F.array(*[F.lit(float(t)) for t in _TAU_GRID])
+    return (
+        per_j.select(F.explode(grid).alias("tau"), "max_cos")
+        .groupBy("tau")
+        .agg(
+            F.sum(F.when(F.col("max_cos") >= F.col("tau"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped")
+        )
+        .select(
+            "tau",
+            "n_dropped",
+            (
+                F.round(F.col("n_dropped") / F.lit(float(n_total)) * 10000)
+                / 10000
+            ).alias("drop_frac"),
+        )
+    )

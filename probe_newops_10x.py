@@ -92,6 +92,7 @@ OPS = [
     "text_blocklist_filter",    # explode + broadcast term join + id-keyed count
     "sample_d4_diverse",        # bounded fit + one matmul map + per-cell window
     "ts_winsorize_clamp",       # one user-keyed window: percentile + clamp in-pass
+    "diag_semantic_tau_sweep",  # one bounded pair pass + per-candidate max + grid
 ]
 
 

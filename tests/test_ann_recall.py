@@ -773,3 +773,46 @@ def test_d4_diversify_matches_numpy_and_planted_structure(spark):
     # drop_frac = 0 keeps everything
     out0 = d4_diversify(df, n_cells=1, drop_frac=0.0).collect()
     assert all(r["kept"] for r in out0)
+
+
+def test_semantic_tau_sweep_consistency_and_recompute(spark):
+    """r13: the τ sweep table ≡ a python recompute from the collected
+    pair list at two sfs; the row at τ = 0.3 equals the registered
+    dedup_semantic_clusters drop count EXACTLY (same geometry, same
+    keep-lowest rule); drops are monotone non-increasing in τ."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.similarity import (
+        best_cell,
+        fit_spherical_centroids,
+        pairwise_cosine_by_group,
+    )
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.ann import _TAU_GRID
+    from n2kupdate_spark.sources import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        n = e.count()
+        cents = fit_spherical_centroids(e, "vec_id", "v", n_cells=16, seed=11)
+        assigned = e.withColumn("cell", best_cell("v", cents))
+        pairs = pairwise_cosine_by_group(
+            assigned, "cell", "vec_id", "v", tau=min(_TAU_GRID)
+        ).collect()
+        best = {}
+        for p in pairs:
+            best[p["id2"]] = max(best.get(p["id2"], -2.0), p["cos_sim"])
+        want = {}
+        for t in _TAU_GRID:
+            nd = sum(1 for c in best.values() if c >= t)
+            want[t] = (nd, round(nd / n * 10000) / 10000 + 0.0)
+        got = {
+            r["tau"]: (r["n_dropped"], r["drop_frac"])
+            for r in QUERIES["diag_semantic_tau_sweep"](spark, sf).collect()
+        }
+        assert got == want, sf
+        counts = [got[t][0] for t in sorted(got)]
+        assert counts == sorted(counts, reverse=True)
+        assert got[0.3][0] == QUERIES["dedup_semantic_clusters"](spark, sf).count()
