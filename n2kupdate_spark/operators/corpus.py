@@ -1159,12 +1159,16 @@ def gate_documents(
     exclude_eval_ids: bool = True,
     decontam_method: str = "exact",
     kn_ppl_max: float | None = None,
+    blocklist_terms: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """The filtering front half of :func:`prepare_corpus` — Gopher gate →
-    optional Kneser–Ney perplexity gate → n-gram decontamination
-    (overlap budget) → optional eval-id exclusion → exact dedup (md5,
-    keep lowest id) — returning the SURVIVING docs with their original
-    columns. ``kn_ppl_max`` (r13, judge item 2), when set, fits
+    optional C4 blocklist gate → optional Kneser–Ney perplexity gate →
+    n-gram decontamination (overlap budget) → optional eval-id
+    exclusion → exact dedup (md5, keep lowest id) — returning the
+    SURVIVING docs with their original columns. ``blocklist_terms``
+    (r13), when set, drops every doc containing ANY blocklisted word
+    (whole-token, case-insensitive — :func:`blocklist_filter`, the C4
+    §2.2 rule). ``kn_ppl_max`` (r13, judge item 2), when set, fits
     :func:`kn_perplexity` on the INPUT corpus and drops docs whose
     bigram-KN perplexity exceeds it — the CCNet-style fluency gate
     (CCNet gates on LM perplexity buckets; here the LM is fit on the
@@ -1189,6 +1193,13 @@ def gate_documents(
         .filter(F.col("gopher_pass") == 1)
         .select(id_col)
     )
+    if blocklist_terms:
+        unblocked = (
+            blocklist_filter(docs, blocklist_terms, id_col, text_col)
+            .filter(~F.col("blocked"))
+            .select(id_col)
+        )
+        passing = passing.join(unblocked, id_col)
     if kn_ppl_max is not None:
         fluent = (
             kn_perplexity(docs, id_col, text_col)

@@ -2362,3 +2362,34 @@ def test_winsorize_clamp_matches_numpy(spark):
             if not r["clipped"]:
                 assert r["value_w"] == round(r["value"] * 10000) / 10000 + 0.0
         assert any(r["clipped"] for r in got)  # non-vacuous
+
+
+def test_gate_documents_blocklist_gate(spark):
+    """r13: the optional blocklist_terms gate in gate_documents drops
+    exactly the docs the standalone blocklist_filter flags, on top of
+    the unchanged gates — survivor set ≡ manual composition."""
+    from n2kupdate_spark.operators.corpus import blocklist_filter, gate_documents
+    from n2kupdate_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents", columns=["doc_id", "text"]).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat("text", F.lit(" plantedbad"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    base = {r["doc_id"] for r in gate_documents(docs, eval_docs).collect()}
+    gated = {
+        r["doc_id"]
+        for r in gate_documents(
+            docs, eval_docs, blocklist_terms=("plantedbad",)
+        ).collect()
+    }
+    flagged = {
+        r["doc_id"]
+        for r in blocklist_filter(docs, ("plantedbad",)).collect()
+        if r["blocked"]
+    }
+    assert gated == base - flagged
+    assert gated < base  # the gate demonstrably dropped someone
