@@ -2676,3 +2676,65 @@ def blocklist_filter(
         ),
         (F.coalesce("n_blocked_terms", F.lit(0)) > 0).alias("blocked"),
     )
+
+
+def contamination_report(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    budget: int = 1,
+) -> DataFrame:
+    """EVAL-side contamination report — the reverse view of
+    :func:`decontaminate_ngram`: per BENCHMARK item, how many training
+    docs share ≥ ``budget`` distinct word ``n``-grams with it, the worst
+    single-doc overlap, and the total shared-gram incidence. This is the
+    table an eval-set maintainer reads (which benchmark items are so
+    leaked their scores are meaningless) while the decontamination gate
+    answers the trainer's question (which training docs to drop) —
+    published eval-integrity audits (GPT-3 appendix C class) report
+    exactly this per-benchmark view. Every eval doc appears (zeros when
+    clean). Emits (``id_col``, n_leaking_train_docs, max_shared_grams,
+    total_shared_grams).
+
+    Scale: both gram sets are per-doc-distinct (word_shingles); the eval
+    side is a benchmark suite — thousands of items — so its (eval_id,
+    gram) pairs BROADCAST and the train corpus never shuffles until the
+    (eval, train) pair counts; pair rows exist only for actual overlaps,
+    so the aggregate is collision-sized, not |train|×|eval|."""
+    from n2kupdate_spark.operators.dedup import word_shingles
+
+    tg = word_shingles(train_docs.select(id_col, text_col), text_col, n=n).select(
+        F.col(id_col).alias("__tid"), F.explode("shingles").alias("g")
+    )
+    eg = word_shingles(eval_docs.select(id_col, text_col), text_col, n=n).select(
+        F.col(id_col).alias("__eid"), F.explode("shingles").alias("g")
+    )
+    pair = (
+        tg.join(F.broadcast(eg), "g")
+        .groupBy("__eid", "__tid")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= budget)
+    )
+    per_eval = pair.groupBy("__eid").agg(
+        F.count(F.lit(1)).alias("n_leaking_train_docs"),
+        F.max("__shared").alias("max_shared_grams"),
+        F.sum("__shared").alias("total_shared_grams"),
+    )
+    return (
+        eval_docs.select(F.col(id_col))
+        .join(per_eval, F.col(id_col) == F.col("__eid"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_leaking_train_docs", F.lit(0)).cast("long").alias(
+                "n_leaking_train_docs"
+            ),
+            F.coalesce("max_shared_grams", F.lit(0)).cast("long").alias(
+                "max_shared_grams"
+            ),
+            F.coalesce("total_shared_grams", F.lit(0)).cast("long").alias(
+                "total_shared_grams"
+            ),
+        )
+    )

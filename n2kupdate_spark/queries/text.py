@@ -1350,3 +1350,33 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat("text", marker, near_miss).alias("text")
     )
     return blocklist_filter(demo, _BLOCKLIST_DEMO)
+
+
+@register("text_contamination_report")  # rows-only (r9 capacity
+# policy): output ≡ an independent python recompute at two sfs +
+# duality-with-the-decontamination-gate pin in tests/test_mlprep_props.py
+def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-side contamination audit (r13) — per benchmark item (the
+    doc_id % 97 slice), how many training docs share ≥ the overlap
+    budget of word 3-grams with it, the worst single-doc overlap, and
+    total incidence: the reverse view of text_decontaminate_ngram (the
+    trainer asks "which docs do I drop"; the eval maintainer asks
+    "which of my items are too leaked to score"). Zeros kept so clean
+    items are visible.
+
+    Scale: per-doc-distinct grams both sides; the benchmark side
+    broadcasts; pair rows exist only for actual overlaps — see
+    operators/corpus.py::contamination_report."""
+    from n2kupdate_spark.operators.corpus import contamination_report
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    is_eval = F.expr(_EVAL_PRED_SQL)
+    return contamination_report(
+        d.filter(~is_eval), d.filter(is_eval), budget=_DECONTAM_BUDGET_R
+    )
+
+
+#: the report uses the same short-n overlap budget the decontamination
+#: composite documents (queries/mlprep.py::_DECONTAM_BUDGET = 5); bound
+#: here as a module constant to avoid a circular import at registration
+_DECONTAM_BUDGET_R = 5

@@ -93,6 +93,7 @@ OPS = [
     "sample_d4_diverse",        # bounded fit + one matmul map + per-cell window
     "ts_winsorize_clamp",       # one user-keyed window: percentile + clamp in-pass
     "diag_semantic_tau_sweep",  # one bounded pair pass + per-candidate max + grid
+    "text_contamination_report", # broadcast eval grams + collision-sized pair agg
 ]
 
 

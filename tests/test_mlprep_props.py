@@ -2393,3 +2393,65 @@ def test_gate_documents_blocklist_gate(spark):
     }
     assert gated == base - flagged
     assert gated < base  # the gate demonstrably dropped someone
+
+
+def test_contamination_report_matches_python_and_duality(spark):
+    """r13: the eval-side contamination report ≡ an independent python
+    recompute at two sfs, its budget constant is in lockstep with the
+    decontamination composite's, and DUALITY holds: the total of
+    (eval, train) leaking pairs seen from the eval side equals the
+    number seen from the train side under the same budget."""
+    from collections import defaultdict
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.mlprep import _DECONTAM_BUDGET
+    from n2kupdate_spark.queries.text import _DECONTAM_BUDGET_R
+    from n2kupdate_spark.sources import load
+
+    assert _DECONTAM_BUDGET_R == _DECONTAM_BUDGET  # lockstep guard
+
+    def grams(text, n=3):
+        toks = [t for t in text.split(" ") if t]
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
+        }
+        ev = {d: grams(t) for d, t in docs.items() if d % 97 == 0}
+        tr = {d: grams(t) for d, t in docs.items() if d % 97 != 0}
+        want = {}
+        pair_total = 0
+        for e, eg in ev.items():
+            overlaps = []
+            for t, tg in tr.items():
+                sh = len(eg & tg)
+                if sh >= _DECONTAM_BUDGET_R:
+                    overlaps.append(sh)
+            pair_total += len(overlaps)
+            want[e] = (
+                len(overlaps),
+                max(overlaps) if overlaps else 0,
+                sum(overlaps),
+            )
+        got = {
+            r["doc_id"]: (
+                r["n_leaking_train_docs"],
+                r["max_shared_grams"],
+                r["total_shared_grams"],
+            )
+            for r in QUERIES["text_contamination_report"](spark, sf).collect()
+        }
+        assert got == want, sf
+        assert set(got) == set(ev)  # zeros kept: every eval item present
+        # duality with the train-side gate at the same budget
+        train_side = sum(
+            1
+            for e, eg in ev.items()
+            for t, tg in tr.items()
+            if len(eg & tg) >= _DECONTAM_BUDGET_R
+        )
+        assert sum(v[0] for v in got.values()) == train_side == pair_total
