@@ -1352,6 +1352,13 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_filter(demo, _BLOCKLIST_DEMO)
 
 
+#: the report uses the same short-n overlap budget the decontamination
+#: composite documents (queries/mlprep.py::_DECONTAM_BUDGET = 5); bound
+#: here as a module constant to avoid a circular import at registration —
+#: the lockstep pin in tests/test_mlprep_props.py guards against drift
+_DECONTAM_BUDGET_R = 5
+
+
 @register("text_contamination_report")  # rows-only (r9 capacity
 # policy): output ≡ an independent python recompute at two sfs +
 # duality-with-the-decontamination-gate pin in tests/test_mlprep_props.py
@@ -1375,8 +1382,3 @@ def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(~is_eval), d.filter(is_eval), budget=_DECONTAM_BUDGET_R
     )
 
-
-#: the report uses the same short-n overlap budget the decontamination
-#: composite documents (queries/mlprep.py::_DECONTAM_BUDGET = 5); bound
-#: here as a module constant to avoid a circular import at registration
-_DECONTAM_BUDGET_R = 5
