@@ -237,3 +237,55 @@ def cusum_changepoints(
     return _bucketed_apply(
         events.select(*cols), key_col, _one_key, schema, group_buckets
     )
+
+
+def ewma_smooth(
+    events: DataFrame,
+    alpha: float = 0.2,
+    key_col: str = "user_id",
+    ts_col: str = "ts_s",
+    val_col: str = "value",
+    order_col: str | None = None,
+    group_buckets: int | None = None,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average — the standard
+    monitoring smoother (y_t = α·x_t + (1−α)·y_{t−1}, y_0 = x_0; the
+    recursive "adjust=False" form every metrics stack ships): completes
+    the per-key sequential family next to the rolling z-score, CUSUM
+    and LTTB. Emits every input row plus ``ewma`` (4dp).
+
+    The recursion has a closed window form (Σ α(1−α)^{t−i}x_i) but the
+    (1−α)^{−i} rescaling overflows doubles within a few thousand points
+    — so this walks each series imperatively like the other sequential
+    ops, through the shared bucketed two-level-key Arrow dispatch
+    (:func:`_bucketed_apply`: ONE shuffle, per-key pandas sub-groups
+    inside each Arrow batch). Deterministic: (ts, order_col) stable
+    sort. Pinned against ``pandas.ewm(alpha, adjust=False)`` — an
+    independent implementation of the same recursion — in
+    tests/test_mlprep_props.py."""
+    import pandas as pd  # noqa: F401
+
+    sort_cols = [ts_col] + ([order_col] if order_col else [])
+    cols = [key_col, ts_col, val_col] + ([order_col] if order_col else [])
+
+    def _one_key(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        out = pdf[[key_col, ts_col, val_col]].copy()
+        vals = pdf[val_col].to_numpy(dtype=float)
+        y = vals.copy()
+        for i in range(1, len(y)):
+            y[i] = alpha * vals[i] + (1.0 - alpha) * y[i - 1]
+        import numpy as np
+
+        out["ewma"] = np.round(y * 10000) / 10000 + 0.0
+        return out
+
+    schema = (
+        f"{key_col} {events.schema[key_col].dataType.simpleString()}, "
+        f"{ts_col} {events.schema[ts_col].dataType.simpleString()}, "
+        f"{val_col} {events.schema[val_col].dataType.simpleString()}, "
+        f"ewma double"
+    )
+    return _bucketed_apply(
+        events.select(*cols), key_col, _one_key, schema, group_buckets
+    )

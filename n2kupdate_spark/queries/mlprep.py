@@ -1827,3 +1827,28 @@ def ts_winsorize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(clamped * 10000) / 10000).alias("value_w"),
         (F.col("value") != clamped).alias("clipped"),
     )
+
+
+@register("ts_ewma_smooth")  # rows-only (§2 legend: the recursion's
+# sequential dependence has no stable SQL form); output ≡ pandas
+# ewm(adjust=False) in tests/test_mlprep_props.py
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of the event value series (α = 0.2, the
+    recursive adjust=False form) — the standard monitoring smoother,
+    completing the sequential per-key family (rolling z-score, CUSUM,
+    LTTB). Emits every event with its smoothed value.
+
+    Scale: ONE shuffle via the shared bucketed two-level-key Arrow
+    dispatch; O(series) per key — see
+    operators/timeseries.py::ewma_smooth."""
+    from n2kupdate_spark.operators.timeseries import ewma_smooth
+
+    e = load(
+        spark, sf_dir, "events", columns=["user_id", "event_id", "value", "ts"]
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    return ewma_smooth(e, alpha=0.2, order_col="event_id")

@@ -94,6 +94,7 @@ OPS = [
     "ts_winsorize_clamp",       # one user-keyed window: percentile + clamp in-pass
     "diag_semantic_tau_sweep",  # one bounded pair pass + per-candidate max + grid
     "text_contamination_report", # broadcast eval grams + collision-sized pair agg
+    "ts_ewma_smooth",           # bucketed per-key walk, one shuffle
 ]
 
 

@@ -2455,3 +2455,57 @@ def test_contamination_report_matches_python_and_duality(spark):
             if len(eg & tg) >= _DECONTAM_BUDGET_R
         )
         assert sum(v[0] for v in got.values()) == train_side == pair_total
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """r13: per-key EWMA ≡ pandas ewm(alpha, adjust=False).mean() — an
+    independent implementation of the same recursion — at the registered
+    fixture, plus: bucketed ≡ per-key dispatch, smoothing reduces
+    variance on a noisy planted series, and a constant series is a
+    fixpoint."""
+    import numpy as np
+    import pandas as pd
+
+    from n2kupdate_spark.operators.timeseries import ewma_smooth
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    sf = "/root/testdata/sf0.01"
+    ev = load(spark, sf, "events", columns=["user_id", "event_id", "value", "ts"]).select(
+        "user_id", "event_id", "value",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    ).toPandas()
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_s", "event_id"], kind="mergesort")
+        sm = g["value"].ewm(alpha=0.2, adjust=False).mean().to_numpy()
+        sm = np.round(sm * 10000) / 10000 + 0.0
+        for (_, r), y in zip(g.iterrows(), sm):
+            want[(uid, r["ts_s"], r["value"])] = y
+    got = {
+        (r["user_id"], r["ts_s"], r["value"]): r["ewma"]
+        for r in QUERIES["ts_ewma_smooth"](spark, sf).collect()
+    }
+    assert got == want
+
+    # bucketed ≡ per-key, incl. forced collisions
+    e = load(spark, sf, "events", columns=["user_id", "event_id", "value", "ts"]).select(
+        "user_id", "event_id", "value",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    base = {tuple(r) for r in ewma_smooth(e, order_col="event_id", group_buckets=0).collect()}
+    for b in (None, 2):
+        assert {tuple(r) for r in ewma_smooth(e, order_col="event_id", group_buckets=b).collect()} == base
+
+    # behavior: constant series fixpoint; noisy series variance shrinks
+    rows = [(1, i, 5.0, i) for i in range(30)]
+    rng = np.random.RandomState(7)
+    rows += [(2, i, float(10 + rng.randn()), i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "value", "ts_s"])
+    out = ewma_smooth(df, order_col="event_id").collect()
+    c = [r for r in out if r["user_id"] == 1]
+    assert all(r["ewma"] == 5.0 for r in c)
+    noisy = [r for r in out if r["user_id"] == 2]
+    raw_var = float(np.var([r["value"] for r in noisy]))
+    sm_var = float(np.var([r["ewma"] for r in noisy]))
+    assert sm_var < raw_var * 0.5
