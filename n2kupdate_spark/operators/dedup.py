@@ -880,6 +880,112 @@ def host_pagerank(
     ).select(F.col("__hn").alias(host_col), "rank")
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "id1",
+    dst_col: str = "id2",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph — the transitivity signal the pagerank/CC family
+    lacks: a near-dup cluster whose members all pair with each OTHER
+    (high clustering) is a mirror farm; a hub whose neighbors never
+    inter-connect (coefficient ~0) is template reuse radiating from one
+    source. Emits one row per node appearing in the edge list:
+    ``(node, degree, triangles, clustering)`` with clustering =
+    2T / (deg·(deg−1)), 4dp scale-first rounding (degree-1 nodes score
+    0.0 — no possible wedge).
+
+    Scale shape — the degree-ordered wedge plan (Chiba–Nishizeki 1985
+    orientation; the MapReduce formulation of Suri & Vassilvitskii,
+    WWW 2011): canonicalize edges (least/greatest + distinct, one
+    shuffle), compute degrees (one partial-agged shuffle over 2m rows),
+    then ORIENT every edge from its lower-(degree, id) endpoint to the
+    higher — under this orientation every node's out-degree is
+    O(√m) amortized, so the wedge self-join on the source key produces
+    O(m^1.5) candidate rows WORST-case instead of Σdeg² (a single
+    celebrity node with degree 10⁶ contributes zero wedges as a
+    destination — the skew that kills the naive apex join never forms).
+    Wedges close against the oriented edge list itself: in any triangle
+    the two higher-ranked corners are joined by an edge oriented
+    low→high, so one (u, v)-keyed join finds every triangle exactly
+    once. Per-node counts: each closed triangle credits its 3 corners
+    via one 3-literal explode + partial-agged count. No driver
+    collects, no cartesians; every join is keyed."""
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        # degrees and the oriented list both consume this — checkpoint
+        # once or Catalyst inlines the upstream pair computation into
+        # every branch (the kn-fit-table lesson, r13).
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # rank = (deg, id): total order, ties broken by id — deterministic.
+    withdeg = (
+        e.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("__da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("__db")), "b")
+        .select(
+            "a",
+            "b",
+            F.struct(F.col("__da").alias("d"), F.col("a").alias("i")).alias("ra"),
+            F.struct(F.col("__db").alias("d"), F.col("b").alias("i")).alias("rb"),
+        )
+    )
+    oriented = withdeg.select(
+        F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(F.col("ra") < F.col("rb"), F.col("rb")).otherwise(F.col("ra")).alias("rdst"),
+    ).localCheckpoint(eager=True)  # consumed twice: wedge join + closing join
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.rdst") < F.col("y.rdst"))
+        .select(
+            F.col("x.src").alias("apex"),
+            F.col("x.dst").alias("u"),
+            F.col("y.dst").alias("v"),
+        )
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+    )
+    per_node = (
+        tri.select(F.explode(F.array("apex", "u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(F.col("deg") < 2, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("triangles", F.lit(0))
+                    * 2.0
+                    / (F.col("deg") * (F.col("deg") - 1))
+                    * 10000
+                )
+                / 10000
+            )
+            .alias("clustering"),
+        )
+    )
+
+
 def connected_components_auto(
     nodes: DataFrame,
     edges: DataFrame,

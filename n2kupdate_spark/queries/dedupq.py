@@ -695,6 +695,27 @@ def graph_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(hosts, pairs).orderBy("host")
 
 
+@register("graph_triangle_count")  # rows-only (§2 legend: the degree-
+# ordered wedge plan is join-expressible but the pin target is a python
+# brute-force triangle enumeration — tests/test_graph.py)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    near-dup graph (word-3-gram Jaccard ≥ 0.1 pairs) — the transitivity
+    view of the duplication structure pagerank ranks and CC partitions:
+    a high-clustering node sits in a mirror-farm clique (all its
+    neighbors also duplicate each other); a zero-clustering hub is
+    template reuse radiating from one canonical source. Per node:
+    degree, triangle count, clustering 2T/(deg·(deg−1)) 4dp.
+
+    Scale: degree-ordered orientation bounds the wedge join at O(m^1.5)
+    regardless of degree skew — see
+    operators/dedup.py::triangle_counts."""
+    from n2kupdate_spark.operators.dedup import triangle_counts
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    return triangle_counts(pairs).withColumnRenamed("id", "doc_id")
+
+
 #: Constant boilerplate line planted on every 5th doc — after global
 #: line dedup it must survive in exactly ONE document corpus-wide.
 _BOILER_LINE = "subscribe to the newsletter for weekly updates"

@@ -95,6 +95,7 @@ OPS = [
     "diag_semantic_tau_sweep",  # one bounded pair pass + per-candidate max + grid
     "text_contamination_report", # broadcast eval grams + collision-sized pair agg
     "ts_ewma_smooth",           # bucketed per-key walk, one shuffle
+    "graph_triangle_count",     # degree-ordered wedge join, O(m^1.5) bound
 ]
 
 

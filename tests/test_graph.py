@@ -343,3 +343,90 @@ def test_pagerank_foreign_edge_endpoints(spark):
         dm = 1 * ((1 - d) / n + d * dm / n)  # one dangling node (id 2)
     want = {i: float(np.round(v * 10000) / 10000) for i, v in ranks.items()}
     assert got == want, (got, want)
+
+
+def _brute_triangles(edges):
+    """Independent reference: brute-force triangle enumeration over an
+    undirected edge list (set-based adjacency; no orientation trick)."""
+    import itertools
+
+    adj = {}
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        es.add((lo, hi))
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    tri = {v: 0 for v in adj}
+    for v in adj:
+        for u, w in itertools.combinations(sorted(adj[v]), 2):
+            if (min(u, w), max(u, w)) in es:
+                tri[v] += 1
+    import numpy as np
+
+    out = {}
+    for v in adj:
+        d = len(adj[v])
+        c = 0.0 if d < 2 else float(np.round(tri[v] * 2.0 / (d * (d - 1)) * 10000) / 10000)
+        out[v] = (d, tri[v], c)
+    return out
+
+
+def test_triangle_counts_planted_shapes(spark):
+    """r13: K4 (every node: 3 triangles, clustering 1.0) + a path
+    (0 triangles, clustering 0) + a star apex (0 triangles — the
+    orientation means the celebrity apex never fans out) + duplicate /
+    reversed / self-loop edge rows collapse before counting."""
+    from n2kupdate_spark.operators.dedup import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(10, 11), (11, 12), (12, 13)]
+    star = [(20, s) for s in range(21, 26)]
+    noise = [(1, 0), (2, 2), (0, 1)]  # reversed dup, self-loop, dup
+    edges = k4 + path + star + noise
+    e = spark.createDataFrame(edges, "id1: long, id2: long")
+    got = {
+        r["id"]: (r["deg"], r["triangles"], r["clustering"])
+        for r in triangle_counts(e).collect()
+    }
+    assert got == _brute_triangles(edges)
+    for v in range(4):
+        assert got[v] == (3, 3, 1.0)
+    assert got[11] == (2, 0, 0.0) and got[13] == (1, 0, 0.0)
+    assert got[20] == (5, 0, 0.0)
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_triangle_counts_random_vs_brute(spark, seed):
+    rng = random.Random(seed)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    e = spark.createDataFrame(edges, "id1: long, id2: long")
+    from n2kupdate_spark.operators.dedup import triangle_counts
+
+    got = {
+        r["id"]: (r["deg"], r["triangles"], r["clustering"])
+        for r in triangle_counts(e).collect()
+    }
+    assert got == _brute_triangles(edges)
+
+
+def test_graph_triangle_count_registered_vs_brute(spark):
+    """The registered query ≡ brute-force recompute from the same
+    collected near-dup pair list (bounded: the pair list is the
+    near-dup output, tiny next to the corpus)."""
+    from n2kupdate_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    pairs = [
+        (r["id1"], r["id2"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf).select("id1", "id2").collect()
+    ]
+    assert pairs, "fixture must produce near-dup pairs"
+    want = _brute_triangles(pairs)
+    got = {
+        r["doc_id"]: (r["deg"], r["triangles"], r["clustering"])
+        for r in QUERIES["graph_triangle_count"](spark, sf).collect()
+    }
+    assert got == want
