@@ -49,13 +49,18 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
 #: events/ts rollup batch ops, text quality/decontam/PII/LM-score ops,
 #: sampling/packing/leakage mlprep ops, diag_key_skew,
 #: multimodal_decode_stub, sink_partitioned_parquet) hit the ≤2-round
-#: freshness edge this round. The remaining 5 slots are r11-green
-#: fillers (agg_count_distinct .. agg_string_concat), pre-confirming
-#: r14's MUST set. Rows-only ops (sketches, sha1, ANN, fuzzy/semantic
+#: freshness edge this round. Slot 1 is `curation_url_dedup` — the
+#: SQL-oracle op registered mid-r13 debuts THIS round (the planner's
+#: proposal; an oracle op must never sit a full round without driver
+#: evidence — the r11-verdict lesson). The remaining 4 slots are
+#: r11-green fillers (agg_count_distinct .. agg_stats_moments),
+#: pre-confirming r14's MUST set. Rows-only ops (sketches, sha1, ANN,
+#: fuzzy/semantic
 #: dedup, PQ variants) stay out — they'd burn slots on `no_oracle`
 #: rows; all are value-pinned locally (tests/test_parity.py,
 #: tests/test_sketch_accuracy.py, tests/test_ann_recall.py).
 _ROUND_WINDOW = [
+    "curation_url_dedup",
     "agg_mode_per_group",
     "agg_percentile_exact",
     "diag_key_skew",
@@ -105,7 +110,6 @@ _ROUND_WINDOW = [
     "agg_grouping_cube",
     "agg_grouping_rollup",
     "agg_stats_moments",
-    "agg_string_concat",
 ]
 
 
