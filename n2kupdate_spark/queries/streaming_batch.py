@@ -455,3 +455,104 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.round(F.col("n") * 10000.0 / F.sum("n").over(tot), 0) / 10000).alias("p"),
     )
+
+
+@register("events_attribution")  # rows-only debut (capacity policy §5.2)
+# — but cross-engine verified anyway: the equivalent DuckDB SQL runs
+# through the driver's canonical-rows compare in tests/test_parity.py
+# (the events_markov_transitions precedent), plus a planted-journey
+# python replay pin.
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution — the marketing-analytics
+    staple over event journeys: every `purchase` is attributed to the
+    touch events (any non-purchase type) since the user's PREVIOUS
+    purchase, under the three standard models at once: first-touch
+    (100% to the journey's earliest touch), last-touch (100% to the
+    latest touch before the conversion), and linear (1/n to each).
+    Conversions with no preceding touch credit the synthetic
+    `(direct)` channel in every model, so total credit per model
+    equals total conversions (conservation — pinned). Touches after a
+    user's final purchase belong to an unconverted journey and earn
+    nothing. `linear_value` additionally splits each conversion's
+    `value` across its touches. Ordering is deterministic: (ts,
+    event_id) within user.
+
+    Scale shape: TWO window shuffles — one user-keyed pass assigns
+    journey ids (count of prior conversions, an unbounded-preceding
+    running sum), one (user, journey)-keyed pass computes journey
+    stats (touch count, touch index, conversion value) where the
+    ordered and orderless frames share a single exchange+sort — then
+    one partial-agged #channels-row aggregate. No joins, no collects;
+    credit assignment is pure per-row arithmetic. Fraction sums use
+    scale-first rounding (×1e4, round, /1e4) for cross-engine 4dp
+    parity."""
+    ev = load(
+        spark,
+        sf_dir,
+        "events",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return _attribute(ev)
+
+
+def _attribute(ev: DataFrame, conv_type: str = "purchase") -> DataFrame:
+    """Core of :func:`events_attribution` over any (event_id, ts,
+    user_id, event_type, value) frame — split out so the planted-journey
+    behavior pin drives it directly (tests/test_parity.py)."""
+    is_conv = F.col("event_type") == conv_type
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+        is_conv.alias("is_conv"),
+        F.coalesce(
+            F.sum(is_conv.cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("j"),
+    )
+    wj = Window.partitionBy("user_id", "j")
+    wjo = wj.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    touch = ~F.col("is_conv")
+    jstats = staged.select(
+        "user_id",
+        "event_type",
+        "value",
+        "is_conv",
+        F.sum(touch.cast("long")).over(wj).alias("n_touch"),
+        F.max(F.col("is_conv").cast("int")).over(wj).alias("has_conv"),
+        F.max(F.when(F.col("is_conv"), F.col("value"))).over(wj).alias("conv_value"),
+        F.sum(touch.cast("long")).over(wjo).alias("t_idx"),
+    )
+    credit = jstats.filter(
+        (F.col("has_conv") == 1)
+        & (~F.col("is_conv") | (F.col("n_touch") == 0))
+    ).select(
+        F.when(F.col("is_conv"), F.lit("(direct)"))
+        .otherwise(F.col("event_type"))
+        .alias("channel"),
+        F.when(F.col("is_conv") | (F.col("t_idx") == 1), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("first_c"),
+        F.when(F.col("is_conv") | (F.col("t_idx") == F.col("n_touch")), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("last_c"),
+        F.when(F.col("is_conv"), F.lit(1.0))
+        .otherwise(F.lit(1.0) / F.col("n_touch"))
+        .alias("lin"),
+        F.when(F.col("is_conv"), F.col("value"))
+        .otherwise(F.col("conv_value") / F.col("n_touch"))
+        .alias("lin_v"),
+    )
+    return credit.groupBy("channel").agg(
+        F.sum("first_c").cast("long").alias("first_touch"),
+        F.sum("last_c").cast("long").alias("last_touch"),
+        (F.round(F.sum("lin") * 10000, 0) / 10000).alias("linear_credit"),
+        (F.round(F.sum("lin_v") * 10000, 0) / 10000).alias("linear_value"),
+    )

@@ -96,6 +96,7 @@ OPS = [
     "text_contamination_report", # broadcast eval grams + collision-sized pair agg
     "ts_ewma_smooth",           # bucketed per-key walk, one shuffle
     "graph_triangle_count",     # degree-ordered wedge join, O(m^1.5) bound
+    "events_attribution",       # two window shuffles + channel agg
 ]
 
 

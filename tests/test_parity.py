@@ -369,3 +369,100 @@ def test_ts_anomaly_zscore_matches_duckdb(spark, sf_dir, oracle_con):
     ]
     assert not mismatches, mismatches[:5]
     assert any(v[2] for v in got.values())  # the rule demonstrably fires
+
+
+def test_events_attribution_duckdb_pinned(spark, sf_dir, oracle_con):
+    """events_attribution (rows-only, r13): the equivalent DuckDB SQL
+    through the driver's canonical-rows compare (the markov precedent),
+    plus conservation — every model's total credit equals the total
+    conversion count, and linear_value totals equal total purchase
+    value."""
+    spdf = QUERIES["events_attribution"](spark, sf_dir).toPandas()
+    opdf = oracle_con.execute(
+        """
+        WITH staged AS (
+          SELECT user_id, event_type, value, ts, event_id,
+                 event_type = 'purchase' AS is_conv,
+                 COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS j
+          FROM events
+        ), jstats AS (
+          SELECT event_type, value, is_conv,
+                 SUM(CASE WHEN NOT is_conv THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, j) AS n_touch,
+                 MAX(CASE WHEN is_conv THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, j) AS has_conv,
+                 MAX(CASE WHEN is_conv THEN value END)
+                   OVER (PARTITION BY user_id, j) AS conv_value,
+                 SUM(CASE WHEN NOT is_conv THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, j ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_idx
+          FROM staged
+        ), credit AS (
+          SELECT CASE WHEN is_conv THEN '(direct)' ELSE event_type END AS channel,
+                 CASE WHEN is_conv OR t_idx = 1 THEN 1 ELSE 0 END AS first_c,
+                 CASE WHEN is_conv OR t_idx = n_touch THEN 1 ELSE 0 END AS last_c,
+                 CASE WHEN is_conv THEN 1.0 ELSE 1.0 / n_touch END AS lin,
+                 CASE WHEN is_conv THEN value ELSE conv_value / n_touch END AS lin_v
+          FROM jstats
+          WHERE has_conv = 1 AND (NOT is_conv OR n_touch = 0)
+        )
+        SELECT channel,
+               CAST(SUM(first_c) AS BIGINT) AS first_touch,
+               CAST(SUM(last_c) AS BIGINT) AS last_touch,
+               ROUND(SUM(lin) * 10000) / 10000 AS linear_credit,
+               ROUND(SUM(lin_v) * 10000) / 10000 AS linear_value
+        FROM credit GROUP BY channel
+        """
+    ).fetchdf()
+    assert len(spdf) == len(opdf) > 0
+    s_cols, s_rows = canonical_rows(spdf)
+    o_cols, o_rows = canonical_rows(opdf)
+    assert s_cols == o_cols
+    assert s_rows == o_rows
+    n_conv, total_v = oracle_con.execute(
+        "SELECT COUNT(*), SUM(value) FROM events WHERE event_type = 'purchase'"
+    ).fetchone()
+    assert int(spdf["first_touch"].sum()) == n_conv
+    assert int(spdf["last_touch"].sum()) == n_conv
+    assert abs(float(spdf["linear_credit"].sum()) - n_conv) < 0.01
+    assert abs(float(spdf["linear_value"].sum()) - float(total_v)) < 0.01
+
+
+def test_events_attribution_planted_journeys(spark):
+    """Behavior pin on hand-built journeys: first/last/linear land where
+    the model says; a touchless purchase is (direct); trailing touches
+    after the final purchase earn nothing."""
+    from n2kupdate_spark.queries.streaming_batch import _attribute
+
+    rows = [
+        # user 1: view, click, signup, purchase(60) -> linear 1/3 each
+        (1, 10, 1, "view", 0.0),
+        (2, 20, 1, "click", 0.0),
+        (3, 30, 1, "signup", 0.0),
+        (4, 40, 1, "purchase", 60.0),
+        # user 1 second journey: click then purchase(10)
+        (5, 50, 1, "click", 0.0),
+        (6, 60, 1, "purchase", 10.0),
+        # user 1 trailing touch: never credited
+        (7, 70, 1, "view", 0.0),
+        # user 2: touchless purchase -> (direct)
+        (8, 15, 2, "purchase", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, ts: long, user_id: long, event_type: string, value: double"
+    )
+    got = {r["channel"]: r for r in _attribute(ev).collect()}
+    assert set(got) == {"view", "click", "signup", "(direct)"}
+    assert (got["view"]["first_touch"], got["view"]["last_touch"]) == (1, 0)
+    assert (got["click"]["first_touch"], got["click"]["last_touch"]) == (1, 1)
+    assert (got["signup"]["first_touch"], got["signup"]["last_touch"]) == (0, 1)
+    assert got["(direct)"]["first_touch"] == got["(direct)"]["last_touch"] == 1
+    assert got["view"]["linear_credit"] == round(1 / 3, 4)
+    assert got["click"]["linear_credit"] == round(1 / 3 + 1, 4)
+    assert got["signup"]["linear_credit"] == round(1 / 3, 4)
+    assert got["view"]["linear_value"] == 20.0
+    assert got["click"]["linear_value"] == 30.0
+    assert got["signup"]["linear_value"] == 20.0
+    assert got["(direct)"]["linear_value"] == 5.0
