@@ -2738,3 +2738,111 @@ def contamination_report(
             ),
         )
     )
+
+
+def fineweb_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    punct_min: float = 0.12,
+    dup_max: float = 0.10,
+    short_max: float = 0.67,
+    short_chars: int = 30,
+) -> DataFrame:
+    """The three published FineWeb quality filters (Penedo et al. 2024,
+    arXiv:2406.17557 §3.6 — the line-level rules selected by ablation on
+    top of the Gopher/C4 batteries this library already ships, operating
+    on the LINE structure those doc- and n-gram-level gates ignore):
+
+    1. fraction of lines ending in terminal punctuation (``[.!?"]`` —
+       the C4 end-of-sentence set) must EXCEED ``punct_min`` (a page
+       whose lines rarely end in punctuation is nav/listing debris);
+    2. fraction of characters in duplicated lines (occurrences after
+       the first, chars counted over nonempty-line chars) must stay
+       UNDER ``dup_max`` (within-doc boilerplate repetition);
+    3. fraction of lines shorter than ``short_chars`` chars must stay
+       UNDER ``short_max`` (link-list / bullet-farm pages).
+
+    Lines are ``\\n``-split, whitespace-trimmed, empties dropped. Docs
+    with zero nonempty lines fail all three (every fraction reads 0 /
+    vacuous — pinned). Emits every doc with the three fractions (4dp
+    scale-first) + per-rule pass flags + the conjunction
+    ``fineweb_pass``.
+
+    Scale shape: one split+trim map feeds a posexplode, then TWO
+    partial-agged shuffles — (doc, line) occurrence counts (shuffle
+    bytes ∝ line bytes, the dedup_lines_global shape; a corpus-wide hot
+    line is NOT hot here because the key includes the doc id), then the
+    per-doc rollup where every signal folds into one aggregate pass
+    (punct/short fractions weight each distinct line by its count — no
+    second scan of the raw text). One id-keyed left join re-admits
+    zero-line docs."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    exploded = docs.select(id_col, lines.alias("__lines")).select(
+        id_col, F.explode("__lines").alias("__line")
+    )
+    per_line = exploded.groupBy(id_col, "__line").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    llen = F.length("__line")
+    per_doc = per_line.groupBy(id_col).agg(
+        F.sum("__c").alias("__n_lines"),
+        F.sum(F.col("__c") * llen).alias("__chars"),
+        F.sum((F.col("__c") - 1) * llen).alias("__dup_chars"),
+        F.sum(
+            F.when(F.col("__line").rlike('[.!?"]$'), F.col("__c")).otherwise(0)
+        ).alias("__punct"),
+        F.sum(
+            F.when(llen < short_chars, F.col("__c")).otherwise(0)
+        ).alias("__short"),
+    )
+    r4 = lambda c: F.round(c * 10000) / 10000  # noqa: E731
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            r4(F.coalesce(F.col("__punct") / F.col("__n_lines"), F.lit(0.0))).alias(
+                "punct_line_frac"
+            ),
+            r4(
+                F.coalesce(F.col("__dup_chars") / F.col("__chars"), F.lit(0.0))
+            ).alias("dup_line_char_frac"),
+            r4(F.coalesce(F.col("__short") / F.col("__n_lines"), F.lit(0.0))).alias(
+                "short_line_frac"
+            ),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "punct_line_frac",
+            "dup_line_char_frac",
+            "short_line_frac",
+            (F.col("n_lines") > 0)
+            .alias("__nonempty"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "punct_line_frac",
+            "dup_line_char_frac",
+            "short_line_frac",
+            (F.col("__nonempty") & (F.col("punct_line_frac") > punct_min)).alias(
+                "punct_pass"
+            ),
+            (F.col("__nonempty") & (F.col("dup_line_char_frac") < dup_max)).alias(
+                "dup_pass"
+            ),
+            (F.col("__nonempty") & (F.col("short_line_frac") < short_max)).alias(
+                "short_pass"
+            ),
+        )
+        .withColumn(
+            "fineweb_pass",
+            F.col("punct_pass") & F.col("dup_pass") & F.col("short_pass"),
+        )
+    )

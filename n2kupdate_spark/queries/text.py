@@ -1382,3 +1382,54 @@ def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(~is_eval), d.filter(is_eval), budget=_DECONTAM_BUDGET_R
     )
 
+
+
+def _fineweb_lines() -> "F.Column":
+    """Decorated line fixture for the FineWeb filters (on top of the
+    dedup_lines_c4 line structure) so every rule demonstrably fires BOTH
+    ways: every 2nd doc's lines all gain a terminal period (punct rule
+    passes there, fails on the undecorated rest), every 11th doc repeats
+    its own last line (within-doc duplicate chars), and every 13th doc
+    is replaced wholesale by a bullet farm (8 short lines + 1 long —
+    short-line rule fires). Applied in this order; the python recompute
+    in tests/test_mlprep_props.py mirrors it line for line."""
+    from n2kupdate_spark.queries.dedupq import _pseudo_lines
+
+    base = _pseudo_lines()
+    punct = F.array_join(
+        F.transform(F.split(base, "\n"), lambda x: F.concat(x, F.lit("."))), "\n"
+    )
+    t1 = F.when(F.col("doc_id") % 2 == 0, punct).otherwise(base)
+    t2 = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(t1, F.lit("\n"), F.element_at(F.split(t1, "\n"), -1)),
+    ).otherwise(t1)
+    farm = (
+        "- alpha\n- beta\n- gamma\n- delta\n- epsilon\n- zeta\n- eta\n- theta\n"
+        "the one genuinely long sentence on this page carries enough "
+        "characters to clear the short-line bar."
+    )
+    return F.when(F.col("doc_id") % 13 == 0, F.lit(farm)).otherwise(t2)
+
+
+@register("text_quality_fineweb")  # rows-only (r9 capacity policy):
+# full table ≡ an independent python recompute at two sfs + per-rule
+# both-ways firing pins in tests/test_mlprep_props.py
+def text_quality_fineweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three published FineWeb quality filters (Penedo et al. 2024
+    §3.6) over the decorated line fixture: terminal-punctuation line
+    fraction > 0.12, duplicated-line char fraction < 0.10, sub-30-char
+    line fraction < 0.67 — the line-level battery that completes the
+    Gopher (word/n-gram) and C4 (token/line-dedup) gate families this
+    library ships. Per doc: the three fractions (4dp) + per-rule flags +
+    the conjunction.
+
+    Scale: one split map + two partial-agged shuffles ((doc, line)
+    counts then the per-doc rollup) — see
+    operators/corpus.py::fineweb_quality."""
+    from n2kupdate_spark.operators.corpus import fineweb_quality
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"]).select(
+        "doc_id", _fineweb_lines().alias("text")
+    )
+    return fineweb_quality(d)

@@ -97,6 +97,7 @@ OPS = [
     "ts_ewma_smooth",           # bucketed per-key walk, one shuffle
     "graph_triangle_count",     # degree-ordered wedge join, O(m^1.5) bound
     "events_attribution",       # two window shuffles + channel agg
+    "text_quality_fineweb",     # split map + two partial-agged shuffles
 ]
 
 

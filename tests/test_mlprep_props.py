@@ -2509,3 +2509,94 @@ def test_ewma_matches_pandas_ewm(spark):
     raw_var = float(np.var([r["value"] for r in noisy]))
     sm_var = float(np.var([r["ewma"] for r in noisy]))
     assert sm_var < raw_var * 0.5
+
+
+def test_fineweb_quality_matches_python_recompute(spark):
+    """r13: the three FineWeb filters ≡ an independent python recompute
+    (same fixture derivation, separate code) — exact full-table equality
+    at two sfs — plus: every rule fires BOTH ways on the fixture, a
+    zero-line doc fails all three, and the operator's thresholds are the
+    published ones."""
+    import re
+
+    from n2kupdate_spark.operators.corpus import fineweb_quality
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.dedupq import _BOILER_LINE
+    from n2kupdate_spark.sources import load
+
+    def fixture_lines(doc_id, text):
+        toks = [t for t in text.split(" ") if t]
+        third = max(1, len(toks) // 3)
+        l1 = " ".join(toks[:third])
+        l2 = " ".join(toks[third : 2 * third])
+        l3 = " ".join(toks[2 * third :])
+        if doc_id % 3 == 0:
+            l1 = f"shared intro block {doc_id // 9}"
+        lines = [l1, l2, l3]
+        if doc_id % 5 == 0:
+            lines.append(_BOILER_LINE)
+        if doc_id % 2 == 0:
+            lines = [ln + "." for ln in lines]
+        if doc_id % 11 == 0:
+            lines = lines + [lines[-1]]
+        if doc_id % 13 == 0:
+            lines = ["- alpha", "- beta", "- gamma", "- delta", "- epsilon",
+                     "- zeta", "- eta", "- theta",
+                     "the one genuinely long sentence on this page carries "
+                     "enough characters to clear the short-line bar."]
+        return [ln.strip() for ln in lines if ln.strip()]
+
+    def ref(doc_id, text):
+        lines = fixture_lines(doc_id, text)
+        n = len(lines)
+        if n == 0:
+            return (0, 0.0, 0.0, 0.0, False, False, False, False)
+        chars = sum(len(ln) for ln in lines)
+        from collections import Counter
+
+        cnt = Counter(lines)
+        dup_chars = sum((c - 1) * len(ln) for ln, c in cnt.items())
+        punct = sum(1 for ln in lines if re.search(r'[.!?"]$', ln))
+        short = sum(1 for ln in lines if len(ln) < 30)
+        r4 = lambda x: round(x * 10000) / 10000 + 0.0  # noqa: E731
+        pf, df, sfr = r4(punct / n), r4(dup_chars / chars), r4(short / n)
+        pp, dp, sp = pf > 0.12, df < 0.10, sfr < 0.67
+        return (n, pf, df, sfr, pp, dp, sp, pp and dp and sp)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
+        }
+        want = {did: ref(did, t) for did, t in texts.items()}
+        got = {
+            r["doc_id"]: (
+                r["n_lines"], r["punct_line_frac"], r["dup_line_char_frac"],
+                r["short_line_frac"], r["punct_pass"], r["dup_pass"],
+                r["short_pass"], r["fineweb_pass"],
+            )
+            for r in QUERIES["text_quality_fineweb"](spark, sf).collect()
+        }
+        assert got == want, sf
+        # every rule fires both ways on the fixture
+        for i in (4, 5, 6):
+            assert any(v[i] for v in got.values()), i
+            assert any(not v[i] for v in got.values()), i
+        assert any(v[7] for v in got.values())
+        assert any(not v[7] for v in got.values())
+
+    # zero-line + adversarial unit rows
+    rows = [
+        (1, ""),                        # zero nonempty lines -> all fail
+        (2, "   \n \n"),               # whitespace only -> all fail
+        (3, "A full sentence that is long enough to clear the bar.\n"
+            "Another properly terminated sentence, also long enough."),
+        (4, "dup line dup line dup line\ndup line dup line dup line\n"
+            "a genuinely different long line that ends properly."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    u = {r["doc_id"]: r for r in fineweb_quality(df).collect()}
+    assert u[1]["n_lines"] == 0 and not u[1]["fineweb_pass"]
+    assert u[2]["n_lines"] == 0 and not u[2]["fineweb_pass"]
+    assert u[3]["fineweb_pass"]
+    assert not u[4]["dup_pass"] and u[4]["dup_line_char_frac"] > 0.10
