@@ -1852,3 +1852,95 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
     )
     return ewma_smooth(e, alpha=0.2, order_col="event_id")
+
+
+def _autocorrelation(
+    ev: DataFrame,
+    max_lag: int = 10,
+    key_col: str = "user_id",
+    val_col: str = "value",
+    order_cols: tuple = ("ts_s", "event_id"),
+) -> DataFrame:
+    """Per-key sample autocorrelation function at lags 1..max_lag — the
+    standard seasonality/persistence diagnostic (Box–Jenkins):
+    r_k = c_k / c_0 with c_k = Σ_{t=1..n−k} (x_t − x̄)(x_{t+k} − x̄) and
+    x̄, c_0 over the FULL series (the statsmodels/R `acf` convention).
+    Emits (key, lag, n, acf 4dp) for every lag with n > lag and c_0 > 0
+    (constant or too-short series produce no row for that lag).
+
+    Scale shape: ONE shuffle total. The lead columns ride a key-ordered
+    window, and the per-key aggregate that follows groups on the SAME
+    key, so Catalyst reuses the window's hash partitioning (one
+    Exchange in the plan — asserted in the pin). Each c_k folds to
+    three lag-sums via the algebraic expansion
+    Σ x_t·x_{t+k} − x̄(Σ'x_t + Σ'x_{t+k}) + (n−k)x̄², so no second
+    centered pass is needed; the lag table then explodes from one
+    per-key struct array (#keys × max_lag rows — tiny). All JVM, no
+    Python."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    x = F.col(val_col)
+    leads = [F.lead(x, k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)]
+    staged = ev.select(key_col, val_col, *leads)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("ss"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"__l{k}")
+        aggs += [
+            F.sum(x * lk).alias(f"p{k}"),
+            F.sum(F.when(lk.isNotNull(), x)).alias(f"a{k}"),
+            F.sum(lk).alias(f"b{k}"),
+        ]
+    g = staged.groupBy(key_col).agg(*aggs)
+    mean = F.col("s") / F.col("n")
+    c0 = F.col("ss") - F.col("n") * mean * mean
+    lag_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                (
+                    F.col(f"p{k}")
+                    - mean * (F.col(f"a{k}") + F.col(f"b{k}"))
+                    + (F.col("n") - k) * mean * mean
+                ).alias("ck"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    exploded = g.select(
+        key_col, "n", c0.alias("__c0"), F.explode(lag_structs).alias("__e")
+    )
+    return exploded.filter(
+        (F.col("n") > F.col("__e.lag")) & (F.col("__c0") > 0)
+    ).select(
+        key_col,
+        F.col("__e.lag").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        (F.round(F.col("__e.ck") / F.col("__c0") * 10000) / 10000 + 0.0).alias("acf"),
+    )
+
+
+@register("ts_autocorr")  # rows-only (r9 capacity policy): full table ≡
+# an independent python recompute of the direct centered formula at two
+# sfs + white-noise/periodic behavior pins + a one-Exchange plan pin in
+# tests/test_mlprep_props.py
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autocorrelation of the event value series at lags 1..10
+    — the Box–Jenkins seasonality/persistence diagnostic completing the
+    per-key analysis family (z-score, CUSUM, EWMA, LTTB): a lag with
+    high |acf| is periodic structure a forecaster exploits and a
+    near-zero ACF tail is the white-noise certificate.
+
+    Scale: ONE shuffle — the lag window and the per-key aggregate share
+    the user hash partitioning; see `_autocorrelation`."""
+    e = load(
+        spark, sf_dir, "events", columns=["user_id", "event_id", "value", "ts"]
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    return _autocorrelation(e)

@@ -98,6 +98,7 @@ OPS = [
     "graph_triangle_count",     # degree-ordered wedge join, O(m^1.5) bound
     "events_attribution",       # two window shuffles + channel agg
     "text_quality_fineweb",     # split map + two partial-agged shuffles
+    "ts_autocorr",              # one shared-exchange window + agg
 ]
 
 

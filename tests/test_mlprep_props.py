@@ -2600,3 +2600,74 @@ def test_fineweb_quality_matches_python_recompute(spark):
     assert u[2]["n_lines"] == 0 and not u[2]["fineweb_pass"]
     assert u[3]["fineweb_pass"]
     assert not u[4]["dup_pass"] and u[4]["dup_line_char_frac"] > 0.10
+
+
+def test_autocorr_matches_python_and_plan(spark):
+    """r13: per-key ACF ≡ an independent python recompute of the DIRECT
+    centered formula (the Spark side uses the algebraic expansion — a
+    different computation of the same statistic) at two sfs; behavior:
+    a planted period-4 series peaks at lag 4, white noise stays small,
+    constant/short series emit nothing; plan: the lag window and the
+    per-key aggregate share ONE exchange."""
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.mlprep import _autocorrelation
+    from n2kupdate_spark.sources import load
+
+    def ref_acf(vals, max_lag=10):
+        x = np.asarray(vals, dtype=float)
+        n = len(x)
+        m = x.mean()
+        c0 = float(((x - m) ** 2).sum())
+        out = {}
+        if c0 <= 0:
+            return out
+        for k in range(1, max_lag + 1):
+            if n <= k:
+                break
+            ck = float(((x[:-k] - m) * (x[k:] - m)).sum())
+            out[k] = (n, float(np.round(ck / c0 * 10000) / 10000 + 0.0))
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = (
+            load(spark, sf, "events", columns=["user_id", "event_id", "value", "ts"])
+            .select(
+                "user_id", "event_id", "value",
+                F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+            )
+            .toPandas()
+        )
+        want = {}
+        for uid, g in ev.groupby("user_id"):
+            g = g.sort_values(["ts_s", "event_id"], kind="mergesort")
+            for k, (n, a) in ref_acf(g["value"].tolist()).items():
+                want[(uid, k)] = (n, a)
+        got = {
+            (r["user_id"], r["lag"]): (r["n"], r["acf"])
+            for r in QUERIES["ts_autocorr"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    # behavior: planted period-4 signal, white noise, constant, short
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(400):
+        rows.append((1, i, float([0.0, 5.0, 0.0, -5.0][i % 4] + 0.01 * rng.randn()), i))
+    for i in range(400):
+        rows.append((2, i, float(rng.randn()), i))
+    rows += [(3, i, 7.0, i) for i in range(50)]          # constant: no rows
+    rows += [(4, i, float(i), i) for i in range(3)]      # short: lags 1..2 only
+    df = spark.createDataFrame(rows, "user_id: long, event_id: long, value: double, ts_s: long")
+    out = _autocorrelation(df, order_cols=("ts_s", "event_id"))
+    got = {(r["user_id"], r["lag"]): r["acf"] for r in out.collect()}
+    assert got[(1, 4)] > 0.95 and got[(1, 8)] > 0.95
+    assert got[(1, 2)] < -0.9  # anti-phase at half period
+    assert all(abs(got[(2, k)]) < 0.15 for k in range(1, 11))
+    assert not any(u == 3 for (u, _k) in got)
+    assert {k for (u, k) in got if u == 4} == {1, 2}
+
+    # plan: exactly ONE exchange (window + agg share the user hash)
+    plan = QUERIES["ts_autocorr"](spark, "/root/testdata/sf0.01")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
