@@ -556,3 +556,60 @@ def _attribute(ev: DataFrame, conv_type: str = "purchase") -> DataFrame:
         (F.round(F.sum("lin") * 10000, 0) / 10000).alias("linear_credit"),
         (F.round(F.sum("lin_v") * 10000, 0) / 10000).alias("linear_value"),
     )
+
+
+@register("events_rfm_segments")  # rows-only debut (capacity policy
+# §5.2) — cross-engine verified anyway: equivalent DuckDB SQL through
+# the driver's canonical-rows compare in tests/test_parity.py (the
+# markov/attribution precedent).
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic lifecycle model over
+    purchase events: per user, Recency (days from last purchase to the
+    corpus's max event ts — a deterministic anchor), Frequency
+    (purchase count) and Monetary (summed purchase value, 4dp), each
+    scored 1–5 by exact quintile (NTILE(5)) with 5 = best (most
+    recent / most frequent / highest spend), concatenated into the
+    3-digit segment code ('555' = champions, '111' = lost).
+    Tie-breaking is total and deterministic: every NTILE orders by
+    (metric, user_id).
+
+    Scale shape: one partial-agged shuffle collapses events to ONE row
+    per purchasing user; the three NTILE windows then run over that
+    #users-row aggregate — orders of magnitude smaller than the event
+    log (window input is users, never events). The windows are
+    unpartitioned (exact global quintiles need a total order); at a
+    billion-user scale swap NTILE for approx_percentile cutoff joins —
+    the exact form is the oracle-checkable contract."""
+    ev = load(
+        spark, sf_dir, "events", columns=["user_id", "event_type", "value", "ts"]
+    )
+    anchor = ev.agg(F.max("ts")).collect()[0][0]  # bounded: one scalar
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.lit(anchor), F.max("ts")).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+    )
+    r = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    f = Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
+    m = Window.orderBy(F.col("monetary").asc(), F.col("user_id"))
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r).alias("r_score"),
+        F.ntile(5).over(f).alias("f_score"),
+        F.ntile(5).over(m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

@@ -99,6 +99,7 @@ OPS = [
     "events_attribution",       # two window shuffles + channel agg
     "text_quality_fineweb",     # split map + two partial-agged shuffles
     "ts_autocorr",              # one shared-exchange window + agg
+    "events_rfm_segments",      # event-log collapse + #users-row ntiles
 ]
 
 

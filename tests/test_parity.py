@@ -466,3 +466,53 @@ def test_events_attribution_planted_journeys(spark):
     assert got["click"]["linear_value"] == 30.0
     assert got["signup"]["linear_value"] == 20.0
     assert got["(direct)"]["linear_value"] == 5.0
+
+
+def test_events_rfm_segments_duckdb_pinned(spark, sf_dir, oracle_con):
+    """events_rfm_segments (rows-only, r13): the equivalent DuckDB SQL
+    through the driver's canonical-rows compare — NTILE parity holds
+    because every quintile orders by a TOTAL key (metric, user_id) —
+    plus structural invariants: one row per purchasing user, every
+    score in 1..5, quintile sizes differ by at most one."""
+    spdf = QUERIES["events_rfm_segments"](spark, sf_dir).toPandas()
+    opdf = oracle_con.execute(
+        """
+        WITH anchor AS (SELECT MAX(ts) AS a FROM events),
+        per_user AS (
+          SELECT user_id,
+                 CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                                CAST((SELECT a FROM anchor) AS DATE)) AS BIGINT)
+                   AS recency_days,
+                 COUNT(*) AS frequency,
+                 ROUND(SUM(value), 4) AS monetary
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        scored AS (
+          SELECT user_id, recency_days, frequency, monetary,
+                 NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+                 NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+                 NTILE(5) OVER (ORDER BY monetary ASC, user_id) AS m_score
+          FROM per_user
+        )
+        SELECT user_id, recency_days, frequency, monetary,
+               CAST(r_score AS INT) AS r_score,
+               CAST(f_score AS INT) AS f_score,
+               CAST(m_score AS INT) AS m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                 || CAST(m_score AS VARCHAR) AS segment
+        FROM scored
+        """
+    ).fetchdf()
+    assert len(spdf) == len(opdf) > 0
+    s_cols, s_rows = canonical_rows(spdf)
+    o_cols, o_rows = canonical_rows(opdf)
+    assert s_cols == o_cols
+    assert s_rows == o_rows
+    n_buyers = oracle_con.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert len(spdf) == n_buyers
+    for c in ("r_score", "f_score", "m_score"):
+        sizes = spdf[c].value_counts()
+        assert set(sizes.index) == {1, 2, 3, 4, 5}
+        assert sizes.max() - sizes.min() <= 1
