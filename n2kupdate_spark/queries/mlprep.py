@@ -1944,3 +1944,87 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
     )
     return _autocorrelation(e)
+
+
+@register("ts_seasonal_decompose")  # rows-only debut (capacity policy
+# §5.2) — cross-engine verified anyway: equivalent DuckDB SQL through
+# the driver's canonical-rows compare + additivity/centering invariants
+# in tests/test_parity.py.
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the statsmodels
+    `seasonal_decompose` / Macaulay construction) of the corpus-wide
+    HOURLY event-count series with daily period p = 24: trend = the
+    standard 2×24 centered moving average (the even-period form:
+    the mean of the two length-24 windows offset by one — end hours
+    weighted 1/48), seasonal = per-hour-of-day mean of the detrended
+    series re-centered to sum to zero, residual = observed − trend −
+    seasonal. Missing hours are filled as observed = 0 on a dense
+    hour spine first (a gap IS zero events; and the row-frame moving
+    average is only meaningful on a dense grid). Trend (hence
+    seasonal/residual contributions) exists only where the full ±12
+    window does — edge hours carry NULLs, the honest convention.
+    Emits (hour_s, phase, observed, trend, seasonal, resid), doubles
+    4dp scale-first.
+
+    Scale shape: one partial-agged shuffle collapses the event log to
+    #hours rows; the spine is a generated sequence joined once; the
+    ordered window then runs over that BOUNDED aggregate (single
+    partition by necessity — one global series; at a
+    years×many-metrics scale the same plan partitions by series id),
+    the 24 phase means are a tiny agg broadcast back. The two driver
+    scalars (min/max hour) are inlined as literals (the IDF/BNLJ
+    rule)."""
+    ev = load(spark, sf_dir, "events", columns=["ts"]).select(
+        (F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600) * 3600)
+        .cast("long")
+        .alias("hour_s")
+    )
+    hourly = ev.groupBy("hour_s").agg(F.count(F.lit(1)).alias("observed"))
+    lo, hi = hourly.agg(F.min("hour_s"), F.max("hour_s")).collect()[0]
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(3600))).alias("hour_s")
+    ).select(F.col("hour_s").cast("long").alias("hour_s"))  # lit(int) is
+    # int32 under 2^31 — pin to long so the spine matches the event-derived
+    # key type (and survives 2038)
+    dense = spine.join(hourly, "hour_s", "left").select(
+        "hour_s",
+        F.coalesce("observed", F.lit(0)).cast("long").alias("observed"),
+    )
+    w = Window.orderBy("hour_s")
+    f1 = w.rowsBetween(-12, 11)
+    f2 = w.rowsBetween(-11, 12)
+    t1 = F.when(F.count(F.lit(1)).over(f1) == 24, F.avg("observed").over(f1))
+    t2 = F.when(F.count(F.lit(1)).over(f2) == 24, F.avg("observed").over(f2))
+    trended = dense.select(
+        "hour_s",
+        "observed",
+        F.pmod(F.floor(F.col("hour_s") / 3600), F.lit(24)).cast("int").alias("phase"),
+        ((t1 + t2) / 2).alias("__trend"),
+    )
+    phase_means = (
+        trended.filter(F.col("__trend").isNotNull())
+        .groupBy("phase")
+        .agg(F.avg(F.col("observed") - F.col("__trend")).alias("__pm"))
+    )
+    grand = phase_means.agg(F.avg("__pm")).collect()[0][0]
+    seasoned = trended.join(F.broadcast(phase_means), "phase").select(
+        "hour_s",
+        "phase",
+        "observed",
+        "__trend",
+        (F.col("__pm") - F.lit(float(grand))).alias("__seasonal"),
+    )
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return seasoned.select(
+        "hour_s",
+        "phase",
+        "observed",
+        r4(F.col("__trend")).alias("trend"),
+        # seasonal is periodic — defined on EVERY row (the statsmodels
+        # convention); trend/resid are NULL where the ±12 window isn't full
+        r4(F.col("__seasonal")).alias("seasonal"),
+        F.when(
+            F.col("__trend").isNotNull(),
+            r4(F.col("observed") - F.col("__trend") - F.col("__seasonal")),
+        ).alias("resid"),
+    )

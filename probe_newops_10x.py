@@ -100,6 +100,7 @@ OPS = [
     "text_quality_fineweb",     # split map + two partial-agged shuffles
     "ts_autocorr",              # one shared-exchange window + agg
     "events_rfm_segments",      # event-log collapse + #users-row ntiles
+    "ts_seasonal_decompose",    # event-log collapse + #hours-row windows
 ]
 
 

@@ -516,3 +516,72 @@ def test_events_rfm_segments_duckdb_pinned(spark, sf_dir, oracle_con):
         sizes = spdf[c].value_counts()
         assert set(sizes.index) == {1, 2, 3, 4, 5}
         assert sizes.max() - sizes.min() <= 1
+
+
+def test_ts_seasonal_decompose_duckdb_pinned(spark, sf_dir, oracle_con):
+    """ts_seasonal_decompose (rows-only, r13): the equivalent DuckDB SQL
+    through the driver's canonical-rows compare, plus the defining
+    invariants: observed ≡ trend + seasonal + resid wherever trend
+    exists, the 24 seasonal indices are identical across days and sum
+    to ~0, the spine is dense (one row per hour, no gaps), and exactly
+    the 12 leading + 12 trailing edge hours carry NULL trend."""
+    spdf = QUERIES["ts_seasonal_decompose"](spark, sf_dir).toPandas()
+    opdf = oracle_con.execute(
+        """
+        WITH ev AS (
+          SELECT CAST(FLOOR(epoch(date_trunc('second', ts)) / 3600) * 3600 AS BIGINT)
+                   AS hour_s
+          FROM events
+        ), hourly AS (
+          SELECT hour_s, COUNT(*) AS observed FROM ev GROUP BY hour_s
+        ), bounds AS (
+          SELECT MIN(hour_s) AS lo, MAX(hour_s) AS hi FROM hourly
+        ), spine AS (
+          SELECT UNNEST(range((SELECT lo FROM bounds),
+                              (SELECT hi FROM bounds) + 1, 3600)) AS hour_s
+        ), dense AS (
+          SELECT s.hour_s, CAST(COALESCE(h.observed, 0) AS BIGINT) AS observed
+          FROM spine s LEFT JOIN hourly h USING (hour_s)
+        ), trended AS (
+          SELECT hour_s, observed,
+                 CAST(FLOOR(hour_s / 3600) % 24 AS INT) AS phase,
+                 (CASE WHEN COUNT(*) OVER f1 = 24 THEN AVG(observed) OVER f1 END
+                  + CASE WHEN COUNT(*) OVER f2 = 24 THEN AVG(observed) OVER f2 END
+                 ) / 2 AS t
+          FROM dense
+          WINDOW f1 AS (ORDER BY hour_s ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+                 f2 AS (ORDER BY hour_s ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+        ), pm AS (
+          SELECT phase, AVG(observed - t) AS m
+          FROM trended WHERE t IS NOT NULL GROUP BY phase
+        ), centered AS (
+          SELECT phase, m - (SELECT AVG(m) FROM pm) AS s FROM pm
+        )
+        SELECT hour_s, t.phase, observed,
+               ROUND(t.t * 10000) / 10000 + 0 AS trend,
+               ROUND(c.s * 10000) / 10000 + 0 AS seasonal,
+               CASE WHEN t.t IS NOT NULL
+                    THEN ROUND((observed - t.t - c.s) * 10000) / 10000 + 0 END AS resid
+        FROM trended t JOIN centered c ON t.phase = c.phase
+        """
+    ).fetchdf()
+    assert len(spdf) == len(opdf) > 48
+    s_cols, s_rows = canonical_rows(spdf)
+    o_cols, o_rows = canonical_rows(opdf)
+    assert s_cols == o_cols
+    assert s_rows == o_rows
+    # dense hourly spine, no gaps
+    hs = sorted(spdf["hour_s"])
+    assert set(np.diff(hs)) == {3600}
+    # additivity wherever trend exists (4dp rounding tolerance)
+    mid = spdf[spdf["trend"].notna()]
+    assert len(mid) == len(spdf) - 24
+    gap = (mid["observed"] - mid["trend"] - mid["seasonal"] - mid["resid"]).abs()
+    assert float(gap.max()) < 2e-4
+    # seasonal indices: periodic (one value per phase) and centered
+    per_phase = spdf.groupby("phase")["seasonal"].nunique()
+    assert set(per_phase) == {1}
+    assert abs(float(spdf.groupby("phase")["seasonal"].first().sum())) < 24 * 1e-4 + 1e-6
+    # exactly the 12 leading + 12 trailing hours lack trend
+    edge = spdf[spdf["trend"].isna()].sort_values("hour_s")
+    assert list(edge["hour_s"]) == hs[:12] + hs[-12:]
