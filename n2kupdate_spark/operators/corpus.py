@@ -2846,3 +2846,56 @@ def fineweb_quality(
             F.col("punct_pass") & F.col("dup_pass") & F.col("short_pass"),
         )
     )
+
+
+def readability_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch readability metrics (Flesch 1948 / Kincaid et al. 1975 —
+    the quality-scoring axis every curation stack reports next to the
+    Gopher/FineWeb gates): per doc, word count, sentence count
+    (runs of ``[.!?]``, floored at 1 so unpunctuated text scores as a
+    single run-on sentence instead of dividing by zero), syllable count
+    by the standard vowel-group heuristic (runs of ``[aeiouy]`` in the
+    lowercased text, plus one per vowel-less word — every word carries
+    at least one syllable), then
+
+        flesch_ease = 206.835 − 1.015·(words/sentences)
+                              − 84.6·(syllables/words)
+        fk_grade    = 0.39·(words/sentences)
+                      + 11.8·(syllables/words) − 15.59
+
+    both 4dp, rounded as floor(x·1e4 + 0.5) — half-up via floor, NOT
+    F.round: the words/sentences ratio is frequently an exact binary
+    .5 multiple (any /2^k sentence count), and on exact halves
+    numpy/python round half-to-EVEN while Spark rounds half-up off the
+    shortest decimal repr — floor(+0.5) is bit-deterministic in every
+    engine given the same double (negatives round toward +inf;
+    documented convention). Zero-word docs emit NULL scores (nothing
+    to read). Pure JVM map — two regexp_count passes + one token-array
+    filter, no shuffle, no Python; rows inherit the scan's
+    partitioning."""
+    low = F.lower(F.col(text_col))
+    words = F.filter(F.split(low, " "), lambda w: w != "")
+    n_words = F.size(words)
+    n_sent = F.greatest(F.lit(1), F.regexp_count(F.col(text_col), F.lit("[.!?]+")))
+    n_syll = F.regexp_count(low, F.lit("[aeiouy]+")) + F.size(
+        F.filter(words, lambda w: ~w.rlike("[aeiouy]"))
+    )
+    wps = n_words / n_sent
+    spw = n_syll / n_words
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
+    return docs.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.when(n_words > 0, n_syll).cast("long").alias("n_syllables"),
+        F.when(n_words > 0, r4(F.lit(206.835) - 1.015 * wps - 84.6 * spw)).alias(
+            "flesch_ease"
+        ),
+        F.when(n_words > 0, r4(0.39 * wps + 11.8 * spw - F.lit(15.59))).alias(
+            "fk_grade"
+        ),
+    )

@@ -1433,3 +1433,46 @@ def text_quality_fineweb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _fineweb_lines().alias("text")
     )
     return fineweb_quality(d)
+
+
+def _readability_text() -> "F.Column":
+    """Sentence-decorated payload for the readability fixture (the raw
+    fixture is an unpunctuated word stream): a period lands after every
+    (7 + doc_id % 5)-th word — deterministic VARIABLE sentence lengths —
+    and every 3rd doc gains a polysyllabic tail so syllable density
+    spreads too. Mirrored word-for-word by the python recompute in
+    tests/test_mlprep_props.py."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    k = (F.lit(7) + F.col("doc_id") % 5).cast("int")
+    dotted = F.array_join(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda w, i: F.when(i % k == 0, F.concat(w, F.lit("."))).otherwise(w),
+        ),
+        " ",
+    )
+    tail = F.lit(
+        " extraordinarily sophisticated characterization of "
+        "multidimensional organizations."
+    )
+    return F.when(F.col("doc_id") % 3 == 0, F.concat(dotted, tail)).otherwise(dotted)
+
+
+@register("text_readability")  # rows-only (r9 capacity policy): full
+# table ≡ an independent python recompute at two sfs + planted
+# simple-vs-complex direction pins in tests/test_mlprep_props.py
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade level per document
+    over the sentence-decorated fixture — the readability axis of
+    quality scoring (short sentences of short words read easy; long
+    polysyllabic constructions score as graduate-level text).
+
+    Scale: pure JVM map, zero shuffle — see
+    operators/corpus.py::readability_scores."""
+    from n2kupdate_spark.operators.corpus import readability_scores
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"]).select(
+        "doc_id", _readability_text().alias("text")
+    )
+    return readability_scores(d)

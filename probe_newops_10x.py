@@ -101,6 +101,7 @@ OPS = [
     "ts_autocorr",              # one shared-exchange window + agg
     "events_rfm_segments",      # event-log collapse + #users-row ntiles
     "ts_seasonal_decompose",    # event-log collapse + #hours-row windows
+    "text_readability",         # pure JVM regexp map, zero shuffle
 ]
 
 

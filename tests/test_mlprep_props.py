@@ -2671,3 +2671,72 @@ def test_autocorr_matches_python_and_plan(spark):
     # plan: exactly ONE exchange (window + agg share the user hash)
     plan = QUERIES["ts_autocorr"](spark, "/root/testdata/sf0.01")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_readability_matches_python_recompute(spark):
+    """r13: Flesch metrics ≡ an independent python recompute (same
+    fixture decoration, separate scoring code) — exact full-table
+    equality at two sfs — plus direction pins: a short-simple-word text
+    reads dramatically easier than a polysyllabic run-on, vowel-less
+    words still count one syllable, unpunctuated text floors at one
+    sentence, empty text scores NULL."""
+    import re
+
+    from n2kupdate_spark.operators.corpus import readability_scores
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def ref(doc_id, text):
+        toks = [t for t in text.split(" ") if t]
+        k = 7 + doc_id % 5
+        toks = [w + "." if (i + 1) % k == 0 else w for i, w in enumerate(toks)]
+        decorated = " ".join(toks)
+        if doc_id % 3 == 0:
+            decorated += (" extraordinarily sophisticated characterization of "
+                          "multidimensional organizations.")
+        words = [w for w in decorated.lower().split(" ") if w]
+        n_w = len(words)
+        if n_w == 0:
+            return (0, 1, None, None, None)
+        n_s = max(1, len(re.findall(r"[.!?]+", decorated)))
+        n_sy = sum(max(1, len(re.findall(r"[aeiouy]+", w))) for w in words)
+        import math
+
+        # floor(x*1e4 + 0.5): the half-up-via-floor convention the
+        # operator documents (exact-half ratios are common here; see
+        # readability_scores), association mirrored term for term
+        r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
+        wps, spw = n_w / n_s, n_sy / n_w
+        ease = r4(206.835 - 1.015 * wps - 84.6 * spw)
+        grade = r4(0.39 * wps + 11.8 * spw - 15.59)
+        return (n_w, n_s, n_sy, ease, grade)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
+        }
+        want = {did: ref(did, t) for did, t in texts.items()}
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_sentences"], r["n_syllables"],
+                          r["flesch_ease"], r["fk_grade"])
+            for r in QUERIES["text_readability"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    rows = [
+        (1, "the cat sat. the dog ran. we go up."),
+        (2, "extraordinarily sophisticated multidimensional characterization "
+            "nevertheless accommodates incomprehensible organizational "
+            "responsibilities notwithstanding unintelligible recommendations"),
+        (3, "xyzzy grr pfft"),   # two y-groups in xyzzy; grr/pfft floor at 1
+        (4, "no punctuation here at all"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    u = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    assert u[1]["flesch_ease"] > 90 and u[1]["fk_grade"] < 2
+    assert u[2]["flesch_ease"] < 0 and u[2]["fk_grade"] > 20
+    assert u[3]["n_syllables"] == 4
+    assert u[4]["n_sentences"] == 1
+    assert u[5]["n_words"] == 0 and u[5]["flesch_ease"] is None
