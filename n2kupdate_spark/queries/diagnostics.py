@@ -339,3 +339,67 @@ def diag_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("diag_dedup_overlap")  # rows-only (r9 capacity policy): the
+# ≤7-row Venn table ≡ a python set recompute from the three registered
+# (independently pinned) dedup outputs — tests/test_mlprep_props.py
+def diag_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-strategy Venn — the table a curation team reads before
+    deciding which dedup passes to stack: for every non-empty
+    combination of the three registered axes (EXACT fingerprint
+    keep-lowest, NEAR word-3-gram-Jaccard connected components
+    keep-lowest, SEMANTIC embedding-cosine keep-lowest), how many docs
+    that exact combination — and only it — would drop. Exact ⊂ near is
+    the expected containment (identical text is Jaccard 1.0);
+    semantic-only counts are the docs ONLY embedding similarity
+    catches — the marginal value of the expensive pass. Emits
+    (methods '+-joined', exact/near/semantic flags, n_docs) per
+    non-empty Venn cell.
+
+    Scale: each drop set is the bounded output of its already-audited
+    pipeline (PLANS.md); the Venn itself is one union + one id-keyed
+    flag aggregate + a ≤7-group count — costs are the three upstream
+    dedups, the overlay adds two small shuffles."""
+    from n2kupdate_spark.queries.ann import dedup_semantic_clusters
+    from n2kupdate_spark.queries.dedupq import dedup_cc_clusters
+    from n2kupdate_spark.queries.text import dedup_text_exact
+    from pyspark.sql import Window
+
+    fp = dedup_text_exact(spark, sf_dir)
+    w = Window.partitionBy("fp")
+    exact_drops = (
+        fp.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("__keep"))
+        .select("doc_id", F.lit("exact").alias("m"))
+    )
+    near_drops = (
+        dedup_cc_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit("near").alias("m"))
+    )
+    sem_drops = dedup_semantic_clusters(spark, sf_dir).select(
+        F.col("drop_id").alias("doc_id"), F.lit("semantic").alias("m")
+    )
+    tagged = exact_drops.unionByName(near_drops).unionByName(sem_drops)
+    flags = tagged.groupBy("doc_id").agg(
+        F.max(F.col("m") == "exact").alias("exact"),
+        F.max(F.col("m") == "near").alias("near"),
+        F.max(F.col("m") == "semantic").alias("semantic"),
+    )
+    return (
+        flags.groupBy("exact", "near", "semantic")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.concat_ws(
+                "+",
+                F.when(F.col("exact"), F.lit("exact")),
+                F.when(F.col("near"), F.lit("near")),
+                F.when(F.col("semantic"), F.lit("semantic")),
+            ).alias("methods"),
+            "exact",
+            "near",
+            "semantic",
+            "n_docs",
+        )
+    )

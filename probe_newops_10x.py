@@ -102,6 +102,7 @@ OPS = [
     "events_rfm_segments",      # event-log collapse + #users-row ntiles
     "ts_seasonal_decompose",    # event-log collapse + #hours-row windows
     "text_readability",         # pure JVM regexp map, zero shuffle
+    "diag_dedup_overlap",       # three bounded drop sets + flag agg
 ]
 
 

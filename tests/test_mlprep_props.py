@@ -2740,3 +2740,42 @@ def test_readability_matches_python_recompute(spark):
     assert u[3]["n_syllables"] == 4
     assert u[4]["n_sentences"] == 1
     assert u[5]["n_words"] == 0 and u[5]["flesch_ease"] is None
+
+
+def test_dedup_overlap_matches_python_sets(spark):
+    """r13: the dedup-strategy Venn ≡ a python set recompute from the
+    three registered (independently pinned) dedup outputs, at two sfs;
+    plus the structural contract exact ⊆ near (identical text is
+    Jaccard 1.0, so no Venn cell has exact=True, near=False) and a
+    non-trivial semantic-only cell (the marginal value of the
+    embedding pass is visible on the fixture)."""
+    from n2kupdate_spark.queries import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        fp_rows = QUERIES["dedup_text_exact"](spark, sf).collect()
+        by_fp = {}
+        for r in fp_rows:
+            by_fp.setdefault(r["fp"], []).append(r["doc_id"])
+        exact = {d for ids in by_fp.values() for d in ids if d != min(ids)}
+        near = {
+            r["doc_id"]
+            for r in QUERIES["dedup_cc_clusters"](spark, sf).collect()
+            if r["doc_id"] != r["cluster_id"]
+        }
+        sem = {r["drop_id"] for r in QUERIES["dedup_semantic_clusters"](spark, sf).collect()}
+        want = {}
+        for d in exact | near | sem:
+            key = (d in exact, d in near, d in sem)
+            want[key] = want.get(key, 0) + 1
+        got = {
+            (r["exact"], r["near"], r["semantic"]): r["n_docs"]
+            for r in QUERIES["diag_dedup_overlap"](spark, sf).collect()
+        }
+        assert got == want, sf
+        assert not any(e and not n for (e, n, _s) in got), "exact must imply near"
+        assert got.get((False, False, True), 0) > 0, "semantic-only cell empty"
+        labels = {
+            r["methods"]
+            for r in QUERIES["diag_dedup_overlap"](spark, sf).collect()
+        }
+        assert all("+" in m or m in ("exact", "near", "semantic") for m in labels)
