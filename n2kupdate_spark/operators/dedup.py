@@ -1746,3 +1746,79 @@ def dedup_lines_global(
             / 10000
         ).alias("removed_frac"),
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    iters: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007, Phys. Rev. E 76) over an undirected graph — the step
+    BETWEEN connected components and pairwise similarity: CC merges
+    everything reachable (one bridge fuses two mirror farms into one
+    cluster); LPA splits a component into its densely-connected
+    communities, which is the granularity representative-selection and
+    per-farm rollups actually want.
+
+    Made fully deterministic (the published algorithm is famously not):
+    SYNCHRONOUS updates (every node updates from the previous round's
+    labels — no update-order dependence), ties on neighbor-label
+    frequency broken toward the SMALLEST label, isolated nodes keep
+    their own id, and a FIXED iteration count (no convergence test;
+    synchronous LPA can 2-cycle on bipartite structure, a fixed even/odd
+    horizon makes that a defined result instead of nontermination).
+    Labels start as node ids, so a community's label is always one of
+    its member ids.
+
+    Scale shape: the pagerank loop pattern — per iteration ONE join of
+    the label table to the symmetrized edge list + one (node,
+    label)-keyed partial-agged count + one per-node struct-max
+    aggregate; ``localCheckpoint`` truncates lineage every round so the
+    plan stays flat across iterations. Shuffle rows ∝ edges; the
+    struct-max argmax (count desc, label asc) never collects."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("__node"), F.col(id_col).alias("__label")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            sym.join(
+                labels.select(
+                    F.col("__node").alias("b"), F.col("__label")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("__node"), "__label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        best = contrib.groupBy("__node").agg(
+            F.max(
+                F.struct(
+                    F.col("__c").alias("c"),
+                    (-F.col("__label")).alias("nl"),
+                )
+            ).alias("__best")
+        ).select("__node", (-F.col("__best.nl")).alias("__new"))
+        labels = (
+            labels.join(best, "__node", "left")
+            .select(
+                "__node",
+                F.coalesce("__new", "__label").alias("__label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("__node").alias(id_col), F.col("__label").alias("community")
+    )

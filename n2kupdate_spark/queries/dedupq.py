@@ -770,3 +770,24 @@ def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _pseudo_lines().alias("text")
     )
     return dedup_lines_global(d)
+
+
+@register("graph_label_propagation")  # rows-only (§2 legend: iterative
+# algorithm, no SQL form); ≡ an independent python synchronous LPA in
+# tests/test_graph.py
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup graph by deterministic
+    synchronous label propagation (Raghavan 2007) — the granularity
+    between dedup_cc_clusters (reachability fuses bridge-joined mirror
+    farms) and raw pairs: densely-connected duplicate communities, per
+    doc. Labels start as doc ids; 5 synchronous rounds, smallest-label
+    tie-break, isolated docs keep their own id.
+
+    Scale: per iteration one edge join + one partial-agged count + one
+    struct-max argmax, lineage checkpointed flat — see
+    operators/dedup.py::label_propagation."""
+    from n2kupdate_spark.operators.dedup import label_propagation
+
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    return label_propagation(nodes, pairs, id_col="doc_id")

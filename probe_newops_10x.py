@@ -103,6 +103,7 @@ OPS = [
     "ts_seasonal_decompose",    # event-log collapse + #hours-row windows
     "text_readability",         # pure JVM regexp map, zero shuffle
     "diag_dedup_overlap",       # three bounded drop sets + flag agg
+    "graph_label_propagation",  # 5 checkpointed join+argmax rounds
 ]
 
 

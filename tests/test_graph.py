@@ -430,3 +430,87 @@ def test_graph_triangle_count_registered_vs_brute(spark):
         for r in QUERIES["graph_triangle_count"](spark, sf).collect()
     }
     assert got == want
+
+
+def _lpa_ref(node_ids, edges, iters=5):
+    """Independent synchronous LPA: same spec (min-label tie-break,
+    isolated keep own id), dict-based implementation."""
+    adj = {v: set() for v in node_ids}
+    for a, b in edges:
+        if a == b or a not in adj or b not in adj:
+            continue
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {v: v for v in node_ids}
+    for _ in range(iters):
+        new = {}
+        for v in node_ids:
+            if not adj[v]:
+                new[v] = labels[v]
+                continue
+            freq = {}
+            for u in adj[v]:
+                freq[labels[u]] = freq.get(labels[u], 0) + 1
+            best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_planted_communities(spark):
+    """r13: two K4 cliques joined by one bridge edge — CC fuses them
+    into one component, LPA keeps two communities (the reason the op
+    exists); isolated node keeps its own label; exact equality with the
+    python reference."""
+    from n2kupdate_spark.operators.dedup import label_propagation
+
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a + 10, b + 10) for a, b in k4a]
+    edges = k4a + k4b + [(3, 10)]  # bridge
+    node_ids = list(range(4)) + list(range(10, 14)) + [99]
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id: long")
+    e = spark.createDataFrame(edges, "id1: long, id2: long")
+    got = {r["id"]: r["community"] for r in label_propagation(nodes, e).collect()}
+    want = _lpa_ref(node_ids, edges)
+    assert got == want
+    assert len({got[v] for v in range(4)}) == 1
+    assert len({got[v] for v in range(10, 14)}) == 1
+    assert {got[0]} != {got[10]}, "bridge must not fuse the cliques"
+    assert got[99] == 99
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_label_propagation_random_vs_ref(spark, seed):
+    rng = random.Random(seed)
+    node_ids = list(range(40))
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(90)})
+    from n2kupdate_spark.operators.dedup import label_propagation
+
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id: long")
+    e = spark.createDataFrame(edges, "id1: long, id2: long")
+    got = {r["id"]: r["community"] for r in label_propagation(nodes, e).collect()}
+    assert got == _lpa_ref(node_ids, edges)
+
+
+def test_graph_label_propagation_registered_vs_ref(spark):
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    sf = "/root/testdata/sf0.01"
+    node_ids = [r["doc_id"] for r in load(spark, sf, "documents").select("doc_id").collect()]
+    edges = [
+        (r["id1"], r["id2"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf).select("id1", "id2").collect()
+    ]
+    want = _lpa_ref(node_ids, edges)
+    got = {
+        r["doc_id"]: r["community"]
+        for r in QUERIES["graph_label_propagation"](spark, sf).collect()
+    }
+    assert got == want
+    # communities refine CC components: same community -> same component
+    cc = {r["doc_id"]: r["cluster_id"] for r in QUERIES["dedup_cc_clusters"](spark, sf).collect()}
+    bycomm = {}
+    for d, c in got.items():
+        bycomm.setdefault(c, set()).add(cc[d])
+    assert all(len(s) == 1 for s in bycomm.values())
