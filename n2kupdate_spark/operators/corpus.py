@@ -2763,9 +2763,12 @@ def fineweb_quality(
     3. fraction of lines shorter than ``short_chars`` chars must stay
        UNDER ``short_max`` (link-list / bullet-farm pages).
 
-    Lines are ``\\n``-split, whitespace-trimmed, empties dropped. Docs
-    with zero nonempty lines fail all three (every fraction reads 0 /
-    vacuous — pinned). Emits every doc with the three fractions (4dp
+    Lines are ``\\r?\\n``-split (CRLF text must not smuggle a ``\\r``
+    past the terminal-punctuation anchor or into line lengths),
+    edge-whitespace-stripped (regexp, not ``F.trim`` — trim removes
+    0x20 only and would keep tabs), empties dropped. Docs with zero
+    nonempty lines fail all three (every fraction reads 0 / vacuous —
+    pinned). Emits every doc with the three fractions (4dp
     scale-first) + per-rule pass flags + the conjunction
     ``fineweb_pass``.
 
@@ -2778,7 +2781,10 @@ def fineweb_quality(
     second scan of the raw text). One id-keyed left join re-admits
     zero-line docs."""
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        F.transform(
+            F.split(F.col(text_col), "\r?\n"),
+            lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+        ),
         lambda x: x != "",
     )
     exploded = docs.select(id_col, lines.alias("__lines")).select(
@@ -2878,7 +2884,10 @@ def readability_scores(
     filter, no shuffle, no Python; rows inherit the scan's
     partitioning."""
     low = F.lower(F.col(text_col))
-    words = F.filter(F.split(low, " "), lambda w: w != "")
+    # \s+ split, not single-space: a newline- or tab-separated word pair
+    # must not merge into one pseudo-word (it would deflate n_words while
+    # the whole-text syllable regexp still counts both words' vowels)
+    words = F.filter(F.split(low, r"\s+"), lambda w: w != "")
     n_words = F.size(words)
     n_sent = F.greatest(F.lit(1), F.regexp_count(F.col(text_col), F.lit("[.!?]+")))
     n_syll = F.regexp_count(low, F.lit("[aeiouy]+")) + F.size(

@@ -1803,14 +1803,15 @@ def label_propagation(
             .groupBy(F.col("a").alias("__node"), "__label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
+        # min_by over (−count, label): max frequency, then SMALLEST label —
+        # negating the count (always a long) instead of the label keeps the
+        # generic id_col API valid for string ids too
         best = contrib.groupBy("__node").agg(
-            F.max(
-                F.struct(
-                    F.col("__c").alias("c"),
-                    (-F.col("__label")).alias("nl"),
-                )
-            ).alias("__best")
-        ).select("__node", (-F.col("__best.nl")).alias("__new"))
+            F.min_by(
+                "__label",
+                F.struct((-F.col("__c")).alias("nc"), F.col("__label").alias("l")),
+            ).alias("__new")
+        )
         labels = (
             labels.join(best, "__node", "left")
             .select(

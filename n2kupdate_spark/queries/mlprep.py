@@ -2000,19 +2000,29 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "observed",
         F.pmod(F.floor(F.col("hour_s") / 3600), F.lit(24)).cast("int").alias("phase"),
         ((t1 + t2) / 2).alias("__trend"),
-    )
+    ).localCheckpoint(eager=True)  # consumed by the phase-mean branch, the
+    # grand collect AND the final select — without this Catalyst inlines the
+    # scan+spine+ordered-window into every consumer (the kn-fit-table lesson)
     phase_means = (
         trended.filter(F.col("__trend").isNotNull())
         .groupBy("phase")
         .agg(F.avg(F.col("observed") - F.col("__trend")).alias("__pm"))
     )
     grand = phase_means.agg(F.avg("__pm")).collect()[0][0]
-    seasoned = trended.join(F.broadcast(phase_means), "phase").select(
+    # grand is None on a degenerate span (< 25 hours: no full 2×24 window
+    # anywhere) — every seasonal is then NULL via the left join below, so
+    # the centering constant is irrelevant; 0.0 keeps the lit well-typed.
+    # The join is LEFT: for spans of 25–47 hours some of the 24 phases
+    # have no interior row, and those hours must still emit (with NULL
+    # seasonal), not vanish.
+    seasoned = trended.join(F.broadcast(phase_means), "phase", "left").select(
         "hour_s",
         "phase",
         "observed",
         "__trend",
-        (F.col("__pm") - F.lit(float(grand))).alias("__seasonal"),
+        (F.col("__pm") - F.lit(float(grand) if grand is not None else 0.0)).alias(
+            "__seasonal"
+        ),
     )
     r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
     return seasoned.select(
@@ -2020,8 +2030,10 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase",
         "observed",
         r4(F.col("__trend")).alias("trend"),
-        # seasonal is periodic — defined on EVERY row (the statsmodels
-        # convention); trend/resid are NULL where the ±12 window isn't full
+        # seasonal is periodic — defined on every row whose phase has at
+        # least one interior (full-window) hour, i.e. everywhere once the
+        # span reaches 48 h (the statsmodels convention); trend/resid are
+        # NULL where the ±12 window isn't full
         r4(F.col("__seasonal")).alias("seasonal"),
         F.when(
             F.col("__trend").isNotNull(),

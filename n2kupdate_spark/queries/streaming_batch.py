@@ -590,7 +590,11 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.datediff(F.lit(anchor), F.max("ts")).cast("long").alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("value"), 4).alias("monetary"),
+            # scale-first: F.round(x, 4) rounds the shortest-decimal repr
+            # and splits from DuckDB ROUND(x, 4) on boundary sums — and a
+            # divergent monetary would flip NTILE sort positions, not
+            # just one cell
+            (F.round(F.sum("value") * 10000, 0) / 10000).alias("monetary"),
         )
     )
     r = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))

@@ -2593,6 +2593,8 @@ def test_fineweb_quality_matches_python_recompute(spark):
             "Another properly terminated sentence, also long enough."),
         (4, "dup line dup line dup line\ndup line dup line dup line\n"
             "a genuinely different long line that ends properly."),
+        (5, "A proper CRLF-terminated sentence of decent length here.\r\n"
+            "\tAnother tab-indented sentence that also terminates well.\r\n"),
     ]
     df = spark.createDataFrame(rows, "doc_id: long, text: string")
     u = {r["doc_id"]: r for r in fineweb_quality(df).collect()}
@@ -2600,6 +2602,9 @@ def test_fineweb_quality_matches_python_recompute(spark):
     assert u[2]["n_lines"] == 0 and not u[2]["fineweb_pass"]
     assert u[3]["fineweb_pass"]
     assert not u[4]["dup_pass"] and u[4]["dup_line_char_frac"] > 0.10
+    # CRLF must not smuggle \r past the punct anchor; tabs strip
+    assert u[5]["n_lines"] == 2 and u[5]["punct_line_frac"] == 1.0
+    assert u[5]["fineweb_pass"]
 
 
 def test_autocorr_matches_python_and_plan(spark):
@@ -2694,7 +2699,9 @@ def test_readability_matches_python_recompute(spark):
         if doc_id % 3 == 0:
             decorated += (" extraordinarily sophisticated characterization of "
                           "multidimensional organizations.")
-        words = [w for w in decorated.lower().split(" ") if w]
+        import re as _re
+
+        words = [w for w in _re.split(r"\s+", decorated.lower()) if w]
         n_w = len(words)
         if n_w == 0:
             return (0, 1, None, None, None)
@@ -2731,6 +2738,7 @@ def test_readability_matches_python_recompute(spark):
             "responsibilities notwithstanding unintelligible recommendations"),
         (3, "xyzzy grr pfft"),   # two y-groups in xyzzy; grr/pfft floor at 1
         (4, "no punctuation here at all"),
+        (6, "the cat sat.\nthe dog ran.\nwe go up."),  # ≡ doc 1 via \s+ split
         (5, ""),
     ]
     df = spark.createDataFrame(rows, "doc_id: long, text: string")
@@ -2740,6 +2748,7 @@ def test_readability_matches_python_recompute(spark):
     assert u[3]["n_syllables"] == 4
     assert u[4]["n_sentences"] == 1
     assert u[5]["n_words"] == 0 and u[5]["flesch_ease"] is None
+    assert (u[6]["n_words"], u[6]["flesch_ease"]) == (u[1]["n_words"], u[1]["flesch_ease"])
 
 
 def test_dedup_overlap_matches_python_sets(spark):

@@ -484,7 +484,7 @@ def test_events_rfm_segments_duckdb_pinned(spark, sf_dir, oracle_con):
                                 CAST((SELECT a FROM anchor) AS DATE)) AS BIGINT)
                    AS recency_days,
                  COUNT(*) AS frequency,
-                 ROUND(SUM(value), 4) AS monetary
+                 ROUND(SUM(value) * 10000) / 10000 AS monetary
           FROM events WHERE event_type = 'purchase' GROUP BY user_id
         ),
         scored AS (
