@@ -403,3 +403,44 @@ def diag_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+@register("diag_langid_confusion")  # rows-only (r9 capacity policy):
+# table ≡ a python recompute from the pinned classifier output —
+# tests/test_mlprep_props.py
+def diag_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation harness — the confusion matrix + per-class
+    precision/recall a curation team reads before trusting a lang
+    filter: over the HELD-OUT slice of the trained classifier
+    (text_langid_hashgram's doc_id-hash 20%), one row per (lang,
+    pred_lang) cell with count, the true-class recall contribution and
+    the predicted-class precision contribution (4dp scale-first).
+    Off-diagonal mass IS the filter's collateral damage: a lang gate at
+    this accuracy drops exactly the recall-miss fraction of every
+    class it keeps.
+
+    Scale: the classifier's bounded fit + map scoring (already audited)
+    feeds ONE #langs²-bounded partial-agged count; the marginals ride
+    two windows OVER the counts table (≤ #langs² rows — tiny at any
+    corpus size)."""
+    from pyspark.sql import Window
+
+    from n2kupdate_spark.queries.text import text_langid_hashgram
+
+    scored = text_langid_hashgram(spark, sf_dir).filter(F.col("holdout"))
+    cells = scored.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("lang")
+    wp = Window.partitionBy("pred_lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        (F.round(F.col("n") * 10000.0 / F.sum("n").over(wt)) / 10000).alias(
+            "recall_frac"
+        ),
+        (F.round(F.col("n") * 10000.0 / F.sum("n").over(wp)) / 10000).alias(
+            "precision_frac"
+        ),
+    )

@@ -104,6 +104,7 @@ OPS = [
     "text_readability",         # pure JVM regexp map, zero shuffle
     "diag_dedup_overlap",       # three bounded drop sets + flag agg
     "graph_label_propagation",  # 5 checkpointed join+argmax rounds
+    "diag_langid_confusion",    # classifier map + #langs²-bounded agg
 ]
 
 

@@ -2788,3 +2788,42 @@ def test_dedup_overlap_matches_python_sets(spark):
             for r in QUERIES["diag_dedup_overlap"](spark, sf).collect()
         }
         assert all("+" in m or m in ("exact", "near", "semantic") for m in labels)
+
+
+def test_langid_confusion_matches_python(spark):
+    """r13: the held-out confusion matrix ≡ a python recompute from the
+    already-pinned classifier output at two sfs; marginals: recall_frac
+    sums to 1 per true lang, precision_frac to 1 per predicted lang,
+    cell counts sum to the holdout size."""
+    from n2kupdate_spark.queries import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        scored = [
+            (r["lang"], r["pred_lang"])
+            for r in QUERIES["text_langid_hashgram"](spark, sf).collect()
+            if r["holdout"]
+        ]
+        cells = {}
+        for t, p in scored:
+            cells[(t, p)] = cells.get((t, p), 0) + 1
+        tmarg = {}
+        pmarg = {}
+        for (t, p), n in cells.items():
+            tmarg[t] = tmarg.get(t, 0) + n
+            pmarg[p] = pmarg.get(p, 0) + n
+        want = {
+            (t, p): (
+                n,
+                round(n * 10000.0 / tmarg[t]) / 10000,
+                round(n * 10000.0 / pmarg[p]) / 10000,
+            )
+            for (t, p), n in cells.items()
+        }
+        got = {
+            (r["lang"], r["pred_lang"]): (r["n"], r["recall_frac"], r["precision_frac"])
+            for r in QUERIES["diag_langid_confusion"](spark, sf).collect()
+        }
+        assert got == want, sf
+        assert sum(n for n, _r, _p in got.values()) == len(scored)
+        for t in tmarg:
+            assert abs(sum(r for (tt, _p), (_n, r, _pr) in got.items() if tt == t) - 1.0) < 1e-3
