@@ -444,3 +444,64 @@ def diag_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_frac"
         ),
     )
+
+
+@register("text_zipf_fit")  # rows-only (r9 capacity policy): ≡ numpy
+# least-squares recompute + planted perfect-Zipf exponent pins —
+# tests/test_mlprep_props.py
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution (Zipf 1949;
+    the log-log regression every corpus-linguistics intro runs) — the
+    vocabulary-shape diagnostic next to diag_vocab_drift: least-squares
+    slope of log(freq) on log(rank) over the top-200 word types, so
+    zipf_exponent ≈ 1 is natural-language-shaped, a flattened head is
+    boilerplate/dedup-failure mass, a cliff is template vocabulary.
+    Emits ONE row: total word types, fitted types, exponent (−slope),
+    intercept, R² (all 4dp scale-first).
+
+    Scale: one explode + ONE vocab-bounded partial-agged count shuffle;
+    the fit itself reads only the TakeOrderedAndProject top-200 (count
+    desc, word asc — total order), ranks them with a 200-row window and
+    folds the five regression sums in one aggregate. The type-count
+    scalar is collected and inlined as a literal (the IDF/BNLJ rule)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents", columns=["text"])
+    words = d.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")).alias(
+            "w"
+        )
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_types = counts.count()  # vocab-bounded scalar, inlined below
+    k = 200
+    top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(k)
+    ranked = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r_num = n * sxy - sx * sy
+    r2 = (r_num * r_num) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return sums.select(
+        F.lit(int(n_types)).alias("n_types"),
+        n.cast("long").alias("n_fit"),
+        r4(-slope).alias("zipf_exponent"),
+        r4(intercept).alias("intercept"),
+        r4(r2).alias("r2"),
+    )

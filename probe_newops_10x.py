@@ -105,6 +105,7 @@ OPS = [
     "diag_dedup_overlap",       # three bounded drop sets + flag agg
     "graph_label_propagation",  # 5 checkpointed join+argmax rounds
     "diag_langid_confusion",    # classifier map + #langs²-bounded agg
+    "text_zipf_fit",            # vocab-bounded count + top-200 fit
 ]
 
 

@@ -2827,3 +2827,72 @@ def test_langid_confusion_matches_python(spark):
         assert sum(n for n, _r, _p in got.values()) == len(scored)
         for t in tmarg:
             assert abs(sum(r for (tt, _p), (_n, r, _pr) in got.items() if tt == t) - 1.0) < 1e-3
+
+
+def test_zipf_fit_matches_numpy(spark):
+    """r13: the Zipf fit row ≡ an independent numpy polyfit recompute
+    from the collected token counts at two sfs, and a PLANTED perfect
+    Zipf corpus (freq ∝ 1/rank^1.2) recovers exponent 1.2 with R² ≈ 1
+    while a uniform-frequency corpus fits slope ≈ 0."""
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.diagnostics import text_zipf_fit
+    from n2kupdate_spark.sources import load
+
+    def ref(counts, k=200):
+        import re
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        x = np.log(np.arange(1, len(top) + 1, dtype=float))
+        y = np.log(np.array([c for _w, c in top], dtype=float))
+        n = len(x)
+        sx, sy = x.sum(), y.sum()
+        sxy, sxx, syy = (x * y).sum(), (x * x).sum(), (y * y).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        r4 = lambda v: round(v * 10000) / 10000 + 0.0  # noqa: E731
+        return (len(counts), n, r4(-slope), r4(intercept), r4(r2))
+
+    import re as _re
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        counts = {}
+        for r in load(spark, sf, "documents", columns=["text"]).collect():
+            for w in _re.split(r"\s+", r["text"].lower()):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        want = ref(counts)
+        row = QUERIES["text_zipf_fit"](spark, sf).collect()[0]
+        got = (row["n_types"], row["n_fit"], row["zipf_exponent"],
+               row["intercept"], row["r2"])
+        assert got == want, sf
+
+    # planted perfect Zipf with s = 1.2 over 50 types
+    rows = []
+    did = 0
+    for rank in range(1, 51):
+        c = max(1, round(10000 / rank ** 1.2))
+        rows.append((did, " ".join([f"w{rank:03d}"] * c)))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    import n2kupdate_spark.sources as srcs
+
+    orig = srcs.load
+    try:
+        srcs.load = lambda spark_, sf_, t, columns=None: df.select(columns or df.columns)
+        import n2kupdate_spark.queries.diagnostics as diag
+        orig_load = diag.load
+        diag.load = srcs.load
+        row = text_zipf_fit(spark, "ignored").collect()[0]
+        assert abs(row["zipf_exponent"] - 1.2) < 0.02, row
+        assert row["r2"] > 0.999
+        # uniform frequencies -> slope ~ 0
+        rows_u = [(i, " ".join([f"u{i:03d}"] * 40)) for i in range(50)]
+        dfu = spark.createDataFrame(rows_u, "doc_id: long, text: string")
+        diag.load = lambda spark_, sf_, t, columns=None: dfu.select(columns or dfu.columns)
+        row_u = text_zipf_fit(spark, "ignored").collect()[0]
+        assert abs(row_u["zipf_exponent"]) < 1e-9
+    finally:
+        srcs.load = orig
+        diag.load = orig_load
