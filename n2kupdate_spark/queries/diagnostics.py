@@ -505,3 +505,48 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(intercept).alias("intercept"),
         r4(r2).alias("r2"),
     )
+
+
+@register("corpus_quality_report")  # rows-only (r9 capacity policy):
+# rollup ≡ python recompute from the four pinned scorer outputs —
+# tests/test_mlprep_props.py
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality dashboard — the one table a curation review
+    actually opens: for every source, doc count plus the four
+    already-registered quality axes rolled up side by side — Gopher
+    pass rate, FineWeb pass rate, mean Flesch reading ease, mean
+    Kneser–Ney perplexity (all 4dp scale-first). Each feed is the
+    registered scorer's own output on its own pinned fixture (the
+    dashboard aggregates what its feeds emit; each feed is
+    independently pinned), joined back on doc_id.
+
+    Scale: four id-keyed joins of per-doc scorer outputs (each scorer's
+    plan already audited in PLANS.md) + ONE #sources-row partial-agged
+    rollup — the overlay itself never shuffles more than the per-doc
+    metric rows."""
+    from n2kupdate_spark.queries.text import (
+        text_perplexity_kn,
+        text_quality_fineweb,
+        text_quality_gopher,
+        text_readability,
+    )
+
+    base = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    gop = text_quality_gopher(spark, sf_dir).select("doc_id", "gopher_pass")
+    fw = text_quality_fineweb(spark, sf_dir).select("doc_id", "fineweb_pass")
+    rd = text_readability(spark, sf_dir).select("doc_id", "flesch_ease")
+    kn = text_perplexity_kn(spark, sf_dir).select("doc_id", "ppl")
+    joined = (
+        base.join(gop, "doc_id", "left")
+        .join(fw, "doc_id", "left")
+        .join(rd, "doc_id", "left")
+        .join(kn, "doc_id", "left")
+    )
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r4(F.avg(F.col("gopher_pass").cast("double"))).alias("gopher_pass_frac"),
+        r4(F.avg(F.col("fineweb_pass").cast("double"))).alias("fineweb_pass_frac"),
+        r4(F.avg("flesch_ease")).alias("mean_flesch_ease"),
+        r4(F.avg("ppl")).alias("mean_kn_ppl"),
+    )

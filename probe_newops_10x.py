@@ -106,6 +106,7 @@ OPS = [
     "graph_label_propagation",  # 5 checkpointed join+argmax rounds
     "diag_langid_confusion",    # classifier map + #langs²-bounded agg
     "text_zipf_fit",            # vocab-bounded count + top-200 fit
+    "corpus_quality_report",    # four pinned per-doc feeds + source rollup
 ]
 
 

@@ -2896,3 +2896,48 @@ def test_zipf_fit_matches_numpy(spark):
     finally:
         srcs.load = orig
         diag.load = orig_load
+
+
+def test_corpus_quality_report_matches_python(spark):
+    """r13: the per-source dashboard ≡ a python rollup recomputed from
+    the four pinned scorer outputs at two sfs (4dp means compared with a
+    1-ulp-at-4dp tolerance — the feeds are pinned exactly; only the
+    rollup's summation order is engine-specific)."""
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        src = {
+            r["doc_id"]: r["source"]
+            for r in load(spark, sf, "documents", columns=["doc_id", "source"]).collect()
+        }
+        gop = {r["doc_id"]: r["gopher_pass"] for r in QUERIES["text_quality_gopher"](spark, sf).collect()}
+        fw = {r["doc_id"]: r["fineweb_pass"] for r in QUERIES["text_quality_fineweb"](spark, sf).collect()}
+        rd = {r["doc_id"]: r["flesch_ease"] for r in QUERIES["text_readability"](spark, sf).collect()}
+        kn = {r["doc_id"]: r["ppl"] for r in QUERIES["text_perplexity_kn"](spark, sf).collect()}
+        per_src = {}
+        for d, s in src.items():
+            per_src.setdefault(s, []).append(d)
+        want = {}
+        for s, ids in per_src.items():
+            want[s] = (
+                len(ids),
+                round(float(np.mean([float(gop.get(d) or 0) for d in ids])) * 10000) / 10000,
+                round(float(np.mean([float(fw.get(d) or 0) for d in ids])) * 10000) / 10000,
+                round(float(np.mean([rd[d] for d in ids if rd.get(d) is not None])) * 10000) / 10000,
+                round(float(np.mean([kn[d] for d in ids if kn.get(d) is not None])) * 10000) / 10000,
+            )
+        got = {
+            r["source"]: (r["n_docs"], r["gopher_pass_frac"], r["fineweb_pass_frac"],
+                          r["mean_flesch_ease"], r["mean_kn_ppl"])
+            for r in QUERIES["corpus_quality_report"](spark, sf).collect()
+        }
+        assert set(got) == set(want), sf
+        for s in want:
+            assert got[s][0] == want[s][0], (sf, s)
+            for i in range(1, 5):
+                assert abs(got[s][i] - want[s][i]) <= 1e-4 + 1e-9, (sf, s, i, got[s], want[s])
+        # every metric column is non-degenerate somewhere
+        assert any(v[1] > 0 for v in got.values()) and any(v[1] < 1 for v in got.values())
