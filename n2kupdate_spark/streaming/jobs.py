@@ -959,3 +959,77 @@ def stream_changepoint_cusum(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+EWMA_OUT_SCHEMA = "user_id long, ts_s long, event_id long, value double, ewma double"
+EWMA_STATE_SCHEMA = "n long, y double"
+
+
+def _ewma_stream_fold(alpha: float):
+    """Per-user fold for :func:`stream_ewma_smooth`: the EWMA recursion
+    (y_t = α·x_t + (1−α)·y_{t−1}, y_0 = x_0 — identical arithmetic to
+    operators/timeseries.py::ewma_smooth) held as TWO scalars of
+    per-user state (count + last smoothed value), so a single-batch
+    stream equals the batch operator row-for-row and ANY batch split of
+    the same arrival order produces identical output and final state
+    (pinned in tests/test_streaming.py — the recursion's entire memory
+    IS y_{t−1}). Every input row emits with its smoothed value (a
+    smoother is a transform, not a detector: output rows = input rows).
+    Within a micro-batch rows walk in (ts_s, event_id) order; across
+    batches arrival order is the stream order. 4dp rounding happens at
+    EMIT only — state carries the unrounded y, so smoothing error never
+    accumulates from the rounding."""
+
+    def fold(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            n, y = state.get
+        else:
+            n, y = 0, 0.0
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts_s", "event_id"])
+        out = []
+        for ts_s, eid, value in zip(rows["ts_s"], rows["event_id"], rows["value"]):
+            v = float(value)
+            y = v if n == 0 else alpha * v + (1.0 - alpha) * y
+            n += 1
+            out.append((int(ts_s), int(eid), v, float(np.round(y * 10000) / 10000 + 0.0)))
+        state.update((n, y))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": int(key[0]),
+                    "ts_s": [o[0] for o in out],
+                    "event_id": [o[1] for o in out],
+                    "value": [o[2] for o in out],
+                    "ewma": [o[3] for o in out],
+                }
+            )
+
+    return fold
+
+
+def stream_ewma_smooth(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Streaming per-user EWMA — the stateful twin of the batch
+    :func:`operators.timeseries.ewma_smooth` (same recursion, same 4dp
+    emit) for a live metrics stream: per-user state is TWO scalars
+    forever (no growth at any stream length), output rows = input rows
+    with the smoothed value attached as they arrive.
+
+    Scale: the one shuffle is the per-user state partitioning every
+    applyInPandasWithState op pays; the fold is O(batch rows) with O(1)
+    state per user — checkpoint size ∝ distinct users, not events."""
+    prepped = events.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _ewma_stream_fold(alpha),
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

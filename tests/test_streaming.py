@@ -1706,3 +1706,122 @@ def test_stream_cusum_e2e_resumed_checkpoint(spark, tmp_path):
     assert len(got2) >= 1
     assert set(got2["direction"]) == {"up"}
     assert int(got2["n_seen"].min()) > 30  # counted past run 1's rows
+
+
+def test_ewma_stream_fold_equals_batch_and_any_split(spark):
+    """r13: the EWMA stream fold ≡ the batch operator row-for-row on a
+    single batch, and ANY batch split of the same arrival order yields
+    identical output and final state (the recursion's entire memory is
+    y_{t−1}); emitted values are 4dp but state carries the unrounded y
+    (pinned: a split at every row still matches)."""
+    import numpy as np
+    import pandas as pd
+
+    from n2kupdate_spark.operators.timeseries import ewma_smooth
+    from n2kupdate_spark.streaming.jobs import _ewma_stream_fold
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = tuple(v), True
+
+    rng = np.random.RandomState(3)
+    series = [float(10 + rng.randn()) for _ in range(97)]
+    pdf = pd.DataFrame(
+        [(4, float(i), i, v) for i, v in enumerate(series)],
+        columns=["user_id", "ts_s", "event_id", "value"],
+    )
+
+    def run_stream(batches):
+        fold, st = _ewma_stream_fold(0.2), FakeState()
+        out = []
+        for b in batches:
+            for o in fold((4,), iter([b]), st):
+                out.extend((r.ts_s, r.value, r.ewma) for r in o.itertuples())
+        return out, st.get
+
+    one, state_one = run_stream([pdf])
+    df = spark.createDataFrame(
+        [(4, float(i), i, v) for i, v in enumerate(series)],
+        ["user_id", "ts_s", "event_id", "value"],
+    )
+    want = [
+        (r["ts_s"], r["value"], r["ewma"])
+        for r in ewma_smooth(df, alpha=0.2, order_col="event_id")
+        .orderBy("ts_s")
+        .collect()
+    ]
+    assert one == want and len(want) == 97
+
+    for cuts in ([1], [48], [10, 30, 60], list(range(1, 97))):
+        parts, lo = [], 0
+        for c in cuts + [len(pdf)]:
+            parts.append(pdf.iloc[lo:c])
+            lo = c
+        split, state_split = run_stream([p for p in parts if len(p)])
+        assert split == one, cuts
+        assert state_split == state_one, cuts
+    assert len(state_one) == 2
+
+
+def test_stream_ewma_e2e_resumed_checkpoint(spark, tmp_path):
+    """r13 e2e: the smoothing level survives a checkpoint resume — run 1
+    streams a level-10 prefix; run 2 resumes and streams a level-20
+    tail: the first resumed emit starts FROM the run-1 level (≈ 10, far
+    below 20) instead of re-initializing at the new value."""
+    import pandas as pd
+
+    from n2kupdate_spark.streaming import stream_ewma_smooth
+    from n2kupdate_spark.streaming.jobs import events_file_stream
+    from pyspark.sql import functions as F
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def write_events(rows):
+        spark.createDataFrame(
+            [
+                (eid, pd.Timestamp(2026, 1, 1).value // 10**9 + i, uid, "t", v)
+                for eid, i, uid, v in rows
+            ],
+            "event_id long, ts_i long, user_id long, event_type string, value double",
+        ).select(
+            "event_id",
+            F.col("ts_i").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            F.col("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        emitted = []
+        q = (
+            stream_ewma_smooth(events_file_stream(spark, src), alpha=0.2)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, eid: emitted.append(df.toPandas()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        frames = [p for p in emitted if len(p)]
+        return pd.concat(frames) if frames else pd.DataFrame()
+
+    write_events([(i, i, 1, 10.0) for i in range(25)])
+    got1 = drain()
+    assert len(got1) == 25
+    assert float(got1["ewma"].iloc[-1]) == 10.0  # constant fixpoint
+
+    write_events([(100 + i, 100 + i, 1, 20.0) for i in range(5)])
+    got2 = drain()
+    got2 = got2.sort_values("event_id")
+    assert len(got2) == 5
+    first = float(got2["ewma"].iloc[0])
+    assert abs(first - (0.2 * 20.0 + 0.8 * 10.0)) < 1e-9  # resumed from level 10
+    assert float(got2["ewma"].iloc[-1]) < 20.0  # still converging
