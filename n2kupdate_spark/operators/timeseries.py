@@ -289,3 +289,108 @@ def ewma_smooth(
     return _bucketed_apply(
         events.select(*cols), key_col, _one_key, schema, group_buckets
     )
+
+
+def holt_winters(
+    series: DataFrame,
+    period: int,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    horizon: int = 0,
+    key_col: str = "key",
+    ts_col: str = "ts_s",
+    val_col: str = "value",
+    step: int = 3600,
+    group_buckets: int | None = None,
+) -> DataFrame:
+    """Additive Holt–Winters triple exponential smoothing (Holt 1957 /
+    Winters 1960 — the classical seasonal forecaster) per key over a
+    REGULAR grid: one-step-ahead in-sample fit plus an optional
+    ``horizon``-step future forecast. Standard simple initialization:
+    level = mean of season 1, trend = (mean of season 2 − mean of
+    season 1)/period, seasonal_i = x_i − mean(season 1); then the
+    textbook recursions
+
+        f_t  = l + b + s_{t−m}
+        l′   = α(x_t − s_{t−m}) + (1−α)(l + b)
+        b′   = β(l′ − l) + (1−β)b
+        s_t  = γ(x_t − l′) + (1−γ)s_{t−m}
+
+    Emits every in-sample point (observed, fitted 4dp, resid 4dp) and,
+    for ``horizon`` > 0, future rows with observed = NaN (the Arrow
+    float64 missing marker — pandas cannot carry a true NULL through a
+    float column; filter with isnan, not isNull) and fitted
+    l + k·b + s_{t+k−m}. Keys shorter than 2×period emit nothing (the
+    init needs two full seasons — the honest floor). The caller owns
+    grid density (fill gaps first — the recursion has no notion of a
+    missing step).
+
+    Scale: the sequential recursion walks through the shared bucketed
+    two-level-key Arrow dispatch (ONE shuffle, O(series)/key, numpy
+    inside); grids are bounded aggregates of the raw log (#keys ×
+    #steps rows), never the event volume."""
+    import numpy as np
+
+    m = int(period)
+
+    def _one_key(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([ts_col], kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype=float)
+        ts = pdf[ts_col].to_numpy(dtype="int64")
+        n = len(x)
+        if n < 2 * m:
+            return pd.DataFrame(
+                columns=[key_col, ts_col, "observed", "fitted", "resid"]
+            ).astype(
+                {
+                    key_col: pdf[key_col].dtype,
+                    ts_col: "int64",
+                    "observed": "float64",
+                    "fitted": "float64",
+                    "resid": "float64",
+                }
+            )
+        key = pdf[key_col].iloc[0]
+        l = float(x[:m].mean())
+        b = float((x[m : 2 * m].mean() - x[:m].mean()) / m)
+        s = (x[:m] - x[:m].mean()).astype(float).copy()
+        out_ts, out_obs, out_fit = [], [], []
+        for t in range(m, n):
+            si = t % m
+            f = l + b + s[si]
+            l_new = alpha * (x[t] - s[si]) + (1 - alpha) * (l + b)
+            b = beta * (l_new - l) + (1 - beta) * b
+            s[si] = gamma * (x[t] - l_new) + (1 - gamma) * s[si]
+            l = l_new
+            out_ts.append(int(ts[t]))
+            out_obs.append(float(x[t]))
+            out_fit.append(f)
+        for k in range(1, horizon + 1):
+            out_ts.append(int(ts[-1]) + k * step)
+            out_obs.append(np.nan)
+            out_fit.append(l + k * b + s[(n + k - 1) % m])
+        fit = np.round(np.array(out_fit) * 10000) / 10000 + 0.0
+        obs = np.array(out_obs, dtype=float)
+        resid = np.round((obs - np.array(out_fit)) * 10000) / 10000 + 0.0
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                key_col: key,
+                ts_col: out_ts,
+                "observed": obs,
+                "fitted": fit,
+                "resid": resid,
+            }
+        )
+
+    schema = (
+        f"{key_col} {series.schema[key_col].dataType.simpleString()}, "
+        f"{ts_col} long, observed double, fitted double, resid double"
+    )
+    return _bucketed_apply(
+        series.select(key_col, ts_col, val_col), key_col, _one_key, schema, group_buckets
+    )

@@ -2040,3 +2040,53 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("observed") - F.col("__trend") - F.col("__seasonal")),
         ).alias("resid"),
     )
+
+
+@register("ts_holt_winters")  # rows-only (§2 legend: sequential
+# recursion, no SQL form): ≡ an independent python recompute + planted
+# periodic-forecast pins in tests/test_mlprep_props.py
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters forecast of the hourly event-count series
+    PER EVENT TYPE (daily period 24, α/β/γ = 0.2/0.1/0.3) — the
+    classical seasonal forecaster completing the ts family's
+    capacity-planning axis (the decompose op explains the past; this
+    one projects the next day): in-sample one-step-ahead fit + a
+    24-hour future forecast (observed = NaN, the Arrow float64 missing
+    marker) per type.
+
+    Scale: one partial-agged shuffle collapses the event log to
+    #types × #hours rows on a dense per-type spine (generated sequence
+    cross-joined with the tiny type table); the recursion walks through
+    the shared bucketed Arrow dispatch — see
+    operators/timeseries.py::holt_winters."""
+    from n2kupdate_spark.operators.timeseries import holt_winters
+
+    ev = load(spark, sf_dir, "events", columns=["ts", "event_type"]).select(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600)
+            * 3600
+        )
+        .cast("long")
+        .alias("ts_s"),
+    )
+    hourly = ev.groupBy("event_type", "ts_s").agg(F.count(F.lit(1)).alias("value"))
+    lo, hi = hourly.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(3600))).alias("ts_s")
+            )
+        )
+        .select("event_type", F.col("ts_s").cast("long").alias("ts_s"))
+    )
+    dense = spine.join(hourly, ["event_type", "ts_s"], "left").select(
+        "event_type",
+        "ts_s",
+        F.coalesce("value", F.lit(0)).cast("double").alias("value"),
+    )
+    return holt_winters(
+        dense, period=24, horizon=24, key_col="event_type"
+    )

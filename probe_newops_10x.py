@@ -107,6 +107,7 @@ OPS = [
     "diag_langid_confusion",    # classifier map + #langs²-bounded agg
     "text_zipf_fit",            # vocab-bounded count + top-200 fit
     "corpus_quality_report",    # four pinned per-doc feeds + source rollup
+    "ts_holt_winters",          # #types×#hours collapse + bucketed walk
 ]
 
 

@@ -2941,3 +2941,90 @@ def test_corpus_quality_report_matches_python(spark):
                 assert abs(got[s][i] - want[s][i]) <= 1e-4 + 1e-9, (sf, s, i, got[s], want[s])
         # every metric column is non-degenerate somewhere
         assert any(v[1] > 0 for v in got.values()) and any(v[1] < 1 for v in got.values())
+
+
+def test_holt_winters_matches_python_and_forecasts(spark):
+    """r13: per-type Holt–Winters ≡ an independent python recompute of
+    the textbook recursions (separate code, same init spec) at two sfs
+    incl. the 24-hour forecast tail; bucketed ≡ per-key dispatch;
+    behavior: a planted exactly-periodic series fits with near-zero
+    residuals after warmup and its future forecast continues the
+    pattern; series shorter than two seasons emit nothing."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.timeseries import holt_winters
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def ref_hw(xs, tss, m=24, a=0.2, b_=0.1, g=0.3, horizon=24, step=3600):
+        n = len(xs)
+        if n < 2 * m:
+            return []
+        l = float(np.mean(xs[:m]))
+        b = float((np.mean(xs[m:2 * m]) - np.mean(xs[:m])) / m)
+        s = [x - float(np.mean(xs[:m])) for x in xs[:m]]
+        out = []
+        for t in range(m, n):
+            si = t % m
+            f = l + b + s[si]
+            ln = a * (xs[t] - s[si]) + (1 - a) * (l + b)
+            b = b_ * (ln - l) + (1 - b_) * b
+            s[si] = g * (xs[t] - ln) + (1 - g) * s[si]
+            l = ln
+            r4 = lambda v: round(v * 10000) / 10000 + 0.0  # noqa: E731
+            out.append((tss[t], xs[t], r4(f), r4(xs[t] - f)))
+        for k in range(1, horizon + 1):
+            f = l + k * b + s[(n + k - 1) % m]
+            r4 = lambda v: round(v * 10000) / 10000 + 0.0  # noqa: E731
+            out.append((tss[-1] + k * step, None, r4(f), None))
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = (
+            load(spark, sf, "events", columns=["ts", "event_type"])
+            .select(
+                "event_type",
+                (F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600) * 3600)
+                .cast("long").alias("h"),
+            )
+            .groupBy("event_type", "h").count()
+            .collect()
+        )
+        counts = {}
+        for r in ev:
+            counts.setdefault(r["event_type"], {})[r["h"]] = r["count"]
+        lo = min(h for d in counts.values() for h in d)
+        hi = max(h for d in counts.values() for h in d)
+        hours = list(range(lo, hi + 1, 3600))
+        want = {}
+        for t, d in counts.items():
+            xs = [float(d.get(h, 0)) for h in hours]
+            for ts_s, obs, fit, resid in ref_hw(xs, hours):
+                want[(t, ts_s)] = (obs, fit, resid)
+        got = {}
+        for r in QUERIES["ts_holt_winters"](spark, sf).collect():
+            obs = None if r["observed"] is None or (r["observed"] != r["observed"]) else r["observed"]
+            got[(r["event_type"], r["ts_s"])] = (
+                obs, r["fitted"],
+                None if r["resid"] is None or (r["resid"] != r["resid"]) else r["resid"],
+            )
+        assert got == want, sf
+
+    # planted: exact period-24 sawtooth + level — residuals vanish, the
+    # forecast continues the pattern; a short series emits nothing
+    rows = []
+    for i in range(24 * 6):
+        rows.append(("p", i * 3600, float(100 + (i % 24))))
+    rows += [("short", i * 3600, 5.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "key: string, ts_s: long, value: double")
+    out = holt_winters(df, period=24, horizon=24, key_col="key").collect()
+    assert not any(r["key"] == "short" for r in out)
+    p = sorted((r for r in out if r["key"] == "p"), key=lambda r: r["ts_s"])
+    insample = [r for r in p if r["observed"] is not None and r["observed"] == r["observed"]]
+    tail = insample[-24:]
+    assert all(abs(r["resid"]) < 0.05 for r in tail), [r["resid"] for r in tail]
+    fut = [r for r in p if r["observed"] is None or r["observed"] != r["observed"]]
+    assert len(fut) == 24
+    for r in fut:
+        phase = (r["ts_s"] // 3600) % 24
+        assert abs(r["fitted"] - (100 + phase)) < 0.2, (phase, r["fitted"])
