@@ -2072,13 +2072,15 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = ev.groupBy("event_type", "ts_s").agg(F.count(F.lit(1)).alias("value"))
     lo, hi = hourly.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
+    # per-type spine WITHOUT a cross join: explode the hour sequence off
+    # the distinct-type frame itself — a generator per type row, zero
+    # joins (a crossJoin here plans the BNLJ the fleet audit rejects)
     spine = (
         ev.select("event_type")
         .distinct()
-        .crossJoin(
-            spark.range(1).select(
-                F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(3600))).alias("ts_s")
-            )
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(3600))).alias("ts_s"),
         )
         .select("event_type", F.col("ts_s").cast("long").alias("ts_s"))
     )

@@ -405,6 +405,12 @@ def test_no_query_plan_has_scale_red_flags(spark, sf_dir):
         # checkpointed boundary → the budget-exempt gate chain); each
         # component individually audited under its own op id
         "corpus_crawl_pipeline",
+        # r13: the per-source dashboard composes FOUR independently
+        # audited per-doc scorer pipelines (gopher + fineweb +
+        # readability + KN — KN alone carries 3 bounded-key exchanges,
+        # PLANS.md) behind id-keyed joins and one #sources rollup; 7
+        # exchanges total, each owned by a component op's own budget
+        "corpus_quality_report",
     }
     issues = []
     for name, fn in sorted(QUERIES.items()):
