@@ -1387,8 +1387,11 @@ def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fineweb_lines() -> "F.Column":
     """Decorated line fixture for the FineWeb filters (on top of the
     dedup_lines_c4 line structure) so every rule demonstrably fires BOTH
-    ways: every 2nd doc's lines all gain a terminal period (punct rule
-    passes there, fails on the undecorated rest), every 11th doc repeats
+    ways: docs with doc_id % 7 < 4 get a terminal period on every line
+    (punct rule passes there, fails on the undecorated rest — 7 is
+    COPRIME with the fixture's source = doc_id % 20 residue, so every
+    source mixes passers and failers instead of odd sources being
+    structurally unable to pass), every 11th doc repeats
     its own last line (within-doc duplicate chars), and every 13th doc
     is replaced wholesale by a bullet farm (8 short lines + 1 long —
     short-line rule fires). Applied in this order; the python recompute
@@ -1399,7 +1402,7 @@ def _fineweb_lines() -> "F.Column":
     punct = F.array_join(
         F.transform(F.split(base, "\n"), lambda x: F.concat(x, F.lit("."))), "\n"
     )
-    t1 = F.when(F.col("doc_id") % 2 == 0, punct).otherwise(base)
+    t1 = F.when(F.col("doc_id") % 7 < 4, punct).otherwise(base)
     t2 = F.when(
         F.col("doc_id") % 11 == 0,
         F.concat(t1, F.lit("\n"), F.element_at(F.split(t1, "\n"), -1)),

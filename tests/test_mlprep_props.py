@@ -2535,7 +2535,7 @@ def test_fineweb_quality_matches_python_recompute(spark):
         lines = [l1, l2, l3]
         if doc_id % 5 == 0:
             lines.append(_BOILER_LINE)
-        if doc_id % 2 == 0:
+        if doc_id % 7 < 4:
             lines = [ln + "." for ln in lines]
         if doc_id % 11 == 0:
             lines = lines + [lines[-1]]
