@@ -86,6 +86,16 @@ HEADLINE = [
     "ts_changepoint_cusum",
     "ts_downsample_lttb",
     "graph_domain_pagerank",
+    # r13 late additions (same rationale, next generation): the four
+    # heaviest ops registered mid-r13 join the radar the session they
+    # appeared — the dedup-strategy Venn (three dedup pipelines), the
+    # LPA community loop, the four-scorer dashboard, and the trained
+    # lang-ID confusion harness all sit at 4.5–5.5 s at sf0.1, above
+    # everything else off-radar.
+    "diag_dedup_overlap",
+    "graph_label_propagation",
+    "corpus_quality_report",
+    "diag_langid_confusion",
 ]
 
 

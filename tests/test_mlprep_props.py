@@ -3028,3 +3028,86 @@ def test_holt_winters_matches_python_and_forecasts(spark):
     for r in fut:
         phase = (r["ts_s"] // 3600) % 24
         assert abs(r["fitted"] - (100 + phase)) < 0.2, (phase, r["fitted"])
+
+
+def test_ks_drift_matches_python_and_flags_shift(spark):
+    """r13: the grid-restricted KS table ≡ a python same-grid recompute
+    (equal-width grid from the same min/max) at two sfs;
+    behavior on planted data: a shifted type flags, an identically-
+    distributed type does not, and the grid statistic never exceeds the
+    exact KS computed by brute force (the lower-bound contract)."""
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.diagnostics import diag_ks_drift
+    from n2kupdate_spark.sources import load
+
+    def ref(values_by_type):
+        allv = np.concatenate(list(values_by_type.values()))
+        lo, hi = float(allv.min()), float(allv.max())
+        width = (hi - lo) or 1.0
+
+        def buckets(vals):
+            b = np.floor((np.asarray(vals) - lo) * 200.0 / width)
+            b = np.clip(b, 0, 199).astype(int)
+            return np.bincount(b, minlength=200)
+
+        gcum = np.cumsum(buckets(allv))
+        gn = len(allv)
+        out = {}
+        r4 = lambda v: round(v * 10000) / 10000 + 0.0  # noqa: E731
+        for t, vals in values_by_type.items():
+            n = len(vals)
+            nr = gn - n
+            tcum = np.cumsum(buckets(vals))
+            d = float(np.max(np.abs(tcum / n - (gcum - tcum) / nr)))
+            crit = 1.358 * float(np.sqrt((n + nr) / (n * nr)))
+            out[t] = (n, nr, r4(d), r4(crit), d > crit)
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        by_type = {}
+        for r in load(spark, sf, "events", columns=["event_type", "value"]).collect():
+            by_type.setdefault(r["event_type"], []).append(float(r["value"]))
+        want = ref({t: np.array(v) for t, v in by_type.items()})
+        got = {
+            r["event_type"]: (r["n"], r["n_rest"], r["ks_stat"], r["ks_crit"], r["drifted"])
+            for r in QUERIES["diag_ks_drift"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    # planted, frame A: two identically-distributed types -> silent both
+    # ways; frame B adds a shifted type -> it flags, and (the documented
+    # vs-REST property) the shifted mass contaminates the others'
+    # complement, so their flags speak to the MIXTURE changing
+    rng = np.random.RandomState(5)
+    rows_a = []
+    for i, v in enumerate(rng.randn(800)):
+        rows_a.append(("same" if i % 2 else "other", float(v)))
+    rows_b = rows_a + [("shift", float(v)) for v in rng.randn(300) + 3.0]
+    import n2kupdate_spark.queries.diagnostics as diag
+
+    orig = diag.load
+    try:
+        dfa = spark.createDataFrame(rows_a, "event_type: string, value: double")
+        diag.load = lambda spark_, sf_, t, columns=None: dfa.select(columns or dfa.columns)
+        got_a = {r["event_type"]: r for r in diag_ks_drift(spark, "ignored").collect()}
+        dfb = spark.createDataFrame(rows_b, "event_type: string, value: double")
+        diag.load = lambda spark_, sf_, t, columns=None: dfb.select(columns or dfb.columns)
+        got = {r["event_type"]: r for r in diag_ks_drift(spark, "ignored").collect()}
+    finally:
+        diag.load = orig
+    assert not got_a["same"]["drifted"] and not got_a["other"]["drifted"]
+    assert got["shift"]["drifted"]
+    assert got["shift"]["ks_stat"] > 2 * got["shift"]["ks_crit"]
+
+    def exact_ks(a, b):
+        a, b = np.sort(a), np.sort(b)
+        allv = np.concatenate([a, b])
+        ca = np.searchsorted(a, allv, side="right") / len(a)
+        cb = np.searchsorted(b, allv, side="right") / len(b)
+        return float(np.max(np.abs(ca - cb)))
+
+    shift_vals = np.array([v for t, v in rows_b if t == "shift"])
+    rest_vals = np.array([v for t, v in rows_b if t != "shift"])
+    assert got["shift"]["ks_stat"] <= exact_ks(shift_vals, rest_vals) + 1e-4
