@@ -617,3 +617,47 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+@register("events_path_trigrams")  # rows-only debut (capacity policy
+# §5.2) — cross-engine verified anyway: equivalent DuckDB SQL through
+# the driver's canonical-rows compare in tests/test_parity.py (the
+# markov/attribution/rfm precedent).
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining — the top-20 three-step event-type paths users
+    actually walk ((e₁ → e₂ → e₃) sliding windows over each user's
+    (ts, event_id)-ordered stream, counted corpus-wide): the standard
+    product-analytics "path analysis" view one level deeper than
+    events_markov_transitions' single-step matrix — a high-count
+    trigram that the Markov factorization under-predicts is exactly a
+    behavioral dependency the first-order model misses. Emits (path
+    'a>b>c', n, frac of all trigrams 4dp), top-20 under the TOTAL order
+    (n desc, path asc) so the cut is deterministic.
+
+    Scale shape: ONE user-keyed window shuffle (two stacked leads share
+    the partition sort), one partial-agged trigram count (cardinality ≤
+    |event_type|³ — bounded by the type universe, not traffic), and a
+    TakeOrderedAndProject top-20; the total-trigram scalar rides the
+    same tiny counts table as a window sum, never a second scan."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    counts = tri.groupBy(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy()
+    return (
+        counts.select(
+            "path",
+            "n",
+            (F.round(F.col("n") * 10000.0 / F.sum("n").over(tot)) / 10000).alias(
+                "frac"
+            ),
+        )
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(20)
+    )

@@ -108,7 +108,8 @@ OPS = [
     "text_zipf_fit",            # vocab-bounded count + top-200 fit
     "corpus_quality_report",    # four pinned per-doc feeds + source rollup
     "ts_holt_winters",          # #types×#hours collapse + bucketed walk
-    "diag_ks_drift",            # percentile grid + one 199-sum pass
+    "diag_ks_drift",            # min/max grid + (type, bucket) count pass
+    "events_path_trigrams",     # one lead window + bounded trigram count
 ]
 
 

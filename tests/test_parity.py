@@ -585,3 +585,43 @@ def test_ts_seasonal_decompose_duckdb_pinned(spark, sf_dir, oracle_con):
     # exactly the 12 leading + 12 trailing hours lack trend
     edge = spdf[spdf["trend"].isna()].sort_values("hour_s")
     assert list(edge["hour_s"]) == hs[:12] + hs[-12:]
+
+
+def test_events_path_trigrams_duckdb_pinned(spark, sf_dir, oracle_con):
+    """events_path_trigrams (rows-only, r13): the equivalent DuckDB SQL
+    through the driver's canonical-rows compare — the top-20 cut is
+    deterministic because the order is total (n desc, path asc) — plus
+    the row-count invariant: total trigrams = events − 2·users (each
+    user's last two events start no trigram)."""
+    spdf = QUERIES["events_path_trigrams"](spark, sf_dir).toPandas()
+    opdf = oracle_con.execute(
+        """
+        WITH seq AS (
+          SELECT event_type,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), c AS (
+          SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+          FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+        )
+        SELECT path, CAST(n AS BIGINT) AS n,
+               ROUND(n * 10000.0 / SUM(n) OVER ()) / 10000 AS frac
+        FROM c ORDER BY n DESC, path ASC LIMIT 20
+        """
+    ).fetchdf()
+    assert len(spdf) == len(opdf) == 20
+    s_cols, s_rows = canonical_rows(spdf)
+    o_cols, o_rows = canonical_rows(opdf)
+    assert s_cols == o_cols
+    assert s_rows == o_rows
+    n_events, n_users, n_tri = oracle_con.execute(
+        """SELECT (SELECT COUNT(*) FROM events),
+                  (SELECT COUNT(DISTINCT user_id) FROM events),
+                  (SELECT COUNT(*) FROM (
+                     SELECT lead(event_type, 2) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS e3
+                     FROM events) WHERE e3 IS NOT NULL)"""
+    ).fetchone()
+    assert n_tri == n_events - 2 * n_users
