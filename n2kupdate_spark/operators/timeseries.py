@@ -394,3 +394,71 @@ def holt_winters(
     return _bucketed_apply(
         series.select(key_col, ts_col, val_col), key_col, _one_key, schema, group_buckets
     )
+
+
+def window_funnel(
+    events: DataFrame,
+    pattern: tuple,
+    window_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts_s",
+    type_col: str = "event_type",
+    order_col: str | None = None,
+    group_buckets: int | None = None,
+) -> DataFrame:
+    """Time-constrained funnel (the ClickHouse ``windowFunnel``
+    semantics): per key, the MAXIMUM stage k such that some subsequence
+    of the key's ordered events matches ``pattern[0..k-1]`` in order
+    with t_k − t_1 ≤ ``window_s`` — the conversion question
+    events_funnel_steps cannot ask (its stages are unconstrained in
+    time; "viewed, then clicked a month later" is not a funnel).
+    Intervening non-matching events are permitted (the standard
+    non-strict mode). Emits one row per key: (key, max_level).
+
+    Algorithm — the greedy DP the published implementation uses: track
+    per stage the LATEST chain-start time reaching that stage
+    (maximizing the start maximizes the room later stages have);
+    a stage-1 event refreshes start[0] = t, a stage-i event promotes
+    start[i] = start[i−1] when t − start[i−1] ≤ window. One forward
+    pass, O(events × stages) per key, state = len(pattern) doubles.
+
+    Scale: ONE shuffle via the shared bucketed two-level-key Arrow
+    dispatch (_bucketed_apply)."""
+    import numpy as np  # noqa: F401
+
+    stages = {t: i for i, t in enumerate(pattern)}
+    k = len(pattern)
+    sort_cols = [ts_col] + ([order_col] if order_col else [])
+    cols = [key_col, ts_col, type_col] + ([order_col] if order_col else [])
+
+    def _one_key(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        start = [None] * k
+        best = 0
+        for ts, et in zip(pdf[ts_col], pdf[type_col]):
+            i = stages.get(et)
+            if i is None:
+                continue
+            if i == 0:
+                start[0] = ts if start[0] is None else max(start[0], ts)
+            elif start[i - 1] is not None and ts - start[i - 1] <= window_s:
+                start[i] = (
+                    start[i - 1]
+                    if start[i] is None
+                    else max(start[i], start[i - 1])
+                )
+            if start[i] is not None:
+                best = max(best, i + 1)
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "max_level": [best]}
+        )
+
+    schema = (
+        f"{key_col} {events.schema[key_col].dataType.simpleString()}, "
+        f"max_level int"
+    )
+    return _bucketed_apply(
+        events.select(*cols), key_col, _one_key, schema, group_buckets
+    )

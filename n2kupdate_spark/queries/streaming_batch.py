@@ -661,3 +661,32 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+@register("events_window_funnel")  # rows-only (§2 legend: the greedy
+# chain DP is sequential, no SQL form); ≡ an independent python replay
+# + hand-built chain battery in tests/test_mlprep_props.py
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (ClickHouse windowFunnel semantics): per
+    user, the deepest view → click → purchase chain completed within 24
+    hours of ITS OWN first step — the conversion metric
+    events_funnel_steps cannot express (its stages are unconstrained in
+    time). Emits (user_id, max_level 0–3).
+
+    Scale: one bucketed Arrow dispatch, O(events × stages)/key,
+    len(pattern) doubles of state — see
+    operators/timeseries.py::window_funnel."""
+    from n2kupdate_spark.operators.timeseries import window_funnel
+
+    ev = load(
+        spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"]
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    return window_funnel(
+        ev, pattern=("view", "click", "purchase"), window_s=86400,
+        order_col="event_id",
+    )

@@ -110,6 +110,7 @@ OPS = [
     "ts_holt_winters",          # #types×#hours collapse + bucketed walk
     "diag_ks_drift",            # min/max grid + (type, bucket) count pass
     "events_path_trigrams",     # one lead window + bounded trigram count
+    "events_window_funnel",     # bucketed greedy chain DP, one shuffle
 ]
 
 

@@ -3111,3 +3111,87 @@ def test_ks_drift_matches_python_and_flags_shift(spark):
     shift_vals = np.array([v for t, v in rows_b if t == "shift"])
     rest_vals = np.array([v for t, v in rows_b if t != "shift"])
     assert got["shift"]["ks_stat"] <= exact_ks(shift_vals, rest_vals) + 1e-4
+
+
+def test_window_funnel_matches_python_and_chains(spark):
+    """r13: windowFunnel ≡ an independent python replay of the greedy
+    chain DP at two sfs; hand-built chain battery: complete in-window
+    chain → 3, same chain with the last step past the window → 2, a
+    LATER restart rescues the window (the latest-start rule), stage
+    skipping doesn't count, intervening noise is ignored, bucketed ≡
+    per-key."""
+    from n2kupdate_spark.operators.timeseries import window_funnel
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    PATTERN = ("view", "click", "purchase")
+    W = 86400
+
+    def ref(rows):  # rows: [(ts, type)] pre-sorted
+        start = [None, None, None]
+        best = 0
+        idx = {t: i for i, t in enumerate(PATTERN)}
+        for ts, et in rows:
+            i = idx.get(et)
+            if i is None:
+                continue
+            if i == 0:
+                start[0] = ts if start[0] is None else max(start[0], ts)
+            elif start[i - 1] is not None and ts - start[i - 1] <= W:
+                start[i] = start[i - 1] if start[i] is None else max(start[i], start[i - 1])
+            if start[i] is not None:
+                best = max(best, i + 1)
+        return best
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = (
+            load(spark, sf, "events", columns=["user_id", "event_type", "ts", "event_id"])
+            .select(
+                "user_id", "event_type", "event_id",
+                F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+            )
+            .toPandas()
+        )
+        want = {}
+        for uid, g in ev.groupby("user_id"):
+            g = g.sort_values(["ts_s", "event_id"], kind="mergesort")
+            want[uid] = ref(list(zip(g["ts_s"], g["event_type"])))
+        got = {
+            r["user_id"]: r["max_level"]
+            for r in QUERIES["events_window_funnel"](spark, sf).collect()
+        }
+        assert got == want, sf
+        assert set(got.values()) - {0} , "funnel must be non-vacuous"
+
+    H = 3600
+    rows = [
+        # u1: full chain inside 24h
+        (1, 0, "view"), (1, H, "click"), (1, 2 * H, "purchase"),
+        # u2: purchase lands outside the 24h window of the view
+        (2, 0, "view"), (2, H, "click"), (2, 25 * H, "purchase"),
+        # u3: late RESTART rescues it (latest-start rule): the second
+        # view re-bases the window so the purchase fits
+        (3, 0, "view"), (3, 20 * H, "view"), (3, 21 * H, "click"), (3, 30 * H, "purchase"),
+        # u4: skipping stage 2 cannot reach level 3
+        (4, 0, "view"), (4, H, "purchase"),
+        # u5: noise between stages is ignored
+        (5, 0, "view"), (5, 1, "error"), (5, 2, "signup"), (5, 3, "click"),
+        (5, 4, "error"), (5, 5, "purchase"),
+        # u6: wrong order entirely
+        (6, 0, "purchase"), (6, 1, "click"), (6, 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), i, e) for i, (u, t, e) in enumerate(rows)],
+        "user_id: long, ts_s: double, event_id: long, event_type: string",
+    )
+    got = {
+        r["user_id"]: r["max_level"]
+        for r in window_funnel(df, PATTERN, W, order_col="event_id").collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 3, 4: 1, 5: 3, 6: 1}
+    for b in (0, 2):
+        gb = {
+            r["user_id"]: r["max_level"]
+            for r in window_funnel(df, PATTERN, W, order_col="event_id", group_buckets=b).collect()
+        }
+        assert gb == got
