@@ -375,8 +375,6 @@ def holt_winters(
         fit = np.round(np.array(out_fit) * 10000) / 10000 + 0.0
         obs = np.array(out_obs, dtype=float)
         resid = np.round((obs - np.array(out_fit)) * 10000) / 10000 + 0.0
-        import pandas as pd
-
         return pd.DataFrame(
             {
                 key_col: key,
@@ -426,6 +424,12 @@ def window_funnel(
     dispatch (_bucketed_apply)."""
     import numpy as np  # noqa: F401
 
+    if len(set(pattern)) != len(pattern):
+        # the stage lookup is a dict keyed by type — a repeated type
+        # would silently map only to its LAST stage and the funnel would
+        # read 0 for everyone. ClickHouse supports repeated conditions;
+        # until this does, refuse loudly instead of lying.
+        raise ValueError(f"window_funnel pattern has repeated types: {pattern}")
     stages = {t: i for i, t in enumerate(pattern)}
     k = len(pattern)
     sort_cols = [ts_col] + ([order_col] if order_col else [])

@@ -437,10 +437,13 @@ def diag_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "pred_lang",
         "n",
-        (F.round(F.col("n") * 10000.0 / F.sum("n").over(wt)) / 10000).alias(
+        # floor-half-up, not F.round: n/marginal with small-integer
+        # marginals lands on exact halves (the SKILL.md /2^k class) where
+        # Spark HALF_UP and python half-even split
+        (F.floor(F.col("n") * 10000.0 / F.sum("n").over(wt) + 0.5) / 10000).alias(
             "recall_frac"
         ),
-        (F.round(F.col("n") * 10000.0 / F.sum("n").over(wp)) / 10000).alias(
+        (F.floor(F.col("n") * 10000.0 / F.sum("n").over(wp) + 0.5) / 10000).alias(
             "precision_frac"
         ),
     )
@@ -586,9 +589,14 @@ def diag_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     code dominated wall (7–9 s at sf0.1 vs ~1 s for this plan)."""
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events", columns=["event_type", "value"])
-    vlo, vhi = ev.agg(F.min("value"), F.max("value")).collect()[0]
-    vlo, vhi = float(vlo), float(vhi)
+    ev = load(spark, sf_dir, "events", columns=["event_type", "value"]).filter(
+        F.col("value").isNotNull()  # greatest(0, NULL) would otherwise
+        # silently count NULLs as bucket-0 mass (greatest/least skip nulls)
+    )
+    vlo, vhi, gn = ev.agg(
+        F.min("value"), F.max("value"), F.count(F.lit(1))
+    ).collect()[0]
+    vlo, vhi, gn = float(vlo), float(vhi), int(gn)
     width = (vhi - vlo) or 1.0
     bucket = F.least(
         F.lit(199),
@@ -614,7 +622,6 @@ def diag_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cells, ["event_type", "b"], "left")
         .select("event_type", "b", F.coalesce("c", F.lit(0)).alias("c"))
     )
-    gn = int(cells.agg(F.sum("c")).collect()[0][0])
     wcum = Window.partitionBy("event_type").orderBy("b").rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -2076,8 +2076,8 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct-type frame itself — a generator per type row, zero
     # joins (a crossJoin here plans the BNLJ the fleet audit rejects)
     spine = (
-        ev.select("event_type")
-        .distinct()
+        hourly.select("event_type")  # distinct over the tiny aggregate,
+        .distinct()                  # never a second event-log shuffle
         .select(
             "event_type",
             F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(3600))).alias("ts_s"),

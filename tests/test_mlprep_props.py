@@ -2806,16 +2806,20 @@ def test_langid_confusion_matches_python(spark):
         cells = {}
         for t, p in scored:
             cells[(t, p)] = cells.get((t, p), 0) + 1
+        import math
+
         tmarg = {}
         pmarg = {}
         for (t, p), n in cells.items():
             tmarg[t] = tmarg.get(t, 0) + n
             pmarg[p] = pmarg.get(p, 0) + n
+        # floor-half-up to mirror the op (exact halves are common on
+        # small-integer marginals; python round() is half-even)
         want = {
             (t, p): (
                 n,
-                round(n * 10000.0 / tmarg[t]) / 10000,
-                round(n * 10000.0 / pmarg[p]) / 10000,
+                math.floor(n * 10000.0 / tmarg[t] + 0.5) / 10000,
+                math.floor(n * 10000.0 / pmarg[p] + 0.5) / 10000,
             )
             for (t, p), n in cells.items()
         }
@@ -3068,7 +3072,8 @@ def test_ks_drift_matches_python_and_flags_shift(spark):
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         by_type = {}
         for r in load(spark, sf, "events", columns=["event_type", "value"]).collect():
-            by_type.setdefault(r["event_type"], []).append(float(r["value"]))
+            if r["value"] is not None:  # mirrors the op's null filter
+                by_type.setdefault(r["event_type"], []).append(float(r["value"]))
         want = ref({t: np.array(v) for t, v in by_type.items()})
         got = {
             r["event_type"]: (r["n"], r["n_rest"], r["ks_stat"], r["ks_crit"], r["drifted"])

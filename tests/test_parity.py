@@ -616,12 +616,14 @@ def test_events_path_trigrams_duckdb_pinned(spark, sf_dir, oracle_con):
     o_cols, o_rows = canonical_rows(opdf)
     assert s_cols == o_cols
     assert s_rows == o_rows
-    n_events, n_users, n_tri = oracle_con.execute(
-        """SELECT (SELECT COUNT(*) FROM events),
-                  (SELECT COUNT(DISTINCT user_id) FROM events),
+    want_tri, n_tri = oracle_con.execute(
+        """SELECT (SELECT SUM(GREATEST(c - 2, 0)) FROM (
+                     SELECT COUNT(*) AS c FROM events GROUP BY user_id)),
                   (SELECT COUNT(*) FROM (
                      SELECT lead(event_type, 2) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id) AS e3
                      FROM events) WHERE e3 IS NOT NULL)"""
     ).fetchone()
-    assert n_tri == n_events - 2 * n_users
+    # per-user trigram starts are max(0, c-2) — a plain n_events-2*users
+    # over-counts users with fewer than 2 events
+    assert n_tri == want_tri
