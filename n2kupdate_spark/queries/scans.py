@@ -324,3 +324,49 @@ def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_regionkey") >= 0)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+#: Fixed-width layout for source_fixed_width: (name, start 1-based, len).
+_FW_LAYOUT = (("id", 1, 6), ("name", 7, 12), ("score", 19, 8))
+_FW_PATH = os.path.join(tempfile.gettempdir(), "n2kupdate_spark_source.fw")
+
+
+def _write_fixed_width_file() -> None:
+    """Materialize the deterministic fixed-width fixture (same rows as
+    the CSV fixture, space-padded columns — the mainframe/COBOL-style
+    feed format that predates delimiters). Import-time like the CSV/JSON
+    fixtures so the oracle can read it engine-order-independently."""
+    with open(_FW_PATH, "w") as f:
+        for i, name, score in _CSV_ROWS:
+            f.write(f"{i:<6d}{name:<12s}{score:<8g}\n")
+
+
+_write_fixed_width_file()
+
+
+@register("source_fixed_width")  # rows-only debut (capacity policy
+# §5.2) — cross-engine verified anyway: equivalent DuckDB
+# substring/cast SQL through the driver's canonical-rows compare in
+# tests/test_parity.py (the markov precedent).
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text ingestion — the mainframe/COBOL-era feed format
+    that predates delimiters and still ships from core-banking/ERP
+    exports: a DECLARED (name, start, length, type) layout sliced out
+    of each line with JVM substring/trim/cast (no Python, no
+    inference pass — the layout IS the schema). Lines are the unit of
+    parallelism (spark.read.text splits on newlines like any text
+    scan), so unlike XML/Avro the format is fully splittable and scales
+    like CSV.
+
+    Scale: pure map over the text scan, zero shuffle."""
+    _write_fixed_width_file()
+    line = spark.read.text(_FW_PATH)
+    cols = [
+        F.trim(F.substring(F.col("value"), start, length)).alias(name)
+        for name, start, length in _FW_LAYOUT
+    ]
+    return line.select(*cols).select(
+        F.col("id").cast("long").alias("id"),
+        "name",
+        F.col("score").cast("double").alias("score"),
+    )

@@ -627,3 +627,31 @@ def test_events_path_trigrams_duckdb_pinned(spark, sf_dir, oracle_con):
     # per-user trigram starts are max(0, c-2) — a plain n_events-2*users
     # over-counts users with fewer than 2 events
     assert n_tri == want_tri
+
+
+def test_source_fixed_width_duckdb_pinned(spark, sf_dir, oracle_con):
+    """source_fixed_width (rows-only, r13): the equivalent DuckDB
+    substring/trim/cast SQL over the same file through the driver's
+    canonical-rows compare, plus: every row parses (no NULLs from the
+    casts) and the result equals the CSV fixture rows exactly (the two
+    fixtures share the same logical content)."""
+    from n2kupdate_spark.queries.scans import _CSV_ROWS, _FW_PATH
+
+    spdf = QUERIES["source_fixed_width"](spark, sf_dir).toPandas()
+    opdf = oracle_con.execute(
+        f"""
+        SELECT CAST(TRIM(SUBSTRING(line, 1, 6)) AS BIGINT) AS id,
+               TRIM(SUBSTRING(line, 7, 12)) AS name,
+               CAST(TRIM(SUBSTRING(line, 19, 8)) AS DOUBLE) AS score
+        FROM read_csv('{_FW_PATH}', columns={{'line': 'VARCHAR'}},
+                      delim='|', header=false, quote='')
+        """
+    ).fetchdf()
+    assert len(spdf) == len(opdf) == len(_CSV_ROWS)
+    s_cols, s_rows = canonical_rows(spdf)
+    o_cols, o_rows = canonical_rows(opdf)
+    assert s_cols == o_cols
+    assert s_rows == o_rows
+    assert not spdf["id"].isna().any() and not spdf["score"].isna().any()
+    got = {(r.id, r.name, r.score) for r in spdf.itertuples(index=False)}
+    assert got == set(_CSV_ROWS)
