@@ -2125,3 +2125,99 @@ def d4_diversify(
             > F.ceil(n_in_cell * F.lit(float(drop_frac)))
         ).alias("kept"),
     )
+
+
+def knn_within_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    block: int = 2048,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Within-group k-nearest-neighbor CANDIDATES by blocked matmul —
+    the pruned sibling of :func:`pairwise_cosine_by_group` for consumers
+    that only need each vector's top-k (kNN outlier scoring, kNN graphs):
+    materializing all pairs at τ = −1 is O(Σ n_g²) ROWS and went 21×
+    at the 10× probe; this emits at most k rows per (vector,
+    bucket-pair task), so output is O(n · nb · k) — linear in n for
+    fixed bucketing.
+
+    Correctness of the pruning: every group-mate of a vector lives in
+    exactly one of its nb incident bucket-pair tasks, and within each
+    task the k best under the TOTAL order (cos 4dp desc, neighbor id
+    asc) are kept — so the union of per-task top-k contains the global
+    top-k under the same order (the brute_topk_matmul argument). The
+    caller ranks the candidate union and keeps rank ≤ k_eff.
+
+    Emits (group, id, nb, cos_sim 4dp) candidate rows, BOTH directions
+    (each vector gets its own candidate list)."""
+    import pandas as pd
+
+    exploded = _explode_incident_bucket_pairs(
+        df, group_col, id_col, [vec_col], block_rows
+    )
+
+    def _unit(pdf):
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        return V / norms[:, None], pdf[id_col].to_numpy()
+
+    def _topk_rows(S, row_ids, col_ids, out):
+        # S: rounded sims (rows score against col_ids); keep per-row top-k
+        # under (sim desc, nb asc)
+        for r in range(S.shape[0]):
+            sims = S[r]
+            if len(col_ids) > k:
+                # lexsort: primary -sim, secondary nb asc
+                order = np.lexsort((col_ids, -sims))[:k]
+            else:
+                order = np.lexsort((col_ids, -sims))
+            out[0].extend([row_ids[r]] * len(order))
+            out[1].extend(col_ids[order])
+            out[2].extend(sims[order])
+
+    def score_block_pair(key, pdf):
+        g, bi, bj = key
+        out = ([], [], [])
+        if bi == bj:
+            sub = pdf.sort_values(id_col).reset_index(drop=True)
+            n = len(sub)
+            if n >= 2:
+                U, ids = _unit(sub)
+                for lo in range(0, n, block):
+                    hi = min(lo + block, n)
+                    S = np.round(U[lo:hi] @ U.T, 4) + 0.0
+                    for r in range(hi - lo):
+                        S[r, lo + r] = -np.inf  # never own neighbor
+                    _topk_rows(S, ids[lo:hi], ids, out)
+        else:
+            A = pdf[pdf["__bk"] == bi]
+            B = pdf[pdf["__bk"] == bj]
+            if len(A) and len(B):
+                UA, ida = _unit(A.reset_index(drop=True))
+                UB, idb = _unit(B.reset_index(drop=True))
+                for lo in range(0, len(UA), block):
+                    hi = min(lo + block, len(UA))
+                    S = np.round(UA[lo:hi] @ UB.T, 4) + 0.0
+                    _topk_rows(S, ida[lo:hi], idb, out)
+                for lo in range(0, len(UB), block):
+                    hi = min(lo + block, len(UB))
+                    S = np.round(UB[lo:hi] @ UA.T, 4) + 0.0
+                    _topk_rows(S, idb[lo:hi], ida, out)
+        return pd.DataFrame(
+            {
+                group_col: g,
+                "id": out[0],
+                "nb": out[1],
+                "cos_sim": out[2],
+            }
+        )
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    return exploded.groupBy(group_col, "__bi", "__bj").applyInPandas(
+        score_block_pair,
+        schema=f"{group_col} {gtype}, id long, nb long, cos_sim double",
+    )

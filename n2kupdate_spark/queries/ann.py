@@ -616,3 +616,66 @@ def diag_semantic_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_frac"),
         )
     )
+
+
+@register("embed_outlier_knn")  # rows-only (r9 capacity policy): ≡
+# numpy brute-force recompute + planted-outlier direction pins —
+# tests/test_ann_recall.py
+def embed_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN distance outlier scoring (Ramaswamy et al. 2000, the
+    classic distance-based detector) over the embedding table, per
+    label group: each vector's outlier score is 1 − cos(v, its k-th
+    most similar group-mate) — a vector far from even its k-th
+    neighbor sits outside its own cluster's mass, which for a training
+    corpus is exactly the OOD/junk/mislabeled-embedding signal the
+    SemDeDup family's prototypicality score (sample_d4_diverse) looks
+    at from the opposite side. k = 3; groups with fewer than k+1
+    members fall back to their weakest available neighbor
+    (k_eff = n_group − 1) and SINGLETONS score 1.0 — no neighbors is
+    maximal outlyingness, the honest convention.
+
+    Scale: per-task-pruned kNN candidates via the block-pair matmul
+    decomposition (operators/similarity.py::knn_within_group — each
+    bucket-pair task emits only its k best per vector under the total
+    (cos 4dp desc, nb asc) order, so candidate rows are O(n·nb·k),
+    LINEAR in n; the τ=−1 all-pairs formulation was measured first and
+    rejected at 21× on the 10× probe — quadratic pair materialization)
+    → one vec-keyed windowed pass keeps the k_eff-th cosine, with
+    group sizes joined from a #labels-row aggregate. No collects, no
+    cartesians across groups."""
+    from pyspark.sql import Window
+
+    from n2kupdate_spark.operators.similarity import knn_within_group
+
+    k = 3
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cand = knn_within_group(e, "label", "vec_id", "v", k=k)
+    sizes = e.groupBy("label").agg((F.count(F.lit(1)) - 1).alias("n_neighbors"))
+    ranked = cand.select(
+        "label", F.col("id").alias("vec_id"), "cos_sim",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(
+                F.col("cos_sim").desc(), F.col("nb").asc()
+            )
+        ).alias("rk"),
+    ).join(F.broadcast(sizes), "label")
+    per_id = ranked.filter(
+        F.col("rk") == F.least(F.lit(k), F.col("n_neighbors"))
+    ).select("vec_id", F.col("cos_sim").alias("knn_cos"), "n_neighbors")
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return (
+        e.select("vec_id", "label")
+        .join(per_id, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("long").alias(
+                "n_neighbors"
+            ),
+            r4(F.coalesce(F.lit(1.0) - F.col("knn_cos"), F.lit(1.0))).alias(
+                "outlier_score"
+            ),
+        )
+    )

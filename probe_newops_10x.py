@@ -111,6 +111,7 @@ OPS = [
     "diag_ks_drift",            # min/max grid + (type, bucket) count pass
     "events_path_trigrams",     # one lead window + bounded trigram count
     "events_window_funnel",     # bucketed greedy chain DP, one shuffle
+    "embed_outlier_knn",        # block-pair matmul + one windowed pass
 ]
 
 

@@ -816,3 +816,86 @@ def test_semantic_tau_sweep_consistency_and_recompute(spark):
         counts = [got[t][0] for t in sorted(got)]
         assert counts == sorted(counts, reverse=True)
         assert got[0.3][0] == QUERIES["dedup_semantic_clusters"](spark, sf).count()
+
+
+def test_embed_outlier_knn_matches_numpy(spark):
+    """r13: per-label kNN-distance outlier scores ≡ a numpy brute-force
+    recompute at two sfs (k_eff fallback and the singleton-scores-1.0
+    convention included); planted geometry: a tight clump plus one far
+    vector — the far vector's score is strictly the group's highest and
+    clump members' scores are near zero."""
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    K = 3
+
+    def ref(groups):
+        out = {}
+        for label, rows in groups.items():
+            ids = [i for i, _v in rows]
+            V = np.stack([np.asarray(v, dtype=np.float64) for _i, v in rows])
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0] = 1.0
+            V = V / n[:, None]
+            S = np.round(V @ V.T * 10000) / 10000  # 4dp like the pair op
+            for a in range(len(ids)):
+                sims = sorted(
+                    [(S[a, b], -ids[b]) for b in range(len(ids)) if b != a],
+                    key=lambda t: (-t[0], -t[1]),
+                )
+                if not sims:
+                    out[ids[a]] = (0, 1.0)
+                    continue
+                k_eff = min(K, len(sims))
+                knn = sims[k_eff - 1][0]
+                out[ids[a]] = (
+                    len(sims),
+                    round((1.0 - knn) * 10000) / 10000 + 0.0,
+                )
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        groups = {}
+        for r in load(spark, sf, "embeddings").collect():
+            groups.setdefault(r["label"], []).append(
+                (r["vec_id"], [float(x) for x in r["embedding"]])
+            )
+        want = ref(groups)
+        got = {
+            r["vec_id"]: (r["n_neighbors"], r["outlier_score"])
+            for r in QUERIES["embed_outlier_knn"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    # planted: clump of 6 near-identical vectors + 1 orthogonal outlier
+    # in one label; a singleton label scores 1.0
+    rng = np.random.RandomState(2)
+    base = np.zeros(8)
+    base[0] = 1.0
+    rows = []
+    for i in range(6):
+        v = base + 0.01 * rng.randn(8)
+        rows.append((i, 7, [float(x) for x in v]))
+    out = np.zeros(8)
+    out[7] = 1.0
+    rows.append((99, 7, [float(x) for x in out]))
+    rows.append((100, 8, [1.0] * 8))  # singleton label
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<double>")
+    import n2kupdate_spark.queries.ann as annq
+
+    orig = annq.load
+    try:
+        annq.load = lambda spark_, sf_, t, columns=None: df
+        got = {
+            r["vec_id"]: r
+            for r in QUERIES["embed_outlier_knn"](spark, "ignored").collect()
+        }
+    finally:
+        annq.load = orig
+    clump_scores = [got[i]["outlier_score"] for i in range(6)]
+    assert max(clump_scores) < 0.01
+    assert got[99]["outlier_score"] > 0.9
+    assert got[99]["outlier_score"] > max(clump_scores)
+    assert got[100]["outlier_score"] == 1.0 and got[100]["n_neighbors"] == 0
