@@ -1479,3 +1479,59 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _readability_text().alias("text")
     )
     return readability_scores(d)
+
+
+@register("text_ngram_novelty")  # rows-only (r9 capacity policy): ≡ an
+# independent python first-occurrence replay at two sfs + ordering
+# contracts in tests/test_mlprep_props.py
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram novelty — per document, the fraction of its
+    DISTINCT word 3-grams whose FIRST corpus occurrence (in doc_id
+    order) is in this document: the marginal-contribution signal of
+    dedup-aware curation (a doc of novelty ~0 adds nothing the corpus
+    ahead of it didn't already say, even when no single pair crosses a
+    near-dup threshold — the cumulative complement of pairwise
+    Jaccard). Deterministic: ownership ties within a gram break to the
+    LOWEST doc_id (content-addressed, the keep-first convention all the
+    dedup ops share). Emits (doc_id, n_grams, n_novel, novelty_frac
+    4dp); docs with no 3-grams (< 3 words) emit 0 grams and novelty
+    0.0 — nothing claimed, nothing novel.
+
+    Scale shape: per-doc-DISTINCT grams explode once, ONE gram-keyed
+    partial-agged min(doc_id) shuffle assigns ownership (shuffle rows ∝
+    distinct (doc, gram) pairs — the dedup_ngram_jaccard index volume),
+    one id-keyed count join re-assembles; no windows over raw grams, no
+    collects."""
+    from n2kupdate_spark.operators.dedup import gram_array
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(gram_array("text", 3))).alias("g")
+    )
+    owner = grams.groupBy("g").agg(F.min("doc_id").alias("__owner"))
+    per_doc = (
+        grams.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("__owner")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            # floor-half-up: gram counts are frequently powers of two on
+            # this fixture (the /2^k exact-half class — SKILL.md), where
+            # Spark HALF_UP and python half-even disagree
+            F.coalesce(
+                F.floor(F.col("n_novel") * 10000.0 / F.col("n_grams") + 0.5) / 10000,
+                F.lit(0.0),
+            ).alias("novelty_frac"),
+        )
+    )

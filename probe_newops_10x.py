@@ -112,6 +112,7 @@ OPS = [
     "events_path_trigrams",     # one lead window + bounded trigram count
     "events_window_funnel",     # bucketed greedy chain DP, one shuffle
     "embed_outlier_knn",        # block-pair matmul + one windowed pass
+    "text_ngram_novelty",       # one gram-keyed min-ownership shuffle
 ]
 
 

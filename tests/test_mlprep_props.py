@@ -3200,3 +3200,45 @@ def test_window_funnel_matches_python_and_chains(spark):
             for r in window_funnel(df, PATTERN, W, order_col="event_id", group_buckets=b).collect()
         }
         assert gb == got
+
+
+def test_ngram_novelty_matches_python_replay(spark):
+    """r13: per-doc novelty ≡ an independent python first-occurrence
+    replay (walk docs in id order, claim unseen grams) at two sfs;
+    contracts: the lowest-id doc of an exact-duplicate pair scores the
+    novelty, its twin scores 0 on the shared mass; total novel grams ≡
+    corpus distinct grams; short docs emit (0, 0, 0.0)."""
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def py_grams(text):
+        toks = [t for t in text.split(" ") if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
+        }
+        seen = set()
+        want = {}
+        for did in sorted(texts):
+            gs = py_grams(texts[did])
+            novel = {g for g in gs if g not in seen}
+            seen |= gs
+            import math
+
+            frac = (
+                math.floor(len(novel) * 10000.0 / len(gs) + 0.5) / 10000
+                if gs
+                else 0.0
+            )
+            want[did] = (len(gs), len(novel), frac)
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_frac"])
+            for r in QUERIES["text_ngram_novelty"](spark, sf).collect()
+        }
+        assert got == want, sf
+        assert sum(v[1] for v in got.values()) == len(seen)
+        assert any(v[2] == 1.0 for v in got.values())
+        assert any(v[2] < 1.0 for v in got.values())
