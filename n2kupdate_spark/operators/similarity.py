@@ -52,6 +52,18 @@ def _hyperplanes(dim: int, seed: int = 7) -> np.ndarray:
     return rng.normal(size=(RP_BANDS * RP_BITS, dim))
 
 
+def _unit_rows(pdf, vec_col, id_col):
+    """Stack a pandas batch's vector column into a float64 matrix,
+    L2-normalize (zero vectors pass through — the guard every scorer in
+    this module applies), and return (unit_matrix, ids). One definition
+    for the three blocked-matmul scorers that previously each carried a
+    verbatim local copy."""
+    V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    return V / norms[:, None], pdf[id_col].to_numpy()
+
+
 def _band_keys_vec(planes: np.ndarray):
     """Arrow-batched band keys: one matmul per batch against all
     bands × bits hyperplanes, sign bits packed into per-band ints.
@@ -809,11 +821,8 @@ def pairwise_cosine_by_group(
         df, group_col, id_col, [vec_col], block_rows
     )
 
-    def _unit(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0] = 1.0
-        return V / norms[:, None], pdf[id_col].to_numpy()
+    def _unit(pdf):
+        return _unit_rows(pdf, vec_col, id_col)
 
     # no type hints: with (key, pdf) grouped-map signatures Spark warns it
     # cannot infer the eval type from partial hints
@@ -1527,10 +1536,7 @@ def cross_cosine_by_group(
     )
 
     def _unit(pdf):
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0] = 1.0
-        return V / norms[:, None], pdf[id_col].to_numpy()
+        return _unit_rows(pdf, vec_col, id_col)
 
     def score_cross(key, pdf):
         g = key[0]
@@ -2160,24 +2166,30 @@ def knn_within_group(
     )
 
     def _unit(pdf):
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0] = 1.0
-        return V / norms[:, None], pdf[id_col].to_numpy()
+        return _unit_rows(pdf, vec_col, id_col)
 
     def _topk_rows(S, row_ids, col_ids, out):
-        # S: rounded sims (rows score against col_ids); keep per-row top-k
-        # under (sim desc, nb asc)
+        # per-row top-k under the TOTAL order (sim desc, nb asc),
+        # vectorized: permute columns to nb-ascending once, then ONE
+        # stable argsort across the whole block keeps nb order among
+        # sim ties — no per-row python lexsort (the first draft ran a
+        # full-width lexsort per row: the hot loop of the op whose
+        # reason to exist is pruning). Self entries (masked to -inf on
+        # the diagonal) are DROPPED here, never emitted — a bucket with
+        # <= k members must not leak (id == nb, -inf) rows to consumers.
+        perm = np.argsort(col_ids, kind="stable")
+        Sp = S[:, perm]
+        cid = col_ids[perm]
+        kk = min(k, Sp.shape[1])
+        order = np.argsort(-Sp, axis=1, kind="stable")[:, :kk]
         for r in range(S.shape[0]):
-            sims = S[r]
-            if len(col_ids) > k:
-                # lexsort: primary -sim, secondary nb asc
-                order = np.lexsort((col_ids, -sims))[:k]
-            else:
-                order = np.lexsort((col_ids, -sims))
-            out[0].extend([row_ids[r]] * len(order))
-            out[1].extend(col_ids[order])
-            out[2].extend(sims[order])
+            sel = order[r]
+            sims = Sp[r, sel]
+            keep = sims != -np.inf
+            sel, sims = sel[keep], sims[keep]
+            out[0].extend([row_ids[r]] * len(sel))
+            out[1].extend(cid[sel])
+            out[2].extend(sims)
 
     def score_block_pair(key, pdf):
         g, bi, bj = key

@@ -1497,11 +1497,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     4dp); docs with no 3-grams (< 3 words) emit 0 grams and novelty
     0.0 — nothing claimed, nothing novel.
 
-    Scale shape: per-doc-DISTINCT grams explode once, ONE gram-keyed
-    partial-agged min(doc_id) shuffle assigns ownership (shuffle rows ∝
-    distinct (doc, gram) pairs — the dedup_ngram_jaccard index volume),
-    one id-keyed count join re-assembles; no windows over raw grams, no
-    collects."""
+    Scale shape: per-doc-distinct grams explode, then TWO gram-keyed
+    exchanges — the partial-agged min(doc_id) ownership aggregate and
+    the ownership join back onto the gram stream (rows ∝ distinct
+    (doc, gram) pairs, the dedup_ngram_jaccard index volume) — plus the
+    per-doc rollup. Chosen deliberately over the one-fewer-exchange
+    window form (min over Window.partitionBy(gram)): a boilerplate gram
+    repeated across millions of docs is ONE window partition (unsplittable
+    hot task), while both exchanges here are partial-agged /
+    AQE-splittable. No collects."""
     from n2kupdate_spark.operators.dedup import gram_array
 
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])

@@ -3212,7 +3212,9 @@ def test_ngram_novelty_matches_python_replay(spark):
     from n2kupdate_spark.sources import load
 
     def py_grams(text):
-        toks = [t for t in text.split(" ") if t]
+        # mirrors gram_array: F.split on ' ' KEEPS empty tokens (the
+        # convention the older dedup replay at test line ~1581 follows)
+        toks = text.split(" ")
         return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
