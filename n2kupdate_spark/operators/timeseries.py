@@ -466,3 +466,84 @@ def window_funnel(
     return _bucketed_apply(
         events.select(*cols), key_col, _one_key, schema, group_buckets
     )
+
+
+def mann_kendall(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_s",
+    val_col: str = "value",
+    order_col: str | None = None,
+    alpha_z: float = 1.96,
+    group_buckets: int | None = None,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per key (Mann 1945 / Kendall
+    1975 — THE standard trend detector of environmental monitoring, the
+    exact statistic the reference package's nature-monitoring domain
+    runs on species counts): S = Σ_{i<j} sign(x_j − x_i), variance with
+    the standard tie correction Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]
+    / 18 over tie groups t, continuity-corrected z = (S∓1)/√Var, and a
+    trend verdict at |z| ≥ ``alpha_z`` (1.96 ≈ two-sided 5%). The test
+    is rank-based: it detects any MONOTONIC drift regardless of shape
+    or scale — the property level-based detectors (z-score, CUSUM)
+    lack. Emits (key, n, s_stat, var_s 4dp, z 4dp, trend
+    'increasing'/'decreasing'/'no trend'); keys with n < 3 or zero
+    variance (all tied) emit 'no trend' with z = 0.
+
+    Scale: the pairwise sum is O(n²)/key but VECTORIZED — S computes
+    from value ranks in O(n log n) per key via the identity
+    S = Σ_j (#smaller before j) − (#larger before j)… computed here
+    directly with numpy sign-matrix folding at ≤ few-thousand-point
+    series and documented as the seam for a merge-sort inversion count
+    beyond that; dispatch is the shared bucketed two-level-key Arrow
+    shuffle (ONE shuffle, the sequential-family plan)."""
+    import numpy as np
+
+    def _one_key(pdf):
+        import pandas as pd
+
+        sort_cols = [ts_col] + ([order_col] if order_col else [])
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype=float)
+        n = len(x)
+        key = pdf[key_col].iloc[0]
+
+        def row(nv, s, var, z, t):
+            return pd.DataFrame(
+                {
+                    key_col: [key],
+                    "n": [nv],
+                    "s_stat": [int(s)],
+                    "var_s": [float(np.round(var * 10000) / 10000 + 0.0)],
+                    "z": [float(np.round(z * 10000) / 10000 + 0.0)],
+                    "trend": [t],
+                }
+            )
+
+        if n < 3:
+            return row(n, 0, 0.0, 0.0, "no trend")
+        diff_sign = np.sign(x[None, :] - x[:, None])
+        s = int(np.triu(diff_sign, 1).sum())
+        _vals, counts = np.unique(x, return_counts=True)
+        ties = counts[counts > 1]
+        var = (
+            n * (n - 1) * (2 * n + 5) - np.sum(ties * (ties - 1) * (2 * ties + 5))
+        ) / 18.0
+        if var <= 0:
+            return row(n, s, 0.0, 0.0, "no trend")
+        z = (s - 1) / np.sqrt(var) if s > 0 else ((s + 1) / np.sqrt(var) if s < 0 else 0.0)
+        trend = (
+            "increasing"
+            if z >= alpha_z
+            else ("decreasing" if z <= -alpha_z else "no trend")
+        )
+        return row(n, s, var, z, trend)
+
+    cols = [key_col, ts_col, val_col] + ([order_col] if order_col else [])
+    schema = (
+        f"{key_col} {events.schema[key_col].dataType.simpleString()}, "
+        "n long, s_stat long, var_s double, z double, trend string"
+    )
+    return _bucketed_apply(
+        events.select(*cols), key_col, _one_key, schema, group_buckets
+    )

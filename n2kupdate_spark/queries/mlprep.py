@@ -2092,3 +2092,30 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters(
         dense, period=24, horizon=24, key_col="event_type"
     )
+
+
+@register("ts_trend_mann_kendall")  # rows-only (§2 legend: rank-based
+# pairwise statistic, no SQL form): ≡ an independent python recompute +
+# planted monotonic/stationary/tied pins in tests/test_mlprep_props.py
+def ts_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test of each user's event-value
+    series — the standard environmental-monitoring trend detector (the
+    statistic the reference package's Natura-2000 species-count domain
+    reports), rank-based so any monotonic drift is caught regardless of
+    shape or scale: the directional complement of the level-based
+    z-score/CUSUM detectors. Tie-corrected variance,
+    continuity-corrected z, two-sided 5% verdict.
+
+    Scale: one bucketed Arrow dispatch — see
+    operators/timeseries.py::mann_kendall."""
+    from n2kupdate_spark.operators.timeseries import mann_kendall
+
+    e = load(
+        spark, sf_dir, "events", columns=["user_id", "event_id", "value", "ts"]
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    return mann_kendall(e, order_col="event_id")

@@ -113,6 +113,7 @@ OPS = [
     "events_window_funnel",     # bucketed greedy chain DP, one shuffle
     "embed_outlier_knn",        # block-pair matmul + one windowed pass
     "text_ngram_novelty",       # one gram-keyed min-ownership shuffle
+    "ts_trend_mann_kendall",    # bucketed vectorized sign-fold, one shuffle
 ]
 
 

@@ -3244,3 +3244,76 @@ def test_ngram_novelty_matches_python_replay(spark):
         assert sum(v[1] for v in got.values()) == len(seen)
         assert any(v[2] == 1.0 for v in got.values())
         assert any(v[2] < 1.0 for v in got.values())
+
+
+def test_mann_kendall_matches_python_and_planted(spark):
+    """r13: per-key Mann–Kendall ≡ an independent python recompute
+    (direct pairwise double loop — different computation of S than the
+    operator's sign-matrix fold) at two sfs; planted: a noisy-but-
+    monotonic ramp reads 'increasing', its negation 'decreasing', white
+    noise 'no trend', an all-tied series z=0 via the tie-corrected
+    variance, n<3 degenerates cleanly; bucketed ≡ per-key."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.timeseries import mann_kendall
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def ref(vals):
+        n = len(vals)
+        if n < 3:
+            return (n, 0, 0.0, 0.0, "no trend")
+        s = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s += (vals[j] > vals[i]) - (vals[j] < vals[i])
+        from collections import Counter
+
+        ties = [c for c in Counter(vals).values() if c > 1]
+        var = (
+            n * (n - 1) * (2 * n + 5)
+            - sum(t * (t - 1) * (2 * t + 5) for t in ties)
+        ) / 18.0
+        r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+        if var <= 0:
+            return (n, s, 0.0, 0.0, "no trend")
+        z = (s - 1) / var ** 0.5 if s > 0 else ((s + 1) / var ** 0.5 if s < 0 else 0.0)
+        t = "increasing" if z >= 1.96 else ("decreasing" if z <= -1.96 else "no trend")
+        return (n, s, r4(var), r4(z), t)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = (
+            load(spark, sf, "events", columns=["user_id", "event_id", "value", "ts"])
+            .select(
+                "user_id", "event_id", "value",
+                F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+            )
+            .toPandas()
+        )
+        want = {}
+        for uid, g in ev.groupby("user_id"):
+            g = g.sort_values(["ts_s", "event_id"], kind="mergesort")
+            want[uid] = ref(g["value"].tolist())
+        got = {
+            r["user_id"]: (r["n"], r["s_stat"], r["var_s"], r["z"], r["trend"])
+            for r in QUERIES["ts_trend_mann_kendall"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    rng = np.random.RandomState(9)
+    rows = []
+    ramp = [0.05 * i + float(rng.randn()) * 0.3 for i in range(80)]
+    rows += [(1, i, v, i) for i, v in enumerate(ramp)]
+    rows += [(2, i, -v, i) for i, v in enumerate(ramp)]
+    rows += [(3, i, float(rng.randn()), i) for i in range(80)]
+    rows += [(4, i, 7.0, i) for i in range(40)]
+    rows += [(5, i, float(i), i) for i in range(2)]
+    df = spark.createDataFrame(rows, "user_id: long, event_id: long, value: double, ts_s: long")
+    out = {r["user_id"]: r for r in mann_kendall(df, order_col="event_id").collect()}
+    assert out[1]["trend"] == "increasing" and out[2]["trend"] == "decreasing"
+    assert out[3]["trend"] == "no trend"
+    assert out[4]["trend"] == "no trend" and out[4]["z"] == 0.0
+    assert out[5]["n"] == 2 and out[5]["trend"] == "no trend"
+    for b in (0, 2):
+        ob = {r["user_id"]: tuple(r) for r in mann_kendall(df, order_col="event_id", group_buckets=b).collect()}
+        assert ob == {r["user_id"]: tuple(r) for r in out.values()}
