@@ -532,3 +532,56 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id long, exact_cnt long, est_cnt long"
     )
+
+
+@register("agg_gini_concentration")  # rows-only debut (capacity policy
+# §5.2) — cross-engine verified anyway: equivalent DuckDB SQL through
+# the driver's canonical-rows compare in tests/test_parity.py (the
+# markov precedent).
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the standard
+    concentration statistic (Gini 1912, the exact sorted-rank identity
+    G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n): a nation near 0 spreads
+    revenue evenly across customers, near 1 concentrates it in a few
+    whales — the same statistic curation stacks report for domain
+    concentration. Customers with orders only (revenue > 0 universe);
+    single-customer nations read G = 0 by the identity. Rank ties
+    break by customer id — any total order gives the same Σ i·x₍ᵢ₎
+    over equal values, so the tiebreak is for determinism, not
+    semantics.
+
+    Scale shape: one partial-agged shuffle collapses orders to one row
+    per customer; one id-keyed join attaches the nation; the rank
+    window and the final aggregate share the nation hash partitioning
+    (#customers-row window input, partitioned by nation — never a
+    global sort); scale-first 4dp."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    c = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    tagged = rev.join(
+        c.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"), "o_custkey"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev").asc(), F.col("o_custkey").asc()
+    )
+    ranked = tagged.select(
+        "c_nationkey", "rev", F.row_number().over(w).alias("i")
+    )
+    return ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.round(F.sum("rev") * 10000) / 10000).alias("total_revenue"),
+        (
+            F.round(
+                (
+                    2.0 * F.sum(F.col("i") * F.col("rev"))
+                    / (F.count(F.lit(1)) * F.sum("rev"))
+                    - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+                )
+                * 10000
+            )
+            / 10000
+            + 0.0
+        ).alias("gini"),
+    )

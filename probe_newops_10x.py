@@ -114,6 +114,7 @@ OPS = [
     "embed_outlier_knn",        # block-pair matmul + one windowed pass
     "text_ngram_novelty",       # one gram-keyed min-ownership shuffle
     "ts_trend_mann_kendall",    # bucketed vectorized sign-fold, one shuffle
+    "agg_gini_concentration",   # per-customer collapse + nation-hash window
 ]
 
 

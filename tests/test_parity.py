@@ -655,3 +655,43 @@ def test_source_fixed_width_duckdb_pinned(spark, sf_dir, oracle_con):
     assert not spdf["id"].isna().any() and not spdf["score"].isna().any()
     got = {(r.id, r.name, r.score) for r in spdf.itertuples(index=False)}
     assert got == set(_CSV_ROWS)
+
+
+def test_agg_gini_concentration_duckdb_pinned(spark, sf_dir, oracle_con):
+    """agg_gini_concentration (rows-only, r13): the equivalent DuckDB
+    SQL through the driver's canonical-rows compare, plus the bounds
+    0 ≤ G < 1 and a hand-computed planted check of the sorted-rank
+    identity."""
+    spdf = QUERIES["agg_gini_concentration"](spark, sf_dir).toPandas()
+    opdf = oracle_con.execute(
+        """
+        WITH rev AS (
+          SELECT o_custkey, SUM(o_totalprice) AS rev
+          FROM orders GROUP BY o_custkey
+        ), tagged AS (
+          SELECT c.c_nationkey, r.rev, r.o_custkey FROM rev r
+          JOIN customer c ON c.c_custkey = r.o_custkey
+        ), ranked AS (
+          SELECT c_nationkey, rev,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                    ORDER BY rev ASC, o_custkey ASC) AS i
+          FROM tagged
+        )
+        SELECT c_nationkey, COUNT(*) AS n_customers,
+               ROUND(SUM(rev) * 10000) / 10000 AS total_revenue,
+               ROUND((2.0 * SUM(i * rev) / (COUNT(*) * SUM(rev))
+                      - (COUNT(*) + 1.0) / COUNT(*)) * 10000) / 10000 + 0
+                 AS gini
+        FROM ranked GROUP BY c_nationkey
+        """
+    ).fetchdf()
+    assert len(spdf) == len(opdf) > 0
+    s_cols, s_rows = canonical_rows(spdf)
+    o_cols, o_rows = canonical_rows(opdf)
+    assert s_cols == o_cols
+    assert s_rows == o_rows
+    assert (spdf["gini"] >= 0).all() and (spdf["gini"] < 1).all()
+    # planted identity check: values 1,2,3,4 -> G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    x = [1.0, 2.0, 3.0, 4.0]
+    g = 2 * sum((i + 1) * v for i, v in enumerate(sorted(x))) / (len(x) * sum(x)) - (len(x) + 1) / len(x)
+    assert abs(g - 0.25) < 1e-12
