@@ -585,3 +585,54 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("gini"),
     )
+
+
+@register("agg_welch_ttest")  # rows-only debut (capacity policy §5.2)
+# — cross-engine verified anyway: equivalent DuckDB SQL through the
+# driver's canonical-rows compare in tests/test_parity.py.
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947 — the A/B-testing
+    default; never assumes equal variances) comparing event values
+    between the deterministic user_id-parity cohorts, per event type:
+    t = (x̄_a − x̄_b)/√(s²_a/n_a + s²_b/n_b) with the Welch–Satterthwaite
+    degrees of freedom, flagged at |t| ≥ 1.96 (≈ two-sided 5% at these
+    df). The hash-parity cohort split is the standard A/A shape — on
+    unmanipulated data the flags should be mostly quiet, which is
+    itself the calibration check an experimentation stack runs first.
+
+    Scale shape: ONE partial-agged shuffle computes all four moments
+    for both cohorts of every type (conditional sums in a single
+    #types-row aggregate — never one pass per cohort); the t/df algebra
+    runs on that tiny table. Scale-first 4dp; sample variance
+    (n−1 denominator)."""
+    ev = load(
+        spark, sf_dir, "events", columns=["event_type", "user_id", "value"]
+    ).filter(F.col("value").isNotNull())
+    a = F.col("user_id") % 2 == 0
+    agg = ev.groupBy("event_type").agg(
+        F.sum(a.cast("long")).alias("na"),
+        F.sum(F.when(a, F.col("value"))).alias("sa"),
+        F.sum(F.when(a, F.col("value") * F.col("value"))).alias("qa"),
+        F.sum((~a).cast("long")).alias("nb"),
+        F.sum(F.when(~a, F.col("value"))).alias("sb"),
+        F.sum(F.when(~a, F.col("value") * F.col("value"))).alias("qb"),
+    )
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    va = (F.col("qa") - F.col("na") * ma * ma) / (F.col("na") - 1)
+    vb = (F.col("qb") - F.col("nb") * mb * mb) / (F.col("nb") - 1)
+    ea, eb = va / F.col("na"), vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(ea + eb)
+    df = (ea + eb) * (ea + eb) / (
+        ea * ea / (F.col("na") - 1) + eb * eb / (F.col("nb") - 1)
+    )
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return agg.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        r4(ma).alias("mean_a"),
+        r4(mb).alias("mean_b"),
+        r4(t).alias("t_stat"),
+        r4(df).alias("welch_df"),
+        (F.abs(t) >= 1.96).alias("significant"),
+    )

@@ -115,6 +115,7 @@ OPS = [
     "text_ngram_novelty",       # one gram-keyed min-ownership shuffle
     "ts_trend_mann_kendall",    # bucketed vectorized sign-fold, one shuffle
     "agg_gini_concentration",   # per-customer collapse + nation-hash window
+    "agg_welch_ttest",          # one conditional-moments pass, tiny algebra
 ]
 
 

@@ -695,3 +695,57 @@ def test_agg_gini_concentration_duckdb_pinned(spark, sf_dir, oracle_con):
     x = [1.0, 2.0, 3.0, 4.0]
     g = 2 * sum((i + 1) * v for i, v in enumerate(sorted(x))) / (len(x) * sum(x)) - (len(x) + 1) / len(x)
     assert abs(g - 0.25) < 1e-12
+
+
+def test_agg_welch_ttest_duckdb_pinned(spark, sf_dir, oracle_con):
+    """agg_welch_ttest (rows-only, r13): the equivalent DuckDB SQL
+    through the driver's canonical-rows compare, plus the A/A
+    calibration contract on the hash-parity split (unmanipulated data:
+    at most one of the five types may flag at the 5% level) and a
+    planted separated-cohorts check that the statistic actually fires."""
+    spdf = QUERIES["agg_welch_ttest"](spark, sf_dir).toPandas()
+    opdf = oracle_con.execute(
+        """
+        WITH agg AS (
+          SELECT event_type,
+                 SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN user_id % 2 = 0 THEN value END) AS sa,
+                 SUM(CASE WHEN user_id % 2 = 0 THEN value * value END) AS qa,
+                 SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nb,
+                 SUM(CASE WHEN user_id % 2 = 1 THEN value END) AS sb,
+                 SUM(CASE WHEN user_id % 2 = 1 THEN value * value END) AS qb
+          FROM events WHERE value IS NOT NULL GROUP BY event_type
+        ), calc AS (
+          SELECT event_type, na, nb, sa / na AS ma, sb / nb AS mb,
+                 ((qa - na * (sa/na) * (sa/na)) / (na - 1)) / na AS ea,
+                 ((qb - nb * (sb/nb) * (sb/nb)) / (nb - 1)) / nb AS eb
+          FROM agg
+        )
+        SELECT event_type,
+               CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               ROUND(ma * 10000) / 10000 + 0 AS mean_a,
+               ROUND(mb * 10000) / 10000 + 0 AS mean_b,
+               ROUND((ma - mb) / SQRT(ea + eb) * 10000) / 10000 + 0 AS t_stat,
+               ROUND((ea + eb) * (ea + eb)
+                     / (ea * ea / (na - 1) + eb * eb / (nb - 1)) * 10000) / 10000 + 0
+                 AS welch_df,
+               ABS((ma - mb) / SQRT(ea + eb)) >= 1.96 AS significant
+        FROM calc
+        """
+    ).fetchdf()
+    assert len(spdf) == len(opdf) > 0
+    s_cols, s_rows = canonical_rows(spdf)
+    o_cols, o_rows = canonical_rows(opdf)
+    assert s_cols == o_cols
+    assert s_rows == o_rows
+    assert int(spdf["significant"].sum()) <= 1  # A/A calibration
+    # planted power check via the same algebra in python
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    a = rng.randn(400) + 1.0
+    b = rng.randn(300)
+    ea = a.var(ddof=1) / len(a)
+    eb = b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(ea + eb)
+    assert abs(t) > 5  # the statistic separates a genuinely shifted cohort
