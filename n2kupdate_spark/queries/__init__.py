@@ -42,74 +42,72 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
     diagnostics,
 )
 
-#: r13 window (planned by window_planner.py at round start, per the
-#: SURVEY §5.2 cadence): 45/50 slots are MANDATORY — the ops whose
-#: freshest driver row is r10 (the join family, window family, merges/
-#: scd2, setop *_all pair, scalar regex/bitwise/json-map surface,
-#: events/ts rollup batch ops, text quality/decontam/PII/LM-score ops,
-#: sampling/packing/leakage mlprep ops, diag_key_skew,
-#: multimodal_decode_stub, sink_partitioned_parquet) hit the ≤2-round
-#: freshness edge this round. Slot 1 is `curation_url_dedup` — the
-#: SQL-oracle op registered mid-r13 debuts THIS round (the planner's
-#: proposal; an oracle op must never sit a full round without driver
-#: evidence — the r11-verdict lesson). The remaining 4 slots are
-#: r11-green fillers (agg_count_distinct .. agg_stats_moments),
-#: pre-confirming r14's MUST set. Rows-only ops (sketches, sha1, ANN,
-#: fuzzy/semantic
-#: dedup, PQ variants) stay out — they'd burn slots on `no_oracle`
-#: rows; all are value-pinned locally (tests/test_parity.py,
-#: tests/test_sketch_accuracy.py, tests/test_ann_recall.py).
+#: r14 window (planned by window_planner.py at round start, per the
+#: SURVEY §5.2 cadence): 46/50 slots are MANDATORY — the ops whose
+#: freshest driver row is r11 (scans/projections/fingerprints, the
+#: composite TPC-H family, exact/ngram/jaccard/cc dedup, corpus
+#: clean/gate/prepare pipelines, ts ffill/interpolate, window
+#: first_last/cume_dist/gaps_islands, join_asof, sim_pairs_threshold,
+#: validate_domain, source_schema_evolution, reservoir sampling,
+#: scalar_subquery_agg, events_funnel_steps, array ops,
+#: agg_string_concat) hit the ≤2-round freshness edge this round. The
+#: remaining 4 slots are r12-green fillers (agg_collect_sorted ..
+#: agg_having), pre-confirming r15's MUST set. Rows-only ops
+#: (sketches, sha1, ANN, fuzzy/semantic dedup, PQ variants) stay out —
+#: they'd burn slots on `no_oracle` rows; all are value-pinned locally
+#: (tests/test_parity.py, tests/test_sketch_accuracy.py,
+#: tests/test_ann_recall.py).
 _ROUND_WINDOW = [
-    "curation_url_dedup",
-    "agg_mode_per_group",
-    "agg_percentile_exact",
-    "diag_key_skew",
-    "events_anomaly_zscore",
-    "events_retention_cohorts",
-    "join_anti_new_rows",
-    "join_cross_small",
-    "join_full_outer_diff",
-    "join_interval_overlap",
-    "join_lateral_topn",
-    "join_left_outer",
-    "join_lookup_inner",
-    "join_semi_existing",
-    "join_skew_salted",
-    "join_theta_range",
-    "json_variant_agg",
-    "map_from_json",
-    "merge_scd1",
-    "merge_scd2_changes",
-    "merge_scd2_close",
-    "ml_split_leakage_audit",
-    "multimodal_decode_stub",
-    "pack_sequences_greedy",
-    "recursive_date_spine",
-    "sample_mixture_weights",
-    "scalar_bitwise",
-    "scalar_regex",
-    "scd2_window_rebuild",
-    "setop_except_all",
-    "setop_intersect_all",
-    "sink_partitioned_parquet",
-    "sort_multi_key",
-    "text_bigram_lm_score",
-    "text_decontaminate_ngram",
-    "text_feature_hashing",
-    "text_length_histogram",
-    "text_pii_redact",
-    "text_quality_gopher",
-    "topk_order_limit",
-    "ts_rollup_from_partials",
-    "window_lag_lead",
-    "window_ntile_pct",
-    "window_range_frame",
-    "window_running_sum",
-    "window_topn_per_group",
-    "agg_count_distinct",
-    "agg_grouping_cube",
-    "agg_grouping_rollup",
-    "agg_stats_moments",
+    "agg_string_concat",
+    "array_basic",
+    "array_hof_ops",
+    "composite_above_customer_avg",
+    "composite_disjunctive_part_revenue",
+    "composite_large_order_customers",
+    "composite_local_supplier_volume",
+    "composite_nation_volume_pairs",
+    "composite_order_priority_check",
+    "composite_promo_revenue",
+    "composite_returned_item_revenue",
+    "composite_shipping_priority",
+    "corpus_clean_pipeline",
+    "corpus_gate_report",
+    "corpus_prepare_pipeline",
+    "dedup_cc_clusters",
+    "dedup_cc_pointer_jump",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental_jaccard",
+    "dedup_jaccard_stop_shingles",
+    "dedup_keep_latest",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "dedup_text_exact",
+    "events_funnel_steps",
+    "filter_null_guard",
+    "filter_predicate",
+    "fingerprint_md5",
+    "fingerprint_sha256",
+    "join_asof",
+    "project_cast_keys",
+    "project_rename",
+    "sample_reservoir_per_key",
+    "scalar_subquery_agg",
+    "scan_filter_pushdown",
+    "scan_parquet",
+    "scan_prune_columns",
+    "sim_pairs_threshold",
+    "source_schema_evolution",
+    "ts_gap_interpolate",
+    "ts_resample_ffill",
+    "validate_domain",
+    "window_cume_dist",
+    "window_first_last",
+    "window_gaps_islands",
+    "agg_collect_sorted",
+    "agg_filtered_pivot",
+    "agg_group_sums",
+    "agg_having",
 ]
 
 
