@@ -2229,7 +2229,11 @@ def knn_within_group(
         )
 
     gtype = df.schema[group_col].dataType.simpleString()
+    # id/nb carry whatever type the caller's id column has (string ids
+    # are common) — derive it like gtype instead of pinning long, or
+    # Arrow miscasts/errors at runtime for non-long ids.
+    itype = df.schema[id_col].dataType.simpleString()
     return exploded.groupBy(group_col, "__bi", "__bj").applyInPandas(
         score_block_pair,
-        schema=f"{group_col} {gtype}, id long, nb long, cos_sim double",
+        schema=f"{group_col} {gtype}, id {itype}, nb {itype}, cos_sim double",
     )

@@ -544,6 +544,14 @@ def mann_kendall(
         f"{key_col} {events.schema[key_col].dataType.simpleString()}, "
         "n long, s_stat long, var_s double, z double, trend string"
     )
+    # NULL values would arrive as NaN in the numpy sign matrix and
+    # propagate into int(S) — drop them pre-dispatch (the
+    # agg_welch_ttest / diag_ks_drift convention: the test treats a
+    # null observation as absent, n counts non-null only).
     return _bucketed_apply(
-        events.select(*cols), key_col, _one_key, schema, group_buckets
+        events.select(*cols).filter(F.col(val_col).isNotNull()),
+        key_col,
+        _one_key,
+        schema,
+        group_buckets,
     )

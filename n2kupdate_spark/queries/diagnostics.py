@@ -475,7 +475,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w"
         )
     )
-    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # Checkpoint the vocab aggregate BEFORE taking .count(): without it
+    # the top-200 branch re-inlines the whole explode+shuffle and the
+    # heaviest stage runs twice (the kn_perplexity re-inline class).
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     n_types = counts.count()  # vocab-bounded scalar, inlined below
     k = 200
     top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(k)

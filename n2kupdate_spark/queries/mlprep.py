@@ -1877,6 +1877,12 @@ def _autocorrelation(
     centered pass is needed; the lag table then explodes from one
     per-key struct array (#keys × max_lag rows — tiny). All JVM, no
     Python."""
+    # Drop null observations BEFORE the lead window so n, the lag
+    # pairings and the sums all see the same (non-null) series — else
+    # count(1) counts rows the sums skip and x̄/c₀ bias (the
+    # agg_welch_ttest / diag_ks_drift null convention). Filter pushes
+    # to the scan; the one-Exchange shape is unchanged.
+    ev = ev.filter(F.col(val_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     x = F.col(val_col)
     leads = [F.lead(x, k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)]

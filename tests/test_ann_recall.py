@@ -899,3 +899,36 @@ def test_embed_outlier_knn_matches_numpy(spark):
     assert got[99]["outlier_score"] > 0.9
     assert got[99]["outlier_score"] > max(clump_scores)
     assert got[100]["outlier_score"] == 1.0 and got[100]["n_neighbors"] == 0
+
+
+def test_knn_within_group_generic_id_types(spark):
+    """r14 (ADVICE): knn_within_group's output schema derives the
+    id/nb type from the caller's id column instead of pinning long —
+    a string-keyed corpus (doc urls, uuids) must score identically to
+    the same geometry under long ids, including the nb-ascending tie
+    order, and the emitted schema must carry the caller's type."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.similarity import knn_within_group
+
+    rng = np.random.RandomState(7)
+    vecs = [[float(x) for x in rng.randn(6)] for _ in range(12)]
+    long_rows = [(1, i, v) for i, v in enumerate(vecs)]
+    str_rows = [("g", f"doc{i:02d}", v) for i, v in enumerate(vecs)]
+
+    dl = spark.createDataFrame(
+        long_rows, "label: int, vec_id: long, v: array<double>"
+    )
+    ds = spark.createDataFrame(
+        str_rows, "label: string, vec_id: string, v: array<double>"
+    )
+    ol = knn_within_group(dl, "label", "vec_id", "v", k=3)
+    os_ = knn_within_group(ds, "label", "vec_id", "v", k=3)
+    assert dict(os_.dtypes)["id"] == "string" and dict(os_.dtypes)["nb"] == "string"
+    assert dict(ol.dtypes)["id"] == "bigint" and dict(ol.dtypes)["nb"] == "bigint"
+    got_l = {(r["id"], r["nb"]): r["cos_sim"] for r in ol.collect()}
+    got_s = {
+        (int(r["id"][3:]), int(r["nb"][3:])): r["cos_sim"] for r in os_.collect()
+    }
+    # doc00..doc11 sort like 0..11, so the nb-asc tie order is identical
+    assert got_l == got_s and len(got_l) == 12 * 3

@@ -2664,6 +2664,11 @@ def test_autocorr_matches_python_and_plan(spark):
         rows.append((2, i, float(rng.randn()), i))
     rows += [(3, i, 7.0, i) for i in range(50)]          # constant: no rows
     rows += [(4, i, float(i), i) for i in range(3)]      # short: lags 1..2 only
+    # key 5: white noise with every 7th observation NULLed — nulls are
+    # dropped BEFORE the lag pairing, so the result must equal the ACF
+    # of the compacted non-null series (n counts non-null only)
+    noisy = [None if i % 7 == 0 else float(rng.randn()) for i in range(200)]
+    rows += [(5, i, v, i) for i, v in enumerate(noisy)]
     df = spark.createDataFrame(rows, "user_id: long, event_id: long, value: double, ts_s: long")
     out = _autocorrelation(df, order_cols=("ts_s", "event_id"))
     got = {(r["user_id"], r["lag"]): r["acf"] for r in out.collect()}
@@ -2672,6 +2677,12 @@ def test_autocorr_matches_python_and_plan(spark):
     assert all(abs(got[(2, k)]) < 0.15 for k in range(1, 11))
     assert not any(u == 3 for (u, _k) in got)
     assert {k for (u, k) in got if u == 4} == {1, 2}
+    want5 = ref_acf([v for v in noisy if v is not None])
+    got5 = {
+        r["lag"]: (r["n"], r["acf"])
+        for r in out.filter(F.col("user_id") == 5).collect()
+    }
+    assert got5 == want5
 
     # plan: exactly ONE exchange (window + agg share the user hash)
     plan = QUERIES["ts_autocorr"](spark, "/root/testdata/sf0.01")._jdf.queryExecution().executedPlan().toString()
@@ -3308,12 +3319,18 @@ def test_mann_kendall_matches_python_and_planted(spark):
     rows += [(3, i, float(rng.randn()), i) for i in range(80)]
     rows += [(4, i, 7.0, i) for i in range(40)]
     rows += [(5, i, float(i), i) for i in range(2)]
+    # key 6: the ramp with every 5th observation NULLed — the test must
+    # treat nulls as absent (n counts non-null only), not crash on NaN
+    nullramp = [None if i % 5 == 0 else ramp[i] for i in range(80)]
+    rows += [(6, i, v, i) for i, v in enumerate(nullramp)]
     df = spark.createDataFrame(rows, "user_id: long, event_id: long, value: double, ts_s: long")
     out = {r["user_id"]: r for r in mann_kendall(df, order_col="event_id").collect()}
     assert out[1]["trend"] == "increasing" and out[2]["trend"] == "decreasing"
     assert out[3]["trend"] == "no trend"
     assert out[4]["trend"] == "no trend" and out[4]["z"] == 0.0
     assert out[5]["n"] == 2 and out[5]["trend"] == "no trend"
+    want6 = ref([v for v in nullramp if v is not None])
+    assert (out[6]["n"], out[6]["s_stat"], out[6]["var_s"], out[6]["z"], out[6]["trend"]) == want6
     for b in (0, 2):
         ob = {r["user_id"]: tuple(r) for r in mann_kendall(df, order_col="event_id", group_buckets=b).collect()}
         assert ob == {r["user_id"]: tuple(r) for r in out.values()}
