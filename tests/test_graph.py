@@ -481,15 +481,27 @@ def test_label_propagation_planted_communities(spark):
 
 @pytest.mark.parametrize("seed", [5, 23])
 def test_label_propagation_random_vs_ref(spark, seed):
+    """r14: BOTH paths — the driver fast path (default gate) and the
+    distributed loop (gate disabled) — must agree with the reference on
+    random graphs that include FOREIGN endpoints (ids ≥ 40, outside the
+    node table): foreign neighbors carry no label and contribute
+    nothing, foreign sources never emit rows."""
     rng = random.Random(seed)
     node_ids = list(range(40))
-    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(90)})
+    edges = list({(rng.randrange(44), rng.randrange(44)) for _ in range(90)})
     from n2kupdate_spark.operators.dedup import label_propagation
 
     nodes = spark.createDataFrame([(i,) for i in node_ids], "id: long")
     e = spark.createDataFrame(edges, "id1: long, id2: long")
-    got = {r["id"]: r["community"] for r in label_propagation(nodes, e).collect()}
-    assert got == _lpa_ref(node_ids, edges)
+    want = _lpa_ref(node_ids, edges)
+    for thr in (100_000, 0):
+        got = {
+            r["id"]: r["community"]
+            for r in label_propagation(
+                nodes, e, driver_edge_threshold=thr
+            ).collect()
+        }
+        assert got == want, thr
 
 
 def test_graph_label_propagation_registered_vs_ref(spark):
