@@ -420,17 +420,22 @@ def window_funnel(
     start[i] = start[i−1] when t − start[i−1] ≤ window. One forward
     pass, O(events × stages) per key, state = len(pattern) doubles.
 
+    REPEATED types in the pattern are supported (ClickHouse accepts
+    repeated conditions): a type maps to every stage it occupies, and
+    one event processes its stages in DESCENDING order so it reads
+    start[i−1] from BEFORE its own stage-(i−1) update — "view → view →
+    buy" therefore requires two DISTINCT view events (one physical
+    event never fills two stages of a chain), which is the funnel a
+    user means by a repeated step.
+
     Scale: ONE shuffle via the shared bucketed two-level-key Arrow
     dispatch (_bucketed_apply)."""
     import numpy as np  # noqa: F401
 
-    if len(set(pattern)) != len(pattern):
-        # the stage lookup is a dict keyed by type — a repeated type
-        # would silently map only to its LAST stage and the funnel would
-        # read 0 for everyone. ClickHouse supports repeated conditions;
-        # until this does, refuse loudly instead of lying.
-        raise ValueError(f"window_funnel pattern has repeated types: {pattern}")
-    stages = {t: i for i, t in enumerate(pattern)}
+    stages: dict = {}
+    for i, t in enumerate(pattern):
+        # descending stage order per type — the distinct-event rule
+        stages.setdefault(t, []).insert(0, i)
     k = len(pattern)
     sort_cols = [ts_col] + ([order_col] if order_col else [])
     cols = [key_col, ts_col, type_col] + ([order_col] if order_col else [])
@@ -442,19 +447,17 @@ def window_funnel(
         start = [None] * k
         best = 0
         for ts, et in zip(pdf[ts_col], pdf[type_col]):
-            i = stages.get(et)
-            if i is None:
-                continue
-            if i == 0:
-                start[0] = ts if start[0] is None else max(start[0], ts)
-            elif start[i - 1] is not None and ts - start[i - 1] <= window_s:
-                start[i] = (
-                    start[i - 1]
-                    if start[i] is None
-                    else max(start[i], start[i - 1])
-                )
-            if start[i] is not None:
-                best = max(best, i + 1)
+            for i in stages.get(et, ()):
+                if i == 0:
+                    start[0] = ts if start[0] is None else max(start[0], ts)
+                elif start[i - 1] is not None and ts - start[i - 1] <= window_s:
+                    start[i] = (
+                        start[i - 1]
+                        if start[i] is None
+                        else max(start[i], start[i - 1])
+                    )
+                if start[i] is not None:
+                    best = max(best, i + 1)
         return pd.DataFrame(
             {key_col: [pdf[key_col].iloc[0]], "max_level": [best]}
         )

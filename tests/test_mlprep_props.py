@@ -3212,6 +3212,72 @@ def test_window_funnel_matches_python_and_chains(spark):
         }
         assert gb == got
 
+    # r14: REPEATED types (ClickHouse accepts repeated conditions;
+    # "view → view → buy" needs two DISTINCT views — one event never
+    # fills two stages). Checked against a brute-force subsequence
+    # search (itertools.combinations — a genuinely different algorithm
+    # than the greedy DP) plus hand pins.
+    import itertools
+
+    RPAT = ("view", "view", "purchase")
+
+    def brute(rows, pattern, w):  # rows: [(ts, type)] pre-sorted
+        for k in range(len(pattern), 0, -1):
+            for combo in itertools.combinations(range(len(rows)), k):
+                if all(rows[j][1] == pattern[s] for s, j in enumerate(combo)) and (
+                    rows[combo[-1]][0] - rows[combo[0]][0] <= w
+                ):
+                    return k
+        return 0
+
+    rrows = [
+        (10, 0.0, "view"), (10, 1.0, "purchase"),            # one view: 1
+        (11, 0.0, "view"), (11, H, "view"), (11, 2 * H, "purchase"),  # 3
+        (12, 0.0, "view"), (12, 25 * H, "view"), (12, 26 * H, "purchase"),  # 1? brute decides
+        (13, 0.0, "view"), (13, H, "view"),                  # no purchase: 2
+        (14, 0.0, "purchase"), (14, H, "view"), (14, 2 * H, "view"),  # order: 2
+    ]
+    rdf = spark.createDataFrame(
+        [(u, float(t), i, e) for i, (u, t, e) in enumerate(rrows)],
+        "user_id: long, ts_s: double, event_id: long, event_type: string",
+    )
+    rgot = {
+        r["user_id"]: r["max_level"]
+        for r in window_funnel(rdf, RPAT, W, order_col="event_id").collect()
+    }
+    rwant = {}
+    for u in sorted({u for u, _t, _e in rrows}):
+        seq = sorted(
+            [(t, e) for uu, t, e in rrows if uu == u], key=lambda p: p[0]
+        )
+        rwant[u] = brute(seq, RPAT, W)
+    assert rgot == rwant, (rgot, rwant)
+    assert rgot[10] == 1 and rgot[11] == 3 and rgot[13] == 2
+
+    # random fuzz vs brute force on the repeated pattern
+    import random as _random
+
+    rng = _random.Random(17)
+    frows = []
+    for u in range(30):
+        for i in range(rng.randrange(1, 9)):
+            frows.append(
+                (u, float(rng.randrange(0, 30) * H), rng.choice(
+                    ["view", "click", "purchase", "error"]
+                ))
+            )
+    fdf = spark.createDataFrame(
+        [(u, float(t), i, e) for i, (u, t, e) in enumerate(frows)],
+        "user_id: long, ts_s: double, event_id: long, event_type: string",
+    )
+    fgot = {
+        r["user_id"]: r["max_level"]
+        for r in window_funnel(fdf, RPAT, W, order_col="event_id").collect()
+    }
+    for u in range(30):
+        seq = sorted([(t, e) for uu, t, e in frows if uu == u], key=lambda p: p[0])
+        assert fgot[u] == brute(seq, RPAT, W), (u, seq)
+
 
 def test_ngram_novelty_matches_python_replay(spark):
     """r13: per-doc novelty ≡ an independent python first-occurrence
