@@ -40,6 +40,33 @@ _HASH_MASK = 0x3FFFFFFF
 DRIVER_EDGE_THRESHOLD = 100_000
 
 
+def _iter_ckpt(df: DataFrame, mode: str) -> DataFrame:
+    """Materialize-and-truncate for the iterative graph family
+    (connected components / pagerank / label propagation).
+
+    ``mode='local'`` (default): ``localCheckpoint`` — executor-local
+    blocks, fastest, but a lost executor loses its blocks and the
+    truncated lineage CANNOT recompute them, failing the job. The right
+    trade in local mode and on stable clusters. ``mode='reliable'``:
+    ``checkpoint`` to the fault-tolerant directory set via
+    ``spark.sparkContext.setCheckpointDir`` — each round's frame is
+    persisted to DFS, so at 1000 preemptible executors an eviction
+    mid-iteration recovers instead of killing a multi-hour graph job.
+    Same frames, bit-identical results (pinned in tests/test_graph.py);
+    only the storage/recovery contract differs."""
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint_mode='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant dir>)"
+            )
+        return df.checkpoint(eager=True)
+    if mode != "local":
+        raise ValueError(f"unknown checkpoint_mode: {mode!r}")
+    return df.localCheckpoint(eager=True)
+
+
 def _hash_params(k: int = MINHASH_K, seed: int = 42) -> list[tuple[int, int]]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE_P - 1, size=k, dtype=np.int64)
@@ -432,6 +459,7 @@ def connected_components(
     dst_col: str = "id2",
     max_iter: int = 20,
     driver_edge_threshold: int = DRIVER_EDGE_THRESHOLD,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every node's
     label converges to the minimum node id reachable from it — the canonical
@@ -458,15 +486,15 @@ def connected_components(
     COUNT (2 vs ~10+): on a busy cluster scheduler each tiny iterative
     job pays real queueing latency, and a fixed 2-job tail is the
     predictable shape for the common sparse-duplicate case."""
-    sym = (
+    sym = _iter_ckpt(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .distinct()
+        .distinct(),
         # materialize once: every propagation round re-reads the edge list,
         # and edges are usually the output of an expensive upstream pipeline
         # (here: the full shingle/Jaccard computation) — without this, each
         # round recomputes it (measured 12s -> 5s at sf0.1).
-        .localCheckpoint(eager=True)
+        checkpoint_mode,
     )
     if driver_edge_threshold:
         # sym holds both directions, so the row count is ~2× the edge count.
@@ -487,14 +515,14 @@ def connected_components(
         # convergence check is then a filter+count over already-materialized
         # rows — the original re-joined new labels to old (an extra shuffle
         # per round just to count changes).
-        stepped = (
+        stepped = _iter_ckpt(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
                 F.col("label").alias("__old"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_mode,
         )
         changed = stepped.filter(F.col("label") != F.col("__old")).count()
         labels = stepped.drop("__old")
@@ -510,6 +538,7 @@ def connected_components_pointer_jump(
     src_col: str = "id1",
     dst_col: str = "id2",
     max_iter: int = 12,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Connected components with pointer jumping (label doubling) — the
     100 TB-scale variant of :func:`connected_components`.
@@ -522,11 +551,11 @@ def connected_components_pointer_jump(
     min-aggregate, all on the node-id key. Same fixpoint as the iterative
     form (equivalence is property-tested in tests/test_graph.py), so the
     recursive-CTE oracle applies unchanged."""
-    sym = (
+    sym = _iter_ckpt(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_mode,
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
@@ -548,14 +577,14 @@ def connected_components_pointer_jump(
         )
         # __old rides along into the checkpoint so the convergence count is
         # a scan of materialized rows, not another node-keyed join.
-        stepped = (
+        stepped = _iter_ckpt(
             prop.join(parents, prop.label == parents.p_node, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
                 "__old",
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_mode,
         )
         changed = stepped.filter(F.col("label") != F.col("__old")).count()
         labels = stepped.drop("__old")
@@ -572,6 +601,7 @@ def connected_components_salted(
     dst_col: str = "id2",
     max_iter: int = 20,
     salt: int = 8,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """:func:`connected_components` with a skew-salted propagation join —
     for power-law near-dup graphs where one mega-cluster hub appears in
@@ -588,12 +618,12 @@ def connected_components_salted(
     task). Same fixpoint as the unsalted form — equivalence property-tested
     against union-find in tests/test_graph.py; star-graph probe in
     BASELINE.md §5."""
-    sym = (
+    sym = _iter_ckpt(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
-        .withColumn("__s", F.pmod(F.xxhash64("b"), F.lit(salt)).cast("int"))
-        .localCheckpoint(eager=True)
+        .withColumn("__s", F.pmod(F.xxhash64("b"), F.lit(salt)).cast("int")),
+        checkpoint_mode,
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
@@ -615,14 +645,14 @@ def connected_components_salted(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        stepped = (
+        stepped = _iter_ckpt(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
                 F.col("label").alias("__old"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_mode,
         )
         changed = stepped.filter(F.col("label") != F.col("__old")).count()
         labels = stepped.drop("__old")
@@ -737,6 +767,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     driver_edge_threshold: int = DRIVER_EDGE_THRESHOLD,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """PageRank over an undirected graph by fixed-count power iteration —
     centrality for the near-dup graph: the highest-ranked member of a
@@ -762,11 +793,11 @@ def pagerank(
     to 1 every round by construction and round to 4dp only at the end.
     Pinned against an independent numpy power iteration in
     tests/test_graph.py."""
-    sym = (
+    sym = _iter_ckpt(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_mode,
     )
     if driver_edge_threshold:
         # sym holds both directions (~2× edges); the count is a cached
@@ -781,7 +812,7 @@ def pagerank(
             return _pagerank_driver(nodes, sym, id_col, damping, iters)
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
     n = nodes.count()
-    base = nodes.select(F.col(id_col).alias("__node")).localCheckpoint(eager=True)
+    base = _iter_ckpt(nodes.select(F.col(id_col).alias("__node")), checkpoint_mode)
     # one count, once: isolated (= dangling) node total — the scalar
     # recurrence below replaces r11's per-iteration dangling aggregate.
     # Counted as NODES absent from the degree table (left_semi), not
@@ -791,8 +822,8 @@ def pagerank(
     n_dangling = n - base.join(
         deg, base["__node"] == deg["a"], "left_semi"
     ).count()
-    ranks = base.select("__node", F.lit(1.0 / n).alias("__rank")).localCheckpoint(
-        eager=True
+    ranks = _iter_ckpt(
+        base.select("__node", F.lit(1.0 / n).alias("__rank")), checkpoint_mode
     )
     dm = n_dangling / n  # uniform init: each dangling node holds 1/n
     for _ in range(iters):
@@ -803,7 +834,7 @@ def pagerank(
             .groupBy(F.col("b").alias("__dst"))
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
+        ranks = _iter_ckpt(
             base.join(contrib, base["__node"] == contrib["__dst"], "left")
             .select(
                 "__node",
@@ -812,8 +843,8 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.lit(dm / n))
                 ).alias("__rank"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_mode,
         )
         dm = n_dangling * ((1.0 - damping) / n + damping * dm / n)
     return ranks.select(
@@ -832,6 +863,7 @@ def host_pagerank(
     damping: float = 0.85,
     iters: int = 10,
     driver_edge_threshold: int = DRIVER_EDGE_THRESHOLD,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """PageRank over the HOST co-duplication graph (r12 domain-axis
     curation): lift a doc-level near-dup pair list to host granularity —
@@ -877,6 +909,7 @@ def host_pagerank(
         damping=damping,
         iters=iters,
         driver_edge_threshold=driver_edge_threshold,
+        checkpoint_mode=checkpoint_mode,
     ).select(F.col("__hn").alias(host_col), "rank")
 
 
@@ -997,6 +1030,7 @@ def connected_components_auto(
     max_degree_hint: int | None = None,
     n_edges_hint: int | None = None,
     driver_edge_threshold: int = DRIVER_EDGE_THRESHOLD,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Dispatch between :func:`connected_components` (plain) and
     :func:`connected_components_salted` on measured hub degree — the choice
@@ -1071,7 +1105,7 @@ def connected_components_auto(
     )
     return fn(
         nodes, edges, id_col=id_col, src_col=src_col, dst_col=dst_col,
-        max_iter=max_iter, **kwargs,
+        max_iter=max_iter, checkpoint_mode=checkpoint_mode, **kwargs,
     )
 
 
@@ -1813,6 +1847,7 @@ def label_propagation(
     dst_col: str = "id2",
     iters: int = 5,
     driver_edge_threshold: int = DRIVER_EDGE_THRESHOLD,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007, Phys. Rev. E 76) over an undirected graph — the step
@@ -1838,14 +1873,14 @@ def label_propagation(
     aggregate; ``localCheckpoint`` truncates lineage every round so the
     plan stays flat across iterations. Shuffle rows ∝ edges; the
     struct-max argmax (count desc, label asc) never collects."""
-    sym = (
+    sym = _iter_ckpt(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_mode,
     )
     if driver_edge_threshold:
         # sym holds both directions (~2× edges); the count is a cached
@@ -1857,9 +1892,10 @@ def label_propagation(
         # distributed-loop pins force it).
         if sym.count() <= 2 * driver_edge_threshold:
             return _lpa_driver(nodes, sym, id_col, iters)
-    labels = nodes.select(
-        F.col(id_col).alias("__node"), F.col(id_col).alias("__label")
-    ).localCheckpoint(eager=True)
+    labels = _iter_ckpt(
+        nodes.select(F.col(id_col).alias("__node"), F.col(id_col).alias("__label")),
+        checkpoint_mode,
+    )
     for _ in range(iters):
         contrib = (
             sym.join(
@@ -1880,13 +1916,13 @@ def label_propagation(
                 F.struct((-F.col("__c")).alias("nc"), F.col("__label").alias("l")),
             ).alias("__new")
         )
-        labels = (
+        labels = _iter_ckpt(
             labels.join(best, "__node", "left")
             .select(
                 "__node",
                 F.coalesce("__new", "__label").alias("__label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_mode,
         )
     return labels.select(
         F.col("__node").alias(id_col), F.col("__label").alias("community")
