@@ -2908,3 +2908,71 @@ def readability_scores(
             "fk_grade"
         ),
     )
+
+
+def script_mix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode-script composition per document — the pre-langid
+    language-mix signal (a "mixed Latin/Cyrillic" page is the classic
+    spam/keyword-stuffing shape, and CJK mass in a nominally-English
+    crawl slice is a routing bug): per doc, the count of letter
+    characters (``\\p{L}``) and the fraction of them in each of the
+    four highest-volume script families — Latin, Cyrillic, Han,
+    Arabic — plus the remainder bucket ``other`` (Greek, Hangul,
+    Devanagari, … — split those out when a corpus needs them), and the
+    DOMINANT script (max letter count, ties broken by the fixed column
+    order latin → cyrillic → han → arabic → other so the result is
+    deterministic). Zero-letter docs emit NULL fractions and NULL
+    dominant (nothing to classify).
+
+    Fractions are 4dp floor-half-up (``floor(x·1e4 + 0.5)``, the
+    readability_scores convention — letter counts are frequently /2^k
+    on fixtures, the exact-half class where HALF_UP engines disagree
+    with half-even ones).
+
+    Scale: a pure JVM map — five ``regexp_count`` passes over the text
+    column, no shuffle, no Python; rows inherit the scan's
+    partitioning. At 100 TB this is scan-bound, exactly like the other
+    per-doc scorers it feeds dashboards with."""
+    n_letters = F.regexp_count(F.col(text_col), F.lit(r"\p{L}"))
+    counts = {
+        "latin": F.regexp_count(F.col(text_col), F.lit(r"\p{IsLatin}")),
+        "cyrillic": F.regexp_count(F.col(text_col), F.lit(r"\p{IsCyrillic}")),
+        "han": F.regexp_count(F.col(text_col), F.lit(r"\p{IsHan}")),
+        "arabic": F.regexp_count(F.col(text_col), F.lit(r"\p{IsArabic}")),
+    }
+    named = docs.select(
+        id_col,
+        n_letters.alias("__nl"),
+        *[c.alias(f"__c_{k}") for k, c in counts.items()],
+    ).select(
+        id_col,
+        "__nl",
+        *[F.col(f"__c_{k}") for k in counts],
+        (
+            F.col("__nl")
+            - F.col("__c_latin")
+            - F.col("__c_cyrillic")
+            - F.col("__c_han")
+            - F.col("__c_arabic")
+        ).alias("__c_other"),
+    )
+    order = ["latin", "cyrillic", "han", "arabic", "other"]
+    max_c = F.greatest(*[F.col(f"__c_{k}") for k in order])
+    dominant = F.lit(None).cast("string")
+    for k in reversed(order):
+        dominant = F.when(F.col(f"__c_{k}") == max_c, F.lit(k)).otherwise(dominant)
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000 + 0.0  # noqa: E731
+    nz = F.col("__nl") > 0
+    return named.select(
+        id_col,
+        F.col("__nl").cast("long").alias("n_letters"),
+        *[
+            F.when(nz, r4(F.col(f"__c_{k}") / F.col("__nl"))).alias(f"{k}_frac")
+            for k in order
+        ],
+        F.when(nz, dominant).alias("dominant_script"),
+    )

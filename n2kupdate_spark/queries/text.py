@@ -1539,3 +1539,18 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_frac"),
         )
     )
+
+
+@register("text_script_mix")  # rows-only (r9 capacity policy): full
+# table ≡ an independent python per-codepoint recompute at two sfs +
+# planted multi-script direction pins in tests/test_mlprep_props.py
+def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document — letter count, the
+    Latin/Cyrillic/Han/Arabic/other letter fractions and the dominant
+    script: the pre-langid language-mix diagnostic (mixed-script pages
+    are the classic spam shape; CJK mass in an English slice is a
+    routing bug). Scale: pure JVM regexp map, zero shuffle — see
+    operators/corpus.py::script_mix."""
+    from n2kupdate_spark.operators.corpus import script_mix
+
+    return script_mix(load(spark, sf_dir, "documents", columns=["doc_id", "text"]))

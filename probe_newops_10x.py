@@ -116,6 +116,8 @@ OPS = [
     "ts_trend_mann_kendall",    # bucketed vectorized sign-fold, one shuffle
     "agg_gini_concentration",   # per-customer collapse + nation-hash window
     "agg_welch_ttest",          # one conditional-moments pass, tiny algebra
+    # round-14 additions
+    "text_script_mix",          # pure JVM regexp map, zero shuffle
 ]
 
 

@@ -3400,3 +3400,87 @@ def test_mann_kendall_matches_python_and_planted(spark):
     for b in (0, 2):
         ob = {r["user_id"]: tuple(r) for r in mann_kendall(df, order_col="event_id", group_buckets=b).collect()}
         assert ob == {r["user_id"]: tuple(r) for r in out.values()}
+
+
+def test_script_mix_matches_python_and_planted(spark):
+    """r14: per-doc Unicode script composition ≡ an independent python
+    per-codepoint recompute at two sfs (pure-ASCII fixture: every
+    letter Latin); planted multi-script battery: Cyrillic and Han docs
+    classify to their script, Greek lands in `other`, a 50/50
+    Latin/Cyrillic tie breaks to latin (the fixed column order),
+    zero-letter docs emit NULLs."""
+    import math
+
+    from n2kupdate_spark.operators.corpus import script_mix
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def cls(ch):
+        if not ch.isalpha():
+            return None
+        o = ord(ch)
+        if 65 <= o <= 90 or 97 <= o <= 122 or 0x00C0 <= o <= 0x024F:
+            return "latin"
+        if 0x0400 <= o <= 0x04FF:
+            return "cyrillic"
+        if 0x4E00 <= o <= 0x9FFF:
+            return "han"
+        if 0x0600 <= o <= 0x06FF:
+            return "arabic"
+        return "other"
+
+    ORDER = ["latin", "cyrillic", "han", "arabic", "other"]
+
+    def ref(text):
+        c = dict.fromkeys(ORDER, 0)
+        for ch in text:
+            k = cls(ch)
+            if k:
+                c[k] += 1
+        n = sum(c.values())
+        if n == 0:
+            return (0,) + (None,) * 5 + (None,)
+        fr = tuple(math.floor(c[k] * 10000.0 / n + 0.5) / 10000 for k in ORDER)
+        dom = max(ORDER, key=lambda k: (c[k], -ORDER.index(k)))
+        return (n,) + fr + (dom,)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
+        }
+        want = {d: ref(t) for d, t in texts.items()}
+        got = {
+            r["doc_id"]: (
+                r["n_letters"], r["latin_frac"], r["cyrillic_frac"],
+                r["han_frac"], r["arabic_frac"], r["other_frac"],
+                r["dominant_script"],
+            )
+            for r in QUERIES["text_script_mix"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    planted = [
+        (1, "Привет мир, это тест."),                      # cyrillic
+        (2, "这是一个中文测试文档。"),                        # han
+        (3, "مرحبا بالعالم"),                               # arabic
+        (4, "αβγδ greek is other"),                         # greek + latin
+        (5, "abcde абвгд"),                                 # exact 5/5 tie
+        (6, "12345 !!! ...."),                              # zero letters
+        (7, "mixed текст with 中文 and عربى words"),
+    ]
+    df = spark.createDataFrame(planted, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in script_mix(df).collect()}
+    for d, t in planted:
+        w = ref(t)
+        g = got[d]
+        assert (
+            g["n_letters"], g["latin_frac"], g["cyrillic_frac"], g["han_frac"],
+            g["arabic_frac"], g["other_frac"], g["dominant_script"],
+        ) == w, (d, t, w, dict(g.asDict()))
+    assert got[1]["dominant_script"] == "cyrillic"
+    assert got[2]["dominant_script"] == "han"
+    assert got[3]["dominant_script"] == "arabic"
+    assert got[4]["other_frac"] and got[4]["other_frac"] > 0
+    assert got[5]["dominant_script"] == "latin"  # tie -> column order
+    assert got[6]["n_letters"] == 0 and got[6]["dominant_script"] is None
