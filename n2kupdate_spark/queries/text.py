@@ -1554,3 +1554,20 @@ def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n2kupdate_spark.operators.corpus import script_mix
 
     return script_mix(load(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+@register("text_compression_ratio")  # rows-only (r9 capacity policy):
+# full table ≡ a python zlib recompute at two sfs + planted band pins
+# in tests/test_mlprep_props.py
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document (deflate bytes / utf-8 bytes,
+    level 6) — the information-density gate next to the repetition
+    metrics: templated/repeated text compresses ≪ natural prose,
+    random soup refuses to compress, so both tails are anomalies.
+    Scale: one Arrow mapInPandas pass (deflate is C-side), zero
+    shuffle — see operators/corpus.py::compression_signals."""
+    from n2kupdate_spark.operators.corpus import compression_signals
+
+    return compression_signals(
+        load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    )

@@ -118,6 +118,7 @@ OPS = [
     "agg_welch_ttest",          # one conditional-moments pass, tiny algebra
     # round-14 additions
     "text_script_mix",          # pure JVM regexp map, zero shuffle
+    "text_compression_ratio",   # one Arrow mapInPandas deflate pass
 ]
 
 

@@ -3484,3 +3484,63 @@ def test_script_mix_matches_python_and_planted(spark):
     assert got[4]["other_frac"] and got[4]["other_frac"] > 0
     assert got[5]["dominant_script"] == "latin"  # tie -> column order
     assert got[6]["n_letters"] == 0 and got[6]["dominant_script"] is None
+
+
+def test_compression_ratio_matches_zlib_and_bands(spark):
+    """r14: per-doc compressibility ≡ a direct python zlib recompute at
+    two sfs (same library — the documented determinism contract);
+    planted band pins: a 100× repeated token compresses below 0.1, a
+    seeded random-hex soup stays above natural prose, prose sits
+    between, empty doc emits NULLs, and unicode text measures utf-8
+    BYTES, not chars."""
+    import math
+    import zlib
+
+    from n2kupdate_spark.operators.corpus import compression_signals
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def ref(t):
+        raw = (t or "").encode("utf-8")
+        if not raw:
+            return (0, None, None)
+        c = len(zlib.compress(raw, 6))
+        return (len(raw), c, math.floor(c * 10000.0 / len(raw) + 0.5) / 10000)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
+        }
+        want = {d: ref(t) for d, t in texts.items()}
+        got = {
+            r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["compress_ratio"])
+            for r in QUERIES["text_compression_ratio"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    import random as _random
+
+    rng = _random.Random(3)
+    soup = "".join(rng.choice("0123456789abcdef") for _ in range(2000))
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors argue about the weather in a small harbor town "
+    ) * 5
+    planted = [
+        (1, "spam " * 100),
+        (2, soup),
+        (3, prose),
+        (4, ""),
+        (5, "héllo wörld ünïcode"),
+    ]
+    df = spark.createDataFrame(planted, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in compression_signals(df).collect()}
+    for d, t in planted:
+        w = ref(t)
+        g = got[d]
+        assert (g["n_bytes"], g["n_compressed"], g["compress_ratio"]) == w, d
+    assert got[1]["compress_ratio"] < 0.1          # repetition crushes
+    assert got[2]["compress_ratio"] > got[3]["compress_ratio"]  # soup > prose
+    assert got[4]["n_bytes"] == 0 and got[4]["compress_ratio"] is None
+    assert got[5]["n_bytes"] == len("héllo wörld ünïcode".encode("utf-8"))
