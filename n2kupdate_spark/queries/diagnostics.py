@@ -663,3 +663,91 @@ def diag_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(crit).alias("ks_crit"),
         (F.col("d") > crit).alias("drifted"),
     )
+
+
+@register("diag_psi_drift")  # rows-only (r9 capacity policy): ≡ python
+# same-grid recompute + planted shifted-distribution pins —
+# tests/test_mlprep_props.py
+def diag_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — the credit-scoring /
+    model-monitoring drift number every production scorecard reports
+    next to a KS test (and the one with an industry-standard action
+    rule): PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) between each type's
+    value distribution (actual) and the REST of the corpus (expected),
+    over 10 EQUAL-WIDTH bins spanning the global [min, max]. Shares are
+    clamped at ε = 1e-4 before the log (the standard zero-bin
+    protection — an empty bin must contribute finite mass, not ±inf).
+    Bands per the published rule of thumb: < 0.1 stable, 0.1–0.25
+    moderate shift, > 0.25 shifted. Emits per type: n, n_rest, psi
+    (4dp), psi_band.
+
+    Equal-width bins are the same deliberate scale trade diag_ks_drift
+    documents: decile bins of the reference need an exact global sort
+    (unboundable on a continuous column at 100 TB), while equal-width
+    needs only the min/max partial agg and one pass — and PSI's banding
+    convention tolerates any fixed binning as long as expected and
+    actual share the grid (they do, by construction).
+
+    Scale: one min/max+count aggregate (3 scalars collected, inlined
+    as literals — the IDF/BNLJ rule), ONE (type, bin) partial-agged
+    count shuffle (#types × 10 cells), a 10-bin dense spine exploded
+    off the type list (zero joins), and the PSI fold is agg algebra on
+    that tiny table. No collects on the data path."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events", columns=["event_type", "value"]).filter(
+        F.col("value").isNotNull()
+    )
+    vlo, vhi, gn = ev.agg(
+        F.min("value"), F.max("value"), F.count(F.lit(1))
+    ).collect()[0]
+    vlo, vhi, gn = float(vlo), float(vhi), int(gn)
+    width = (vhi - vlo) or 1.0
+    nbins = 10
+    bucket = F.least(
+        F.lit(nbins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("value") - F.lit(vlo)) * float(nbins) / F.lit(width)),
+        ),
+    ).cast("int")
+    cells = ev.groupBy("event_type", bucket.alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gtot = cells.groupBy("b").agg(F.sum("c").alias("gc"))
+    dense = (
+        cells.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(nbins - 1))).alias("b"),
+        )
+        .join(cells, ["event_type", "b"], "left")
+        .select("event_type", "b", F.coalesce("c", F.lit(0)).alias("c"))
+        .join(gtot, "b")
+    )
+    n_t = F.sum("c").over(Window.partitionBy("event_type"))
+    staged = dense.select(
+        "event_type",
+        F.col("c"),
+        (F.col("gc") - F.col("c")).alias("rc"),
+        n_t.alias("n"),
+    )
+    eps = 1e-4
+    p = F.greatest(F.lit(eps), F.col("c") / F.col("n"))
+    q = F.greatest(F.lit(eps), F.col("rc") / (F.lit(gn) - F.col("n")))
+    per_type = staged.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum((p - q) * F.log(p / q)).alias("__psi"),
+    )
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return per_type.select(
+        "event_type",
+        "n",
+        (F.lit(gn) - F.col("n")).cast("long").alias("n_rest"),
+        r4(F.col("__psi")).alias("psi"),
+        F.when(F.col("__psi") < 0.1, F.lit("stable"))
+        .when(F.col("__psi") <= 0.25, F.lit("moderate"))
+        .otherwise(F.lit("shifted"))
+        .alias("psi_band"),
+    )

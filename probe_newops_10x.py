@@ -119,6 +119,7 @@ OPS = [
     # round-14 additions
     "text_script_mix",          # pure JVM regexp map, zero shuffle
     "text_compression_ratio",   # one Arrow mapInPandas deflate pass
+    "diag_psi_drift",           # min/max scalars + (type,bin) count pass
 ]
 
 

@@ -3544,3 +3544,87 @@ def test_compression_ratio_matches_zlib_and_bands(spark):
     assert got[2]["compress_ratio"] > got[3]["compress_ratio"]  # soup > prose
     assert got[4]["n_bytes"] == 0 and got[4]["compress_ratio"] is None
     assert got[5]["n_bytes"] == len("héllo wörld ünïcode".encode("utf-8"))
+
+
+def test_psi_drift_matches_python_and_planted(spark):
+    """r14: per-type PSI ≡ an independent python same-grid recompute at
+    two sfs (10 equal-width bins on the global [min,max], ε=1e-4 share
+    clamp); planted: a cohort shifted wholly out of the others' range
+    reads far past the 0.25 'shifted' band while identically-
+    distributed cohorts read stable; bands follow the published rule of
+    thumb."""
+    import math
+
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.diagnostics import diag_psi_drift
+    from n2kupdate_spark.sources import load
+
+    def ref(rows):  # rows: [(type, value)]
+        vals = np.array([v for _t, v in rows], dtype=float)
+        lo, hi = vals.min(), vals.max()
+        width = (hi - lo) or 1.0
+        b = np.minimum(9, np.maximum(0, np.floor((vals - lo) * 10.0 / width))).astype(int)
+        types = sorted({t for t, _v in rows})
+        tarr = np.array([t for t, _v in rows])
+        out = {}
+        for t in types:
+            mask = tarr == t
+            n, nr = int(mask.sum()), int((~mask).sum())
+            psi = 0.0
+            for k in range(10):
+                p = max(1e-4, (b[mask] == k).sum() / n)
+                q = max(1e-4, (b[~mask] == k).sum() / nr)
+                psi += (p - q) * math.log(p / q)
+            band = "stable" if psi < 0.1 else ("moderate" if psi <= 0.25 else "shifted")
+            out[t] = (n, nr, float(np.round(psi * 10000) / 10000 + 0.0), band)
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], float(r["value"]))
+            for r in load(spark, sf, "events", columns=["event_type", "value"])
+            .filter(F.col("value").isNotNull())
+            .collect()
+        ]
+        want = ref(rows)
+        got = {
+            r["event_type"]: (r["n"], r["n_rest"], r["psi"], r["psi_band"])
+            for r in QUERIES["diag_psi_drift"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    # planted: types a/b iid uniform[0,1); type c shifted to [10,11)
+    rng = np.random.RandomState(5)
+    planted = (
+        [("a", float(v)) for v in rng.rand(400)]
+        + [("b", float(v)) for v in rng.rand(400)]
+        + [("c", float(v) + 10.0) for v in rng.rand(400)]
+    )
+    df = spark.createDataFrame(planted, "event_type: string, value: double")
+    import n2kupdate_spark.queries.diagnostics as diagq
+
+    orig = diagq.load
+    try:
+        diagq.load = lambda spark_, sf_, t, columns=None: df
+        got = {r["event_type"]: r for r in diag_psi_drift(spark, "ignored").collect()}
+    finally:
+        diagq.load = orig
+    want = ref(planted)
+    for t in ("a", "b", "c"):
+        g = got[t]
+        assert (g["n"], g["n_rest"], g["psi"], g["psi_band"]) == want[t], t
+    assert got["c"]["psi_band"] == "shifted" and got["c"]["psi"] > 1.0
+    # a and b are iid, but c's mass contaminates their complements (the
+    # vs-rest semantics the KS op documents) — their DIRECT a-vs-b PSI
+    # is what must read stable
+    ab = [r for r in planted if r[0] in ("a", "b")]
+    assert ref(ab)["a"][3] == "stable" and ref(ab)["b"][3] == "stable"
+    df_ab = spark.createDataFrame(ab, "event_type: string, value: double")
+    try:
+        diagq.load = lambda spark_, sf_, t, columns=None: df_ab
+        got_ab = {r["event_type"]: r for r in diag_psi_drift(spark, "ignored").collect()}
+    finally:
+        diagq.load = orig
+    assert got_ab["a"]["psi_band"] == "stable" and got_ab["b"]["psi_band"] == "stable"
