@@ -1927,3 +1927,155 @@ def label_propagation(
     return labels.select(
         F.col("__node").alias(id_col), F.col("__label").alias("community")
     )
+
+
+def _k_core_driver(
+    nodes: DataFrame,
+    sym: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Small-graph coreness fast path (the :func:`_pagerank_driver`
+    escape, k-core edition): collect the (bounded, already-
+    checkpointed) symmetrized edge list and run the classic
+    Batagelj–Žaversnik peeling (repeatedly remove a minimum-degree
+    node; its degree at removal, maxed over the run so far, is its
+    coreness) with a heap, then broadcast the core map back. Isolated
+    nodes are coreness 0 via the final coalesce, so driver memory is
+    bounded by the EDGE count. Exact — peeling IS the definition of
+    coreness; the distributed h-index loop converges to the same
+    number (Lü et al. 2016), pinned in tests/test_graph.py."""
+    import heapq
+    from collections import defaultdict
+
+    base = nodes.select(F.col(id_col).alias("__node"))
+    adj: dict = defaultdict(set)
+    for r in sym.collect():
+        adj[r["a"]].add(r["b"])
+    member = {
+        r["__node"]
+        for r in base.join(
+            F.broadcast(sym.select(F.col("a").alias("__node")).distinct()),
+            "__node",
+            "left_semi",
+        ).collect()
+    }
+    # peel over the FULL edge-touched graph (foreign endpoints count
+    # toward member degrees exactly as the distributed loop's h-index
+    # sees them), then report members only
+    deg = {v: len(ns) for v, ns in adj.items()}
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    removed = set()
+    core: dict = {}
+    kmax = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in removed or d != deg[v]:
+            continue  # stale heap entry
+        kmax = max(kmax, d)
+        core[v] = kmax
+        removed.add(v)
+        for u in adj[v]:
+            if u not in removed:
+                deg[u] -= 1
+                heapq.heappush(heap, (deg[u], u))
+
+    from pyspark.sql import types as T
+
+    dtype = nodes.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField("__node", dtype), T.StructField("__k", T.LongType())]
+    )
+    mapping = nodes.sparkSession.createDataFrame(
+        sorted((v, core[v]) for v in member), schema
+    )
+    return base.join(F.broadcast(mapping), "__node", "left").select(
+        F.col("__node").alias(id_col),
+        F.coalesce(F.col("__k"), F.lit(0)).cast("long").alias("coreness"),
+    )
+
+
+def k_core_decomposition(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iter: int = 30,
+    driver_edge_threshold: int = DRIVER_EDGE_THRESHOLD,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Full k-core decomposition (coreness per node) over an undirected
+    graph — the DENSITY axis of the graph family: coreness k means the
+    node survives inside a subgraph where everyone has ≥ k neighbors,
+    so a near-dup cluster's high-core nucleus is the actual mirror
+    farm while its 1-core fringe is incidental similarity; triangle
+    clustering sees one hop, coreness sees the whole cohesive region.
+
+    Distributed algorithm — ITERATED H-INDEX (Lü, Zhou, Zhang &
+    Stanley 2016, Nat. Commun. 7:10168: h⁰ = degree, hᵗ⁺¹(v) =
+    H-index of neighbors' hᵗ, converges exactly to coreness). The
+    H-index is computed WITHOUT per-node neighbor lists: H =
+    max over distinct neighbor values h of min(h, #neighbors with
+    value ≥ h) — the max is always attained at a present value
+    (lowering h to the next present value only raises the count term),
+    so one (node, h)-keyed count histogram + a desc-h running sum +
+    one max-aggregate per round suffice. A 10⁶-degree hub therefore
+    contributes #distinct-h rows (≤ current max h), never 10⁶ rows to
+    a per-node array — the collect_list formulation this replaces is
+    exactly the hub skew the CC salting exists for.
+
+    Per round: one edge join (shuffle ∝ edges) + one partial-agged
+    (node, h) count + a node-keyed window/agg pair sharing the hash;
+    ``checkpoint_mode``-controlled checkpoint truncates lineage; early
+    stop when no h changes (h is monotone non-increasing, so the
+    changed-count is a filter over materialized rows, the CC pattern).
+    ``max_iter`` caps pathological diameters — the h-wave only travels
+    through REGIONS of uniform coreness (a long 1-core chain converges
+    O(length) — such shapes belong under the driver gate, where
+    Batagelj–Žaversnik peeling is exact in one pass); power-law graphs
+    converge in ~10 rounds empirically (the paper's observation).
+    Isolated nodes emit coreness 0."""
+    sym = _iter_ckpt(
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct(),
+        checkpoint_mode,
+    )
+    if driver_edge_threshold:
+        if sym.count() <= 2 * driver_edge_threshold:
+            return _k_core_driver(nodes, sym, id_col)
+    vals = _iter_ckpt(
+        sym.groupBy("a").agg(F.count(F.lit(1)).alias("__h")), checkpoint_mode
+    )
+    w = (
+        Window.partitionBy("a")
+        .orderBy(F.col("__hb").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for _ in range(max_iter):
+        nb = sym.join(
+            vals.select(F.col("a").alias("b"), F.col("__h").alias("__hb")), "b"
+        ).select("a", "__hb")
+        hist = nb.groupBy("a", "__hb").agg(F.count(F.lit(1)).alias("__c"))
+        cand = hist.select("a", "__hb", F.sum("__c").over(w).alias("__cum"))
+        newh = cand.groupBy("a").agg(
+            F.max(F.least(F.col("__hb"), F.col("__cum"))).alias("__new")
+        )
+        stepped = _iter_ckpt(
+            vals.join(newh, "a")
+            .select("a", F.col("__new").alias("__h"), F.col("__h").alias("__old")),
+            checkpoint_mode,
+        )
+        changed = stepped.filter(F.col("__h") != F.col("__old")).count()
+        vals = stepped.drop("__old")
+        if changed == 0:
+            break
+    base = nodes.select(F.col(id_col).alias("a"))
+    return base.join(vals, "a", "left").select(
+        F.col("a").alias(id_col),
+        F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("coreness"),
+    )

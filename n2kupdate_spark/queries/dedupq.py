@@ -716,6 +716,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs).withColumnRenamed("id", "doc_id")
 
 
+@register("graph_k_core")  # rows-only (§2 legend: iterative, no SQL
+# form); ≡ an independent python peel-by-rounds reference + dual-path
+# equality — tests/test_graph.py
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness per document over the near-dup graph (word-3-gram
+    Jaccard ≥ 0.1 pairs) — the density axis next to triangle
+    clustering and LPA communities: a high-core nucleus is the actual
+    mirror farm, the 1-core fringe is incidental similarity, isolated
+    docs read 0. Scale: iterated h-index with a histogram-based
+    H computation (never a per-node neighbor array — hub-safe) +
+    the ≤100k-edge Batagelj–Žaversnik driver escape — see
+    operators/dedup.py::k_core_decomposition."""
+    from n2kupdate_spark.operators.dedup import k_core_decomposition
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id"])
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    return k_core_decomposition(d, pairs, id_col="doc_id")
+
+
 #: Constant boilerplate line planted on every 5th doc — after global
 #: line dedup it must survive in exactly ONE document corpus-wide.
 _BOILER_LINE = "subscribe to the newsletter for weekly updates"

@@ -120,6 +120,7 @@ OPS = [
     "text_script_mix",          # pure JVM regexp map, zero shuffle
     "text_compression_ratio",   # one Arrow mapInPandas deflate pass
     "diag_psi_drift",           # min/max scalars + (type,bin) count pass
+    "graph_k_core",             # h-index rounds; driver peel under the gate
 ]
 
 

@@ -573,3 +573,110 @@ def test_reliable_checkpoint_mode_bit_identical(spark, tmp_path):
             tuple(r) for r in fn(nodes, edges, checkpoint_mode="reliable", **kw).collect()
         )
         assert local == reliable, fn.__name__
+
+
+def _kcore_ref(node_ids, edges):
+    """Independent coreness reference: peel-by-rounds — for k = 1, 2, …
+    repeatedly delete every node of degree < k; a node's coreness is
+    the largest k it survives. O(n·k_max) dict implementation, a
+    different algorithm than both the operator's h-index loop and the
+    driver escape's heap peeling."""
+    adj = {v: set() for v in node_ids}
+    for a, b in edges:
+        if a == b or a not in adj or b not in adj:
+            continue
+        adj[a].add(b)
+        adj[b].add(a)
+    core = {v: 0 for v in node_ids}
+    alive = {v: set(ns) for v, ns in adj.items()}
+    k = 1
+    while alive:
+        while True:
+            drop = [v for v, ns in alive.items() if len(ns) < k]
+            if not drop:
+                break
+            for v in drop:
+                for u in alive[v]:
+                    alive[u].discard(v)
+                del alive[v]
+        for v in alive:
+            core[v] = k
+        k += 1
+    return core
+
+
+def test_k_core_matches_ref_and_planted(spark):
+    """r14: coreness via iterated h-index ≡ the peel-by-rounds
+    reference on planted shapes and random graphs (with foreign
+    endpoints), BOTH paths (driver escape and distributed loop);
+    planted: a K5 clique reads 4, a pendant chain off it reads 1, a
+    cycle reads 2, isolated 0."""
+    from n2kupdate_spark.operators.dedup import k_core_decomposition
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    cycle = [(20, 21), (21, 22), (22, 23), (23, 20)]
+    edges = k5 + chain + cycle
+    node_ids = list(range(5)) + [10, 11, 12] + [20, 21, 22, 23] + [99]
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id: long")
+    e = spark.createDataFrame(edges, "id1: long, id2: long")
+    want = _kcore_ref(node_ids, edges)
+    for thr in (100_000, 0):
+        got = {
+            r["id"]: r["coreness"]
+            for r in k_core_decomposition(
+                nodes, e, driver_edge_threshold=thr
+            ).collect()
+        }
+        assert got == want, thr
+    assert all(want[v] == 4 for v in range(5))
+    assert want[10] == want[11] == want[12] == 1
+    assert all(want[v] == 2 for v in (20, 21, 22, 23))
+    assert want[99] == 0
+
+    for seed in (11, 29):
+        rng = random.Random(seed)
+        node_ids = list(range(50))
+        # endpoints up to 54: ids 50..54 are FOREIGN (not in the node
+        # table) — they still carry degree mass, like the h-index sees
+        redges = list({(rng.randrange(55), rng.randrange(55)) for _ in range(140)})
+        nodes = spark.createDataFrame([(i,) for i in node_ids], "id: long")
+        e = spark.createDataFrame(redges, "id1: long, id2: long")
+        full = _kcore_ref(list(range(55)), redges)
+        want = {v: full[v] for v in node_ids}
+        for thr in (100_000, 0):
+            got = {
+                r["id"]: r["coreness"]
+                for r in k_core_decomposition(
+                    nodes, e, driver_edge_threshold=thr
+                ).collect()
+            }
+            assert got == want, (seed, thr)
+
+
+def test_graph_k_core_registered_vs_ref(spark):
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    sf = "/root/testdata/sf0.01"
+    node_ids = [r["doc_id"] for r in load(spark, sf, "documents").select("doc_id").collect()]
+    edges = [
+        (r["id1"], r["id2"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf).select("id1", "id2").collect()
+    ]
+    want = _kcore_ref(node_ids, edges)
+    got = {
+        r["doc_id"]: r["coreness"]
+        for r in QUERIES["graph_k_core"](spark, sf).collect()
+    }
+    assert got == want
+    # coreness ≤ degree, and the k-core nests inside the (k-1)-core:
+    # every coreness-k node has ≥ k neighbors of coreness ≥ k
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    for v, k in got.items():
+        if k > 0:
+            assert sum(1 for u in adj.get(v, ()) if got.get(u, 0) >= k) >= k, v
