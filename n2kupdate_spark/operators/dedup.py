@@ -2079,3 +2079,116 @@ def k_core_decomposition(
         F.col("a").alias(id_col),
         F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("coreness"),
     )
+
+
+def _bfs_driver(
+    nodes: DataFrame,
+    sym: DataFrame,
+    seed_ids: list,
+    id_col: str,
+) -> DataFrame:
+    """Small-graph BFS fast path (the shared edge-gated escape): plain
+    deque BFS over the collected symmetrized edge list from all seeds
+    at once, then broadcast the hop map back. State is bounded by the
+    EDGE count (only edge-touched nodes can have a finite hop > 0);
+    unreached member nodes coalesce to NULL, seed members to 0, exactly
+    like the distributed frontier loop."""
+    from collections import defaultdict, deque
+
+    adj: dict = defaultdict(set)
+    for r in sym.collect():
+        adj[r["a"]].add(r["b"])
+    dist: dict = {s: 0 for s in seed_ids}
+    q = deque(s for s in seed_ids if s in adj)
+    while q:
+        v = q.popleft()
+        for u in adj[v]:
+            if u not in dist:
+                dist[u] = dist[v] + 1
+                q.append(u)
+
+    from pyspark.sql import types as T
+
+    dtype = nodes.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField("__node", dtype), T.StructField("__d", T.LongType())]
+    )
+    mapping = nodes.sparkSession.createDataFrame(sorted(dist.items()), schema)
+    return nodes.select(F.col(id_col).alias("__node")).join(
+        F.broadcast(mapping), "__node", "left"
+    ).select(F.col("__node").alias(id_col), F.col("__d").alias("hop"))
+
+
+def bfs_distances(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    seed_col: str | None = None,
+    max_iter: int = 30,
+    driver_edge_threshold: int = DRIVER_EDGE_THRESHOLD,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Multi-source BFS hop distance over an undirected graph — the
+    PROXIMITY axis of the graph family: hops from a seed set through
+    the near-dup graph measure contamination spread (how many edges
+    separate a doc from a known benchmark/spam/canonical seed — 1 hop
+    is a direct near-dup of a seed, 2 hops a near-dup of a near-dup),
+    and on link graphs it is crawl depth from the seed list. Emits one
+    row per node: (id, hop) — 0 for seeds, NULL for unreachable.
+
+    Distributed algorithm — frontier-bounded level-synchronous BFS:
+    the distance table holds ONLY reached nodes (it GROWS toward the
+    reachable set, never materializes the full node table per round —
+    at 100 TB the unreached majority costs nothing); per round one
+    join of the table to the symmetrized edge list emits (neighbor,
+    d+1) candidates, a union + min-aggregate folds them in (a BFS
+    distance is final the round it first appears, so min is just
+    dedup), ``checkpoint_mode``-controlled checkpoint truncates
+    lineage, and the loop stops early when the table stops growing
+    (reached-count is a cached scan, the CC changed-count pattern).
+    Rounds = seed eccentricity, capped by ``max_iter`` (deeper nodes
+    than the cap read NULL — document the horizon, don't lie).
+    ≤100k-edge graphs take the driver deque-BFS escape. Foreign seed
+    ids (absent from ``nodes``) still propagate distance through the
+    graph; foreign graph nodes never emit rows."""
+    sc = seed_col or id_col
+    seed_n = seeds.select(F.col(sc).alias("__node")).distinct()
+    sym = _iter_ckpt(
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct(),
+        checkpoint_mode,
+    )
+    if driver_edge_threshold:
+        if sym.count() <= 2 * driver_edge_threshold:
+            seed_ids = [r["__node"] for r in seed_n.collect()]
+            return _bfs_driver(nodes, sym, seed_ids, id_col)
+    dist = _iter_ckpt(
+        seed_n.select("__node", F.lit(0).cast("long").alias("__d")),
+        checkpoint_mode,
+    )
+    n_reached = dist.count()
+    for _ in range(max_iter):
+        cand = (
+            dist.join(sym, dist["__node"] == sym["a"])
+            .select(F.col("b").alias("__node"), (F.col("__d") + 1).alias("__d"))
+        )
+        dist = _iter_ckpt(
+            dist.unionByName(cand).groupBy("__node").agg(
+                F.min("__d").alias("__d")
+            ),
+            checkpoint_mode,
+        )
+        now = dist.count()
+        if now == n_reached:
+            break
+        n_reached = now
+    return nodes.select(F.col(id_col).alias("__node")).join(
+        dist, "__node", "left"
+    ).select(F.col("__node").alias(id_col), F.col("__d").alias("hop"))

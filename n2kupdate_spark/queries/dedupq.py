@@ -735,6 +735,26 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core_decomposition(d, pairs, id_col="doc_id")
 
 
+@register("graph_bfs_distance")  # rows-only (§2 legend: iterative, no
+# SQL form); ≡ an independent python BFS reference + dual-path
+# equality — tests/test_graph.py
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from a seed set through the near-dup graph
+    (word-3-gram Jaccard ≥ 0.1 pairs) — contamination spread: seeds
+    are every 50th doc (a stand-in for a flagged benchmark/spam list);
+    hop 1 docs are direct near-dups of a seed, hop 2 near-dups of
+    those, NULL means no duplication path to any seed. Scale:
+    frontier-bounded level-synchronous BFS (the distance table only
+    ever holds REACHED nodes) + the ≤100k-edge deque-BFS driver
+    escape — see operators/dedup.py::bfs_distances."""
+    from n2kupdate_spark.operators.dedup import bfs_distances
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id"])
+    seeds = d.filter(F.col("doc_id") % 50 == 0)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    return bfs_distances(d, pairs, seeds, id_col="doc_id")
+
+
 #: Constant boilerplate line planted on every 5th doc — after global
 #: line dedup it must survive in exactly ONE document corpus-wide.
 _BOILER_LINE = "subscribe to the newsletter for weekly updates"

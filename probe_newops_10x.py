@@ -121,6 +121,7 @@ OPS = [
     "text_compression_ratio",   # one Arrow mapInPandas deflate pass
     "diag_psi_drift",           # min/max scalars + (type,bin) count pass
     "graph_k_core",             # h-index rounds; driver peel under the gate
+    "graph_bfs_distance",       # frontier-bounded BFS; driver deque under gate
 ]
 
 

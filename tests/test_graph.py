@@ -680,3 +680,96 @@ def test_graph_k_core_registered_vs_ref(spark):
     for v, k in got.items():
         if k > 0:
             assert sum(1 for u in adj.get(v, ()) if got.get(u, 0) >= k) >= k, v
+
+
+def _bfs_ref(node_ids, edges, seed_ids):
+    """Independent multi-source BFS: adjacency dict + frontier sets (a
+    different traversal bookkeeping than both the operator's frontier
+    table and the escape's deque)."""
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seed_ids}
+    frontier = set(seed_ids)
+    d = 0
+    while frontier:
+        d += 1
+        nxt = set()
+        for v in frontier:
+            for u in adj.get(v, ()):
+                if u not in dist:
+                    dist[u] = d
+                    nxt.add(u)
+        frontier = nxt
+    return {v: dist.get(v) for v in node_ids}
+
+
+def test_bfs_distance_matches_ref_and_planted(spark):
+    """r14: multi-source BFS hops ≡ the set-frontier reference on a
+    planted path-plus-branches graph and random graphs (foreign seed
+    ids and foreign endpoints included), BOTH paths; planted: seeds
+    read 0, chain hops count up, disconnected nodes read NULL, two
+    seeds' waves meet at the min."""
+    from n2kupdate_spark.operators.dedup import bfs_distances
+
+    # path 0-1-2-3-4-5, branch 2-10-11, island 20-21, isolated 99
+    edges = [(i, i + 1) for i in range(5)] + [(2, 10), (10, 11), (20, 21)]
+    node_ids = list(range(6)) + [10, 11, 20, 21, 99]
+    seeds = [0, 5]
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id: long")
+    e = spark.createDataFrame(edges, "id1: long, id2: long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id: long")
+    want = _bfs_ref(node_ids, edges, seeds)
+    for thr in (100_000, 0):
+        got = {
+            r["id"]: r["hop"]
+            for r in bfs_distances(nodes, e, sdf, driver_edge_threshold=thr).collect()
+        }
+        assert got == want, thr
+    assert want[0] == 0 and want[5] == 0
+    assert want[2] == 2 and want[3] == 2  # waves meet at the min
+    assert want[11] == 4
+    assert want[20] is None and want[99] is None
+
+    for seed in (13, 41):
+        rng = random.Random(seed)
+        node_ids = list(range(50))
+        redges = list({(rng.randrange(55), rng.randrange(55)) for _ in range(120)})
+        seed_ids = [3, 17, 52]  # 52 is FOREIGN: propagates, never emits
+        nodes = spark.createDataFrame([(i,) for i in node_ids], "id: long")
+        e = spark.createDataFrame(redges, "id1: long, id2: long")
+        sdf = spark.createDataFrame([(s,) for s in seed_ids], "id: long")
+        full = _bfs_ref(list(range(55)), redges, seed_ids)
+        want = {v: full[v] for v in node_ids}
+        for thr in (100_000, 0):
+            got = {
+                r["id"]: r["hop"]
+                for r in bfs_distances(
+                    nodes, e, sdf, driver_edge_threshold=thr
+                ).collect()
+            }
+            assert got == want, (seed, thr)
+
+
+def test_graph_bfs_distance_registered_vs_ref(spark):
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    sf = "/root/testdata/sf0.01"
+    node_ids = [r["doc_id"] for r in load(spark, sf, "documents").select("doc_id").collect()]
+    edges = [
+        (r["id1"], r["id2"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf).select("id1", "id2").collect()
+    ]
+    seeds = [v for v in node_ids if v % 50 == 0]
+    want = _bfs_ref(node_ids, edges, seeds)
+    got = {
+        r["doc_id"]: r["hop"]
+        for r in QUERIES["graph_bfs_distance"](spark, sf).collect()
+    }
+    assert got == want
+    assert all(got[s] == 0 for s in seeds)
+    reached = [v for v, h in got.items() if h is not None]
+    assert len(reached) >= len(seeds)
