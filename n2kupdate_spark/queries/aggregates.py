@@ -496,6 +496,27 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return level.unionByName(merged)
 
 
+@register("agg_tdigest_quantile_merge")  # rows-only: sketch estimates
+# are engine-specific; rank-accuracy + determinism + merge-associativity
+# pins in tests/test_sketch_accuracy.py
+def agg_tdigest_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantile sketches (Dunning & Ertl,
+    arXiv:1902.04023 — implemented from the paper; Spark 4 ships KLL
+    but no t-digest): per-flag digests of l_quantity built as (flag,
+    content-hash bucket) partials inside Arrow tasks, per-group p50/p95
+    read from each merged digest, and the GLOBAL p50/p95 from the
+    upward merge — the agg_kll_quantile_merge shape with the K1 scale
+    function's tail-concentrated accuracy (p99.9s come out tighter at
+    the same size). Only centroid arrays (groups × buckets × O(δ)
+    doubles) hit the driver — the CMS bounded-model-state pattern."""
+    from n2kupdate_spark.operators.tdigest import tdigest_quantiles_by_group
+
+    li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return tdigest_quantiles_by_group(
+        li, "l_returnflag", "l_quantity", quantiles=(0.5, 0.95)
+    )
+
+
 @register("agg_cms_heavy_hitters")  # rows-only: sketch estimates are engine-specific
 def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimation: ONE fixed-size (eps=0.1% of

@@ -122,6 +122,7 @@ OPS = [
     "diag_psi_drift",           # min/max scalars + (type,bin) count pass
     "graph_k_core",             # h-index rounds; driver peel under the gate
     "graph_bfs_distance",       # frontier-bounded BFS; driver deque under gate
+    "agg_tdigest_quantile_merge", # (group,bucket) Arrow partials + tiny merge
 ]
 
 

@@ -361,3 +361,66 @@ def test_bloom_exact_decontaminate_equals_exact_gate(spark, sf_dir):
         ).collect()
     }
     assert tiny == exact, "stage-2 exact verify failed to kill a Bloom FP"
+
+
+def test_tdigest_rank_error_determinism_and_merge(spark, sf_dir):
+    """r14: the from-paper t-digest (operators/tdigest.py). Three
+    contracts: (1) RANK accuracy — the empirical rank of each estimated
+    quantile within 1.5% of target (δ=100 t-digests are far tighter
+    than KLL at these ranks; the bound has slack for the two-level
+    merge); (2) DETERMINISM — two full runs produce identical rows
+    (the content-hash bucketing / sort-before-cluster contract); (3)
+    MERGE shape — a flat merge is ORDER-invariant (byte-identical under
+    any permutation of the partials; tree associativity is explicitly
+    NOT claimed — the pipeline merges flat per level), and a digest of
+    a known uniform grid reads its analytic quantiles to within the
+    same rank bound."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.tdigest import (
+        build_digest,
+        digest_quantile,
+        merge_digests,
+    )
+
+    got = QUERIES["agg_tdigest_quantile_merge"](spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    for r in got:
+        grp = li if r["l_returnflag"] == "__ALL__" else li.filter(
+            F.col("l_returnflag") == r["l_returnflag"]
+        )
+        n = grp.count()
+        assert r["n"] == n
+        for prob, col in ((0.5, "p50"), (0.95, "p95")):
+            rank = grp.filter(F.col("l_quantity") <= r[col]).count() / n
+            assert abs(rank - prob) <= 0.015, (r["l_returnflag"], col, rank)
+
+    again = QUERIES["agg_tdigest_quantile_merge"](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    # flat-merge ORDER invariance on random partials: any permutation,
+    # same bytes (tree associativity is not claimed — see the operator
+    # docstring; the pipeline merges flat per level)
+    rng = np.random.RandomState(8)
+    parts = [
+        build_digest(np.sort(rng.randn(sz)), np.ones(sz))
+        for sz in (500, 1200, 64, 3000)
+    ]
+    b = merge_digests(parts)
+    for perm in ([3, 1, 0, 2], [2, 3, 0, 1], [1, 0, 3, 2]):
+        p = merge_digests([parts[i] for i in perm])
+        assert np.array_equal(p[0], b[0]) and np.array_equal(p[1], b[1]), perm
+    # a nested merge is a valid digest of the pooled mass (weight
+    # conserved exactly) even though its centroids may differ
+    nested = merge_digests([merge_digests(parts[:2]), merge_digests(parts[2:])])
+    total = sum(float(p[1].sum()) for p in parts)
+    assert abs(float(nested[1].sum()) - total) < 1e-6
+
+    # analytic check: uniform grid 0..9999
+    g = np.arange(10000, dtype=float)
+    m, w = build_digest(g, np.ones(10000))
+    assert len(m) < 200  # ~delta centroids, not n
+    for q in (0.01, 0.5, 0.95, 0.999):
+        est = digest_quantile(m, w, q)
+        rank = (g <= est).sum() / 10000
+        assert abs(rank - q) <= 0.01, (q, est, rank)
