@@ -1089,3 +1089,96 @@ def attach_real_payload(
         ]
     )
     return df.select(id_col, text_col).mapInPandas(make_batches, schema)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def dhash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-image 64-bit DIFFERENCE hash (dHash — the perceptual-hash
+    family's cheapest member: Krawetz's published recipe) from REAL
+    decoded pixels: integer grayscale (299·R + 587·G + 114·B) // 1000 —
+    integer arithmetic, no float rounding to drift cross-platform —
+    nearest-neighbor resample to 9×8 with the same floor index map the
+    resize op uses (no interpolation ties), then one bit per adjacent
+    horizontal pair (left > right), packed row-major into an int64
+    (two's complement, the simhash storage convention). Identical
+    pixels ⇒ identical hash; small perturbations flip few bits, so
+    hamming distance over these hashes is the image near-dup signal —
+    the multimodal twin of text simhash.
+
+    Scale: one Arrow ``mapInPandas`` pass over payload batches (decode
+    is the pure-Python codec layer, hashing is numpy); no shuffle —
+    pair generation happens downstream on the 8-byte hashes, never on
+    payloads."""
+    import numpy as np
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                px = decode_image_pixels(bytes(payload)).astype(np.int64)
+                g = (
+                    px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114
+                ) // 1000
+                ih, iw = g.shape
+                ys = (np.arange(8) * ih) // 8
+                xs = (np.arange(9) * iw) // 9
+                s = g[ys][:, xs]
+                bits = (s[:, 1:] > s[:, :-1]).flatten()
+                v = 0
+                for b in bits:
+                    v = (v << 1) | int(b)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                ids.append(i)
+                hs.append(v)
+            yield pd.DataFrame({"doc_id": ids, "phash": hs})
+
+    return df.select(id_col, "payload").mapInPandas(batches_fn, PHASH_SCHEMA)
+
+
+def perturb_images(
+    df: DataFrame, id_col: str = "doc_id", n_flips: int = 2
+) -> DataFrame:
+    """Deterministic small perturbation of real image payloads — the
+    twin generator for the perceptual-hash demo/pins (fixture texts
+    have no exact duplicates, so without planted twins an image
+    near-dup op would be vacuously 0-row — the decorated-fixture
+    rule): decode pixels, invert RGB at ``n_flips`` md5-chosen
+    coordinates ON the dHash 9×8 sampling grid (so the perturbation is
+    visible to the hash but bounded: each flip touches ≤ 2 adjacent
+    difference bits), re-encode as PNG (dHash reads pixels — container
+    format is irrelevant). Arrow-batched, payload-local."""
+    import numpy as np
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload)
+                px = decode_image_pixels(raw).copy()
+                ih, iw = px.shape[:2]
+                ys = (np.arange(8) * ih) // 8
+                xs = (np.arange(9) * iw) // 9
+                d = hashlib.md5(raw).digest()
+                for k in range(n_flips):
+                    r = d[2 * k] % 8
+                    c = d[2 * k + 1] % 9
+                    px[ys[r], xs[c]] = 255 - px[ys[r], xs[c]]
+                ids.append(i)
+                payloads.append(encode_png_pixels(np.ascontiguousarray(px)))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(id_col, "payload").mapInPandas(batches_fn, schema)

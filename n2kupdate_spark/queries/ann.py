@@ -425,6 +425,46 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_image_phash")  # rows-only (r9 capacity policy):
+# dhash pinned vs an independent bit-level recompute + planted
+# perturbation geometry in tests/test_multimodal.py
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by 64-bit difference hash over REAL
+    payload bytes (deterministic per-doc bmp/png/jpeg/gif synthesis →
+    library-free pixel decode → integer dHash), candidate-blocked on
+    the simhash 8×8-bit bands (collision guaranteed to hamming ≤ 7)
+    and exact-filtered at hamming ≤ 6 — the multimodal twin of text
+    simhash: a planted perturbed twin per 7th doc (≤2 grid-pixel
+    inversions) MUST land within the band while unrelated 64-bit
+    hashes essentially never do. Emits
+    (id1, id2, hamming). Scale: payloads never shuffle — hashing is
+    one Arrow map; pair generation runs on 8-byte hashes — see
+    operators/multimodal.py::dhash_images."""
+    from n2kupdate_spark.operators.dedup import simhash_near_pairs
+    from n2kupdate_spark.operators.multimodal import (
+        attach_real_payload,
+        dhash_images,
+        perturb_images,
+    )
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    payloads = attach_real_payload(d, "doc_id", "text", kind="image_mix")
+    # fixture texts have no exact duplicates, so plant perturbed TWINS
+    # (every 7th doc, id + 10M, ≤2 grid-pixel inversions) — the
+    # decorated-fixture rule: without them this demo is vacuously
+    # 0-row and a green run demonstrates nothing
+    twins = perturb_images(
+        payloads.filter(F.col("doc_id") % 7 == 0), "doc_id"
+    ).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "payload")
+    both = payloads.select("doc_id", "payload").unionByName(twins)
+    hashes = dhash_images(both, "doc_id").withColumnRenamed("phash", "simhash")
+    return simhash_near_pairs(hashes, "doc_id", max_hamming=6).orderBy(
+        "id1", "id2"
+    )
+
+
 @register("multimodal_audio_features")  # rows-only (capacity policy):
 # payload bytes are engine-synthesized; features pinned vs an in-process
 # numpy recompute in tests/test_multimodal.py

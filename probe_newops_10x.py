@@ -123,6 +123,7 @@ OPS = [
     "graph_k_core",             # h-index rounds; driver peel under the gate
     "graph_bfs_distance",       # frontier-bounded BFS; driver deque under gate
     "agg_tdigest_quantile_merge", # (group,bucket) Arrow partials + tiny merge
+    "multimodal_image_phash",   # Arrow synth+decode+hash map, 8-byte band join
 ]
 
 

@@ -881,3 +881,70 @@ def test_gif_truncated_subblocks_raise_valueerror():
     img = ok.index(b"\x2c")
     with pytest.raises(ValueError):
         _gif_frames(ok[: img + 14])
+
+
+def test_image_phash_pairs_and_dhash_recompute(spark):
+    """r14: the perceptual-hash near-dup axis. (1) dHash ≡ an
+    independent bit-level recompute (numpy packbits over the same
+    integer-grayscale 9×8 grid — different packing code than the
+    operator's shift loop) for every payload at two sfs; (2) the
+    registered query's pair set is EXACTLY the planted twins (id,
+    id+10M for id % 7 == 0) with hamming ≤ 6 — unrelated 64-bit hashes
+    never collide within the band; (3) byte-identical payloads hash
+    identical (hamming 0), and the hash is stable across runs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.multimodal import (
+        attach_real_payload,
+        decode_image_pixels,
+        dhash_images,
+        perturb_images,
+    )
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def ref_dhash(payload: bytes) -> int:
+        px = decode_image_pixels(payload).astype(np.int64)
+        g = (px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114) // 1000
+        ih, iw = g.shape
+        s = g[(np.arange(8) * ih) // 8][:, (np.arange(9) * iw) // 9]
+        bits = (s[:, 1:] > s[:, :-1]).flatten().astype(np.uint8)
+        v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = load(spark, sf, "documents", columns=["doc_id", "text"])
+        payloads = attach_real_payload(d, "doc_id", "text", kind="image_mix")
+        raw = {r["doc_id"]: bytes(r["payload"]) for r in payloads.collect()}
+        got_h = {
+            r["doc_id"]: r["phash"] for r in dhash_images(payloads).collect()
+        }
+        assert got_h == {i: ref_dhash(p) for i, p in raw.items()}, sf
+
+        twins_raw = {
+            r["doc_id"]: bytes(r["payload"])
+            for r in perturb_images(
+                payloads.filter(F.col("doc_id") % 7 == 0)
+            ).collect()
+        }
+        want_pairs = {}
+        for i, p in twins_raw.items():
+            ham = bin(
+                (ref_dhash(raw[i]) ^ ref_dhash(p)) & ((1 << 64) - 1)
+            ).count("1")
+            if ham <= 6:
+                want_pairs[(i, i + 10_000_000)] = ham
+        got_pairs = {
+            tuple(sorted((r["id1"], r["id2"]))): r["hamming"]
+            for r in QUERIES["multimodal_image_phash"](spark, sf).collect()
+        }
+        assert got_pairs == want_pairs, sf
+        assert len(want_pairs) >= len(twins_raw) * 0.9  # non-vacuous demo
+
+    # identical payloads → identical hash; rerun → identical hash
+    one = spark.createDataFrame(
+        [(1, raw[0]), (2, raw[0])], "doc_id: long, payload: binary"
+    )
+    hs = {r["doc_id"]: r["phash"] for r in dhash_images(one).collect()}
+    assert hs[1] == hs[2] == got_h[0]
