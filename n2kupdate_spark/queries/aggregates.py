@@ -496,6 +496,30 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return level.unionByName(merged)
 
 
+@register("agg_bootstrap_ci")  # rows-only: replica weights are
+# engine-spec'd (splitmix64 Poisson); determinism + recompute + coverage
+# pins in tests/test_parity.py
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority mean order value with a 95% percentile-bootstrap CI
+    and bootstrap SE via 200 POISSON replicas (the large-scale
+    bootstrap: per-row Poisson(1) multiplicities replace coordinated
+    resamples, so every replica folds in ONE partial-agged pass — the
+    uncertainty number an A/B readout or data-quality dashboard puts
+    next to agg_welch_ttest's test statistic). Deterministic:
+    weights derive from splitmix64(o_orderkey, replica) — partitioning
+    and retries cannot change an interval. See
+    operators/bootstrap.py::bootstrap_mean_ci."""
+    from n2kupdate_spark.operators.bootstrap import bootstrap_mean_ci
+
+    o = load(
+        spark, sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+    return bootstrap_mean_ci(
+        o, "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).orderBy("o_orderpriority")
+
+
 @register("agg_tdigest_quantile_merge")  # rows-only: sketch estimates
 # are engine-specific; rank-accuracy + determinism + merge-associativity
 # pins in tests/test_sketch_accuracy.py

@@ -124,6 +124,7 @@ OPS = [
     "graph_bfs_distance",       # frontier-bounded BFS; driver deque under gate
     "agg_tdigest_quantile_merge", # (group,bucket) Arrow partials + tiny merge
     "multimodal_image_phash",   # Arrow synth+decode+hash map, 8-byte band join
+    "agg_bootstrap_ci",         # one Arrow fold to (G,B) partials + tiny agg
 ]
 
 

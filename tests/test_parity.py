@@ -749,3 +749,111 @@ def test_agg_welch_ttest_duckdb_pinned(spark, sf_dir, oracle_con):
     eb = b.var(ddof=1) / len(b)
     t = (a.mean() - b.mean()) / np.sqrt(ea + eb)
     assert abs(t) > 5  # the statistic separates a genuinely shifted cohort
+
+
+def test_bootstrap_ci_matches_python_and_coverage(spark):
+    """r14: Poisson-bootstrap CIs ≡ an independent pure-python
+    recompute of the full spec (scalar-int splitmix64 + inverse-CDF
+    Poisson(1) — no numpy in the reference path) at two sfs, exact row
+    equality; DETERMINISM — two runs identical; planted coverage — a
+    N(5,1) cohort's 95% CI contains 5, and quadrupling n shrinks the
+    interval roughly in half."""
+    import math
+
+    import numpy as np
+
+    from n2kupdate_spark.operators.bootstrap import bootstrap_mean_ci
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    MASK = (1 << 64) - 1
+
+    def sm64(x):
+        z = (x + 0x9E3779B97F4A7C15) & MASK
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK
+        return z ^ (z >> 31)
+
+    CDF = []
+    acc = 0.0
+    for k in range(12):
+        acc += math.exp(-1.0) / math.factorial(k)
+        CDF.append(acc)
+
+    def pois(oid, b, n_reps):
+        u = sm64((oid * n_reps + b) & MASK) / 2**64
+        for k, t in enumerate(CDF):
+            if u < t:
+                return k
+        return 12
+
+    def ref(rows, n_reps=200, alpha=0.05):
+        groups = {}
+        for g, oid, x in rows:
+            groups.setdefault(g, []).append((oid, x))
+        out = {}
+        for g, items in groups.items():
+            n = len(items)
+            sx = sum(x for _i, x in items)
+            means = []
+            for b in range(n_reps):
+                sw = swx = 0.0
+                for oid, x in items:
+                    w = pois(oid, b, n_reps)
+                    sw += w
+                    swx += w * x
+                if sw > 0:
+                    means.append(swx / sw)
+            means.sort()
+            B = len(means)
+            lo = means[max(1, math.ceil(alpha / 2 * B)) - 1]
+            hi = means[min(B, math.ceil((1 - alpha / 2) * B)) - 1]
+            mu = sum(means) / B
+            se = math.sqrt(sum((m - mu) ** 2 for m in means) / (B - 1))
+            r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+            out[g] = (n, r4(sx / n), r4(lo), r4(hi), r4(se))
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["o_orderpriority"], int(r["o_orderkey"]), float(r["o_totalprice"]))
+            for r in load(
+                spark, sf, "orders",
+                columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+            ).collect()
+        ]
+        want = ref(rows)
+        got = {
+            r["o_orderpriority"]: (r["n"], r["mean"], r["ci_lo"], r["ci_hi"], r["se"])
+            for r in QUERIES["agg_bootstrap_ci"](spark, sf).collect()
+        }
+        assert got == want, sf
+        again = {
+            r["o_orderpriority"]: (r["n"], r["mean"], r["ci_lo"], r["ci_hi"], r["se"])
+            for r in QUERIES["agg_bootstrap_ci"](spark, sf).collect()
+        }
+        assert again == got
+
+    rng = np.random.RandomState(12)
+    small = [("s", i, float(5.0 + rng.randn())) for i in range(200)]
+    big = [("b", i + 1000, float(5.0 + v)) for i, v in enumerate(rng.randn(800))]
+    df = spark.createDataFrame(
+        small + big, "grp: string, rid: long, v: double"
+    )
+    got = {
+        r["grp"]: r
+        for r in bootstrap_mean_ci(df, "grp", "rid", "v").collect()
+    }
+    sm = {"s": float(np.mean([v for _g, _i, v in small])),
+          "b": float(np.mean([v for _g, _i, v in big]))}
+    for g in ("s", "b"):
+        # the percentile CI centers on the SAMPLE mean (a 95% CI misses
+        # the true 5.0 for ~5% of seeds — that would be a flaky pin);
+        # analytic width 2·1.96·σ/√n within generous slack
+        assert got[g]["ci_lo"] <= sm[g] <= got[g]["ci_hi"], g
+        w = got[g]["ci_hi"] - got[g]["ci_lo"]
+        expect = 2 * 1.96 / math.sqrt({"s": 200, "b": 800}[g])
+        assert 0.6 * expect <= w <= 1.5 * expect, (g, w, expect)
+    w_small = got["s"]["ci_hi"] - got["s"]["ci_lo"]
+    w_big = got["b"]["ci_hi"] - got["b"]["ci_lo"]
+    assert w_big < w_small * 0.75  # ~sqrt(4)=2x narrower, slack for noise
