@@ -4,6 +4,7 @@ from n2kupdate_spark.operators.merge import (
     merge_set_replace,
     merge_scd2_close,
     merge_scd2_changes,
+    merge_scd3,
     full_outer_diff,
 )
 from n2kupdate_spark.operators.relational import asof_join, dedup_keep_latest
@@ -14,6 +15,7 @@ __all__ = [
     "merge_set_replace",
     "merge_scd2_close",
     "merge_scd2_changes",
+    "merge_scd3",
     "full_outer_diff",
     "asof_join",
     "dedup_keep_latest",

@@ -263,3 +263,65 @@ def scd2_asof(
         (F.col(valid_from) <= F.lit(as_of))
         & (F.col(valid_to).isNull() | (F.col(valid_to) > F.lit(as_of)))
     )
+
+
+def merge_scd3(
+    target: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    tracked_col: str,
+    prev_col: str | None = None,
+) -> DataFrame:
+    """SCD type-3 merge: the dimension keeps the CURRENT value of one
+    tracked attribute plus its immediately-previous value in a
+    ``prev_`` column — the "limited history" design (Kimball's SCD3)
+    for attributes where downstream only ever asks "what was it
+    before?" (a segment migration, a reclassification) and a full SCD2
+    row chain is overkill.
+
+    Branch semantics (the standard SCD1/SCD3 hybrid — non-tracked
+    attributes follow SCD1):
+      - overlap, tracked attribute CHANGED (null-safe compare): the
+        incoming row wins, ``prev`` := the target's old current value;
+      - overlap, unchanged: the target row passes through untouched
+        (``prev`` keeps whatever history it held — re-applying the same
+        batch is a no-op, the family's idempotence contract);
+      - target-only keys: untouched;
+      - incoming-only keys: inserted with ``prev`` NULL (no history).
+
+    Pure joins/unions on the key columns — AQE broadcasts the batch
+    side; no window, no sort."""
+    keys = list(keys)
+    prev_col = prev_col or f"prev_{tracked_col}"
+    dtype = target.schema[tracked_col].dataType
+    inc = incoming.select(
+        *keys,
+        *[c for c in incoming.columns if c not in keys],
+    )
+    t_alias, i_alias = target.alias("__t"), inc.alias("__i")
+    overlap = t_alias.join(i_alias, on=keys, how="inner")
+    changed = overlap.filter(
+        ~F.col(f"__i.{tracked_col}").eqNullSafe(F.col(f"__t.{tracked_col}"))
+    ).select(
+        *keys,
+        *[
+            F.col(f"__i.{c}").alias(c)
+            for c in inc.columns
+            if c not in keys
+        ],
+        F.col(f"__t.{tracked_col}").cast(dtype).alias(prev_col),
+    )
+    unchanged = overlap.filter(
+        F.col(f"__i.{tracked_col}").eqNullSafe(F.col(f"__t.{tracked_col}"))
+    ).select(*[F.col(f"__t.{c}").alias(c) for c in target.columns])
+    target_only = target.join(inc.select(*keys), on=keys, how="left_anti")
+    new_rows = inc.join(target.select(*keys), on=keys, how="left_anti").withColumn(
+        prev_col, F.lit(None).cast(dtype)
+    )
+    cols = target.columns
+    return (
+        changed.select(*cols)
+        .unionByName(unchanged.select(*cols))
+        .unionByName(target_only.select(*cols))
+        .unionByName(new_rows.select(*cols))
+    )

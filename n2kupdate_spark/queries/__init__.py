@@ -51,8 +51,11 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
 #: validate_domain, source_schema_evolution, reservoir sampling,
 #: scalar_subquery_agg, events_funnel_steps, array ops,
 #: agg_string_concat) hit the ≤2-round freshness edge this round. The
-#: remaining 4 slots are r12-green fillers (agg_collect_sorted ..
-#: agg_having), pre-confirming r15's MUST set. Rows-only ops
+#: remaining slots: 3 r12-green fillers (agg_collect_sorted ..
+#: agg_group_sums) pre-confirming r15's MUST set, plus slot 50 =
+#: `merge_scd3` — the SQL-oracle op registered mid-r14 debuts THIS
+#: round (the curation_url_dedup precedent: an oracle op must never
+#: sit a full round without driver evidence). Rows-only ops
 #: (sketches, sha1, ANN, fuzzy/semantic dedup, PQ variants) stay out —
 #: they'd burn slots on `no_oracle` rows; all are value-pinned locally
 #: (tests/test_parity.py, tests/test_sketch_accuracy.py,
@@ -107,7 +110,7 @@ _ROUND_WINDOW = [
     "agg_collect_sorted",
     "agg_filtered_pivot",
     "agg_group_sums",
-    "agg_having",
+    "merge_scd3",
 ]
 
 

@@ -16,6 +16,7 @@ from n2kupdate_spark.operators import (
     merge_scd1,
     merge_scd2_changes,
     merge_scd2_close,
+    merge_scd3,
     merge_set_replace,
 )
 from n2kupdate_spark.queries import fixtures as FX
@@ -274,4 +275,52 @@ def scd2_window_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "event_id", "value", "valid_from_s",
         F.lead("valid_from_s").over(w).alias("valid_to_s"),
+    )
+
+@register(
+    "merge_scd3",
+    oracle=f"""
+    WITH target AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               CAST(NULL AS DOUBLE) AS prev_c_acctbal
+        FROM ({FX.DIM_TARGET_SQL})
+    ),
+    incoming AS ({FX.DIM_INCOMING_PARTIAL_SQL})
+    SELECT i.c_custkey, i.c_name, i.c_nationkey, i.c_acctbal, i.c_mktsegment,
+           t.c_acctbal AS prev_c_acctbal
+    FROM target t JOIN incoming i USING (c_custkey)
+    WHERE i.c_acctbal IS DISTINCT FROM t.c_acctbal
+    UNION ALL
+    SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment,
+           t.prev_c_acctbal
+    FROM target t JOIN incoming i USING (c_custkey)
+    WHERE i.c_acctbal IS NOT DISTINCT FROM t.c_acctbal
+    UNION ALL
+    SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment,
+           t.prev_c_acctbal
+    FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.c_custkey = t.c_custkey)
+    UNION ALL
+    SELECT i.c_custkey, i.c_name, i.c_nationkey, i.c_acctbal, i.c_mktsegment,
+           CAST(NULL AS DOUBLE) AS prev_c_acctbal
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.c_custkey = i.c_custkey)
+    """,
+)
+def merge_scd3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD3 previous-value merge (round 14 — completes the SCD family
+    next to SCD1/SCD2): the tracked attribute (c_acctbal) keeps its
+    immediately-previous value in prev_c_acctbal when a batch changes
+    it; unchanged/absent keys untouched, new keys insert with NULL
+    history; non-tracked attributes follow SCD1. The partial-incoming
+    fixture exercises all four branches (changed / unchanged-overlap /
+    target-only / new)."""
+    import pyspark.sql.functions as F
+
+    target = FX.dim_target(spark, sf_dir).withColumn(
+        "prev_c_acctbal", F.lit(None).cast("double")
+    )
+    return merge_scd3(
+        target, FX.dim_incoming_partial(spark, sf_dir),
+        keys=["c_custkey"], tracked_col="c_acctbal",
     )

@@ -125,6 +125,7 @@ OPS = [
     "agg_tdigest_quantile_merge", # (group,bucket) Arrow partials + tiny merge
     "multimodal_image_phash",   # Arrow synth+decode+hash map, 8-byte band join
     "agg_bootstrap_ci",         # one Arrow fold to (G,B) partials + tiny agg
+    "merge_scd3",               # key-partitioned joins/unions, batch broadcast
 ]
 
 

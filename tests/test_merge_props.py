@@ -193,3 +193,67 @@ def test_scd2_changes_idempotent_and_branches(spark, sf_dir):
     untouched = open_rows.filter(F.col("valid_from") < FX.BATCH_TS)
     assert closed.count() > 0 and reopened.count() > 0 and untouched.count() > 0
     once.unpersist()
+
+
+def test_scd3_idempotent_and_branches(spark, sf_dir):
+    """r14: SCD3 previous-value merge. Idempotence (re-applying the
+    same batch is a no-op — the changed branch sees current == incoming
+    the second time); branch battery on a hand-built frame: changed
+    overlap shifts current → prev, unchanged overlap keeps its existing
+    history untouched, target-only rows pass through, new keys insert
+    with NULL history; null-safe compare (NULL → value counts as a
+    change, value → equal value does not)."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators import merge_scd3
+    from n2kupdate_spark.queries import fixtures as FX
+
+    target = FX.dim_target(spark, sf_dir).withColumn(
+        "prev_c_acctbal", F.lit(None).cast("double")
+    )
+    incoming = FX.dim_incoming_partial(spark, sf_dir)
+    once = merge_scd3(target, incoming, keys=["c_custkey"], tracked_col="c_acctbal")
+    twice = merge_scd3(once, incoming, keys=["c_custkey"], tracked_col="c_acctbal")
+
+    def canon_null(df):  # _canon is not NaN-safe; prev column is nullable
+        import math
+
+        return sorted(
+            tuple(
+                None if isinstance(v, float) and math.isnan(v) else v
+                for v in row
+            )
+            for row in df.toPandas().itertuples(index=False, name=None)
+        )
+
+    assert canon_null(once) == canon_null(twice)
+
+    t = spark.createDataFrame(
+        [
+            (1, 10.0, "x", 5.0),    # changed by batch: prev 5.0 -> becomes 10.0's prev
+            (2, 20.0, "y", 15.0),   # unchanged overlap: history kept
+            (3, 30.0, "z", None),   # target-only: untouched
+            (4, None, "w", 2.0),    # NULL current, batch sets a value -> change
+        ],
+        "k: long, v: double, attr: string, prev_v: double",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 11.0, "x2"),
+            (2, 20.0, "y-ignored"),  # same tracked value: SCD1 attrs NOT applied (row untouched)
+            (4, 4.0, "w2"),
+            (5, 50.0, "new"),
+        ],
+        "k: long, v: double, attr: string",
+    )
+    got = {
+        r["k"]: (r["v"], r["attr"], r["prev_v"])
+        for r in merge_scd3(t, b, keys=["k"], tracked_col="v", prev_col="prev_v").collect()
+    }
+    assert got == {
+        1: (11.0, "x2", 10.0),
+        2: (20.0, "y", 15.0),
+        3: (30.0, "z", None),
+        4: (4.0, "w2", None),   # prev takes the old current, which was NULL
+        5: (50.0, "new", None),
+    }
