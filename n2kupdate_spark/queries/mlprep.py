@@ -1829,6 +1829,55 @@ def ts_winsorize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ts_robust_zscore_mad")  # rows-only (r9 capacity policy):
+# ≡ numpy same-convention recompute at two sfs + planted outlier pins —
+# tests/test_mlprep_props.py
+def ts_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key MODIFIED z-score (Iglewicz & Hoaglin 1993: Mz =
+    0.6745·(x − median)/MAD) — the robust sibling of ts_anomaly_zscore:
+    mean/std anomaly scores are themselves dragged by the outliers they
+    hunt (one 100× spike inflates σ and masks everything else), while
+    median/MAD have a 50% breakdown point; |Mz| > 3.5 is the published
+    outlier rule. Emits (user_id, ts_s, value, mz 4dp, outlier);
+    MAD = 0 keys (≥ half the values identical) emit NULL mz and FALSE
+    outlier — a degenerate scale flags nothing, honestly.
+
+    Scale: TWO user-keyed exact-percentile window aggregates — the
+    median, then the median of |x − median| — over the SAME partition
+    key, so Catalyst reuses one exchange (the winsorize shape, pinned:
+    exactly ONE Exchange in the plan); output rows = input rows, no
+    collects, no approx (deterministic, python-recomputable)."""
+    e = load(spark, sf_dir, "events", columns=["user_id", "ts", "value"]).select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+        "value",
+    ).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id")
+    med = F.expr("percentile(value, 0.5)").over(w)
+    staged = e.select("user_id", "ts_s", "value", med.alias("__med"))
+    mad = F.expr("percentile(abs(value - __med), 0.5)").over(
+        Window.partitionBy("user_id")
+    )
+    staged = staged.select("user_id", "ts_s", "value", "__med", mad.alias("__mad"))
+    mz = F.lit(0.6745) * (F.col("value") - F.col("__med")) / F.col("__mad")
+    return staged.select(
+        "user_id",
+        "ts_s",
+        "value",
+        # floor-half-up, not F.round: shortest-repr HALF_UP vs numpy
+        # half-even split on scaled-double boundaries (~1 in 1e4 ratio
+        # rows — one hit at sf0.01); floor(x·1e4+0.5) is bit-identical
+        # in every engine given the same double (negatives round toward
+        # +inf — the readability_scores convention)
+        F.when(
+            F.col("__mad") > 0, F.floor(mz * 10000 + 0.5) / 10000 + 0.0
+        ).alias("mz"),
+        F.coalesce(
+            F.when(F.col("__mad") > 0, F.abs(mz) > 3.5), F.lit(False)
+        ).alias("outlier"),
+    )
+
+
 @register("ts_ewma_smooth")  # rows-only (§2 legend: the recursion's
 # sequential dependence has no stable SQL form); output ≡ pandas
 # ewm(adjust=False) in tests/test_mlprep_props.py

@@ -126,6 +126,7 @@ OPS = [
     "multimodal_image_phash",   # Arrow synth+decode+hash map, 8-byte band join
     "agg_bootstrap_ci",         # one Arrow fold to (G,B) partials + tiny agg
     "merge_scd3",               # key-partitioned joins/unions, batch broadcast
+    "ts_robust_zscore_mad",     # two same-key percentile windows, one exchange
 ]
 
 

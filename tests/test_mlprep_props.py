@@ -3628,3 +3628,86 @@ def test_psi_drift_matches_python_and_planted(spark):
     finally:
         diagq.load = orig
     assert got_ab["a"]["psi_band"] == "stable" and got_ab["b"]["psi_band"] == "stable"
+
+
+def test_robust_zscore_mad_matches_numpy_and_planted(spark):
+    """r14: per-key modified z-score ≡ a numpy same-convention
+    recompute (median, MAD = median |x−med|, Mz = 0.6745·(x−med)/MAD,
+    |Mz|>3.5 rule) at two sfs; planted: one 100× spike in an otherwise
+    tame series flags — and the CLASSICAL mean/std z on the same series
+    is dragged below 3.5 by its own outlier (the reason MAD exists);
+    an all-constant key (MAD 0) emits NULL mz and flags nothing; plan:
+    both percentile windows share ONE exchange."""
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def ref(vals):
+        x = np.asarray(vals, dtype=float)
+        med = np.percentile(x, 50)
+        mad = np.percentile(np.abs(x - med), 50)
+        out = []
+        for v in x:
+            if mad > 0:
+                raw = 0.6745 * (v - med) / mad
+                mz = float(np.floor(raw * 10000 + 0.5) / 10000 + 0.0)
+                out.append((mz, abs(raw) > 3.5))
+            else:
+                out.append((None, False))
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = (
+            load(spark, sf, "events", columns=["user_id", "ts", "value"])
+            .select(
+                "user_id",
+                F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+                "value",
+            )
+            .filter(F.col("value").isNotNull())
+            .toPandas()
+        )
+        want = {}
+        for uid, g in ev.groupby("user_id"):
+            for (_i, row), (mz, fl) in zip(g.iterrows(), ref(g["value"].tolist())):
+                want[(uid, row["ts_s"], row["value"])] = (mz, fl)
+        got = {
+            (r["user_id"], r["ts_s"], r["value"]): (r["mz"], r["outlier"])
+            for r in QUERIES["ts_robust_zscore_mad"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    # planted: tame uniform series + one 100x spike; constant key
+    import n2kupdate_spark.queries.mlprep as mlq
+
+    rows = [(1, float(i), float(10 + (i % 7))) for i in range(60)]
+    rows.append((1, 60.0, 1000.0))
+    rows += [(2, float(i), 5.0) for i in range(30)]
+    pdf = spark.createDataFrame(rows, "user_id: long, ts: double, value: double")
+    # route through the registered query by monkeypatching load; ts is
+    # already seconds here so wrap as timestamp
+    df = pdf.select(
+        "user_id", F.to_timestamp(F.from_unixtime("ts")).alias("ts"), "value"
+    )
+    orig = mlq.load
+    try:
+        mlq.load = lambda spark_, sf_, t, columns=None: df
+        got = {
+            (r["user_id"], r["value"]): r
+            for r in QUERIES["ts_robust_zscore_mad"](spark, "ignored").collect()
+        }
+    finally:
+        mlq.load = orig
+    assert got[(1, 1000.0)]["outlier"] is True
+    vals = np.array([10 + (i % 7) for i in range(60)] + [1000.0])
+    classical = abs(vals[-1] - vals.mean()) / vals.std(ddof=1)
+    assert classical < 8.0  # σ inflated by the spike itself
+    assert got[(1, 1000.0)]["mz"] > 100  # MAD immune to the spike
+    assert got[(2, 5.0)]["mz"] is None and got[(2, 5.0)]["outlier"] is False
+
+    plan = (
+        QUERIES["ts_robust_zscore_mad"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
