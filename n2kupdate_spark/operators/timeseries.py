@@ -558,3 +558,114 @@ def mann_kendall(
         schema,
         group_buckets,
     )
+
+
+def _hw_forecast(x, m, alpha, beta, gamma, horizon):
+    """Run the additive Holt–Winters recursion (identical conventions
+    to :func:`holt_winters` — two-season init, textbook updates) over
+    the full array ``x`` and return the ``horizon``-step forecast.
+    numpy, used inside the backtest's Arrow tasks."""
+    import numpy as np
+
+    l = float(x[:m].mean())
+    b = float((x[m : 2 * m].mean() - x[:m].mean()) / m)
+    s = (x[:m] - x[:m].mean()).astype(float).copy()
+    n = len(x)
+    for t in range(m, n):
+        si = t % m
+        l_new = alpha * (x[t] - s[si]) + (1 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1 - beta) * b
+        s[si] = gamma * (x[t] - l_new) + (1 - gamma) * s[si]
+        l = l_new
+    return np.array(
+        [l + k * b + s[(n + k - 1) % m] for k in range(1, horizon + 1)]
+    )
+
+
+def holt_winters_backtest(
+    series: DataFrame,
+    period: int,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    horizon: int | None = None,
+    n_origins: int = 3,
+    key_col: str = "key",
+    ts_col: str = "ts_s",
+    val_col: str = "value",
+    step: int = 3600,
+    group_buckets: int | None = None,
+) -> DataFrame:
+    """Rolling-origin backtest of the Holt–Winters forecaster — the
+    evaluation harness the forecasting op needs before anyone trusts
+    it for capacity planning (the diag_langid_confusion pattern, time-
+    series edition): per key and per origin (the last ``n_origins``
+    points spaced ``horizon`` apart), fit on all history BEFORE the
+    origin, forecast ``horizon`` steps, score against the actuals, and
+    score the SEASONAL-NAIVE baseline (ŷ_t = x_{t−period}) on the same
+    window — because a forecaster that can't beat "same hour
+    yesterday" is a liability, and skill = 1 − mae/naive_mae is the
+    honest number. Emits (key, origin_ts, n_train, mae, smape,
+    naive_mae, skill), all 4dp scale-first; sMAPE uses the 2|f−a| /
+    (|f|+|a|) form with 0/0 terms dropped. Origins whose history is
+    shorter than 2×period (the fit floor) or whose eval window runs
+    past the series emit nothing.
+
+    Scale: ALL origins of a key evaluate inside its ONE Arrow task —
+    one bucketed dispatch total (never a shuffle per origin); input is
+    the same #keys × #steps bounded grid the forecaster reads."""
+    import numpy as np
+
+    m = int(period)
+    h = int(horizon if horizon is not None else period)
+
+    def _one_key(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([ts_col], kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype=float)
+        ts = pdf[ts_col].to_numpy(dtype="int64")
+        n = len(x)
+        key = pdf[key_col].iloc[0]
+        rows = []
+        for k in range(n_origins, 0, -1):
+            cut = n - k * h
+            if cut < 2 * m or cut + h > n:
+                continue
+            fc = _hw_forecast(x[:cut], m, alpha, beta, gamma, h)
+            actual = x[cut : cut + h]
+            naive = x[cut - m : cut - m + h]
+            mae = float(np.abs(fc - actual).mean())
+            nmae = float(np.abs(naive - actual).mean())
+            denom = np.abs(fc) + np.abs(actual)
+            ok = denom > 0
+            smape = (
+                float(((2.0 * np.abs(fc - actual))[ok] / denom[ok]).mean())
+                if ok.any()
+                else 0.0
+            )
+            skill = 1.0 - mae / nmae if nmae > 0 else 0.0
+            r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+            rows.append(
+                {
+                    key_col: key,
+                    "origin_ts": int(ts[cut]),
+                    "n_train": int(cut),
+                    "mae": r4(mae),
+                    "smape": r4(smape),
+                    "naive_mae": r4(nmae),
+                    "skill": r4(skill),
+                }
+            )
+        cols = [key_col, "origin_ts", "n_train", "mae", "smape", "naive_mae", "skill"]
+        return pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        f"{key_col} {series.schema[key_col].dataType.simpleString()}, "
+        "origin_ts long, n_train long, mae double, smape double, "
+        "naive_mae double, skill double"
+    )
+    return _bucketed_apply(
+        series.select(key_col, ts_col, val_col), key_col, _one_key, schema,
+        group_buckets,
+    )

@@ -127,6 +127,7 @@ OPS = [
     "agg_bootstrap_ci",         # one Arrow fold to (G,B) partials + tiny agg
     "merge_scd3",               # key-partitioned joins/unions, batch broadcast
     "ts_robust_zscore_mad",     # two same-key percentile windows, one exchange
+    "ts_backtest_holt_winters", # bounded grid; all origins in one Arrow task
 ]
 
 

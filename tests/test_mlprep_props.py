@@ -3711,3 +3711,99 @@ def test_robust_zscore_mad_matches_numpy_and_planted(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_hw_backtest_matches_python_and_planted(spark):
+    """r14: the rolling-origin backtest ≡ an independent python
+    recompute (own HW recursion, own MAE/sMAPE/naive scoring) at two
+    sfs; planted: on a clean trending seasonal signal HW beats the
+    seasonal-naive baseline (positive skill at every origin), and a
+    too-short key emits nothing."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.timeseries import holt_winters_backtest
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    M, H, A, B_, G = 24, 24, 0.2, 0.1, 0.3
+
+    def hw_fc(x):
+        l = x[:M].mean()
+        b = (x[M : 2 * M].mean() - x[:M].mean()) / M
+        s = (x[:M] - x[:M].mean()).astype(float).copy()
+        for t in range(M, len(x)):
+            si = t % M
+            ln = A * (x[t] - s[si]) + (1 - A) * (l + b)
+            b = B_ * (ln - l) + (1 - B_) * b
+            s[si] = G * (x[t] - ln) + (1 - G) * s[si]
+            l = ln
+        n = len(x)
+        return np.array([l + k * b + s[(n + k - 1) % M] for k in range(1, H + 1)])
+
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+
+    def ref(ts, x, n_origins=3):
+        out = {}
+        n = len(x)
+        for k in range(n_origins, 0, -1):
+            cut = n - k * H
+            if cut < 2 * M or cut + H > n:
+                continue
+            fc = hw_fc(x[:cut])
+            actual = x[cut : cut + H]
+            naive = x[cut - M : cut - M + H]
+            mae = np.abs(fc - actual).mean()
+            nmae = np.abs(naive - actual).mean()
+            den = np.abs(fc) + np.abs(actual)
+            ok = den > 0
+            smape = ((2 * np.abs(fc - actual))[ok] / den[ok]).mean() if ok.any() else 0.0
+            skill = 1 - mae / nmae if nmae > 0 else 0.0
+            out[int(ts[cut])] = (cut, r4(mae), r4(smape), r4(nmae), r4(skill))
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = (
+            load(spark, sf, "events", columns=["ts", "event_type"])
+            .select(
+                "event_type",
+                (F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600) * 3600)
+                .cast("long").alias("ts_s"),
+            )
+            .groupBy("event_type", "ts_s")
+            .count()
+            .toPandas()
+        )
+        lo, hi = ev["ts_s"].min(), ev["ts_s"].max()
+        grid = np.arange(lo, hi + 1, 3600)
+        want = {}
+        for et, g in ev.groupby("event_type"):
+            series = dict(zip(g["ts_s"], g["count"]))
+            x = np.array([float(series.get(t, 0)) for t in grid])
+            for ots, tup in ref(grid, x).items():
+                want[(et, ots)] = tup
+        got = {
+            (r["event_type"], r["origin_ts"]): (
+                r["n_train"], r["mae"], r["smape"], r["naive_mae"], r["skill"]
+            )
+            for r in QUERIES["ts_backtest_holt_winters"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    # planted: trend + clean daily season, tiny noise → HW wins at every
+    # origin; a 40-point key (< 2 seasons + eval) emits nothing
+    rng = np.random.RandomState(4)
+    rows = []
+    for i in range(24 * 10):
+        v = 0.5 * i + 10 * np.sin(2 * np.pi * (i % 24) / 24) + 0.01 * rng.randn()
+        rows.append(("long", i * 3600, float(v)))
+    rows += [("short", i * 3600, 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "key: string, ts_s: long, value: double")
+    got = {
+        (r["key"], r["origin_ts"]): r
+        for r in holt_winters_backtest(df, period=24, n_origins=3).collect()
+    }
+    assert not any(k == "short" for k, _o in got)
+    longs = [r for (k, _o), r in got.items() if k == "long"]
+    assert len(longs) == 3
+    for r in longs:
+        assert r["skill"] > 0.5, dict(r.asDict())  # trend kills the naive
