@@ -53,6 +53,19 @@ def poisson_weights(ids: np.ndarray, b: int, n_reps: int) -> np.ndarray:
     return np.searchsorted(_pois1_cdf(), u, side="right").astype(np.int64)
 
 
+def poisson_weight_matrix(ids: np.ndarray, n_reps: int) -> np.ndarray:
+    """All replicas at once: the (n_rows × n_reps) multiplicity matrix,
+    one vectorized splitmix64 + searchsorted over the OUTER product of
+    ids and replica indices — identical values to per-replica
+    :func:`poisson_weights` (same u per (id, b)), ~n_reps× fewer
+    python-level passes."""
+    keys = ids.astype(np.uint64)[:, None] * np.uint64(n_reps) + np.arange(
+        n_reps, dtype=np.uint64
+    )[None, :]
+    u = _splitmix64(keys).astype(np.float64) / float(2**64)
+    return np.searchsorted(_pois1_cdf(), u, side="right").astype(np.int64)
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     group_col: str,
@@ -67,8 +80,9 @@ def bootstrap_mean_ci(
 
     Plan: ONE Arrow ``mapInPandas`` pass folds each batch into
     (group, replica, Σw, Σw·x, Σ1, Σx) partial rows (≤ G·B rows per
-    batch — the replica loop is a numpy outer product, not per-row
-    python), one (group, replica)-keyed partial-agged sum, then the
+    batch — the whole replica axis is one numpy outer product per
+    group, :func:`poisson_weight_matrix`, not a per-replica python
+    loop), one (group, replica)-keyed partial-agged sum, then the
     percentile read runs on the bounded G×B table via sort_array over
     a collect_list that is B-bounded BY CONSTRUCTION (never a
     data-sized array — the §2 collect_list rule). Empty replicas
@@ -81,33 +95,48 @@ def bootstrap_mean_ci(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             x = pdf[val_col].to_numpy(dtype=np.float64)
             g = pdf[group_col].to_numpy()
-            out_g, out_b, out_sw, out_swx, out_n, out_sx = [], [], [], [], [], []
+            frames = []
             for grp in pd.unique(g):
                 m = g == grp
                 gid, gx = ids[m], x[m]
-                for b in range(n_reps):
-                    w = poisson_weights(gid, b, n_reps)
-                    out_g.append(grp)
-                    out_b.append(b)
-                    out_sw.append(int(w.sum()))
-                    out_swx.append(float((w * gx).sum()))
-                    out_n.append(int(len(gx)))
-                    out_sx.append(float(gx.sum()))
-            yield pd.DataFrame(
+                # ONE vectorized outer pass per group: (rows × reps)
+                # weight matrix, column sums — no per-replica python loop
+                W = poisson_weight_matrix(gid, n_reps)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__g": grp,
+                            "__b": np.arange(n_reps, dtype=np.int32),
+                            "__sw": W.sum(axis=0),
+                            "__swx": (W * gx[:, None]).sum(axis=0),
+                            "__n": np.int64(len(gx)),
+                            "__sx": float(gx.sum()),
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
                 {
-                    "__g": out_g,
-                    "__b": out_b,
-                    "__sw": out_sw,
-                    "__swx": out_swx,
-                    "__n": out_n,
-                    "__sx": out_sx,
+                    "__g": pd.Series(dtype=object),
+                    "__b": pd.Series(dtype=np.int32),
+                    "__sw": pd.Series(dtype=np.int64),
+                    "__swx": pd.Series(dtype=np.float64),
+                    "__n": pd.Series(dtype=np.int64),
+                    "__sx": pd.Series(dtype=np.float64),
                 }
             )
 
     gtype = df.schema[group_col].dataType.simpleString()
     parts = (
         df.select(group_col, id_col, val_col)
-        .filter(F.col(val_col).isNotNull())
+        # id carries the replica hash — a NULL id has no deterministic
+        # weight and would crash the int64 cast; NULL groups likewise
+        # drop (SQL groupBy would keep them, but a NULL cohort has no
+        # dashboard meaning here — documented, not silent: this filter)
+        .filter(
+            F.col(val_col).isNotNull()
+            & F.col(id_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        )
         .mapInPandas(
             _fold,
             schema=(

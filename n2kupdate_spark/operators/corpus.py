@@ -2938,11 +2938,18 @@ def script_mix(
     partitioning. At 100 TB this is scan-bound, exactly like the other
     per-doc scorers it feeds dashboards with."""
     n_letters = F.regexp_count(F.col(text_col), F.lit(r"\p{L}"))
+    # each script class INTERSECTED with \p{L} (Java char-class &&):
+    # scripts contain non-letters — Arabic-Indic DIGITS are script=
+    # Arabic but category Nd — and counting them against a letter
+    # denominator would push fractions past 1.0 and other_frac negative
+    # (review r14: planted "abc٠١٢٣" pin)
     counts = {
-        "latin": F.regexp_count(F.col(text_col), F.lit(r"\p{IsLatin}")),
-        "cyrillic": F.regexp_count(F.col(text_col), F.lit(r"\p{IsCyrillic}")),
-        "han": F.regexp_count(F.col(text_col), F.lit(r"\p{IsHan}")),
-        "arabic": F.regexp_count(F.col(text_col), F.lit(r"\p{IsArabic}")),
+        "latin": F.regexp_count(F.col(text_col), F.lit(r"[\p{IsLatin}&&\p{L}]")),
+        "cyrillic": F.regexp_count(
+            F.col(text_col), F.lit(r"[\p{IsCyrillic}&&\p{L}]")
+        ),
+        "han": F.regexp_count(F.col(text_col), F.lit(r"[\p{IsHan}&&\p{L}]")),
+        "arabic": F.regexp_count(F.col(text_col), F.lit(r"[\p{IsArabic}&&\p{L}]")),
     }
     named = docs.select(
         id_col,

@@ -2173,22 +2173,28 @@ def bfs_distances(
         seed_n.select("__node", F.lit(0).cast("long").alias("__d")),
         checkpoint_mode,
     )
-    n_reached = dist.count()
+    # expand from the FRONTIER only (nodes first reached last round),
+    # never the whole reached table: re-joining all k−1 prior levels
+    # every round would re-emit their candidates k times — O(E·Σdeg)
+    # shuffle instead of O(Σdeg) (review r14). A node's distance is
+    # final when first reached (level-synchronous BFS), so new nodes =
+    # frontier-neighbors anti-joined against the reached set.
+    frontier = dist
     for _ in range(max_iter):
         cand = (
-            dist.join(sym, dist["__node"] == sym["a"])
+            frontier.join(sym, frontier["__node"] == sym["a"])
             .select(F.col("b").alias("__node"), (F.col("__d") + 1).alias("__d"))
         )
-        dist = _iter_ckpt(
-            dist.unionByName(cand).groupBy("__node").agg(
-                F.min("__d").alias("__d")
-            ),
+        new_nodes = _iter_ckpt(
+            cand.groupBy("__node")
+            .agg(F.min("__d").alias("__d"))
+            .join(dist.select("__node"), "__node", "left_anti"),
             checkpoint_mode,
         )
-        now = dist.count()
-        if now == n_reached:
+        if new_nodes.count() == 0:
             break
-        n_reached = now
+        dist = _iter_ckpt(dist.unionByName(new_nodes), checkpoint_mode)
+        frontier = new_nodes
     return nodes.select(F.col(id_col).alias("__node")).join(
         dist, "__node", "left"
     ).select(F.col("__node").alias(id_col), F.col("__d").alias("hop"))

@@ -91,10 +91,13 @@ def merge_digests(
     return build_digest(ms, ws, delta)
 
 
-def digest_quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+def digest_quantile(means: np.ndarray, weights: np.ndarray, q: float):
     """Standard t-digest quantile read: centroid i's mass is centered at
     cum_before + w_i/2; interpolate linearly between adjacent centers,
-    clamping to the end centroids outside their centers."""
+    clamping to the end centroids outside their centers. An EMPTY
+    digest (zero rows / all-null input) reads None, not a crash."""
+    if not len(means):
+        return None
     n = float(weights.sum())
     target = q * n
     centers = np.cumsum(weights) - weights / 2.0
@@ -130,7 +133,13 @@ def tdigest_quantiles_by_group(
     (bounded: groups × buckets × O(δ) doubles) and merge driver-side —
     the sketch-family pattern (agg_cms_heavy_hitters deserializes
     driver-side the same way); the heavy work, sorting + clustering n
-    rows, is distributed."""
+    rows, is distributed.
+
+    The OUTPUT group column is always STRING: the merged-rollup label
+    (``all_label``) shares the column, so non-string group values are
+    rendered with str() (a NULL group stays NULL) — the trade every
+    rollup-label table makes. Empty input yields just the all_label
+    row with n = 0 and NULL quantiles."""
     import pandas as pd
 
     hcols = list(hash_cols) if hash_cols else [val_col]
@@ -160,25 +169,25 @@ def tdigest_quantiles_by_group(
         by_group.setdefault(r["__g"], []).append(
             (np.asarray(r["means"]), np.asarray(r["weights"]))
         )
+    def _q4(m, w, q):
+        v = digest_quantile(m, w, q)
+        return None if v is None else float(np.round(v * 10000) / 10000 + 0.0)
+
     rows = []
     group_digests = []
-    for g in sorted(by_group):
+    # None-safe deterministic group order (NULL groups sort first)
+    for g in sorted(by_group, key=lambda g: (g is not None, str(g))):
         m, w = merge_digests(by_group[g], delta)
         group_digests.append((m, w))
+        label = None if g is None else str(g)
         rows.append(
-            (g, int(w.sum()))
-            + tuple(
-                float(np.round(digest_quantile(m, w, q) * 10000) / 10000 + 0.0)
-                for q in quantiles
-            )
+            (label, int(w.sum()))
+            + tuple(_q4(m, w, q) for q in quantiles)
         )
-    gm, gw = merge_digests(group_digests, delta)
+    gm, gw = merge_digests(group_digests or [(np.empty(0), np.empty(0))], delta)
     rows.append(
-        (all_label, int(gw.sum()))
-        + tuple(
-            float(np.round(digest_quantile(gm, gw, q) * 10000) / 10000 + 0.0)
-            for q in quantiles
-        )
+        (all_label, int(gw.sum()) if len(gw) else 0)
+        + tuple(_q4(gm, gw, q) for q in quantiles)
     )
     qcols = ", ".join(f"p{int(round(q * 100))} double" for q in quantiles)
     return df.sparkSession.createDataFrame(

@@ -547,7 +547,12 @@ def test_reliable_checkpoint_mode_bit_identical(spark, tmp_path):
     edges = spark.createDataFrame(edge_list, "id1: long, id2: long")
 
     sc = spark.sparkContext
-    if sc.getCheckpointDir() is None:
+    # pin the no-dir refusal UNCONDITIONALLY (review r14: guarding on
+    # the live getCheckpointDir made this branch silently skippable
+    # once any test set a dir) — patch the accessor instead
+    from unittest import mock
+
+    with mock.patch.object(type(sc), "getCheckpointDir", return_value=None):
         with pytest.raises(ValueError, match="setCheckpointDir"):
             connected_components(
                 nodes, edges, driver_edge_threshold=0,
@@ -558,6 +563,9 @@ def test_reliable_checkpoint_mode_bit_identical(spark, tmp_path):
             nodes, edges, driver_edge_threshold=0, checkpoint_mode="bogus"
         ).collect()
 
+    # NOTE: the checkpoint dir stays set on the shared session after
+    # this test (Spark has no unset API); nothing else calls
+    # .checkpoint(), so the only effect is a stale tmp reference
     sc.setCheckpointDir(str(tmp_path / "ckpt"))
     for fn, kw in (
         (connected_components, {"driver_edge_threshold": 0}),

@@ -3468,6 +3468,10 @@ def test_script_mix_matches_python_and_planted(spark):
         (5, "abcde абвгд"),                                 # exact 5/5 tie
         (6, "12345 !!! ...."),                              # zero letters
         (7, "mixed текст with 中文 and عربى words"),
+        # Arabic-Indic DIGITS are script=Arabic but NOT letters: they
+        # must count toward neither numerator nor denominator (review
+        # r14 — unintersected \p{IsArabic} read arabic_frac 1.33 here)
+        (8, "abc ٠١٢٣"),
     ]
     df = spark.createDataFrame(planted, "doc_id: long, text: string")
     got = {r["doc_id"]: r for r in script_mix(df).collect()}
@@ -3484,6 +3488,8 @@ def test_script_mix_matches_python_and_planted(spark):
     assert got[4]["other_frac"] and got[4]["other_frac"] > 0
     assert got[5]["dominant_script"] == "latin"  # tie -> column order
     assert got[6]["n_letters"] == 0 and got[6]["dominant_script"] is None
+    assert got[8]["n_letters"] == 3 and got[8]["latin_frac"] == 1.0
+    assert got[8]["arabic_frac"] == 0.0 and got[8]["other_frac"] == 0.0
 
 
 def test_compression_ratio_matches_zlib_and_bands(spark):
