@@ -681,3 +681,57 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(df).alias("welch_df"),
         (F.abs(t) >= 1.96).alias("significant"),
     )
+
+
+@register("agg_power_mde")  # rows-only (r9 capacity policy): ≡ numpy
+# same-formula recompute + planted closed-form pins —
+# tests/test_parity.py
+def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis per event type — the experiment-DESIGN table
+    next to agg_welch_ttest (which judges a finished test) and
+    agg_bootstrap_ci (which bounds an estimate): at the classical
+    two-sided α = 5% / 80% power operating point (z = 1.96 / 0.8416),
+    the MINIMUM DETECTABLE EFFECT the current cohort sizes support,
+
+        mde = (z_α/2 + z_β) · √(s²_a/n_a + s²_b/n_b),
+
+    both absolute and as % of the pooled mean, plus the per-cohort n
+    required to detect a 1%-of-mean lift:
+    n = (z_α/2 + z_β)² · (s²_a + s²_b) / δ². A team reads this row
+    BEFORE launching: "at today's traffic we can only see 4% lifts;
+    seeing 1% needs 16× the sample".
+
+    Scale: the SAME single conditional-moments pass as the Welch op
+    (one partial-agged #types-row aggregate); all power algebra on the
+    tiny table. Scale-first 4dp."""
+    ev = load(
+        spark, sf_dir, "events", columns=["event_type", "user_id", "value"]
+    ).filter(F.col("value").isNotNull())
+    a = F.col("user_id") % 2 == 0
+    agg = ev.groupBy("event_type").agg(
+        F.sum(a.cast("long")).alias("na"),
+        F.sum(F.when(a, F.col("value"))).alias("sa"),
+        F.sum(F.when(a, F.col("value") * F.col("value"))).alias("qa"),
+        F.sum((~a).cast("long")).alias("nb"),
+        F.sum(F.when(~a, F.col("value"))).alias("sb"),
+        F.sum(F.when(~a, F.col("value") * F.col("value"))).alias("qb"),
+    )
+    Z = 1.96 + 0.8416  # z_{α/2} + z_β at 5% two-sided / 80% power
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    va = (F.col("qa") - F.col("na") * ma * ma) / (F.col("na") - 1)
+    vb = (F.col("qb") - F.col("nb") * mb * mb) / (F.col("nb") - 1)
+    mde = F.lit(Z) * F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    pooled_mean = (F.col("sa") + F.col("sb")) / (F.col("na") + F.col("nb"))
+    delta_1pct = pooled_mean * 0.01
+    n_needed = F.ceil(
+        F.lit(Z * Z) * (va + vb) / (delta_1pct * delta_1pct)
+    ).cast("long")
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return agg.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        r4(mde).alias("mde_abs"),
+        r4(mde / pooled_mean * 100).alias("mde_pct_of_mean"),
+        n_needed.alias("n_per_cohort_for_1pct"),
+    )

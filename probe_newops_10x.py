@@ -128,6 +128,7 @@ OPS = [
     "merge_scd3",               # key-partitioned joins/unions, batch broadcast
     "ts_robust_zscore_mad",     # two same-key percentile windows, one exchange
     "ts_backtest_holt_winters", # bounded grid; all origins in one Arrow task
+    "agg_power_mde",            # one conditional-moments pass, tiny algebra
 ]
 
 

@@ -857,3 +857,77 @@ def test_bootstrap_ci_matches_python_and_coverage(spark):
     w_small = got["s"]["ci_hi"] - got["s"]["ci_lo"]
     w_big = got["b"]["ci_hi"] - got["b"]["ci_lo"]
     assert w_big < w_small * 0.75  # ~sqrt(4)=2x narrower, slack for noise
+
+
+def test_power_mde_matches_numpy_and_closed_form(spark):
+    """r14: the power table ≡ a numpy same-formula recompute at two
+    sfs; closed-form pin: a planted N(100, σ=10) pair of 1000-row
+    cohorts must read mde_abs ≈ 2.8·√(2)·10/√1000 ≈ 1.24 and
+    n_per_cohort_for_1pct ≈ 2.8²·2·100/1 ≈ 1569; the mde shrinks
+    with √n (quadrupling both cohorts halves it)."""
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    from pyspark.sql import functions as F
+
+    Z = 1.96 + 0.8416
+    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+
+    def ref(rows):
+        out = {}
+        by = {}
+        for t, u, v in rows:
+            by.setdefault(t, ([], []))[u % 2].append(v)
+        for t, (even, odd) in by.items():
+            a, b = np.array(even), np.array(odd)
+            va, vb = a.var(ddof=1), b.var(ddof=1)
+            mde = Z * np.sqrt(va / len(a) + vb / len(b))
+            pm = (a.sum() + b.sum()) / (len(a) + len(b))
+            d = pm * 0.01
+            n = int(np.ceil(Z * Z * (va + vb) / (d * d)))
+            out[t] = (len(a), len(b), r4(mde), r4(mde / pm * 100), n)
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], int(r["user_id"]), float(r["value"]))
+            for r in load(spark, sf, "events", columns=["event_type", "user_id", "value"])
+            .filter(F.col("value").isNotNull())
+            .collect()
+        ]
+        want = ref(rows)
+        got = {
+            r["event_type"]: (
+                r["n_a"], r["n_b"], r["mde_abs"], r["mde_pct_of_mean"],
+                r["n_per_cohort_for_1pct"],
+            )
+            for r in QUERIES["agg_power_mde"](spark, sf).collect()
+        }
+        # cohort assignment is even/odd user_id in BOTH — but a/b order
+        # must match the query's (even = a)
+        assert got == want, sf
+
+    rng = np.random.RandomState(6)
+    mk = lambda n, uoff: [  # noqa: E731
+        ("t", uoff + i, float(100 + 10 * rng.randn())) for i in range(n)
+    ]
+    import n2kupdate_spark.queries.aggregates as aggq
+
+    for n, name in ((1000, "n1k"), (4000, "n4k")):
+        rows = mk(n, 0) + mk(n, 1)  # even ids cohort a, odd cohort b
+        planted = [(t, 2 * i + (u % 2), v) for i, (t, u, v) in enumerate(rows)]
+        df = spark.createDataFrame(planted, "event_type: string, user_id: long, value: double")
+        orig = aggq.load
+        try:
+            aggq.load = lambda spark_, sf_, t, columns=None: df
+            row = QUERIES["agg_power_mde"](spark, "ignored").collect()[0]
+        finally:
+            aggq.load = orig
+        if name == "n1k":
+            mde1k = row["mde_abs"]
+            assert abs(row["mde_abs"] - Z * np.sqrt(2) * 10 / np.sqrt(n)) < 0.15
+            assert abs(row["n_per_cohort_for_1pct"] - Z * Z * 200) < Z * Z * 200 * 0.15
+        else:
+            assert abs(row["mde_abs"] - mde1k / 2) < 0.1  # sqrt(4) = 2x
