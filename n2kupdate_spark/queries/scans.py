@@ -191,6 +191,58 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+_LAYOUT_BASE = os.environ.get(
+    "N2K_LAYOUT_DEMO_DIR",
+    os.path.join(
+        tempfile.gettempdir(),
+        f"n2kupdate_spark_layout_{getattr(os, 'getuid', lambda: 'u')()}",
+    ),
+)
+
+
+@register("diag_parquet_layout")  # rows-only (r9 capacity policy):
+# footer stats pinned vs DuckDB parquet_metadata() — a genuinely
+# independent reader of the same footers — in tests/test_sources.py
+def diag_parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout advisor — min/max-pruning quality from parquet FOOTERS
+    (sources/maintenance.py::parquet_layout_report): writes two 8-file
+    twins of orders — hash-placed on o_orderkey (the accidental layout
+    most tables have) and Z-ordered on o_totalprice (the compacted
+    layout) — then reports each layout's point_read_frac on
+    o_totalprice: the expected fraction of row groups a point
+    predicate must read, ≈1.0 for the hash layout (every file spans
+    the whole price range — pruning useless) vs ≈1/8 for the clustered
+    twin. THIS table is the evidence `compact_parquet(zorder_by=...)`
+    earns its rewrite at 100 TB. Metadata-parallel: executors read
+    footers only, no data pages; per-group stat rows are #groups ×
+    #columns."""
+    from n2kupdate_spark.sources import load
+    from n2kupdate_spark.sources.maintenance import (
+        _compact_write,
+        parquet_layout_report,
+    )
+
+    o = load(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    plain = os.path.join(_LAYOUT_BASE, "plain")
+    zord = os.path.join(_LAYOUT_BASE, "zorder")
+    o.repartition(8, "o_orderkey").write.mode("overwrite").parquet(plain)
+    _compact_write(
+        spark, o, 8, zord,
+        sort_by=None, zorder_by=["o_totalprice"],
+        bloom_cols=None, bloom_ndv=0,
+    )
+    rep_p = parquet_layout_report(spark, plain, ["o_totalprice"]).select(
+        F.lit("hash_orderkey").alias("layout"), "*"
+    )
+    rep_z = parquet_layout_report(spark, zord, ["o_totalprice"]).select(
+        F.lit("zorder_totalprice").alias("layout"), "*"
+    )
+    return rep_p.unionByName(rep_z).orderBy("layout", "column")
+
+
 # User-unique by uid (a shared /tmp dir owned by ANOTHER user would make
 # importing the whole queries package fail with PermissionError — advisor
 # r7), overridable for test harnesses. The oracle SQL interpolates this

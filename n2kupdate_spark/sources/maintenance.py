@@ -765,3 +765,111 @@ def vacuum_unreferenced(
         "dropped_manifests": len(dropped),
         "removed_files": removed,
     }
+
+
+def parquet_layout_report(
+    spark: SparkSession, path: str, columns: list[str]
+) -> DataFrame:
+    """Footer-stats pruning-quality report — the layout advisor a
+    100 TB lake runs BEFORE trusting min/max pruning (and after
+    :func:`compact_parquet` to prove the rewrite helped): for each
+    requested NUMERIC column, read every row group's min/max from the
+    parquet footers and fold them into
+
+        point_read_frac = Σ_g (max_g − min_g) / (W · n_groups),
+
+    the expected fraction of row groups a uniform random point
+    predicate must read — ~1/n_groups when the column is perfectly
+    clustered (each group covers a disjoint slice), ~1.0 when every
+    group spans the whole range (pruning is useless no matter what the
+    query does). Row groups with missing stats count as full-range
+    (they can never be pruned — honesty over optimism); a zero-width
+    global range reads 1.0 (nothing is prunable on a constant).
+    Emits one row per column: (column, n_files, n_row_groups,
+    point_read_frac 4dp).
+
+    Scale: file paths distribute to executors and each Arrow task
+    opens ONLY the footers of its files (pyarrow metadata reads, no
+    data pages) — at millions of files this is a metadata-parallel
+    scan, never a driver loop; the per-group (col, min, max) rows that
+    shuffle are #groups × #columns, trivially small."""
+    import pandas as pd  # noqa: F401
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    files = []
+    while it.hasNext():
+        f = it.next().getPath().toString()
+        if f.endswith(".parquet"):
+            files.append(f)
+    fdf = spark.createDataFrame([(f,) for f in sorted(files)], "path string")
+    want = set(columns)
+
+    def _footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                local = p[len("file:"):] if p.startswith("file:") else p
+                md = pq.ParquetFile(local).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema
+                        if name not in want:
+                            continue
+                        st = col.statistics
+                        has = bool(st is not None and st.has_min_max)
+                        try:
+                            vmin = float(st.min) if has else None
+                            vmax = float(st.max) if has else None
+                        except Exception:
+                            # pyarrow can't decode min/max for some
+                            # physical/logical type combos — count the
+                            # group as unprunable rather than crash
+                            has, vmin, vmax = False, None, None
+                        rows.append(
+                            {
+                                "col": name,
+                                "file": p,
+                                "vmin": vmin,
+                                "vmax": vmax,
+                                "has_stats": has,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["col", "file", "vmin", "vmax", "has_stats"],
+            )
+
+    groups = fdf.mapInPandas(
+        _footers,
+        schema="col string, file string, vmin double, vmax double, has_stats boolean",
+    )
+    agg = groups.groupBy("col").agg(
+        F.countDistinct("file").alias("n_files"),
+        F.count(F.lit(1)).alias("n_row_groups"),
+        F.min("vmin").alias("gmin"),
+        F.max("vmax").alias("gmax"),
+        F.sum(
+            F.when(F.col("has_stats"), F.col("vmax") - F.col("vmin"))
+        ).alias("w_sum"),
+        F.sum((~F.col("has_stats")).cast("long")).alias("n_nostats"),
+    )
+    width = F.col("gmax") - F.col("gmin")
+    frac = F.when(
+        width > 0,
+        (F.col("w_sum") + F.col("n_nostats") * width)
+        / (width * F.col("n_row_groups")),
+    ).otherwise(F.lit(1.0))
+    return agg.select(
+        F.col("col").alias("column"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_row_groups").cast("long").alias("n_row_groups"),
+        (F.round(frac * 10000) / 10000 + 0.0).alias("point_read_frac"),
+    )

@@ -129,6 +129,7 @@ OPS = [
     "ts_robust_zscore_mad",     # two same-key percentile windows, one exchange
     "ts_backtest_holt_winters", # bounded grid; all origins in one Arrow task
     "agg_power_mde",            # one conditional-moments pass, tiny algebra
+    "diag_parquet_layout",      # two 8-file rewrites + metadata-parallel footers
 ]
 
 

@@ -1086,3 +1086,62 @@ def test_xml_python_datasource_format(spark, sf_dir, tmp_path):
         spark.read.schema(nation.schema).format("n2k_xml").load(
             str(tmp_path / "missing")
         ).collect()
+
+
+def test_parquet_layout_report_vs_duckdb_metadata(spark):
+    """r14: the layout advisor's footer arithmetic ≡ a DuckDB
+    parquet_metadata() recompute (a genuinely independent reader of the
+    same footers) on both demo twins; geometry: the Z-ordered twin's
+    point_read_frac ≈ 1/n_files while the hash twin reads ≈ 1.0 — the
+    number that proves a zorder rewrite earned its cost; a column with
+    a constant value reads exactly 1.0 (nothing prunable)."""
+    import glob
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.scans import _LAYOUT_BASE
+    from n2kupdate_spark.sources.maintenance import parquet_layout_report
+
+    got = {
+        (r["layout"], r["column"]): r
+        for r in QUERIES["diag_parquet_layout"](spark, "/root/testdata/sf0.01").collect()
+    }
+
+    con = duckdb.connect()
+    for layout, sub in (("hash_orderkey", "plain"), ("zorder_totalprice", "zorder")):
+        pat = os.path.join(_LAYOUT_BASE, sub, "*.parquet")
+        md = con.execute(
+            f"""
+            SELECT file_name, row_group_id,
+                   CAST(stats_min_value AS DOUBLE) AS vmin,
+                   CAST(stats_max_value AS DOUBLE) AS vmax
+            FROM parquet_metadata('{pat}')
+            WHERE path_in_schema = 'o_totalprice'
+            """
+        ).fetchall()
+        n_files = len({m[0] for m in md})
+        n_groups = len(md)
+        gmin = min(m[2] for m in md)
+        gmax = max(m[3] for m in md)
+        frac = sum(m[3] - m[2] for m in md) / ((gmax - gmin) * n_groups)
+        want = float(np.round(frac * 10000) / 10000 + 0.0)
+        g = got[(layout, "o_totalprice")]
+        assert (g["n_files"], g["n_row_groups"]) == (n_files, n_groups), layout
+        assert g["point_read_frac"] == want, (layout, g["point_read_frac"], want)
+    assert got[("hash_orderkey", "o_totalprice")]["point_read_frac"] > 0.9
+    zfrac = got[("zorder_totalprice", "o_totalprice")]["point_read_frac"]
+    assert zfrac < 2.0 / 8  # ~1/n_files with quantile-cut slack
+
+    # constant column: nothing prunable, frac exactly 1.0
+    const_dir = os.path.join(_LAYOUT_BASE, "const")
+    spark.range(1000).selectExpr("id", "CAST(42.0 AS DOUBLE) AS c").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(const_dir)
+    rep = {
+        r["column"]: r for r in parquet_layout_report(spark, const_dir, ["c"]).collect()
+    }
+    assert rep["c"]["point_read_frac"] == 1.0
+    assert len(glob.glob(os.path.join(const_dir, "*.parquet"))) == rep["c"]["n_files"]
