@@ -2223,6 +2223,60 @@ def sample_weighted_topk(
     )
 
 
+def sample_weighted_per_key(
+    rows: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PER-KEY weighted sampling without replacement — the stratified
+    sibling of :func:`sample_weighted_topk` (which draws one global
+    sample) and of the uniform per-key reservoir: k rows PER KEY drawn
+    with probability ∝ weight, the shape a mixture-building pipeline
+    actually wants ("5 quality-weighted docs from EVERY source/
+    language", not "the 5 heaviest overall" — a global draw starves
+    small strata entirely). Same Efraimidis–Spirakis key, same
+    content-addressed u from md5(id) (deterministic across runs/
+    engines/partitionings), same weight ≤ 0 / NULL exclusion. Emits
+    (key, id, weight, es_key 4dp, sel_rank 1-based within key).
+
+    Scale shape: one map computes the key, then ONE key-partitioned
+    rank window keeps rank ≤ k — per-stratum top-k in a single
+    shuffle; skewed strata are rank windows over their own partition
+    only (AQE splits an oversized one), never a global sort."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    u = F.greatest(u, F.lit(1.0 / float(16**13)))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    rk = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(
+            F.col("es_key").desc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        rows.filter(w.isNotNull() & (w > 0))
+        .select(key_col, id_col, weight_col, key.alias("es_key"))
+        .select(key_col, id_col, weight_col, "es_key", rk.alias("sel_rank"))
+        .filter(F.col("sel_rank") <= k)
+        # 6dp, not the usual 4: with length-scale weights (hundreds+)
+        # ln(u)/w sits at 1e-3..1e-5 and 4dp would collapse every key
+        # to one of a few values — selection always ranks the UNROUNDED
+        # key; the rounding is display/pin canonicalization only
+        .select(
+            key_col,
+            id_col,
+            weight_col,
+            (F.round(F.col("es_key") * 1000000) / 1000000).alias("es_key"),
+            "sel_rank",
+        )
+    )
+
+
 def normalize_urls(
     rows: DataFrame,
     url_col: str = "url",

@@ -1449,6 +1449,24 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "rk")
 
 
+@register("sample_weighted_per_key")  # rows-only (r9 capacity policy):
+# ≡ an independent python recompute + stratum-coverage pins —
+# tests/test_mlprep_props.py
+def sample_weighted_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sample: 5 length-weighted documents from
+    EVERY source — the per-stratum sibling of sample_weighted_topk (a
+    global draw starves small strata; a mixture builder wants coverage
+    of each source with quality/length-proportional choice inside it).
+    Scale: one map + ONE key-partitioned rank window — see
+    operators/corpus.py::sample_weighted_per_key."""
+    from n2kupdate_spark.operators.corpus import (
+        sample_weighted_per_key as _swpk,
+    )
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return _swpk(d, k=5, weight_col="n_chars", key_col="source")
+
+
 @register("sample_weighted_topk")  # rows-only (r9 capacity policy,
 # headroom preserved): membership + ranks recomputed independently in
 # python at two sfs in tests/test_mlprep_props.py

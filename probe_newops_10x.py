@@ -130,6 +130,7 @@ OPS = [
     "ts_backtest_holt_winters", # bounded grid; all origins in one Arrow task
     "agg_power_mde",            # one conditional-moments pass, tiny algebra
     "diag_parquet_layout",      # two 8-file rewrites + metadata-parallel footers
+    "sample_weighted_per_key",  # one map + one key-partitioned rank window
 ]
 
 

@@ -3813,3 +3813,79 @@ def test_hw_backtest_matches_python_and_planted(spark):
     assert len(longs) == 3
     for r in longs:
         assert r["skill"] > 0.5, dict(r.asDict())  # trend kills the naive
+
+
+def test_sample_weighted_per_key_matches_python(spark):
+    """r14: the stratified weighted sampler ≡ an independent python
+    recompute of the full spec (md5-derived u, ln(u)/w key, per-key
+    top-k, id-asc ties) at two sfs; contracts: EVERY stratum with ≥ k
+    positive-weight rows yields exactly k (the coverage a global draw
+    can't promise), weight ≤ 0/NULL rows never drawn, determinism
+    across reruns, and a planted heavy weight is drawn within its
+    stratum (w → ∞ ⇒ key → 0⁻, the E-S guarantee)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from n2kupdate_spark.operators.corpus import sample_weighted_per_key
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def es_key(doc_id, w):
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16) / float(16**13)
+        u = max(u, 1.0 / float(16**13))
+        return math.log(u) / w
+
+    def ref(rows, k=5):
+        by = {}
+        for key, i, w in rows:
+            if w is not None and w > 0:
+                by.setdefault(key, []).append((es_key(i, float(w)), i, w))
+        out = {}
+        for key, items in by.items():
+            items.sort(key=lambda t: (-t[0], t[1]))
+            for r, (ek, i, w) in enumerate(items[:k], 1):
+                out[(key, i)] = (
+                    w, float(np.round(ek * 1000000) / 1000000), r
+                )
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["source"], r["doc_id"], r["n_chars"])
+            for r in load(spark, sf, "documents", columns=["doc_id", "source", "n_chars"]).collect()
+        ]
+        want = ref(rows)
+        got = {
+            (r["source"], r["doc_id"]): (r["n_chars"], r["es_key"], r["sel_rank"])
+            for r in QUERIES["sample_weighted_per_key"](spark, sf).collect()
+        }
+        assert got == want, sf
+        again = {
+            (r["source"], r["doc_id"]): (r["n_chars"], r["es_key"], r["sel_rank"])
+            for r in QUERIES["sample_weighted_per_key"](spark, sf).collect()
+        }
+        assert again == got
+        counts = {}
+        for (src, _i) in got:
+            counts[src] = counts.get(src, 0) + 1
+        full = {s_ for s_, n in
+                __import__("collections").Counter(s_ for s_, _i, w in rows if w and w > 0).items()
+                if n >= 5}
+        assert all(counts[s_] == 5 for s_ in full)
+
+    planted = (
+        [("a", i, 1.0) for i in range(50)]
+        + [("a", 999, 1e9)]                  # heavy: must be drawn in 'a'
+        + [("b", 100 + i, 2.0) for i in range(3)]  # small stratum: all 3
+        + [("c", 200, None), ("c", 201, 0.0), ("c", 202, -1.0), ("c", 203, 5.0)]
+    )
+    df = spark.createDataFrame(planted, "k: string, doc_id: long, w: double")
+    got = {
+        (r["k"], r["doc_id"]): r["sel_rank"]
+        for r in sample_weighted_per_key(df, 5, "w", "k", "doc_id").collect()
+    }
+    assert ("a", 999) in got
+    assert {i for (kk, i) in got if kk == "b"} == {100, 101, 102}
+    assert {i for (kk, i) in got if kk == "c"} == {203}  # only positive weight
