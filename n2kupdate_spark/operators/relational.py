@@ -41,10 +41,17 @@ def asof_join(
     right_ts: str,
     payload_cols: Sequence[str],
     right_tiebreak: str,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: each left row gets the payload of the most recent right
     row with ``right_ts <= left_ts`` for the same key (left-outer semantics:
-    unmatched left rows keep NULL payloads).
+    unmatched left rows keep NULL payloads). ``tolerance`` (same units
+    as the ts columns, r14) additionally requires
+    ``left_ts − right_ts <= tolerance`` — the pandas ``merge_asof``
+    parameter: a quote older than the staleness budget is worse than
+    no quote, so it nulls out rather than silently joining (INCLUSIVE
+    bound, matching pandas; pinned against merge_asof in
+    tests/test_merge_props.py).
 
     Implementation is the *union + running last_value* formulation, not a
     join: tag right rows side=0 and left rows side=1, sort each key partition
@@ -72,6 +79,7 @@ def asof_join(
     r_types = {f.name: f.dataType for f in right.schema.fields}
     payload_t = T.StructType(
         [T.StructField(c, r_types[c]) for c in payload_cols]
+        + [T.StructField("__rts", T.DoubleType())]
     )
 
     r = right.select(
@@ -79,7 +87,12 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.col(right_tiebreak).alias("__tb"),
-        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("__p"),
+        # the right row's own ts rides INSIDE the carried struct so the
+        # tolerance gate can age-check the carried row at the left row
+        F.struct(
+            *[F.col(c).alias(c) for c in payload_cols],
+            F.col(right_ts).cast("double").alias("__rts"),
+        ).alias("__p"),
     )
     left_cols = left.columns
     l = left.select(
@@ -105,8 +118,16 @@ def asof_join(
         *unioned.columns,
         F.last(F.col("__p"), ignorenulls=True).over(w).alias("__cp"),
     )
+    fresh = (
+        F.lit(True)
+        if tolerance is None
+        else F.col("__ts") - F.col("__cp").getField("__rts") <= F.lit(float(tolerance))
+    )
     out = carried.filter(F.col("__side") == 1).select(
         *left_cols,
-        *[F.col("__cp").getField(c).alias(c) for c in payload_cols],
+        *[
+            F.when(fresh, F.col("__cp").getField(c)).alias(c)
+            for c in payload_cols
+        ],
     )
     return out

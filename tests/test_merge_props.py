@@ -257,3 +257,76 @@ def test_scd3_idempotent_and_branches(spark, sf_dir):
         4: (4.0, "w2", None),   # prev takes the old current, which was NULL
         5: (50.0, "new", None),
     }
+
+
+def test_asof_join_tolerance_matches_pandas(spark):
+    """r14: asof_join(tolerance=...) ≡ pandas merge_asof(tolerance=...)
+    on random keyed series — the independent reference implementation
+    of the exact parameter; battery: inclusive bound (age == tolerance
+    joins), stale quotes null out rather than silently joining,
+    tolerance=None reproduces the untolerated op byte-for-byte."""
+    import numpy as np
+    import pandas as pd
+
+    from n2kupdate_spark.operators import asof_join
+
+    rng = np.random.RandomState(21)
+    lrows, rrows = [], []
+    rid = 0
+    for k in range(6):
+        for t in sorted(rng.choice(300, size=25, replace=False)):
+            lrows.append((k, int(t)))
+        for t in sorted(rng.choice(300, size=12, replace=False)):
+            rrows.append((k, int(t), rid, float(rng.randn())))
+            rid += 1
+    left = spark.createDataFrame(lrows, "k: int, lts: long")
+    right = spark.createDataFrame(rrows, "k: int, rts: long, rid: long, px: double")
+
+    for tol in (10, 37, 0):
+        got = {
+            (r["k"], r["lts"]): (r["rid"], r["px"])
+            for r in asof_join(
+                left, right, on=["k"], left_ts="lts", right_ts="rts",
+                payload_cols=["rid", "px"], right_tiebreak="rid",
+                tolerance=tol,
+            ).collect()
+        }
+        lp = pd.DataFrame(lrows, columns=["k", "lts"]).sort_values("lts")
+        rp = pd.DataFrame(rrows, columns=["k", "rts", "rid", "px"]).sort_values("rts")
+        m = pd.merge_asof(
+            lp, rp, left_on="lts", right_on="rts", by="k",
+            tolerance=tol, allow_exact_matches=True,
+        )
+        want = {
+            (int(r.k), int(r.lts)): (
+                None if pd.isna(r.rid) else int(r.rid),
+                None if pd.isna(r.px) else float(r.px),
+            )
+            for r in m.itertuples()
+        }
+        assert got == want, tol
+
+    # inclusive bound: a right row exactly `tol` old joins
+    l1 = spark.createDataFrame([(1, 100)], "k: int, lts: long")
+    r1 = spark.createDataFrame([(1, 90, 7, 1.5)], "k: int, rts: long, rid: long, px: double")
+    row = asof_join(
+        l1, r1, on=["k"], left_ts="lts", right_ts="rts",
+        payload_cols=["rid", "px"], right_tiebreak="rid", tolerance=10,
+    ).collect()[0]
+    assert row["rid"] == 7
+    row = asof_join(
+        l1, r1, on=["k"], left_ts="lts", right_ts="rts",
+        payload_cols=["rid", "px"], right_tiebreak="rid", tolerance=9,
+    ).collect()[0]
+    assert row["rid"] is None
+
+    # None reproduces the untolerated op exactly
+    a = sorted(map(tuple, asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        payload_cols=["rid", "px"], right_tiebreak="rid",
+    ).collect()))
+    b = sorted(map(tuple, asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        payload_cols=["rid", "px"], right_tiebreak="rid", tolerance=None,
+    ).collect()))
+    assert a == b
