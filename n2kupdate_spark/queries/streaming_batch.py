@@ -690,3 +690,79 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, pattern=("view", "click", "purchase"), window_s=86400,
         order_col="event_id",
     )
+
+
+@register("events_step_latency")  # rows-only (r9 capacity policy):
+# ≡ an independent python first-completion replay at two sfs + planted
+# chain pins — tests/test_mlprep_props.py
+def events_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between funnel steps — the LATENCY view the
+    funnel family lacks (events_funnel_steps counts who converts,
+    events_window_funnel bounds the whole chain; this says how LONG
+    each hop takes): per user, the first 'view', then the first
+    'click' AT/after it, then the first 'purchase' at/after that (the
+    first-completion chain — the standard product-analytics
+    definition); per hop, the converted-user count and the exact
+    median/p90 latency in seconds. A growing view→click median is a
+    UX regression alarm no conversion-rate metric shows.
+
+    Scale: THREE chained conditional-min windows over the SAME user
+    partition (Catalyst reuses one exchange — each step's first-time
+    is min(ts WHERE type = s AND ts ≥ prev) over the user window), a
+    per-user collapse, then an exact-percentile aggregate over the
+    2-row hop table. No Python, no collects; user-window state is two
+    longs per row."""
+    ev = load(
+        spark, sf_dir, "events", columns=["user_id", "event_type", "ts"]
+    ).select("user_id", "event_type", ts_seconds("ts").alias("ts_s"))
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts_s"))).over(w)
+    s1 = ev.select("user_id", "event_type", "ts_s", t1.alias("__t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_s") >= F.col("__t1")),
+            F.col("ts_s"),
+        )
+    ).over(w)
+    s2 = s1.select("*", t2.alias("__t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_s") >= F.col("__t2")),
+            F.col("ts_s"),
+        )
+    ).over(w)
+    s3 = s2.select("*", t3.alias("__t3"))
+    per_user = s3.groupBy("user_id").agg(
+        F.first("__t1").alias("t1"),
+        F.first("__t2").alias("t2"),
+        F.first("__t3").alias("t3"),
+    )
+    hops = per_user.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view->click").alias("hop"),
+                    (F.col("t2") - F.col("t1")).alias("lat"),
+                ),
+                F.struct(
+                    F.lit("click->purchase").alias("hop"),
+                    (F.col("t3") - F.col("t2")).alias("lat"),
+                ),
+            )
+        ).alias("h")
+    ).select("h.hop", "h.lat").filter(F.col("lat").isNotNull())
+    return (
+        hops.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.expr("percentile(lat, 0.5)").alias("__med"),
+            F.expr("percentile(lat, 0.9)").alias("__p90"),
+        )
+        .select(
+            "hop",
+            "n_converted",
+            (F.round(F.col("__med") * 10000) / 10000 + 0.0).alias("median_s"),
+            (F.round(F.col("__p90") * 10000) / 10000 + 0.0).alias("p90_s"),
+        )
+        .orderBy("hop")
+    )

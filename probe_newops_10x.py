@@ -131,6 +131,7 @@ OPS = [
     "agg_power_mde",            # one conditional-moments pass, tiny algebra
     "diag_parquet_layout",      # two 8-file rewrites + metadata-parallel footers
     "sample_weighted_per_key",  # one map + one key-partitioned rank window
+    "events_step_latency",      # three chained windows, one user exchange
 ]
 
 

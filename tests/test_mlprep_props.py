@@ -3889,3 +3889,85 @@ def test_sample_weighted_per_key_matches_python(spark):
     assert ("a", 999) in got
     assert {i for (kk, i) in got if kk == "b"} == {100, 101, 102}
     assert {i for (kk, i) in got if kk == "c"} == {203}  # only positive weight
+
+
+def test_step_latency_matches_python_and_planted(spark):
+    """r14: per-hop conversion latency ≡ an independent python
+    first-completion replay (first view, first click ≥ it, first
+    purchase ≥ that; exact numpy percentiles) at two sfs; planted:
+    known hop latencies come back exactly, a click BEFORE the first
+    view does not convert (ordering matters), a user with view+click
+    but no purchase counts only in the first hop."""
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+
+    def ref(rows):
+        by = {}
+        for u, et, t in rows:
+            by.setdefault(u, []).append((t, et))
+        lat1, lat2 = [], []
+        for u, evs in by.items():
+            views = [t for t, e in evs if e == "view"]
+            if not views:
+                continue
+            t1 = min(views)
+            clicks = [t for t, e in evs if e == "click" and t >= t1]
+            if not clicks:
+                continue
+            t2 = min(clicks)
+            lat1.append(t2 - t1)
+            purchases = [t for t, e in evs if e == "purchase" and t >= t2]
+            if purchases:
+                lat2.append(min(purchases) - t2)
+        out = {}
+        for hop, lats in (("view->click", lat1), ("click->purchase", lat2)):
+            if lats:
+                out[hop] = (
+                    len(lats),
+                    r4(float(np.percentile(lats, 50))),
+                    r4(float(np.percentile(lats, 90))),
+                )
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["user_id"], r["event_type"], float(r["ts_s"]))
+            for r in load(spark, sf, "events", columns=["user_id", "event_type", "ts"])
+            .select("user_id", "event_type",
+                    F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"))
+            .collect()
+        ]
+        want = ref(rows)
+        got = {
+            r["hop"]: (r["n_converted"], r["median_s"], r["p90_s"])
+            for r in QUERIES["events_step_latency"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    import n2kupdate_spark.queries.streaming_batch as sb
+
+    planted = [
+        (1, "view", 100.0), (1, "click", 160.0), (1, "purchase", 460.0),
+        (2, "click", 50.0), (2, "view", 100.0), (2, "click", 300.0),  # early click ignored
+        (3, "view", 0.0), (3, "click", 10.0),                          # no purchase
+    ]
+    df = spark.createDataFrame(
+        planted, "user_id: long, event_type: string, ts: double"
+    ).select("user_id", "event_type", F.to_timestamp(F.from_unixtime("ts")).alias("ts"))
+    orig = sb.load
+    try:
+        sb.load = lambda spark_, sf_, t, columns=None: df
+        got = {
+            r["hop"]: r for r in QUERIES["events_step_latency"](spark, "ignored").collect()
+        }
+    finally:
+        sb.load = orig
+    # hops: u1 60/300; u2 200/-; u3 10/-
+    assert got["view->click"]["n_converted"] == 3
+    assert got["view->click"]["median_s"] == 60.0
+    assert got["click->purchase"]["n_converted"] == 1
+    assert got["click->purchase"]["median_s"] == 300.0
