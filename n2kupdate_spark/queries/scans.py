@@ -191,6 +191,56 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+_EVO2_DIR = os.environ.get(
+    "N2K_SCHEMA_EVO2_DIR",
+    os.path.join(
+        tempfile.gettempdir(),
+        f"n2kupdate_spark_schema_evo2_{getattr(os, 'getuid', lambda: 'u')()}",
+    ),
+)
+
+
+def _write_evolution2_fixture() -> None:
+    """The NEXT generation of the evolution fixture's schema — v
+    widened to double (type change), extra dropped (removal), flag
+    added — so diag_schema_diff exercises every drift class against
+    the r7 fixture. Same atomic pyarrow write discipline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_EVO2_DIR, exist_ok=True)
+    t = pa.table(
+        {
+            "id": pa.array(range(21, 31), pa.int64()),
+            "v": pa.array([float(i) * 10.5 for i in range(21, 31)], pa.float64()),
+            "flag": pa.array([i % 2 == 0 for i in range(21, 31)], pa.bool_()),
+        }
+    )
+    final = os.path.join(_EVO2_DIR, "part3.parquet")
+    if not os.path.exists(final):
+        tmp = os.path.join(_EVO2_DIR, f".part3.{os.getpid()}.tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, final)
+
+
+@register("diag_schema_diff")  # rows-only (r9 capacity policy): ≡ a
+# DuckDB DESCRIBE recompute (independent footer reader) + every-branch
+# pins in tests/test_sources.py
+def diag_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift report between two generations of a dataset — per
+    column: type on each side + added/removed/type_changed/unchanged
+    (the contract monitor next to source_schema_evolution, which READS
+    through drift; this one tells the on-call what drifted). Compares
+    the r7 evolution fixture (id, v int64, extra) against its next
+    generation (v → double, extra dropped, flag added) so every drift
+    class appears. Metadata-only: two footer reads, #columns rows —
+    see sources/maintenance.py::schema_diff_report."""
+    from n2kupdate_spark.sources.maintenance import schema_diff_report
+
+    _write_evolution2_fixture()
+    return schema_diff_report(spark, _EVO_DIR, _EVO2_DIR)
+
+
 _LAYOUT_BASE = os.environ.get(
     "N2K_LAYOUT_DEMO_DIR",
     os.path.join(

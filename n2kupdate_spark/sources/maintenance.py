@@ -873,3 +873,37 @@ def parquet_layout_report(
         F.col("n_row_groups").cast("long").alias("n_row_groups"),
         (F.round(frac * 10000) / 10000 + 0.0).alias("point_read_frac"),
     )
+
+
+def schema_diff_report(
+    spark: SparkSession, path_a: str, path_b: str
+) -> DataFrame:
+    """Schema-drift report between two parquet datasets — the
+    contract-monitoring table a lakehouse checks before a reader
+    breaks (the diagnostic companion of the schema-evolution source:
+    that op READS through drift, this one REPORTS it): per column,
+    the type on each side and a status — ``added`` (B only),
+    ``removed`` (A only), ``type_changed``, or ``unchanged``. Emits
+    one row per column in either side, column-name order.
+
+    Scale: schemas come from the parquet FOOTER of each dataset
+    (unified with ``read.parquet``'s mergeSchema semantics per side:
+    all of a side's files participate), so cost is footer reads —
+    metadata only, never data pages; output is #columns rows."""
+    a = dict(spark.read.option("mergeSchema", "true").parquet(path_a).dtypes)
+    b = dict(spark.read.option("mergeSchema", "true").parquet(path_b).dtypes)
+    rows = []
+    for c in sorted(set(a) | set(b)):
+        ta, tb = a.get(c), b.get(c)
+        if ta is None:
+            status = "added"
+        elif tb is None:
+            status = "removed"
+        elif ta != tb:
+            status = "type_changed"
+        else:
+            status = "unchanged"
+        rows.append((c, ta, tb, status))
+    return spark.createDataFrame(
+        rows, "column string, type_a string, type_b string, status string"
+    )

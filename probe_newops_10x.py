@@ -132,6 +132,7 @@ OPS = [
     "diag_parquet_layout",      # two 8-file rewrites + metadata-parallel footers
     "sample_weighted_per_key",  # one map + one key-partitioned rank window
     "events_step_latency",      # three chained windows, one user exchange
+    "diag_schema_diff",         # two footer reads, #columns rows (scale-free)
 ]
 
 

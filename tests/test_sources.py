@@ -1145,3 +1145,54 @@ def test_parquet_layout_report_vs_duckdb_metadata(spark):
     }
     assert rep["c"]["point_read_frac"] == 1.0
     assert len(glob.glob(os.path.join(const_dir, "*.parquet"))) == rep["c"]["n_files"]
+
+
+def test_schema_diff_vs_duckdb_describe(spark):
+    """r14: the drift report ≡ a DuckDB DESCRIBE recompute over the
+    same two datasets (independent footer reader; type names mapped
+    through a fixed spark↔duckdb table) — every drift class present:
+    extra removed, flag added, v type_changed, id unchanged. Also the
+    degenerate self-diff: everything unchanged."""
+    import os
+
+    import duckdb
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.scans import _EVO2_DIR, _EVO_DIR
+    from n2kupdate_spark.sources.maintenance import schema_diff_report
+
+    got = {
+        r["column"]: (r["type_a"], r["type_b"], r["status"])
+        for r in QUERIES["diag_schema_diff"](spark, "ignored").collect()
+    }
+    assert got["extra"][2] == "removed"
+    assert got["flag"][2] == "added"
+    assert got["v"] == ("bigint", "double", "type_changed")
+    assert got["id"] == ("bigint", "bigint", "unchanged")
+
+    duck2spark = {"BIGINT": "bigint", "DOUBLE": "double",
+                  "VARCHAR": "string", "BOOLEAN": "boolean"}
+    con = duckdb.connect()
+
+    def duck_schema(path):
+        out = {}
+        for name, typ, *_ in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{path}/*.parquet', union_by_name=true)"
+        ).fetchall():
+            out[name] = duck2spark[typ]
+        return out
+
+    a, b = duck_schema(_EVO_DIR), duck_schema(_EVO2_DIR)
+    want = {}
+    for c in sorted(set(a) | set(b)):
+        ta, tb = a.get(c), b.get(c)
+        st = ("added" if ta is None else "removed" if tb is None
+              else "type_changed" if ta != tb else "unchanged")
+        want[c] = (ta, tb, st)
+    assert got == want
+
+    self_diff = {
+        r["column"]: r["status"]
+        for r in schema_diff_report(spark, _EVO_DIR, _EVO_DIR).collect()
+    }
+    assert set(self_diff.values()) == {"unchanged"}
