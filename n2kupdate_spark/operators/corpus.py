@@ -2172,6 +2172,21 @@ def _largest_remainder_capped(
     return alloc
 
 
+def _es_key(id_col: str, weight_col: str):
+    """The shared Efraimidis–Spirakis selection key (review r14: it was
+    copy-pasted into both samplers — the determinism contract lives
+    HERE once): u content-addressed from 13 hex chars of md5(id)
+    (clamped to the smallest positive step so ln stays finite), key =
+    ln(u)/w in log space (same ordering as u^(1/w), no underflow)."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    u = F.greatest(u, F.lit(1.0 / float(16**13)))
+    return F.log(u) / F.col(weight_col).cast("double")
+
+
 def sample_weighted_topk(
     rows: DataFrame,
     k: int,
@@ -2196,16 +2211,8 @@ def sample_weighted_topk(
     driver — no global sort, no single-task window); the final rank is
     a window over k rows. Pinned against an independent python
     recompute + planted-weight inclusion in tests/test_mlprep_props.py."""
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
-        .cast("double")
-        / F.lit(float(16**13))
-    )
-    # u = 0 is impossible only up to hash collision with zero — clamp to
-    # the smallest positive step so ln() stays finite either way
-    u = F.greatest(u, F.lit(1.0 / float(16**13)))
     w = F.col(weight_col).cast("double")
-    key = F.log(u) / w
+    key = _es_key(id_col, weight_col)
     scored = (
         rows.filter(w.isNotNull() & (w > 0))
         .select(id_col, weight_col, key.alias("es_key"))
@@ -2239,20 +2246,14 @@ def sample_weighted_per_key(
     small strata entirely). Same Efraimidis–Spirakis key, same
     content-addressed u from md5(id) (deterministic across runs/
     engines/partitionings), same weight ≤ 0 / NULL exclusion. Emits
-    (key, id, weight, es_key 4dp, sel_rank 1-based within key).
+    (key, id, weight, es_key 6dp, sel_rank 1-based within key).
 
     Scale shape: one map computes the key, then ONE key-partitioned
     rank window keeps rank ≤ k — per-stratum top-k in a single
     shuffle; skewed strata are rank windows over their own partition
     only (AQE splits an oversized one), never a global sort."""
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
-        .cast("double")
-        / F.lit(float(16**13))
-    )
-    u = F.greatest(u, F.lit(1.0 / float(16**13)))
     w = F.col(weight_col).cast("double")
-    key = F.log(u) / w
+    key = _es_key(id_col, weight_col)
     rk = F.row_number().over(
         Window.partitionBy(key_col).orderBy(
             F.col("es_key").desc(), F.col(id_col).asc()

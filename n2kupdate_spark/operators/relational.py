@@ -121,7 +121,10 @@ def asof_join(
     fresh = (
         F.lit(True)
         if tolerance is None
-        else F.col("__ts") - F.col("__cp").getField("__rts") <= F.lit(float(tolerance))
+        # cast __ts like __rts was: timestamp − double fails analysis,
+        # and the tolerance is defined in epoch-second units anyway
+        else F.col("__ts").cast("double") - F.col("__cp").getField("__rts")
+        <= F.lit(float(tolerance))
     )
     out = carried.filter(F.col("__side") == 1).select(
         *left_cols,

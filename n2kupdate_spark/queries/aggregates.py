@@ -632,6 +632,35 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cohort_moments(ev):
+    """The conditional-moments pass shared by agg_welch_ttest and
+    agg_power_mde (review r14: they had diverged-by-copy): ONE
+    partial-agged aggregate carries count/sum/sum-of-squares for both
+    user_id-parity cohorts of every event type; returns (agg frame,
+    mean_a, mean_b, var_a, var_b) with sample variances NULL-guarded
+    for single-row cohorts (n−1 = 0 would throw under ANSI mode —
+    Spark 4 default — instead of dividing to ±inf)."""
+    a = F.col("user_id") % 2 == 0
+    agg = ev.groupBy("event_type").agg(
+        F.sum(a.cast("long")).alias("na"),
+        F.sum(F.when(a, F.col("value"))).alias("sa"),
+        F.sum(F.when(a, F.col("value") * F.col("value"))).alias("qa"),
+        F.sum((~a).cast("long")).alias("nb"),
+        F.sum(F.when(~a, F.col("value"))).alias("sb"),
+        F.sum(F.when(~a, F.col("value") * F.col("value"))).alias("qb"),
+    )
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    va = F.when(
+        F.col("na") > 1,
+        (F.col("qa") - F.col("na") * ma * ma) / (F.col("na") - 1),
+    )
+    vb = F.when(
+        F.col("nb") > 1,
+        (F.col("qb") - F.col("nb") * mb * mb) / (F.col("nb") - 1),
+    )
+    return agg, ma, mb, va, vb
+
+
 @register("agg_welch_ttest")  # rows-only debut (capacity policy §5.2)
 # — cross-engine verified anyway: equivalent DuckDB SQL through the
 # driver's canonical-rows compare in tests/test_parity.py.
@@ -653,18 +682,7 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(
         spark, sf_dir, "events", columns=["event_type", "user_id", "value"]
     ).filter(F.col("value").isNotNull())
-    a = F.col("user_id") % 2 == 0
-    agg = ev.groupBy("event_type").agg(
-        F.sum(a.cast("long")).alias("na"),
-        F.sum(F.when(a, F.col("value"))).alias("sa"),
-        F.sum(F.when(a, F.col("value") * F.col("value"))).alias("qa"),
-        F.sum((~a).cast("long")).alias("nb"),
-        F.sum(F.when(~a, F.col("value"))).alias("sb"),
-        F.sum(F.when(~a, F.col("value") * F.col("value"))).alias("qb"),
-    )
-    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
-    va = (F.col("qa") - F.col("na") * ma * ma) / (F.col("na") - 1)
-    vb = (F.col("qb") - F.col("nb") * mb * mb) / (F.col("nb") - 1)
+    agg, ma, mb, va, vb = _cohort_moments(ev)
     ea, eb = va / F.col("na"), vb / F.col("nb")
     t = (ma - mb) / F.sqrt(ea + eb)
     df = (ea + eb) * (ea + eb) / (
@@ -707,22 +725,13 @@ def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(
         spark, sf_dir, "events", columns=["event_type", "user_id", "value"]
     ).filter(F.col("value").isNotNull())
-    a = F.col("user_id") % 2 == 0
-    agg = ev.groupBy("event_type").agg(
-        F.sum(a.cast("long")).alias("na"),
-        F.sum(F.when(a, F.col("value"))).alias("sa"),
-        F.sum(F.when(a, F.col("value") * F.col("value"))).alias("qa"),
-        F.sum((~a).cast("long")).alias("nb"),
-        F.sum(F.when(~a, F.col("value"))).alias("sb"),
-        F.sum(F.when(~a, F.col("value") * F.col("value"))).alias("qb"),
-    )
+    agg, _ma, _mb, va, vb = _cohort_moments(ev)
     Z = 1.96 + 0.8416  # z_{α/2} + z_β at 5% two-sided / 80% power
-    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
-    va = (F.col("qa") - F.col("na") * ma * ma) / (F.col("na") - 1)
-    vb = (F.col("qb") - F.col("nb") * mb * mb) / (F.col("nb") - 1)
     mde = F.lit(Z) * F.sqrt(va / F.col("na") + vb / F.col("nb"))
     pooled_mean = (F.col("sa") + F.col("sb")) / (F.col("na") + F.col("nb"))
-    delta_1pct = pooled_mean * 0.01
+    # zero-centered metrics make pooled_mean 0 — the %-of-mean framing
+    # is then undefined (NULL), not a divide-by-zero crash (ANSI mode)
+    delta_1pct = F.when(pooled_mean != 0, pooled_mean * 0.01)
     n_needed = F.ceil(
         F.lit(Z * Z) * (va + vb) / (delta_1pct * delta_1pct)
     ).cast("long")

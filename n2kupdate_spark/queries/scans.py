@@ -276,8 +276,14 @@ def diag_parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
-    plain = os.path.join(_LAYOUT_BASE, "plain")
-    zord = os.path.join(_LAYOUT_BASE, "zorder")
+    # key the demo dirs by sf_dir: a fixed shared path would let two
+    # concurrent sessions (probe at sf0.1, tests at sf0.01) overwrite
+    # each other mid-footer-scan (review r14)
+    import hashlib as _hl
+
+    sub = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    plain = os.path.join(_LAYOUT_BASE, sub, "plain")
+    zord = os.path.join(_LAYOUT_BASE, sub, "zorder")
     o.repartition(8, "o_orderkey").write.mode("overwrite").parquet(plain)
     _compact_write(
         spark, o, 8, zord,

@@ -320,6 +320,20 @@ def test_asof_join_tolerance_matches_pandas(spark):
     ).collect()[0]
     assert row["rid"] is None
 
+    # timestamp ts columns work WITH tolerance (review r14: the gate
+    # computed timestamp − double and failed analysis)
+    lt = spark.createDataFrame([(1, 100)], "k: int, e: long").selectExpr(
+        "k", "to_timestamp(from_unixtime(e)) AS lts"
+    )
+    rt = spark.createDataFrame([(1, 90, 7, 1.5)], "k: int, e: long, rid: long, px: double").selectExpr(
+        "k", "to_timestamp(from_unixtime(e)) AS rts", "rid", "px"
+    )
+    row = asof_join(
+        lt, rt, on=["k"], left_ts="lts", right_ts="rts",
+        payload_cols=["rid", "px"], right_tiebreak="rid", tolerance=10,
+    ).collect()[0]
+    assert row["rid"] == 7
+
     # None reproduces the untolerated op exactly
     a = sorted(map(tuple, asof_join(
         left, right, on=["k"], left_ts="lts", right_ts="rts",

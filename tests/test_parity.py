@@ -814,6 +814,18 @@ def test_bootstrap_ci_matches_python_and_coverage(spark):
             out[g] = (n, r4(sx / n), r4(lo), r4(hi), r4(se))
         return out
 
+    # the scalar per-replica reference and the vectorized matrix must
+    # agree per (id, b) — poisson_weights IS the spec the matrix claims
+    from n2kupdate_spark.operators.bootstrap import (
+        poisson_weight_matrix,
+        poisson_weights,
+    )
+
+    ids = np.array([1, 7, 123456789, 2**40 + 3], dtype=np.int64)
+    Wm = poisson_weight_matrix(ids, 16)
+    for b in range(16):
+        assert (Wm[:, b] == poisson_weights(ids, b, 16)).all(), b
+
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         rows = [
             (r["o_orderpriority"], int(r["o_orderkey"]), float(r["o_totalprice"]))

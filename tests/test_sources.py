@@ -1111,8 +1111,11 @@ def test_parquet_layout_report_vs_duckdb_metadata(spark):
     }
 
     con = duckdb.connect()
+    import hashlib as _hl
+
+    sfkey = _hl.md5(b"/root/testdata/sf0.01").hexdigest()[:8]
     for layout, sub in (("hash_orderkey", "plain"), ("zorder_totalprice", "zorder")):
-        pat = os.path.join(_LAYOUT_BASE, sub, "*.parquet")
+        pat = os.path.join(_LAYOUT_BASE, sfkey, sub, "*.parquet")
         md = con.execute(
             f"""
             SELECT file_name, row_group_id,
