@@ -766,3 +766,60 @@ def events_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hop")
     )
+
+
+@register("events_active_users_rolling")  # rows-only (r9 capacity
+# policy): ≡ an independent python set-replay at two sfs + planted
+# overlap pins — tests/test_mlprep_props.py
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU — the engagement dashboard every product ships:
+    per day, DISTINCT active users that day, over the trailing 7 days,
+    and over the trailing 30 days (calendar windows ending at the day,
+    inclusive). Rolling DISTINCT is not a rolling sum (the same user
+    active twice in a week counts once), so no window-sum shortcut is
+    correct — the stickiness ratio DAU/MAU is exactly the number such
+    a shortcut corrupts.
+
+    Scale shape: the event log first collapses to DISTINCT (user, day)
+    pairs (one partial-agged shuffle — the bounded "activity matrix",
+    ≤ users × days rows regardless of event volume); each pair then
+    CONTRIBUTES itself to the ≤7 / ≤30 target days it falls inside via
+    a bounded explode (×30 worst case on the already-collapsed pairs,
+    never on raw events), and per-day count_distinct folds partial-
+    agged. Days with zero actives emit nothing (no spine — an absent
+    day reads as absent, not 0; join a spine downstream if a dashboard
+    needs dense axes)."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts"]).select(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    )
+    pairs = ev.distinct()  # the activity matrix: ≤ users × days
+    contrib = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("__off"),
+        F.col("day").alias("__active_day"),
+    ).select(
+        "user_id",
+        "__active_day",
+        F.date_add(F.col("__active_day"), F.col("__off")).alias("day"),
+        "__off",
+    )
+    # clamp to days that actually exist in the data so the tail emits
+    # no phantom future days
+    max_day = pairs.agg(F.max("day")).collect()[0][0]
+    contrib = contrib.filter(F.col("day") <= F.lit(max_day))
+    rolled = contrib.groupBy("day").agg(
+        F.count_distinct(F.when(F.col("__off") == 0, F.col("user_id"))).alias("dau"),
+        F.count_distinct(
+            F.when(F.col("__off") <= 6, F.col("user_id"))
+        ).alias("wau"),
+        F.count_distinct("user_id").alias("mau"),
+    )
+    return rolled.select(
+        "day",
+        "dau",
+        "wau",
+        "mau",
+        (F.floor(F.col("dau") * 10000.0 / F.col("mau") + 0.5) / 10000).alias(
+            "stickiness"
+        ),
+    ).orderBy("day")

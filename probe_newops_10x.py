@@ -133,6 +133,7 @@ OPS = [
     "sample_weighted_per_key",  # one map + one key-partitioned rank window
     "events_step_latency",      # three chained windows, one user exchange
     "diag_schema_diff",         # two footer reads, #columns rows (scale-free)
+    "events_active_users_rolling", # distinct (user,day) collapse + x30 explode
 ]
 
 

@@ -3971,3 +3971,78 @@ def test_step_latency_matches_python_and_planted(spark):
     assert got["view->click"]["median_s"] == 60.0
     assert got["click->purchase"]["n_converted"] == 1
     assert got["click->purchase"]["median_s"] == 300.0
+
+
+def test_active_users_rolling_matches_python_sets(spark):
+    """r14: DAU/WAU/MAU ≡ an independent python SET replay (per day,
+    the union of distinct-user sets over the trailing 1/7/30 calendar
+    days) at two sfs — the set semantics a rolling SUM would corrupt
+    (pinned: a user active twice in one week counts once in WAU);
+    planted: known overlapping actives come back exactly, stickiness =
+    DAU/MAU floor-half-up."""
+    import datetime as dt
+    import math
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def ref(pairs):  # {(user, date)}
+        days = sorted({d for _u, d in pairs})
+        bydate = {}
+        for u, d in pairs:
+            bydate.setdefault(d, set()).add(u)
+        out = {}
+        for d in days:
+            dau = bydate.get(d, set())
+            wau, mau = set(), set()
+            for off in range(30):
+                src = d - dt.timedelta(days=off)
+                if src in bydate:
+                    mau |= bydate[src]
+                    if off <= 6:
+                        wau |= bydate[src]
+            out[d] = (
+                len(dau), len(wau), len(mau),
+                math.floor(len(dau) * 10000.0 / len(mau) + 0.5) / 10000,
+            )
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        pairs = {
+            (r["user_id"], r["day"])
+            for r in load(spark, sf, "events", columns=["user_id", "ts"])
+            .select("user_id", F.to_date("ts").alias("day"))
+            .distinct()
+            .collect()
+        }
+        want = ref(pairs)
+        got = {
+            r["day"]: (r["dau"], r["wau"], r["mau"], r["stickiness"])
+            for r in QUERIES["events_active_users_rolling"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    import n2kupdate_spark.queries.streaming_batch as sb
+
+    d0 = dt.date(2024, 3, 1)
+    planted = []
+    # u1 active days 0 and 3 (same week: WAU counts once); u2 day 0
+    # only; u3 day 35 (outside u1/u2's 30d windows)
+    for u, offs in ((1, [0, 3, 3]), (2, [0]), (3, [35])):
+        for o in offs:
+            planted.append((u, dt.datetime.combine(d0 + dt.timedelta(days=o), dt.time(12))))
+    df = spark.createDataFrame(planted, "user_id: long, ts: timestamp")
+    orig = sb.load
+    try:
+        sb.load = lambda spark_, sf_, t, columns=None: df
+        got = {
+            r["day"]: (r["dau"], r["wau"], r["mau"])
+            for r in QUERIES["events_active_users_rolling"](spark, "ignored").collect()
+        }
+    finally:
+        sb.load = orig
+    assert got[d0] == (2, 2, 2)
+    assert got[d0 + dt.timedelta(days=3)] == (1, 2, 2)  # u1 once in WAU
+    assert got[d0 + dt.timedelta(days=6)] == (0, 2, 2)
+    assert got[d0 + dt.timedelta(days=7)] == (0, 1, 2)  # day0 left the week
+    assert got[d0 + dt.timedelta(days=35)] == (1, 1, 1)  # u3 alone
