@@ -2242,3 +2242,56 @@ def ts_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
     )
     return mann_kendall(e, order_col="event_id")
+
+
+@register("corpus_interleave_mixture")  # rows-only (r9 capacity
+# policy): ≡ an independent python stride replay + prefix-mixture
+# property pins — tests/test_mlprep_props.py
+def corpus_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted INTERLEAVING — the step after the mixture
+    ops decide weights: materialize the actual training ORDER in which
+    sources arrive, via stride scheduling (the weighted round-robin of
+    OS schedulers): within each source docs shuffle content-addressed
+    (md5 order — deterministic, no seed state), take per-source rank
+    r, and every doc's global position key is r / w_s with w_s the
+    source's temperature weight (α = 0.5 over corpus counts). Sorting
+    by (key, source, doc_id) yields an order whose EVERY PREFIX tracks
+    the target mixture within ±(#sources) docs — the property batch
+    concatenation ("all of source A, then B") catastrophically lacks
+    (curriculum drift, forgetting). Emits (doc_id, source, stride_key
+    6dp) — the sort key IS the artifact; a production writer sorts by
+    it (repartitionByRange + local sort) instead of materializing a
+    global rank.
+
+    Scale: one #sources-bounded count aggregate (weights inlined as a
+    literal CASE — the IDF/BNLJ rule), one per-source rank window, one
+    map. The global sort is the CONSUMER's write step, not a shuffle
+    here."""
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    counts = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tempered = {s: n ** 0.5 for s, n in counts.items()}
+    tot = sum(tempered.values())
+    weights = {s: v / tot for s, v in tempered.items()}
+    w = F.lit(None).cast("double")
+    for s, v in sorted(weights.items()):
+        w = F.when(F.col("source") == s, F.lit(v)).otherwise(w)
+    r = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        r.alias("__r"),
+        w.alias("__w"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.round(F.col("__r") / F.col("__w") * 1000000) / 1000000).alias(
+            "stride_key"
+        ),
+    )

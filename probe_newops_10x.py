@@ -134,6 +134,7 @@ OPS = [
     "events_step_latency",      # three chained windows, one user exchange
     "diag_schema_diff",         # two footer reads, #columns rows (scale-free)
     "events_active_users_rolling", # distinct (user,day) collapse + x30 explode
+    "corpus_interleave_mixture", # count agg + per-source rank window + map
 ]
 
 

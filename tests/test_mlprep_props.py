@@ -4046,3 +4046,93 @@ def test_active_users_rolling_matches_python_sets(spark):
     assert got[d0 + dt.timedelta(days=6)] == (0, 2, 2)
     assert got[d0 + dt.timedelta(days=7)] == (0, 1, 2)  # day0 left the week
     assert got[d0 + dt.timedelta(days=35)] == (1, 1, 1)  # u3 alone
+
+
+def test_interleave_mixture_matches_python_and_prefix_property(spark):
+    """r14: stride interleaving ≡ an independent python recompute
+    (md5-ordered per-source rank, r/w key, α=0.5 tempered weights) at
+    two sfs; property on a planted skewed corpus: every prefix of the
+    (key, source, doc_id) order tracks the target mixture within
+    #sources docs per source — the guarantee batch concatenation
+    lacks; determinism across reruns."""
+    import hashlib
+
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def ref(rows):  # [(doc_id, source)]
+        counts = {}
+        for _i, s_ in rows:
+            counts[s_] = counts.get(s_, 0) + 1
+        tempered = {s_: n ** 0.5 for s_, n in counts.items()}
+        tot = sum(tempered.values())
+        weights = {s_: v / tot for s_, v in tempered.items()}
+        by = {}
+        for i, s_ in rows:
+            by.setdefault(s_, []).append(i)
+        out = {}
+        for s_, ids in by.items():
+            ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            for r, i in enumerate(ids, 1):
+                out[i] = (
+                    s_,
+                    float(np.round(r / weights[s_] * 1000000) / 1000000),
+                )
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["doc_id"], r["source"])
+            for r in load(spark, sf, "documents", columns=["doc_id", "source"]).collect()
+        ]
+        want = ref(rows)
+        got = {
+            r["doc_id"]: (r["source"], r["stride_key"])
+            for r in QUERIES["corpus_interleave_mixture"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    # planted skew: 400/100/25 docs → weights ∝ 20/10/5; every prefix
+    # of the stride order holds each source within #sources of target
+    import n2kupdate_spark.queries.mlprep as mlq
+
+    planted = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "mid") for i in range(100)]
+        + [(2000 + i, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(planted, "doc_id: long, source: string")
+    orig = mlq.load
+    try:
+        mlq.load = lambda spark_, sf_, t, columns=None: df
+        ordered = (
+            QUERIES["corpus_interleave_mixture"](spark, "ignored")
+            .orderBy("stride_key", "source", "doc_id")
+            .collect()
+        )
+    finally:
+        mlq.load = orig
+    counts = {"big": 400, "mid": 100, "small": 25}
+    tempered = {s_: n ** 0.5 for s_, n in counts.items()}
+    tot = sum(tempered.values())
+    target = {s_: v / tot for s_, v in tempered.items()}
+    seen = {s_: 0 for s_ in counts}
+    # the mixture-tracking guarantee holds until the FIRST source runs
+    # out of docs (its key range ends at count/w ⇒ n ≈ count/w): past
+    # that point the remaining sources legitimately overshoot their
+    # nominal share of n — here `small` exhausts at n ≈ 25·(1/w) = 175
+    horizon = min(counts[s_] / target[s_] for s_ in counts)
+    for n, r in enumerate(ordered, 1):
+        seen[r["source"]] += 1
+        if n <= horizon:
+            for s_ in counts:
+                # within the horizon stride keeps each source within
+                # O(1) of its share (key ties + mid-tie prefix cuts add
+                # a few units — 2·#sources is a safe envelope)
+                assert abs(seen[s_] - n * target[s_]) <= 2 * len(counts), (
+                    n, s_, seen[s_], n * target[s_]
+                )
+    assert sum(seen.values()) == 525
+    assert seen == counts  # every doc appears exactly once
