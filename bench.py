@@ -96,6 +96,20 @@ HEADLINE = [
     "graph_label_propagation",
     "corpus_quality_report",
     "diag_langid_confusion",
+    # r14 additions (same rationale): the heaviest ops registered this
+    # round join the radar the session they appeared — the layout
+    # advisor (two 8-file rewrites + footer scan), coreness and BFS
+    # (driver escapes under the gate; the distributed loops are the
+    # 100 TB plan), and the t-digest sketch build. multimodal_image_phash
+    # (25 s at sf0.1) stays OFF-radar deliberately: its wall is the
+    # pure-Python image codecs (the documented no-image-libs
+    # environment constraint), not engine work — benching it would
+    # drown engine regressions in codec noise (the
+    # multimodal_audio_features precedent).
+    "diag_parquet_layout",
+    "graph_k_core",
+    "graph_bfs_distance",
+    "agg_tdigest_quantile_merge",
 ]
 
 
