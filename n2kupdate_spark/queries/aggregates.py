@@ -744,3 +744,120 @@ def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(mde / pooled_mean * 100).alias("mde_pct_of_mean"),
         n_needed.alias("n_per_cohort_for_1pct"),
     )
+
+
+@register("agg_chi2_independence")  # rows-only (r9 capacity policy):
+# ≡ numpy same-formula recompute + planted dependence pins —
+# tests/test_parity.py
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence between event type and the
+    user-parity cohort — the CATEGORICAL member of the inference
+    family (welch tests means, the proportion z-test rates; this tests
+    whether a categorical distribution differs between cohorts at
+    all): χ² = Σ (O−E)²/E over the #types × 2 contingency table with
+    E = row·col/N, df = (#types−1), flagged at the 5% critical value
+    for that df (Wilson–Hilferty approximation of the χ² quantile —
+    closed-form, no scipy). NOTE the fixture genuinely flags (χ² ≈
+    12.3 at 4 df): the synthetic generator ties event-type mix to the
+    user, so type is NOT independent of user parity there — detecting
+    that is the op working, not an A/A false positive (the planted
+    uniform-independent pin is where quietness is asserted; the
+    proportion z-test independently confirms `purchase` as the
+    driver).
+
+    Scale: ONE partial-agged (type, cohort) count shuffle (the
+    contingency table is #types × 2 — tiny), all algebra on it; the
+    critical value is driver-side arithmetic inlined as a literal.
+    Emits one row: n, n_cells, chi2 4dp, df, crit_5pct 4dp,
+    dependent."""
+    ev = load(
+        spark, sf_dir, "events", columns=["event_type", "user_id"]
+    )
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2 == 0).alias("__a")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rows = cells.collect()  # #types × 2 — bounded contingency table
+    types = sorted({r["event_type"] for r in rows})
+    n = sum(r["c"] for r in rows)
+    col_tot = {True: 0, False: 0}
+    row_tot = {t: 0 for t in types}
+    obs = {}
+    for r in rows:
+        obs[(r["event_type"], r["__a"])] = r["c"]
+        col_tot[r["__a"]] += r["c"]
+        row_tot[r["event_type"]] += r["c"]
+    chi2 = 0.0
+    for t in types:
+        for a in (True, False):
+            e = row_tot[t] * col_tot[a] / n
+            o = obs.get((t, a), 0)
+            if e > 0:
+                chi2 += (o - e) ** 2 / e
+    df = len(types) - 1
+    # Wilson–Hilferty: χ²_q(df) ≈ df·(1 − 2/(9df) + z_q·√(2/(9df)))³
+    z95 = 1.6449  # one-sided 95th percentile of N(0,1)
+    crit = df * (1 - 2 / (9 * df) + z95 * (2 / (9 * df)) ** 0.5) ** 3
+    import numpy as np
+
+    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+    return spark.createDataFrame(
+        [(int(n), len(types) * 2, r4(chi2), int(df), r4(crit), bool(chi2 > crit))],
+        "n long, n_cells int, chi2 double, df int, crit_5pct double, dependent boolean",
+    )
+
+
+@register("agg_proportion_ztest")  # rows-only (r9 capacity policy):
+# ≡ numpy same-formula recompute + planted lift pins —
+# tests/test_parity.py
+def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type — the BINARY-metric A/B
+    test (the single most-run test in experimentation: conversion is a
+    rate, not a mean): the metric is each USER's conversion indicator
+    — emitted ≥ 14 events of the type (every user emits every type at
+    least once on this fixture, so the at-least-once indicator
+    saturates at 1.0 and says nothing; the per-(user, type) count sits
+    at ~13 at EVERY sf — events scale with users — so the ≥14
+    threshold splits near-half at all scales) — compared between the
+    parity cohorts with the pooled-variance z
+    z = (p_a − p_b)/√(p̂(1−p̂)(1/n_a + 1/n_b)), flagged two-sided 5%.
+    A/A calibration shape like the Welch op — quiet flags expected on
+    unmanipulated data.
+
+    Scale: one partial-agged (user, type) count collapse (the bounded
+    activity matrix, never event volume), one #users-bounded
+    cohort count, one conditional-count aggregate per type; all z
+    algebra on the #types-row table. Degenerate pools (p̂ ∈ {0,1})
+    read NULL z, not a crash."""
+    ev = load(spark, sf_dir, "events", columns=["event_type", "user_id"])
+    users = ev.select("user_id").distinct()
+    cohort_n = users.groupBy(
+        (F.col("user_id") % 2 == 0).alias("__a")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = {r["__a"]: r["n"] for r in cohort_n.collect()}
+    na, nb = int(totals.get(True, 0)), int(totals.get(False, 0))
+    converted = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 14)
+    )
+    agg = converted.groupBy("event_type").agg(
+        F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("ca"),
+        F.sum((F.col("user_id") % 2 != 0).cast("long")).alias("cb"),
+    )
+    pa = F.col("ca") / F.lit(na)
+    pb = F.col("cb") / F.lit(nb)
+    pool = (F.col("ca") + F.col("cb")) / F.lit(float(na + nb))
+    se = F.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
+    z = F.when(se > 0, (pa - pb) / se)
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return agg.select(
+        "event_type",
+        F.lit(na).alias("n_a"),
+        F.lit(nb).alias("n_b"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("cb").cast("long").alias("conv_b"),
+        r4(pa).alias("rate_a"),
+        r4(pb).alias("rate_b"),
+        r4(z).alias("z_stat"),
+        F.coalesce(F.abs(z) >= 1.96, F.lit(False)).alias("significant"),
+    )

@@ -135,6 +135,8 @@ OPS = [
     "diag_schema_diff",         # two footer reads, #columns rows (scale-free)
     "events_active_users_rolling", # distinct (user,day) collapse + x30 explode
     "corpus_interleave_mixture", # count agg + per-source rank window + map
+    "agg_chi2_independence",    # one (type,cohort) count pass, driver algebra
+    "agg_proportion_ztest",     # (user,type) count collapse + tiny z algebra
 ]
 
 

@@ -943,3 +943,114 @@ def test_power_mde_matches_numpy_and_closed_form(spark):
             assert abs(row["n_per_cohort_for_1pct"] - Z * Z * 200) < Z * Z * 200 * 0.15
         else:
             assert abs(row["mde_abs"] - mde1k / 2) < 0.1  # sqrt(4) = 2x
+
+
+def test_chi2_and_proportion_ztest_match_python(spark):
+    """r14: the categorical inference pair. (1) χ² ≡ a numpy recompute
+    of the contingency algebra at two sfs (the fixture GENUINELY flags
+    — type mix is user-tied — and the recompute confirms the value);
+    (2) proportion z ≡ a recompute of the pooled-variance formula at
+    two sfs; planted: an independent uniform table reads quiet on χ²,
+    a planted rate lift flags on z while equal rates stay quiet, and a
+    saturated pool reads NULL z."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+
+    def ref_chi2(rows):  # [(type, user)]
+        from collections import Counter
+
+        obs = Counter((t, u % 2 == 0) for t, u in rows)
+        types = sorted({t for t, _u in rows})
+        n = len(rows)
+        rt = Counter(t for t, _u in rows)
+        ct = Counter(u % 2 == 0 for _t, u in rows)
+        chi2 = 0.0
+        for t in types:
+            for a in (True, False):
+                e = rt[t] * ct[a] / n
+                if e > 0:
+                    chi2 += (obs.get((t, a), 0) - e) ** 2 / e
+        df = len(types) - 1
+        crit = df * (1 - 2 / (9 * df) + 1.6449 * math.sqrt(2 / (9 * df))) ** 3
+        return (n, len(types) * 2, r4(chi2), df, r4(crit), chi2 > crit)
+
+    def ref_z(rows, thresh=14):
+        from collections import Counter
+
+        cnt = Counter((t, u) for t, u in rows)
+        users = {u for _t, u in rows}
+        na = sum(1 for u in users if u % 2 == 0)
+        nb = len(users) - na
+        out = {}
+        for t in sorted({t for t, _u in rows}):
+            ca = sum(1 for (tt, u), c in cnt.items() if tt == t and c >= thresh and u % 2 == 0)
+            cb = sum(1 for (tt, u), c in cnt.items() if tt == t and c >= thresh and u % 2 != 0)
+            pa, pb = ca / na, cb / nb
+            pool = (ca + cb) / (na + nb)
+            se = math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+            z = (pa - pb) / se if se > 0 else None
+            out[t] = (
+                na, nb, ca, cb, r4(pa), r4(pb),
+                r4(z) if z is not None else None,
+                (abs(z) >= 1.96) if z is not None else False,
+            )
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], int(r["user_id"]))
+            for r in load(spark, sf, "events", columns=["event_type", "user_id"]).collect()
+        ]
+        got = tuple(QUERIES["agg_chi2_independence"](spark, sf).collect()[0])
+        assert got == ref_chi2(rows), sf
+        gotz = {
+            r["event_type"]: tuple(r)[1:]
+            for r in QUERIES["agg_proportion_ztest"](spark, sf).collect()
+        }
+        assert gotz == ref_z(rows), sf
+
+    # planted: uniform-independent table reads quiet on chi2
+    import n2kupdate_spark.queries.aggregates as aggq
+
+    rng = np.random.RandomState(15)
+    planted = [
+        (["a", "b", "c"][rng.randint(3)], int(u))
+        for u in range(400) for _ in range(10)
+    ]
+    df = spark.createDataFrame(planted, "event_type: string, user_id: long")
+    orig = aggq.load
+    try:
+        aggq.load = lambda spark_, sf_, t, columns=None: df
+        row = QUERIES["agg_chi2_independence"](spark, "ignored").collect()[0]
+    finally:
+        aggq.load = orig
+    assert row["dependent"] is False, dict(row.asDict())
+
+    # planted z: cohort a converts at 0.8, b at 0.3 on type 'x'; type
+    # 'y' equal rates; type 'z' saturates (NULL z)
+    zrows = []
+    for u in range(200):
+        k = 20 if (u % 2 == 0 and u % 10 < 8) or (u % 2 == 1 and u % 10 < 3) else 5
+        zrows += [("x", u)] * k
+        zrows += [("y", u)] * (20 if u % 4 < 2 else 5)  # 0.5 in BOTH cohorts
+        zrows += [("z", u)] * 20
+    zdf = spark.createDataFrame(zrows, "event_type: string, user_id: long")
+    try:
+        aggq.load = lambda spark_, sf_, t, columns=None: zdf
+        gotz = {
+            r["event_type"]: r
+            for r in QUERIES["agg_proportion_ztest"](spark, "ignored").collect()
+        }
+    finally:
+        aggq.load = orig
+    assert gotz["x"]["significant"] is True and gotz["x"]["z_stat"] > 1.96
+    assert gotz["y"]["significant"] is False
+    assert gotz["z"]["z_stat"] is None  # saturated pool
