@@ -1630,12 +1630,17 @@ def temperature_weights(
         for r in docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     total = sum(counts.values()) or 1
+    shares = temperature_shares(counts, alpha)
+    return {s: shares[s] / (counts[s] / total) for s in counts}
+
+
+def temperature_shares(counts: dict, alpha: float) -> dict:
+    """The n^α / Σn^α tempered SHARE computation both temperature
+    consumers use (copy factors above; the stride interleaver's
+    per-source weights) — one place for the formula (review r14)."""
     powed = {s: n ** alpha for s, n in counts.items()}
     ptot = sum(powed.values()) or 1.0
-    return {
-        s: (powed[s] / ptot) / (counts[s] / total)
-        for s in counts
-    }
+    return {s: v / ptot for s, v in powed.items()}
 
 
 def unimax_weights(

@@ -772,7 +772,8 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent."""
     ev = load(
         spark, sf_dir, "events", columns=["event_type", "user_id"]
-    )
+    ).filter(F.col("user_id").isNotNull())  # NULL parity is no cohort —
+    # dropped like the conditional sums in _cohort_moments, not a KeyError
     cells = ev.groupBy(
         "event_type", (F.col("user_id") % 2 == 0).alias("__a")
     ).agg(F.count(F.lit(1)).alias("c"))
@@ -794,6 +795,14 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             if e > 0:
                 chi2 += (o - e) ** 2 / e
     df = len(types) - 1
+    if df < 1:
+        # a single observed type has nothing to be dependent ON —
+        # defined result, not a 1/0 in the quantile formula
+        return spark.createDataFrame(
+            [(int(n), len(types) * 2, 0.0, 0, None, False)],
+            "n long, n_cells int, chi2 double, df int, crit_5pct double, "
+            "dependent boolean",
+        )
     # Wilson–Hilferty: χ²_q(df) ≈ df·(1 − 2/(9df) + z_q·√(2/(9df)))³
     z95 = 1.6449  # one-sided 95th percentile of N(0,1)
     crit = df * (1 - 2 / (9 * df) + z95 * (2 / (9 * df)) ** 0.5) ** 3
@@ -835,14 +844,39 @@ def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
     totals = {r["__a"]: r["n"] for r in cohort_n.collect()}
     na, nb = int(totals.get(True, 0)), int(totals.get(False, 0))
+    if na == 0 or nb == 0:
+        # one cohort empty: no comparison exists — typed empty frame,
+        # not a 1/0 at plan-build time (the documented no-crash contract)
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_a long, n_b long, conv_a long, "
+            "conv_b long, rate_a double, rate_b double, z_stat double, "
+            "significant boolean",
+        )
     converted = (
         ev.groupBy("event_type", "user_id")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") >= 14)
     )
-    agg = converted.groupBy("event_type").agg(
-        F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("ca"),
-        F.sum((F.col("user_id") % 2 != 0).cast("long")).alias("cb"),
+    # aggregate over ALL types (left join back), not only converting
+    # ones: a zero-conversion metric must read a row with NULL z, not
+    # vanish from the dashboard (review r14)
+    agg = (
+        ev.select("event_type")
+        .distinct()
+        .join(
+            converted.groupBy("event_type").agg(
+                F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("ca"),
+                F.sum((F.col("user_id") % 2 != 0).cast("long")).alias("cb"),
+            ),
+            "event_type",
+            "left",
+        )
+        .select(
+            "event_type",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
     )
     pa = F.col("ca") / F.lit(na)
     pb = F.col("cb") / F.lit(nb)

@@ -2267,14 +2267,14 @@ def corpus_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal CASE — the IDF/BNLJ rule), one per-source rank window, one
     map. The global sort is the CONSUMER's write step, not a shuffle
     here."""
+    from n2kupdate_spark.operators.corpus import temperature_shares
+
     d = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
     counts = {
         r["source"]: r["n"]
         for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    tempered = {s: n ** 0.5 for s, n in counts.items()}
-    tot = sum(tempered.values())
-    weights = {s: v / tot for s, v in tempered.items()}
+    weights = temperature_shares(counts, alpha=0.5)
     w = F.lit(None).cast("double")
     for s, v in sorted(weights.items()):
         w = F.when(F.col("source") == s, F.lit(v)).otherwise(w)

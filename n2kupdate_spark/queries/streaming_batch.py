@@ -786,13 +786,22 @@ def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTRIBUTES itself to the ≤7 / ≤30 target days it falls inside via
     a bounded explode (×30 worst case on the already-collapsed pairs,
     never on raw events), and per-day count_distinct folds partial-
-    agged. Days with zero actives emit nothing (no spine — an absent
-    day reads as absent, not 0; join a spine downstream if a dashboard
-    needs dense axes)."""
+    agged. Emitted day domain (review r14 — the precise rule): every
+    day from the first activity to the last that lies within 30 days
+    AFTER some active day — a quiet day mid-stream reads dau = 0 with
+    its trailing actives (the dashboard wants the zero), days before
+    the first or after the last activity emit nothing, and a gap
+    longer than 30 days emits nothing past its 30th day.
+
+    The activity matrix is localCheckpointed before the max-day scalar
+    read so the clamp costs a cached scan, not a second event-log
+    collapse (the kn-fit-table rule)."""
     ev = load(spark, sf_dir, "events", columns=["user_id", "ts"]).select(
         "user_id", F.to_date(F.col("ts")).alias("day")
     )
-    pairs = ev.distinct()  # the activity matrix: ≤ users × days
+    # ≤ users × days; checkpointed because BOTH the max-day scalar and
+    # the explode consume it
+    pairs = ev.distinct().localCheckpoint(eager=True)
     contrib = pairs.select(
         "user_id",
         F.explode(F.sequence(F.lit(0), F.lit(29))).alias("__off"),

@@ -3987,12 +3987,24 @@ def test_active_users_rolling_matches_python_sets(spark):
     from n2kupdate_spark.sources import load
 
     def ref(pairs):  # {(user, date)}
-        days = sorted({d for _u, d in pairs})
+        active = sorted({d for _u, d in pairs})
         bydate = {}
         for u, d in pairs:
             bydate.setdefault(d, set()).add(u)
+        # emitted domain = every day in [first, last] activity within
+        # 30 days AFTER some active day (quiet mid-stream days read
+        # dau=0; both sf fixtures are gap-free so this equals the
+        # active-day set there — the planted battery exercises gaps)
+        out_days = []
+        d = active[0]
+        while d <= active[-1]:
+            if any(
+                d - dt.timedelta(days=off) in bydate for off in range(30)
+            ):
+                out_days.append(d)
+            d += dt.timedelta(days=1)
         out = {}
-        for d in days:
+        for d in out_days:
             dau = bydate.get(d, set())
             wau, mau = set(), set()
             for off in range(30):

@@ -1034,7 +1034,8 @@ def test_chi2_and_proportion_ztest_match_python(spark):
         aggq.load = orig
     assert row["dependent"] is False, dict(row.asDict())
 
-    # planted z: cohort a converts at 0.8, b at 0.3 on type 'x'; type
+    # planted z: cohort a converts at 0.8, b at 0.2 on type 'x' (odd
+    # users with u%10<3 are only u%10==1 — 1 of 5 odd residues); type
     # 'y' equal rates; type 'z' saturates (NULL z)
     zrows = []
     for u in range(200):
