@@ -42,75 +42,77 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
     diagnostics,
 )
 
-#: r14 window (planned by window_planner.py at round start, per the
-#: SURVEY §5.2 cadence): 46/50 slots are MANDATORY — the ops whose
-#: freshest driver row is r11 (scans/projections/fingerprints, the
-#: composite TPC-H family, exact/ngram/jaccard/cc dedup, corpus
-#: clean/gate/prepare pipelines, ts ffill/interpolate, window
-#: first_last/cume_dist/gaps_islands, join_asof, sim_pairs_threshold,
-#: validate_domain, source_schema_evolution, reservoir sampling,
-#: scalar_subquery_agg, events_funnel_steps, array ops,
-#: agg_string_concat) hit the ≤2-round freshness edge this round. The
-#: remaining slots: 3 r12-green fillers (agg_collect_sorted ..
-#: agg_group_sums) pre-confirming r15's MUST set, plus slot 50 =
-#: `merge_scd3` — the SQL-oracle op registered mid-r14 debuts THIS
-#: round (the curation_url_dedup precedent: an oracle op must never
-#: sit a full round without driver evidence). Rows-only ops
-#: (sketches, sha1, ANN, fuzzy/semantic dedup, PQ variants) stay out —
-#: they'd burn slots on `no_oracle` rows; all are value-pinned locally
-#: (tests/test_parity.py, tests/test_sketch_accuracy.py,
-#: tests/test_ann_recall.py).
+#: r15 window (planned by window_planner.py at round start, per the
+#: SURVEY §5.2 cadence): 47/50 slots are MANDATORY — the ops whose
+#: freshest driver row is r12 (source_csv/json, the setop family,
+#: scalar string/date/math/case/null, merge set-replace/insert-ignore/
+#: scd2_asof, reshape pivot/unpivot, the r12 text family
+#: tokenize/top-terms/stats/token-count/quality/langid/fingerprint/
+#: tfidf/normalize, stream tumbling/sliding/session batch forms, UDF
+#: demos, sim_cosine_topk, multimodal_doc_join, embed norm/quantize,
+#: sampling hash-split/stratified, corpus_select_budget,
+#: curation_domain_quality, diag_column_profile, agg having/histogram,
+#: join_star_multiway, window_session_builtin,
+#: dedup_incremental_resume) hit the ≤2-round freshness edge this
+#: round. The remaining 3 slots are r13-green fillers
+#: (agg_count_distinct, agg_grouping_cube, agg_grouping_rollup)
+#: pre-confirming r16's MUST set; if an SQL-oracle op debuts
+#: mid-round it swaps a filler (the merge_scd3 precedent from r14).
+#: Rows-only ops (sketches, sha1, ANN, fuzzy/semantic dedup, PQ
+#: variants) stay out — they'd burn slots on `no_oracle` rows; all are
+#: value-pinned locally (tests/test_parity.py,
+#: tests/test_sketch_accuracy.py, tests/test_ann_recall.py).
 _ROUND_WINDOW = [
-    "agg_string_concat",
-    "array_basic",
-    "array_hof_ops",
-    "composite_above_customer_avg",
-    "composite_disjunctive_part_revenue",
-    "composite_large_order_customers",
-    "composite_local_supplier_volume",
-    "composite_nation_volume_pairs",
-    "composite_order_priority_check",
-    "composite_promo_revenue",
-    "composite_returned_item_revenue",
-    "composite_shipping_priority",
-    "corpus_clean_pipeline",
-    "corpus_gate_report",
-    "corpus_prepare_pipeline",
-    "dedup_cc_clusters",
-    "dedup_cc_pointer_jump",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental_jaccard",
-    "dedup_jaccard_stop_shingles",
-    "dedup_keep_latest",
-    "dedup_ngram_containment",
-    "dedup_ngram_jaccard",
-    "dedup_text_exact",
-    "events_funnel_steps",
-    "filter_null_guard",
-    "filter_predicate",
-    "fingerprint_md5",
-    "fingerprint_sha256",
-    "join_asof",
-    "project_cast_keys",
-    "project_rename",
-    "sample_reservoir_per_key",
-    "scalar_subquery_agg",
-    "scan_filter_pushdown",
-    "scan_parquet",
-    "scan_prune_columns",
-    "sim_pairs_threshold",
-    "source_schema_evolution",
-    "ts_gap_interpolate",
-    "ts_resample_ffill",
-    "validate_domain",
-    "window_cume_dist",
-    "window_first_last",
-    "window_gaps_islands",
-    "agg_collect_sorted",
-    "agg_filtered_pivot",
-    "agg_group_sums",
-    "merge_scd3",
+    "agg_having",
+    "agg_histogram_bins",
+    "corpus_select_budget",
+    "curation_domain_quality",
+    "dedup_incremental_resume",
+    "diag_column_profile",
+    "embed_norm_stats",
+    "embed_quantize_int8",
+    "join_star_multiway",
+    "json_extract_field",
+    "merge_insert_ignore",
+    "merge_scd2_asof",
+    "merge_set_replace",
+    "multimodal_doc_join",
+    "reshape_pivot",
+    "reshape_unpivot",
+    "sample_hash_split",
+    "sample_stratified",
+    "scalar_case_when",
+    "scalar_date",
+    "scalar_math",
+    "scalar_null_handling",
+    "scalar_string",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_distinct",
+    "sim_cosine_topk",
+    "source_csv",
+    "source_json",
+    "stream_session_agg",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "text_fingerprint_rolling",
+    "text_langid_ngram",
+    "text_normalize",
+    "text_quality_score",
+    "text_stats_per_source",
+    "text_tfidf_topk",
+    "text_token_count",
+    "text_tokenize_counts",
+    "text_top_terms_per_lang",
+    "udaf_grouped_pandas",
+    "udf_pandas_vectorized",
+    "udf_scalar_py",
+    "udtf_py",
+    "window_session_builtin",
+    "agg_count_distinct",
+    "agg_grouping_cube",
+    "agg_grouping_rollup",
 ]
 
 
