@@ -78,6 +78,12 @@ def bootstrap_mean_ci(
     bootstrap SE — via ``n_reps`` Poisson replicas. Emits (group, n,
     mean, ci_lo, ci_hi, se), 4dp scale-first.
 
+    ``id_col`` seeds the deterministic replica hash. Integral ids
+    (tiny/small/int/bigint) feed splitmix64 directly; any other type
+    (string url keys, decimals, timestamps…) is hashed to int64 with
+    ``xxhash64`` FIRST — same determinism contract (one fixed weight
+    per (id, replica)), no integer-id precondition for the caller.
+
     Plan: ONE Arrow ``mapInPandas`` pass folds each batch into
     (group, replica, Σw, Σw·x, Σ1, Σx) partial rows (≤ G·B rows per
     batch — the whole replica axis is one numpy outer product per
@@ -92,7 +98,7 @@ def bootstrap_mean_ci(
 
     def _fold(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf["__rid"].to_numpy(dtype=np.int64)
             x = pdf[val_col].to_numpy(dtype=np.float64)
             g = pdf[group_col].to_numpy()
             frames = []
@@ -126,17 +132,27 @@ def bootstrap_mean_ci(
             )
 
     gtype = df.schema[group_col].dataType.simpleString()
+    # integral ids seed splitmix64 as-is; everything else (string keys,
+    # decimals…) goes through xxhash64 → int64 first — previously a
+    # string id died deep inside the Arrow task with an opaque cast error
+    id_type = df.schema[id_col].dataType.typeName()
+    rid = (
+        F.col(id_col).cast("long")
+        if id_type in ("byte", "short", "integer", "long")
+        else F.xxhash64(F.col(id_col))
+    )
     parts = (
-        df.select(group_col, id_col, val_col)
         # id carries the replica hash — a NULL id has no deterministic
-        # weight and would crash the int64 cast; NULL groups likewise
-        # drop (SQL groupBy would keep them, but a NULL cohort has no
-        # dashboard meaning here — documented, not silent: this filter)
-        .filter(
+        # weight (xxhash64 would silently hash it to the seed); NULL
+        # groups likewise drop (SQL groupBy would keep them, but a NULL
+        # cohort has no dashboard meaning here — documented, not
+        # silent: this filter, BEFORE the hash projection)
+        df.filter(
             F.col(val_col).isNotNull()
             & F.col(id_col).isNotNull()
             & F.col(group_col).isNotNull()
         )
+        .select(group_col, rid.alias("__rid"), val_col)
         .mapInPandas(
             _fold,
             schema=(

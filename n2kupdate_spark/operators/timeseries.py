@@ -634,7 +634,11 @@ def holt_winters_backtest(
                 continue
             fc = _hw_forecast(x[:cut], m, alpha, beta, gamma, h)
             actual = x[cut : cut + h]
-            naive = x[cut - m : cut - m + h]
+            # tile the LAST PRE-CUT season — x[cut-m : cut-m+h] would
+            # overlap the eval window when h > m, letting the baseline
+            # peek at actuals and biasing naive_mae/skill (h <= m, the
+            # default h == m included, is byte-identical either way)
+            naive = x[cut - m : cut][np.arange(h) % m]
             mae = float(np.abs(fc - actual).mean())
             nmae = float(np.abs(naive - actual).mean())
             denom = np.abs(fc) + np.abs(actual)

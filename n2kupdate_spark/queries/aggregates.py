@@ -741,7 +741,9 @@ def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
         r4(mde).alias("mde_abs"),
-        r4(mde / pooled_mean * 100).alias("mde_pct_of_mean"),
+        r4(
+            F.when(pooled_mean != 0, mde / pooled_mean * 100)
+        ).alias("mde_pct_of_mean"),
         n_needed.alias("n_per_cohort_for_1pct"),
     )
 

@@ -735,7 +735,12 @@ def diag_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eps = 1e-4
     p = F.greatest(F.lit(eps), F.col("c") / F.col("n"))
-    q = F.greatest(F.lit(eps), F.col("rc") / (F.lit(gn) - F.col("n")))
+    # single-event-type corpora make the rest-cohort empty (n == gn);
+    # try_divide reads NULL there instead of an ANSI DIVIDE_BY_ZERO,
+    # and the eps clamp then floors it like any other empty cell
+    q = F.greatest(
+        F.lit(eps), F.try_divide(F.col("rc"), F.lit(gn) - F.col("n"))
+    )
     per_type = staged.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n"),
         F.sum((p - q) * F.log(p / q)).alias("__psi"),

@@ -1055,3 +1055,65 @@ def test_chi2_and_proportion_ztest_match_python(spark):
     assert gotz["x"]["significant"] is True and gotz["x"]["z_stat"] > 1.96
     assert gotz["y"]["significant"] is False
     assert gotz["z"]["z_stat"] is None  # saturated pool
+
+
+def test_power_mde_zero_pooled_mean_reads_null(spark):
+    """r15 (ADVICE): a zero-centered metric (pooled mean exactly 0)
+    must read NULL for the %-of-mean framing and the 1%-lift n —
+    under ANSI mode (Spark 4 default) the unguarded division threw
+    DIVIDE_BY_ZERO and failed the whole query."""
+    import n2kupdate_spark.queries.aggregates as aggq
+    from n2kupdate_spark.queries import QUERIES
+
+    rows = []
+    for u in range(100):
+        # even users (cohort a) alternate ±2, odd users ±1 — both
+        # cohort sums are 0, so the pooled mean is exactly 0 while the
+        # variances (and therefore mde_abs) stay positive
+        v = (2.0 if u % 2 == 0 else 1.0) * (1 if (u // 2) % 2 == 0 else -1)
+        rows.append(("zero", u, v))
+    df = spark.createDataFrame(
+        rows, "event_type: string, user_id: long, value: double"
+    )
+    orig = aggq.load
+    try:
+        aggq.load = lambda spark_, sf_, t, columns=None: df
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["agg_power_mde"](spark, "ignored").collect()
+        }
+    finally:
+        aggq.load = orig
+    r = got["zero"]
+    assert r["mde_abs"] is not None and r["mde_abs"] > 0
+    assert r["mde_pct_of_mean"] is None  # undefined, not a crash
+    assert r["n_per_cohort_for_1pct"] is None
+
+
+def test_bootstrap_ci_string_ids_match_prehashed_longs(spark):
+    """r15 (ADVICE): a string id column (url-keyed data) must work —
+    xxhash64 seeds the replica hash, equal to pre-hashing the ids to
+    long by hand; previously the int64 cast died deep inside the Arrow
+    task with an opaque error. Determinism across reruns holds."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.bootstrap import bootstrap_mean_ci
+
+    rng = np.random.RandomState(7)
+    rows = [
+        ("g", f"https://example.org/doc/{i}", float(5.0 + rng.randn()))
+        for i in range(300)
+    ]
+    rows += [("h", f"key-{i}", float(2.0 + rng.randn())) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp: string, url: string, v: double")
+    got = {r["grp"]: r for r in bootstrap_mean_ci(df, "grp", "url", "v").collect()}
+    pre = df.select("grp", F.xxhash64("url").alias("rid"), "v")
+    want = {r["grp"]: r for r in bootstrap_mean_ci(pre, "grp", "rid", "v").collect()}
+    for g in ("g", "h"):
+        assert got[g].asDict() == want[g].asDict(), g
+        assert got[g]["ci_lo"] <= got[g]["mean"] <= got[g]["ci_hi"], g
+    again = {r["grp"]: r for r in bootstrap_mean_ci(df, "grp", "url", "v").collect()}
+    assert {g: r.asDict() for g, r in again.items()} == {
+        g: r.asDict() for g, r in got.items()
+    }
