@@ -5,6 +5,7 @@ from n2kupdate_spark.operators.merge import (
     merge_scd2_close,
     merge_scd2_changes,
     merge_scd3,
+    merge_scd4,
     full_outer_diff,
 )
 from n2kupdate_spark.operators.relational import asof_join, dedup_keep_latest
@@ -16,6 +17,7 @@ __all__ = [
     "merge_scd2_close",
     "merge_scd2_changes",
     "merge_scd3",
+    "merge_scd4",
     "full_outer_diff",
     "asof_join",
     "dedup_keep_latest",

@@ -325,3 +325,71 @@ def merge_scd3(
         .unionByName(target_only.select(*cols))
         .unionByName(new_rows.select(*cols))
     )
+
+
+def merge_scd4(
+    current: DataFrame,
+    history: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    batch_ts: str,
+    archived_col: str = "archived_at",
+) -> tuple[DataFrame, DataFrame]:
+    """SCD type-4 merge: a CURRENT table that always holds exactly the
+    latest row per key (SCD1 overwrite semantics) plus a separate full
+    HISTORY table that archives every superseded version — Kimball's
+    "history table" design for dimensions queried mostly at their
+    current state, where the audit trail must exist but must not slow
+    the hot current-table joins (the reason it beats SCD2 at scale:
+    the current table stays #keys-sized while history grows append-only
+    and partition-prunes on date(archived_at)).
+
+    Returns ``(new_current, new_history)`` — both pure transforms of
+    the three inputs, computed from ONE key-partitioned diff:
+      - overlap, any ``compare_cols`` CHANGED (null-safe): incoming row
+        replaces the current row; the superseded current row is
+        appended to history stamped ``archived_col = batch_ts``;
+      - overlap, unchanged: current row passes through, NO history row
+        (re-applying the same batch is a no-op — the family's
+        idempotence contract);
+      - current-only keys: untouched, no history row;
+      - incoming-only keys: inserted into current; no history row
+        (there is no prior version to archive);
+      - existing history rows always pass through untouched.
+
+    ``history`` must carry the current table's columns plus
+    ``archived_col``; ``batch_ts`` is an explicit literal, never now()
+    (deterministic + oracle-checkable, SURVEY.md §7.4.7).
+
+    Scale: pure key joins + unions — the batch side broadcasts under
+    AQE; history is touched only by an append (no join against it), so
+    the merge cost is independent of accumulated history size."""
+    keys = list(keys)
+    compare_cols = list(compare_cols)
+    cur_cols = current.columns
+    t_alias, i_alias = current.alias("__t"), incoming.alias("__i")
+    overlap = t_alias.join(i_alias, on=keys, how="inner")
+    diff = F.lit(False)
+    for c in compare_cols:
+        diff = diff | ~F.col(f"__i.{c}").eqNullSafe(F.col(f"__t.{c}"))
+    changed_new = overlap.filter(diff).select(
+        *keys,
+        *[F.col(f"__i.{c}").alias(c) for c in incoming.columns if c not in keys],
+    )
+    changed_old = overlap.filter(diff).select(
+        *[F.col(f"__t.{c}").alias(c) for c in cur_cols]
+    ).withColumn(archived_col, F.lit(batch_ts))
+    unchanged = overlap.filter(~diff).select(
+        *[F.col(f"__t.{c}").alias(c) for c in cur_cols]
+    )
+    current_only = current.join(incoming.select(*keys), on=keys, how="left_anti")
+    new_rows = incoming.join(current.select(*keys), on=keys, how="left_anti")
+    new_current = (
+        changed_new.select(*cur_cols)
+        .unionByName(unchanged.select(*cur_cols))
+        .unionByName(current_only.select(*cur_cols))
+        .unionByName(new_rows.select(*cur_cols))
+    )
+    new_history = history.unionByName(changed_old.select(*history.columns))
+    return new_current, new_history

@@ -112,7 +112,7 @@ _ROUND_WINDOW = [
     "window_session_builtin",
     "agg_count_distinct",
     "agg_grouping_cube",
-    "agg_grouping_rollup",
+    "merge_scd4",  # r15 SQL-oracle debut — swaps the agg_grouping_rollup filler
 ]
 
 

@@ -37,6 +37,15 @@ DIM_INCOMING_PARTIAL_SQL = (
     "ROUND(c_acctbal + CASE WHEN c_custkey % 4 = 0 THEN 10 ELSE 0 END, 2) AS c_acctbal, "
     "c_mktsegment FROM customer WHERE c_custkey % 2 = 0"
 )
+#: Pre-existing SCD4 history: versions archived by an earlier batch
+#: (an acctbal 50 lower than today's), keyed independently of the
+#: target slice so pass-through is exercised for keys both inside and
+#: outside the current table.
+DIM_HISTORY_SQL = (
+    "SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal - 50, 2) AS c_acctbal, "
+    "c_mktsegment, '2025-06-01 00:00:00' AS archived_at "
+    "FROM customer WHERE c_custkey % 9 = 0"
+)
 MEMBERSHIP_TARGET_SQL = (
     "SELECT c_nationkey AS grp, c_custkey AS member FROM customer WHERE c_custkey % 3 <> 0"
 )
@@ -78,6 +87,21 @@ def dim_incoming_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).alias("c_acctbal"),
             "c_mktsegment",
+        )
+    )
+
+
+def dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 9 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") - 50, 2).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("2025-06-01 00:00:00").alias("archived_at"),
         )
     )
 

@@ -324,3 +324,74 @@ def merge_scd3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         target, FX.dim_incoming_partial(spark, sf_dir),
         keys=["c_custkey"], tracked_col="c_acctbal",
     )
+
+
+@register(
+    "merge_scd4",
+    oracle=f"""
+    WITH target AS ({FX.DIM_TARGET_SQL}),
+         incoming AS ({FX.DIM_INCOMING_PARTIAL_SQL}),
+         hist0 AS ({FX.DIM_HISTORY_SQL}),
+         diff AS (
+             SELECT t.c_custkey,
+                    (i.c_name IS DISTINCT FROM t.c_name
+                     OR i.c_nationkey IS DISTINCT FROM t.c_nationkey
+                     OR i.c_acctbal IS DISTINCT FROM t.c_acctbal
+                     OR i.c_mktsegment IS DISTINCT FROM t.c_mktsegment) AS chg
+             FROM target t JOIN incoming i USING (c_custkey)
+         )
+    SELECT i.c_custkey, i.c_name, i.c_nationkey, i.c_acctbal, i.c_mktsegment,
+           CAST(NULL AS VARCHAR) AS archived_at, 'current' AS tbl
+    FROM incoming i JOIN diff d USING (c_custkey) WHERE d.chg
+    UNION ALL
+    SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment,
+           CAST(NULL AS VARCHAR) AS archived_at, 'current' AS tbl
+    FROM target t JOIN diff d USING (c_custkey) WHERE NOT d.chg
+    UNION ALL
+    SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment,
+           CAST(NULL AS VARCHAR) AS archived_at, 'current' AS tbl
+    FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.c_custkey = t.c_custkey)
+    UNION ALL
+    SELECT i.c_custkey, i.c_name, i.c_nationkey, i.c_acctbal, i.c_mktsegment,
+           CAST(NULL AS VARCHAR) AS archived_at, 'current' AS tbl
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.c_custkey = i.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           archived_at, 'history' AS tbl
+    FROM hist0
+    UNION ALL
+    SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment,
+           '{FX.BATCH_TS}' AS archived_at, 'history' AS tbl
+    FROM target t JOIN diff d USING (c_custkey) WHERE d.chg
+    """,
+)
+def merge_scd4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD4 current+history merge (round 15 — the last Kimball type
+    after r14's SCD3): the current table overwrites in place (SCD1
+    semantics) while every superseded version lands in a separate
+    append-only history table stamped archived_at = batch_ts; existing
+    history passes through untouched. Both tables come from ONE
+    key-partitioned diff; this query unions them under a `tbl`
+    discriminator so the single-frame oracle can check both at once.
+    The partial-incoming fixture exercises all four current-table
+    branches (changed / unchanged-overlap / target-only / new) plus
+    the two history branches (pass-through / newly archived)."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators import merge_scd4
+
+    cur, hist = merge_scd4(
+        FX.dim_target(spark, sf_dir),
+        FX.dim_history(spark, sf_dir),
+        FX.dim_incoming_partial(spark, sf_dir),
+        keys=["c_custkey"],
+        compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        batch_ts=FX.BATCH_TS,
+    )
+    return cur.withColumn(
+        "archived_at", F.lit(None).cast("string")
+    ).withColumn("tbl", F.lit("current")).unionByName(
+        hist.withColumn("tbl", F.lit("history"))
+    )

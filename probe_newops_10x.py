@@ -137,6 +137,8 @@ OPS = [
     "corpus_interleave_mixture", # count agg + per-source rank window + map
     "agg_chi2_independence",    # one (type,cohort) count pass, driver algebra
     "agg_proportion_ztest",     # (user,type) count collapse + tiny z algebra
+    # round-15 additions
+    "merge_scd4",               # one key diff feeds current+history, batch broadcast
 ]
 
 

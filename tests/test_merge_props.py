@@ -344,3 +344,73 @@ def test_asof_join_tolerance_matches_pandas(spark):
         payload_cols=["rid", "px"], right_tiebreak="rid", tolerance=None,
     ).collect()))
     assert a == b
+
+
+def test_scd4_idempotent_and_branches(spark, sf_dir):
+    """r15: SCD4 current+history merge. Idempotence — re-applying the
+    same batch leaves BOTH tables unchanged (the changed branch sees
+    current == incoming the second time, so history gains nothing);
+    branch battery on a hand-built frame: changed overlap moves the
+    old row into history stamped batch_ts and the incoming row into
+    current, unchanged overlap and target-only pass through with no
+    archive, new keys insert with no archive, pre-existing history
+    rows survive untouched; null-safe compare (NULL → value is a
+    change)."""
+    from n2kupdate_spark.operators import merge_scd4
+    from n2kupdate_spark.queries import fixtures as FX
+
+    kw = dict(
+        keys=["c_custkey"],
+        compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        batch_ts=FX.BATCH_TS,
+    )
+    target = FX.dim_target(spark, sf_dir)
+    hist0 = FX.dim_history(spark, sf_dir)
+    incoming = FX.dim_incoming_partial(spark, sf_dir)
+    cur1, hist1 = merge_scd4(target, hist0, incoming, **kw)
+    cur1, hist1 = cur1.localCheckpoint(), hist1.localCheckpoint()
+    cur2, hist2 = merge_scd4(cur1, hist1, incoming, **kw)
+    assert _canon(cur1) == _canon(cur2)
+    assert _canon(hist1) == _canon(hist2)
+    # every archived row carries the batch stamp; pre-existing history intact
+    assert hist1.count() == hist0.count() + hist1.filter(
+        F.col("archived_at") == FX.BATCH_TS
+    ).count()
+    assert _canon(hist1.filter(F.col("archived_at") != FX.BATCH_TS)) == _canon(hist0)
+
+    t = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, 30.0, "z"), (4, None, "w")],
+        "k: long, v: double, attr: string",
+    )
+    h = spark.createDataFrame(
+        [(1, 5.0, "x-old", "2025-06-01 00:00:00")],
+        "k: long, v: double, attr: string, archived_at: string",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 11.0, "x"),        # v changed -> archive (1, 10.0)
+            (2, 20.0, "y"),        # identical -> no-op
+            (4, 4.0, "w"),         # NULL -> value: a change, archives (4, NULL)
+            (5, 50.0, "new"),      # new key -> insert, no archive
+        ],
+        "k: long, v: double, attr: string",
+    )
+    cur, hist = merge_scd4(
+        t, h, b, keys=["k"], compare_cols=["v", "attr"], batch_ts="2026-02-02 00:00:00"
+    )
+    got_cur = {r["k"]: (r["v"], r["attr"]) for r in cur.collect()}
+    assert got_cur == {
+        1: (11.0, "x"),
+        2: (20.0, "y"),
+        3: (30.0, "z"),   # target-only untouched
+        4: (4.0, "w"),
+        5: (50.0, "new"),
+    }
+    got_hist = sorted(
+        (r["k"], r["v"], r["attr"], r["archived_at"]) for r in hist.collect()
+    )
+    assert got_hist == [
+        (1, 5.0, "x-old", "2025-06-01 00:00:00"),      # pass-through
+        (1, 10.0, "x", "2026-02-02 00:00:00"),         # superseded v
+        (4, None, "w", "2026-02-02 00:00:00"),         # superseded NULL
+    ]
