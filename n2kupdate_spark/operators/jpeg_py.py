@@ -99,26 +99,37 @@ _AC_BITS = [0] * 7 + [len(_AC_VALS)] + [0] * 8
 
 
 class _BitWriter:
+    """MSB-first writer with 0xFF stuffing. Bits accumulate in one big
+    int and drain to bytes in chunks (r15 perf: one to_bytes + replace
+    per ~4 KiB instead of a Python loop per bit — same output bytes:
+    MSB-first order, 0x00 after every 0xFF, 1-padded flush)."""
+
     def __init__(self) -> None:
         self.out = bytearray()
         self._acc = 0
         self._n = 0
 
     def write(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((value >> i) & 1)
-            self._n += 1
-            if self._n == 8:
-                b = self._acc & 0xFF
-                self.out.append(b)
-                if b == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self._acc = 0
-                self._n = 0
+        self._acc = (self._acc << length) | (value & ((1 << length) - 1))
+        self._n += length
+        if self._n >= 32768:
+            self._drain()
+
+    def _drain(self) -> None:
+        rem = self._n % 8
+        nbytes = self._n // 8
+        if nbytes:
+            data = (self._acc >> rem).to_bytes(nbytes, "big")
+            self.out += data.replace(b"\xff", b"\xff\x00")  # byte stuffing
+            self._acc &= (1 << rem) - 1
+            self._n = rem
 
     def flush(self) -> None:
-        while self._n:
-            self.write(1, 1)  # pad with 1-bits per spec
+        pad = -self._n % 8
+        if pad:
+            self._acc = (self._acc << pad) | ((1 << pad) - 1)  # 1-bits per spec
+            self._n += pad
+        self._drain()
 
 
 def _amplitude(v: int) -> tuple[int, int]:
@@ -149,10 +160,13 @@ def _pad_to_8(px: np.ndarray) -> np.ndarray:
     return np.pad(px, [(0, ph), (0, pw)] + [(0, 0)] * (px.ndim - 2), mode="edge")
 
 
-def encode_jpeg_pixels(px: np.ndarray) -> bytes:
+def encode_jpeg_pixels(px: np.ndarray, restart_interval: int = 0) -> bytes:
     """Baseline JFIF bytes from an (h, w) grayscale or (h, w, 3) RGB uint8
     array: 1×1 sampling, flat quant tables, per-spec canonical Huffman
-    tables emitted in DHT. Deterministic."""
+    tables emitted in DHT. Deterministic. ``restart_interval`` > 0 emits
+    a DRI segment and RSTn markers every N MCUs (DC predictors reset,
+    1-padded byte alignment before each marker, n cycling 0–7 per
+    T.81 §B.2.1.2) — used to exercise the decoder's restart path."""
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
@@ -175,8 +189,16 @@ def encode_jpeg_pixels(px: np.ndarray) -> bytes:
     coefs = [_encode_blocks(p, q) for p, q in zip(planes, qts)]
     by, bx = coefs[0].shape[:2]
     prev_dc = [0] * len(planes)
+    mcu = 0
     for r in range(by):
         for c in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += struct.pack(
+                    ">H", 0xFFD0 + (mcu // restart_interval - 1) % 8
+                )
+                prev_dc = [0] * len(planes)
+            mcu += 1
             for ci, zz in enumerate(coefs):
                 blk = zz[r, c]
                 diff = int(blk[0]) - prev_dc[ci]
@@ -223,6 +245,8 @@ def encode_jpeg_pixels(px: np.ndarray) -> bytes:
     out += seg(0xFFC0, sof)
     out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0 for all
@@ -250,7 +274,15 @@ def encode_jpeg(width: int, height: int, seed: bytes, gray: bool = False) -> byt
 
 class _BitReader:
     """MSB-first reader over the entropy-coded segment with 0xFF00
-    unstuffing; RSTn markers surface as events the MCU loop consumes."""
+    unstuffing; RSTn markers surface as events the MCU loop consumes.
+
+    Buffered (r15 perf): the accumulator holds up to ~3 buffered bytes
+    so ``bits(n)`` is one shift/mask instead of n single-bit calls, and
+    ``peek16``/``drop`` give the Huffman LUT its window. Refill is
+    strictly on demand and markers NEVER enter the buffer (``peek16``
+    restores ``pos`` when a refill hits one), so byte-consumption
+    positions — and therefore every marker/truncation error — are
+    identical to the old bit-at-a-time reader."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -276,23 +308,53 @@ class _BitReader:
             raise _MarkerHit(0xFF00 | nxt)
 
     def bit(self) -> int:
-        if self._n == 0:
-            self._acc = self._next_byte()
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+        return self.bits(1)
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        while self._n < n:
+            self._acc = (self._acc << 8) | self._next_byte()
+            self._n += 8
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
         return v
 
+    def peek16(self) -> tuple[int, int]:
+        """(window, avail): up to 16 buffered bits left-aligned into a
+        16-bit window (zero-padded past stream edges/markers), without
+        consuming anything and without consuming a marker."""
+        while self._n < 16:
+            save = self.pos
+            try:
+                b = self._next_byte()
+            except (_MarkerHit, ValueError):
+                self.pos = save
+                break
+            self._acc = (self._acc << 8) | b
+            self._n += 8
+        if self._n >= 16:
+            return (self._acc >> (self._n - 16)) & 0xFFFF, 16
+        return (self._acc << (16 - self._n)) & 0xFFFF, self._n
+
+    def drop(self, n: int) -> None:
+        """Consume n already-buffered bits (peek16 guaranteed them)."""
+        self._n -= n
+        self._acc &= (1 << self._n) - 1
+
     def align(self) -> None:
-        self._n = 0
+        # drop only the partial-byte remainder: whole buffered bytes are
+        # pure data (markers never enter the buffer) and stay readable
+        self._n -= self._n % 8
+        self._acc &= (1 << self._n) - 1
 
     def peek_marker(self) -> int | None:
         """Marker at the current byte-aligned position, else None."""
+        if self._n >= 8:
+            # next logical byte is already buffered ⇒ it is data, not a
+            # marker (refill stops at markers without consuming them)
+            return None
         if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
             nxt = self.data[self.pos + 1]
             if nxt != 0x00:
@@ -305,7 +367,45 @@ class _MarkerHit(Exception):
         self.marker = marker
 
 
-def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+#: (sorted table items) → (sym, code_len) flat 2^16 lists. The synth
+#: encoder emits the fixed spec tables, so in practice this builds once
+#: per table kind and every subsequent image hits the cache.
+_LUT_CACHE: dict[tuple, tuple[list, list]] = {}
+
+
+#: id(table) → (strong table ref, luts): skips the sorted-items key
+#: build on the per-block hot path. The strong ref pins the dict so its
+#: id is never reused while the entry lives; capped to stay bounded.
+_LUT_BY_ID: dict[int, tuple[dict, tuple[list, list]]] = {}
+
+
+def _huff_lut(table: dict[tuple[int, int], int]) -> tuple[list, list]:
+    by_id = _LUT_BY_ID.get(id(table))
+    if by_id is not None and by_id[0] is table:
+        return by_id[1]
+    key = tuple(sorted(table.items()))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        if len(_LUT_BY_ID) > 64:
+            _LUT_BY_ID.clear()
+        _LUT_BY_ID[id(table)] = (table, hit)
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.int16)
+    for (length, code), s in table.items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    out = (sym.tolist(), ln.tolist())
+    _LUT_CACHE[key] = out
+    if len(_LUT_BY_ID) > 64:
+        _LUT_BY_ID.clear()
+    _LUT_BY_ID[id(table)] = (table, out)
+    return out
+
+
+def _huff_read_slow(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
     while length < 16:
         code = (code << 1) | br.bit()
@@ -314,6 +414,20 @@ def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
         if sym is not None:
             return sym
     raise ValueError("invalid JPEG Huffman code")
+
+
+def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    window, avail = br.peek16()
+    sym_l, len_l = _huff_lut(table)
+    ln = len_l[window]
+    if 0 < ln <= avail:
+        br.drop(ln)
+        return sym_l[window]
+    if avail == 16:
+        raise ValueError("invalid JPEG Huffman code")
+    # stream edge (marker/truncation inside the 16-bit window): replay
+    # bit-by-bit so the error surfaces at exactly the old position
+    return _huff_read_slow(br, table)
 
 
 def _extend(v: int, size: int) -> int:

@@ -948,3 +948,47 @@ def test_image_phash_pairs_and_dhash_recompute(spark):
     )
     hs = {r["doc_id"]: r["phash"] for r in dhash_images(one).collect()}
     assert hs[1] == hs[2] == got_h[0]
+
+
+def test_jpeg_lut_entropy_decoder_bit_identical_and_restart_path():
+    """r15 perf (verdict item 5): the buffered-bit-reader + Huffman-LUT
+    entropy decoder must be BIT-IDENTICAL to the bit-at-a-time slow
+    path on every codec mix payload (the LUT fast path falls back to
+    the slow loop at stream edges, so errors surface at the same
+    positions — checked via the truncation battery the honesty test
+    runs). Also pins the restart path the new align/peek_marker logic
+    carries: DRI + RSTn streams decode to exactly the plain stream's
+    pixels for intervals 1/2/3/7 and both color modes."""
+    import hashlib
+
+    import numpy as np
+
+    from n2kupdate_spark.operators import jpeg_py as jp
+    from n2kupdate_spark.operators.jpeg_py import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_pixels,
+    )
+
+    for i in range(40):
+        seed = f"lut-pin-{i}".encode()
+        d = hashlib.md5(seed).digest()
+        payload = encode_jpeg(8 + d[0] % 32, 8 + d[1] % 32, seed)
+        fast = decode_jpeg_pixels(payload)
+        orig = jp._huff_read
+        jp._huff_read = jp._huff_read_slow
+        try:
+            slow = decode_jpeg_pixels(payload)
+        finally:
+            jp._huff_read = orig
+        assert np.array_equal(fast, slow), i
+
+    rng = np.random.RandomState(3)
+    for shape in [(11, 14), (24, 33, 3), (8, 8), (17, 9, 3)]:
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        plain = decode_jpeg_pixels(encode_jpeg_pixels(px))
+        for ri in (1, 2, 3, 7):
+            withrst = decode_jpeg_pixels(
+                encode_jpeg_pixels(px, restart_interval=ri)
+            )
+            assert np.array_equal(plain, withrst), (shape, ri)
