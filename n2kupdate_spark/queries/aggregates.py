@@ -897,3 +897,184 @@ def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(z).alias("z_stat"),
         F.coalesce(F.abs(z) >= 1.96, F.lit(False)).alias("significant"),
     )
+
+
+@register("agg_mann_whitney_u")  # rows-only (r9 capacity policy): ≡
+# numpy sort-based-rank recompute + planted shift/tie pins —
+# tests/test_parity.py
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between the user_id-parity cohorts
+    per event type — the NONPARAMETRIC member of the inference family
+    (welch assumes means matter; this detects any stochastic-dominance
+    shift, the robust default when value distributions are skewed or
+    heavy-tailed, which engagement metrics always are). Midranks for
+    ties, U_a = R_a − n_a(n_a+1)/2, large-sample normal approximation
+    with the standard tie correction
+    σ² = n_a·n_b/12 · [(n+1) − Σ(t³−t)/(n(n−1))], z = (U_a − μ)/σ
+    (no continuity correction — the large-sample form), flagged at
+    |z| ≥ 1.96.
+
+    Scale shape: ranks are NEVER materialized per row — one
+    (type, value, cohort-conditional) count aggregate collapses the
+    data to #distinct-values rows, midranks come from a cumulative
+    window over that collapsed table ordered by value, and the rank
+    sum / tie term / z algebra is a second #types-row aggregate. Two
+    partial-agged shuffles + one small window, independent of row
+    count. Scale-first 4dp."""
+    from pyspark.sql import Window
+
+    ev = load(
+        spark, sf_dir, "events", columns=["event_type", "user_id", "value"]
+    ).filter(F.col("value").isNotNull())
+    a = (F.col("user_id") % 2 == 0).cast("long")
+    per_val = ev.groupBy("event_type", "value").agg(
+        F.sum(a).alias("ta"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_val.select(
+        "event_type",
+        "ta",
+        "t",
+        # midrank of a tie group = (#before) + (t+1)/2
+        (F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2).alias("midrank"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("ta").cast("long").alias("n_a"),
+        (F.sum("t") - F.sum("ta")).cast("long").alias("n_b"),
+        F.sum(F.col("ta") * F.col("midrank")).alias("ra"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u = F.col("ra") - na * (na + 1) / 2
+    mu = na * nb / 2
+    sigma = F.sqrt(
+        na * nb / 12
+        * ((n + 1) - F.try_divide(F.col("tie3"), n * (n - 1)))
+    )
+    z = F.when(sigma > 0, (u - mu) / sigma)
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        r4(u).alias("u_stat"),
+        r4(z).alias("z_stat"),
+        F.coalesce(F.abs(z) >= 1.96, F.lit(False)).alias("significant"),
+    )
+
+
+@register("agg_kruskal_wallis")  # rows-only (r9 capacity policy): ≡
+# numpy sort-based-rank recompute + planted shift pins —
+# tests/test_parity.py
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test — the k-SAMPLE extension of Mann–Whitney
+    (one-way ANOVA on ranks): does the value distribution differ across
+    EVENT TYPES at all? The single-row omnibus answer a dashboard reads
+    before drilling into pairwise tests (running k² pairwise MWUs
+    without it is the classic multiple-comparisons trap).
+    H = [12/(n(n+1)) · Σ R_g²/n_g − 3(n+1)] / [1 − Σ(t³−t)/(n³−n)]
+    with midranks for ties, compared to the χ²(k−1) 5% critical value
+    via the Wilson–Hilferty approximation (the chi2 op's convention).
+
+    Scale shape: same collapsed-rank design as agg_mann_whitney_u —
+    one (value, per-type-conditional) count aggregate over a GLOBAL
+    value order (one small window over #distinct values), a #types-row
+    rank-sum aggregate, then single-row algebra. Emits one row:
+    (k, n, h_stat, df, significant). Scale-first 4dp."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events", columns=["event_type", "value"]).filter(
+        F.col("value").isNotNull()
+    )
+    per_val = ev.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("tg"))
+    tot = per_val.groupBy("value").agg(F.sum("tg").alias("t"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked_vals = tot.select(
+        "value",
+        "t",
+        (F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2).alias("midrank"),
+    )
+    per_type = (
+        per_val.join(ranked_vals, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("tg").alias("ng"),
+            F.sum(F.col("tg") * F.col("midrank")).alias("rg"),
+        )
+    )
+    ties = ranked_vals.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
+    )
+    one = per_type.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("sr2"),
+    ).crossJoin(ties)  # 1×1 — constant-size, never data-sized
+    n, k = F.col("n"), F.col("k")
+    h_raw = F.lit(12.0) / (n * (n + 1)) * F.col("sr2") - 3 * (n + 1)
+    tie_corr = F.lit(1.0) - F.try_divide(F.col("tie3"), n * n * n - n)
+    h = F.try_divide(h_raw, tie_corr)
+    df = (k - 1).cast("double")
+    # Wilson–Hilferty: chi2_crit(df, .95) ≈ df·(1 − 2/(9df) + 1.6449·√(2/(9df)))³
+    whf = F.lit(1.0) - 2 / (9 * df) + F.lit(1.6449) * F.sqrt(2 / (9 * df))
+    crit = df * whf * whf * whf
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return one.select(
+        "k",
+        "n",
+        r4(h).alias("h_stat"),
+        df.cast("long").alias("df"),
+        F.coalesce(h >= crit, F.lit(False)).alias("significant"),
+    )
+
+
+@register("agg_spearman_corr")  # rows-only (r9 capacity policy): ≡
+# numpy argsort-midrank recompute + planted monotone/independent pins —
+# tests/test_parity.py
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group — the nonparametric
+    dependence measure next to the MWU/KW rank tests: Pearson's r
+    computed on MIDRANKS of each variable (ties averaged), so it reads
+    any monotone relationship without assuming linearity and shrugs
+    off the heavy tails that wreck raw Pearson on revenue-like
+    columns. Demo: per language, character count vs whitespace word
+    count of each document — a genuinely monotone-but-nonlinear pair
+    (the TPC-H-ish numeric columns in this fixture are independent by
+    construction; verified corr ≈ −0.02), so a strongly positive rho
+    is the planted truth.
+
+    Scale shape: midranks per variable come from rank() + tie-count
+    windows; BOTH variables' windows partition on the same group key,
+    so the whole rank stage runs off ONE exchange (verified: a single
+    hashpartitioning(lang) in the plan), and rho is F.corr on the
+    ranked frame — one partial-agged #groups-row aggregate. No
+    collapsed-value table needed because the window is per GROUP
+    (bounded fan-in per key), not global. Scale-first 4dp."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents", columns=["lang", "text", "n_chars"]).select(
+        "lang",
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("y"),
+    )
+
+    def midrank(col: str):
+        wr = Window.partitionBy("lang").orderBy(col)
+        wt = Window.partitionBy("lang", col)
+        # min-rank + (ties−1)/2 = average position of the tie run
+        return F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2
+
+    ranked = d.select(
+        "lang", midrank("x").alias("rx"), midrank("y").alias("ry")
+    )
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.corr("rx", "ry")).alias("spearman_rho"),
+    )

@@ -139,6 +139,9 @@ OPS = [
     "agg_proportion_ztest",     # (user,type) count collapse + tiny z algebra
     # round-15 additions
     "merge_scd4",               # one key diff feeds current+history, batch broadcast
+    "agg_mann_whitney_u",       # (type,value) collapse + small window + tiny agg
+    "agg_kruskal_wallis",       # global value collapse + one window + 1-row algebra
+    "agg_spearman_corr",        # per-group rank windows (one exchange) + corr agg
 ]
 
 

@@ -1117,3 +1117,262 @@ def test_bootstrap_ci_string_ids_match_prehashed_longs(spark):
     assert {g: r.asDict() for g, r in again.items()} == {
         g: r.asDict() for g, r in got.items()
     }
+
+
+def test_mann_whitney_u_matches_numpy_and_planted(spark):
+    """r15: MWU ≡ an independent numpy recompute (argsort-based
+    midranks — a different algorithmic path from the engine's
+    collapsed count-cumsum ranks) at two sfs; planted: a stochastic
+    shift between cohorts must flag, an identical-distribution pair
+    must not, and a heavily-tied frame exercises the tie-corrected σ."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import n2kupdate_spark.queries.aggregates as aggq
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+
+    def midranks(vals):
+        order = np.argsort(vals, kind="mergesort")
+        ranks = np.empty(len(vals))
+        sv = vals[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    def ref(rows):
+        by = {}
+        for t, u, v in rows:
+            by.setdefault(t, ([], []))[u % 2].append(v)
+        out = {}
+        for t, (even, odd) in by.items():
+            x = np.array(even + odd, dtype=float)
+            na, nb = len(even), len(odd)
+            rk = midranks(x)
+            ra = rk[:na].sum()
+            u_ = ra - na * (na + 1) / 2
+            mu = na * nb / 2
+            _vals, counts = np.unique(x, return_counts=True)
+            tie3 = float((counts.astype(float) ** 3 - counts).sum())
+            n = na + nb
+            var = na * nb / 12 * ((n + 1) - (tie3 / (n * (n - 1)) if n > 1 else 0.0))
+            z = (u_ - mu) / np.sqrt(var) if var > 0 else None
+            out[t] = (
+                na, nb, r4(u_),
+                None if z is None else r4(z),
+                bool(z is not None and abs(z) >= 1.96),
+            )
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], int(r["user_id"]), float(r["value"]))
+            for r in load(spark, sf, "events", columns=["event_type", "user_id", "value"])
+            .filter(F.col("value").isNotNull())
+            .collect()
+        ]
+        want = ref(rows)
+        got = {
+            r["event_type"]: (
+                r["n_a"], r["n_b"], r["u_stat"], r["z_stat"], r["significant"]
+            )
+            for r in QUERIES["agg_mann_whitney_u"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    rng = np.random.RandomState(21)
+    rows = []
+    for u in range(400):
+        # "shift": cohort a stochastically larger; "same": identical law;
+        # "tied": values from a 4-point lattice — the tie-corrected branch
+        base = rng.randn()
+        rows.append(("shift", u, float(base + (0.6 if u % 2 == 0 else 0.0))))
+        rows.append(("same", u, float(rng.randn())))
+        rows.append(("tied", u, float(rng.randint(0, 4))))
+    df = spark.createDataFrame(rows, "event_type: string, user_id: long, value: double")
+    orig = aggq.load
+    try:
+        aggq.load = lambda spark_, sf_, t, columns=None: df
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["agg_mann_whitney_u"](spark, "ignored").collect()
+        }
+    finally:
+        aggq.load = orig
+    assert got["shift"]["significant"] is True and got["shift"]["z_stat"] > 1.96
+    assert got["same"]["significant"] is False
+    want = ref([(t, u, v) for t, u, v in rows if t == "tied"])["tied"]
+    assert (
+        got["tied"]["u_stat"], got["tied"]["z_stat"]
+    ) == (want[2], want[3])
+
+
+def test_kruskal_wallis_matches_numpy_and_planted(spark):
+    """r15: KW H ≡ an independent numpy recompute (argsort midranks,
+    scipy's tie-corrected formula) at two sfs; planted: one shifted
+    group among five must flag the omnibus, five identical groups must
+    not."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import n2kupdate_spark.queries.aggregates as aggq
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+
+    def ref(rows):
+        groups = {}
+        for t, v in rows:
+            groups.setdefault(t, []).append(v)
+        labels = sorted(groups)
+        x = np.concatenate([np.array(groups[t], dtype=float) for t in labels])
+        sizes = [len(groups[t]) for t in labels]
+        order = np.argsort(x, kind="mergesort")
+        ranks = np.empty(len(x))
+        sv = x[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        n = len(x)
+        sr2, pos = 0.0, 0
+        for sz in sizes:
+            sr2 += ranks[pos : pos + sz].sum() ** 2 / sz
+            pos += sz
+        _vals, counts = np.unique(x, return_counts=True)
+        tie3 = float((counts.astype(float) ** 3 - counts).sum())
+        h = (12.0 / (n * (n + 1)) * sr2 - 3 * (n + 1)) / (1 - tie3 / (n**3 - n))
+        k = len(labels)
+        dfree = float(k - 1)
+        whf = 1 - 2 / (9 * dfree) + 1.6449 * np.sqrt(2 / (9 * dfree))
+        return (k, n, r4(h), int(dfree), bool(h >= dfree * whf**3))
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], float(r["value"]))
+            for r in load(spark, sf, "events", columns=["event_type", "value"])
+            .filter(F.col("value").isNotNull())
+            .collect()
+        ]
+        want = ref(rows)
+        [got] = QUERIES["agg_kruskal_wallis"](spark, sf).collect()
+        assert (got["k"], got["n"], got["h_stat"], got["df"], got["significant"]) == want, sf
+
+    rng = np.random.RandomState(8)
+    shifted = [("g4", float(rng.randn() + 1.0)) for _ in range(200)]
+    flat = [(f"g{i % 4}", float(rng.randn())) for i in range(800)]
+    null_rows = [(f"g{i % 5}", float(rng.randn())) for i in range(1000)]
+    df_build = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_type: string, value: double"
+    )
+    orig = aggq.load
+    try:
+        aggq.load = lambda spark_, sf_, t, columns=None: df_build(flat + shifted)
+        [got_shift] = QUERIES["agg_kruskal_wallis"](spark, "ignored").collect()
+        aggq.load = lambda spark_, sf_, t, columns=None: df_build(null_rows)
+        [got_null] = QUERIES["agg_kruskal_wallis"](spark, "ignored").collect()
+    finally:
+        aggq.load = orig
+    assert got_shift["significant"] is True and got_shift["k"] == 5
+    assert got_null["significant"] is False
+
+
+def test_spearman_corr_matches_numpy_and_planted(spark):
+    """r15: per-group Spearman rho ≡ an independent numpy recompute
+    (argsort midranks + np.corrcoef — a different rank path from the
+    engine's rank()+tie-count windows) at two sfs; planted: a perfect
+    monotone nonlinear pair reads 1.0, a reversed pair −1.0, an
+    independent pair ≈ 0, and a tied lattice matches the midrank
+    recompute exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import n2kupdate_spark.queries.aggregates as aggq
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+
+    def midranks(vals):
+        order = np.argsort(vals, kind="mergesort")
+        ranks = np.empty(len(vals))
+        sv = np.asarray(vals)[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    def ref(rows):
+        by = {}
+        for g, x, y in rows:
+            by.setdefault(g, []).append((x, y))
+        out = {}
+        for g, pts in by.items():
+            xs = np.array([p[0] for p in pts], dtype=float)
+            ys = np.array([p[1] for p in pts], dtype=float)
+            rho = float(np.corrcoef(midranks(xs), midranks(ys))[0, 1])
+            out[g] = (len(pts), r4(rho))
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (
+                r["lang"],
+                float(r["n_chars"]),
+                float(len([t for t in (r["text"] or "").strip().split() if t])),
+            )
+            for r in load(spark, sf, "documents", columns=["lang", "text", "n_chars"]).collect()
+        ]
+        want = ref(rows)
+        got = {
+            r["lang"]: (r["n"], r["spearman_rho"])
+            for r in QUERIES["agg_spearman_corr"](spark, sf).collect()
+        }
+        assert got == want, sf
+        assert all(rho > 0.9 for _n, rho in got.values())  # planted monotone truth
+
+    rng = np.random.RandomState(13)
+    # planted frames fed through the REGISTERED query: text is built as
+    # "w " * k so the engine's whitespace word count is exactly k
+    x = rng.uniform(1, 100, 300)
+    rows = []
+    for i, v in enumerate(x):
+        rows.append(("mono", int(v * 10), "w " * (int(v) + 1)))          # y monotone in x
+        rows.append(("anti", int(v * 10), "w " * (101 - int(v))))        # y anti-monotone
+        rows.append(("indep", int(v * 10), "w " * (1 + int(rng.uniform(0, 50)))))
+        rows.append(("tied", int(v) % 5, "w " * (1 + int(v) % 3)))       # lattice ties
+    df = spark.createDataFrame(rows, "lang: string, n_chars: long, text: string")
+    orig = aggq.load
+    try:
+        aggq.load = lambda spark_, sf_, t, columns=None: df
+        got = {
+            r["lang"]: (r["n"], r["spearman_rho"])
+            for r in QUERIES["agg_spearman_corr"](spark, "ignored").collect()
+        }
+    finally:
+        aggq.load = orig
+    want = ref(
+        [
+            (g, float(nc), float(len(t.strip().split())))
+            for g, nc, t in rows
+        ]
+    )
+    assert got == want
+    assert got["mono"][1] > 0.99
+    assert got["anti"][1] < -0.99
+    assert abs(got["indep"][1]) < 0.15
