@@ -832,3 +832,77 @@ def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     ).orderBy("day")
+
+
+@register("events_survival_km")  # rows-only (r9 capacity policy): ≡
+# python dict-based KM recompute + textbook planted cohort —
+# tests/test_mlprep_props.py
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-conversion curve from the raw event log —
+    the survival-analysis member of the events family
+    (retention_cohorts reads a grid of return RATES; this estimates
+    the conversion-time FUNCTION with censoring handled correctly,
+    which naive "%% converted by day t" numbers get wrong for every
+    user whose observation window is still open): subject = user,
+    the event = first HIGH-VALUE purchase (value ≥ 150 — ~45%% of the
+    fixture's users ever have one, so both branches are real at every
+    sf), duration = days from the user's first event to that purchase,
+    CENSORED at (observation end − first event) for users still
+    without one when the data ends. Product-limit estimate
+    S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ), nᵢ = subjects with duration ≥ tᵢ
+    (Kaplan & Meier 1958). Emits per duration day:
+    (day, n_risk, n_converted, n_censored, survival) — S(t) here reads
+    "probability a user is still conversion-free after t days".
+
+    Scale shape: one (user)-keyed conditional first/min collapse (the
+    only data-sized shuffle — the conversion time rides the same
+    aggregate as the entry time, never a second pass), the observation
+    end inlined as a literal (single-scalar driver agg — the IDF/BNLJ
+    rule), a (day) count aggregate to #distinct-days rows, then the
+    at-risk reverse cumsum and the product-limit fold (F.product
+    window — same left-to-right double multiply order as numpy
+    cumprod, so pins compare exactly) run on that bounded table.
+    Scale-first 4dp."""
+    from pyspark.sql import Window
+
+    VALUE_MIN = 150.0
+    ev = load(
+        spark, sf_dir, "events", columns=["user_id", "ts", "event_type", "value"]
+    ).select("user_id", ts_seconds("ts").alias("s"), "event_type", "value")
+    conv = (F.col("event_type") == "purchase") & (F.col("value") >= VALUE_MIN)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("s").alias("first_s"),
+        F.min(F.when(conv, F.col("s"))).alias("conv_s"),
+    )
+    end_s = int(ev.agg(F.max("s")).collect()[0][0])  # 1 scalar — inlined
+    subjects = per_user.select(
+        F.floor(
+            (F.coalesce(F.col("conv_s"), F.lit(end_s)) - F.col("first_s")) / 86400
+        ).alias("day"),
+        F.col("conv_s").isNotNull().alias("converted"),
+    )
+    days = subjects.groupBy("day").agg(
+        F.sum(F.col("converted").cast("long")).alias("n_converted"),
+        F.sum((~F.col("converted")).cast("long")).alias("n_censored"),
+    )
+    w_risk = (
+        Window.orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_surv = (
+        Window.orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = days.withColumn(
+        "n_risk", F.sum(F.col("n_converted") + F.col("n_censored")).over(w_risk)
+    )
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return at_risk.select(
+        "day",
+        "n_risk",
+        "n_converted",
+        "n_censored",
+        r4(
+            F.product(1 - F.col("n_converted") / F.col("n_risk")).over(w_surv)
+        ).alias("survival"),
+    ).orderBy("day")

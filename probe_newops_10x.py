@@ -142,6 +142,7 @@ OPS = [
     "agg_mann_whitney_u",       # (type,value) collapse + small window + tiny agg
     "agg_kruskal_wallis",       # global value collapse + one window + 1-row algebra
     "agg_spearman_corr",        # per-group rank windows (one exchange) + corr agg
+    "events_survival_km",       # one user collapse + #days-bounded KM fold
 ]
 
 

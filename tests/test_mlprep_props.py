@@ -4235,3 +4235,126 @@ def test_hw_backtest_long_horizon_baseline_no_peek(spark):
         assert got[int(3600 * cut)]["naive_mae"] == nmae, cut
         checked += 1
     assert checked == 2
+
+
+def test_survival_km_matches_python_and_planted(spark):
+    """r15: the Kaplan–Meier curve ≡ an independent python dict-based
+    product-limit recompute from raw (user, ts, type, value) rows at
+    two sfs (monotone non-increasing, censoring rows never drop the
+    curve); planted textbook cohort: durations/censor flags chosen so
+    hand-computed S(t) values are exact rationals, plus the classic
+    censoring-matters check — dropping censored subjects instead of
+    censoring them would read a different (wrong) curve."""
+    import numpy as np
+
+    import n2kupdate_spark.queries.streaming_batch as sbq
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+
+    def ref(rows):
+        # rows: (user, s, type, value) — replicate the spec independently
+        first, conv = {}, {}
+        end = max(s for _u, s, _t, _v in rows)
+        for u, s, t, v in rows:
+            first[u] = min(first.get(u, s), s)
+            if t == "purchase" and v is not None and v >= 150.0:
+                conv[u] = min(conv.get(u, s), s)
+        subjects = []
+        for u, f in first.items():
+            if u in conv:
+                subjects.append(((conv[u] - f) // 86400, True))
+            else:
+                subjects.append(((end - f) // 86400, False))
+        days = sorted({d for d, _c in subjects})
+        out = {}
+        surv = 1.0
+        for d in days:
+            n_risk = sum(1 for dd, _c in subjects if dd >= d)
+            n_conv = sum(1 for dd, c in subjects if dd == d and c)
+            n_cens = sum(1 for dd, c in subjects if dd == d and not c)
+            surv = surv * (1 - n_conv / n_risk)
+            out[d] = (n_risk, n_conv, n_cens, r4(surv))
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (int(r["user_id"]), int(r["s"]), r["event_type"], r["value"])
+            for r in load(spark, sf, "events")
+            .selectExpr(
+                "user_id",
+                "CAST(unix_timestamp(date_trunc('second', ts)) AS LONG) AS s",
+                "event_type",
+                "value",
+            )
+            .collect()
+        ]
+        want = ref(rows)
+        got = {
+            r["day"]: (r["n_risk"], r["n_converted"], r["n_censored"], r["survival"])
+            for r in QUERIES["events_survival_km"](spark, sf).collect()
+        }
+        assert got == want, sf
+        curve = [v[3] for _d, v in sorted(got.items())]
+        assert all(a >= b for a, b in zip(curve, curve[1:]))  # monotone
+
+    # textbook cohort (11 subjects; censoring duration is end − first
+    # event by spec, so censored subjects get their duration via a LATE
+    # first event): conversions at day 1 (2 of 11) → S = 9/11; one
+    # subject censored at duration 2 (first event day 3, never
+    # converts); conversions at day 3 (2 of 8 then at risk)
+    # → S = 9/11 · 6/8; six subjects censored at duration 5.
+    DAY = 86400
+    rows = []
+    uid = 0
+
+    def add_conv(day):
+        nonlocal uid
+        uid += 1
+        rows.append((uid, 0, "view", 1.0))
+        rows.append((uid, day * DAY, "purchase", 200.0))
+
+    def add_cens(duration):
+        nonlocal uid
+        uid += 1
+        rows.append((uid, (5 - duration) * DAY, "view", 1.0))
+
+    add_conv(1)
+    add_conv(1)
+    add_cens(2)
+    add_conv(3)
+    add_conv(3)
+    for _ in range(5):
+        add_cens(5)
+    # anchor pins the observation end to day 5 (also censored at 5)
+    uid += 1
+    rows.append((uid, 0, "view", 1.0))
+    rows.append((uid, 5 * DAY, "view", 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id: long, s: long, event_type: string, value: double"
+    )
+    # the query reads ts via ts_seconds — feed it a frame with a ts column
+    planted = df.selectExpr(
+        "user_id", "timestamp_seconds(s) AS ts", "event_type", "value"
+    )
+    orig = sbq.load
+    try:
+        sbq.load = lambda spark_, sf_, t, columns=None: planted
+        got = {
+            r["day"]: (r["n_risk"], r["n_converted"], r["n_censored"], r["survival"])
+            for r in QUERIES["events_survival_km"](spark, "ignored").collect()
+        }
+    finally:
+        sbq.load = orig
+    # 11 subjects: day1 2 conv of 11 → 9/11; day2 1 censored; day3 2 conv
+    # of 8 → 9/11·6/8; day5 censored tail (6 subjects: 5 + anchor)
+    s1 = r4(9 / 11)
+    s3 = r4(9 / 11 * 6 / 8)
+    assert got[1] == (11, 2, 0, s1)
+    assert got[2] == (9, 0, 1, s1)      # censoring does NOT drop the curve
+    assert got[3] == (8, 2, 0, s3)
+    assert got[5] == (6, 0, 6, s3)
+    # censoring-matters: dropping the day-2 censored subject would give
+    # S(3) = 9/11 · 5/7 ≠ the censored-correct 9/11 · 6/8
+    assert s3 != r4(9 / 11 * 5 / 7)
