@@ -756,3 +756,83 @@ def diag_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("shifted"))
         .alias("psi_band"),
     )
+
+
+@register("diag_benford_fit")  # rows-only (r9 capacity policy): ≡
+# python same-formula recompute + planted log-uniform/uniform pins —
+# tests/test_mlprep_props.py
+def diag_benford_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformity per order priority — the
+    forensic-accounting data-quality screen (Nigrini 2012): natural
+    multi-scale amounts follow P(d) = log₁₀(1 + 1/d); synthetic,
+    capped, or fabricated amounts don't, so the deviation profile is
+    a one-pass anomaly flag on any money-like column BEFORE it feeds
+    revenue aggregates. Emits per (priority, digit 1–9): count,
+    observed vs expected share, deviation, plus the group's MAD
+    (mean |obs − exp| over the 9 digits) and Nigrini's published
+    conformity bands (< .006 acceptable, < .012 marginal, else
+    nonconforming — the two tighter bands folded, since a 5-band read
+    adds nothing at this fixture size). The TPC-H-ish uniform price
+    generator is EXPECTED to read nonconforming — the diagnostic
+    detecting the fixture's synthetic prices is the op working; the
+    conforming branch is pinned on a planted log-uniform sample.
+
+    Scale shape: first digit is a pure JVM expression
+    (floor(x/10^floor(log₁₀ x)) — same doubles in the python pin),
+    ONE partial-agged (priority, digit) count shuffle (≤ #groups×9
+    rows), a 9-digit dense spine exploded off the group list (zero
+    joins, zero-count digits kept), and the share/MAD algebra + one
+    group window on that bounded table. Scale-first 4dp."""
+    from pyspark.sql import Window
+
+    o = load(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    ).filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10(F.col("o_totalprice"))))
+    ).cast("int")
+    cells = o.select("o_orderpriority", digit.alias("digit")).groupBy(
+        "o_orderpriority", "digit"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dense = (
+        cells.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"),
+        )
+        .join(cells, ["o_orderpriority", "digit"], "left")
+        .select(
+            "o_orderpriority", "digit", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    wg = Window.partitionBy("o_orderpriority")
+    n = F.sum("c").over(wg)
+    obs = F.col("c") / n
+    exp_ = F.log10(1 + 1 / F.col("digit").cast("double"))
+    staged = dense.select(
+        "o_orderpriority",
+        "digit",
+        "c",
+        obs.alias("__obs"),
+        exp_.alias("__exp"),
+    )
+    mad = F.avg(F.abs(F.col("__obs") - F.col("__exp"))).over(wg)
+    # shares are ratios of small integers — exact 4dp halves are COMMON
+    # (82/320 = .25625), so half-up floor(x·1e4 + .5) in both engines
+    # (the r13 readability lesson), not round()
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
+    return staged.select(
+        "o_orderpriority",
+        "digit",
+        F.col("c").alias("n"),
+        r4(F.col("__obs")).alias("obs_share"),
+        r4(F.col("__exp")).alias("exp_share"),
+        r4(F.col("__obs") - F.col("__exp")).alias("dev"),
+        r4(mad).alias("mad"),
+        F.when(mad < 0.006, F.lit("acceptable"))
+        .when(mad < 0.012, F.lit("marginal"))
+        .otherwise(F.lit("nonconforming"))
+        .alias("conformity"),
+    )

@@ -143,6 +143,7 @@ OPS = [
     "agg_kruskal_wallis",       # global value collapse + one window + 1-row algebra
     "agg_spearman_corr",        # per-group rank windows (one exchange) + corr agg
     "events_survival_km",       # one user collapse + #days-bounded KM fold
+    "diag_benford_fit",         # JVM digit map + (group,digit) count + tiny spine
 ]
 
 

@@ -4358,3 +4358,97 @@ def test_survival_km_matches_python_and_planted(spark):
     # censoring-matters: dropping the day-2 censored subject would give
     # S(3) = 9/11 · 5/7 ≠ the censored-correct 9/11 · 6/8
     assert s3 != r4(9 / 11 * 5 / 7)
+
+
+def test_benford_fit_matches_python_and_planted(spark):
+    """r15: the Benford table ≡ a python same-formula recompute
+    (math.floor/log10 on the same doubles) at two sfs; planted: a
+    log-uniform sample (the canonical Benford-conforming law) reads
+    'acceptable', a uniform sample reads 'nonconforming', zero-count
+    digits stay as explicit rows."""
+    import math
+
+    import numpy as np
+
+    import n2kupdate_spark.queries.diagnostics as diag_mod
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    # half-up floor convention — shares are small-integer ratios and hit
+    # exact 4dp halves (82/320) where np.round half-to-even diverges
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+
+    def ref(rows):
+        by = {}
+        for g, x in rows:
+            if x > 0:
+                d = int(math.floor(x / 10 ** math.floor(math.log10(x))))
+                by.setdefault(g, {}).setdefault(d, 0)
+                by[g][d] += 1
+        out = {}
+        for g, counts in by.items():
+            n = sum(counts.values())
+            mad = sum(
+                abs(counts.get(d, 0) / n - math.log10(1 + 1 / d)) for d in range(1, 10)
+            ) / 9
+            band = (
+                "acceptable" if mad < 0.006
+                else "marginal" if mad < 0.012
+                else "nonconforming"
+            )
+            for d in range(1, 10):
+                c = counts.get(d, 0)
+                out[(g, d)] = (
+                    c,
+                    r4(c / n),
+                    r4(math.log10(1 + 1 / d)),
+                    r4(c / n - math.log10(1 + 1 / d)),
+                    r4(mad),
+                    band,
+                )
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["o_orderpriority"], float(r["o_totalprice"]))
+            for r in load(
+                spark, sf, "orders", columns=["o_orderpriority", "o_totalprice"]
+            ).collect()
+        ]
+        want = ref(rows)
+        got = {
+            (r["o_orderpriority"], r["digit"]): (
+                r["n"], r["obs_share"], r["exp_share"], r["dev"], r["mad"],
+                r["conformity"],
+            )
+            for r in QUERIES["diag_benford_fit"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    rng = np.random.RandomState(17)
+    # log-uniform over 6 decades: first digits follow Benford exactly in
+    # law; 30k draws keep the sample MAD inside the 'acceptable' band
+    lognorm = [("benford", float(10 ** rng.uniform(0, 6))) for _ in range(30000)]
+    # uniform on [1, 10): every first digit equally likely — maximally
+    # non-Benford; also plants zero-count digits via a [1,3) slice
+    uniform = [("uniform", float(rng.uniform(1, 10))) for _ in range(5000)]
+    narrow = [("narrow", float(rng.uniform(1, 3))) for _ in range(2000)]
+    df = spark.createDataFrame(
+        lognorm + uniform + narrow, "o_orderpriority: string, o_totalprice: double"
+    )
+    orig = diag_mod.load
+    try:
+        diag_mod.load = lambda spark_, sf_, t, columns=None: df
+        rows = QUERIES["diag_benford_fit"](spark, "ignored").collect()
+    finally:
+        diag_mod.load = orig
+    got = {(r["o_orderpriority"], r["digit"]): r for r in rows}
+    assert got[("benford", 1)]["conformity"] == "acceptable"
+    assert got[("uniform", 1)]["conformity"] == "nonconforming"
+    # narrow range: digits 3..9 have zero counts but explicit rows
+    for d in range(3, 10):
+        assert got[("narrow", d)]["n"] == 0
+        assert got[("narrow", d)]["obs_share"] == 0.0
+    assert got[("narrow", 1)]["conformity"] == "nonconforming"
+    # the dense spine must always emit exactly 9 digits per group
+    assert sum(1 for (g, _d) in got if g == "benford") == 9
