@@ -673,3 +673,84 @@ def holt_winters_backtest(
         series.select(key_col, ts_col, val_col), key_col, _one_key, schema,
         group_buckets,
     )
+
+
+def theta_forecast(
+    series: DataFrame,
+    horizon: int,
+    alpha: float = 0.2,
+    key_col: str = "key",
+    ts_col: str = "ts_s",
+    val_col: str = "value",
+    step: int = 3600,
+    group_buckets: int | None = None,
+) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
+    M3-competition winner) per key, in its SES-with-drift closed form
+    (Hyndman & Billah 2003 proved Theta(0,2) ≡ simple exponential
+    smoothing plus half the OLS trend slope as drift):
+
+        ℓ_t = α·x_t + (1−α)·ℓ_{t−1},  ℓ₀ = x₀
+        b̂  = OLS slope of x on t = 0..n−1
+        ŷ_{n+h} = ℓ_n + (b̂/2)·(h − 1 + 1/α − (1−α)ⁿ/α)
+
+    The deseasonalized-input convention is the caller's (run it on the
+    trend+resid of ts_seasonal_decompose for seasonal series — the
+    M3 recipe); this operator is the nonseasonal core. Emits ``horizon``
+    future rows (key, ts, forecast 4dp, plus the fitted level and
+    half-drift for auditability). Keys with < 3 points emit nothing
+    (a slope needs 2, a sane one 3 — the honest floor).
+
+    Scale: one bucketed two-level-key Arrow dispatch (ONE shuffle);
+    the SES recursion and OLS slope are vectorized numpy per key over
+    the bounded #keys × #steps grid."""
+    import numpy as np
+
+    def _one_key(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([ts_col], kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype=float)
+        ts = pdf[ts_col].to_numpy(dtype="int64")
+        n = len(x)
+        cols = [key_col, ts_col, "forecast", "level", "half_drift"]
+        if n < 3:
+            return pd.DataFrame(columns=cols).astype(
+                {
+                    key_col: pdf[key_col].dtype,
+                    ts_col: "int64",
+                    "forecast": "float64",
+                    "level": "float64",
+                    "half_drift": "float64",
+                }
+            )
+        t = np.arange(n, dtype=float)
+        b = float(np.polyfit(t, x, 1)[0])
+        lvl = x[0]
+        for v in x[1:]:
+            lvl = alpha * v + (1 - alpha) * lvl
+        r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+        decay = (1 - alpha) ** n / alpha
+        rows = []
+        key = pdf[key_col].iloc[0]
+        for h in range(1, horizon + 1):
+            fc = lvl + (b / 2) * (h - 1 + 1 / alpha - decay)
+            rows.append(
+                {
+                    key_col: key,
+                    ts_col: int(ts[-1] + h * step),
+                    "forecast": r4(fc),
+                    "level": r4(lvl),
+                    "half_drift": r4(b / 2),
+                }
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        f"{key_col} {series.schema[key_col].dataType.simpleString()}, "
+        f"{ts_col} long, forecast double, level double, half_drift double"
+    )
+    return _bucketed_apply(
+        series.select(key_col, ts_col, val_col), key_col, _one_key, schema,
+        group_buckets,
+    )

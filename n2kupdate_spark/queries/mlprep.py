@@ -2295,3 +2295,49 @@ def corpus_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stride_key"
         ),
     )
+
+
+@register("ts_theta_forecast")  # rows-only (§2 legend: sequential
+# recursion, no SQL form): ≡ an independent python recompute + planted
+# trend pins in tests/test_mlprep_props.py
+def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method 24-hour forecast of the hourly event-count series
+    per event type — the M3-competition-winning simple forecaster next
+    to ts_holt_winters (HW carries explicit seasonality; Theta is the
+    robust trend-plus-SES default that famously beat far fancier
+    models, the first thing a capacity planner should try on
+    non-seasonal or deseasonalized series). SES-with-drift closed form
+    (Hyndman & Billah 2003), α = 0.2.
+
+    Scale: the SAME #types × #hours dense-spine collapse as
+    ts_holt_winters (one partial-agged shuffle, spine exploded off the
+    tiny type table — zero joins), then one bucketed Arrow dispatch —
+    operators/timeseries.py::theta_forecast."""
+    from n2kupdate_spark.operators.timeseries import theta_forecast
+
+    ev = load(spark, sf_dir, "events", columns=["ts", "event_type"]).select(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600)
+            * 3600
+        )
+        .cast("long")
+        .alias("ts_s"),
+    )
+    hourly = ev.groupBy("event_type", "ts_s").agg(F.count(F.lit(1)).alias("value"))
+    lo, hi = hourly.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(3600))).alias("ts_s"),
+        )
+        .select("event_type", F.col("ts_s").cast("long").alias("ts_s"))
+    )
+    dense = spine.join(hourly, ["event_type", "ts_s"], "left").select(
+        "event_type",
+        "ts_s",
+        F.coalesce("value", F.lit(0)).cast("double").alias("value"),
+    )
+    return theta_forecast(dense, horizon=24, key_col="event_type")

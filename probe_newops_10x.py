@@ -144,6 +144,7 @@ OPS = [
     "agg_spearman_corr",        # per-group rank windows (one exchange) + corr agg
     "events_survival_km",       # one user collapse + #days-bounded KM fold
     "diag_benford_fit",         # JVM digit map + (group,digit) count + tiny spine
+    "ts_theta_forecast",        # #types×#hours collapse + bucketed SES walk
 ]
 
 

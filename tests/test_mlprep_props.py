@@ -4452,3 +4452,79 @@ def test_benford_fit_matches_python_and_planted(spark):
     assert got[("narrow", 1)]["conformity"] == "nonconforming"
     # the dense spine must always emit exactly 9 digits per group
     assert sum(1 for (g, _d) in got if g == "benford") == 9
+
+
+def test_theta_forecast_matches_python_and_planted(spark):
+    """r15: the Theta forecast ≡ an independent python recompute of the
+    SES-with-drift closed form (own SES loop, own least-squares slope
+    via explicit sums — not np.polyfit) at two sfs; planted: on a pure
+    linear trend the h-step forecast grows at HALF the slope (the
+    theta signature — SES flatness averaged with the trend line), and
+    a 2-point key emits nothing."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.timeseries import theta_forecast
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    A = 0.2
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+
+    def ref(ts, x, horizon=24, step=3600):
+        n = len(x)
+        if n < 3:
+            return {}
+        t_mean = (n - 1) / 2
+        x_mean = sum(x) / n
+        b = sum((i - t_mean) * (v - x_mean) for i, v in enumerate(x)) / sum(
+            (i - t_mean) ** 2 for i in range(n)
+        )
+        lvl = x[0]
+        for v in x[1:]:
+            lvl = A * v + (1 - A) * lvl
+        decay = (1 - A) ** n / A
+        return {
+            int(ts[-1] + h * step): (
+                r4(lvl + (b / 2) * (h - 1 + 1 / A - decay)),
+                r4(lvl),
+                r4(b / 2),
+            )
+            for h in range(1, horizon + 1)
+        }
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        hourly = (
+            load(spark, sf, "events", columns=["ts", "event_type"])
+            .selectExpr(
+                "event_type",
+                "CAST(floor(unix_timestamp(date_trunc('second', ts)) / 3600) * 3600 AS LONG) AS ts_s",
+            )
+            .groupBy("event_type", "ts_s")
+            .count()
+            .toPandas()
+        )
+        lo, hi = hourly["ts_s"].min(), hourly["ts_s"].max()
+        grid = list(range(int(lo), int(hi) + 1, 3600))
+        want = {}
+        for et, g in hourly.groupby("event_type"):
+            series = dict(zip(g["ts_s"], g["count"]))
+            x = [float(series.get(t, 0)) for t in grid]
+            for ts_out, tup in ref(grid, x).items():
+                want[(et, ts_out)] = tup
+        got = {
+            (r["event_type"], r["ts_s"]): (r["forecast"], r["level"], r["half_drift"])
+            for r in QUERIES["ts_theta_forecast"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    rows = [("lin", i * 3600, float(7.0 + 2.0 * i)) for i in range(50)]
+    rows += [("short", 0, 1.0), ("short", 3600, 2.0)]
+    df = spark.createDataFrame(rows, "key: string, ts_s: long, value: double")
+    out = theta_forecast(df, horizon=10, alpha=0.2).collect()
+    assert not any(r["key"] == "short" for r in out)
+    lin = sorted((r for r in out if r["key"] == "lin"), key=lambda r: r["ts_s"])
+    assert len(lin) == 10
+    assert all(abs(r["half_drift"] - 1.0) < 1e-9 for r in lin)  # slope 2 → drift 1
+    # consecutive forecasts step by half the true slope
+    steps = [b["forecast"] - a["forecast"] for a, b in zip(lin, lin[1:])]
+    assert all(abs(s - 1.0) < 1e-6 for s in steps)
