@@ -2237,3 +2237,32 @@ def knn_within_group(
         score_block_pair,
         schema=f"{group_col} {gtype}, id {itype}, nb {itype}, cos_sim double",
     )
+
+
+def fit_zca_whitening(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str = "v",
+    eps: float = 1e-5,
+    seed_sample: int = 512,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, dim×dim ZCA whitening matrix) fit on a bounded
+    deterministic sample (the fit_pca_components pattern — first
+    ``seed_sample`` rows by id order, driver traffic bounded regardless
+    of corpus size): W = U·diag(1/√(λ+ε))·Uᵀ from the eigendecomposition
+    of the sample covariance. ZCA (Bell & Sejnowski 1997's "zero-phase"
+    choice, the retrieval-embedding post-processing in Su et al. 2021's
+    whitening-BERT) is the UNIQUE symmetric whitener — it decorrelates
+    and unit-scales components while staying closest (in least squares)
+    to the original basis, so whitened embeddings remain interpretable
+    and cosine-comparable. ε regularizes near-null directions.
+    Deterministic: eigh returns ascending eigenvalues; symmetry of W
+    removes the sign ambiguity entirely (U·f(Λ)·Uᵀ is invariant to
+    per-column sign flips)."""
+    sample_rows = vectors.select(vec_col).orderBy(id_col).limit(seed_sample).collect()
+    S = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    mu = S.mean(axis=0)
+    C = np.cov(S - mu, rowvar=False, bias=True)
+    lam, U = np.linalg.eigh(C)
+    W = U @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ U.T
+    return mu, W

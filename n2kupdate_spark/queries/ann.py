@@ -719,3 +719,34 @@ def embed_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("embed_whitening")  # rows-only (r9 capacity policy): ≡ numpy
+# matmul recompute + whitened-sample covariance ≈ I pins —
+# tests/test_ann_recall.py
+def embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA-whitened embeddings — the retrieval post-processing step
+    (whitening-BERT, Su et al. 2021; Huang et al. 2021) that fixes the
+    anisotropy every encoder exhibits (embeddings cram into a narrow
+    cone, so cosine similarity saturates): subtract the corpus mean,
+    then multiply by the symmetric whitener U·diag(1/√(λ+ε))·Uᵀ so
+    component variances equalize and similarity spreads back out. ZCA
+    over PCA-whitening because it is the unique SYMMETRIC choice —
+    closest to the original basis, no component reordering, no sign
+    ambiguity. Emits (vec_id, white 4dp array).
+
+    Scale: the fit collects a bounded id-ordered sample once
+    (fit_spherical_centroids pattern); application is one Arrow-batched
+    (v − μ) @ Wᵀ matmul map — whitening a 100 TB embedding table is a
+    shuffle-free scan, the pca_project cost shape (W is symmetric so
+    Wᵀ = W; the shared projection helper is reused unchanged)."""
+    from n2kupdate_spark.operators.similarity import (
+        fit_zca_whitening,
+        pca_project,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu, W = fit_zca_whitening(e, "vec_id", "v")
+    return e.select("vec_id", pca_project("v", mu, W).alias("white"))

@@ -145,6 +145,7 @@ OPS = [
     "events_survival_km",       # one user collapse + #days-bounded KM fold
     "diag_benford_fit",         # JVM digit map + (group,digit) count + tiny spine
     "ts_theta_forecast",        # #types×#hours collapse + bucketed SES walk
+    "embed_whitening",          # bounded ZCA fit + shuffle-free matmul map
 ]
 
 

@@ -932,3 +932,46 @@ def test_knn_within_group_generic_id_types(spark):
     }
     # doc00..doc11 sort like 0..11, so the nb-asc tie order is identical
     assert got_l == got_s and len(got_l) == 12 * 3
+
+
+def test_zca_whitening_matches_numpy_and_decorrelates(spark, sf_dir):
+    """r15: whitened vectors ≡ the numpy matmul against the op's own
+    (μ, W) on every row; W is symmetric and PSD (the ZCA signature —
+    no component reordering or sign freedom); on the FITTING sample the
+    whitened covariance is ≈ I (diagonal → 1 within ε tolerance,
+    off-diagonal → 0); anisotropy shrinks (max/min component variance
+    ratio drops toward 1)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.similarity import fit_zca_whitening
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu, W = fit_zca_whitening(e, "vec_id", "v")
+    assert np.allclose(W, W.T)
+    lam = np.linalg.eigvalsh(W)
+    assert (lam > 0).all()
+
+    rows = QUERIES["embed_whitening"](spark, sf_dir).collect()
+    raw = {r["vec_id"]: np.array(r["v"]) for r in e.collect()}
+    for r in rows[:200]:
+        want = np.round((raw[r["vec_id"]] - mu) @ W.T, 4) + 0.0
+        assert np.array_equal(np.array(r["white"]), want), r["vec_id"]
+
+    sample_ids = sorted(raw)[:512]
+    S = np.stack([raw[i] for i in sample_ids])
+    white = (S - mu) @ W.T
+    C = np.cov(white, rowvar=False, bias=True)
+    d = np.diag(C)
+    assert np.abs(d - 1.0).max() < 0.05           # unit variances (ε slack)
+    off = C - np.diag(d)
+    assert np.abs(off).max() < 0.05               # decorrelated
+    C0 = np.cov(S - mu, rowvar=False, bias=True)
+    aniso_before = np.diag(C0).max() / np.diag(C0).min()
+    aniso_after = d.max() / d.min()
+    assert aniso_after < aniso_before or abs(aniso_before - 1) < 1e-6
