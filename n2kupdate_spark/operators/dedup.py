@@ -2198,3 +2198,96 @@ def bfs_distances(
     return nodes.select(F.col(id_col).alias("__node")).join(
         dist, "__node", "left"
     ).select(F.col("__node").alias(id_col), F.col("__d").alias("hop"))
+
+
+def modularity_score(
+    labels: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    label_col: str = "community",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+) -> DataFrame:
+    """Newman modularity of a node partition over an undirected simple
+    graph — the standard partition-quality number (Newman & Girvan
+    2004): Q = Σ_c [ e_c/m − (deg_c / 2m)² ], where e_c = intra-
+    community edge count, deg_c = summed degree of the community's
+    nodes, m = total edges. Q ≈ 0 means the partition captures no more
+    intra-community structure than a degree-preserving random graph;
+    well-separated planted communities read Q near their theoretical
+    maximum. This is the acceptance gate a pipeline runs AFTER
+    label_propagation/CC before trusting the communities downstream.
+
+    Emits one row per community (community, n_nodes, intra_edges,
+    degree_sum, q_contrib 4dp) plus the partition total under
+    community = NULL — the detail/summary convention of the rollup ops.
+
+    Scale: degrees come from one (node) count over the exploded edge
+    list; intra-edge counts from ONE edges⋈labels join on each endpoint
+    (broadcast when labels are small, SMJ otherwise — Catalyst's call);
+    everything downstream is #communities-row algebra. m is inlined as
+    a literal (single-scalar driver agg — the IDF/BNLJ rule)."""
+    lab = labels.select(
+        F.col(id_col).alias("__n"), F.col(label_col).alias("__c")
+    )
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    )
+    m = e.count()
+    if m == 0:
+        # no edges: Q is undefined (0/0) — emit the empty frame rather
+        # than invent a number
+        return labels.sparkSession.createDataFrame(
+            [],
+            f"{label_col} {labels.schema[label_col].dataType.simpleString()}, "
+            "n_nodes long, intra_edges long, degree_sum long, q_contrib double",
+        )
+    deg = (
+        e.select(F.col("__s").alias("__n"))
+        .unionAll(e.select(F.col("__d").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    per_comm_nodes = (
+        lab.join(deg, "__n", "left")
+        .groupBy("__c")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce("__deg", F.lit(0))).alias("degree_sum"),
+        )
+    )
+    intra = (
+        e.join(lab.withColumnRenamed("__n", "__s"), "__s")
+        .withColumnRenamed("__c", "__cs")
+        .join(lab.withColumnRenamed("__n", "__d"), "__d")
+        .filter(F.col("__cs") == F.col("__c"))
+        .groupBy(F.col("__c"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    staged = per_comm_nodes.join(intra, "__c", "left").select(
+        F.col("__c").alias(label_col),
+        "n_nodes",
+        F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+        "degree_sum",
+        (
+            F.coalesce("intra_edges", F.lit(0)) / F.lit(float(m))
+            - (F.col("degree_sum") / F.lit(2.0 * m)) ** 2
+        ).alias("__q"),
+    )
+    detail = staged.select(
+        label_col, "n_nodes", "intra_edges", "degree_sum",
+        r4(F.col("__q")).alias("q_contrib"),
+    )
+    # the total sums the UNROUNDED contributions, then rounds once —
+    # summing #communities rounded 4dp values would accumulate error
+    total = staged.agg(
+        F.lit(None).cast(
+            labels.schema[label_col].dataType.simpleString()
+        ).alias(label_col),
+        F.sum("n_nodes").alias("n_nodes"),
+        F.sum("intra_edges").alias("intra_edges"),
+        F.sum("degree_sum").alias("degree_sum"),
+        r4(F.sum(F.col("__q"))).alias("q_contrib"),
+    )
+    return detail.unionByName(total)

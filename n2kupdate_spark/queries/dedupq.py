@@ -830,3 +830,32 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = load(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
     return label_propagation(nodes, pairs, id_col="doc_id")
+
+
+@register("graph_modularity_score")  # rows-only (r9 capacity policy): ≡
+# python dict-based Newman Q recompute + planted two-community pins —
+# tests/test_graph.py
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities over the
+    near-dup graph — the ACCEPTANCE GATE for community structure
+    (operators/dedup.py::modularity_score): Q ≈ 0 says the partition is
+    no better than a degree-preserving random graph, so downstream
+    per-community dedup/curation decisions would be noise; a clearly
+    positive Q is what licenses them. Per community: node count,
+    intra-edge count, degree sum, q contribution; the partition total
+    rides under community = NULL (the rollup convention).
+
+    Scale: one edge count (inlined literal), one exploded-degree count,
+    one labels⋈edges endpoint join, #communities-row algebra — the
+    LPA plan's own cost shape, re-run once as a scorer."""
+    from n2kupdate_spark.operators.dedup import label_propagation, modularity_score
+
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    # materialize the near-dup pair list ONCE — LPA and the scorer both
+    # consume it, and without the checkpoint Catalyst would inline the
+    # whole shingle pipeline into each consumer (the kn-fit lesson)
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2").localCheckpoint()
+    )
+    labels = label_propagation(nodes, pairs, id_col="doc_id")
+    return modularity_score(labels, pairs, id_col="doc_id")

@@ -146,6 +146,7 @@ OPS = [
     "diag_benford_fit",         # JVM digit map + (group,digit) count + tiny spine
     "ts_theta_forecast",        # #types×#hours collapse + bucketed SES walk
     "embed_whitening",          # bounded ZCA fit + shuffle-free matmul map
+    "graph_modularity_score",   # LPA + degree count + endpoint join scorer
 ]
 
 

@@ -781,3 +781,92 @@ def test_graph_bfs_distance_registered_vs_ref(spark):
     assert all(got[s] == 0 for s in seeds)
     reached = [v for v, h in got.items() if h is not None]
     assert len(reached) >= len(seeds)
+
+
+def test_modularity_score_matches_python_and_planted(spark):
+    """r15: Newman Q ≡ an independent python dict recompute over the
+    same (labels, edges) inputs on the fixture graph at two sfs (per-
+    community rows AND the NULL-total, which must sum UNROUNDED
+    contributions); planted two-clique graph: the true partition reads
+    the closed-form Q = 1/2 − 2·(m_c/2m)² > 0.4, the all-in-one
+    partition reads exactly 0, and an empty edge set emits nothing."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.dedup import modularity_score
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.dedupq import (
+        dedup_ngram_jaccard,
+        graph_label_propagation,
+    )
+
+    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+
+    def ref(label_rows, edge_rows):
+        lab = dict(label_rows)
+        m = len(edge_rows)
+        deg, intra, nodes = {}, {}, {}
+        for n, c in label_rows:
+            nodes[c] = nodes.get(c, 0) + 1
+        for a, b in edge_rows:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+            if lab[a] == lab[b]:
+                intra[lab[a]] = intra.get(lab[a], 0) + 1
+        out = {}
+        total_q = 0.0
+        for c, n_nodes in nodes.items():
+            ds = sum(d for node, d in deg.items() if lab[node] == c)
+            q = intra.get(c, 0) / m - (ds / (2 * m)) ** 2
+            total_q += q
+            out[c] = (n_nodes, intra.get(c, 0), ds, r4(q))
+        out[None] = (
+            sum(v[0] for v in out.values()),
+            sum(v[1] for v in out.values()),
+            sum(v[2] for v in out.values()),
+            r4(total_q),
+        )
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        label_rows = [
+            (r["doc_id"], r["community"])
+            for r in graph_label_propagation(spark, sf).collect()
+        ]
+        edge_rows = [
+            (r["id1"], r["id2"])
+            for r in dedup_ngram_jaccard(spark, sf).select("id1", "id2").collect()
+        ]
+        want = ref(label_rows, edge_rows)
+        got = {
+            r["community"]: (
+                r["n_nodes"], r["intra_edges"], r["degree_sum"], r["q_contrib"]
+            )
+            for r in QUERIES["graph_modularity_score"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    # planted: two 4-cliques joined by one bridge edge (13 edges total)
+    clique = lambda off: [  # noqa: E731
+        (off + i, off + j) for i in range(4) for j in range(i + 1, 4)
+    ]
+    edges = clique(0) + clique(10) + [(0, 10)]
+    nodes = [(i, "a") for i in range(4)] + [(10 + i, "b") for i in range(4)]
+    ndf = spark.createDataFrame(nodes, "id: long, community: string")
+    edf = spark.createDataFrame(edges, "id1: long, id2: long")
+    got = {
+        r["community"]: r
+        for r in modularity_score(ndf, edf, id_col="id").collect()
+    }
+    m = 13.0
+    q_true = 2 * (6 / m - (13 / (2 * m)) ** 2)
+    assert got[None]["q_contrib"] == r4(q_true) and q_true > 0.4
+    # all-in-one partition: Q is exactly 0 (e_c/m = 1, (deg/2m)^2 = 1)
+    one = spark.createDataFrame(
+        [(i, "x") for i, _c in nodes], "id: long, community: string"
+    )
+    got_one = {
+        r["community"]: r for r in modularity_score(one, edf, id_col="id").collect()
+    }
+    assert got_one[None]["q_contrib"] == 0.0
+    empty = spark.createDataFrame([], "id1: long, id2: long")
+    assert modularity_score(ndf, empty, id_col="id").count() == 0
