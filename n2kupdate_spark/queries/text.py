@@ -1571,3 +1571,88 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_signals(
         load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     )
+
+
+@register("text_keyphrase_rake")  # rows-only (r9 capacity policy): ≡
+# python dict-based RAKE recompute + the classic planted example —
+# tests/test_mlprep_props.py
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases per document (Rose et al. 2010 — the classic
+    unsupervised keyword extractor, still the fast baseline next to
+    TF-IDF terms: tfidf ranks single TOKENS corpus-relatively, RAKE
+    finds multi-word PHRASES document-locally, no corpus statistics
+    needed): candidate phrases are maximal runs of non-stopword tokens
+    (the gopher stopword list doubles as the delimiter set), each
+    word scores deg(w)/freq(w) WITHIN the document (deg = summed
+    length of phrases containing the word — favors words that appear
+    inside longer collocations), a phrase scores the sum of its member
+    words' scores, top-3 per doc by (score desc, phrase asc). Emits
+    (doc_id, phrase, n_words, score 4dp, rank).
+
+    Scale: everything is JVM codegen — the stopword→'|' delimiter
+    rewrite is ONE regexp_replace with lookaround (zero-width bounds,
+    so adjacent stopwords split correctly), phrase and word explodes,
+    one (doc,word) partial-agged score aggregate, one (doc,phrase)
+    score sum, one per-doc top-k window. No Python, no broadcast (the
+    stopword alternation is a literal pattern)."""
+    from pyspark.sql import Window
+
+    from n2kupdate_spark.operators.corpus import GOPHER_STOPWORDS
+
+    pat = "(?<=\\s)(" + "|".join(GOPHER_STOPWORDS) + ")(?=\\s)"
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    phrases = (
+        d.select(
+            "doc_id",
+            F.split(
+                F.regexp_replace(
+                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")), pat, "|"
+                ),
+                "\\|",
+            ).alias("chunks"),
+        )
+        .select("doc_id", F.explode("chunks").alias("chunk"))
+        .select("doc_id", F.trim(F.col("chunk")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    occurrences = phrases.select(
+        "doc_id",
+        "phrase",
+        F.split(F.col("phrase"), "\\s+").alias("words"),
+    ).withColumn("n_words", F.size("words"))
+    word_stats = (
+        occurrences.select(
+            "doc_id", "n_words", F.explode("words").alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("deg"),
+        )
+        .select(
+            "doc_id", "word", (F.col("deg") / F.col("freq")).alias("wscore")
+        )
+    )
+    distinct_phrases = occurrences.select(
+        "doc_id", "phrase", "n_words", "words"
+    ).distinct()
+    scored = (
+        distinct_phrases.select(
+            "doc_id", "phrase", "n_words", F.explode("words").alias("word")
+        )
+        .join(word_stats, ["doc_id", "word"])
+        .groupBy("doc_id", "phrase", "n_words")
+        .agg(F.sum("wscore").alias("__score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__score").desc(), F.col("phrase").asc()
+    )
+    # scores are sums of small-integer deg/freq ratios — exact 4dp halves
+    # are live (the benford/readability class), so half-up floor in both
+    # engines
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "phrase", "n_words", r4(F.col("__score")).alias("score"), "rank")
+    )

@@ -147,6 +147,7 @@ OPS = [
     "ts_theta_forecast",        # #types×#hours collapse + bucketed SES walk
     "embed_whitening",          # bounded ZCA fit + shuffle-free matmul map
     "graph_modularity_score",   # LPA + degree count + endpoint join scorer
+    "text_keyphrase_rake",      # regexp delimiter map + two keyed aggs + window
 ]
 
 

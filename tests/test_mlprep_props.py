@@ -4528,3 +4528,83 @@ def test_theta_forecast_matches_python_and_planted(spark):
     # consecutive forecasts step by half the true slope
     steps = [b["forecast"] - a["forecast"] for a, b in zip(lin, lin[1:])]
     assert all(abs(s - 1.0) < 1e-6 for s in steps)
+
+
+def test_keyphrase_rake_matches_python_and_planted(spark):
+    """r15: RAKE top-3 ≡ an independent python dict recompute of the
+    published algorithm (token-walk phrase builder — a different
+    candidate-extraction path from the engine's lookaround regexp) at
+    two sfs; planted: the canonical multi-word-collocation example —
+    a repeated strong collocation outranks frequent singletons, and
+    stopwords never appear inside any emitted phrase."""
+    import numpy as np
+
+    import n2kupdate_spark.queries.text as textq
+    from n2kupdate_spark.operators.corpus import GOPHER_STOPWORDS
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    STOPS = set(GOPHER_STOPWORDS)
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+
+    def ref(rows, k=3):
+        out = {}
+        for doc_id, text in rows:
+            runs, cur = [], []
+            for tok in (text or "").split():
+                if tok in STOPS:
+                    if cur:
+                        runs.append(cur)
+                    cur = []
+                else:
+                    cur.append(tok)
+            if cur:
+                runs.append(cur)
+            freq, deg = {}, {}
+            for run in runs:
+                for w in run:
+                    freq[w] = freq.get(w, 0) + 1
+                    deg[w] = deg.get(w, 0) + len(run)
+            scores = {}
+            for run in runs:
+                ph = " ".join(run)
+                scores[ph] = (len(run), sum(deg[w] / freq[w] for w in run))
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))
+            for rank, (ph, (nw, sc)) in enumerate(ranked[:k], 1):
+                out[(doc_id, ph)] = (nw, r4(sc), rank)
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["doc_id"], r["text"])
+            for r in load(spark, sf, "documents", columns=["doc_id", "text"]).collect()
+        ]
+        want = ref(rows)
+        got = {
+            (r["doc_id"], r["phrase"]): (r["n_words"], r["score"], r["rank"])
+            for r in QUERIES["text_keyphrase_rake"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    planted = [
+        (
+            1,
+            "linear diophantine equations of strict inequations and "
+            "nonstrict inequations the criteria of linear diophantine "
+            "equations and algorithms of minimal generating sets",
+        ),
+        (2, "the a of to is in and"),  # stopwords only → no phrases
+    ]
+    df = spark.createDataFrame(planted, "doc_id: long, text: string")
+    orig = textq.load
+    try:
+        textq.load = lambda spark_, sf_, t, columns=None: df
+        rows = QUERIES["text_keyphrase_rake"](spark, "ignored").collect()
+    finally:
+        textq.load = orig
+    got = {(r["doc_id"], r["rank"]): r for r in rows}
+    # the repeated 3-word collocation wins (deg-weighted — the RAKE claim)
+    assert got[(1, 1)]["phrase"] == "linear diophantine equations"
+    assert not any(d == 2 for d, _r in got)  # stopword-only doc: nothing
+    for r in rows:
+        assert not (set(r["phrase"].split()) & STOPS)
