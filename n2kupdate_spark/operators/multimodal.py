@@ -1122,25 +1122,35 @@ def dhash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             ids, hs = [], []
             for i, payload in zip(pdf[id_col], pdf["payload"]):
-                px = decode_image_pixels(bytes(payload)).astype(np.int64)
-                g = (
-                    px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114
-                ) // 1000
-                ih, iw = g.shape
-                ys = (np.arange(8) * ih) // 8
-                xs = (np.arange(9) * iw) // 9
-                s = g[ys][:, xs]
-                bits = (s[:, 1:] > s[:, :-1]).flatten()
-                v = 0
-                for b in bits:
-                    v = (v << 1) | int(b)
-                if v >= 1 << 63:
-                    v -= 1 << 64
+                px = decode_image_pixels(bytes(payload))
                 ids.append(i)
-                hs.append(v)
+                hs.append(dhash64_pixels(px))
             yield pd.DataFrame({"doc_id": ids, "phash": hs})
 
     return df.select(id_col, "payload").mapInPandas(batches_fn, PHASH_SCHEMA)
+
+
+def dhash64_pixels(px) -> int:
+    """The dHash core shared by :func:`dhash_images` (whole images) and
+    :func:`gif_frame_hashes` (per animation frame): integer grayscale,
+    floor-index 9×8 resample, row-major left>right bit pack into a
+    two's-complement int64. Pure refactor of the r14 inline form —
+    byte-identical hashes (pinned in tests/test_multimodal.py)."""
+    import numpy as np
+
+    px = px.astype(np.int64)
+    g = (px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114) // 1000
+    ih, iw = g.shape
+    ys = (np.arange(8) * ih) // 8
+    xs = (np.arange(9) * iw) // 9
+    s = g[ys][:, xs]
+    bits = (s[:, 1:] > s[:, :-1]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
 
 
 def perturb_images(
@@ -1182,3 +1192,82 @@ def perturb_images(
         ]
     )
     return df.select(id_col, "payload").mapInPandas(batches_fn, schema)
+
+
+def encode_gif_scenes(
+    width: int, height: int, scene_lens: list[int], seed: bytes
+) -> bytes:
+    """Deterministic animated GIF89a with SCENE structure: one seeded
+    random frame per scene, HELD for that scene's length (the
+    encode_gif_animated layout — global palette, NETSCAPE loop, GCE per
+    frame — but frames repeat within a scene). The synthetic stand-in
+    for shot-structured video: consecutive frames inside a scene are
+    pixel-identical, frames across a cut are independent noise — so a
+    frame-hash scene detector must recover exactly the planted cuts."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(
+        int.from_bytes(hashlib.md5(seed).digest()[:4], "little")
+    )
+    palette = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
+        + palette.tobytes()
+    )
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for ln in scene_lens:
+        idx = rng.randint(0, 256, size=height * width, dtype=np.uint8)
+        for _ in range(int(ln)):
+            out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+            out += _gif_image_block(width, height, idx)
+    out += b"\x3b"
+    return bytes(out)
+
+
+GIF_FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def gif_frame_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-frame 64-bit dHash over every frame of an animated-GIF
+    payload column — the frame-sampling step of a video near-dup /
+    shot-boundary pipeline (frame decode is the pure-Python GIF codec;
+    a video library would slot in at exactly this seam). Emits one row
+    per frame (doc_id, frame_idx, n_frames, phash).
+
+    Scale: one Arrow ``mapInPandas`` pass; payloads never shuffle —
+    everything downstream (lag windows, cut detection, near-dup band
+    joins) runs on 8-byte hashes."""
+    import numpy as np  # noqa: F401
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, nf, hs = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                frames = _gif_frames(bytes(payload))
+                for k, (_w, _h, px) in enumerate(frames):
+                    ids.append(i)
+                    fidx.append(k)
+                    nf.append(len(frames))
+                    hs.append(dhash64_pixels(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(fidx, dtype="int32"),
+                    "n_frames": pd.array(nf, dtype="int32"),
+                    "phash": pd.array(hs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        batches_fn, GIF_FRAME_HASH_SCHEMA
+    )

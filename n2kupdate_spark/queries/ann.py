@@ -750,3 +750,68 @@ def embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu, W = fit_zca_whitening(e, "vec_id", "v")
     return e.select("vec_id", pca_project("v", mu, W).alias("white"))
+
+
+@register("multimodal_gif_scenes")  # rows-only (r9 capacity policy):
+# payloads are engine-synthesized; planted scene geometry pinned in
+# tests/test_multimodal.py
+def multimodal_gif_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over MULTI-FRAME media — the video
+    member of the multimodal family (decode_real covers stills; this
+    exercises the frame-sampling seam a video pipeline needs):
+    every 20th doc gets a REAL animated GIF whose frames are held in
+    md5-derived scenes (operators/multimodal.py::encode_gif_scenes —
+    2–4 scenes of 1–4 frames), each frame dHashes in one Arrow pass,
+    and a per-doc lag window reads the hamming distance between
+    consecutive frame hashes: 0 inside a scene (held frames are
+    pixel-identical ⇒ identical hashes), ~32 bits across a cut, so
+    `is_cut` at hamming > 10 recovers EXACTLY the planted boundaries.
+    Emits (doc_id, frame_idx, n_frames, hamming_prev, is_cut).
+
+    Scale: payloads never shuffle — hashing is map-side; the lag
+    window shuffles only (doc_id, frame_idx, 8-byte hash) rows; the
+    every-20th-doc slice bounds the pure-Python GIF decode cost (the
+    phash codec rationale — a video library would slot in at the
+    decode seam, the plumbing is the deliverable)."""
+    from pyspark.sql import Window
+
+    from n2kupdate_spark.operators.multimodal import gif_frame_hashes
+
+    import hashlib as _hl
+
+    import pandas as pd  # noqa: F401
+
+    d = load(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        F.col("doc_id") % 20 == 0
+    )
+
+    def synth(batches):
+        from n2kupdate_spark.operators.multimodal import encode_gif_scenes
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                seed = (txt or "").encode("utf-8")
+                dg = _hl.md5(seed).digest()
+                n_scenes = 2 + dg[3] % 3  # 2..4
+                lens = [1 + dg[4 + k] % 4 for k in range(n_scenes)]
+                ids.append(i)
+                payloads.append(
+                    encode_gif_scenes(8 + dg[0] % 24, 8 + dg[1] % 24, lens, seed)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = d.mapInPandas(synth, "doc_id long, payload binary")
+    hashes = gif_frame_hashes(payloads, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    hamming = F.when(
+        prev.isNotNull(), F.bit_count(F.col("phash").bitwiseXOR(prev))
+    )
+    return hashes.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        hamming.alias("hamming_prev"),
+        F.coalesce(hamming > 10, F.lit(False)).alias("is_cut"),
+    ).orderBy("doc_id", "frame_idx")

@@ -148,6 +148,7 @@ OPS = [
     "embed_whitening",          # bounded ZCA fit + shuffle-free matmul map
     "graph_modularity_score",   # LPA + degree count + endpoint join scorer
     "text_keyphrase_rake",      # regexp delimiter map + two keyed aggs + window
+    "multimodal_gif_scenes",    # Arrow synth+decode+hash map, 8-byte lag window
 ]
 
 

@@ -992,3 +992,70 @@ def test_jpeg_lut_entropy_decoder_bit_identical_and_restart_path():
                 encode_jpeg_pixels(px, restart_interval=ri)
             )
             assert np.array_equal(plain, withrst), (shape, ri)
+
+
+def test_gif_scenes_recover_planted_boundaries(spark):
+    """r15: the shot-boundary query recovers EXACTLY the md5-planted
+    scene geometry at two sfs — within a scene (held frames) hamming
+    is 0 and is_cut false; at every scene boundary hamming > 10 and
+    is_cut true; frame counts equal the planted Σ lens. Also pins
+    gif_frame_hashes ≡ dhash64_pixels over _gif_frames standalone, and
+    encode_gif_scenes frame-holding (consecutive frames of one scene
+    byte-identical after decode)."""
+    import hashlib
+
+    import numpy as np
+
+    from n2kupdate_spark.operators.multimodal import (
+        _gif_frames,
+        dhash64_pixels,
+        encode_gif_scenes,
+        gif_frame_hashes,
+    )
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    pa = encode_gif_scenes(10, 9, [2, 1, 3], b"scene-pin")
+    frames = _gif_frames(pa)
+    assert len(frames) == 6
+    assert np.array_equal(frames[0][2], frames[1][2])       # held
+    assert not np.array_equal(frames[1][2], frames[2][2])   # cut
+    assert np.array_equal(frames[3][2], frames[4][2])
+    df = spark.createDataFrame([(1, bytearray(pa))], "doc_id: long, payload: binary")
+    got = {
+        r["frame_idx"]: r["phash"]
+        for r in gif_frame_hashes(df, "doc_id").collect()
+    }
+    for k, (_w, _h, px) in enumerate(frames):
+        assert got[k] == dhash64_pixels(px), k
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load(spark, sf, "documents", columns=["doc_id", "text"])
+            .filter("doc_id % 20 = 0")
+            .collect()
+        }
+        rows = QUERIES["multimodal_gif_scenes"](spark, sf).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = r
+        assert set(by_doc) == set(texts)
+        for doc_id, text in texts.items():
+            dg = hashlib.md5((text or "").encode("utf-8")).digest()
+            n_scenes = 2 + dg[3] % 3
+            lens = [1 + dg[4 + k] % 4 for k in range(n_scenes)]
+            # planted boundaries: first frame of every scene except scene 0
+            bounds, acc = set(), 0
+            for ln in lens[:-1]:
+                acc += ln
+                bounds.add(acc)
+            fr = by_doc[doc_id]
+            assert len(fr) == sum(lens), doc_id
+            for k, r in fr.items():
+                if k == 0:
+                    assert r["hamming_prev"] is None and r["is_cut"] is False
+                elif k in bounds:
+                    assert r["is_cut"] is True and r["hamming_prev"] > 10, (doc_id, k)
+                else:
+                    assert r["is_cut"] is False and r["hamming_prev"] == 0, (doc_id, k)
