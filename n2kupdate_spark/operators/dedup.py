@@ -2248,6 +2248,19 @@ def modularity_score(
         .groupBy("__n")
         .agg(F.count(F.lit(1)).alias("__deg"))
     )
+    # Q is only Newman modularity if every edge endpoint is labeled —
+    # an unlabeled endpoint would keep its edge in m while its
+    # intra/degree mass silently vanished from all communities
+    # (review r15). The check is one #nodes-sized anti-join count,
+    # acceptable for an acceptance-gate diagnostic.
+    unlabeled = deg.join(lab, "__n", "left_anti").count()
+    if unlabeled:
+        raise ValueError(
+            f"modularity_score: {unlabeled} edge endpoint(s) missing from "
+            "the labels frame — label every node that appears in edges "
+            "(isolated nodes may be labeled or absent; they carry no "
+            "edge mass either way)"
+        )
     per_comm_nodes = (
         lab.join(deg, "__n", "left")
         .groupBy("__c")

@@ -385,6 +385,11 @@ def _huff_lut(table: dict[tuple[int, int], int]) -> tuple[list, list]:
         return by_id[1]
     key = tuple(sorted(table.items()))
     hit = _LUT_CACHE.get(key)
+    if hit is None and len(_LUT_CACHE) > 64:
+        # externally-produced JPEGs carry per-image optimized tables —
+        # without a cap a long decode job retains 2×65536 lists per
+        # distinct table forever (review r15)
+        _LUT_CACHE.clear()
     if hit is not None:
         if len(_LUT_BY_ID) > 64:
             _LUT_BY_ID.clear()

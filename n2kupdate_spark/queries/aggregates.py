@@ -923,9 +923,12 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. Scale-first 4dp."""
     from pyspark.sql import Window
 
+    # NULL user_id rows belong to NEITHER cohort — the _cohort_moments
+    # convention every sibling inference op follows (review r15: they
+    # silently landed in cohort B via the t − ta complement before)
     ev = load(
         spark, sf_dir, "events", columns=["event_type", "user_id", "value"]
-    ).filter(F.col("value").isNotNull())
+    ).filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
     a = (F.col("user_id") % 2 == 0).cast("long")
     per_val = ev.groupBy("event_type", "value").agg(
         F.sum(a).alias("ta"),
@@ -1058,10 +1061,15 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded fan-in per key), not global. Scale-first 4dp."""
     from pyspark.sql import Window
 
+    # empty/whitespace-only text counts 0 words — split('') returns ['']
+    # (size 1), which would shift every midrank in the group (review r15)
+    wc = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
     d = load(spark, sf_dir, "documents", columns=["lang", "text", "n_chars"]).select(
         "lang",
         F.col("n_chars").cast("double").alias("x"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("y"),
+        wc.cast("double").alias("y"),
     )
 
     def midrank(col: str):

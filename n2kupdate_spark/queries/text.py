@@ -1599,16 +1599,27 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from n2kupdate_spark.operators.corpus import GOPHER_STOPWORDS
 
-    pat = "(?<=\\s)(" + "|".join(GOPHER_STOPWORDS) + ")(?=\\s)"
+    stop_pat = "(?<=\\s)(" + "|".join(GOPHER_STOPWORDS) + ")(?=\\s)"
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # published RAKE splits candidates at PUNCTUATION as well as
+    # stopwords: first collapse all whitespace runs to single spaces and
+    # turn every non-word character into a \x01 delimiter — after that
+    # pass the string holds only word chars, spaces and \x01, so the
+    # delimiter can never collide with document content (review r15:
+    # a literal '|' or newline in the text corrupted phrases before)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[^\\p{L}\\p{N}_\\s]", "\u0001"),
+        "\\s+",
+        " ",
+    )
     phrases = (
         d.select(
             "doc_id",
             F.split(
                 F.regexp_replace(
-                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")), pat, "|"
+                    F.concat(F.lit(" "), cleaned, F.lit(" ")), stop_pat, "\u0001"
                 ),
-                "\\|",
+                "\u0001",
             ).alias("chunks"),
         )
         .select("doc_id", F.explode("chunks").alias("chunk"))

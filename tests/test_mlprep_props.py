@@ -4548,18 +4548,23 @@ def test_keyphrase_rake_matches_python_and_planted(spark):
     r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
 
     def ref(rows, k=3):
+        import re
+
         out = {}
         for doc_id, text in rows:
-            runs, cur = [], []
-            for tok in (text or "").split():
-                if tok in STOPS:
-                    if cur:
-                        runs.append(cur)
-                    cur = []
-                else:
-                    cur.append(tok)
-            if cur:
-                runs.append(cur)
+            cleaned = re.sub(r"[^\w\s]", "\x01", text or "")
+            runs = []
+            for seg in cleaned.split("\x01"):
+                cur = []
+                for tok in seg.split():
+                    if tok in STOPS:
+                        if cur:
+                            runs.append(cur)
+                        cur = []
+                    else:
+                        cur.append(tok)
+                if cur:
+                    runs.append(cur)
             freq, deg = {}, {}
             for run in runs:
                 for w in run:
@@ -4594,6 +4599,10 @@ def test_keyphrase_rake_matches_python_and_planted(spark):
             "equations and algorithms of minimal generating sets",
         ),
         (2, "the a of to is in and"),  # stopwords only → no phrases
+        # review r15: literal '|' , punctuation, newline/tab/double-space —
+        # punctuation splits candidates, whitespace normalizes, and the
+        # delimiter can never collide with content
+        (3, "big data | machine learning, deep\nlearning\tand  big data"),
     ]
     df = spark.createDataFrame(planted, "doc_id: long, text: string")
     orig = textq.load
@@ -4608,3 +4617,15 @@ def test_keyphrase_rake_matches_python_and_planted(spark):
     assert not any(d == 2 for d, _r in got)  # stopword-only doc: nothing
     for r in rows:
         assert not (set(r["phrase"].split()) & STOPS)
+    # doc 3: '|' and ',' split candidates; whitespace variants normalize —
+    # the repeated 2-word phrase wins and no phrase carries raw whitespace
+    assert got[(3, 1)]["phrase"] == "big data"
+    want3 = ref([p for p in planted if p[0] == 3])
+    got3 = {(d, ph): v for (d, ph), v in (
+        ((r["doc_id"], r["phrase"]), (r["n_words"], r["score"], r["rank"]))
+        for r in rows if r["doc_id"] == 3
+    )}
+    assert got3 == want3
+    for r in rows:
+        assert "\n" not in r["phrase"] and "\t" not in r["phrase"]
+        assert "  " not in r["phrase"] and "|" not in r["phrase"]
