@@ -754,3 +754,122 @@ def theta_forecast(
         series.select(key_col, ts_col, val_col), key_col, _one_key, schema,
         group_buckets,
     )
+
+
+def _pelt_mean_changepoints(x, penalty):
+    """PELT (Killick, Fearnhead & Eckley 2012) for mean changes under
+    the variance cost C(x[s:t]) = Σx² − (Σx)²/(t−s): exact optimal
+    penalized segmentation in amortized O(n) candidate work via the
+    pruning rule F[s] + C(s,t) > F[t] ⇒ s never optimal again. Returns
+    the sorted interior changepoint indices (segment boundaries: the
+    segment STARTING at each returned index begins a new regime).
+    Deterministic ties: min() over candidates scans ascending s, so the
+    earliest optimal split wins."""
+    import numpy as np
+
+    n = len(x)
+    cs = np.concatenate([[0.0], np.cumsum(x)])
+    cs2 = np.concatenate([[0.0], np.cumsum(np.square(x))])
+
+    def cost(s, t):  # segment x[s:t]
+        d = t - s
+        return float(cs2[t] - cs2[s] - (cs[t] - cs[s]) ** 2 / d)
+
+    F = [-penalty] + [0.0] * n
+    last = [0] * (n + 1)
+    cands = [0]
+    for t in range(1, n + 1):
+        best_s, best_v = cands[0], None
+        for s in cands:
+            v = F[s] + cost(s, t) + penalty
+            if best_v is None or v < best_v:
+                best_s, best_v = s, v
+        F[t] = best_v
+        last[t] = best_s
+        cands = [s for s in cands if F[s] + cost(s, t) <= F[t]]
+        cands.append(t)
+    cps = []
+    t = n
+    while t > 0:
+        s = last[t]
+        if s > 0:
+            cps.append(s)
+        t = s
+    return sorted(cps)
+
+
+def pelt_changepoints(
+    series: DataFrame,
+    penalty: float | None = None,
+    key_col: str = "key",
+    ts_col: str = "ts_s",
+    val_col: str = "value",
+    group_buckets: int | None = None,
+) -> DataFrame:
+    """Retrospective mean-change segmentation per key with PELT — the
+    OFFLINE complement of the online CUSUM detector (CUSUM watches a
+    stream against a fixed calibration window and alarms with delay;
+    PELT sees the whole series and returns the exact optimal penalized
+    segmentation, the right tool for backfills, root-cause windows,
+    and labeling training data). Penalty default: 2·σ̂²·ln n per key
+    (the BIC rate), with σ̂² from half the mean squared first
+    difference — the standard changepoint-robust noise estimate (a
+    global variance would absorb the shifts themselves). Emits one row
+    per changepoint: (key, cp_index, ts at the new regime's first
+    point, mean_before, mean_after, both 4dp); keys with < 4 points or
+    zero noise-and-no-shift emit nothing.
+
+    Scale: one bucketed two-level-key Arrow dispatch (ONE shuffle);
+    PELT's pruning keeps per-key work near-linear; series are bounded
+    grids (#keys × #steps), never raw event volume."""
+    import numpy as np
+
+    def _one_key(pdf):
+        import pandas as pd
+
+        cols = [key_col, "cp_index", ts_col, "mean_before", "mean_after"]
+        pdf = pdf.sort_values([ts_col], kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype=float)
+        ts = pdf[ts_col].to_numpy(dtype="int64")
+        n = len(x)
+        if n < 4:
+            return pd.DataFrame(columns=cols).astype(
+                {
+                    key_col: pdf[key_col].dtype,
+                    "cp_index": "int32",
+                    ts_col: "int64",
+                    "mean_before": "float64",
+                    "mean_after": "float64",
+                }
+            )
+        if penalty is None:
+            sigma2 = float(np.mean(np.diff(x) ** 2)) / 2.0
+            pen = 2.0 * max(sigma2, 1e-12) * np.log(n)
+        else:
+            pen = float(penalty)
+        cps = _pelt_mean_changepoints(x, pen)
+        bounds = [0] + cps + [n]
+        r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+        key = pdf[key_col].iloc[0]
+        rows = []
+        for i, cp in enumerate(cps):
+            lo, hi = bounds[i], bounds[i + 2]
+            rows.append(
+                {
+                    key_col: key,
+                    "cp_index": int(cp),
+                    ts_col: int(ts[cp]),
+                    "mean_before": r4(float(x[bounds[i] : cp].mean())),
+                    "mean_after": r4(float(x[cp : bounds[i + 2]].mean())),
+                }
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        f"{key_col} {series.schema[key_col].dataType.simpleString()}, "
+        f"cp_index int, {ts_col} long, mean_before double, mean_after double"
+    )
+    return _bucketed_apply(
+        series.select(key_col, ts_col, val_col), key_col, _one_key, schema,
+        group_buckets,
+    )

@@ -2341,3 +2341,73 @@ def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("value", F.lit(0)).cast("double").alias("value"),
     )
     return theta_forecast(dense, horizon=24, key_col="event_type")
+
+
+@register("ts_changepoint_pelt")  # rows-only (§2 legend: sequential DP,
+# no SQL form): ≡ an exact un-pruned O(n²) DP recompute + planted
+# shift pins in tests/test_mlprep_props.py
+def ts_changepoint_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact optimal mean-change segmentation of the hourly event-count
+    series with PELT (Killick et al. 2012) — the RETROSPECTIVE
+    complement of stream/ts_changepoint_cusum (CUSUM watches forward
+    from a calibration window and alarms with delay; PELT sees the
+    whole series and returns the penalized-optimal segmentation —
+    backfills, root-cause windows, training-data labeling). BIC-rate
+    penalty from the changepoint-robust first-difference noise
+    estimate. The fixture's hourly counts are STATIONARY by
+    construction (a 0-row demo demonstrates nothing — the decorated-
+    fixture rule), so each type also gets a `type#shifted` TWIN whose
+    second regime starts at an xxhash64-derived hour with a
+    data-scaled step (max(5, 4·√mean) — ≳4σ of Poisson noise at every
+    sf): PELT must find the planted cut in every twin while the
+    original types stay (mostly) quiet.
+
+    Scale: the same #types × #hours dense-spine collapse as the other
+    ts ops (twins are a unioned column-arithmetic copy — no second
+    scan) + ONE bucketed Arrow dispatch; PELT pruning keeps per-key
+    work near-linear in the bounded grid length."""
+    from n2kupdate_spark.operators.timeseries import pelt_changepoints
+
+    ev = load(spark, sf_dir, "events", columns=["ts", "event_type"]).select(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600)
+            * 3600
+        )
+        .cast("long")
+        .alias("ts_s"),
+    )
+    hourly = ev.groupBy("event_type", "ts_s").agg(F.count(F.lit(1)).alias("value"))
+    lo, hi, mean_cnt = hourly.agg(
+        F.min("ts_s"), F.max("ts_s"), F.avg("value")
+    ).collect()[0]
+    step = max(5.0, 4.0 * float(mean_cnt) ** 0.5)  # scalar, inlined
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(3600))).alias("ts_s"),
+        )
+        .select("event_type", F.col("ts_s").cast("long").alias("ts_s"))
+    )
+    dense = spine.join(hourly, ["event_type", "ts_s"], "left").select(
+        "event_type",
+        "ts_s",
+        F.coalesce("value", F.lit(0)).cast("double").alias("value"),
+    )
+    # planted twin: regime 2 starts 7–27 days in, at an hour derived
+    # from the type name — deterministic, content-addressed
+    cp_ts = (
+        F.lit(lo)
+        + (F.pmod(F.xxhash64("event_type"), F.lit(480)) + 168) * 3600
+    )
+    twins = dense.select(
+        F.concat(F.col("event_type"), F.lit("#shifted")).alias("event_type"),
+        "ts_s",
+        (
+            F.col("value")
+            + F.when(F.col("ts_s") >= cp_ts, F.lit(step)).otherwise(F.lit(0.0))
+        ).alias("value"),
+    )
+    return pelt_changepoints(dense.unionByName(twins), key_col="event_type")

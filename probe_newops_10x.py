@@ -149,6 +149,7 @@ OPS = [
     "graph_modularity_score",   # LPA + degree count + endpoint join scorer
     "text_keyphrase_rake",      # regexp delimiter map + two keyed aggs + window
     "multimodal_gif_scenes",    # Arrow synth+decode+hash map, 8-byte lag window
+    "ts_changepoint_pelt",      # dense-spine collapse + bucketed pruned DP walk
 ]
 
 

@@ -4629,3 +4629,119 @@ def test_keyphrase_rake_matches_python_and_planted(spark):
     for r in rows:
         assert "\n" not in r["phrase"] and "\t" not in r["phrase"]
         assert "  " not in r["phrase"] and "|" not in r["phrase"]
+
+
+def test_pelt_changepoints_match_exact_dp_and_planted(spark):
+    """r15: the PELT query ≡ an independent EXACT un-pruned O(n²) DP
+    recompute of the penalized segmentation (same cost/penalty spec,
+    no pruning — equality proves PELT's pruning is lossless on real
+    data) at two sfs, twins included; planted: two well-separated mean
+    shifts recovered at exactly the planted indices with correct
+    segment means, pure noise stays quiet under the BIC penalty, and a
+    3-point key emits nothing."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.timeseries import pelt_changepoints
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+
+    def exact_dp(x, penalty):
+        n = len(x)
+        cs = np.concatenate([[0.0], np.cumsum(x)])
+        cs2 = np.concatenate([[0.0], np.cumsum(np.square(x))])
+
+        def cost(s, t):
+            return float(cs2[t] - cs2[s] - (cs[t] - cs[s]) ** 2 / (t - s))
+
+        Fv = [-penalty] + [0.0] * n
+        last = [0] * (n + 1)
+        for t in range(1, n + 1):
+            Fv[t], last[t] = min(
+                (Fv[s] + cost(s, t) + penalty, s) for s in range(t)
+            )
+        cps, t = [], n
+        while t > 0:
+            s = last[t]
+            if s > 0:
+                cps.append(s)
+            t = s
+        return sorted(cps)
+
+    def ref_rows(key, ts, x):
+        n = len(x)
+        if n < 4:
+            return {}
+        sigma2 = float(np.mean(np.diff(x) ** 2)) / 2.0
+        pen = 2.0 * max(sigma2, 1e-12) * np.log(n)
+        cps = exact_dp(np.asarray(x, dtype=float), pen)
+        bounds = [0] + cps + [n]
+        out = {}
+        for i, cp in enumerate(cps):
+            out[(key, cp)] = (
+                int(ts[cp]),
+                r4(float(np.mean(x[bounds[i] : cp]))),
+                r4(float(np.mean(x[cp : bounds[i + 2]]))),
+            )
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        hourly = (
+            load(spark, sf, "events", columns=["ts", "event_type"])
+            .selectExpr(
+                "event_type",
+                "CAST(floor(unix_timestamp(date_trunc('second', ts)) / 3600) * 3600 AS LONG) AS ts_s",
+            )
+            .groupBy("event_type", "ts_s")
+            .count()
+            .toPandas()
+        )
+        lo, hi = int(hourly["ts_s"].min()), int(hourly["ts_s"].max())
+        mean_cnt = float(hourly["count"].mean())
+        step = max(5.0, 4.0 * mean_cnt**0.5)
+        grid = list(range(lo, hi + 1, 3600))
+        want = {}
+        xxh = {
+            r["event_type"]: int(r["h"])
+            for r in spark.createDataFrame(
+                [(t,) for t in hourly["event_type"].unique()], "event_type: string"
+            )
+            .selectExpr("event_type", "pmod(xxhash64(event_type), 480) AS h")
+            .collect()
+        }
+        for et, g in hourly.groupby("event_type"):
+            series = dict(zip(g["ts_s"], g["count"]))
+            x = np.array([float(series.get(t, 0)) for t in grid])
+            want.update(ref_rows(et, grid, x))
+            cp_ts = lo + (xxh[et] + 168) * 3600
+            tw = x + np.where(np.array(grid) >= cp_ts, step, 0.0)
+            want.update(ref_rows(f"{et}#shifted", grid, tw))
+        got = {
+            (r["event_type"], r["cp_index"]): (
+                r["ts_s"], r["mean_before"], r["mean_after"]
+            )
+            for r in QUERIES["ts_changepoint_pelt"](spark, sf).collect()
+        }
+        assert got == want, sf
+        assert all(k.endswith("#shifted") for k, _i in got) or got  # twins fire
+
+    rng = np.random.RandomState(23)
+    x = np.concatenate(
+        [rng.randn(60) + 0.0, rng.randn(50) + 6.0, rng.randn(40) - 4.0]
+    )
+    rows = [("plant", i * 3600, float(v)) for i, v in enumerate(x)]
+    rows += [("noise", i * 3600, float(v)) for i, v in enumerate(rng.randn(150))]
+    rows += [("tiny", i * 3600, float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "key: string, ts_s: long, value: double")
+    got = {}
+    for r in pelt_changepoints(df).collect():
+        got.setdefault(r["key"], []).append(
+            (r["cp_index"], r["mean_before"], r["mean_after"])
+        )
+    assert "tiny" not in got
+    assert "noise" not in got  # BIC penalty holds on pure noise
+    cps = sorted(got["plant"])
+    assert [c for c, _b, _a in cps] == [60, 110]
+    assert abs(cps[0][1] - 0.0) < 0.5 and abs(cps[0][2] - 6.0) < 0.5
+    assert abs(cps[1][2] - (-4.0)) < 0.5
