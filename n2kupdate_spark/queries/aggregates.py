@@ -1086,3 +1086,25 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         r4(F.corr("rx", "ry")).alias("spearman_rho"),
     )
+
+
+@register("agg_mg_heavy_hitters")  # rows-only (r9 capacity policy):
+# certified two-sided bounds + exact-top recovery pinned —
+# tests/test_sketch_accuracy.py
+def agg_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters over events.user_id — the
+    DETERMINISTIC-bound member of the sketch family (CMS never
+    undercounts with a probabilistic overcount; MG never OVERcounts
+    and certifies its undercount via its own decrement ledger — hard
+    two-sided bounds, no failure probability; mergeable per Agarwal
+    et al., PODS 2012). Emits the top-5 (item, est_lo, err_bound) with
+    est_lo ≤ true ≤ est_lo + err_bound guaranteed.
+
+    Scale: per-batch exact counts compress to ≤ k=256 survivors
+    map-side, one item-keyed partial-agged sum of ≤ #batches×k rows,
+    one final compress — the CMS cost shape with a certificate
+    attached. See operators/misra_gries.py."""
+    from n2kupdate_spark.operators.misra_gries import mg_heavy_hitters
+
+    ev = load(spark, sf_dir, "events", columns=["user_id"])
+    return mg_heavy_hitters(ev, "user_id", k=256, top=5)

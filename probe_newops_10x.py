@@ -150,6 +150,7 @@ OPS = [
     "text_keyphrase_rake",      # regexp delimiter map + two keyed aggs + window
     "multimodal_gif_scenes",    # Arrow synth+decode+hash map, 8-byte lag window
     "ts_changepoint_pelt",      # dense-spine collapse + bucketed pruned DP walk
+    "agg_mg_heavy_hitters",     # map-side k-compress partials + item-keyed sum
 ]
 
 

@@ -424,3 +424,51 @@ def test_tdigest_rank_error_determinism_and_merge(spark, sf_dir):
         est = digest_quantile(m, w, q)
         rank = (g <= est).sum() / 10000
         assert abs(rank - q) <= 0.01, (q, est, rank)
+
+
+def test_mg_heavy_hitters_certified_bounds(spark, sf_dir):
+    """r15: Misra–Gries bounds are CERTIFIED, not probabilistic — for
+    every emitted item: est_lo ≤ exact ≤ est_lo + err_bound, and
+    err_bound ≤ n/(k+1) (the classic MG guarantee). When the column's
+    cardinality fits the summary (≤ k) the answer is EXACT with
+    err_bound 0. Planted skew with a tiny k=4 summary: the dominant
+    item survives compression and its bounds still bracket the truth;
+    every true-frequency > 2n/(k+1) item is present."""
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.misra_gries import mg_heavy_hitters
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    ev = load(spark, sf_dir, "events", columns=["user_id"]).filter(
+        F.col("user_id").isNotNull()
+    )
+    exact = {
+        r["user_id"]: r["c"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(exact.values())
+    k = 256
+    rows = QUERIES["agg_mg_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        t = exact[r["item"]]
+        assert r["est_lo"] <= t <= r["est_lo"] + r["err_bound"], dict(r.asDict())
+        # provable end-to-end bound: per-batch Σthr ≤ n/(k+1) plus one
+        # final compress ≤ n/(k+1)
+        assert r["err_bound"] <= 2 * (n // (k + 1)) + 2
+    if len(exact) <= k:
+        # summary never compressed: exact answer, zero ledger
+        assert all(r["err_bound"] == 0 and exact[r["item"]] == r["est_lo"] for r in rows)
+        top_true = sorted(exact.items(), key=lambda kv: (-kv[1], str(kv[0])))[:5]
+        assert [(r["item"], r["est_lo"]) for r in rows] == top_true
+
+    # planted skew through a k=4 summary: 60% of rows one item
+    planted = [("hot",)] * 600 + [(f"cold{i % 40}",) for i in range(400)]
+    df = spark.createDataFrame(planted, "w: string").repartition(8)
+    got = {r["item"]: r for r in mg_heavy_hitters(df, "w", k=4, top=3).collect()}
+    n_p = 1000
+    assert "hot" in got  # true freq 600 > 2n/(k+1) = 400 — MUST survive
+    hot = got["hot"]
+    assert hot["est_lo"] <= 600 <= hot["est_lo"] + hot["err_bound"]
+    assert hot["err_bound"] <= 2 * (n_p // (4 + 1))  # sum-then-trim slack
