@@ -2266,3 +2266,73 @@ def fit_zca_whitening(
     lam, U = np.linalg.eigh(C)
     W = U @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ U.T
     return mu, W
+
+
+def fit_procrustes_rotation(
+    anchors_a: DataFrame,
+    anchors_b: DataFrame,
+    id_col: str,
+    vec_col: str = "v",
+    seed_sample: int = 256,
+) -> np.ndarray:
+    """Orthogonal Procrustes solution (Schönemann 1966) mapping space B
+    onto space A from a bounded, id-ALIGNED anchor sample: R =
+    argmin_{RᵀR=I} ‖B·R − A‖_F = U·Vᵀ from the SVD of Bᵀ·A — the
+    standard recipe for aligning embedding versions (a re-trained or
+    quantized encoder rotates/reflects the space; downstream stores of
+    old vectors stay queryable once new queries are rotated back; the
+    cross-lingual-embedding alignment of Smith et al. 2017 is the same
+    math). The fit collects 2 × seed_sample × dim floats once (the
+    fit_spherical_centroids driver-traffic pattern); anchors join on
+    id so the two samples are row-aligned by construction.
+    Deterministic: id-ordered sample; U·Vᵀ has no per-column sign
+    freedom (a joint flip of U and V columns cancels in the product)."""
+    a = anchors_a.select(id_col, vec_col).orderBy(id_col).limit(seed_sample)
+    b = anchors_b.select(
+        F.col(id_col), F.col(vec_col).alias("__bv")
+    )
+    rows = a.join(b, id_col).orderBy(id_col).collect()
+    A = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    B = np.stack([np.asarray(r["__bv"], dtype=np.float64) for r in rows])
+    u, _s, vt = np.linalg.svd(B.T @ A)
+    return u @ vt
+
+
+def rotate_perturb_column(vc: str, idc: str, R: np.ndarray, noise_table: np.ndarray):
+    """Arrow-batched v @ R + noise_table[id % len(table)] — synthesizes a
+    deterministically rotated-and-perturbed twin space (the Procrustes
+    demo's planted "model v2"); content-addressed noise, so batching and
+    partitioning cannot change a row's vector."""
+    from pyspark.sql.functions import pandas_udf
+
+    Rm, tab = R.copy(), noise_table.copy()
+
+    @pandas_udf("array<double>")
+    def v2_of(vecs: pd.Series, ids: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        out = V @ Rm + tab[ids.to_numpy(dtype=np.int64) % len(tab)]
+        return pd.Series(list(out))
+
+    return v2_of(F.col(vc), F.col(idc))
+
+
+def procrustes_cosines(vc: str, v2c: str, R: np.ndarray):
+    """Arrow-batched per-row cosine of (a, b) and (a, b @ R) — the
+    before/after evidence column of the Procrustes alignment demo.
+    4dp scale-first (+0.0 folds −0.0)."""
+    from pyspark.sql.functions import pandas_udf
+
+    Rm = R.copy()
+
+    @pandas_udf("struct<cos_before: double, cos_after: double>")
+    def cosines(vecs: pd.Series, v2s: pd.Series) -> pd.DataFrame:
+        A = np.stack(vecs.to_numpy()).astype(np.float64)
+        B = np.stack(v2s.to_numpy()).astype(np.float64)
+        AL = B @ Rm
+        norm = lambda M: np.linalg.norm(M, axis=1) + 1e-12  # noqa: E731
+        cb = (A * B).sum(axis=1) / (norm(A) * norm(B))
+        ca = (A * AL).sum(axis=1) / (norm(A) * norm(AL))
+        r4 = lambda x: np.round(x * 10000) / 10000 + 0.0  # noqa: E731
+        return pd.DataFrame({"cos_before": r4(cb), "cos_after": r4(ca)})
+
+    return cosines(F.col(vc), F.col(v2c))

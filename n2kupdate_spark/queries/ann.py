@@ -815,3 +815,56 @@ def multimodal_gif_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
         hamming.alias("hamming_prev"),
         F.coalesce(hamming > 10, F.lit(False)).alias("is_cut"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@register("embed_procrustes_align")  # rows-only (r9 capacity policy):
+# rotation recovery + per-row matmul equality pinned —
+# tests/test_ann_recall.py
+def embed_procrustes_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonal Procrustes alignment between two embedding VERSIONS —
+    the migration tool every vector store needs when the encoder is
+    retrained (the new space is rotated/reflected relative to the old;
+    re-embedding 100 TB of stored vectors is exactly what you avoid):
+    fit R = U·Vᵀ on a bounded id-aligned anchor sample, rotate the new
+    space back map-side, report per-vector cosine to the old space
+    before and after. The fixture has one embedding space, so "v2" is
+    CONSTRUCTED as v·R_true + ε with a seeded random rotation and 1%
+    content-addressed noise (decorated-fixture rule) — alignment must
+    push cosine from ~chance back to ≈ 1, and that recovery is the
+    emitted evidence: (vec_id, cos_before, cos_after, both 4dp).
+
+    Scale: ONE bounded anchor collect fits R (Schönemann 1966 SVD);
+    the v2 synthesis, rotation, and both cosines ride Arrow pandas_udf
+    maps — no shuffle, no join (v2 derives from v row-locally);
+    aligning a 100 TB store is a scan."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.similarity import (
+        fit_procrustes_rotation,
+        procrustes_cosines,
+        rotate_perturb_column,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = len(e.select("v").first()[0])
+    # seeded random orthogonal R_true (QR of a fixed-seed Gaussian, det
+    # sign-fixed) + a fixed 64-row noise direction table — the planted
+    # "model v2" every executor rebuilds identically from the seeds
+    rng = np.random.RandomState(29)
+    q, r_ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    R_TRUE = q * np.sign(np.diag(r_))
+    NOISE = np.random.RandomState(31).normal(size=(64, dim)) * 0.01
+
+    with_v2 = e.select(
+        "vec_id", "v", rotate_perturb_column("v", "vec_id", R_TRUE, NOISE).alias("v2")
+    )
+    R = fit_procrustes_rotation(
+        with_v2.select("vec_id", "v"),
+        with_v2.select("vec_id", F.col("v2").alias("v")),
+        "vec_id",
+    )
+    return with_v2.select(
+        "vec_id", procrustes_cosines("v", "v2", R).alias("c")
+    ).select("vec_id", "c.cos_before", "c.cos_after")

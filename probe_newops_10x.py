@@ -151,6 +151,7 @@ OPS = [
     "multimodal_gif_scenes",    # Arrow synth+decode+hash map, 8-byte lag window
     "ts_changepoint_pelt",      # dense-spine collapse + bucketed pruned DP walk
     "agg_mg_heavy_hitters",     # map-side k-compress partials + item-keyed sum
+    "embed_procrustes_align",   # bounded anchor fit + shuffle-free matmul maps
 ]
 
 

@@ -975,3 +975,65 @@ def test_zca_whitening_matches_numpy_and_decorrelates(spark, sf_dir):
     aniso_before = np.diag(C0).max() / np.diag(C0).min()
     aniso_after = d.max() / d.min()
     assert aniso_after < aniso_before or abs(aniso_before - 1) < 1e-6
+
+
+def test_procrustes_align_recovers_rotation(spark, sf_dir):
+    """r15: the fitted Procrustes map is orthogonal and ≈ the planted
+    rotation's inverse (R̂ ≈ R_trueᵀ within the 1% noise); per-row
+    cos_before/cos_after ≡ a numpy recompute from the same seeds; the
+    alignment pushes every vector's cosine ≥ 0.98 from ~chance; a
+    clean no-noise planted pair recovers the rotation to 1e-9."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from n2kupdate_spark.operators.similarity import fit_procrustes_rotation
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    rows = QUERIES["embed_procrustes_align"](spark, sf_dir).collect()
+    assert all(r["cos_after"] >= 0.98 for r in rows)
+    befores = np.array([r["cos_before"] for r in rows])
+    assert abs(befores.mean()) < 0.2  # ~chance before alignment
+
+    raw = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    dim = len(next(iter(raw.values())))
+    rng = np.random.RandomState(29)
+    q, r_ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    R_TRUE = q * np.sign(np.diag(r_))
+    NOISE = np.random.RandomState(31).normal(size=(64, dim)) * 0.01
+    ids = sorted(raw)
+    A = np.stack([raw[i] for i in ids])
+    B = A @ R_TRUE + NOISE[np.array(ids) % 64]
+    anchors = ids[:256]
+    Aa = np.stack([raw[i] for i in anchors])
+    Ba = Aa @ R_TRUE + NOISE[np.array(anchors) % 64]
+    u, _s, vt = np.linalg.svd(Ba.T @ Aa)
+    R = u @ vt
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-9)
+    assert np.abs(R - R_TRUE.T).max() < 0.05  # inverse rotation, noise slack
+    AL = B @ R
+    nrm = lambda M: np.linalg.norm(M, axis=1) + 1e-12  # noqa: E731
+    want_cb = np.round((A * B).sum(1) / (nrm(A) * nrm(B)) * 10000) / 10000 + 0.0
+    want_ca = np.round((A * AL).sum(1) / (nrm(A) * nrm(AL)) * 10000) / 10000 + 0.0
+    got = {r["vec_id"]: (r["cos_before"], r["cos_after"]) for r in rows}
+    for j, i in enumerate(ids):
+        assert got[i] == (want_cb[j], want_ca[j]), i
+
+    # exact recovery with no noise: R̂ equals R_trueᵀ to 1e-9
+    rng2 = np.random.RandomState(3)
+    A2 = rng2.normal(size=(64, 8))
+    q2, r2 = np.linalg.qr(rng2.normal(size=(8, 8)))
+    RT = q2 * np.sign(np.diag(r2))
+    df_a = spark.createDataFrame(
+        [(i, [float(x) for x in A2[i]]) for i in range(64)], "vec_id: long, v: array<double>"
+    )
+    df_b = spark.createDataFrame(
+        [(i, [float(x) for x in (A2 @ RT)[i]]) for i in range(64)],
+        "vec_id: long, v: array<double>",
+    )
+    R2 = fit_procrustes_rotation(df_a, df_b, "vec_id", seed_sample=64)
+    assert np.abs(R2 - RT.T).max() < 1e-9
