@@ -42,6 +42,7 @@ def asof_join(
     payload_cols: Sequence[str],
     right_tiebreak: str,
     tolerance: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: each left row gets the payload of the most recent right
     row with ``right_ts <= left_ts`` for the same key (left-outer semantics:
@@ -67,10 +68,21 @@ def asof_join(
     latest row atomically and its NULLs propagate, matching DuckDB/pandas
     ASOF semantics (property-tested in tests/test_merge_props.py).
 
+    ``direction`` (r15 — the full pandas ``merge_asof`` surface):
+    ``"backward"`` (default, the semantics above), ``"forward"`` (the
+    EARLIEST right row with ``right_ts >= left_ts`` — tolerance bounds
+    ``right_ts − left_ts``), ``"nearest"`` (whichever of the two is
+    closer in time; exact ties take the backward row, matching pandas —
+    pinned against merge_asof for all three in
+    tests/test_merge_props.py). Same-ts right rows resolve to the
+    greatest ``right_tiebreak`` in every direction.
+
     Scale: one shuffle on the key, zero row explosion — the join+filter+
     row_number formulation materializes every (left, right-earlier) pair,
     which is quadratic per key; this is linear and is the standard
-    merge-as-of pattern at 100 TB.
+    merge-as-of pattern at 100 TB. ``nearest`` adds a second SORT over
+    the same key partitioning, not a second shuffle (both windows
+    partition on ``on``).
     """
     from pyspark.sql import types as T
 
@@ -108,23 +120,60 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     r = r.select(*l.columns)
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     unioned = l.unionByName(r)
-    w = (
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        *unioned.columns,
-        F.last(F.col("__p"), ignorenulls=True).over(w).alias("__cp"),
+    # forward mirror: scanning ts DESC, the carried right row is the
+    # EARLIEST right_ts >= left_ts; at equal ts rights sort before lefts
+    # (inclusive bound) and the greatest tiebreak is seen last
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cols = list(unioned.columns)
+    carried = unioned
+    if direction in ("backward", "nearest"):
+        carried = carried.select(
+            *carried.columns,
+            F.last(F.col("__p"), ignorenulls=True).over(w_back).alias("__cb"),
+        )
+    if direction in ("forward", "nearest"):
+        carried = carried.select(
+            *carried.columns,
+            F.last(F.col("__p"), ignorenulls=True).over(w_fwd).alias("__cf"),
+        )
+
+    lts = F.col("__ts").cast("double")
+
+    def _age(c):  # age in epoch-second units, NULL when no carried row
+        return F.abs(lts - F.col(c).getField("__rts"))
+
+    if direction == "backward":
+        chosen = F.col("__cb")
+    elif direction == "forward":
+        chosen = F.col("__cf")
+    else:
+        back_age, fwd_age = _age("__cb"), _age("__cf")
+        chosen = (
+            F.when(F.col("__cb").isNull(), F.col("__cf"))
+            .when(F.col("__cf").isNull(), F.col("__cb"))
+            # exact tie -> backward (pandas convention)
+            .when(fwd_age < back_age, F.col("__cf"))
+            .otherwise(F.col("__cb"))
+        )
+    carried = carried.select(*cols, chosen.alias("__cp"))
     fresh = (
         F.lit(True)
         if tolerance is None
         # cast __ts like __rts was: timestamp − double fails analysis,
         # and the tolerance is defined in epoch-second units anyway
-        else F.col("__ts").cast("double") - F.col("__cp").getField("__rts")
-        <= F.lit(float(tolerance))
+        else _age("__cp") <= F.lit(float(tolerance))
     )
     out = carried.filter(F.col("__side") == 1).select(
         *left_cols,

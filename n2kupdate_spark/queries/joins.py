@@ -337,3 +337,43 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         """
     )
+
+
+@register("join_asof_nearest")  # rows-only (r9 capacity policy): ≡
+# pandas merge_asof(direction=...) on the same frames — the independent
+# reference engine for the full direction surface —
+# tests/test_merge_props.py
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (r15 — completes the pandas
+    merge_asof surface: backward is the registered join_asof, forward
+    its mirror, nearest picks whichever side is closer in time, exact
+    ties backward): each purchase matched to the user's click closest
+    in time, past or future — the attribution shape for "which click
+    belongs to this purchase" when post-purchase confirmation clicks
+    are as plausible as pre-purchase intent clicks.
+
+    Scale: same union+running-last plan as join_asof with a SECOND
+    SORT (not a second shuffle — both direction windows partition on
+    the key); still zero pair explosion."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", ts_seconds("ts").alias("ts_s")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_s"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_s").alias("r_ts_s"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_s").alias("click_ts_s"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts_s",
+        right_ts="r_ts_s",
+        payload_cols=["click_id", "click_ts_s"],
+        right_tiebreak="click_id",
+        direction="nearest",
+    )

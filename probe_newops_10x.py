@@ -152,6 +152,7 @@ OPS = [
     "ts_changepoint_pelt",      # dense-spine collapse + bucketed pruned DP walk
     "agg_mg_heavy_hitters",     # map-side k-compress partials + item-keyed sum
     "embed_procrustes_align",   # bounded anchor fit + shuffle-free matmul maps
+    "join_asof_nearest",        # union + two direction sorts, one key shuffle
 ]
 
 

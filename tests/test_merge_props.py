@@ -414,3 +414,87 @@ def test_scd4_idempotent_and_branches(spark, sf_dir):
         (1, 10.0, "x", "2026-02-02 00:00:00"),         # superseded v
         (4, None, "w", "2026-02-02 00:00:00"),         # superseded NULL
     ]
+
+
+def test_asof_join_directions_match_pandas(spark):
+    """r15: asof_join(direction=...) ≡ pandas merge_asof for all three
+    directions, with and without tolerance, on random keyed series —
+    including the exact-tie-takes-backward nearest convention and
+    forward's inclusive bound; the registered join_asof_nearest query
+    ≡ merge_asof(nearest) on the fixture events at sf0.001."""
+    import numpy as np
+    import pandas as pd
+
+    from n2kupdate_spark.operators import asof_join
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    rng = np.random.RandomState(33)
+    lrows, rrows = [], []
+    rid = 0
+    for k in range(6):
+        for t in sorted(rng.choice(300, size=25, replace=False)):
+            lrows.append((k, int(t)))
+        for t in sorted(rng.choice(300, size=12, replace=False)):
+            rrows.append((k, int(t), rid, float(rng.randn())))
+            rid += 1
+    left = spark.createDataFrame(lrows, "k: int, lts: long")
+    right = spark.createDataFrame(rrows, "k: int, rts: long, rid: long, px: double")
+    lp = pd.DataFrame(lrows, columns=["k", "lts"]).sort_values("lts")
+    rp = pd.DataFrame(rrows, columns=["k", "rts", "rid", "px"]).sort_values("rts")
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 10, 37):
+            got = {
+                (r["k"], r["lts"]): (r["rid"], r["px"])
+                for r in asof_join(
+                    left, right, on=["k"], left_ts="lts", right_ts="rts",
+                    payload_cols=["rid", "px"], right_tiebreak="rid",
+                    tolerance=tol, direction=direction,
+                ).collect()
+            }
+            m = pd.merge_asof(
+                lp, rp, left_on="lts", right_on="rts", by="k",
+                tolerance=tol, direction=direction, allow_exact_matches=True,
+            )
+            want = {
+                (int(r.k), int(r.lts)): (
+                    None if pd.isna(r.rid) else int(r.rid),
+                    None if pd.isna(r.px) else float(r.px),
+                )
+                for r in m.itertuples()
+            }
+            assert got == want, (direction, tol)
+
+    sf = "/root/testdata/sf0.001"
+    e = (
+        load(spark, sf, "events")
+        .selectExpr(
+            "event_id", "user_id", "event_type",
+            "CAST(unix_timestamp(date_trunc('second', ts)) AS LONG) AS ts_s",
+        )
+        .toPandas()
+    )
+    pp = e[e.event_type == "purchase"][["event_id", "user_id", "ts_s"]].sort_values("ts_s")
+    cc = (
+        e[e.event_type == "click"][["event_id", "user_id", "ts_s"]]
+        .rename(columns={"event_id": "click_id", "ts_s": "r_ts_s"})
+        .sort_values("r_ts_s")
+    )
+    cc["click_ts_s"] = cc["r_ts_s"]
+    m = pd.merge_asof(
+        pp, cc, left_on="ts_s", right_on="r_ts_s", by="user_id",
+        direction="nearest",
+    )
+    want = {
+        int(r.event_id): (
+            None if pd.isna(r.click_id) else int(r.click_id),
+            None if pd.isna(r.click_ts_s) else int(r.click_ts_s),
+        )
+        for r in m.itertuples()
+    }
+    got = {
+        r["event_id"]: (r["click_id"], r["click_ts_s"])
+        for r in QUERIES["join_asof_nearest"](spark, sf).collect()
+    }
+    assert got == want
