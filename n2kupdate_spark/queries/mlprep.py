@@ -2411,3 +2411,62 @@ def ts_changepoint_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
     )
     return pelt_changepoints(dense.unionByName(twins), key_col="event_type")
+
+
+@register("ts_rolling_quantile")  # rows-only (r9 capacity policy): ≡
+# python sort-based recompute + planted step/short-history pins —
+# tests/test_mlprep_props.py
+def ts_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median and p90 of each user's event values over
+    the TRAILING 20 events — the robust rolling statistics the
+    monitoring family needs next to ts_ewma_smooth (EWMA tracks level
+    but one spike drags it; the rolling median shrugs spikes off, and
+    rolling p90 IS the spike monitor). Order-statistic convention:
+    lower order statistic at index ⌈q·n⌉ of the sorted window (no
+    interpolation — deterministic for any dtype, same convention as
+    sample_reservoir_per_key's rank reads). Emits (user_id, event_id,
+    ts_s, value, roll_median, roll_p90, n_window).
+
+    Scale: ONE user-keyed shuffle; the window list is 20-BOUNDED BY
+    CONSTRUCTION (rowsBetween(-19, 0) — the §2 collect_list rule:
+    bounded frames only), so sort_array per row is O(20·log 20)
+    regardless of history length."""
+    from pyspark.sql import Window
+
+    N = 20
+    e = load(
+        spark, sf_dir, "events", columns=["user_id", "event_id", "value", "ts"]
+    ).select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        ts_seconds_expr().alias("ts_s"),
+    ).filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_s").asc(), F.col("event_id").asc())
+        .rowsBetween(-(N - 1), Window.currentRow)
+    )
+    win = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(win)
+    pick = lambda q: F.element_at(  # noqa: E731
+        win, F.greatest(F.lit(1), F.ceil(F.lit(q) * n).cast("int"))
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        "value",
+        pick(0.5).alias("roll_median"),
+        pick(0.9).alias("roll_p90"),
+        n.alias("n_window"),
+    )
+
+
+def ts_seconds_expr():
+    """Epoch-second expression for the events ts column (shared shape
+    with queries.streaming_batch.ts_seconds, local to avoid the
+    circular import)."""
+    return (
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).cast("long")
+    )

@@ -153,6 +153,7 @@ OPS = [
     "agg_mg_heavy_hitters",     # map-side k-compress partials + item-keyed sum
     "embed_procrustes_align",   # bounded anchor fit + shuffle-free matmul maps
     "join_asof_nearest",        # union + two direction sorts, one key shuffle
+    "ts_rolling_quantile",      # one key shuffle, 20-bounded frame sorts
 ]
 
 

@@ -4745,3 +4745,84 @@ def test_pelt_changepoints_match_exact_dp_and_planted(spark):
     assert [c for c, _b, _a in cps] == [60, 110]
     assert abs(cps[0][1] - 0.0) < 0.5 and abs(cps[0][2] - 6.0) < 0.5
     assert abs(cps[1][2] - (-4.0)) < 0.5
+
+
+def test_rolling_quantile_matches_python_and_planted(spark):
+    """r15: rolling median/p90 ≡ an independent python recompute
+    (explicit trailing-window sort, lower order statistic ⌈q·n⌉) at
+    two sfs; planted: a step series' rolling median lags the step by
+    exactly ⌈N/2⌉ points (the median's breakdown robustness), a spike
+    never moves the median but owns the p90 while in window, and the
+    first rows read growing n_window."""
+    import numpy as np
+
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    N = 20
+
+    def ref(rows):
+        out = {}
+        by = {}
+        for u, eid, ts, v in rows:
+            by.setdefault(u, []).append((ts, eid, v))
+        for u, items in by.items():
+            items.sort()
+            for i, (ts, eid, v) in enumerate(items):
+                win = sorted(x for _t, _e, x in items[max(0, i - N + 1) : i + 1])
+                n = len(win)
+                pick = lambda q: win[max(1, int(np.ceil(q * n))) - 1]  # noqa: E731
+                out[(u, eid)] = (ts, v, pick(0.5), pick(0.9), n)
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (int(r["user_id"]), int(r["event_id"]), int(r["ts_s"]), float(r["value"]))
+            for r in load(spark, sf, "events")
+            .selectExpr(
+                "user_id", "event_id",
+                "CAST(unix_timestamp(date_trunc('second', ts)) AS LONG) AS ts_s",
+                "ROUND(value, 4) AS value",
+            )
+            .filter("value IS NOT NULL")
+            .collect()
+        ]
+        want = ref(rows)
+        got = {
+            (r["user_id"], r["event_id"]): (
+                r["ts_s"], r["value"], r["roll_median"], r["roll_p90"], r["n_window"]
+            )
+            for r in QUERIES["ts_rolling_quantile"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    import n2kupdate_spark.queries.mlprep as mlq
+
+    rows = []
+    for i in range(60):
+        v = 1.0 if i < 30 else 101.0       # step at i=30
+        if i in (8, 9, 10):
+            v = 1000.0                     # 3-point spike burst (>10% of window)
+        rows.append((7, i, 1_700_000_000 + i * 60, v))
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_id: long, s: long, value: double"
+    ).selectExpr("user_id", "event_id", "timestamp_seconds(s) AS ts", "value")
+    orig = mlq.load
+    try:
+        mlq.load = lambda spark_, sf_, t, columns=None: df
+        got = {
+            r["event_id"]: r
+            for r in QUERIES["ts_rolling_quantile"](spark, "ignored").collect()
+        }
+    finally:
+        mlq.load = orig
+    # 3 spikes in an 11-row window: ⌈0.9·11⌉ = 10th order stat IS a spike
+    # while the median never moves (breakdown robustness)
+    assert got[10]["roll_median"] == 1.0 and got[10]["roll_p90"] == 1000.0
+    assert got[29]["roll_median"] == 1.0          # burst left the window
+    # lower-median convention: the flip needs ⌈N/2⌉+1 = 11 post-step
+    # points in the 20-window — at i=39 it still reads 1.0, at 40 it flips
+    assert got[39]["roll_median"] == 1.0
+    assert got[40]["roll_median"] == 101.0
+    assert got[0]["n_window"] == 1 and got[19]["n_window"] == 20
+    assert got[59]["n_window"] == 20
