@@ -859,3 +859,45 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = label_propagation(nodes, pairs, id_col="doc_id")
     return modularity_score(labels, pairs, id_col="doc_id")
+
+
+@register("graph_link_prediction")  # rows-only (r9 capacity policy): ≡
+# python dict recompute + planted missing-edge pins — tests/test_graph.py
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 missing-link candidates over the near-dup graph by
+    common-neighbors + Jaccard (Liben-Nowell & Kleinberg 2003) — the
+    curation queue: "these two docs share duplicate-neighbors but the
+    similarity threshold just missed their pair". The fixture's dup
+    components are CLIQUES (every distance-2 pair is already an edge —
+    a 0-row demo demonstrates nothing), so the demo deterministically
+    WITHHOLDS every pair with (id1+id2) % 5 == 0 and scores the thinned
+    graph: the withheld clique edges are exactly the recoverable
+    missing links, and `was_withheld` reports the recovery per row —
+    the link-prediction self-evaluation, planted by construction. See
+    operators/dedup.py::link_prediction_scores (wedge join on the
+    shared middle, anti-join against surviving edges, one exploded
+    degree count)."""
+    from n2kupdate_spark.operators.dedup import link_prediction_scores
+
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
+        )
+        .localCheckpoint()  # scored + withheld both consume it
+    )
+    withheld = pairs.filter((F.col("id1") + F.col("id2")) % 5 == 0)
+    kept = pairs.filter((F.col("id1") + F.col("id2")) % 5 != 0)
+    scored = link_prediction_scores(kept)
+    return scored.join(
+        withheld.select(
+            F.col("id1").alias("a"), F.col("id2").alias("b"),
+            F.lit(True).alias("was_withheld"),
+        ),
+        ["a", "b"],
+        "left",
+    ).select(
+        "a", "b", "cn", "deg_a", "deg_b", "jaccard",
+        F.coalesce("was_withheld", F.lit(False)).alias("was_withheld"),
+    ).orderBy(F.col("cn").desc(), F.col("jaccard").desc(), "a", "b")

@@ -154,6 +154,7 @@ OPS = [
     "embed_procrustes_align",   # bounded anchor fit + shuffle-free matmul maps
     "join_asof_nearest",        # union + two direction sorts, one key shuffle
     "ts_rolling_quantile",      # one key shuffle, 20-bounded frame sorts
+    "graph_link_prediction",    # wedge join + anti-join vs kept edges
 ]
 
 

@@ -870,3 +870,76 @@ def test_modularity_score_matches_python_and_planted(spark):
     assert got_one[None]["q_contrib"] == 0.0
     empty = spark.createDataFrame([], "id1: long, id2: long")
     assert modularity_score(ndf, empty, id_col="id").count() == 0
+
+
+def test_link_prediction_matches_python_and_planted(spark):
+    """r15: the link-prediction queue ≡ an independent python dict
+    recompute (adjacency sets, explicit ∩ and Jaccard, the same
+    withhold rule) at two sfs; planted 5-clique minus one edge: the
+    removed pair tops the queue with cn = 3 and jaccard = 3/5, existing
+    edges never appear, and the max_degree cap drops hub-middle wedges
+    (reported, not silent — the star graph yields no candidates under
+    the cap)."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.dedup import link_prediction_scores
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.queries.dedupq import dedup_ngram_jaccard
+
+    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+
+    def ref(edge_rows, top=20):
+        edges = {tuple(sorted(p)) for p in edge_rows}
+        withheld = {p for p in edges if (p[0] + p[1]) % 5 == 0}
+        kept = edges - withheld
+        adj = {}
+        for a, b in kept:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        cands = {}
+        for m, nbrs in adj.items():
+            ns = sorted(nbrs)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    p = (ns[i], ns[j])
+                    if p not in kept:
+                        cands[p] = cands.get(p, 0) + 1
+        out = []
+        for (a, b), cn in cands.items():
+            da, db = len(adj[a]), len(adj[b])
+            out.append(
+                (a, b, cn, da, db, r4(cn / (da + db - cn)), (a, b) in withheld)
+            )
+        out.sort(key=lambda t: (-t[2], -t[5], t[0], t[1]))
+        return out[:top]
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        edge_rows = [
+            (r["id1"], r["id2"])
+            for r in dedup_ngram_jaccard(spark, sf).select("id1", "id2").collect()
+        ]
+        want = ref(edge_rows)
+        got = [
+            (r["a"], r["b"], r["cn"], r["deg_a"], r["deg_b"], r["jaccard"],
+             r["was_withheld"])
+            for r in QUERIES["graph_link_prediction"](spark, sf).collect()
+        ]
+        assert got == want, sf
+
+    # planted: 5-clique minus the (0,4) edge — cn = 3 shared neighbors,
+    # deg 3 each, jaccard 3/(3+3-3) = 1.0... no: union = {1,2,3} ∪ {1,2,3}
+    # = 3 ⇒ jaccard 3/3 = 1.0
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    thinned = [p for p in clique if p != (0, 4)]
+    edf = spark.createDataFrame(thinned, "id1: long, id2: long")
+    got = [r for r in link_prediction_scores(edf, top=5).collect()]
+    assert (got[0]["a"], got[0]["b"], got[0]["cn"]) == (0, 4, 3)
+    assert got[0]["jaccard"] == 1.0
+    assert all((r["a"], r["b"]) not in set(thinned) for r in got)
+
+    # star graph: every leaf pair is a wedge through the hub; capping
+    # max_degree below the hub degree yields zero candidates
+    star = [(0, i) for i in range(1, 12)]
+    sdf = spark.createDataFrame(star, "id1: long, id2: long")
+    assert link_prediction_scores(sdf, top=55).count() == (11 * 10) // 2
+    assert link_prediction_scores(sdf, max_degree=5, top=50).count() == 0
