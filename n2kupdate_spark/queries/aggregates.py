@@ -1108,3 +1108,62 @@ def agg_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events", columns=["user_id"])
     return mg_heavy_hitters(ev, "user_id", k=256, top=5)
+
+
+@register("agg_cliffs_delta")  # rows-only (r9 capacity policy): ≡
+# numpy pairwise-comparison recompute + planted dominance pins —
+# tests/test_parity.py
+def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta per event type — the EFFECT SIZE that belongs next
+    to agg_mann_whitney_u's significance flag (a large-n test flags
+    microscopic shifts; δ says whether anyone should care):
+    δ = P(a > b) − P(a < b) over all cross-cohort pairs, computed
+    WITHOUT materializing pairs via the rank identity δ = 2U/(n_a·n_b)
+    − 1 from the same tie-midrank U. Banded per Romano et al. 2006:
+    |δ| < .147 negligible, < .33 small, < .474 medium, else large.
+
+    Scale: identical collapsed-rank plan to agg_mann_whitney_u (two
+    partial-agged shuffles + one #distinct-values window) — the O(n²)
+    pairwise definition never runs; the identity is exact, ties
+    included (pinned against the literal pairwise count in the test)."""
+    from pyspark.sql import Window
+
+    ev = load(
+        spark, sf_dir, "events", columns=["event_type", "user_id", "value"]
+    ).filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    a = (F.col("user_id") % 2 == 0).cast("long")
+    per_val = ev.groupBy("event_type", "value").agg(
+        F.sum(a).alias("ta"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_val.select(
+        "event_type",
+        "ta",
+        "t",
+        (F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2).alias("midrank"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("ta").cast("long").alias("n_a"),
+        (F.sum("t") - F.sum("ta")).cast("long").alias("n_b"),
+        F.sum(F.col("ta") * F.col("midrank")).alias("ra"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    u = F.col("ra") - na * (na + 1) / 2
+    delta = F.try_divide(F.lit(2.0) * u, (na * nb).cast("double")) - 1.0
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        r4(delta).alias("cliffs_delta"),
+        F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta) < 0.33, F.lit("small"))
+        .when(F.abs(delta) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
+    )

@@ -155,6 +155,7 @@ OPS = [
     "join_asof_nearest",        # union + two direction sorts, one key shuffle
     "ts_rolling_quantile",      # one key shuffle, 20-bounded frame sorts
     "graph_link_prediction",    # wedge join + anti-join vs kept edges
+    "agg_cliffs_delta",         # (type,value) collapse + small window + tiny agg
 ]
 
 

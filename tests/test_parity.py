@@ -1376,3 +1376,77 @@ def test_spearman_corr_matches_numpy_and_planted(spark):
     assert got["mono"][1] > 0.99
     assert got["anti"][1] < -0.99
     assert abs(got["indep"][1]) < 0.15
+
+
+def test_cliffs_delta_matches_pairwise_and_planted(spark):
+    """r15: Cliff's δ via the rank identity ≡ the LITERAL O(n²)
+    pairwise count P(a>b) − P(a<b) (the definition, ties counted as
+    neither) at two sfs — proving the identity exact under ties;
+    planted: full dominance reads δ = 1, reversed −1, identical
+    distributions ≈ 0/negligible, a known small shift lands in its
+    Romano band."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import n2kupdate_spark.queries.aggregates as aggq
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+
+    def band(d):
+        ad = abs(d)
+        return (
+            "negligible" if ad < 0.147 else "small" if ad < 0.33
+            else "medium" if ad < 0.474 else "large"
+        )
+
+    def ref(rows):
+        by = {}
+        for t, u, v in rows:
+            by.setdefault(t, ([], []))[u % 2].append(v)
+        out = {}
+        for t, (ea, eb) in by.items():
+            A, B = np.array(ea)[:, None], np.array(eb)[None, :]
+            gt = (A > B).sum()
+            lt = (A < B).sum()
+            d = (gt - lt) / (len(ea) * len(eb))
+            out[t] = (len(ea), len(eb), r4(d), band(r4(d)))
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], int(r["user_id"]), float(r["value"]))
+            for r in load(spark, sf, "events", columns=["event_type", "user_id", "value"])
+            .filter(F.col("value").isNotNull())
+            .collect()
+        ]
+        want = ref(rows)
+        got = {
+            r["event_type"]: (r["n_a"], r["n_b"], r["cliffs_delta"], r["magnitude"])
+            for r in QUERIES["agg_cliffs_delta"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    rng = np.random.RandomState(19)
+    rows = []
+    for u in range(400):
+        rows.append(("dom", u, float(u % 2 + 2 * (1 - u % 2) * 10 + (u % 2) * 0)))
+        rows.append(("same", u, float(rng.randint(0, 5))))  # heavy ties
+    # dom: cohort a (even u) all 20s, cohort b (odd u) all 1s — δ = 1
+    df = spark.createDataFrame(rows, "event_type: string, user_id: long, value: double")
+    orig = aggq.load
+    try:
+        aggq.load = lambda spark_, sf_, t, columns=None: df
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["agg_cliffs_delta"](spark, "ignored").collect()
+        }
+    finally:
+        aggq.load = orig
+    assert got["dom"]["cliffs_delta"] == 1.0 and got["dom"]["magnitude"] == "large"
+    want_same = ref([(t, u, v) for t, u, v in rows if t == "same"])["same"]
+    assert (got["same"]["cliffs_delta"], got["same"]["magnitude"]) == (
+        want_same[2], want_same[3]
+    )
+    assert abs(got["same"]["cliffs_delta"]) < 0.147
