@@ -2277,7 +2277,9 @@ def modularity_score(
         .groupBy(F.col("__c"))
         .agg(F.count(F.lit(1)).alias("intra_edges"))
     )
-    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    # q contributions are small-integer ratios — half-up floor (the
+    # benford/RAKE exact-4dp-half convention; review r15)
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
     staged = per_comm_nodes.join(intra, "__c", "left").select(
         F.col("__c").alias(label_col),
         "n_nodes",
@@ -2358,7 +2360,9 @@ def link_prediction_scores(
     non_edges = cn.join(e, ["a", "b"], "left_anti")
     da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
-    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    # small-integer ratios hit exact 4dp halves (1/32 = .03125): half-up
+    # floor in op AND pin, the benford/RAKE convention (review r15)
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
     scored = (
         non_edges.join(da, "a")
         .join(db, "b")

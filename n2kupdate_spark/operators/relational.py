@@ -74,8 +74,10 @@ def asof_join(
     ``right_ts − left_ts``), ``"nearest"`` (whichever of the two is
     closer in time; exact ties take the backward row, matching pandas —
     pinned against merge_asof for all three in
-    tests/test_merge_props.py). Same-ts right rows resolve to the
-    greatest ``right_tiebreak`` in every direction.
+    tests/test_merge_props.py). Same-ts right duplicates follow the
+    pandas positional convention for a (ts, tiebreak)-sorted frame:
+    backward resolves to the GREATEST ``right_tiebreak`` (last
+    positional), forward to the SMALLEST (first positional).
 
     Scale: one shuffle on the key, zero row explosion — the join+filter+
     row_number formulation materializes every (left, right-earlier) pair,
@@ -130,10 +132,15 @@ def asof_join(
     )
     # forward mirror: scanning ts DESC, the carried right row is the
     # EARLIEST right_ts >= left_ts; at equal ts rights sort before lefts
-    # (inclusive bound) and the greatest tiebreak is seen last
+    # (inclusive bound). Same-ts right duplicates resolve to the
+    # SMALLEST tiebreak (tb DESC ⇒ smallest seen last) — pandas
+    # merge_asof takes the FIRST positional duplicate going forward and
+    # the LAST going backward, so with the frame sorted by (ts, tb)
+    # forward = smallest tb, backward = greatest tb (review r15, pinned
+    # with explicit duplicate rows in tests/test_merge_props.py)
     w_fwd = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__tb").desc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cols = list(unioned.columns)

@@ -1155,13 +1155,18 @@ def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb = F.col("n_a"), F.col("n_b")
     u = F.col("ra") - na * (na + 1) / 2
     delta = F.try_divide(F.lit(2.0) * u, (na * nb).cast("double")) - 1.0
-    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    # δ is a small-integer ratio — exact 4dp halves are live: half-up
+    # floor in op AND pin (review r15)
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
     return agg.select(
         "event_type",
         "n_a",
         "n_b",
         r4(delta).alias("cliffs_delta"),
-        F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+        # a single-cohort group has no cross-cohort pairs: δ is NULL and
+        # so is the band (review r15: otherwise() made NULL read 'large')
+        F.when(delta.isNull(), F.lit(None).cast("string"))
+        .when(F.abs(delta) < 0.147, F.lit("negligible"))
         .when(F.abs(delta) < 0.33, F.lit("small"))
         .when(F.abs(delta) < 0.474, F.lit("medium"))
         .otherwise(F.lit("large"))

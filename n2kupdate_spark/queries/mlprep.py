@@ -2434,13 +2434,15 @@ def ts_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     N = 20
+    from n2kupdate_spark.functions import ts_seconds
+
     e = load(
         spark, sf_dir, "events", columns=["user_id", "event_id", "value", "ts"]
     ).select(
         "user_id",
         "event_id",
         F.round("value", 4).alias("value"),
-        ts_seconds_expr().alias("ts_s"),
+        ts_seconds("ts").alias("ts_s"),
     ).filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
@@ -2462,11 +2464,3 @@ def ts_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_window"),
     )
 
-
-def ts_seconds_expr():
-    """Epoch-second expression for the events ts column (shared shape
-    with queries.streaming_batch.ts_seconds, local to avoid the
-    circular import)."""
-    return (
-        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).cast("long")
-    )

@@ -896,7 +896,9 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     at_risk = days.withColumn(
         "n_risk", F.sum(F.col("n_converted") + F.col("n_censored")).over(w_risk)
     )
-    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    # S(t) is a product of small-integer ratios — exact 4dp halves are
+    # live (n_risk = 32 ⇒ 1/32 factors): half-up floor in op AND pin
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
     return at_risk.select(
         "day",
         "n_risk",

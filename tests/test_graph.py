@@ -799,7 +799,8 @@ def test_modularity_score_matches_python_and_planted(spark):
         graph_label_propagation,
     )
 
-    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+    # half-up floor — q contributions are small-integer ratios (review r15)
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
 
     def ref(label_rows, edge_rows):
         lab = dict(label_rows)
@@ -886,7 +887,9 @@ def test_link_prediction_matches_python_and_planted(spark):
     from n2kupdate_spark.queries import QUERIES
     from n2kupdate_spark.queries.dedupq import dedup_ngram_jaccard
 
-    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+    # half-up floor — jaccard is a small-integer ratio (1/32 = .03125
+    # splits np.round half-even from Spark half-up; review r15)
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
 
     def ref(edge_rows, top=20):
         edges = {tuple(sorted(p)) for p in edge_rows}

@@ -438,10 +438,23 @@ def test_asof_join_directions_match_pandas(spark):
         for t in sorted(rng.choice(300, size=12, replace=False)):
             rrows.append((k, int(t), rid, float(rng.randn())))
             rid += 1
+        # explicit SAME-TS right duplicates (review r15: replace=False made
+        # per-key timestamps distinct, so the positional-duplicate
+        # conventions — forward takes the first, backward the last — were
+        # never exercised)
+        for t in (50, 151, 250):
+            for _dup in range(3):
+                rrows.append((k, t, rid, float(rng.randn())))
+                rid += 1
     left = spark.createDataFrame(lrows, "k: int, lts: long")
     right = spark.createDataFrame(rrows, "k: int, rts: long, rid: long, px: double")
     lp = pd.DataFrame(lrows, columns=["k", "lts"]).sort_values("lts")
-    rp = pd.DataFrame(rrows, columns=["k", "rts", "rid", "px"]).sort_values("rts")
+    # pandas picks same-ts duplicates POSITIONALLY, so the right frame's
+    # order IS the convention — stable-sort by (rts, rid) to pin it
+    # (default quicksort scrambles equal-rts rows run to run)
+    rp = pd.DataFrame(rrows, columns=["k", "rts", "rid", "px"]).sort_values(
+        ["rts", "rid"], kind="mergesort"
+    )
 
     for direction in ("backward", "forward", "nearest"):
         for tol in (None, 10, 37):

@@ -4251,7 +4251,8 @@ def test_survival_km_matches_python_and_planted(spark):
     from n2kupdate_spark.queries import QUERIES
     from n2kupdate_spark.sources import load
 
-    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+    # half-up floor — S(t) is a product of small-integer ratios (review r15)
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
 
     def ref(rows):
         # rows: (user, s, type, value) — replicate the spec independently
@@ -4724,7 +4725,9 @@ def test_pelt_changepoints_match_exact_dp_and_planted(spark):
             for r in QUERIES["ts_changepoint_pelt"](spark, sf).collect()
         }
         assert got == want, sf
-        assert all(k.endswith("#shifted") for k, _i in got) or got  # twins fire
+        # every planted twin must fire at least one changepoint
+        fired = {k for k, _i in got if k.endswith("#shifted")}
+        assert fired == {f"{t}#shifted" for t in xxh}, sf
 
     rng = np.random.RandomState(23)
     x = np.concatenate(

@@ -1392,7 +1392,7 @@ def test_cliffs_delta_matches_pairwise_and_planted(spark):
     from n2kupdate_spark.queries import QUERIES
     from n2kupdate_spark.sources import load
 
-    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
 
     def band(d):
         ad = abs(d)
@@ -1400,6 +1400,8 @@ def test_cliffs_delta_matches_pairwise_and_planted(spark):
             "negligible" if ad < 0.147 else "small" if ad < 0.33
             else "medium" if ad < 0.474 else "large"
         )
+
+    # half-up floor — δ is a small-integer ratio (review r15)
 
     def ref(rows):
         by = {}
@@ -1445,6 +1447,19 @@ def test_cliffs_delta_matches_pairwise_and_planted(spark):
     finally:
         aggq.load = orig
     assert got["dom"]["cliffs_delta"] == 1.0 and got["dom"]["magnitude"] == "large"
+    # single-cohort group (all even user_ids): no cross pairs — NULL δ and
+    # NULL band, never 'large' (review r15)
+    solo = spark.createDataFrame(
+        [("solo", 2 * i, 1.0 * i) for i in range(20)],
+        "event_type: string, user_id: long, value: double",
+    )
+    orig2 = aggq.load
+    try:
+        aggq.load = lambda spark_, sf_, t, columns=None: solo
+        [r_solo] = QUERIES["agg_cliffs_delta"](spark, "ignored").collect()
+    finally:
+        aggq.load = orig2
+    assert r_solo["cliffs_delta"] is None and r_solo["magnitude"] is None
     want_same = ref([(t, u, v) for t, u, v in rows if t == "same"])["same"]
     assert (got["same"]["cliffs_delta"], got["same"]["magnitude"]) == (
         want_same[2], want_same[3]
