@@ -110,6 +110,17 @@ HEADLINE = [
     "graph_k_core",
     "graph_bfs_distance",
     "agg_tdigest_quantile_merge",
+    # r15 additions (same rationale): the heaviest non-codec ops
+    # registered this round join the radar the session they appeared —
+    # the community acceptance gate (LPA + scorer over one
+    # checkpointed pair list), the missing-link queue (wedge join over
+    # the thinned dup graph), and the PELT segmentation (bucketed
+    # pruned DP over the dense grid + planted twins).
+    # multimodal_gif_scenes (3.0 s) stays OFF-radar with
+    # multimodal_image_phash — codec-bound, the same rationale.
+    "graph_modularity_score",
+    "graph_link_prediction",
+    "ts_changepoint_pelt",
 ]
 
 
