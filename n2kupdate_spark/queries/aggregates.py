@@ -995,7 +995,15 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events", columns=["event_type", "value"]).filter(
         F.col("value").isNotNull()
     )
-    per_val = ev.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("tg"))
+    # the collapsed table feeds BOTH the global rank spine and the
+    # per-type rank sums — checkpoint the boundary or Catalyst inlines
+    # the event scan + (value,type) shuffle into each consumer (the
+    # kn-fit lesson; #distinct-(value,type) rows, already shuffle-sized)
+    per_val = (
+        ev.groupBy("value", "event_type")
+        .agg(F.count(F.lit(1)).alias("tg"))
+        .localCheckpoint()
+    )
     tot = per_val.groupBy("value").agg(F.sum("tg").alias("t"))
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked_vals = tot.select(
@@ -1011,17 +1019,22 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("tg") * F.col("midrank")).alias("rg"),
         )
     )
-    ties = ranked_vals.agg(
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
+    # ONE scalar collected and inlined as a literal (the IDF/BNLJ rule —
+    # a 1×1 crossJoin of two aggregates still plans the
+    # BroadcastNestedLoopJoin the fleet audit rejects, review r15)
+    tie3 = float(
+        ranked_vals.agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        ).collect()[0][0]
     )
     one = per_type.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("ng").cast("long").alias("n"),
         F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("sr2"),
-    ).crossJoin(ties)  # 1×1 — constant-size, never data-sized
+    )
     n, k = F.col("n"), F.col("k")
     h_raw = F.lit(12.0) / (n * (n + 1)) * F.col("sr2") - 3 * (n + 1)
-    tie_corr = F.lit(1.0) - F.try_divide(F.col("tie3"), n * n * n - n)
+    tie_corr = F.lit(1.0) - F.try_divide(F.lit(tie3), n * n * n - n)
     h = F.try_divide(h_raw, tie_corr)
     df = (k - 1).cast("double")
     # Wilson–Hilferty: chi2_crit(df, .95) ≈ df·(1 − 2/(9df) + 1.6449·√(2/(9df)))³

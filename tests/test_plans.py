@@ -411,6 +411,18 @@ def test_no_query_plan_has_scale_red_flags(spark, sf_dir):
         # PLANS.md) behind id-keyed joins and one #sources rollup; 7
         # exchanges total, each owned by a component op's own budget
         "corpus_quality_report",
+        # r15: the community acceptance gate composes the LPA loop (5
+        # checkpointed rounds) with the Newman scorer (degree count +
+        # endpoint join) over ONE localCheckpointed pair list; 11
+        # exchanges, every one on the tiny dup-pair/label tables — each
+        # component independently audited (graph_label_propagation,
+        # dedup_ngram_jaccard)
+        "graph_modularity_score",
+        # r15: the missing-link queue is the wedge-join composite
+        # (adjacency self-join + anti-join vs kept edges + two degree
+        # joins) over the withheld-edge thinned dup graph; 12 exchanges,
+        # all on the Σdeg²-bounded candidate table
+        "graph_link_prediction",
     }
     issues = []
     for name, fn in sorted(QUERIES.items()):
