@@ -1185,3 +1185,70 @@ def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("large"))
         .alias("magnitude"),
     )
+
+
+@register("agg_fdr_bh")  # rows-only (r9 capacity policy): ≡ python
+# same-formula recompute + planted p-vector pins — tests/test_parity.py
+def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction across the per-type Welch
+    tests — the MULTIPLE-COMPARISONS completion of the inference family
+    (k types ⇒ k tests ⇒ ~k·5% false flags under per-test α; running
+    the family without a correction is the classic dashboard sin the
+    Kruskal–Wallis omnibus only partially guards): two-sided normal
+    p ≈ 2(1−Φ(|t|)) from the same conditional-moments t as
+    agg_welch_ttest, Φ via the Abramowitz–Stegun 7.1.26 erf polynomial
+    (|ε| ≤ 1.5e-7 — exact at 4dp; Spark has no erf builtin, and a
+    Python UDF here would be the slow path for no accuracy gain), then
+    the BH(α = 0.05) step-up: flag all p-ranks ≤ the largest i with
+    p₍ᵢ₎ ≤ i·α/m. Emits (event_type, t_stat, p_value, p_rank,
+    bh_threshold, significant_fdr).
+
+    Scale: ONE conditional-moments partial-agged pass (shared shape
+    with welch/power), then every p/rank/step-up expression runs on
+    the #types-row table — two tiny windows, zero extra scans.
+    Scale-first 4dp."""
+    from pyspark.sql import Window
+
+    ALPHA = 0.05
+    ev = load(
+        spark, sf_dir, "events", columns=["event_type", "user_id", "value"]
+    ).filter(F.col("value").isNotNull())
+    agg, ma, mb, va, vb = _cohort_moments(ev)
+    t = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    x = F.abs(t) / F.sqrt(F.lit(2.0))
+    # Abramowitz–Stegun 7.1.26: erf(x) = 1 − poly(1/(1+0.3275911x))·e^(−x²)
+    u = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        0.254829592 * u
+        - 0.284496736 * u * u
+        + 1.421413741 * u * u * u
+        - 1.453152027 * u * u * u * u
+        + 1.061405429 * u * u * u * u * u
+    )
+    erf = 1.0 - poly * F.exp(-x * x)
+    p = 2.0 * (1.0 - (0.5 * (1.0 + erf)))  # 2(1 − Φ(|t|))
+    staged = agg.select("event_type", t.alias("__t"), p.alias("__p"))
+    w_rank = Window.orderBy(F.col("__p").asc(), F.col("event_type").asc())
+    w_all = Window.orderBy(F.col("__p").asc(), F.col("event_type").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = staged.select(
+        "event_type",
+        "__t",
+        "__p",
+        F.row_number().over(w_rank).alias("p_rank"),
+        F.count(F.lit(1)).over(w_all).alias("__m"),
+    )
+    thr = F.col("p_rank") * ALPHA / F.col("__m")
+    cutoff = F.max(
+        F.when(F.col("__p") <= thr, F.col("p_rank")).otherwise(F.lit(0))
+    ).over(w_all)
+    r4 = lambda c: F.round(c * 10000) / 10000 + 0.0  # noqa: E731
+    return ranked.select(
+        "event_type",
+        r4(F.col("__t")).alias("t_stat"),
+        r4(F.col("__p")).alias("p_value"),
+        "p_rank",
+        r4(thr).alias("bh_threshold"),
+        (F.col("p_rank") <= cutoff).alias("significant_fdr"),
+    )

@@ -156,6 +156,7 @@ OPS = [
     "ts_rolling_quantile",      # one key shuffle, 20-bounded frame sorts
     "graph_link_prediction",    # wedge join + anti-join vs kept edges
     "agg_cliffs_delta",         # (type,value) collapse + small window + tiny agg
+    "agg_fdr_bh",               # one conditional-moments pass + #types windows
 ]
 
 

@@ -1465,3 +1465,104 @@ def test_cliffs_delta_matches_pairwise_and_planted(spark):
         want_same[2], want_same[3]
     )
     assert abs(got["same"]["cliffs_delta"]) < 0.147
+
+
+def test_fdr_bh_matches_python_and_planted(spark):
+    """r15: BH table ≡ a python same-formula recompute (A–S erf, own
+    step-up walk) at two sfs; planted: strongly shifted cohorts flag
+    under FDR while null types stay quiet, the step-up property holds
+    (every rank ≤ the largest passing rank flags, including ranks whose
+    OWN p exceeds their threshold), and an all-null planted frame
+    flags nothing."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import n2kupdate_spark.queries.aggregates as aggq
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.round(v * 10000) / 10000 + 0.0)  # noqa: E731
+    ALPHA = 0.05
+
+    def phi_as(x):
+        u = 1.0 / (1.0 + 0.3275911 * x)
+        poly = u * (0.254829592 + u * (-0.284496736 + u * (1.421413741
+                + u * (-1.453152027 + u * 1.061405429))))
+        return 0.5 * (1.0 + (1.0 - poly * math.exp(-x * x)))
+
+    def ref(rows):
+        by = {}
+        for t, u, v in rows:
+            by.setdefault(t, ([], []))[u % 2].append(v)
+        stats = []
+        for t, (a, b) in by.items():
+            A, B = np.array(a), np.array(b)
+            tt = (A.mean() - B.mean()) / math.sqrt(
+                A.var(ddof=1) / len(A) + B.var(ddof=1) / len(B)
+            )
+            p = 2.0 * (1.0 - phi_as(abs(tt) / math.sqrt(2.0)))
+            stats.append((t, tt, p))
+        stats.sort(key=lambda s: (s[2], s[0]))
+        m = len(stats)
+        cutoff = max(
+            (i for i, (_t, _tt, p) in enumerate(stats, 1) if p <= i * ALPHA / m),
+            default=0,
+        )
+        return {
+            t: (r4(tt), r4(p), i, r4(i * ALPHA / m), i <= cutoff)
+            for i, (t, tt, p) in enumerate(stats, 1)
+        }
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], int(r["user_id"]), float(r["value"]))
+            for r in load(spark, sf, "events", columns=["event_type", "user_id", "value"])
+            .filter(F.col("value").isNotNull())
+            .collect()
+        ]
+        want = ref(rows)
+        got = {
+            r["event_type"]: (
+                r["t_stat"], r["p_value"], r["p_rank"], r["bh_threshold"],
+                r["significant_fdr"],
+            )
+            for r in QUERIES["agg_fdr_bh"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    rng = np.random.RandomState(27)
+    rows = []
+    for u in range(600):
+        base = float(rng.randn())
+        rows.append(("big1", u, base + (1.0 if u % 2 == 0 else 0.0)))
+        rows.append(("big2", u, base + (0.8 if u % 2 == 0 else 0.0)))
+        for i in range(4):
+            rows.append((f"null{i}", u, float(rng.randn())))
+    df = spark.createDataFrame(rows, "event_type: string, user_id: long, value: double")
+    orig = aggq.load
+    try:
+        aggq.load = lambda spark_, sf_, t, columns=None: df
+        got = {
+            r["event_type"]: r for r in QUERIES["agg_fdr_bh"](spark, "ignored").collect()
+        }
+        allnull = spark.createDataFrame(
+            [(f"n{i % 6}", u, float(rng.randn())) for i, u in enumerate(range(3000))],
+            "event_type: string, user_id: long, value: double",
+        )
+        aggq.load = lambda spark_, sf_, t, columns=None: allnull
+        got_null = {
+            r["event_type"]: r for r in QUERIES["agg_fdr_bh"](spark, "ignored").collect()
+        }
+    finally:
+        aggq.load = orig
+    assert got["big1"]["significant_fdr"] is True
+    assert got["big2"]["significant_fdr"] is True
+    assert not any(got[f"null{i}"]["significant_fdr"] for i in range(4))
+    # step-up property on the engine output itself: flags are exactly the
+    # prefix up to the largest rank whose own p passes
+    rows_sorted = sorted(got.values(), key=lambda r: r["p_rank"])
+    cutoff = max((r["p_rank"] for r in rows_sorted if r["p_value"] <= r["bh_threshold"]), default=0)
+    assert all((r["p_rank"] <= cutoff) == r["significant_fdr"] for r in rows_sorted)
+    assert not any(r["significant_fdr"] for r in got_null.values())
