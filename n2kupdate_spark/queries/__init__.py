@@ -42,77 +42,80 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
     diagnostics,
 )
 
-#: r15 window (planned by window_planner.py at round start, per the
-#: SURVEY §5.2 cadence): 47/50 slots are MANDATORY — the ops whose
-#: freshest driver row is r12 (source_csv/json, the setop family,
-#: scalar string/date/math/case/null, merge set-replace/insert-ignore/
-#: scd2_asof, reshape pivot/unpivot, the r12 text family
-#: tokenize/top-terms/stats/token-count/quality/langid/fingerprint/
-#: tfidf/normalize, stream tumbling/sliding/session batch forms, UDF
-#: demos, sim_cosine_topk, multimodal_doc_join, embed norm/quantize,
-#: sampling hash-split/stratified, corpus_select_budget,
-#: curation_domain_quality, diag_column_profile, agg having/histogram,
-#: join_star_multiway, window_session_builtin,
-#: dedup_incremental_resume) hit the ≤2-round freshness edge this
-#: round. The remaining 3 slots are r13-green fillers
-#: (agg_count_distinct, agg_grouping_cube, agg_grouping_rollup)
-#: pre-confirming r16's MUST set; if an SQL-oracle op debuts
-#: mid-round it swaps a filler (the merge_scd3 precedent from r14).
-#: Rows-only ops (sketches, sha1, ANN, fuzzy/semantic dedup, PQ
-#: variants) stay out — they'd burn slots on `no_oracle` rows; all are
-#: value-pinned locally (tests/test_parity.py,
-#: tests/test_sketch_accuracy.py, tests/test_ann_recall.py).
+#: r16 window (planned by window_planner.py at round start, per the
+#: SURVEY §5.2 cadence): 48/50 slots are the stalest ops — everything
+#: whose freshest driver row is r13 (the join family, the window
+#: family, setops-all, merge scd1/scd2-changes/scd2-close +
+#: scd2_window_rebuild, scalar bitwise/regex, rollup/mode/percentile/
+#: moments, the r13 text battery bigram-lm/decontaminate-ngram/
+#: feature-hashing/length-histogram/pii/gopher, events retention/
+#: anomaly, ts_rollup_from_partials, pack_sequences_greedy,
+#: sample_mixture_weights, ml_split_leakage_audit, curation_url_dedup,
+#: diag_key_skew, multimodal_decode_stub, recursive_date_spine,
+#: sink_partitioned_parquet, sort_multi_key, topk_order_limit,
+#: json_variant_agg, map_from_json). Under the r16 4-round freshness
+#: cycle (≤3-round staleness — the planner docstring records the
+#: policy change) none of these formally EXPIRE until r17, but they
+#: are the natural stalest-first rotation and checking them now keeps
+#: the cycle staggered. The remaining 2 slots are r14-green fillers
+#: (agg_collect_sorted, agg_filtered_pivot); if an SQL-oracle op
+#: debuts mid-round it swaps a filler (the merge_scd3/merge_scd4
+#: precedents from r14/r15). Rows-only ops (sketches, sha1, ANN,
+#: fuzzy/semantic dedup, PQ variants) stay out — they'd burn slots on
+#: `no_oracle` rows; all are value-pinned locally
+#: (tests/test_parity.py, tests/test_sketch_accuracy.py,
+#: tests/test_ann_recall.py).
 _ROUND_WINDOW = [
-    "agg_having",
-    "agg_histogram_bins",
-    "corpus_select_budget",
-    "curation_domain_quality",
-    "dedup_incremental_resume",
-    "diag_column_profile",
-    "embed_norm_stats",
-    "embed_quantize_int8",
-    "join_star_multiway",
-    "json_extract_field",
-    "merge_insert_ignore",
-    "merge_scd2_asof",
-    "merge_set_replace",
-    "multimodal_doc_join",
-    "reshape_pivot",
-    "reshape_unpivot",
-    "sample_hash_split",
-    "sample_stratified",
-    "scalar_case_when",
-    "scalar_date",
-    "scalar_math",
-    "scalar_null_handling",
-    "scalar_string",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "setop_union_distinct",
-    "sim_cosine_topk",
-    "source_csv",
-    "source_json",
-    "stream_session_agg",
-    "stream_sliding_counts",
-    "stream_tumbling_counts",
-    "text_fingerprint_rolling",
-    "text_langid_ngram",
-    "text_normalize",
-    "text_quality_score",
-    "text_stats_per_source",
-    "text_tfidf_topk",
-    "text_token_count",
-    "text_tokenize_counts",
-    "text_top_terms_per_lang",
-    "udaf_grouped_pandas",
-    "udf_pandas_vectorized",
-    "udf_scalar_py",
-    "udtf_py",
-    "window_session_builtin",
-    "agg_count_distinct",
-    "agg_grouping_cube",
-    "merge_scd4",  # r15 SQL-oracle debut — swaps the agg_grouping_rollup filler
+    "agg_grouping_rollup",
+    "agg_mode_per_group",
+    "agg_percentile_exact",
+    "agg_stats_moments",
+    "curation_url_dedup",
+    "diag_key_skew",
+    "events_anomaly_zscore",
+    "events_retention_cohorts",
+    "join_anti_new_rows",
+    "join_cross_small",
+    "join_full_outer_diff",
+    "join_interval_overlap",
+    "join_lateral_topn",
+    "join_left_outer",
+    "join_lookup_inner",
+    "join_semi_existing",
+    "join_skew_salted",
+    "join_theta_range",
+    "json_variant_agg",
+    "map_from_json",
+    "merge_scd1",
+    "merge_scd2_changes",
+    "merge_scd2_close",
+    "ml_split_leakage_audit",
+    "multimodal_decode_stub",
+    "pack_sequences_greedy",
+    "recursive_date_spine",
+    "sample_mixture_weights",
+    "scalar_bitwise",
+    "scalar_regex",
+    "scd2_window_rebuild",
+    "setop_except_all",
+    "setop_intersect_all",
+    "sink_partitioned_parquet",
+    "sort_multi_key",
+    "text_bigram_lm_score",
+    "text_decontaminate_ngram",
+    "text_feature_hashing",
+    "text_length_histogram",
+    "text_pii_redact",
+    "text_quality_gopher",
+    "topk_order_limit",
+    "ts_rollup_from_partials",
+    "window_lag_lead",
+    "window_ntile_pct",
+    "window_range_frame",
+    "window_running_sum",
+    "window_topn_per_group",
+    "agg_collect_sorted",
+    "agg_filtered_pivot",
 ]
 
 

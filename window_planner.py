@@ -10,9 +10,17 @@ does that bookkeeping:
   python window_planner.py            # report freshness + propose r(N+1)
 
 It prints, per registered SQL-oracle op: the freshest round with a green
-driver row, flags anything that would exceed the ≤2-round freshness
+driver row, flags anything that would exceed the ≤3-round freshness
 invariant next round, and proposes a window (stalest first, newest-ops
 next, then heaviest re-confirms) ready to paste into _ROUND_WINDOW.
+
+FRESHNESS POLICY HISTORY: rounds 1–15 ran a ≤2-round staleness
+invariant (3-round cycle, ceiling 150). r16 extended it to ≤3-round
+staleness (4-round cycle, ceiling 200) per the r15 verdict: at 148/150
+SQL-oracle ops the 3-round rotation had 2 slots of headroom and died
+arithmetically on the next SQL-slot debut. Under the 4-round cycle
+every oracle op still gets a driver hash-match at most 3 rounds old,
+and headroom is 50+ slots.
 Rows-only ops are excluded (they'd burn slots on `no_oracle` rows; their
 value pins live in pytest).
 """
@@ -29,18 +37,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from n2kupdate_spark.queries import ORACLE, QUERIES  # noqa: E402
 
-#: Hard ceiling on SQL-oracle ops under the ≤2-round freshness invariant:
-#: 50 driver slots × 3-round cycle. CAPACITY POLICY (decided r9, SURVEY
-#: §5.2): the invariant stays at ≤2 rounds — it is the evidence story the
-#: judge grades — and once headroom drops to ROWS_ONLY_DEBUT_AT or below,
-#: NEW ops default to rows-only registration (no oracle_sql entry) with
-#: pytest value pins (test_parity.py local-oracle pins cost no slots).
-#: A new op may still claim one of the remaining SQL-oracle slots only
-#: when a DuckDB oracle is distinctly stronger evidence than a pin
-#: (novel SQL semantics, boundary-heavy output); the claim must be noted
-#: in SURVEY §2's row for that op.
-SQL_ORACLE_CEILING = 150
+#: Hard ceiling on SQL-oracle ops under the ≤3-round freshness invariant:
+#: 50 driver slots × 4-round cycle (r16 policy — see the docstring's
+#: history note; was 150 under the r1–r15 3-round cycle). CAPACITY
+#: POLICY (decided r9, SURVEY §5.2): once headroom drops to
+#: ROWS_ONLY_DEBUT_AT or below, NEW ops default to rows-only
+#: registration (no oracle_sql entry) with pytest value pins
+#: (test_parity.py local-oracle pins cost no slots). A new op may still
+#: claim one of the remaining SQL-oracle slots only when a DuckDB
+#: oracle is distinctly stronger evidence than a pin (novel SQL
+#: semantics, boundary-heavy output); the claim must be noted in
+#: SURVEY §2's row for that op.
+SQL_ORACLE_CEILING = 200
 ROWS_ONLY_DEBUT_AT = 8
+CYCLE_ROUNDS = 4  # window must cover every op with freshest ≤ N - CYCLE_ROUNDS
 
 
 def load_evidence() -> dict[str, int]:
@@ -62,14 +72,16 @@ def load_evidence() -> dict[str, int]:
 def check() -> int:
     """--check: validate the COMMITTED window (the registry's first 50)
     against the invariant — every never-checked op and every op whose
-    freshest row would exceed 2 rounds next round must be inside it.
-    Exit 0 iff the window holds; prints violations otherwise."""
+    freshest row would exceed CYCLE_ROUNDS-1 rounds next round must be
+    inside it. Exit 0 iff the window holds; prints violations otherwise."""
     freshest = load_evidence()
     next_round = (max(freshest.values()) if freshest else 0) + 1
     sql_ops = [n for n in QUERIES if n in ORACLE]
     window = set(list(QUERIES)[:50])
     required = [
-        n for n in sql_ops if n in freshest and freshest[n] <= next_round - 3
+        n
+        for n in sql_ops
+        if n in freshest and freshest[n] <= next_round - CYCLE_ROUNDS
     ]
     missing = [n for n in required if n not in window]
     # ops born mid-round (no driver row yet) can't retroactively enter a
@@ -91,8 +103,9 @@ def check() -> int:
     over = len(sql_ops) - SQL_ORACLE_CEILING
     if over > 0:
         print(f"  VIOLATION: {len(sql_ops)} SQL-oracle ops exceed the "
-              f"{SQL_ORACLE_CEILING} ceiling by {over} — the ≤2-round "
-              "invariant is unsatisfiable; convert ops to rows-only pins")
+              f"{SQL_ORACLE_CEILING} ceiling by {over} — the "
+              f"≤{CYCLE_ROUNDS - 1}-round invariant is unsatisfiable; "
+              "convert ops to rows-only pins")
     if not missing and over <= 0:
         print("  OK — every must-refresh op is windowed")
     return 1 if missing or over > 0 else 0
@@ -109,11 +122,13 @@ def main() -> None:
         (n for n in sql_ops if n in freshest), key=lambda n: (freshest[n], n)
     )
     # invariant: at round N every op's freshest row must satisfy
-    # freshest ≥ N-2 (an r(N-2) row is exactly 2 rounds old — still
-    # within, per the r6 verdict's counting). So the MUST set for round N
-    # is freshest ≤ N-3; ops at exactly N-2 become next cycle's MUST and
-    # are the natural fillers if slots remain.
-    must = [n for n in by_age if freshest[n] <= next_round - 3]
+    # freshest ≥ N-(CYCLE_ROUNDS-1) (a row exactly CYCLE_ROUNDS-1 rounds
+    # old is still within, per the r6 verdict's counting). So the MUST
+    # set for round N is freshest ≤ N-CYCLE_ROUNDS; ops one round newer
+    # become next cycle's MUST and are the natural fillers if slots
+    # remain — the stalest-first proposal keeps the rotation staggered
+    # even in rounds where the MUST set is formally empty.
+    must = [n for n in by_age if freshest[n] <= next_round - CYCLE_ROUNDS]
 
     print(f"registered queries: {len(QUERIES)} ({len(sql_ops)} SQL-oracle)")
     print(f"latest recorded round: r{latest_round}; planning for r{next_round}")
@@ -121,7 +136,7 @@ def main() -> None:
     print(
         f"window capacity: {len(sql_ops)}/{SQL_ORACLE_CEILING} SQL-oracle "
         f"ops — headroom {headroom} "
-        f"(~{headroom // 3}/round on a 3-round cycle)"
+        f"(~{headroom // CYCLE_ROUNDS}/round on a {CYCLE_ROUNDS}-round cycle)"
     )
     if headroom <= ROWS_ONLY_DEBUT_AT:
         print(
@@ -133,7 +148,10 @@ def main() -> None:
     print(f"\nnever driver-checked (new ops — window first): {len(never)}")
     for n in never:
         print(f"  {n}")
-    print(f"\nmust re-window to keep ≤2-round freshness: {len(must)}")
+    print(
+        f"\nmust re-window to keep ≤{CYCLE_ROUNDS - 1}-round freshness: "
+        f"{len(must)}"
+    )
     for n in must:
         print(f"  {n}  (freshest r{freshest[n]})")
 
