@@ -2328,9 +2328,12 @@ def link_prediction_scores(
     triangle-count cost shape. ``max_degree`` (optional) drops hub
     MIDDLE nodes before the join — the standard bound when hub wedges
     explode (a hub's neighbors are weak same-cluster evidence anyway);
-    the cap is reported via one aggregate, never silent. Existing
-    edges are removed with ONE left_anti join; degrees are one
-    exploded count."""
+    the cap is never silent: when it is active, one count aggregate
+    over the (#nodes-row) degree table reads how many middles it
+    removed, and every output row carries that number in an extra
+    ``hub_middles_dropped`` column (absent when ``max_degree`` is
+    None, so the uncapped schema is unchanged). Existing edges are
+    removed with ONE left_anti join; degrees are one exploded count."""
     e = edges.select(
         F.least(src_col, dst_col).alias("a"),
         F.greatest(src_col, dst_col).alias("b"),
@@ -2345,7 +2348,12 @@ def link_prediction_scores(
     adj = e.select(F.col("a").alias("m"), F.col("b").alias("x")).unionAll(
         e.select(F.col("b").alias("m"), F.col("a").alias("x"))
     )
+    n_hub_dropped = None
     if max_degree is not None:
+        # the no-silent-caps contract: one aggregate on the bounded degree
+        # table says how many middles the cap removed (advice r15 — the
+        # plain left_semi reported nothing)
+        n_hub_dropped = deg.filter(F.col("deg") > max_degree).count()
         keep = deg.filter(F.col("deg") <= max_degree).select(
             F.col("n").alias("m")
         )
@@ -2378,6 +2386,11 @@ def link_prediction_scores(
             ).alias("jaccard"),
         )
     )
-    return scored.orderBy(
+    out = scored.orderBy(
         F.col("cn").desc(), F.col("jaccard").desc(), "a", "b"
     ).limit(top)
+    if n_hub_dropped is not None:
+        out = out.withColumn(
+            "hub_middles_dropped", F.lit(int(n_hub_dropped))
+        )
+    return out

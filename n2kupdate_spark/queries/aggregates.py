@@ -1228,18 +1228,27 @@ def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     erf = 1.0 - poly * F.exp(-x * x)
     p = 2.0 * (1.0 - (0.5 * (1.0 + erf)))  # 2(1 − Φ(|t|))
     staged = agg.select("event_type", t.alias("__t"), p.alias("__p"))
-    w_rank = Window.orderBy(F.col("__p").asc(), F.col("event_type").asc())
-    w_all = Window.orderBy(F.col("__p").asc(), F.col("event_type").asc()).rowsBetween(
+    # A NULL p (t undefined — an empty or single-row cohort) is NOT a
+    # tested hypothesis: it must not take a rank, inflate m, or shift the
+    # step-up cutoff (advice r15: Spark asc = NULLS FIRST put it at rank 1
+    # and flagged it whenever cutoff ≥ 1). Sort nulls last, rank/count
+    # only real p's, and emit NULL for every BH column of an untested row.
+    w_rank = Window.orderBy(
+        F.col("__p").asc_nulls_last(), F.col("event_type").asc()
+    )
+    w_all = w_rank.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     ranked = staged.select(
         "event_type",
         "__t",
         "__p",
-        F.row_number().over(w_rank).alias("p_rank"),
-        F.count(F.lit(1)).over(w_all).alias("__m"),
+        F.when(
+            F.col("__p").isNotNull(), F.row_number().over(w_rank)
+        ).alias("p_rank"),
+        F.count(F.col("__p")).over(w_all).alias("__m"),
     )
-    thr = F.col("p_rank") * ALPHA / F.col("__m")
+    thr = F.col("p_rank") * ALPHA / F.col("__m")  # NULL rank ⇒ NULL thr
     cutoff = F.max(
         F.when(F.col("__p") <= thr, F.col("p_rank")).otherwise(F.lit(0))
     ).over(w_all)
@@ -1250,5 +1259,7 @@ def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("__p")).alias("p_value"),
         "p_rank",
         r4(thr).alias("bh_threshold"),
-        (F.col("p_rank") <= cutoff).alias("significant_fdr"),
+        F.when(
+            F.col("__p").isNotNull(), F.col("p_rank") <= cutoff
+        ).alias("significant_fdr"),
     )

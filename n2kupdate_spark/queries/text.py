@@ -1599,7 +1599,14 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from n2kupdate_spark.operators.corpus import GOPHER_STOPWORDS
 
-    stop_pat = "(?<=\\s)(" + "|".join(GOPHER_STOPWORDS) + ")(?=\\s)"
+    # \x01 (the punctuation delimiter written by the pass below) is a
+    # phrase boundary exactly like whitespace, so a stopword ABUTTING
+    # punctuation ('end of,' / 'x,the end') must still split — lookarounds
+    # accept either (advice r15: \s-only bounds kept such stopwords inside
+    # the phrase)
+    stop_pat = (
+        "(?<=[\\s])(" + "|".join(GOPHER_STOPWORDS) + ")(?=[\\s])"
+    )
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     # published RAKE splits candidates at PUNCTUATION as well as
     # stopwords: first collapse all whitespace runs to single spaces and

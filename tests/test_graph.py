@@ -944,5 +944,19 @@ def test_link_prediction_matches_python_and_planted(spark):
     # max_degree below the hub degree yields zero candidates
     star = [(0, i) for i in range(1, 12)]
     sdf = spark.createDataFrame(star, "id1: long, id2: long")
-    assert link_prediction_scores(sdf, top=55).count() == (11 * 10) // 2
+    uncapped = link_prediction_scores(sdf, top=55)
+    assert uncapped.count() == (11 * 10) // 2
+    # the uncapped schema carries NO report column
+    assert "hub_middles_dropped" not in uncapped.columns
     assert link_prediction_scores(sdf, max_degree=5, top=50).count() == 0
+    # the cap is REPORTED, not silent (advice r15): a capped run whose
+    # output is non-empty carries the dropped-middle count on every row —
+    # plant the star plus a separate 4-clique minus one edge; cap 5 drops
+    # exactly the hub (deg 11) and the clique candidates survive
+    mini = [(100 + i, 100 + j) for i in range(4) for j in range(i + 1, 4)]
+    mini.remove((100, 103))
+    both = spark.createDataFrame(star + mini, "id1: long, id2: long")
+    capped = link_prediction_scores(both, max_degree=5, top=50).collect()
+    assert capped, "clique candidates must survive the hub cap"
+    assert all(r["hub_middles_dropped"] == 1 for r in capped)
+    assert {(r["a"], r["b"]) for r in capped} == {(100, 103)}

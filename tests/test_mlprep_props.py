@@ -4604,6 +4604,11 @@ def test_keyphrase_rake_matches_python_and_planted(spark):
         # punctuation splits candidates, whitespace normalizes, and the
         # delimiter can never collide with content
         (3, "big data | machine learning, deep\nlearning\tand  big data"),
+        # advice r15: a stopword ABUTTING punctuation ('of,' / ',the')
+        # must still act as a delimiter — the \s-only lookaround bug kept
+        # it inside the phrase
+        (4, "end of, the start"),
+        (5, "x,the end and middle of,and stuff"),
     ]
     df = spark.createDataFrame(planted, "doc_id: long, text: string")
     orig = textq.load
@@ -4630,6 +4635,17 @@ def test_keyphrase_rake_matches_python_and_planted(spark):
     for r in rows:
         assert "\n" not in r["phrase"] and "\t" not in r["phrase"]
         assert "  " not in r["phrase"] and "|" not in r["phrase"]
+    # docs 4/5: punctuation-abutting stopwords split (engine ≡ the
+    # token-walk ref, which always treated them as delimiters)
+    for did in (4, 5):
+        want_d = ref([p for p in planted if p[0] == did])
+        got_d = {
+            (r["doc_id"], r["phrase"]): (r["n_words"], r["score"], r["rank"])
+            for r in rows
+            if r["doc_id"] == did
+        }
+        assert got_d == want_d, did
+    assert got[(4, 1)]["phrase"] == "end" and got[(4, 2)]["phrase"] == "start"
 
 
 def test_pelt_changepoints_match_exact_dp_and_planted(spark):

@@ -1540,6 +1540,12 @@ def test_fdr_bh_matches_python_and_planted(spark):
         rows.append(("big2", u, base + (0.8 if u % 2 == 0 else 0.0)))
         for i in range(4):
             rows.append((f"null{i}", u, float(rng.randn())))
+    # advice r15: a type whose t is UNDEFINED (single-cohort data → NULL p)
+    # must not take p_rank 1, inflate m, or read significant — it emits
+    # NULL rank/threshold/flag and leaves every other type's BH row as if
+    # it were absent
+    rows.append(("solo", 0, 1.0))
+    rows.append(("solo", 2, 2.0))
     df = spark.createDataFrame(rows, "event_type: string, user_id: long, value: double")
     orig = aggq.load
     try:
@@ -1560,9 +1566,18 @@ def test_fdr_bh_matches_python_and_planted(spark):
     assert got["big1"]["significant_fdr"] is True
     assert got["big2"]["significant_fdr"] is True
     assert not any(got[f"null{i}"]["significant_fdr"] for i in range(4))
+    # the untested type: NULL p ⇒ NULL rank/threshold/flag, and it does
+    # not inflate m (6 tested hypotheses ⇒ max threshold = 6·α/6 = α)
+    solo = got.pop("solo")
+    assert solo["p_value"] is None
+    assert solo["p_rank"] is None
+    assert solo["bh_threshold"] is None
+    assert solo["significant_fdr"] is None
     # step-up property on the engine output itself: flags are exactly the
     # prefix up to the largest rank whose own p passes
     rows_sorted = sorted(got.values(), key=lambda r: r["p_rank"])
+    assert [r["p_rank"] for r in rows_sorted] == list(range(1, 7))
+    assert abs(rows_sorted[-1]["bh_threshold"] - ALPHA) < 1e-12
     cutoff = max((r["p_rank"] for r in rows_sorted if r["p_value"] <= r["bh_threshold"]), default=0)
     assert all((r["p_rank"] <= cutoff) == r["significant_fdr"] for r in rows_sorted)
     assert not any(r["significant_fdr"] for r in got_null.values())
