@@ -157,6 +157,8 @@ OPS = [
     "graph_link_prediction",    # wedge join + anti-join vs kept edges
     "agg_cliffs_delta",         # (type,value) collapse + small window + tiny agg
     "agg_fdr_bh",               # one conditional-moments pass + #types windows
+    # round-16 additions
+    "ts_backtest_theta",        # bounded grid; all origins in one Arrow task
 ]
 
 

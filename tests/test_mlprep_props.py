@@ -3815,6 +3815,115 @@ def test_hw_backtest_matches_python_and_planted(spark):
         assert r["skill"] > 0.5, dict(r.asDict())  # trend kills the naive
 
 
+def test_theta_backtest_matches_python_and_planted(spark):
+    """r16: the Theta rolling-origin backtest ≡ an independent python
+    recompute (own SES loop + explicit-sums least squares — not
+    polyfit — own MAE/sMAPE/naive scoring) at two sfs; planted: on a
+    clean linear trend Theta beats the seasonal-naive baseline at
+    every origin (positive skill), a too-short key emits nothing, and
+    the origin set is IDENTICAL to the HW backtest's on the same
+    series (the comparable-skill contract of the shared harness)."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.timeseries import (
+        holt_winters_backtest,
+        theta_backtest,
+    )
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    M, H, A = 24, 24, 0.2
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+
+    def theta_fc(x):
+        n = len(x)
+        # explicit-sums OLS slope (not polyfit — a different lstsq path)
+        t = np.arange(n, dtype=float)
+        b = (n * (t * x).sum() - t.sum() * x.sum()) / (
+            n * (t * t).sum() - t.sum() ** 2
+        )
+        lvl = x[0]
+        for v in x[1:]:
+            lvl = A * v + (1 - A) * lvl
+        decay = (1 - A) ** n / A
+        return np.array(
+            [lvl + (b / 2) * (h - 1 + 1 / A - decay) for h in range(1, H + 1)]
+        )
+
+    def ref(ts, x, n_origins=3):
+        out = {}
+        n = len(x)
+        for k in range(n_origins, 0, -1):
+            cut = n - k * H
+            if cut < 2 * M or cut + H > n:
+                continue
+            fc = theta_fc(x[:cut])
+            actual = x[cut : cut + H]
+            naive = x[cut - M : cut][np.arange(H) % M]
+            mae = np.abs(fc - actual).mean()
+            nmae = np.abs(naive - actual).mean()
+            den = np.abs(fc) + np.abs(actual)
+            ok = den > 0
+            smape = ((2 * np.abs(fc - actual))[ok] / den[ok]).mean() if ok.any() else 0.0
+            skill = 1 - mae / nmae if nmae > 0 else 0.0
+            out[int(ts[cut])] = (cut, r4(mae), r4(smape), r4(nmae), r4(skill))
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = (
+            load(spark, sf, "events", columns=["ts", "event_type"])
+            .select(
+                "event_type",
+                (F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600) * 3600)
+                .cast("long").alias("ts_s"),
+            )
+            .groupBy("event_type", "ts_s")
+            .count()
+            .toPandas()
+        )
+        lo, hi = ev["ts_s"].min(), ev["ts_s"].max()
+        grid = np.arange(lo, hi + 1, 3600)
+        want = {}
+        for et, g in ev.groupby("event_type"):
+            series = dict(zip(g["ts_s"], g["count"]))
+            x = np.array([float(series.get(t, 0)) for t in grid])
+            for ots, tup in ref(grid, x).items():
+                want[(et, ots)] = tup
+        got = {
+            (r["event_type"], r["origin_ts"]): (
+                r["n_train"], r["mae"], r["smape"], r["naive_mae"], r["skill"]
+            )
+            for r in QUERIES["ts_backtest_theta"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    # planted: clean linear trend — the seasonal naive repeats yesterday
+    # (one full H=M=24 step behind the trend) while Theta extrapolates;
+    # a 40-point key (< 2 seasons + eval) emits nothing
+    rng = np.random.RandomState(16)
+    rows = []
+    for i in range(24 * 10):
+        rows.append(("long", i * 3600, float(3.0 * i + 0.01 * rng.randn())))
+    rows += [("short", i * 3600, 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "key: string, ts_s: long, value: double")
+    got = {
+        (r["key"], r["origin_ts"]): r
+        for r in theta_backtest(df, period=24, n_origins=3).collect()
+    }
+    assert not any(k == "short" for k, _o in got)
+    longs = [r for (k, _o), r in got.items() if k == "long"]
+    assert len(longs) == 3
+    for r in longs:
+        assert r["skill"] > 0.5, dict(r.asDict())  # trend kills the naive
+    # shared-harness contract: identical origin/n_train sets vs HW on the
+    # same series — the comparable-skill guarantee
+    hw = {
+        (r["key"], r["origin_ts"]): r["n_train"]
+        for r in holt_winters_backtest(df, period=24, n_origins=3).collect()
+    }
+    assert {k: r["n_train"] for k, r in got.items()} == hw
+
+
 def test_sample_weighted_per_key_matches_python(spark):
     """r14: the stratified weighted sampler ≡ an independent python
     recompute of the full spec (md5-derived u, ln(u)/w key, per-key
