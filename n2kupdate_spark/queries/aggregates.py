@@ -1263,3 +1263,165 @@ def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__p").isNotNull(), F.col("p_rank") <= cutoff
         ).alias("significant_fdr"),
     )
+
+
+def _wh_chi2_crit(df_col):
+    """Wilson–Hilferty χ²(df) 5% critical value as a Column — the
+    family convention (agg_chi2_independence / agg_kruskal_wallis):
+    crit ≈ df·(1 − 2/(9df) + 1.6449·√(2/(9df)))³."""
+    whf = F.lit(1.0) - 2 / (9 * df_col) + F.lit(1.6449) * F.sqrt(2 / (9 * df_col))
+    return df_col * whf * whf * whf
+
+
+def _oneway_f_table(per_group):
+    """Single-row one-way F algebra over a per-group moments table
+    (columns ng/sg/qg): k, n, ss_between, ss_within, f_stat,
+    df_between, df_within, significant. Shared by agg_anova_oneway
+    (raw values) and agg_levene_bf (|x − median| deviations) so the
+    two cannot diverge-by-copy (the _cohort_moments lesson, r14).
+
+    The 5% gate uses the large-N limit F(k−1, N−k) → χ²(k−1)/(k−1)
+    via Wilson–Hilferty — exact as N−k → ∞ and conservative-adjacent
+    at the fixture's thousands-per-group; documented rather than
+    hidden (no scipy in the env, and an incomplete-beta expansion in
+    SQL would add failure modes for no 4dp gain at these n)."""
+    one = per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(F.col("sg") * F.col("sg") / F.col("ng")).alias("b"),
+    )
+    k, n = F.col("k"), F.col("n")
+    ssw = F.col("q") - F.col("b")
+    ssb = F.col("b") - F.col("s") * F.col("s") / n
+    dfb = (k - 1).cast("double")
+    dfw = (n - k).cast("double")
+    f = F.try_divide(F.try_divide(ssb, dfb), F.try_divide(ssw, dfw))
+    crit = _wh_chi2_crit(dfb) / dfb
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
+    return one.select(
+        "k",
+        "n",
+        r4(ssb).alias("ss_between"),
+        r4(ssw).alias("ss_within"),
+        r4(f).alias("f_stat"),
+        dfb.cast("long").alias("df_between"),
+        dfw.cast("long").alias("df_within"),
+        F.coalesce(f >= crit, F.lit(False)).alias("significant"),
+    )
+
+
+@register("agg_anova_oneway")  # rows-only (r9 capacity policy): ≡
+# numpy same-formula recompute + planted shift/quiet pins —
+# tests/test_parity.py
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test of event value across event types — the
+    PARAMETRIC omnibus next to agg_kruskal_wallis (KW reads ranks and
+    any distributional shift; ANOVA reads MEANS with more power when
+    values are roughly normal — the pair a dashboard runs together,
+    agreeing ⇒ trust, disagreeing ⇒ look at the tails):
+    F = [SSB/(k−1)] / [SSW/(N−k)], flagged at the 5% large-N critical
+    value χ²(k−1)/(k−1) (Wilson–Hilferty, the family convention).
+    Emits one row: (k, n, ss_between, ss_within, f_stat, df_between,
+    df_within, significant).
+
+    Scale: ONE (type) partial-agged moments pass (n, Σx, Σx²) — the
+    Welch/power cost shape extended to k groups — then all F algebra
+    on the #types-row table; no window, no second scan."""
+    ev = load(spark, sf_dir, "events", columns=["event_type", "value"]).filter(
+        F.col("value").isNotNull()
+    )
+    per_group = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum("value").alias("sg"),
+        F.sum(F.col("value") * F.col("value")).alias("qg"),
+    )
+    return _oneway_f_table(per_group)
+
+
+@register("agg_levene_bf")  # rows-only (r9 capacity policy): ≡ numpy
+# same-formula recompute + planted heteroscedastic/quiet pins —
+# tests/test_parity.py
+def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test (Levene 1960 with the
+    Brown & Forsythe 1974 MEDIAN center — the robust default SAS/R
+    ship): one-way F on the absolute deviations z = |x − median_g|.
+    The precondition check of the classical-inference family — classic
+    ANOVA and pooled-variance tests assume equal group variances;
+    THIS is the test that says whether that assumption holds, and a
+    flag here is the signal to reach for agg_welch_ttest (which never
+    assumes it). Median-centering (not mean) keeps the test level
+    under heavy tails. Emits the same single-row F table as
+    agg_anova_oneway.
+
+    Scale: one exact per-type median aggregate (percentile — a
+    #types-row result), broadcast-joined back onto the scan (map-side,
+    no second event shuffle for the join), then ONE (type) moments
+    pass on z and #types-row algebra — two partial-agged passes total,
+    both keyed on the same column."""
+    from pyspark.sql.functions import broadcast
+
+    ev = load(spark, sf_dir, "events", columns=["event_type", "value"]).filter(
+        F.col("value").isNotNull()
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("__med")
+    )
+    z = ev.join(broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("__med")).alias("z")
+    )
+    per_group = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum("z").alias("sg"),
+        F.sum(F.col("z") * F.col("z")).alias("qg"),
+    )
+    return _oneway_f_table(per_group)
+
+
+@register("agg_cohens_d")  # rows-only (r9 capacity policy): ≡ numpy
+# same-formula recompute + planted exact-effect pins —
+# tests/test_parity.py
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g standardized mean difference between the
+    user-parity cohorts per event type — the PARAMETRIC effect size
+    next to agg_cliffs_delta's rank-based one (and the magnitude
+    answer to agg_welch_ttest's significance flag: at fixture n a
+    microscopic shift flags; d says whether anyone should care).
+    d = (x̄_a − x̄_b)/s_pooled with the pooled sample sd; Hedges' g
+    applies the small-sample bias correction J ≈ 1 − 3/(4(n_a+n_b)−9)
+    (Hedges 1981). Magnitude banded per Cohen 1988 at |d| 0.2/0.5/0.8
+    (negligible/small/medium/large). Degenerate pools (either cohort
+    < 2 rows, or zero pooled variance) emit NULL d/g and a NULL band.
+
+    Scale: the SAME single conditional-moments partial-agged pass as
+    welch/power/FDR (shared _cohort_moments — one shuffle carries all
+    four moments of both cohorts); band/bias algebra on #types rows."""
+    ev = load(
+        spark, sf_dir, "events", columns=["event_type", "user_id", "value"]
+    ).filter(F.col("value").isNotNull())
+    agg, ma, mb, va, vb = _cohort_moments(ev)
+    na, nb = F.col("na"), F.col("nb")
+    pooled_var = F.try_divide(
+        (na - 1) * va + (nb - 1) * vb, na + nb - 2
+    )
+    sp = F.sqrt(pooled_var)
+    d = F.when(sp > 0, (ma - mb) / sp)
+    j = F.lit(1.0) - 3.0 / (4.0 * (na + nb) - 9.0)
+    g = d * j
+    band = F.when(
+        d.isNotNull(),
+        F.when(F.abs(d) < 0.2, F.lit("negligible"))
+        .when(F.abs(d) < 0.5, F.lit("small"))
+        .when(F.abs(d) < 0.8, F.lit("medium"))
+        .otherwise(F.lit("large")),
+    )
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
+    return agg.select(
+        "event_type",
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        r4(d).alias("cohens_d"),
+        r4(g).alias("hedges_g"),
+        band.alias("magnitude"),
+    )

@@ -159,6 +159,9 @@ OPS = [
     "agg_fdr_bh",               # one conditional-moments pass + #types windows
     # round-16 additions
     "ts_backtest_theta",        # bounded grid; all origins in one Arrow task
+    "agg_anova_oneway",         # one (type) moments pass + #types-row F algebra
+    "agg_levene_bf",            # exact median agg + broadcast join + moments pass
+    "agg_cohens_d",             # the shared conditional-moments pass + tiny algebra
 ]
 
 

@@ -1581,3 +1581,234 @@ def test_fdr_bh_matches_python_and_planted(spark):
     cutoff = max((r["p_rank"] for r in rows_sorted if r["p_value"] <= r["bh_threshold"]), default=0)
     assert all((r["p_rank"] <= cutoff) == r["significant_fdr"] for r in rows_sorted)
     assert not any(r["significant_fdr"] for r in got_null.values())
+
+
+def test_anova_oneway_matches_python_and_planted(spark):
+    """r16: the one-way ANOVA row ≡ a numpy same-formula recompute
+    (own group loop, own SSB/SSW/F and Wilson–Hilferty gate) at two
+    sfs; planted: five identical-law groups stay quiet, one shifted
+    group flags the omnibus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import n2kupdate_spark.queries.aggregates as aggq
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+
+    def ref(rows):
+        by = {}
+        for t, v in rows:
+            by.setdefault(t, []).append(v)
+        groups = [np.array(g) for g in by.values()]
+        k = len(groups)
+        n = sum(len(g) for g in groups)
+        grand = sum(g.sum() for g in groups) / n
+        ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+        ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        dfb = float(k - 1)
+        whf = 1 - 2 / (9 * dfb) + 1.6449 * np.sqrt(2 / (9 * dfb))
+        crit = dfb * whf**3 / dfb
+        return (k, n, r4(ssb), r4(ssw), r4(f), k - 1, n - k, bool(f >= crit))
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], float(r["value"]))
+            for r in load(spark, sf, "events", columns=["event_type", "value"])
+            .filter(F.col("value").isNotNull())
+            .collect()
+        ]
+        (got,) = QUERIES["agg_anova_oneway"](spark, sf).collect()
+        assert (
+            got["k"], got["n"], got["ss_between"], got["ss_within"],
+            got["f_stat"], got["df_between"], got["df_within"],
+            got["significant"],
+        ) == ref(rows), sf
+
+    rng = np.random.RandomState(65)
+    quiet = [(f"g{i % 5}", 0, float(rng.randn())) for i in range(3000)]
+    loud = [
+        (f"g{i % 5}", 0, float(rng.randn() + (0.5 if i % 5 == 0 else 0.0)))
+        for i in range(3000)
+    ]
+    orig = aggq.load
+    try:
+        for rows, want_flag in ((quiet, False), (loud, True)):
+            df = spark.createDataFrame(
+                rows, "event_type: string, user_id: long, value: double"
+            )
+            aggq.load = lambda s, sf_, t, columns=None, _df=df: _df.select(
+                *(columns or _df.columns)
+            )
+            (got,) = QUERIES["agg_anova_oneway"](spark, "ignored").collect()
+            assert got["significant"] is want_flag, dict(got.asDict())
+    finally:
+        aggq.load = orig
+
+
+def test_levene_bf_matches_python_and_planted(spark):
+    """r16: the Brown–Forsythe row ≡ a numpy recompute (own medians,
+    own |x−med| ANOVA) at two sfs; planted: equal-variance groups with
+    WILDLY different means stay quiet (median-centering makes BF
+    mean-insensitive — the point of the test), one inflated-variance
+    group flags."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import n2kupdate_spark.queries.aggregates as aggq
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+
+    def ref(rows):
+        by = {}
+        for t, v in rows:
+            by.setdefault(t, []).append(v)
+        zg = [np.abs(np.array(g) - np.median(g)) for g in by.values()]
+        k = len(zg)
+        n = sum(len(z) for z in zg)
+        grand = sum(z.sum() for z in zg) / n
+        ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zg)
+        ssw = sum(((z - z.mean()) ** 2).sum() for z in zg)
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        dfb = float(k - 1)
+        whf = 1 - 2 / (9 * dfb) + 1.6449 * np.sqrt(2 / (9 * dfb))
+        crit = dfb * whf**3 / dfb
+        return (k, n, r4(ssb), r4(ssw), r4(f), bool(f >= crit))
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], float(r["value"]))
+            for r in load(spark, sf, "events", columns=["event_type", "value"])
+            .filter(F.col("value").isNotNull())
+            .collect()
+        ]
+        (got,) = QUERIES["agg_levene_bf"](spark, sf).collect()
+        assert (
+            got["k"], got["n"], got["ss_between"], got["ss_within"],
+            got["f_stat"], got["significant"],
+        ) == ref(rows), sf
+
+    rng = np.random.RandomState(62)
+    # same unit variance, means 0/10/50/200/1000 → BF must stay quiet
+    means = [0.0, 10.0, 50.0, 200.0, 1000.0]
+    quiet = [
+        (f"g{i % 5}", 0, float(rng.randn() + means[i % 5])) for i in range(3000)
+    ]
+    # one group at 3x sd → flags
+    loud = [
+        (
+            f"g{i % 5}",
+            0,
+            float(rng.randn() * (3.0 if i % 5 == 2 else 1.0) + means[i % 5]),
+        )
+        for i in range(3000)
+    ]
+    orig = aggq.load
+    try:
+        for rows, want_flag in ((quiet, False), (loud, True)):
+            df = spark.createDataFrame(
+                rows, "event_type: string, user_id: long, value: double"
+            )
+            aggq.load = lambda s, sf_, t, columns=None, _df=df: _df.select(
+                *(columns or _df.columns)
+            )
+            (got,) = QUERIES["agg_levene_bf"](spark, "ignored").collect()
+            assert got["significant"] is want_flag, dict(got.asDict())
+    finally:
+        aggq.load = orig
+
+
+def test_cohens_d_matches_python_and_planted(spark):
+    """r16: the Cohen's-d table ≡ a numpy same-formula recompute
+    (own cohort split, pooled sd, Hedges J) at two sfs; planted: an
+    exact closed-form effect (unit-variance cohorts one sd apart →
+    d ≈ 1, 'large'), equal cohorts → d = 0 'negligible', and a
+    single-row cohort emits NULL d/g/band."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import n2kupdate_spark.queries.aggregates as aggq
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+
+    def ref(rows):
+        by = {}
+        for t, u, v in rows:
+            by.setdefault(t, ([], []))[u % 2].append(v)
+        out = {}
+        for t, (a, b) in by.items():
+            A, B = np.array(a), np.array(b)
+            na, nb = len(A), len(B)
+            if na < 2 or nb < 2:
+                out[t] = (na, nb, None, None, None)
+                continue
+            sp2 = ((na - 1) * A.var(ddof=1) + (nb - 1) * B.var(ddof=1)) / (
+                na + nb - 2
+            )
+            sp = np.sqrt(sp2)
+            if not sp > 0:
+                out[t] = (na, nb, None, None, None)
+                continue
+            d = (A.mean() - B.mean()) / sp
+            j = 1 - 3 / (4 * (na + nb) - 9)
+            band = (
+                "negligible" if abs(d) < 0.2
+                else "small" if abs(d) < 0.5
+                else "medium" if abs(d) < 0.8
+                else "large"
+            )
+            out[t] = (na, nb, r4(d), r4(d * j), band)
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], int(r["user_id"]), float(r["value"]))
+            for r in load(
+                spark, sf, "events", columns=["event_type", "user_id", "value"]
+            )
+            .filter(F.col("value").isNotNull())
+            .collect()
+        ]
+        want = ref(rows)
+        got = {
+            r["event_type"]: (
+                r["n_a"], r["n_b"], r["cohens_d"], r["hedges_g"], r["magnitude"]
+            )
+            for r in QUERIES["agg_cohens_d"](spark, sf).collect()
+        }
+        assert got == want, sf
+
+    rng = np.random.RandomState(63)
+    rows = []
+    for u in range(800):
+        base = float(rng.randn())
+        rows.append(("one_sd", u, base + (1.0 if u % 2 == 0 else 0.0)))
+        # both parity cohorts see the IDENTICAL multiset {0..6 cycling}
+        # (users 2j and 2j+1 share a value), so d is exactly 0
+        rows.append(("zero", u, float(u // 2 % 7)))
+    rows += [("solo", 0, 5.0), ("solo", 2, 6.0)]  # cohort b empty
+    df = spark.createDataFrame(rows, "event_type: string, user_id: long, value: double")
+    orig = aggq.load
+    try:
+        aggq.load = lambda s, sf_, t, columns=None: df.select(
+            *(columns or df.columns)
+        )
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["agg_cohens_d"](spark, "ignored").collect()
+        }
+    finally:
+        aggq.load = orig
+    assert got["one_sd"]["magnitude"] == "large"
+    assert abs(got["one_sd"]["cohens_d"] - 1.0) < 0.15
+    assert got["zero"]["cohens_d"] == 0.0
+    assert got["zero"]["magnitude"] == "negligible"
+    assert got["solo"]["cohens_d"] is None
+    assert got["solo"]["hedges_g"] is None
+    assert got["solo"]["magnitude"] is None
