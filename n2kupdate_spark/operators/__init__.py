@@ -6,6 +6,7 @@ from n2kupdate_spark.operators.merge import (
     merge_scd2_changes,
     merge_scd3,
     merge_scd4,
+    merge_scd6,
     full_outer_diff,
 )
 from n2kupdate_spark.operators.relational import asof_join, dedup_keep_latest
@@ -18,6 +19,7 @@ __all__ = [
     "merge_scd2_changes",
     "merge_scd3",
     "merge_scd4",
+    "merge_scd6",
     "full_outer_diff",
     "asof_join",
     "dedup_keep_latest",

@@ -393,3 +393,127 @@ def merge_scd4(
     )
     new_history = history.unionByName(changed_old.select(*history.columns))
     return new_current, new_history
+
+
+def merge_scd6(
+    target: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    tracked_col: str,
+    batch_ts: str,
+    current_col: str | None = None,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    flag_col: str = "is_current",
+) -> DataFrame:
+    """SCD type-6 merge (Kimball's 1+2+3 hybrid — the last SCD variant
+    after the family's 1/2/3/4): the dimension keeps a full type-2 row
+    chain (``valid_from``/``valid_to``/``is_current``) where every row
+    carries BOTH the tracked attribute's row-scoped HISTORICAL value
+    (``tracked_col`` — type 2) and its dimension-wide CURRENT value
+    (``current_col``, default ``current_<tracked>`` — type 1,
+    retroactively overwritten on every version of the key, history
+    included). That dual column is the type-3 "current vs historical"
+    answer without a second dimension: point-in-time joins read
+    ``tracked_col``, as-is-today rollups read ``current_col`` on ANY
+    version — no self-join to the current row.
+
+    Branch semantics (change detection on the CURRENT row's tracked
+    value, null-safe):
+      - overlap, tracked CHANGED: the current row is closed
+        (``valid_to`` = batch_ts, ``is_current`` = false) keeping its
+        historical value; a fresh current row opens at batch_ts with
+        the incoming attributes; and the type-1 sweep rewrites
+        ``current_col`` := the new value on EVERY version of the key —
+        the closed row and all prior history rows included;
+      - overlap, unchanged: every version passes through untouched
+        (re-applying the same batch is a no-op — the family's
+        idempotence contract);
+      - target-only keys: untouched;
+      - incoming-only keys: inserted as an open current row with
+        ``current_col`` = ``tracked_col``; no history.
+
+    ``batch_ts`` is an explicit literal, never now() (deterministic +
+    oracle-checkable, SURVEY.md §7.4.7).
+
+    Scale: pure key joins/unions — the batch side broadcasts under
+    AQE. The type-1 sweep is a LEFT join of history against the
+    (batch-sized) changed-key set, not a scan-and-rewrite of the whole
+    dimension: cost tracks batch size, and on a partitioned lakehouse
+    table the same plan feeds a MERGE touching only affected key
+    partitions."""
+    keys = list(keys)
+    current_col = current_col or f"current_{tracked_col}"
+    cols = target.columns
+    cur = target.filter(F.col(flag_col))
+    hist = target.filter(~F.col(flag_col))
+    c_alias, i_alias = cur.alias("__t"), incoming.alias("__i")
+    changed = (
+        c_alias.join(i_alias, on=keys, how="inner")
+        .filter(
+            ~F.col(f"__i.{tracked_col}").eqNullSafe(F.col(f"__t.{tracked_col}"))
+        )
+        .select(
+            *keys,
+            *[
+                F.col(f"__i.{c}").alias(c)
+                for c in incoming.columns
+                if c not in keys
+            ],
+        )
+    )
+    chg_keys = changed.select(*keys)
+    new_val = changed.select(
+        *keys, F.col(tracked_col).alias("__new_val")
+    )
+    closed = (
+        cur.alias("__t")
+        .join(new_val, on=keys, how="inner")
+        .select(
+            *[
+                F.col(f"__t.{c}").alias(c)
+                for c in cols
+                if c not in (current_col, to_col, flag_col)
+            ],
+            F.col("__new_val").alias(current_col),
+            F.lit(batch_ts).alias(to_col),
+            F.lit(False).alias(flag_col),
+        )
+    )
+    fresh = changed.select(
+        *keys,
+        *[c for c in incoming.columns if c not in keys],
+        F.col(tracked_col).alias(current_col),
+        F.lit(batch_ts).alias(from_col),
+        F.lit(None).cast(target.schema[to_col].dataType).alias(to_col),
+        F.lit(True).alias(flag_col),
+    )
+    cur_pass = cur.join(chg_keys, on=keys, how="left_anti")
+    new_rows = incoming.join(cur.select(*keys), on=keys, how="left_anti").select(
+        *incoming.columns,
+        F.col(tracked_col).alias(current_col),
+        F.lit(batch_ts).alias(from_col),
+        F.lit(None).cast(target.schema[to_col].dataType).alias(to_col),
+        F.lit(True).alias(flag_col),
+    )
+    hist_swept = (
+        hist.alias("__h")
+        .join(new_val, on=keys, how="left")
+        .select(
+            *[
+                F.col(f"__h.{c}").alias(c)
+                for c in cols
+                if c != current_col
+            ],
+            F.coalesce(F.col("__new_val"), F.col(f"__h.{current_col}")).alias(
+                current_col
+            ),
+        )
+    )
+    return (
+        closed.select(*cols)
+        .unionByName(fresh.select(*cols))
+        .unionByName(cur_pass.select(*cols))
+        .unionByName(new_rows.select(*cols))
+        .unionByName(hist_swept.select(*cols))
+    )

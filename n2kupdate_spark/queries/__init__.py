@@ -57,15 +57,17 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
 #: cycle (≤3-round staleness — the planner docstring records the
 #: policy change) none of these formally EXPIRE until r17, but they
 #: are the natural stalest-first rotation and checking them now keeps
-#: the cycle staggered. The remaining 2 slots are r14-green fillers
-#: (agg_collect_sorted, agg_filtered_pivot); if an SQL-oracle op
-#: debuts mid-round it swaps a filler (the merge_scd3/merge_scd4
-#: precedents from r14/r15). Rows-only ops (sketches, sha1, ANN,
+#: the cycle staggered. The r16 SQL-oracle debut `merge_scd6` takes
+#: the front slot by swapping out the second r14-green filler
+#: (agg_filtered_pivot) — the merge_scd3/merge_scd4 precedents from
+#: r14/r15; agg_collect_sorted keeps the remaining filler slot.
+#: Rows-only ops (sketches, sha1, ANN,
 #: fuzzy/semantic dedup, PQ variants) stay out — they'd burn slots on
 #: `no_oracle` rows; all are value-pinned locally
 #: (tests/test_parity.py, tests/test_sketch_accuracy.py,
 #: tests/test_ann_recall.py).
 _ROUND_WINDOW = [
+    "merge_scd6",
     "agg_grouping_rollup",
     "agg_mode_per_group",
     "agg_percentile_exact",
@@ -115,7 +117,6 @@ _ROUND_WINDOW = [
     "window_running_sum",
     "window_topn_per_group",
     "agg_collect_sorted",
-    "agg_filtered_pivot",
 ]
 
 

@@ -46,6 +46,24 @@ DIM_HISTORY_SQL = (
     "c_mktsegment, '2025-06-01 00:00:00' AS archived_at "
     "FROM customer WHERE c_custkey % 9 = 0"
 )
+#: SCD6-shaped target: one open current row per key (valid 2025-01-01 →
+#: NULL) plus, for c_custkey % 5 == 0, one closed history row holding an
+#: acctbal 50 lower (valid 2024-06-01 → 2025-01-01) — both carrying the
+#: dimension-wide current_acctbal mirror an earlier type-1 sweep left at
+#: today's value. % 5 (not the SCD4 fixture's % 9) because % 9 ⊂ % 3 and
+#: the target slice excludes % 3 == 0 — a % 9 history would be empty.
+SCD6_TARGET_SQL = (
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+    "c_acctbal AS current_acctbal, "
+    "'2025-01-01 00:00:00' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to, "
+    "TRUE AS is_current "
+    "FROM customer WHERE c_custkey % 3 <> 0 "
+    "UNION ALL "
+    "SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal - 50, 2), "
+    "c_mktsegment, c_acctbal, "
+    "'2024-06-01 00:00:00', '2025-01-01 00:00:00', FALSE "
+    "FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 5 = 0"
+)
 MEMBERSHIP_TARGET_SQL = (
     "SELECT c_nationkey AS grp, c_custkey AS member FROM customer WHERE c_custkey % 3 <> 0"
 )
@@ -104,6 +122,33 @@ def dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("2025-06-01 00:00:00").alias("archived_at"),
         )
     )
+
+
+def scd6_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
+    cur = base.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("current_acctbal"),
+        F.lit("2025-01-01 00:00:00").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = base.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") - 50, 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.col("c_acctbal").alias("current_acctbal"),
+        F.lit("2024-06-01 00:00:00").alias("valid_from"),
+        F.lit("2025-01-01 00:00:00").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    return cur.unionByName(hist)
 
 
 def membership_target(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -395,3 +395,64 @@ def merge_scd4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("tbl", F.lit("current")).unionByName(
         hist.withColumn("tbl", F.lit("history"))
     )
+
+
+@register(
+    "merge_scd6",
+    oracle=f"""
+    WITH t AS ({FX.SCD6_TARGET_SQL}),
+         i AS ({FX.DIM_INCOMING_PARTIAL_SQL}),
+         cur AS (SELECT * FROM t WHERE is_current),
+         hist AS (SELECT * FROM t WHERE NOT is_current),
+         chg AS (SELECT i.c_custkey, i.c_name, i.c_nationkey, i.c_acctbal,
+                        i.c_mktsegment
+                 FROM i JOIN cur c ON i.c_custkey = c.c_custkey
+                 WHERE i.c_acctbal IS DISTINCT FROM c.c_acctbal)
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+           g.c_acctbal AS current_acctbal, c.valid_from,
+           '{FX.BATCH_TS}' AS valid_to, FALSE AS is_current
+    FROM cur c JOIN chg g ON c.c_custkey = g.c_custkey
+    UNION ALL
+    SELECT g.c_custkey, g.c_name, g.c_nationkey, g.c_acctbal, g.c_mktsegment,
+           g.c_acctbal, '{FX.BATCH_TS}', CAST(NULL AS VARCHAR), TRUE
+    FROM chg g
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+           c.current_acctbal, c.valid_from, c.valid_to, c.is_current
+    FROM cur c
+    WHERE NOT EXISTS (SELECT 1 FROM chg g WHERE g.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT i.c_custkey, i.c_name, i.c_nationkey, i.c_acctbal, i.c_mktsegment,
+           i.c_acctbal, '{FX.BATCH_TS}', CAST(NULL AS VARCHAR), TRUE
+    FROM i
+    WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.c_custkey = i.c_custkey)
+    UNION ALL
+    SELECT h.c_custkey, h.c_name, h.c_nationkey, h.c_acctbal, h.c_mktsegment,
+           COALESCE(g.c_acctbal, h.current_acctbal), h.valid_from, h.valid_to,
+           h.is_current
+    FROM hist h LEFT JOIN chg g ON h.c_custkey = g.c_custkey
+    """,
+)
+def merge_scd6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD6 hybrid merge (round 16 — completes the Kimball family after
+    1/2/3/4): type-2 row chain + per-row historical value + the
+    dimension-wide ``current_acctbal`` mirror rewritten retroactively on
+    every version of a changed key (the type-1 sweep that lets any
+    history row answer "as of today" without a self-join). SQL-oracle
+    slot per the merge_scd3/scd4 debut standard: five cross-engine
+    branches (close / fresh / pass-through / insert / history sweep)
+    with string-timestamp boundaries and a null-safe tracked compare —
+    exactly the novel-SQL-semantics class the §5.2 policy reserves slots
+    for. The partial-incoming fixture exercises every branch: changed
+    keys (% 4 == 0) with and without history (% 5), unchanged overlap,
+    target-only, incoming-only, and untouched history."""
+    from n2kupdate_spark.operators import merge_scd6
+
+    return merge_scd6(
+        FX.scd6_target(spark, sf_dir),
+        FX.dim_incoming_partial(spark, sf_dir),
+        keys=["c_custkey"],
+        tracked_col="c_acctbal",
+        batch_ts=FX.BATCH_TS,
+        current_col="current_acctbal",
+    )

@@ -162,6 +162,7 @@ OPS = [
     "agg_anova_oneway",         # one (type) moments pass + #types-row F algebra
     "agg_levene_bf",            # exact median agg + broadcast join + moments pass
     "agg_cohens_d",             # the shared conditional-moments pass + tiny algebra
+    "merge_scd6",               # key joins/unions + batch-sized type-1 sweep join
 ]
 
 

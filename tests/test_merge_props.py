@@ -511,3 +511,102 @@ def test_asof_join_directions_match_pandas(spark):
         for r in QUERIES["join_asof_nearest"](spark, sf).collect()
     }
     assert got == want
+
+
+def test_scd6_idempotent_and_branches(spark, sf_dir):
+    """r16: SCD6 hybrid merge (type-2 chain + retroactive type-1
+    current-value sweep). Idempotence — re-applying the same batch is
+    a no-op (the fresh current row now equals the incoming tracked
+    value); invariants on the fixture merge: exactly one open current
+    row per key, every closed row of a changed key carries the NEW
+    current_acctbal while keeping its own historical c_acctbal;
+    branch battery on a hand-built frame: change closes + opens +
+    sweeps all history versions, unchanged/target-only pass through,
+    new keys insert open, null-safe compare (NULL → value is a
+    change)."""
+    from n2kupdate_spark.operators import merge_scd6
+    from n2kupdate_spark.queries import fixtures as FX
+
+    kw = dict(
+        keys=["c_custkey"],
+        tracked_col="c_acctbal",
+        batch_ts=FX.BATCH_TS,
+        current_col="current_acctbal",
+    )
+    target = FX.scd6_target(spark, sf_dir)
+    incoming = FX.dim_incoming_partial(spark, sf_dir)
+    m1 = merge_scd6(target, incoming, **kw).localCheckpoint()
+    m2 = merge_scd6(m1, incoming, **kw)
+    assert _canon(m1) == _canon(m2)
+    # exactly one open current row per key
+    per_key = m1.groupBy("c_custkey").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_cur")
+    )
+    assert per_key.filter(F.col("n_cur") != 1).count() == 0
+    # the type-1 sweep: every version of a key agrees on current_acctbal,
+    # and it equals the open row's tracked value
+    cur_vals = m1.filter("is_current").select(
+        "c_custkey", F.col("c_acctbal").alias("__cv")
+    )
+    disagree = (
+        m1.join(cur_vals, "c_custkey")
+        .filter(~F.col("current_acctbal").eqNullSafe(F.col("__cv")))
+        .count()
+    )
+    assert disagree == 0
+    # changed keys (% 4 == 0 overlap) produce a closed row stamped batch_ts
+    closed = m1.filter(F.col("valid_to") == FX.BATCH_TS)
+    assert closed.count() > 0
+    assert closed.filter(F.col("is_current")).count() == 0
+    # closed rows keep their historical value: new - old == 10 on this fixture
+    assert (
+        closed.filter(
+            F.round(F.col("current_acctbal") - F.col("c_acctbal"), 2) != 10.0
+        ).count()
+        == 0
+    )
+
+    t = spark.createDataFrame(
+        [
+            (1, 10.0, "x", 10.0, "2025-01-01", None, True),
+            (1, 5.0, "x0", 10.0, "2024-01-01", "2025-01-01", False),
+            (2, 20.0, "y", 20.0, "2025-01-01", None, True),
+            (3, 30.0, "z", 30.0, "2025-01-01", None, True),
+            (4, None, "w", None, "2025-01-01", None, True),
+        ],
+        "k: long, v: double, attr: string, current_v: double, "
+        "valid_from: string, valid_to: string, is_current: boolean",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 11.0, "x1"),   # change: close, open, sweep BOTH versions
+            (2, 20.0, "y"),    # identical: no-op
+            (4, 4.0, "w"),     # NULL -> value: a change
+            (5, 50.0, "new"),  # new key: open row
+        ],
+        "k: long, v: double, attr: string",
+    )
+    out = merge_scd6(
+        t, b, keys=["k"], tracked_col="v", batch_ts="2026-02-02",
+        current_col="current_v",
+    )
+    # sort by (k, valid_from) — unique per row, and NULL-safe (v is None
+    # on the planted NULL-tracked row, so v can't be in the sort key)
+    got = sorted(
+        (
+            (r["k"], r["v"], r["attr"], r["current_v"], r["valid_from"],
+             r["valid_to"], r["is_current"])
+            for r in out.collect()
+        ),
+        key=lambda row: (row[0], row[4]),
+    )
+    assert got == [
+        (1, 5.0, "x0", 11.0, "2024-01-01", "2025-01-01", False),   # swept
+        (1, 10.0, "x", 11.0, "2025-01-01", "2026-02-02", False),   # closed
+        (1, 11.0, "x1", 11.0, "2026-02-02", None, True),           # fresh
+        (2, 20.0, "y", 20.0, "2025-01-01", None, True),            # no-op
+        (3, 30.0, "z", 30.0, "2025-01-01", None, True),            # absent
+        (4, None, "w", 4.0, "2025-01-01", "2026-02-02", False),    # NULL closed
+        (4, 4.0, "w", 4.0, "2026-02-02", None, True),
+        (5, 50.0, "new", 50.0, "2026-02-02", None, True),
+    ]
