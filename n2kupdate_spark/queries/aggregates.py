@@ -1425,3 +1425,66 @@ def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(g).alias("hedges_g"),
         band.alias("magnitude"),
     )
+
+
+@register("agg_jarque_bera")  # rows-only (r9 capacity policy): ≡ numpy
+# same-formula recompute + planted skewed/quiet pins —
+# tests/test_parity.py
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality screen of event value per event type —
+    the SECOND precondition check of the classical-inference family
+    (agg_levene_bf asks "are the variances equal?"; THIS asks "is each
+    group even roughly normal?" — the assumption ANOVA/t/d lean on,
+    and a flag here is the signal to trust the rank-based twins
+    (Kruskal–Wallis / MWU / Cliff's δ) over their parametric
+    counterparts). JB = n/6·(S² + K²/4) from sample skewness
+    S = m₃/m₂^1.5 and excess kurtosis K = m₄/m₂² − 3; under H₀ JB is
+    asymptotically χ²(2), whose survival function is EXACTLY
+    exp(−JB/2) — so unlike the Wilson–Hilferty F gates this p-value
+    is closed-form exact (in the asymptote), no scipy and no
+    approximation formula. Rejected at p < 0.05. Degenerate groups
+    (n < 8 — the JB asymptote is meaningless below that — or zero
+    variance) emit NULL stats and a NULL flag.
+
+    Scale: ONE (type) partial-agged pass carrying the four raw power
+    sums Σx..Σx⁴ (the welch/ANOVA cost shape — map-side combine, one
+    shuffle of #types rows), central-moment/JB algebra on the
+    #types-row table. Raw-sum cancellation is benign at the value
+    column's O(1e3) magnitudes (double carries ~15.9 digits; x⁴ sums
+    stay < 1e18 at sf1000)."""
+    ev = load(spark, sf_dir, "events", columns=["event_type", "value"]).filter(
+        F.col("value").isNotNull()
+    )
+    v = F.col("value")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - 3 * m * F.col("s2") / n + 2 * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - 4 * m * F.col("s3") / n
+        + 6 * m * m * F.col("s2") / n
+        - 3 * m * m * m * m
+    )
+    ok = (n >= 8) & (m2 > 0)
+    skew = F.when(ok, m3 / F.pow(m2, 1.5))
+    kurt = F.when(ok, m4 / (m2 * m2) - 3.0)
+    jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    p = F.exp(-jb / 2.0)
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
+    return agg.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        r4(skew).alias("skewness"),
+        r4(kurt).alias("kurt_excess"),
+        r4(jb).alias("jb_stat"),
+        r4(p).alias("p_value"),
+        (p < 0.05).alias("normal_rejected"),
+    )

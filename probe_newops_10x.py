@@ -163,6 +163,7 @@ OPS = [
     "agg_levene_bf",            # exact median agg + broadcast join + moments pass
     "agg_cohens_d",             # the shared conditional-moments pass + tiny algebra
     "merge_scd6",               # key joins/unions + batch-sized type-1 sweep join
+    "agg_jarque_bera",          # one (type) power-sums pass + #types-row algebra
 ]
 
 

@@ -1812,3 +1812,95 @@ def test_cohens_d_matches_python_and_planted(spark):
     assert got["solo"]["cohens_d"] is None
     assert got["solo"]["hedges_g"] is None
     assert got["solo"]["magnitude"] is None
+
+
+def test_jarque_bera_matches_python_and_planted(spark):
+    """r16: the JB normality screen ≡ a numpy same-formula recompute
+    (own central moments from raw arrays, own exp(−JB/2) p) at two
+    sfs; planted: seeded normal draws stay quiet, exponential draws
+    (skew 2, excess kurtosis 6) flag hard, an n=7 group and a
+    zero-variance group emit NULL stats."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import n2kupdate_spark.queries.aggregates as aggq
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def r4(v):
+        return None if v is None else float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)
+
+    def ref(rows):
+        by = {}
+        for t, v in rows:
+            by.setdefault(t, []).append(v)
+        out = {}
+        for t, g in by.items():
+            x = np.array(g, dtype=np.float64)
+            n = len(x)
+            m2 = ((x - x.mean()) ** 2).mean()
+            if n < 8 or m2 <= 0:
+                out[t] = (n, None, None, None, None, None)
+                continue
+            skew = ((x - x.mean()) ** 3).mean() / m2**1.5
+            kurt = ((x - x.mean()) ** 4).mean() / m2**2 - 3.0
+            jb = n / 6.0 * (skew**2 + kurt**2 / 4.0)
+            p = float(np.exp(-jb / 2.0))
+            out[t] = (n, r4(skew), r4(kurt), r4(jb), r4(p), bool(p < 0.05))
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], float(r["value"]))
+            for r in load(spark, sf, "events", columns=["event_type", "value"])
+            .filter(F.col("value").isNotNull())
+            .collect()
+        ]
+        got = {
+            r["event_type"]: (
+                r["n"], r["skewness"], r["kurt_excess"], r["jb_stat"],
+                r["p_value"], r["normal_rejected"],
+            )
+            for r in QUERIES["agg_jarque_bera"](spark, sf).collect()
+        }
+        want = ref(rows)
+        # raw-power-sum vs two-pass central moments differ in the last
+        # ulps; compare at the op's own 4dp grid with a 1-ulp-of-grid slack
+        assert got.keys() == want.keys(), sf
+        for t in want:
+            gw, ww = got[t], want[t]
+            assert gw[0] == ww[0] and gw[5] is ww[5], (sf, t, gw, ww)
+            for a, b in zip(gw[1:5], ww[1:5]):
+                assert (a is None) == (b is None), (sf, t, gw, ww)
+                if a is not None:
+                    assert abs(a - b) <= 1e-4, (sf, t, gw, ww)
+
+    rng = np.random.RandomState(7)
+    planted = (
+        [("normal", 0, float(v)) for v in rng.randn(4000)]
+        + [("expo", 0, float(v)) for v in rng.exponential(1.0, 4000)]
+        + [("tiny", 0, float(v)) for v in rng.randn(7)]
+        + [("const", 0, 3.25)] * 50
+    )
+    orig = aggq.load
+    try:
+        df = spark.createDataFrame(
+            planted, "event_type: string, user_id: long, value: double"
+        )
+        aggq.load = lambda s, sf_, t, columns=None, _df=df: _df.select(
+            *(columns or _df.columns)
+        )
+        got = {
+            r["event_type"]: r.asDict()
+            for r in QUERIES["agg_jarque_bera"](spark, "ignored").collect()
+        }
+    finally:
+        aggq.load = orig
+    assert got["normal"]["normal_rejected"] is False, got["normal"]
+    assert got["expo"]["normal_rejected"] is True, got["expo"]
+    # exponential population: skew 2, excess kurtosis 6 — sample values land near
+    assert 1.5 < got["expo"]["skewness"] < 2.6, got["expo"]
+    assert got["expo"]["p_value"] == 0.0, got["expo"]
+    for t in ("tiny", "const"):
+        assert got[t]["jb_stat"] is None and got[t]["normal_rejected"] is None, got[t]
+    assert got["tiny"]["n"] == 7 and got["const"]["n"] == 50
