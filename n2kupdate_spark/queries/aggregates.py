@@ -1488,3 +1488,86 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(p).alias("p_value"),
         (p < 0.05).alias("normal_rejected"),
     )
+
+
+@register("agg_pairwise_welch_holm")  # rows-only (r9 capacity policy):
+# ≡ independent python recompute + planted shift/quiet pins —
+# tests/test_parity.py
+def agg_pairwise_welch_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Welch t-tests across event types with Holm step-down
+    FWER correction — the POST-HOC drill-down the omnibus family was
+    missing (agg_anova_oneway / agg_kruskal_wallis say "SOMETHING
+    differs"; THIS says WHICH pairs, at a controlled family-wise error
+    rate). Per unordered type pair (a < b): Welch t on the per-type
+    means (never pooled variance — the agg_welch_ttest convention),
+    two-sided p from the large-N normal limit via exact math.erf, then
+    Holm (1979) step-down: rank p ascending, p_holm = min(1,
+    cummax((m−rank+1)·p)), flagged at p_holm < 0.05. Holm controls
+    FWER ("probability of ANY false flag") where agg_fdr_bh's BH
+    controls FDR ("share of flags that are false") — the two
+    corrections a results dashboard shows side by side. Degenerate
+    types (a cohort with n < 2 or zero variance) are NOT tested: they
+    take no rank, don't inflate m, and emit NULL stats — the
+    agg_fdr_bh NULL-p lesson (advice r15).
+
+    Scale: ONE (type) partial-agged moments pass (the ANOVA cost
+    shape); the k(k−1)/2 pair/Holm algebra runs driver-side on the
+    #types-row collect — bounded by construction (#event-types rows,
+    the agg_chi2_independence precedent), never a self-theta-join that
+    would plan the BNLJ the fleet plan-audit rejects."""
+    import math
+
+    ev = load(spark, sf_dir, "events", columns=["event_type", "value"]).filter(
+        F.col("value").isNotNull()
+    )
+    per = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum("value").alias("sg"),
+            F.sum(F.col("value") * F.col("value")).alias("qg"),
+        )
+        .collect()
+    )
+    stats = {}
+    for r in per:
+        n, s, q = r["ng"], r["sg"], r["qg"]
+        mean = s / n
+        var = (q - n * mean * mean) / (n - 1) if n > 1 else None
+        stats[r["event_type"]] = (n, mean, var)
+    pairs = []
+    for a in sorted(stats):
+        for b in sorted(stats):
+            if a >= b:
+                continue
+            na, ma, va = stats[a]
+            nb, mb, vb = stats[b]
+            if va is None or vb is None or (va / na + vb / nb) <= 0:
+                pairs.append((a, b, na, nb, ma, mb, None, None))
+                continue
+            t = (ma - mb) / math.sqrt(va / na + vb / nb)
+            p = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(t) / math.sqrt(2.0))))
+            pairs.append((a, b, na, nb, ma, mb, t, p))
+    tested = sorted(
+        (p for p in pairs if p[7] is not None),
+        key=lambda r: (r[7], r[0], r[1]),
+    )
+    m = len(tested)
+    holm, cummax = {}, 0.0
+    for i, r in enumerate(tested):
+        cummax = max(cummax, (m - i) * r[7])
+        holm[(r[0], r[1])] = (i + 1, min(1.0, cummax))
+    r4 = lambda v: None if v is None else math.floor(v * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
+    out = []
+    for a, b, na, nb, ma, mb, t, p in pairs:
+        rank, ph = holm.get((a, b), (None, None))
+        out.append(
+            (a, b, na, nb, r4(ma), r4(mb), r4(t), r4(p), rank, r4(ph),
+             None if ph is None else bool(ph < 0.05))
+        )
+    return spark.createDataFrame(
+        sorted(out),
+        "type_a: string, type_b: string, n_a: long, n_b: long, "
+        "mean_a: double, mean_b: double, t_stat: double, p_value: double, "
+        "p_rank: int, p_holm: double, significant_holm: boolean",
+    )

@@ -164,6 +164,7 @@ OPS = [
     "agg_cohens_d",             # the shared conditional-moments pass + tiny algebra
     "merge_scd6",               # key joins/unions + batch-sized type-1 sweep join
     "agg_jarque_bera",          # one (type) power-sums pass + #types-row algebra
+    "agg_pairwise_welch_holm",  # one (type) moments pass + driver pair/Holm walk
 ]
 
 

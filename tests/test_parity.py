@@ -1904,3 +1904,122 @@ def test_jarque_bera_matches_python_and_planted(spark):
     for t in ("tiny", "const"):
         assert got[t]["jb_stat"] is None and got[t]["normal_rejected"] is None, got[t]
     assert got["tiny"]["n"] == 7 and got["const"]["n"] == 50
+
+
+def test_pairwise_welch_holm_matches_python_and_planted(spark):
+    """r16: the Holm post-hoc table ≡ an independent python recompute
+    (own per-pair Welch loop over raw value lists, own step-down walk)
+    at two sfs; invariants: p_holm ≥ p, nondecreasing in rank, capped
+    at 1; planted: three identical-law groups quiet, one shifted group
+    flags EXACTLY its three pairs, a single-row group is untested
+    (NULL, takes no rank, doesn't inflate m)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import n2kupdate_spark.queries.aggregates as aggq
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def r4(v):
+        return None if v is None else math.floor(v * 10000 + 0.5) / 10000 + 0.0
+
+    def ref(rows):
+        by = {}
+        for t, v in rows:
+            by.setdefault(t, []).append(v)
+        raw = []
+        for a in sorted(by):
+            for b in sorted(by):
+                if a >= b:
+                    continue
+                xa, xb = np.array(by[a]), np.array(by[b])
+                if len(xa) < 2 or len(xb) < 2:
+                    raw.append([a, b, None, None])
+                    continue
+                va, vb = xa.var(ddof=1), xb.var(ddof=1)
+                se2 = va / len(xa) + vb / len(xb)
+                if se2 <= 0:
+                    raw.append([a, b, None, None])
+                    continue
+                t = (xa.mean() - xb.mean()) / math.sqrt(se2)
+                p = math.erfc(abs(t) / math.sqrt(2.0))
+                raw.append([a, b, t, p])
+        tested = sorted(
+            (r for r in raw if r[3] is not None), key=lambda r: (r[3], r[0], r[1])
+        )
+        m = len(tested)
+        want, cm = {}, 0.0
+        for i, r in enumerate(tested):
+            cm = max(cm, (m - i) * r[3])
+            want[(r[0], r[1])] = (r4(r[2]), r4(r[3]), i + 1, r4(min(1.0, cm)),
+                                  min(1.0, cm) < 0.05)
+        for r in raw:
+            if r[3] is None:
+                want[(r[0], r[1])] = (None, None, None, None, None)
+        return want
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], float(r["value"]))
+            for r in load(spark, sf, "events", columns=["event_type", "value"])
+            .filter(F.col("value").isNotNull())
+            .collect()
+        ]
+        got = {
+            (r["type_a"], r["type_b"]): (
+                r["t_stat"], r["p_value"], r["p_rank"], r["p_holm"],
+                r["significant_holm"],
+            )
+            for r in QUERIES["agg_pairwise_welch_holm"](spark, sf).collect()
+        }
+        want = ref(rows)
+        assert got.keys() == want.keys(), sf
+        for k in want:
+            ga, wa = got[k], want[k]
+            assert ga[2] == wa[2] and ga[4] is wa[4], (sf, k, ga, wa)
+            for x, y in zip((ga[0], ga[1], ga[3]), (wa[0], wa[1], wa[3])):
+                assert (x is None) == (y is None), (sf, k, ga, wa)
+                if x is not None:
+                    assert abs(x - y) <= 1e-4, (sf, k, ga, wa)
+        ranked = sorted(
+            (v for v in got.values() if v[2] is not None), key=lambda v: v[2]
+        )
+        for prev, cur in zip(ranked, ranked[1:]):
+            assert cur[3] >= prev[3] - 1e-12  # step-down monotone
+        for v in ranked:
+            assert v[3] <= 1.0 and (v[1] is None or v[3] >= v[1] - 1e-12)
+
+    rng = np.random.RandomState(11)
+    planted = (
+        [(f"g{i % 3}", 0, float(rng.randn())) for i in range(3000)]
+        + [("shift", 0, float(rng.randn() + 1.0)) for i in range(1000)]
+        + [("lone", 0, 5.0)]
+    )
+    orig = aggq.load
+    try:
+        df = spark.createDataFrame(
+            planted, "event_type: string, user_id: long, value: double"
+        )
+        aggq.load = lambda s, sf_, t, columns=None, _df=df: _df.select(
+            *(columns or _df.columns)
+        )
+        got = {
+            (r["type_a"], r["type_b"]): r.asDict()
+            for r in QUERIES["agg_pairwise_welch_holm"](spark, "ignored").collect()
+        }
+    finally:
+        aggq.load = orig
+    assert len(got) == 10  # 5 types -> 10 unordered pairs
+    for (a, b), r in got.items():
+        touches_shift = "shift" in (a, b)
+        touches_lone = "lone" in (a, b)
+        if touches_lone:
+            assert r["significant_holm"] is None and r["p_rank"] is None, r
+        elif touches_shift:
+            assert r["significant_holm"] is True, r
+        else:
+            assert r["significant_holm"] is False, r
+    m = max(r["p_rank"] for r in got.values() if r["p_rank"] is not None)
+    assert m == 6  # lone never ranked: m counts only tested pairs
