@@ -649,7 +649,12 @@ def rolling_origin_backtest(
                 if ok.any()
                 else 0.0
             )
-            skill = 1.0 - mae / nmae if nmae > 0 else 0.0
+            # floor at −999: when the seasonal naive is near-EXACT
+            # (nmae ~ float residue on a perfectly periodic window) the
+            # ratio explodes to −1e13-scale noise; −999 already reads
+            # "unusable vs this baseline" and keeps the column plottable
+            # (surfaced by the r16 AR backtest on planted sinusoids)
+            skill = max(1.0 - mae / nmae, -999.0) if nmae > 0 else 0.0
             r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
             rows.append(
                 {
@@ -957,4 +962,157 @@ def pelt_changepoints(
     return _bucketed_apply(
         series.select(key_col, ts_col, val_col), key_col, _one_key, schema,
         group_buckets,
+    )
+
+
+def _ar_fc(x, p, horizon):
+    """Yule–Walker AR(p) fit + recursive ``horizon``-step forecast over
+    array ``x`` — numpy, used inside forecast/backtest Arrow tasks.
+    Mean-centered; autocovariances use the BIASED divisor n (Brockwell
+    & Davis convention) so the Toeplitz system is positive
+    semi-definite and the fitted model is always causal/stationary; a
+    γ₀-scaled 1e-8 ridge keeps the solve stable on near-deterministic
+    series; zero-variance series forecast the mean. The order is
+    capped at n//2 so short histories never build an underdetermined
+    system."""
+    import numpy as np
+
+    n = len(x)
+    p = int(min(p, max(1, n // 2)))
+    mu = float(x.mean())
+    xc = x - mu
+    gam = np.array(
+        [float((xc[: n - k] * xc[k:]).sum()) / n for k in range(p + 1)]
+    )
+    if gam[0] <= 0:
+        return np.full(horizon, mu)
+    idx = np.abs(np.subtract.outer(np.arange(p), np.arange(p)))
+    R = gam[idx]
+    phi = np.linalg.solve(R + np.eye(p) * gam[0] * 1e-8, gam[1 : p + 1])
+    hist = list(xc[-p:])
+    out = []
+    for _ in range(horizon):
+        recent = np.array(hist[-p:][::-1])
+        v = float(np.dot(phi, recent))
+        out.append(mu + v)
+        hist.append(v)
+    return np.array(out)
+
+
+def ar_forecast(
+    series: DataFrame,
+    horizon: int,
+    p: int = 25,
+    key_col: str = "key",
+    ts_col: str = "ts_s",
+    val_col: str = "value",
+    step: int = 3600,
+    group_buckets: int | None = None,
+) -> DataFrame:
+    """AR(p) forecast per key via Yule–Walker — the CLASSICAL linear
+    forecaster beside :func:`holt_winters` (explicit seasonality) and
+    :func:`theta_forecast` (trend+SES): fit the autoregression
+    x_t = μ + Σφ_i(x_{t−i} − μ) by solving the Toeplitz Yule–Walker
+    system on sample autocovariances, then iterate the recursion
+    forward ``horizon`` steps (forecasts feeding back in place of
+    unobserved actuals). With p ≥ the seasonal period the seasonal lag
+    enters the regression DIRECTLY (an hourly series with a daily
+    cycle wants p ≥ 24) — no explicit decomposition needed. Emits
+    ``horizon`` future rows (key, ts, forecast 4dp, mean_level,
+    phi_lag1, order). Keys with fewer than 2p points emit nothing (the
+    covariance-estimate floor; the fit cap n//2 would otherwise
+    silently shrink the model).
+
+    Scale: one bucketed Arrow dispatch (ONE shuffle) over the bounded
+    #keys × #steps grid; the p×p solve (p ≤ ~25) is microseconds per
+    key."""
+    import numpy as np
+
+    def _one_key(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([ts_col], kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype=float)
+        ts = pdf[ts_col].to_numpy(dtype="int64")
+        n = len(x)
+        cols = [key_col, ts_col, "forecast", "mean_level", "phi_lag1", "order"]
+        if n < 2 * p:
+            return pd.DataFrame(columns=cols).astype(
+                {
+                    key_col: pdf[key_col].dtype,
+                    ts_col: "int64",
+                    "forecast": "float64",
+                    "mean_level": "float64",
+                    "phi_lag1": "float64",
+                    "order": "int64",
+                }
+            )
+        fc = _ar_fc(x, p, horizon)
+        mu = float(x.mean())
+        xc = x - mu
+        gam = np.array(
+            [float((xc[: n - k] * xc[k:]).sum()) / n for k in range(p + 1)]
+        )
+        if gam[0] > 0:
+            idx = np.abs(np.subtract.outer(np.arange(p), np.arange(p)))
+            phi1 = float(
+                np.linalg.solve(
+                    gam[idx] + np.eye(p) * gam[0] * 1e-8, gam[1 : p + 1]
+                )[0]
+            )
+        else:
+            phi1 = 0.0
+        r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+        key = pdf[key_col].iloc[0]
+        rows = [
+            {
+                key_col: key,
+                ts_col: int(ts[-1] + (h + 1) * step),
+                "forecast": r4(float(fc[h])),
+                "mean_level": r4(mu),
+                "phi_lag1": r4(phi1),
+                "order": int(min(p, max(1, n // 2))),
+            }
+            for h in range(horizon)
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        f"{key_col} {series.schema[key_col].dataType.simpleString()}, "
+        f"{ts_col} long, forecast double, mean_level double, "
+        "phi_lag1 double, order long"
+    )
+    return _bucketed_apply(
+        series.select(key_col, ts_col, val_col), key_col, _one_key, schema,
+        group_buckets,
+    )
+
+
+def ar_backtest(
+    series: DataFrame,
+    period: int,
+    p: int = 25,
+    horizon: int | None = None,
+    n_origins: int = 3,
+    key_col: str = "key",
+    ts_col: str = "ts_s",
+    val_col: str = "value",
+    group_buckets: int | None = None,
+) -> DataFrame:
+    """Rolling-origin backtest of the AR(p) forecaster: the
+    :func:`rolling_origin_backtest` harness with :func:`_ar_fc` as the
+    fit — SAME origins, SAME seasonal-naive baseline, SAME fit floor
+    as the HW and Theta backtests, completing the three directly
+    comparable skill columns (HW / Theta / AR) a capacity planner
+    reads before trusting any of them."""
+    return rolling_origin_backtest(
+        series,
+        lambda x, h: _ar_fc(x, int(p), h),
+        period=int(period),
+        horizon=horizon,
+        n_origins=n_origins,
+        key_col=key_col,
+        ts_col=ts_col,
+        val_col=val_col,
+        group_buckets=group_buckets,
     )

@@ -2115,6 +2115,43 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense hourly event-count series per event type — the shared
+    input of the forecaster/backtest family (HW / Theta / AR), factored
+    so the five consumers cannot diverge-by-copy (the _cohort_moments
+    lesson, r14): collapse the event log to #types x #hours counts (one
+    partial-agged shuffle), then left-join onto a per-type hour spine
+    built by exploding the min..max sequence OFF the distinct-type
+    frame itself (a generator per type row, zero joins - a crossJoin
+    here would plan the BNLJ the fleet audit rejects), zero-filling
+    missing hours. Returns (event_type, ts_s long, value double)."""
+    ev = load(spark, sf_dir, "events", columns=["ts", "event_type"]).select(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600)
+            * 3600
+        )
+        .cast("long")
+        .alias("ts_s"),
+    )
+    hourly = ev.groupBy("event_type", "ts_s").agg(F.count(F.lit(1)).alias("value"))
+    lo, hi = hourly.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(3600))).alias("ts_s"),
+        )
+        .select("event_type", F.col("ts_s").cast("long").alias("ts_s"))
+    )
+    return spine.join(hourly, ["event_type", "ts_s"], "left").select(
+        "event_type",
+        "ts_s",
+        F.coalesce("value", F.lit(0)).cast("double").alias("value"),
+    )
+
+
 @register("ts_holt_winters")  # rows-only (§2 legend: sequential
 # recursion, no SQL form): ≡ an independent python recompute + planted
 # periodic-forecast pins in tests/test_mlprep_props.py
@@ -2134,34 +2171,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/timeseries.py::holt_winters."""
     from n2kupdate_spark.operators.timeseries import holt_winters
 
-    ev = load(spark, sf_dir, "events", columns=["ts", "event_type"]).select(
-        "event_type",
-        (
-            F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600)
-            * 3600
-        )
-        .cast("long")
-        .alias("ts_s"),
-    )
-    hourly = ev.groupBy("event_type", "ts_s").agg(F.count(F.lit(1)).alias("value"))
-    lo, hi = hourly.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
-    # per-type spine WITHOUT a cross join: explode the hour sequence off
-    # the distinct-type frame itself — a generator per type row, zero
-    # joins (a crossJoin here plans the BNLJ the fleet audit rejects)
-    spine = (
-        hourly.select("event_type")  # distinct over the tiny aggregate,
-        .distinct()                  # never a second event-log shuffle
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(3600))).alias("ts_s"),
-        )
-        .select("event_type", F.col("ts_s").cast("long").alias("ts_s"))
-    )
-    dense = spine.join(hourly, ["event_type", "ts_s"], "left").select(
-        "event_type",
-        "ts_s",
-        F.coalesce("value", F.lit(0)).cast("double").alias("value"),
-    )
+    dense = _hourly_dense(spark, sf_dir)
     return holt_winters(
         dense, period=24, horizon=24, key_col="event_type"
     )
@@ -2187,31 +2197,7 @@ def ts_backtest_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/timeseries.py::holt_winters_backtest."""
     from n2kupdate_spark.operators.timeseries import holt_winters_backtest
 
-    ev = load(spark, sf_dir, "events", columns=["ts", "event_type"]).select(
-        "event_type",
-        (
-            F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600)
-            * 3600
-        )
-        .cast("long")
-        .alias("ts_s"),
-    )
-    hourly = ev.groupBy("event_type", "ts_s").agg(F.count(F.lit(1)).alias("value"))
-    lo, hi = hourly.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
-    spine = (
-        hourly.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(3600))).alias("ts_s"),
-        )
-        .select("event_type", F.col("ts_s").cast("long").alias("ts_s"))
-    )
-    dense = spine.join(hourly, ["event_type", "ts_s"], "left").select(
-        "event_type",
-        "ts_s",
-        F.coalesce("value", F.lit(0)).cast("double").alias("value"),
-    )
+    dense = _hourly_dense(spark, sf_dir)
     return holt_winters_backtest(
         dense, period=24, n_origins=3, key_col="event_type"
     )
@@ -2237,31 +2223,7 @@ def ts_backtest_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness both backtests ride)."""
     from n2kupdate_spark.operators.timeseries import theta_backtest
 
-    ev = load(spark, sf_dir, "events", columns=["ts", "event_type"]).select(
-        "event_type",
-        (
-            F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600)
-            * 3600
-        )
-        .cast("long")
-        .alias("ts_s"),
-    )
-    hourly = ev.groupBy("event_type", "ts_s").agg(F.count(F.lit(1)).alias("value"))
-    lo, hi = hourly.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
-    spine = (
-        hourly.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(3600))).alias("ts_s"),
-        )
-        .select("event_type", F.col("ts_s").cast("long").alias("ts_s"))
-    )
-    dense = spine.join(hourly, ["event_type", "ts_s"], "left").select(
-        "event_type",
-        "ts_s",
-        F.coalesce("value", F.lit(0)).cast("double").alias("value"),
-    )
+    dense = _hourly_dense(spark, sf_dir)
     return theta_backtest(dense, period=24, n_origins=3, key_col="event_type")
 
 
@@ -2363,31 +2325,7 @@ def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/timeseries.py::theta_forecast."""
     from n2kupdate_spark.operators.timeseries import theta_forecast
 
-    ev = load(spark, sf_dir, "events", columns=["ts", "event_type"]).select(
-        "event_type",
-        (
-            F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600)
-            * 3600
-        )
-        .cast("long")
-        .alias("ts_s"),
-    )
-    hourly = ev.groupBy("event_type", "ts_s").agg(F.count(F.lit(1)).alias("value"))
-    lo, hi = hourly.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
-    spine = (
-        hourly.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(3600))).alias("ts_s"),
-        )
-        .select("event_type", F.col("ts_s").cast("long").alias("ts_s"))
-    )
-    dense = spine.join(hourly, ["event_type", "ts_s"], "left").select(
-        "event_type",
-        "ts_s",
-        F.coalesce("value", F.lit(0)).cast("double").alias("value"),
-    )
+    dense = _hourly_dense(spark, sf_dir)
     return theta_forecast(dense, horizon=24, key_col="event_type")
 
 
@@ -2512,3 +2450,47 @@ def ts_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_window"),
     )
 
+
+
+@register("ts_ar_forecast")  # rows-only (§2 legend: linear-algebra
+# fit + sequential recursion, no SQL form): ≡ an independent python
+# recompute + planted sinusoid pins in tests/test_mlprep_props.py
+def ts_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(25) 24-hour forecast of the hourly event-count series per
+    event type via Yule–Walker — the CLASSICAL linear forecaster
+    completing the family's third axis (HW carries explicit
+    seasonality, Theta is trend+SES; AR lets the data pick its own
+    lag structure, and with p = 25 ≥ the daily period the seasonal
+    lag-24 term enters the regression directly). Emits 24 future rows
+    per type with the fitted mean, the lag-1 coefficient, and the
+    effective order for auditability.
+
+    Scale: the SAME #types × #hours dense-spine collapse as the other
+    forecasters (shared _hourly_dense — one partial-agged shuffle);
+    the 25×25 Toeplitz solve and forecast recursion run per key inside
+    the bounded bucketed Arrow dispatch — see
+    operators/timeseries.py::ar_forecast."""
+    from n2kupdate_spark.operators.timeseries import ar_forecast
+
+    dense = _hourly_dense(spark, sf_dir)
+    return ar_forecast(dense, horizon=24, p=25, key_col="event_type")
+
+
+@register("ts_backtest_ar")  # rows-only (§2 legend: sequential
+# recursion, no SQL form): ≡ an independent python rolling-origin
+# recompute + planted skill pins — tests/test_mlprep_props.py
+def ts_backtest_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the AR(25) forecaster — the third
+    directly comparable skill column (after ts_backtest_holt_winters
+    and ts_backtest_theta): SAME origins, SAME seasonal-naive
+    baseline, SAME 2×period fit floor via the shared
+    rolling_origin_backtest harness, so "HW, Theta, or AR for this
+    series?" is one three-way table read instead of a vibe.
+
+    Scale: the same #types × #hours bounded grid; ALL origins of a key
+    evaluate inside its ONE Arrow task — see
+    operators/timeseries.py::ar_backtest."""
+    from n2kupdate_spark.operators.timeseries import ar_backtest
+
+    dense = _hourly_dense(spark, sf_dir)
+    return ar_backtest(dense, period=24, p=25, n_origins=3, key_col="event_type")

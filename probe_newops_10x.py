@@ -165,6 +165,8 @@ OPS = [
     "merge_scd6",               # key joins/unions + batch-sized type-1 sweep join
     "agg_jarque_bera",          # one (type) power-sums pass + #types-row algebra
     "agg_pairwise_welch_holm",  # one (type) moments pass + driver pair/Holm walk
+    "ts_ar_forecast",           # dense-grid collapse + per-key 25x25 YW solve
+    "ts_backtest_ar",           # shared harness; all origins in one Arrow task
 ]
 
 

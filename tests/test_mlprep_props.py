@@ -4954,3 +4954,172 @@ def test_rolling_quantile_matches_python_and_planted(spark):
     assert got[40]["roll_median"] == 101.0
     assert got[0]["n_window"] == 1 and got[19]["n_window"] == 20
     assert got[59]["n_window"] == 20
+
+
+def test_ar_forecast_and_backtest_match_python_and_planted(spark):
+    """r16: the AR(25) Yule–Walker forecaster + its rolling-origin
+    backtest ≡ an independent python recompute (own autocovariance
+    loop, own Toeplitz build + solve, own forecast recursion, own
+    MAE/sMAPE/naive scoring) at two sfs; planted: a seeded AR(1)
+    series recovers φ₁ ≈ 0.9; an exact period-24 sinusoid recovers the
+    difference-equation coefficient 2cos(2π/24) ≈ 1.9276 and continues
+    the wave (max err < 0.15); a constant series forecasts its mean
+    exactly; a 40-point key emits nothing; a period-16 cycle (ANTI-
+    phase to the lag-24 naive) earns skill > 0.8 at every origin while
+    the period-24 sinusoid (naive near-EXACT) hits the documented −999
+    skill floor; origin/n_train sets are IDENTICAL across all three
+    backtests (HW / Theta / AR) on the same series — the
+    comparable-skill contract."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.timeseries import (
+        ar_backtest,
+        ar_forecast,
+        holt_winters_backtest,
+        theta_backtest,
+    )
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    P, H, M = 25, 24, 24
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+
+    def ref_fit(x):
+        n = len(x)
+        pe = int(min(P, max(1, n // 2)))
+        mu = float(x.mean())
+        xc = x - mu
+        gam = np.array(
+            [float(np.dot(xc[: n - k], xc[k:])) / n for k in range(pe + 1)]
+        )
+        if gam[0] <= 0:
+            return mu, None, pe
+        R = np.empty((pe, pe))
+        for i in range(pe):
+            for j in range(pe):
+                R[i, j] = gam[abs(i - j)]
+        phi = np.linalg.solve(R + np.eye(pe) * gam[0] * 1e-8, gam[1 : pe + 1])
+        return mu, phi, pe
+
+    def ref_fc(x, h):
+        mu, phi, pe = ref_fit(x)
+        if phi is None:
+            return np.full(h, mu)
+        hist = list(x - mu)[-pe:]
+        out = []
+        for _ in range(h):
+            v = float(np.dot(phi, np.array(hist[-pe:])[::-1]))
+            out.append(mu + v)
+            hist.append(v)
+        return np.array(out)
+
+    def ref_bt(ts, x, n_origins=3):
+        out = {}
+        n = len(x)
+        for k in range(n_origins, 0, -1):
+            cut = n - k * H
+            if cut < 2 * M or cut + H > n:
+                continue
+            fc = ref_fc(x[:cut], H)
+            actual = x[cut : cut + H]
+            naive = x[cut - M : cut][np.arange(H) % M]
+            mae = np.abs(fc - actual).mean()
+            nmae = np.abs(naive - actual).mean()
+            den = np.abs(fc) + np.abs(actual)
+            ok = den > 0
+            smape = ((2 * np.abs(fc - actual))[ok] / den[ok]).mean() if ok.any() else 0.0
+            skill = max(1 - mae / nmae, -999.0) if nmae > 0 else 0.0
+            out[int(ts[cut])] = (cut, r4(mae), r4(smape), r4(nmae), r4(skill))
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = (
+            load(spark, sf, "events", columns=["ts", "event_type"])
+            .select(
+                "event_type",
+                (F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600) * 3600)
+                .cast("long").alias("ts_s"),
+            )
+            .groupBy("event_type", "ts_s")
+            .count()
+            .toPandas()
+        )
+        lo, hi = ev["ts_s"].min(), ev["ts_s"].max()
+        grid = np.arange(lo, hi + 1, 3600)
+        want_fc, want_bt = {}, {}
+        for et, g in ev.groupby("event_type"):
+            series = dict(zip(g["ts_s"], g["count"]))
+            x = np.array([float(series.get(t, 0)) for t in grid])
+            if len(x) >= 2 * P:
+                fc = ref_fc(x, H)
+                for h in range(H):
+                    want_fc[(et, int(grid[-1] + (h + 1) * 3600))] = r4(float(fc[h]))
+            for ots, tup in ref_bt(grid, x).items():
+                want_bt[(et, ots)] = tup
+        got_fc = {
+            (r["event_type"], r["ts_s"]): r["forecast"]
+            for r in QUERIES["ts_ar_forecast"](spark, sf).collect()
+        }
+        assert got_fc.keys() == want_fc.keys(), sf
+        for k in want_fc:
+            assert abs(got_fc[k] - want_fc[k]) <= 1e-4, (sf, k, got_fc[k], want_fc[k])
+        got_bt = {
+            (r["event_type"], r["origin_ts"]): (
+                r["n_train"], r["mae"], r["smape"], r["naive_mae"], r["skill"]
+            )
+            for r in QUERIES["ts_backtest_ar"](spark, sf).collect()
+        }
+        assert got_bt == want_bt, sf
+
+    n = 240
+    rng = np.random.RandomState(3)
+    ar1 = np.zeros(n)
+    for t in range(1, n):
+        ar1[t] = 0.9 * ar1[t - 1] + rng.randn()
+    sine = np.sin(2 * np.pi * np.arange(n) / 24.0)
+    rng16 = np.random.RandomState(5)
+    c16 = 10.0 + 5.0 * np.sin(2 * np.pi * np.arange(n) / 16.0) + 0.05 * rng16.randn(n)
+    rows = (
+        [("ar1", i * 3600, float(ar1[i])) for i in range(n)]
+        + [("sine", i * 3600, float(sine[i])) for i in range(n)]
+        + [("c16", i * 3600, float(c16[i])) for i in range(n)]
+        + [("const", i * 3600, 7.5) for i in range(120)]
+        + [("short", i * 3600, 1.0) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "key: string, ts_s: long, value: double")
+    fc = {}
+    for r in ar_forecast(df, horizon=24, p=P).collect():
+        fc.setdefault(r["key"], []).append(r)
+    for k in fc:
+        fc[k].sort(key=lambda r: r["ts_s"])
+    assert "short" not in fc  # < 2p points: below the covariance floor
+    assert 0.85 < fc["ar1"][0]["phi_lag1"] < 0.95  # φ recovered
+    # sin satisfies x_t = 2cos(ω)x_{t−1} − x_{t−2}; YW finds the recursion
+    assert abs(fc["sine"][0]["phi_lag1"] - 2 * np.cos(2 * np.pi / 24)) < 0.05
+    cont = np.array([r["forecast"] for r in fc["sine"]])
+    true_future = np.sin(2 * np.pi * np.arange(n, n + 24) / 24.0)
+    assert np.abs(cont - true_future).max() < 0.15
+    for r in fc["const"]:
+        assert r["forecast"] == 7.5 and r["mean_level"] == 7.5
+
+    bt = {
+        (r["key"], r["origin_ts"]): r
+        for r in ar_backtest(df, period=24, n_origins=3, p=P).collect()
+    }
+    c16_rows = [r for (k, _), r in bt.items() if k == "c16"]
+    assert len(c16_rows) == 3
+    for r in c16_rows:
+        assert r["skill"] > 0.8, dict(r.asDict())  # anti-phase naive loses
+    for (k, _), r in bt.items():
+        if k == "sine":
+            assert r["skill"] == -999.0, dict(r.asDict())  # documented floor
+    ar_o = {k: r["n_train"] for k, r in bt.items()}
+    hw_o = {
+        (r["key"], r["origin_ts"]): r["n_train"]
+        for r in holt_winters_backtest(df, period=24, n_origins=3).collect()
+    }
+    th_o = {
+        (r["key"], r["origin_ts"]): r["n_train"]
+        for r in theta_backtest(df, period=24, n_origins=3).collect()
+    }
+    assert ar_o == hw_o == th_o  # the comparable-skill contract
