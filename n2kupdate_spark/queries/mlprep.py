@@ -2494,3 +2494,25 @@ def ts_backtest_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dense = _hourly_dense(spark, sf_dir)
     return ar_backtest(dense, period=24, p=25, n_origins=3, key_col="event_type")
+
+
+@register("ts_period_detect")  # rows-only (§2 legend: FFT, no SQL
+# form): ≡ an independent python recompute + planted sinusoid/noise
+# pins in tests/test_mlprep_props.py
+def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection of the hourly event-count series per
+    event type via the FFT periodogram — the measurement every
+    seasonal op in the family ASSUMES ("period=24") and none produced:
+    linearly detrend, rfft, report the strongest non-DC bin's implied
+    period and its share of non-DC power, flagging is_periodic at a
+    20% share. A capacity planner runs THIS first, then hands the
+    detected period to ts_holt_winters / ts_backtest_* / ts_ar_forecast.
+
+    Scale: the SAME shared _hourly_dense #types × #hours collapse (one
+    partial-agged shuffle); the n·log n FFT runs per key inside the
+    bounded bucketed Arrow dispatch — see
+    operators/timeseries.py::period_detect."""
+    from n2kupdate_spark.operators.timeseries import period_detect
+
+    dense = _hourly_dense(spark, sf_dir)
+    return period_detect(dense, key_col="event_type")

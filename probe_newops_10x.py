@@ -167,6 +167,7 @@ OPS = [
     "agg_pairwise_welch_holm",  # one (type) moments pass + driver pair/Holm walk
     "ts_ar_forecast",           # dense-grid collapse + per-key 25x25 YW solve
     "ts_backtest_ar",           # shared harness; all origins in one Arrow task
+    "ts_period_detect",         # dense-grid collapse + per-key rfft periodogram
 ]
 
 

@@ -5123,3 +5123,91 @@ def test_ar_forecast_and_backtest_match_python_and_planted(spark):
         for r in theta_backtest(df, period=24, n_origins=3).collect()
     }
     assert ar_o == hw_o == th_o  # the comparable-skill contract
+
+
+def test_period_detect_matches_python_and_planted(spark):
+    """r16: the periodogram dominant-period row ≡ an independent
+    python recompute (own explicit-sums detrend, own rfft power walk)
+    at two sfs; planted: an exact period-24 sinusoid over n=240 reads
+    period_steps == 24.0 with share ≈ 1; a period-16 cycle reads 16.0
+    THROUGH a superimposed linear trend (the detrend's job); seeded
+    white noise is not periodic; constant and 7-point keys emit
+    nothing."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.timeseries import period_detect
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
+
+    def ref(x):
+        n = len(x)
+        if n < 8:
+            return None
+        t = np.arange(n, dtype=float)
+        den = n * (t * t).sum() - t.sum() ** 2
+        slope = (n * (t * x).sum() - t.sum() * x.sum()) / den
+        resid = x - (x.mean() + slope * (t - t.mean()))
+        if not (resid.var() > 0):
+            return None
+        p = np.abs(np.fft.rfft(resid)) ** 2
+        if len(p) <= 2:
+            return None
+        k = int(np.argmax(p[2:])) + 2
+        total = float(p[1:].sum())
+        share = float(p[k] / total) if total > 0 else 0.0
+        return (n, r4(n / k), r4(share), r4(float(p[k])), bool(share >= 0.2))
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = (
+            load(spark, sf, "events", columns=["ts", "event_type"])
+            .select(
+                "event_type",
+                (F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600) * 3600)
+                .cast("long").alias("ts_s"),
+            )
+            .groupBy("event_type", "ts_s")
+            .count()
+            .toPandas()
+        )
+        lo, hi = ev["ts_s"].min(), ev["ts_s"].max()
+        grid = np.arange(lo, hi + 1, 3600)
+        want = {}
+        for et, g in ev.groupby("event_type"):
+            series = dict(zip(g["ts_s"], g["count"]))
+            x = np.array([float(series.get(t, 0)) for t in grid])
+            r = ref(x)
+            if r is not None:
+                want[et] = r
+        got = {
+            r["event_type"]: (
+                r["n"], r["period_steps"], r["power_share"], r["peak_power"],
+                r["is_periodic"],
+            )
+            for r in QUERIES["ts_period_detect"](spark, sf).collect()
+        }
+        assert got.keys() == want.keys(), sf
+        for k in want:
+            assert got[k][0] == want[k][0] and got[k][4] is want[k][4], (sf, k)
+            for a, b in zip(got[k][1:4], want[k][1:4]):
+                assert abs(a - b) <= max(1e-4, 1e-9 * abs(b)), (sf, k, got[k], want[k])
+
+    n = 240
+    rng = np.random.RandomState(9)
+    rows = (
+        [("s24", i * 3600, float(np.sin(2 * np.pi * i / 24.0))) for i in range(n)]
+        + [("s16trend", i * 3600, float(0.05 * i + 3.0 * np.sin(2 * np.pi * i / 16.0)))
+           for i in range(n)]
+        + [("noise", i * 3600, float(rng.randn())) for i in range(n)]
+        + [("const", i * 3600, 4.0) for i in range(n)]
+        + [("tiny", i * 3600, float(i % 3)) for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "key: string, ts_s: long, value: double")
+    got = {r["key"]: r.asDict() for r in period_detect(df).collect()}
+    assert set(got) == {"s24", "s16trend", "noise"}  # const/tiny emit nothing
+    assert got["s24"]["period_steps"] == 24.0 and got["s24"]["is_periodic"] is True
+    assert got["s24"]["power_share"] > 0.95
+    assert got["s16trend"]["period_steps"] == 16.0, got["s16trend"]
+    assert got["s16trend"]["is_periodic"] is True
+    assert got["noise"]["is_periodic"] is False, got["noise"]
