@@ -168,6 +168,7 @@ OPS = [
     "ts_ar_forecast",           # dense-grid collapse + per-key 25x25 YW solve
     "ts_backtest_ar",           # shared harness; all origins in one Arrow task
     "ts_period_detect",         # dense-grid collapse + per-key rfft periodogram
+    "graph_hits",               # keyed join+agg double-steps on the pair list
 ]
 
 

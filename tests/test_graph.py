@@ -960,3 +960,97 @@ def test_link_prediction_matches_python_and_planted(spark):
     assert capped, "clique candidates must survive the hub cap"
     assert all(r["hub_middles_dropped"] == 1 for r in capped)
     assert {(r["a"], r["b"]) for r in capped} == {(100, 103)}
+
+
+def test_hits_matches_numpy_and_planted(spark):
+    """r16: HITS hub/authority scores ≡ an independent numpy recompute
+    (own dense-matrix alternating recursion, same 10 double-steps) on
+    seeded random weighted bipartite graphs, via BOTH paths (driver
+    fast path and the distributed loop with the gate disabled —
+    identical to 2e-6 after each side's L2 normalization); planted: a
+    star source that covers every destination is the top hub, the
+    destination every source touches is the top authority, scaling all
+    weights 1000× leaves every score unchanged (the linearity/
+    pre-scale contract), each side has unit L2 norm; registered
+    graph_hits smoke at sf0.001: one row per endpoint, sides
+    normalized."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.dedup import hits_scores
+    from n2kupdate_spark.queries import QUERIES
+
+    def ref(rows, iters=10):
+        srcs = sorted({r[0] for r in rows})
+        dsts = sorted({r[1] for r in rows})
+        si = {v: i for i, v in enumerate(srcs)}
+        di = {v: i for i, v in enumerate(dsts)}
+        w = np.zeros((len(srcs), len(dsts)))
+        for s, d, wt in rows:
+            w[si[s], di[d]] += wt
+        h = np.ones(len(srcs))
+        for _ in range(iters):
+            a = w.T @ h
+            h = w @ a
+        h /= np.sqrt((h * h).sum())
+        a /= np.sqrt((a * a).sum())
+        return (
+            {s: float(h[si[s]]) for s in srcs},
+            {d: float(a[di[d]]) for d in dsts},
+        )
+
+    rng = random.Random(23)
+    for trial in range(3):
+        rows = sorted(
+            {
+                (rng.randrange(12), 100 + rng.randrange(8))
+                for _ in range(30 + 10 * trial)
+            }
+        )
+        wrows = [(s, d, float(1 + (s + d) % 5)) for s, d in rows]
+        want_h, want_a = ref(wrows)
+        df = spark.createDataFrame(wrows, "src: long, dst: long, w: double")
+        for thr in (100_000, 0):  # driver fast path / distributed loop
+            got = {
+                (r["side"], r["id"]): r["score"]
+                for r in hits_scores(
+                    df, weight_col="w", driver_edge_threshold=thr
+                ).collect()
+            }
+            assert len(got) == len(want_h) + len(want_a), (trial, thr)
+            for s, v in want_h.items():
+                assert abs(got[("hub", s)] - v) <= 2e-6, (trial, thr, s)
+            for d, v in want_a.items():
+                assert abs(got[("authority", d)] - v) <= 2e-6, (trial, thr, d)
+
+    # planted star: src 0 covers all 6 dsts; dst 100 touched by all srcs
+    star = [(0, 100 + j, 1.0) for j in range(6)] + [
+        (i, 100, 1.0) for i in range(1, 4)
+    ]
+    sdf = spark.createDataFrame(star, "src: long, dst: long, w: double")
+    got = {
+        (r["side"], r["id"]): r["score"] for r in hits_scores(sdf, weight_col="w").collect()
+    }
+    hubs = {i: v for (s, i), v in got.items() if s == "hub"}
+    auths = {i: v for (s, i), v in got.items() if s == "authority"}
+    assert max(hubs, key=hubs.get) == 0
+    assert max(auths, key=auths.get) == 100
+    assert abs(sum(v * v for v in hubs.values()) - 1.0) <= 1e-4
+    assert abs(sum(v * v for v in auths.values()) - 1.0) <= 1e-4
+    # scale invariance: 1000x weights, identical scores
+    sdf1k = spark.createDataFrame(
+        [(s, d, w * 1000.0) for s, d, w in star], "src: long, dst: long, w: double"
+    )
+    got1k = {
+        (r["side"], r["id"]): r["score"]
+        for r in hits_scores(sdf1k, weight_col="w").collect()
+    }
+    assert got == got1k
+
+    reg = QUERIES["graph_hits"](spark, "/root/testdata/sf0.001").collect()
+    sides = {}
+    for r in reg:
+        sides.setdefault(r["side"], []).append(r["score"])
+    assert set(sides) == {"hub", "authority"}
+    for side, scores in sides.items():
+        assert abs(sum(v * v for v in scores) - 1.0) <= 1e-3, side
+        assert all(v >= 0 for v in scores)
