@@ -2527,3 +2527,75 @@ def hits_scores(
         r6(F.col("__a") / F.lit(an if an else 1.0)).alias("score"),
     )
     return hub.unionByName(auth)
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "id1",
+    dst_col: str = "id2",
+) -> DataFrame:
+    """Newman degree assortativity (Newman 2002, eq. 4) of an
+    undirected graph — the one-number mixing diagnostic the graph
+    family lacked: the Pearson correlation of the degrees found at the
+    two ends of a randomly chosen edge. r > 0 (assortative): high-
+    degree nodes attach to each other — a mirror-farm core duplicating
+    itself; r < 0 (disassortative): hubs attach to leaves — template
+    reuse radiating from single sources (the star shape); r ≈ 0:
+    degree-neutral wiring. Emits ONE row (n_nodes, n_edges,
+    assortativity 4dp) — assortativity NULL when every edge-end degree
+    is equal (a clique/regular graph: zero variance, the correlation
+    is undefined, never a divide-by-zero).
+
+    Scale: canonicalize + distinct (one shuffle), one partial-agged
+    degree count, two id-keyed joins decorating each SYMMETRIZED
+    edge end with its degree (edge rows only — never node-squared),
+    and one 6-sum moments aggregate; the correlation algebra runs on
+    the 1-row result. No driver collect, no window."""
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)  # degrees + decoration both consume it
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dec = (
+        sym.join(deg.select(F.col("a"), F.col("deg").alias("__dx")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("__dy")), "b"
+        )
+        .select(
+            F.col("__dx").cast("double").alias("x"),
+            F.col("__dy").cast("double").alias("y"),
+        )
+    )
+    agg = dec.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("m2").cast("double")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    vx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    n_nodes = deg.count()
+    n_edges = e.count()
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
+    return agg.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        r4(r).alias("assortativity"),
+    )

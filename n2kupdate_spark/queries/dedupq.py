@@ -937,3 +937,21 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
     )
     return hits_scores(edges, iters=6)
+
+
+@register("graph_assortativity")  # rows-only (§2 legend: float
+# correlation over a derived graph; numpy-pinned in tests/test_graph.py)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the near-dup graph — the
+    one-number mixing diagnostic read NEXT to graph_triangle_count's
+    transitivity and graph_modularity_score's community quality:
+    disassortative (r < 0) duplication is hub-and-spoke template
+    reuse; assortative (r > 0) duplication is a densely inter-mirrored
+    core — two different curation responses (drop the hub's template
+    vs drop the whole farm). See
+    operators/dedup.py::degree_assortativity (edge-row joins + one
+    6-sum moments aggregate; never node-squared)."""
+    from n2kupdate_spark.operators.dedup import degree_assortativity
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    return degree_assortativity(pairs)

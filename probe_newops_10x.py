@@ -169,6 +169,7 @@ OPS = [
     "ts_backtest_ar",           # shared harness; all origins in one Arrow task
     "ts_period_detect",         # dense-grid collapse + per-key rfft periodogram
     "graph_hits",               # keyed join+agg double-steps on the pair list
+    "graph_assortativity",      # edge-row degree joins + one 6-sum moments agg
 ]
 
 

@@ -1054,3 +1054,71 @@ def test_hits_matches_numpy_and_planted(spark):
     for side, scores in sides.items():
         assert abs(sum(v * v for v in scores) - 1.0) <= 1e-3, side
         assert all(v >= 0 for v in scores)
+
+
+def test_assortativity_matches_numpy_and_planted(spark):
+    """r16: Newman assortativity ≡ an independent numpy recompute
+    (own degree dict + np.corrcoef over the symmetrized end-degree
+    pairs) on seeded random graphs; planted: a star is exactly
+    r = −1 (the canonical disassortative shape), a 4-clique is NULL
+    (every end-degree equal — undefined, not a crash), a two-clique
+    chain is assortative-positive; registered-query smoke at
+    sf0.001 returns one row with sane counts."""
+    import numpy as np
+
+    from n2kupdate_spark.operators.dedup import degree_assortativity
+    from n2kupdate_spark.queries import QUERIES
+
+    def ref(pairs):
+        from collections import defaultdict
+
+        deg = defaultdict(int)
+        for a, b in pairs:
+            deg[a] += 1
+            deg[b] += 1
+        xs, ys = [], []
+        for a, b in pairs:
+            xs += [deg[a], deg[b]]
+            ys += [deg[b], deg[a]]
+        if np.var(xs) == 0 or np.var(ys) == 0:
+            return None
+        return float(np.corrcoef(xs, ys)[0, 1])
+
+    rng = random.Random(31)
+    for trial in range(3):
+        pairs = sorted(
+            {
+                tuple(sorted((rng.randrange(20), rng.randrange(20))))
+                for _ in range(40)
+            }
+        )
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id1: long, id2: long")
+        (got,) = degree_assortativity(df).collect()
+        want = ref(pairs)
+        assert got["n_edges"] == len(pairs)
+        if want is None:
+            assert got["assortativity"] is None
+        else:
+            assert abs(got["assortativity"] - want) <= 2e-4, (trial, got, want)
+
+    star = [(0, i) for i in range(1, 8)]
+    (g,) = degree_assortativity(
+        spark.createDataFrame(star, "id1: long, id2: long")
+    ).collect()
+    assert g["assortativity"] == -1.0 and g["n_nodes"] == 8 and g["n_edges"] == 7
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    (g,) = degree_assortativity(
+        spark.createDataFrame(clique, "id1: long, id2: long")
+    ).collect()
+    assert g["assortativity"] is None  # regular graph: undefined, not crash
+    chain = clique + [(10 + a, 10 + b) for a, b in clique] + [(0, 10)]
+    (g,) = degree_assortativity(
+        spark.createDataFrame(chain, "id1: long, id2: long")
+    ).collect()
+    want = ref(chain)
+    assert abs(g["assortativity"] - want) <= 2e-4
+
+    (reg,) = QUERIES["graph_assortativity"](spark, "/root/testdata/sf0.001").collect()
+    assert reg["n_edges"] > 0 and reg["n_nodes"] > 0
+    assert reg["assortativity"] is None or -1.0 <= reg["assortativity"] <= 1.0
