@@ -1187,6 +1187,26 @@ def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phi(x):
+    """Standard-normal CDF Φ(x) as a Column for ARBITRARY sign, via the
+    Abramowitz–Stegun 7.1.26 erf polynomial (|ε| ≤ 1.5e-7 — exact at
+    4dp; Spark has no erf builtin and a Python UDF would be the slow
+    path for no accuracy gain). Shared by agg_fdr_bh and
+    agg_tost_equivalence so the two cannot diverge-by-copy (the
+    _cohort_moments lesson): Φ(x) = ½(1 + sign(x)·erf(|x|/√2))."""
+    ax = F.abs(x) / F.sqrt(F.lit(2.0))
+    u = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = (
+        0.254829592 * u
+        - 0.284496736 * u * u
+        + 1.421413741 * u * u * u
+        - 1.453152027 * u * u * u * u
+        + 1.061405429 * u * u * u * u * u
+    )
+    erf = 1.0 - poly * F.exp(-ax * ax)
+    return 0.5 * (1.0 + F.signum(x) * erf)
+
+
 @register("agg_fdr_bh")  # rows-only (r9 capacity policy): ≡ python
 # same-formula recompute + planted p-vector pins — tests/test_parity.py
 def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,18 +1235,7 @@ def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("value").isNotNull())
     agg, ma, mb, va, vb = _cohort_moments(ev)
     t = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
-    x = F.abs(t) / F.sqrt(F.lit(2.0))
-    # Abramowitz–Stegun 7.1.26: erf(x) = 1 − poly(1/(1+0.3275911x))·e^(−x²)
-    u = 1.0 / (1.0 + 0.3275911 * x)
-    poly = (
-        0.254829592 * u
-        - 0.284496736 * u * u
-        + 1.421413741 * u * u * u
-        - 1.453152027 * u * u * u * u
-        + 1.061405429 * u * u * u * u * u
-    )
-    erf = 1.0 - poly * F.exp(-x * x)
-    p = 2.0 * (1.0 - (0.5 * (1.0 + erf)))  # 2(1 − Φ(|t|))
+    p = 2.0 * (1.0 - _phi(F.abs(t)))  # 2(1 − Φ(|t|)), shared A–S helper
     staged = agg.select("event_type", t.alias("__t"), p.alias("__p"))
     # A NULL p (t undefined — an empty or single-row cohort) is NOT a
     # tested hypothesis: it must not take a rank, inflate m, or shift the
@@ -1570,4 +1579,55 @@ def agg_pairwise_welch_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a: string, type_b: string, n_a: long, n_b: long, "
         "mean_a: double, mean_b: double, t_stat: double, p_value: double, "
         "p_rank: int, p_holm: double, significant_holm: boolean",
+    )
+
+
+@register("agg_tost_equivalence")  # rows-only (r9 capacity policy):
+# ≡ numpy same-formula recompute + planted equivalent/shifted pins —
+# tests/test_parity.py
+def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987 — the bioequivalence
+    standard) between the user-parity cohorts per event type: the
+    question agg_welch_ttest CANNOT answer — failing to find a
+    difference is NOT evidence of sameness (low power produces the
+    same silence). TOST inverts the burden: H₀ is "the cohorts DIFFER
+    by at least the margin δ", and only data can reject it. Margin
+    δ = 0.2·s_pooled (Cohen's negligible-effect bound — the d < 0.2
+    band agg_cohens_d labels 'negligible', so the two ops share one
+    yardstick). Two one-sided z tests in the large-N limit:
+    t_lower = (diff + δ)/se rejects "diff ≤ −δ", t_upper =
+    (diff − δ)/se rejects "diff ≥ +δ"; p_tost = max(1 − Φ(t_lower),
+    Φ(t_upper)); equivalent ⟺ p_tost < 0.05. Degenerate cohorts
+    (n < 2 or zero pooled sd) emit NULL. Emits (event_type, n_a, n_b,
+    diff, margin, t_lower, t_upper, p_tost, equivalent).
+
+    Scale: the SAME single conditional-moments pass as
+    welch/power/FDR/d (shared _cohort_moments — one shuffle carries
+    all four moments of both cohorts); Φ via the shared Abramowitz–
+    Stegun helper; all TOST algebra on #types rows."""
+    ev = load(
+        spark, sf_dir, "events", columns=["event_type", "user_id", "value"]
+    ).filter(F.col("value").isNotNull())
+    agg, ma, mb, va, vb = _cohort_moments(ev)
+    na, nb = F.col("na"), F.col("nb")
+    pooled_var = F.try_divide((na - 1) * va + (nb - 1) * vb, na + nb - 2)
+    sp = F.sqrt(pooled_var)
+    delta = 0.2 * sp
+    se = F.sqrt(va / na + vb / nb)
+    diff = ma - mb
+    ok = (sp > 0) & (se > 0)
+    t_lo = F.when(ok, (diff + delta) / se)
+    t_hi = F.when(ok, (diff - delta) / se)
+    p_tost = F.greatest(1.0 - _phi(t_lo), _phi(t_hi))
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
+    return agg.select(
+        "event_type",
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        r4(diff).alias("diff"),
+        r4(delta).alias("margin"),
+        r4(t_lo).alias("t_lower"),
+        r4(t_hi).alias("t_upper"),
+        r4(p_tost).alias("p_tost"),
+        (p_tost < 0.05).alias("equivalent"),
     )

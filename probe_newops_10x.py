@@ -170,6 +170,7 @@ OPS = [
     "ts_period_detect",         # dense-grid collapse + per-key rfft periodogram
     "graph_hits",               # keyed join+agg double-steps on the pair list
     "graph_assortativity",      # edge-row degree joins + one 6-sum moments agg
+    "agg_tost_equivalence",     # the shared conditional-moments pass + tiny algebra
 ]
 
 

@@ -2023,3 +2023,108 @@ def test_pairwise_welch_holm_matches_python_and_planted(spark):
             assert r["significant_holm"] is False, r
     m = max(r["p_rank"] for r in got.values() if r["p_rank"] is not None)
     assert m == 6  # lone never ranked: m counts only tested pairs
+
+
+def test_tost_equivalence_matches_python_and_planted(spark):
+    """r16: the TOST table ≡ a numpy same-formula recompute (own
+    conditional moments, own math.erf Φ, own max-p walk) at two sfs;
+    planted: same-law cohorts at n=4000 are declared EQUIVALENT, a
+    1σ-shifted cohort is NOT (and also fails welch-style symmetry:
+    t_lower huge, t_upper also > 0 — the shift pushes both one-sided
+    tests the same way), a single-row cohort emits NULL."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import n2kupdate_spark.queries.aggregates as aggq
+    from n2kupdate_spark.queries import QUERIES
+    from n2kupdate_spark.sources import load
+
+    def r4(v):
+        return None if v is None else float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)
+
+    def phi(x):
+        return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+    def ref(rows):
+        by = {}
+        for t, u, v in rows:
+            cs = by.setdefault(t, {0: [], 1: []})
+            if u is None:  # NULL user_id: neither cohort (_cohort_moments)
+                continue
+            cs[0 if int(u) % 2 == 0 else 1].append(v)
+        out = {}
+        for t, cs in by.items():
+            xa, xb = np.array(cs[0]), np.array(cs[1])
+            na, nb = len(xa), len(xb)
+            if na < 2 or nb < 2:
+                out[t] = (na, nb, None)
+                continue
+            va, vb = xa.var(ddof=1), xb.var(ddof=1)
+            sp = math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+            se = math.sqrt(va / na + vb / nb)
+            if sp <= 0 or se <= 0:
+                out[t] = (na, nb, None)
+                continue
+            diff = xa.mean() - xb.mean()
+            delta = 0.2 * sp
+            t_lo = (diff + delta) / se
+            t_hi = (diff - delta) / se
+            p = max(1.0 - phi(t_lo), phi(t_hi))
+            out[t] = (na, nb, (r4(diff), r4(delta), r4(t_lo), r4(t_hi),
+                              r4(p), bool(p < 0.05)))
+        return out
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = [
+            (r["event_type"], r["user_id"], float(r["value"]))
+            for r in load(
+                spark, sf, "events", columns=["event_type", "user_id", "value"]
+            ).filter(F.col("value").isNotNull()).collect()
+        ]
+        want = ref(rows)
+        got = {
+            r["event_type"]: r.asDict()
+            for r in QUERIES["agg_tost_equivalence"](spark, sf).collect()
+        }
+        assert got.keys() == want.keys(), sf
+        for t in want:
+            g = got[t]
+            na, nb, w = want[t]
+            assert (g["n_a"], g["n_b"]) == (na, nb), (sf, t)
+            if w is None:
+                assert g["p_tost"] is None and g["equivalent"] is None, (sf, t, g)
+                continue
+            assert g["equivalent"] is w[5], (sf, t, g, w)
+            for a, b in zip(
+                (g["diff"], g["margin"], g["t_lower"], g["t_upper"], g["p_tost"]),
+                w[:5],
+            ):
+                assert abs(a - b) <= 1e-4, (sf, t, g, w)
+
+    rng = np.random.RandomState(21)
+    planted = (
+        [("same", i, float(rng.randn())) for i in range(8000)]
+        + [("shift", i, float(rng.randn() + (1.0 if i % 2 == 0 else 0.0)))
+           for i in range(8000)]
+        + [("tiny", 0, 1.0), ("tiny", 1, 2.0), ("tiny", 3, 2.5)]
+    )
+    orig = aggq.load
+    try:
+        df = spark.createDataFrame(
+            planted, "event_type: string, user_id: long, value: double"
+        )
+        aggq.load = lambda s, sf_, t, columns=None, _df=df: _df.select(
+            *(columns or _df.columns)
+        )
+        got = {
+            r["event_type"]: r.asDict()
+            for r in QUERIES["agg_tost_equivalence"](spark, "ignored").collect()
+        }
+    finally:
+        aggq.load = orig
+    assert got["same"]["equivalent"] is True, got["same"]
+    assert got["shift"]["equivalent"] is False, got["shift"]
+    assert got["shift"]["t_upper"] > 0, got["shift"]  # both pushed same way
+    assert got["tiny"]["p_tost"] is None and got["tiny"]["equivalent"] is None
