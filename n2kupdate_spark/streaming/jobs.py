@@ -1033,3 +1033,101 @@ def stream_ewma_smooth(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+MG_OUT_SCHEMA = (
+    "event_type string, n long, item long, est_lo long, err_bound long, "
+    "rank int"
+)
+MG_STATE_SCHEMA = "items array<long>, counts array<long>, ledger long, n long"
+
+
+def _mg_stream_fold(k: int, top: int):
+    """Per-type fold for :func:`stream_heavy_hitters`: the Misra–Gries
+    summary (≤ k item/count pairs + the decrement ledger + the row
+    total) held as per-group state. Each micro-batch merges its EXACT
+    value counts into the summary at full precision, runs ONE
+    k-compress (operators/misra_gries.py::_mg_compress — the same
+    compress as the batch op, so the two cannot diverge-by-copy), adds
+    the threshold to the ledger, and emits the current top-``top``
+    with certified bounds. The MG invariants hold under ANY batch
+    split (pinned in tests/test_streaming.py): est_lo ≤ true ≤
+    est_lo + ledger for present items, true ≤ ledger for absent ones,
+    and ledger ≤ n/(k+1) — every compress removes ≥ (k+1)·thr mass, so
+    the ledger can never outrun the classic single-pass bound no
+    matter how the stream is batched. Ties in the emitted ranking
+    break by string item order (the batch op's lexsort convention)."""
+
+    def fold(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        from n2kupdate_spark.operators.misra_gries import _mg_compress
+
+        if state.exists:
+            s_items, s_counts, ledger, n = state.get
+            d = {int(i): int(c) for i, c in zip(s_items, s_counts)}
+        else:
+            d, ledger, n = {}, 0, 0
+        rows = pd.concat(list(pdf_iter))
+        vals = rows["user_id"].to_numpy()
+        n += len(vals)
+        bi, bc = np.unique(vals, return_counts=True)
+        for it, c in zip(bi, bc):
+            d[int(it)] = d.get(int(it), 0) + int(c)
+        items = np.array(sorted(d), dtype=np.int64)
+        counts = np.array([d[int(i)] for i in items], dtype=np.int64)
+        items, counts, thr = _mg_compress(items, counts, k)
+        ledger += int(thr)
+        state.update(
+            (
+                [int(x) for x in items],
+                [int(x) for x in counts],
+                int(ledger),
+                int(n),
+            )
+        )
+        order = np.lexsort((items.astype(str), -counts))[:top]
+        if len(order):
+            yield pd.DataFrame(
+                {
+                    "event_type": str(key[0]),
+                    "n": int(n),
+                    "item": [int(items[i]) for i in order],
+                    "est_lo": [int(counts[i]) for i in order],
+                    "err_bound": int(ledger),
+                    "rank": list(range(1, len(order) + 1)),
+                }
+            )
+
+    return fold
+
+
+def stream_heavy_hitters(
+    events: DataFrame, k: int = 256, top: int = 5
+) -> DataFrame:
+    """Streaming Misra–Gries heavy hitters per event type — the
+    stateful twin of the batch ``agg_mg_heavy_hitters`` (same compress,
+    same certificate semantics) for a live ingest stream: per type the
+    state is ≤ k item/count pairs + two scalars FOREVER (no growth at
+    any stream length — the whole point over an exact groupBy count,
+    whose state is #distinct-users and unbounded), and every
+    micro-batch emits the current top-``top`` user_ids with hard
+    two-sided bounds: est_lo ≤ true-count-so-far ≤ est_lo + err_bound,
+    err_bound ≤ n/(k+1) certified (never a probabilistic claim — the
+    CMS contrast). Output ∝ #batches × top, not traffic.
+
+    Scale: the one shuffle is the per-type state partitioning every
+    applyInPandasWithState op pays; the fold is O(batch distinct
+    values) with O(k) state per type — checkpoint size ∝ #types × k,
+    independent of stream length."""
+    prepped = events.select("event_type", "user_id").filter(
+        F.col("user_id").isNotNull()
+    )
+    return prepped.groupBy("event_type").applyInPandasWithState(
+        _mg_stream_fold(k, top),
+        outputStructType=MG_OUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

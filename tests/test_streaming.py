@@ -1825,3 +1825,141 @@ def test_stream_ewma_e2e_resumed_checkpoint(spark, tmp_path):
     first = float(got2["ewma"].iloc[0])
     assert abs(first - (0.2 * 20.0 + 0.8 * 10.0)) < 1e-9  # resumed from level 10
     assert float(got2["ewma"].iloc[-1]) < 20.0  # still converging
+
+
+def test_stream_heavy_hitters_certificates_any_split(spark):
+    """r16: the streaming Misra–Gries fold's certificates hold under
+    EVERY batch split of the same stream (fake-state unit drive):
+    for present items est_lo ≤ true ≤ est_lo + ledger, absent items
+    true ≤ ledger, ledger ≤ n/(k+1) (each compress removes ≥ (k+1)·thr
+    mass), state carries ≤ k items, n is exact; a planted ~30% user
+    survives every split with its bounds bracketing its true count;
+    the single-batch top list matches the batch mg_heavy_hitters
+    est_lo exactly when no compress fires (k > #distinct)."""
+    import numpy as np
+    import pandas as pd
+
+    from n2kupdate_spark.streaming.jobs import _mg_stream_fold
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = tuple(v), True
+
+    rng = np.random.RandomState(12)
+    # skewed stream: user 7 is ~30%, a zipf tail fills the rest
+    users = [7 if rng.rand() < 0.3 else int(rng.zipf(1.5) % 400) for _ in range(3000)]
+    true = {}
+    for u in users:
+        true[u] = true.get(u, 0) + 1
+    pdf = pd.DataFrame({"event_type": "t", "user_id": users})
+    K, TOP = 32, 5
+
+    def run(batches):
+        fold, st = _mg_stream_fold(K, TOP), FakeState()
+        emits = []
+        for b in batches:
+            emits.extend(
+                o for o in fold(("t",), iter([b]), st)
+            )
+        return emits, st.get
+
+    for cuts in ([], [1500], [100, 700, 2100], list(range(100, 3000, 100))):
+        parts, lo = [], 0
+        for c in cuts + [len(pdf)]:
+            if c > lo:
+                parts.append(pdf.iloc[lo:c])
+                lo = c
+        emits, (s_items, s_counts, ledger, n) = run(parts)
+        assert n == len(users), cuts
+        assert len(s_items) <= K, cuts
+        assert ledger <= n // (K + 1) + 1, (cuts, ledger, n)
+        est = dict(zip(s_items, s_counts))
+        for item, lo_est in est.items():
+            assert lo_est <= true[item] <= lo_est + ledger, (cuts, item)
+        for item, t in true.items():
+            if item not in est:
+                assert t <= ledger, (cuts, item, t, ledger)
+        # the planted heavy user survives every split and ranks first
+        final_top = emits[-1]
+        assert int(final_top.iloc[0]["item"]) == 7, cuts
+        assert final_top.iloc[0]["est_lo"] <= true[7] <= (
+            final_top.iloc[0]["est_lo"] + final_top.iloc[0]["err_bound"]
+        ), cuts
+        assert list(final_top["rank"]) == list(range(1, len(final_top) + 1))
+
+    # no-compress regime: k > #distinct ⇒ est_lo exact, ledger 0
+    small = pd.DataFrame(
+        {"event_type": "t", "user_id": [1, 1, 1, 2, 2, 3]}
+    )
+    fold, st = _mg_stream_fold(16, 3), FakeState()
+    emits = list(fold(("t",), iter([small]), st))
+    si, sc, ledger, n = st.get
+    assert ledger == 0 and sorted(zip(si, sc)) == [(1, 3), (2, 2), (3, 1)]
+    top = emits[0]
+    assert list(top["item"]) == [1, 2, 3] and list(top["est_lo"]) == [3, 2, 1]
+
+
+def test_stream_heavy_hitters_e2e_resumed_checkpoint(spark, tmp_path):
+    """r16 e2e: the MG summary survives a checkpoint resume — run 1
+    streams a skewed prefix; run 2 resumes with more of the same heavy
+    user: the resumed emit reports CUMULATIVE n and an est_lo for the
+    heavy user that grew from run 1's state (≥ its run-1 estimate)."""
+    import pandas as pd
+
+    from n2kupdate_spark.streaming import stream_heavy_hitters
+    from n2kupdate_spark.streaming.jobs import events_file_stream
+    from pyspark.sql import functions as F
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def write_events(rows):
+        spark.createDataFrame(
+            [
+                (eid, pd.Timestamp(2026, 1, 1).value // 10**9 + i, uid, "t", 1.0)
+                for eid, i, uid in rows
+            ],
+            "event_id long, ts_i long, user_id long, event_type string, value double",
+        ).select(
+            "event_id",
+            F.col("ts_i").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            F.col("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        emitted = []
+        q = (
+            stream_heavy_hitters(events_file_stream(spark, src), k=8, top=3)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, eid: emitted.append(df.toPandas()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        frames = [p for p in emitted if len(p)]
+        return pd.concat(frames) if frames else pd.DataFrame()
+
+    # run 1: user 5 heavy (60 of 100 rows)
+    rows1 = [(i, i, 5 if i % 5 < 3 else 100 + i) for i in range(100)]
+    write_events(rows1)
+    got1 = drain().sort_values("rank")
+    assert int(got1.iloc[0]["item"]) == 5 and int(got1.iloc[0]["n"]) == 100
+    est1 = int(got1.iloc[0]["est_lo"])
+
+    # run 2: 50 more rows, user 5 again heavy
+    rows2 = [(200 + i, 200 + i, 5 if i % 2 == 0 else 300 + i) for i in range(50)]
+    write_events(rows2)
+    got2 = drain().sort_values("rank")
+    assert int(got2.iloc[0]["item"]) == 5
+    assert int(got2.iloc[0]["n"]) == 150  # cumulative: resumed, not reset
+    assert int(got2.iloc[0]["est_lo"]) >= est1  # grew from run-1 state
