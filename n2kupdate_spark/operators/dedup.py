@@ -2549,8 +2549,11 @@ def degree_assortativity(
     Scale: canonicalize + distinct (one shuffle), one partial-agged
     degree count, two id-keyed joins decorating each SYMMETRIZED
     edge end with its degree (edge rows only — never node-squared),
-    and one 6-sum moments aggregate; the correlation algebra runs on
-    the 1-row result. No driver collect, no window."""
+    and ONE 8-field moments aggregate that also carries n_nodes
+    (count-distinct over the kept endpoint) and n_edges (the
+    symmetrized row count halved) — a single job, no separate
+    deg.count()/e.count() actions (review r16); the correlation
+    algebra runs on the 1-row result. No driver collect, no window."""
     e = (
         edges.select(
             F.least(src_col, dst_col).alias("a"),
@@ -2574,12 +2577,14 @@ def degree_assortativity(
             deg.select(F.col("a").alias("b"), F.col("deg").alias("__dy")), "b"
         )
         .select(
+            "a",
             F.col("__dx").cast("double").alias("x"),
             F.col("__dy").cast("double").alias("y"),
         )
     )
     agg = dec.agg(
         F.count(F.lit(1)).alias("m2"),
+        F.countDistinct("a").alias("n_nodes"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
@@ -2591,11 +2596,9 @@ def degree_assortativity(
     vx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
     vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
     r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
-    n_nodes = deg.count()
-    n_edges = e.count()
     r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
     return agg.select(
-        F.lit(n_nodes).cast("long").alias("n_nodes"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
         r4(r).alias("assortativity"),
     )

@@ -463,8 +463,14 @@ def merge_scd6(
         )
     )
     chg_keys = changed.select(*keys)
+    # __chg marks a matched changed key so the history sweep can write a
+    # NULL new value: a COALESCE there would silently keep the stale
+    # mirror on a value→NULL change (review r16) — exactly the
+    # disagreement the sweep exists to prevent.
     new_val = changed.select(
-        *keys, F.col(tracked_col).alias("__new_val")
+        *keys,
+        F.col(tracked_col).alias("__new_val"),
+        F.lit(True).alias("__chg"),
     )
     closed = (
         cur.alias("__t")
@@ -505,9 +511,9 @@ def merge_scd6(
                 for c in cols
                 if c != current_col
             ],
-            F.coalesce(F.col("__new_val"), F.col(f"__h.{current_col}")).alias(
-                current_col
-            ),
+            F.when(F.col("__chg"), F.col("__new_val"))
+            .otherwise(F.col(f"__h.{current_col}"))
+            .alias(current_col),
         )
     )
     return (

@@ -692,7 +692,6 @@ def holt_winters_backtest(
     key_col: str = "key",
     ts_col: str = "ts_s",
     val_col: str = "value",
-    step: int = 3600,
     group_buckets: int | None = None,
 ) -> DataFrame:
     """Rolling-origin backtest of the Holt–Winters forecaster — the
@@ -965,38 +964,60 @@ def pelt_changepoints(
     )
 
 
-def _ar_fc(x, p, horizon):
-    """Yule–Walker AR(p) fit + recursive ``horizon``-step forecast over
-    array ``x`` — numpy, used inside forecast/backtest Arrow tasks.
-    Mean-centered; autocovariances use the BIASED divisor n (Brockwell
-    & Davis convention) so the Toeplitz system is positive
-    semi-definite and the fitted model is always causal/stationary; a
-    γ₀-scaled 1e-8 ridge keeps the solve stable on near-deterministic
-    series; zero-variance series forecast the mean. The order is
-    capped at n//2 so short histories never build an underdetermined
-    system."""
+def _ar_fit(x, p):
+    """Yule–Walker AR(p) fit over array ``x`` → (mu, phi|None, p_eff) —
+    THE one fit for the forecast op, the backtest, and the audit
+    columns (review r16: the fit briefly existed in two copies that
+    could diverge on a ridge-constant edit). Mean-centered;
+    autocovariances use the BIASED divisor n (Brockwell & Davis
+    convention) so the Toeplitz system is positive semi-definite and
+    the fitted model is always causal/stationary; a γ₀-scaled 1e-8
+    ridge keeps the solve stable on near-deterministic series;
+    zero-variance series return phi=None (forecast the mean). The
+    order is capped at n//2 so short histories never build an
+    underdetermined system."""
     import numpy as np
 
     n = len(x)
-    p = int(min(p, max(1, n // 2)))
+    p_eff = int(min(p, max(1, n // 2)))
     mu = float(x.mean())
     xc = x - mu
     gam = np.array(
-        [float((xc[: n - k] * xc[k:]).sum()) / n for k in range(p + 1)]
+        [float((xc[: n - k] * xc[k:]).sum()) / n for k in range(p_eff + 1)]
     )
     if gam[0] <= 0:
-        return np.full(horizon, mu)
-    idx = np.abs(np.subtract.outer(np.arange(p), np.arange(p)))
+        return mu, None, p_eff
+    idx = np.abs(np.subtract.outer(np.arange(p_eff), np.arange(p_eff)))
     R = gam[idx]
-    phi = np.linalg.solve(R + np.eye(p) * gam[0] * 1e-8, gam[1 : p + 1])
-    hist = list(xc[-p:])
+    phi = np.linalg.solve(
+        R + np.eye(p_eff) * gam[0] * 1e-8, gam[1 : p_eff + 1]
+    )
+    return mu, phi, p_eff
+
+
+def _ar_predict(x, mu, phi, p_eff, horizon):
+    """The recursive ``horizon``-step AR forecast from a fitted
+    (mu, phi, p_eff) — forecasts feed back in place of unobserved
+    actuals; phi=None (zero-variance fit) forecasts the mean."""
+    import numpy as np
+
+    if phi is None:
+        return np.full(horizon, mu)
+    hist = list(x - mu)[-p_eff:]
     out = []
     for _ in range(horizon):
-        recent = np.array(hist[-p:][::-1])
+        recent = np.array(hist[-p_eff:][::-1])
         v = float(np.dot(phi, recent))
         out.append(mu + v)
         hist.append(v)
     return np.array(out)
+
+
+def _ar_fc(x, p, horizon):
+    """:func:`_ar_fit` + :func:`_ar_predict` — numpy, used inside
+    forecast/backtest Arrow tasks."""
+    mu, phi, p_eff = _ar_fit(x, p)
+    return _ar_predict(x, mu, phi, p_eff, horizon)
 
 
 def ar_forecast(
@@ -1047,21 +1068,9 @@ def ar_forecast(
                     "order": "int64",
                 }
             )
-        fc = _ar_fc(x, p, horizon)
-        mu = float(x.mean())
-        xc = x - mu
-        gam = np.array(
-            [float((xc[: n - k] * xc[k:]).sum()) / n for k in range(p + 1)]
-        )
-        if gam[0] > 0:
-            idx = np.abs(np.subtract.outer(np.arange(p), np.arange(p)))
-            phi1 = float(
-                np.linalg.solve(
-                    gam[idx] + np.eye(p) * gam[0] * 1e-8, gam[1 : p + 1]
-                )[0]
-            )
-        else:
-            phi1 = 0.0
+        mu, phi, p_eff = _ar_fit(x, p)
+        phi1 = float(phi[0]) if phi is not None else 0.0
+        fc = _ar_predict(x, mu, phi, p_eff, horizon)
         r4 = lambda v: float(np.floor(v * 10000 + 0.5) / 10000 + 0.0)  # noqa: E731
         key = pdf[key_col].iloc[0]
         rows = [
@@ -1071,7 +1080,7 @@ def ar_forecast(
                 "forecast": r4(float(fc[h])),
                 "mean_level": r4(mu),
                 "phi_lag1": r4(phi1),
-                "order": int(min(p, max(1, n // 2))),
+                "order": p_eff,
             }
             for h in range(horizon)
         ]

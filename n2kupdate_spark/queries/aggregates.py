@@ -1309,6 +1309,12 @@ def _oneway_f_table(per_group):
     f = F.try_divide(F.try_divide(ssb, dfb), F.try_divide(ssw, dfw))
     crit = _wh_chi2_crit(dfb) / dfb
     r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000 + 0.0  # noqa: E731
+    # ssw = 0 with ssb > 0 is F = +inf — the MOST significant case, not
+    # a NULL-coalesced False (review r16: internally-constant groups at
+    # different levels, e.g. {1,1},{2,2},{3,3}, were reported quiet);
+    # ssw = ssb = 0 (all values identical) stays not-significant. The
+    # tiny-eps guard absorbs float residue in the raw-sums algebra.
+    degenerate_sig = (ssw <= 1e-9 * F.greatest(ssb, F.lit(1.0))) & (ssb > 0)
     return one.select(
         "k",
         "n",
@@ -1317,7 +1323,9 @@ def _oneway_f_table(per_group):
         r4(f).alias("f_stat"),
         dfb.cast("long").alias("df_between"),
         dfw.cast("long").alias("df_within"),
-        F.coalesce(f >= crit, F.lit(False)).alias("significant"),
+        F.when(degenerate_sig, F.lit(True))
+        .otherwise(F.coalesce(f >= crit, F.lit(False)))
+        .alias("significant"),
     )
 
 

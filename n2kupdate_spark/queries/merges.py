@@ -428,8 +428,9 @@ def merge_scd4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.c_custkey = i.c_custkey)
     UNION ALL
     SELECT h.c_custkey, h.c_name, h.c_nationkey, h.c_acctbal, h.c_mktsegment,
-           COALESCE(g.c_acctbal, h.current_acctbal), h.valid_from, h.valid_to,
-           h.is_current
+           CASE WHEN g.c_custkey IS NOT NULL THEN g.c_acctbal
+                ELSE h.current_acctbal END,
+           h.valid_from, h.valid_to, h.is_current
     FROM hist h LEFT JOIN chg g ON h.c_custkey = g.c_custkey
     """,
 )

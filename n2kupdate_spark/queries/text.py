@@ -1604,8 +1604,12 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     # punctuation ('end of,' / 'x,the end') must still split — lookarounds
     # accept either (advice r15: \s-only bounds kept such stopwords inside
     # the phrase)
+    # \\x01 spelled as a Java-regex hex escape, never a raw control
+    # byte in the source string: the byte renders invisibly in diffs
+    # and editors ([\s^A] under cat -A only), one autoformat away from
+    # being silently stripped (review r16)
     stop_pat = (
-        "(?<=[\\s])(" + "|".join(GOPHER_STOPWORDS) + ")(?=[\\s])"
+        "(?<=[\\s\\x01])(" + "|".join(GOPHER_STOPWORDS) + ")(?=[\\s\\x01])"
     )
     d = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     # published RAKE splits candidates at PUNCTUATION as well as

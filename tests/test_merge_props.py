@@ -573,6 +573,8 @@ def test_scd6_idempotent_and_branches(spark, sf_dir):
             (2, 20.0, "y", 20.0, "2025-01-01", None, True),
             (3, 30.0, "z", 30.0, "2025-01-01", None, True),
             (4, None, "w", None, "2025-01-01", None, True),
+            (6, 60.0, "q", 60.0, "2025-01-01", None, True),
+            (6, 55.0, "q0", 60.0, "2024-01-01", "2025-01-01", False),
         ],
         "k: long, v: double, attr: string, current_v: double, "
         "valid_from: string, valid_to: string, is_current: boolean",
@@ -583,6 +585,8 @@ def test_scd6_idempotent_and_branches(spark, sf_dir):
             (2, 20.0, "y"),    # identical: no-op
             (4, 4.0, "w"),     # NULL -> value: a change
             (5, 50.0, "new"),  # new key: open row
+            (6, None, "q1"),   # value -> NULL WITH history: the sweep
+                               # must write NULL, not coalesce-keep 60
         ],
         "k: long, v: double, attr: string",
     )
@@ -609,4 +613,7 @@ def test_scd6_idempotent_and_branches(spark, sf_dir):
         (4, None, "w", 4.0, "2025-01-01", "2026-02-02", False),    # NULL closed
         (4, 4.0, "w", 4.0, "2026-02-02", None, True),
         (5, 50.0, "new", 50.0, "2026-02-02", None, True),
+        (6, 55.0, "q0", None, "2024-01-01", "2025-01-01", False),  # NULL swept
+        (6, 60.0, "q", None, "2025-01-01", "2026-02-02", False),   # NULL closed
+        (6, None, "q1", None, "2026-02-02", None, True),           # NULL fresh
     ]

@@ -1644,6 +1644,30 @@ def test_anova_oneway_matches_python_and_planted(spark):
             )
             (got,) = QUERIES["agg_anova_oneway"](spark, "ignored").collect()
             assert got["significant"] is want_flag, dict(got.asDict())
+        # ssw = 0, ssb > 0: internally-constant groups at different
+        # levels are F = +inf — the MOST significant case (review r16:
+        # the NULL-coalesced flag used to read False)
+        const = [(f"g{i % 3}", 0, float(i % 3)) for i in range(300)]
+        df = spark.createDataFrame(
+            const, "event_type: string, user_id: long, value: double"
+        )
+        aggq.load = lambda s, sf_, t, columns=None, _df=df: _df.select(
+            *(columns or _df.columns)
+        )
+        (got,) = QUERIES["agg_anova_oneway"](spark, "ignored").collect()
+        assert got["significant"] is True and got["f_stat"] is None, dict(
+            got.asDict()
+        )
+        # ssw = ssb = 0 (every value identical): no evidence, stays quiet
+        flat = [(f"g{i % 3}", 0, 7.0) for i in range(300)]
+        df = spark.createDataFrame(
+            flat, "event_type: string, user_id: long, value: double"
+        )
+        aggq.load = lambda s, sf_, t, columns=None, _df=df: _df.select(
+            *(columns or _df.columns)
+        )
+        (got,) = QUERIES["agg_anova_oneway"](spark, "ignored").collect()
+        assert got["significant"] is False, dict(got.asDict())
     finally:
         aggq.load = orig
 
@@ -1718,6 +1742,20 @@ def test_levene_bf_matches_python_and_planted(spark):
             )
             (got,) = QUERIES["agg_levene_bf"](spark, "ignored").collect()
             assert got["significant"] is want_flag, dict(got.asDict())
+        # group-constant deviations with DIFFERENT spreads: {0,2} vs
+        # {0,100} — every |x−median| is constant within its group, so
+        # ssw = 0 while the spreads clearly differ → must flag (r16)
+        spread = [("a", 0, float(0 if i % 2 else 2)) for i in range(100)] + [
+            ("b", 0, float(0 if i % 2 else 100)) for i in range(100)
+        ]
+        df = spark.createDataFrame(
+            spread, "event_type: string, user_id: long, value: double"
+        )
+        aggq.load = lambda s, sf_, t, columns=None, _df=df: _df.select(
+            *(columns or _df.columns)
+        )
+        (got,) = QUERIES["agg_levene_bf"](spark, "ignored").collect()
+        assert got["significant"] is True, dict(got.asDict())
     finally:
         aggq.load = orig
 
