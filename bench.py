@@ -121,6 +121,15 @@ HEADLINE = [
     "graph_modularity_score",
     "graph_link_prediction",
     "ts_changepoint_pelt",
+    # r16 additions (same rationale): the heaviest non-codec ops
+    # registered this round join the radar the session they appeared —
+    # HITS over the ~550k-edge purchase bipartite graph (12 keyed
+    # join+agg shuffles — the round's heaviest), the SCD6 hybrid merge
+    # (five-branch key-join union incl. the history sweep), and the
+    # assortativity diagnostic (rides the shared shingle pipeline).
+    "graph_hits",
+    "merge_scd6",
+    "graph_assortativity",
 ]
 
 
