@@ -1009,18 +1009,24 @@ def test_hits_matches_numpy_and_planted(spark):
         wrows = [(s, d, float(1 + (s + d) % 5)) for s, d in rows]
         want_h, want_a = ref(wrows)
         df = spark.createDataFrame(wrows, "src: long, dst: long, w: double")
-        for thr in (100_000, 0):  # driver fast path / distributed loop
+        # (driver_edge_threshold, broadcast_node_threshold): driver fast
+        # path / distributed loop with broadcast score vectors (r16) /
+        # distributed loop with keyed joins (the >4M-node fallback)
+        for thr, bnt in ((100_000, 4_000_000), (0, 4_000_000), (0, 0)):
             got = {
                 (r["side"], r["id"]): r["score"]
                 for r in hits_scores(
-                    df, weight_col="w", driver_edge_threshold=thr
+                    df,
+                    weight_col="w",
+                    driver_edge_threshold=thr,
+                    broadcast_node_threshold=bnt,
                 ).collect()
             }
-            assert len(got) == len(want_h) + len(want_a), (trial, thr)
+            assert len(got) == len(want_h) + len(want_a), (trial, thr, bnt)
             for s, v in want_h.items():
-                assert abs(got[("hub", s)] - v) <= 2e-6, (trial, thr, s)
+                assert abs(got[("hub", s)] - v) <= 2e-6, (trial, thr, bnt, s)
             for d, v in want_a.items():
-                assert abs(got[("authority", d)] - v) <= 2e-6, (trial, thr, d)
+                assert abs(got[("authority", d)] - v) <= 2e-6, (trial, thr, bnt, d)
 
     # planted star: src 0 covers all 6 dsts; dst 100 touched by all srcs
     star = [(0, 100 + j, 1.0) for j in range(6)] + [
