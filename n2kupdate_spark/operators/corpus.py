@@ -20,6 +20,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from n2kupdate_spark.operators.parallel import fan_out
+
 #: Gopher rule thresholds (Rae et al. 2021 §A1.1, adapted to single-line
 #: fixture text). Override per-call via ``gopher_metrics`` parameters.
 GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -63,7 +65,9 @@ def gopher_metrics(
             "top_bigram_frac"
         )
     )
-    stop = F.array(*[F.lit(s) for s in stopwords])
+    # ONE array literal per call (a per-element F.lit costs one py4j
+    # round-trip each — guide §1/§7.3 driver-side wall; r16)
+    stop = F.lit(list(stopwords))
     m = docs.select(
         id_col,
         n.alias("n_words"),
@@ -451,6 +455,29 @@ def fit_quality_classifier(
     return w, b
 
 
+def _sparse_fit_matrix(
+    joined: DataFrame, id_col: str, n_buckets: int, label_col: str
+):
+    """Arrow-collect a (id, bucket, c, label) sparse fit table and build
+    the dense sublinear-tf matrix with vectorized numpy. Replaces a
+    per-Row python loop (130k+ Row conversions cost ~2 s at sf0.1 —
+    r16, guide §4.2's "hand whole batches to numpy" applied to the
+    DRIVER side of the boundary). Bit-identical: np.unique sorts
+    exactly like sorted() on homogeneous ids, cells are the same
+    1 + ln(c). Returns (ids, pos, X, labels) where pos/labels align
+    with the collected rows (ids[pos[k]] is row k's id)."""
+    tbl = joined.toArrow()
+    id_np = tbl[id_col].to_numpy(zero_copy_only=False)
+    uniq, pos = np.unique(id_np, return_inverse=True)
+    X = np.zeros((len(uniq), n_buckets), dtype=np.float64)
+    if len(uniq):
+        X[pos, tbl["bucket"].to_numpy(zero_copy_only=False)] = 1.0 + np.log(
+            tbl["c"].to_numpy(zero_copy_only=False)
+        )
+    return uniq.tolist(), pos, X, tbl[label_col].to_pylist()
+
+
+
 def quality_classifier_scores(
     docs: DataFrame,
     positive_col: str,
@@ -511,14 +538,11 @@ def quality_classifier_scores(
     ).unionByName(
         labels.filter(F.col("__y") == 0).orderBy(id_col).limit(sample_per_class)
     )
-    fit_rows = sparse.join(F.broadcast(fit_ids), id_col).collect()
-    ids = sorted({r[0] for r in fit_rows})
-    idx = {i: k for k, i in enumerate(ids)}
-    X = np.zeros((len(ids), n_buckets), dtype=np.float64)
+    ids, pos, X, ys = _sparse_fit_matrix(
+        sparse.join(F.broadcast(fit_ids), id_col), id_col, n_buckets, "__y"
+    )
     yv = np.zeros(len(ids), dtype=np.float64)
-    for r in fit_rows:
-        X[idx[r[0]], r["bucket"]] = 1.0 + np.log(r["c"])
-        yv[idx[r[0]]] = r["__y"]
+    yv[pos] = np.asarray(ys, dtype=np.float64)
     if len(ids) == 0 or yv.min() == yv.max():
         raise ValueError(
             "quality_classifier_scores: fit sample needs both classes — "
@@ -526,7 +550,7 @@ def quality_classifier_scores(
         )
     w, b = fit_quality_classifier(X, yv, iters=iters, lr=lr, l2=l2)
 
-    w_lit = F.array(*[F.lit(float(x)) for x in w.tolist()])
+    w_lit = F.lit(w.tolist())  # one py4j call, bit-identical (r16)
     contrib = F.element_at(w_lit, (F.col("bucket") + 1).cast("int")) * (
         F.lit(1.0) + F.log(F.col("c").cast("double"))
     )
@@ -615,8 +639,11 @@ def langid_hashgram_scores(
     # collect and the full scoring pass — so materialize it once
     # (eager localCheckpoint): without this the gram explode + shuffle,
     # the dominant corpus-scale cost, would run twice (r12 review).
+    # fan_out: the gram explode is the heavy map — without it a
+    # single-file scan runs it on one core (r16, guide §2.6).
     sparse = (
-        docs.select(id_col, grams.alias("gram"))
+        fan_out(docs.select(id_col, text_col))
+        .select(id_col, grams.alias("gram"))
         .select(id_col, bucket.alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -652,14 +679,10 @@ def langid_hashgram_scores(
     fit_ids = per_lang[0]
     for d in per_lang[1:]:
         fit_ids = fit_ids.unionByName(d)
-    fit_rows = sparse.join(F.broadcast(fit_ids), id_col).collect()
-    ids = sorted({r[0] for r in fit_rows})
-    idx = {i: k for k, i in enumerate(ids)}
-    X = np.zeros((len(ids), n_buckets), dtype=np.float64)
-    doc_lang: dict = {}
-    for r in fit_rows:
-        X[idx[r[0]], r["bucket"]] = 1.0 + np.log(r["c"])
-        doc_lang[r[0]] = r["__lang"]
+    ids, pos, X, langs_rows = _sparse_fit_matrix(
+        sparse.join(F.broadcast(fit_ids), id_col), id_col, n_buckets, "__lang"
+    )
+    doc_lang: dict = {ids[p]: l for p, l in zip(pos, langs_rows)}
     n_train = sum(train_counts.values())
     sample_counts = {l: 0 for l in langs}
     for i in ids:
@@ -683,7 +706,7 @@ def langid_hashgram_scores(
     tf = F.lit(1.0) + F.log(F.col("c").cast("double"))
     aggs = []
     for li, l in enumerate(langs):
-        w_lit = F.array(*[F.lit(float(x)) for x in W[li].tolist()])
+        w_lit = F.lit(W[li].tolist())  # one py4j call, bit-identical (r16)
         aggs.append(
             F.sum(
                 F.element_at(w_lit, (F.col("bucket") + 1).cast("int")) * tf
@@ -762,7 +785,7 @@ def importance_weights(
         r[row["bucket"]] += row["r_c"]
     log_ratio = np.log(t / t.sum()) - np.log(r / r.sum())
 
-    lr_lit = F.array(*[F.lit(float(x)) for x in log_ratio.tolist()])
+    lr_lit = F.lit(log_ratio.tolist())  # one py4j call, bit-identical (r16)
     per_doc = (
         bucketed.groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1542,7 +1565,7 @@ def select_token_budget(
         # returns the same typed (possibly empty) frame instead of a
         # driver-side TypeError on float(None)
         return _single_window()
-    cut_arr = F.array(*[F.lit(float(c)) for c in cut_vals])
+    cut_arr = F.lit([float(c) for c in cut_vals])
     # weight-DESC shard id = number of cut points strictly ABOVE the key;
     # equal weights colocate, id tie-break happens inside the shard.
     sharded = docs.withColumn(

@@ -55,7 +55,7 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int = _Z_BITS) -> Column:
     quantiles = df.stat.approxQuantile(cols, probs, 0.001)
     buckets = []
     for c, qs in zip(cols, quantiles):
-        bounds = F.array(*[F.lit(float(q)) for q in qs])
+        bounds = F.lit([float(q) for q in qs])
         v = F.col(c).cast("double")
         bucket = F.least(
             F.size(F.filter(bounds, lambda b: b <= v)), F.lit(n_bounds)
