@@ -38,13 +38,32 @@ def _bucketed_apply(
         )
 
     def _bucket(pdf):
+        pdf = pdf.drop(columns=["_b"])
         return pd.concat(
             [one_key(g) for _, g in pdf.groupby(key_col, sort=False)]
         )
 
-    return df.groupBy(
-        F.pmod(F.hash(key_col), F.lit(group_buckets)).alias("_b")
-    ).applyInPandas(lambda key, pdf: _bucket(pdf), schema=schema)
+    # Explicit repartition with a user-specified count: AQE's partition
+    # coalescing sizes by shuffle BYTES, but the cost here is per-row
+    # PYTHON compute — a 2 MB exchange was coalesced to 2 tasks and the
+    # pandas stage ran on 2 of 32 cores (r16 stage profile, guide §2.6).
+    # REPARTITION_BY_NUM is exempt from coalescing, and the groupBy on
+    # the same key reuses the partitioning (guide §2.4) — still ONE
+    # exchange, now at full width.
+    # Width = shuffle.partitions capped at 4× cores: full machine width
+    # without hundreds of near-empty Python dispatches when a plain
+    # session's default 200 partitions exceeds the box.
+    spark = df.sparkSession
+    nparts = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        4 * spark.sparkContext.defaultParallelism,
+    )
+    keyed = df.withColumn(
+        "_b", F.pmod(F.hash(key_col), F.lit(group_buckets))
+    )
+    return keyed.repartition(nparts, "_b").groupBy("_b").applyInPandas(
+        lambda key, pdf: _bucket(pdf), schema=schema
+    )
 
 
 def _lttb_indices(ts, vals, n_out):
