@@ -18,6 +18,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def full_width(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit repartition by ``keys`` at min(shuffle.partitions,
+    4 × cores) immediately before a grouped Python dispatch
+    (applyInPandas). AQE coalesces exchanges by shuffle BYTES, but a
+    grouped-pandas stage's cost is per-row PYTHON compute — a few-MB
+    exchange gets squeezed to 2 tasks and the stage runs on 2 cores
+    (r16 stage profiles). A user-specified repartition count is exempt
+    from coalescing, and the following groupBy on the same keys reuses
+    the partitioning (guide §2.4): still one exchange, now full width.
+    The cap keeps a plain 200-partition session from paying hundreds of
+    near-empty dispatches; both terms scale with the configured
+    cluster, nothing is a local[32] constant."""
+    spark = df.sparkSession
+    nparts = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        4 * spark.sparkContext.defaultParallelism,
+    )
+    return df.repartition(nparts, *keys)
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's core count
     (or ``min_partitions``) IF its current plan has fewer partitions —

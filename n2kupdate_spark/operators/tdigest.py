@@ -33,6 +33,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from n2kupdate_spark.operators.parallel import full_width
+
 
 def _k1(q: float, delta: float) -> float:
     """The K1 scale function k(q) = δ/(2π)·asin(2q−1): its unit steps
@@ -161,7 +163,9 @@ def tdigest_quantiles_by_group(
         )
 
     gtype = df.schema[group_col].dataType.simpleString()
-    parts = staged.groupBy("__g", "__b").applyInPandas(
+    # full_width: see operators/parallel.py — AQE byte-coalescing would
+    # starve the digest-build pandas stage (r16)
+    parts = full_width(staged, "__g", "__b").groupBy("__g", "__b").applyInPandas(
         _one, schema=f"__g {gtype}, means array<double>, weights array<double>"
     )
     by_group: dict = {}

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from n2kupdate_spark.operators.parallel import full_width
+
 
 def _bucketed_apply(
     df: DataFrame,
@@ -43,25 +45,13 @@ def _bucketed_apply(
             [one_key(g) for _, g in pdf.groupby(key_col, sort=False)]
         )
 
-    # Explicit repartition with a user-specified count: AQE's partition
-    # coalescing sizes by shuffle BYTES, but the cost here is per-row
-    # PYTHON compute — a 2 MB exchange was coalesced to 2 tasks and the
-    # pandas stage ran on 2 of 32 cores (r16 stage profile, guide §2.6).
-    # REPARTITION_BY_NUM is exempt from coalescing, and the groupBy on
-    # the same key reuses the partitioning (guide §2.4) — still ONE
-    # exchange, now at full width.
-    # Width = shuffle.partitions capped at 4× cores: full machine width
-    # without hundreds of near-empty Python dispatches when a plain
-    # session's default 200 partitions exceeds the box.
-    spark = df.sparkSession
-    nparts = min(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        4 * spark.sparkContext.defaultParallelism,
-    )
+    # full_width: AQE would coalesce this few-MB exchange to ~2 tasks
+    # and run the pandas stage on 2 of 32 cores (r16 stage profile —
+    # see operators/parallel.py).
     keyed = df.withColumn(
         "_b", F.pmod(F.hash(key_col), F.lit(group_buckets))
     )
-    return keyed.repartition(nparts, "_b").groupBy("_b").applyInPandas(
+    return full_width(keyed, "_b").groupBy("_b").applyInPandas(
         lambda key, pdf: _bucket(pdf), schema=schema
     )
 
