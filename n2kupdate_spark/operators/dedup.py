@@ -134,13 +134,18 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     so without the clamp a doc with < n-1 tokens evaluates slice() at a
     negative length and raises before the filter can drop it (same latent
     contract bug as gram_array, r9 advice)."""
+    from n2kupdate_spark.operators.parallel import fan_out
+
     w = F.split(F.col(text_col), " ")
     n_grams = F.greatest(F.size(w) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(w, 1 + off, n_grams).alias(f"w{off}") for off in range(n)])
     grams = F.array_distinct(
         F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"w{off}"] for off in range(n)]))
     )
-    return df.withColumn("shingles", grams).filter(F.size(w) >= n)
+    # fan_out BEFORE the transform: a one-file scan fuses this heavy HOF
+    # into a single task (r16 stage profile: 1.5 s serialized; identity
+    # at production file counts)
+    return fan_out(df).withColumn("shingles", grams).filter(F.size(w) >= n)
 
 
 def shingle_jaccard_pairs(
@@ -266,8 +271,15 @@ def _bucket_pairs(
     ``max_members`` drops buckets larger than the cap entirely (stop-shingle
     suppression): the pair fan-out of the heaviest bucket is then bounded at
     max_members·(max_members-1)/2 by construction."""
+    from n2kupdate_spark.operators.parallel import full_width
+
+    # full_width: AQE coalesces the index exchange by BYTES, but this
+    # stage's cost is per-bucket pair GENERATION — the few-MB index was
+    # squeezed to 2 tasks (r16 stage profile). The groupBy below reuses
+    # the explicit partitioning: still one exchange, now full width.
     buckets = (
-        exploded.groupBy(*bucket_cols)
+        full_width(exploded, *bucket_cols)
+        .groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(member_col)).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
