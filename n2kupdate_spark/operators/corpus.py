@@ -642,7 +642,7 @@ def langid_hashgram_scores(
     # fan_out: the gram explode is the heavy map — without it a
     # single-file scan runs it on one core (r16, guide §2.6).
     sparse = (
-        fan_out(docs.select(id_col, text_col))
+        fan_out(docs.select(id_col, text_col), id_col)
         .select(id_col, grams.alias("gram"))
         .select(id_col, bucket.alias("bucket"))
         .groupBy(id_col, "bucket")

@@ -145,7 +145,10 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     # fan_out BEFORE the transform: a one-file scan fuses this heavy HOF
     # into a single task (r16 stage profile: 1.5 s serialized; identity
     # at production file counts)
-    return fan_out(df).withColumn("shingles", grams).filter(F.size(w) >= n)
+    # keyed on the non-text columns (the id): keyless round-robin pays a
+    # full-row local sort before the exchange (SPARK-23207)
+    keys = [c for c in df.columns if c != text_col]
+    return fan_out(df, *keys).withColumn("shingles", grams).filter(F.size(w) >= n)
 
 
 def shingle_jaccard_pairs(

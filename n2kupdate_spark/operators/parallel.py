@@ -16,6 +16,7 @@ partition deficit, where the shuffled bytes are small by construction
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def full_width(df: DataFrame, *keys: str) -> DataFrame:
@@ -38,16 +39,26 @@ def full_width(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(nparts, *keys)
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition ``df`` up to the session's core count
-    (or ``min_partitions``) IF its current plan has fewer partitions —
+def fan_out(
+    df: DataFrame, *keys: str, min_partitions: int | None = None
+) -> DataFrame:
+    """Repartition ``df`` up to the session's core count (or
+    ``min_partitions``) IF its current plan has fewer partitions —
     otherwise return it unchanged. Use immediately before a heavy
     narrow map whose input may be a single-file scan; never changes
-    values, only placement (downstream aggregations are
-    placement-independent, and Spark's sort-before-repartition keeps
-    the assignment deterministic under task retry)."""
+    values, only placement.
+
+    Pass ``keys`` (a high-cardinality column — the row id) whenever one
+    exists: hash partitioning is a pure exchange. The keyless fallback
+    is ROUND-ROBIN, which Spark prepends a full-row local SORT to (for
+    deterministic placement under task retry, SPARK-23207) — on wide
+    text rows that sort can cost more than the map being parallelized
+    (r16: the corpus-scorer composite regressed 2× keyless, recovered
+    keyed)."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)
