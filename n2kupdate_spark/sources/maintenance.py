@@ -20,6 +20,7 @@ global order without a final single-partition pass.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,26 +70,60 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int = _Z_BITS) -> Column:
     return z
 
 
+_M32 = 0xFFFFFFFF
+
+
+def _murmur3_long(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashLong (seed 42 — what HashPartitioning
+    applies to a LongType column), in pure python: the value's two
+    32-bit halves are mixed as two 4-byte blocks, then finalized at
+    length 8. Verified bit-identical to ``F.hash(longcol)`` over
+    positive/negative/>2^32 values (tests/test_sources.py)."""
+
+    def rotl(v: int, r: int) -> int:
+        return ((v << r) | (v >> (32 - r))) & _M32
+
+    def mixk1(k1: int) -> int:
+        return (rotl((k1 * 0xCC9E2D51) & _M32, 15) * 0x1B873593) & _M32
+
+    def mixh1(h1: int, k1: int) -> int:
+        return (rotl(h1 ^ k1, 13) * 5 + 0xE6546B64) & _M32
+
+    x &= 0xFFFFFFFFFFFFFFFF
+    h1 = mixh1(seed, mixk1(x & _M32))
+    h1 = mixh1(h1, mixk1(x >> 32))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+@lru_cache(maxsize=64)
+def _perfect_tokens_cached(n: int) -> tuple[int, ...]:
+    found: dict[int, int] = {}
+    x = 0
+    while len(found) < n:
+        p = _murmur3_long(x) % n  # python % is pmod (nonneg) for n > 0
+        if p not in found:
+            found[p] = x
+        x += 1
+    return tuple(found[k] for k in range(n))
+
+
 def _perfect_partition_tokens(spark: SparkSession, n: int) -> list[int]:
     """For each partition slot 0..n-1, the smallest long whose Murmur3
     hash (the same seed-42 hash HashPartitioning uses) lands on it — so
     ``repartition(n, token_col)`` places each token's rows alone in their
-    own partition with zero sampling. One tiny distributed probe query;
-    coupon-collector needs ~n·ln n candidates, so a couple of 16n batches
-    suffice."""
-    found: dict[int, int] = {}
-    base = 0
-    while len(found) < n:
-        rows = (
-            spark.range(base, base + 16 * n)
-            .select("id", F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"))
-            .collect()
-        )
-        for r in rows:
-            if r["p"] not in found:
-                found[r["p"]] = r["id"]
-        base += 16 * n
-    return [found[k] for k in range(n)]
+    own partition with zero sampling. Computed driver-side with the
+    verified pure-python Murmur3 above and memoized per ``n`` — the
+    original ran a distributed probe-and-collect job per compact call
+    (r16: one scheduling round-trip saved per call; same tokens, since
+    both scan candidates in ascending order). ``spark`` stays in the
+    signature for call-site compatibility."""
+    return list(_perfect_tokens_cached(n))
 
 
 def compact_parquet(
@@ -170,7 +205,15 @@ def _compact_write(
         # the input — idempotent re-compaction reproduces the same file
         # boundaries and footer stats every run (asserted in
         # tests/test_sources.py).
-        df = df.withColumn("__z", _zvalue(df, zorder_by))
+        # Materialize the Z-valued frame once (eager): the cut-quantile
+        # pass and the placement+sort+write job would otherwise EACH
+        # rescan the input and re-evaluate the 2^bits-bound bucket HOFs
+        # (r16 decompose: the z write dominated diag_parquet_layout's
+        # build). MEMORY_AND_DISK semantics keep this safe at compaction
+        # scale — it replaces a full recompute, not adds one.
+        df = df.withColumn("__z", _zvalue(df, zorder_by)).localCheckpoint(
+            eager=True
+        )
         if n_files > 1:
             # prob 0.0 rides the same pass: cuts at/below the distribution
             # min (heavy Z-ties) are dropped, and duplicate cuts deduped,

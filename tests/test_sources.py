@@ -1199,3 +1199,27 @@ def test_schema_diff_vs_duckdb_describe(spark):
         for r in schema_diff_report(spark, _EVO_DIR, _EVO_DIR).collect()
     }
     assert set(self_diff.values()) == {"unchanged"}
+
+
+def test_murmur3_long_matches_spark_hash(spark):
+    """The pure-python Murmur3 behind _perfect_partition_tokens must be
+    bit-identical to the JVM hash HashPartitioning applies to longs —
+    positive, negative, and >2^32 values — or perfect-token placement
+    would silently scatter (r16: the distributed probe was replaced by
+    this driver-side computation)."""
+    from n2kupdate_spark.sources.maintenance import (
+        _murmur3_long,
+        _perfect_partition_tokens,
+    )
+
+    vals = list(range(0, 200)) + [-1, -5, -123456789012, 10**12, 2**40 + 7]
+    df = spark.createDataFrame([(v,) for v in vals], "id long").select(
+        "id", F.hash(F.col("id")).alias("h")
+    )
+    for r in df.collect():
+        assert _murmur3_long(r["id"]) == r["h"], r["id"]
+
+    # and the derived tokens land each on its own partition slot
+    for n in (2, 8, 17):
+        toks = _perfect_partition_tokens(spark, n)
+        assert sorted(_murmur3_long(t) % n for t in toks) == list(range(n))
