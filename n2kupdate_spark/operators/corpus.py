@@ -642,7 +642,12 @@ def langid_hashgram_scores(
     # fan_out: the gram explode is the heavy map — without it a
     # single-file scan runs it on one core (r16, guide §2.6).
     sparse = (
-        fan_out(docs.select(id_col, text_col), id_col)
+        # keyless round-robin measured STABLE here (3.3s median converged);
+        # keying this exchange on the id made rep walls swing 10-21s (r16
+        # 10-rep probe — plausibly the doc_id-clustered gram aggregate's
+        # bigger per-task hash maps); the 2-column rows keep the
+        # round-robin pre-sort cheap, so keyless wins at this site
+        fan_out(docs.select(id_col, text_col))
         .select(id_col, grams.alias("gram"))
         .select(id_col, bucket.alias("bucket"))
         .groupBy(id_col, "bucket")
