@@ -1081,12 +1081,14 @@ def connected_components_auto(
     fixpoint (property-tested against union-find in tests/test_graph.py)."""
     sc_conf = nodes.sparkSession.conf
     shuffle_partitions = int(sc_conf.get("spark.sql.shuffle.partitions", "200"))
+    checkpointed = False
     if max_degree_hint is None:
         # Materialize the raw edge list BEFORE probing: edges are usually the
         # output of an expensive pipeline (shingle Jaccard, LSH buckets), and
         # without this the probe job would compute that pipeline once and the
         # chosen variant's symmetrize step would compute it all over again.
         edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
+        checkpointed = True
         deg = (
             edges.select(
                 F.explode(F.array(F.col(src_col), F.col(dst_col))).alias("v")
@@ -1118,6 +1120,21 @@ def connected_components_auto(
     # keeps the probe's measured n_edges authoritative and skips the
     # salted path's 1.4× replication tax for every small skewed graph.)
     if 0 < n_edges <= driver_edge_threshold:
+        if checkpointed:
+            # The driver fast path needs no materialized DISTINCT sym: the
+            # union-find dedupes repeated edges by construction, so collect
+            # the lazy union over the already-checkpointed blocks directly.
+            # This skips the per-variant sym checkpoint AND the driver-gate
+            # count — the old 5-job preamble (raw ckpt, probe, sym ckpt,
+            # gate count, collect) becomes 3 jobs (r16).
+            sym = edges.select(
+                F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+            ).unionByName(
+                edges.select(
+                    F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                )
+            )
+            return _cc_driver_unionfind(nodes, sym, id_col)
         fn = connected_components
     elif _cc_should_salt(max_degree, n_edges, shuffle_partitions):
         fn = connected_components_salted
