@@ -38,6 +38,7 @@ def gopher_metrics(
     min_stop_hits: int = 2,
     max_top_bigram_frac: float = 0.2,
     stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    widen: bool = True,
 ) -> DataFrame:
     """Per-doc Gopher quality metrics + combined ``gopher_pass`` flag:
     word-count bounds, mean word length bounds, distinct-stop-word
@@ -47,6 +48,13 @@ def gopher_metrics(
     partial aggregation — shuffled bytes ∝ per-doc distinct bigrams, not
     corpus tokens. Docs with <2 tokens have no bigrams and are absent.
     Rounding is scale-first (ROUND(x*1e4)/1e4) for cross-engine parity."""
+    # Both the bigram branch and the metrics map are heavy per-doc work
+    # that fuses into the scan; on a one-file table that is ONE task while
+    # 31 cores idle (r16, guide §2.6). Keyed fan_out = pure hash exchange.
+    # ``widen=False`` for mid-pipeline callers (gate_documents): there the
+    # input is not a bare scan and per-branch exchanges measured net-slower.
+    if widen:
+        docs = fan_out(docs, id_col, fraction=0.5)
     toks = F.split(text_col, " ")
     n = F.size(toks)
     n_big = n - 1
@@ -1217,7 +1225,7 @@ def gate_documents(
     Bloom pre-filter then exact verification of the flagged sliver —
     EQUALS the exact gate's output at Bloom-scale broadcast cost)."""
     passing = (
-        gopher_metrics(docs, id_col, text_col, **(gopher_kwargs or {}))
+        gopher_metrics(docs, id_col, text_col, **{"widen": False, **(gopher_kwargs or {})})
         .filter(F.col("gopher_pass") == 1)
         .select(id_col)
     )
@@ -1230,7 +1238,7 @@ def gate_documents(
         passing = passing.join(unblocked, id_col)
     if kn_ppl_max is not None:
         fluent = (
-            kn_perplexity(docs, id_col, text_col)
+            kn_perplexity(docs, id_col, text_col, widen=False)
             .filter(F.col("ppl") <= float(kn_ppl_max))
             .select(id_col)
         )
@@ -2563,6 +2571,7 @@ def kn_perplexity(
     max_bigrams: int = 1 << 20,
     bos: str = "<s>",
     unk: str = "<unk>",
+    widen: bool = True,
 ) -> DataFrame:
     """Interpolated Kneser–Ney bigram LM perplexity per document (Chen &
     Goodman 1999 eq. 4.24; the CCNet/KenLM-class quality scorer the
@@ -2593,6 +2602,12 @@ def kn_perplexity(
     λ(w₁)·P_cont(w₂) via coalesce, so scoring is total. The transition
     stream is deliberately recomputed for the scoring pass (two scans)
     instead of materializing a corpus-sized checkpoint."""
+    # The transition explode runs TWICE (fit + scoring) and the vocab
+    # explode once — all fused into the scan stage, one task on a
+    # one-file table (r16, guide §2.6). Keyed fan_out widens all three;
+    # ``widen=False`` for mid-pipeline callers (gate_documents).
+    if widen:
+        docs = fan_out(docs, id_col, fraction=0.5)
     arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     n = F.size(arr)
     ext = F.concat(F.array(F.lit(bos)), arr)
@@ -2868,6 +2883,9 @@ def fineweb_quality(
     (punct/short fractions weight each distinct line by its count — no
     second scan of the raw text). One id-keyed left join re-admits
     zero-line docs."""
+    # The split/strip/posexplode line map fuses into the scan — one task
+    # on a one-file table (r16, guide §2.6). Keyed fan_out = hash exchange.
+    docs = fan_out(docs, id_col, fraction=0.5)
     lines = F.filter(
         F.transform(
             F.split(F.col(text_col), "\r?\n"),
@@ -2969,8 +2987,9 @@ def readability_scores(
     engine given the same double (negatives round toward +inf;
     documented convention). Zero-word docs emit NULL scores (nothing
     to read). Pure JVM map — two regexp_count passes + one token-array
-    filter, no shuffle, no Python; rows inherit the scan's
-    partitioning."""
+    filter, no Python; fan_out widens the map off a one-file scan
+    (r16, guide §2.6) and is the identity at production file counts."""
+    docs = fan_out(docs, id_col, fraction=0.5)
     low = F.lower(F.col(text_col))
     # \s+ split, not single-space: a newline- or tab-separated word pair
     # must not merge into one pseudo-word (it would deflate n_words while

@@ -40,7 +40,10 @@ def full_width(df: DataFrame, *keys: str) -> DataFrame:
 
 
 def fan_out(
-    df: DataFrame, *keys: str, min_partitions: int | None = None
+    df: DataFrame,
+    *keys: str,
+    min_partitions: int | None = None,
+    fraction: float = 1.0,
 ) -> DataFrame:
     """Repartition ``df`` up to the session's core count (or
     ``min_partitions``) IF its current plan has fewer partitions —
@@ -54,9 +57,18 @@ def fan_out(
     deterministic placement under task retry, SPARK-23207) — on wide
     text rows that sort can cost more than the map being parallelized
     (r16: the corpus-scorer composite regressed 2× keyless, recovered
-    keyed)."""
+    keyed).
+
+    ``fraction`` scales the target below the core count (still
+    cluster-relative, never an absolute constant): each task pays a
+    fixed CPU cost (codegen/shuffle-reader setup, broadcast
+    deserialization), so a moderately heavy map over a small table is
+    fastest well below full width — the r16 quality-scorer sweep
+    measured 1-task 1.5 s / 8-16 tasks 0.7 s / 32 tasks 1.2 s for the
+    same stage. Use 0.5 for such mid-weight maps; leave 1.0 for heavy
+    ones (gram explodes)."""
     sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
+    target = min_partitions or max(2, int(sc.defaultParallelism * fraction))
     if df.rdd.getNumPartitions() >= target:
         return df
     if keys:

@@ -529,19 +529,36 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: four id-keyed joins of per-doc scorer outputs (each scorer's
     plan already audited in PLANS.md) + ONE #sources-row partial-agged
     rollup — the overlay itself never shuffles more than the per-doc
-    metric rows."""
-    from n2kupdate_spark.queries.text import (
-        text_perplexity_kn,
-        text_quality_fineweb,
-        text_quality_gopher,
-        text_readability,
+    metric rows. The four scorers consume ONE shared fanned-out text
+    frame (operators/parallel.py): calling the registered query fns
+    here would give each branch its own repartition subtree (the
+    decorated branches canonicalize differently, so Catalyst cannot
+    reuse the exchanges) — measured +1.5 s at sf0.1 (r16). The per-doc
+    decorations are applied AFTER the shared exchange, so each scorer
+    sees byte-identical input to its registered twin."""
+    from n2kupdate_spark.operators.corpus import (
+        fineweb_quality,
+        gopher_metrics,
+        kn_perplexity,
+        readability_scores,
     )
+    from n2kupdate_spark.operators.parallel import fan_out
+    from n2kupdate_spark.queries.text import _fineweb_lines, _readability_text
 
     base = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
-    gop = text_quality_gopher(spark, sf_dir).select("doc_id", "gopher_pass")
-    fw = text_quality_fineweb(spark, sf_dir).select("doc_id", "fineweb_pass")
-    rd = text_readability(spark, sf_dir).select("doc_id", "flesch_ease")
-    kn = text_perplexity_kn(spark, sf_dir).select("doc_id", "ppl")
+    d = fan_out(
+        load(spark, sf_dir, "documents", columns=["doc_id", "text"]),
+        "doc_id",
+        fraction=0.5,
+    )
+    gop = gopher_metrics(d).select("doc_id", "gopher_pass")
+    fw = fineweb_quality(
+        d.select("doc_id", _fineweb_lines().alias("text"))
+    ).select("doc_id", "fineweb_pass")
+    rd = readability_scores(
+        d.select("doc_id", _readability_text().alias("text"))
+    ).select("doc_id", "flesch_ease")
+    kn = kn_perplexity(d).select("doc_id", "ppl")
     joined = (
         base.join(gop, "doc_id", "left")
         .join(fw, "doc_id", "left")
