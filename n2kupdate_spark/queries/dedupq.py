@@ -52,7 +52,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     follows shingle collisions, never n². Pair generation happens inside
     per-shingle buckets (operators/dedup.py::shingle_jaccard_pairs), not by
     self-joining the exploded index."""
-    sh = word_shingles(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    # hashed shingles: the pair generator only buckets and counts grams,
+    # so the long-hash form skips building every gram string (r16)
+    sh = word_shingles(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), hashed=True
+    )
     return shingle_jaccard_pairs(sh, "doc_id", threshold=0.1)
 
 
@@ -88,7 +92,9 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     which Jaccard structurally misses (a fully-contained small doc scores
     containment 1.0 but Jaccard ~|A|/|B|). Same inverted-index plan as
     ``dedup_ngram_jaccard``: cost follows shingle collisions, never n²."""
-    sh = word_shingles(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = word_shingles(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), hashed=True
+    )
     from n2kupdate_spark.operators.dedup import shingle_containment_pairs
 
     return shingle_containment_pairs(sh, "doc_id", threshold=0.2)
@@ -279,7 +285,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the scan+fingerprint window once
         .localCheckpoint(eager=True)
     )
-    sh = word_shingles(exact.select("doc_id", "text"))
+    sh = word_shingles(exact.select("doc_id", "text"), hashed=True)
     edges = shingle_jaccard_pairs(sh, "doc_id", threshold=0.2).select("id1", "id2")
     clusters = connected_components(
         exact.select("doc_id"), edges, id_col="doc_id"

@@ -345,3 +345,31 @@ def test_cross_cosine_by_group_exact_vs_numpy(spark, block_rows):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
     assert want, "fixture must produce true cross pairs"
+
+
+def test_hashed_shingles_equal_string_shingles(spark, sf_dir):
+    """word_shingles(hashed=True) must be invisible to the pair
+    generators: per-doc distinct counts match the string form, and the
+    exact-Jaccard pair set (ids + 4dp values) is identical — the long
+    hash is a pure re-encoding of the gram for consumers that only
+    bucket and count (r16 optimization)."""
+    from n2kupdate_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh_s = word_shingles(docs, "text")
+    sh_h = word_shingles(docs, "text", hashed=True)
+
+    counts_s = {r["doc_id"]: r["n"] for r in
+                sh_s.select("doc_id", F.size("shingles").alias("n")).collect()}
+    counts_h = {r["doc_id"]: r["n"] for r in
+                sh_h.select("doc_id", F.size("shingles").alias("n")).collect()}
+    assert counts_h == counts_s
+
+    pairs_s = {(r["id1"], r["id2"], r["jaccard"]) for r in
+               shingle_jaccard_pairs(sh_s, "doc_id", threshold=0.1).collect()}
+    pairs_h = {(r["id1"], r["id2"], r["jaccard"]) for r in
+               shingle_jaccard_pairs(sh_h, "doc_id", threshold=0.1).collect()}
+    assert pairs_h == pairs_s
