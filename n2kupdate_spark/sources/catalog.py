@@ -145,6 +145,37 @@ def validate_schema(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+#: (app id, sf_dir, name) → (freshness token, {columns-tuple|None: DataFrame}).
+#: A LOGICAL PLAN cache, not a data cache: the stored DataFrame is lazy —
+#: every action against it still scans the parquet files — but re-serving
+#: the resolved plan skips per-call schema inference + file resolution,
+#: which measured 80–113 ms per load() (probe_r16_fixed_costs.py) and is
+#: paid inside every timed query build (~300 load() calls per bench run).
+#: Keyed by the source files' (mtime, size) so a regenerated fixture gets a
+#: fresh resolution; non-stat-able (non-local) paths are never cached.
+_PLAN_CACHE: dict[tuple[str, str, str], tuple[tuple, dict]] = {}
+
+
+def _stat_token(path: str) -> tuple | None:
+    """Local-FS freshness token for ``path`` (file or one-level dir):
+    (name, mtime_ns, size) per entry. None when the path cannot be
+    stat-ed locally (remote FS) — callers then skip the plan cache."""
+    import os
+
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return ((path, st.st_mtime_ns, st.st_size),)
+        out = []
+        with os.scandir(path) as it:
+            for e in it:
+                s = e.stat()
+                out.append((e.name, s.st_mtime_ns, s.st_size))
+        return tuple(sorted(out))
+    except OSError:
+        return None
+
+
 def load(
     spark: SparkSession,
     sf_dir: str,
@@ -167,7 +198,24 @@ def load(
         if columns:
             df = df.select(*columns)
         return df
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    sc = spark.sparkContext
+    app = getattr(sc, "_n2k_app_id", None)
+    if app is None:
+        app = sc.applicationId
+        sc._n2k_app_id = app
+    token = _stat_token(path)
+    key = (app, sf_dir, name)
+    ckey = tuple(columns) if columns else None
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None and token is not None and cached[0] == token:
+        variants = cached[1]
+        df = variants.get(ckey)
+        if df is None:  # projected variant not built yet: derive + memo
+            df = variants[None].select(*columns)
+            variants[ckey] = df
+        return df
+    df = spark.read.parquet(path)
     # Parquet TIMESTAMP(NANOS) arrives as a nanosecond long (see session.py
     # RUNTIME_CONFS); convert to a microsecond TimestampType. Truncation to
     # µs is lossless here (testdata carries zero sub-µs digits) and oracle-
@@ -177,6 +225,15 @@ def load(
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if validate:
         validate_schema(df, name)
+    if token is not None and validate:
+        _PLAN_CACHE[key] = (token, {None: df})
+        if len(_PLAN_CACHE) > 256:  # bound: (sessions × sf_dirs × 10 tables)
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        if columns:
+            proj = df.select(*columns)
+            _PLAN_CACHE[key][1][ckey] = proj
+            return proj
+        return df
     if columns:
         df = df.select(*columns)
     return df

@@ -1223,3 +1223,38 @@ def test_murmur3_long_matches_spark_hash(spark):
     for n in (2, 8, 17):
         toks = _perfect_partition_tokens(spark, n)
         assert sorted(_murmur3_long(t) % n for t in toks) == list(range(n))
+
+
+def test_load_plan_cache_hits_and_invalidates(spark, sf_dir, tmp_path):
+    """The load() logical-plan cache (r16): repeat loads serve the SAME
+    resolved plan (no re-inference), projected variants match a fresh
+    read, and regenerating the source parquet invalidates the entry —
+    the cached plan must never survive a fixture rewrite."""
+    import shutil
+    import os
+
+    from n2kupdate_spark.sources import load
+    from n2kupdate_spark.sources.catalog import _PLAN_CACHE
+
+    d1 = load(spark, sf_dir, "documents")
+    d2 = load(spark, sf_dir, "documents")
+    assert d1 is d2  # cache hit: identical plan object
+    proj = load(spark, sf_dir, "documents", columns=["doc_id"])
+    assert proj.columns == ["doc_id"]
+    assert proj.count() == d1.count()
+
+    # copy the fixture into a writable dir, load, then REGENERATE with
+    # fewer rows: the next load must see the new contents, not the plan
+    # cached against the old files
+    wdir = str(tmp_path / "sfcopy")
+    os.makedirs(wdir)
+    for t in ("documents",):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{wdir}/{t}.parquet")
+    n_before = load(spark, wdir, "documents").count()
+    half = load(spark, sf_dir, "documents").limit(max(1, n_before // 2))
+    half.write.mode("overwrite").parquet(str(tmp_path / "half.parquet"))
+    os.remove(f"{wdir}/documents.parquet")
+    shutil.copytree(str(tmp_path / "half.parquet"), f"{wdir}/documents.parquet")
+    n_after = load(spark, wdir, "documents").count()
+    assert n_after == max(1, n_before // 2)
+    assert any(k[1] == wdir for k in _PLAN_CACHE)
