@@ -206,7 +206,17 @@ def shingle_jaccard_pairs(
         F.col("m1.n").alias("n1"),
         F.col("m2.n").alias("n2"),
     )
-    cand = pairs.groupBy("id1", "id2", "n1", "n2").agg(F.count(F.lit(1)).alias("inter"))
+    # full_width: the collision-pair aggregate is the pipeline's biggest
+    # CPU stage (~0.8 s/task at 16 AQE-coalesced tasks in the r16 stage
+    # profile — byte-floored again); the groupBy reuses the explicit
+    # partitioning, so still ONE exchange, now at full width.
+    from n2kupdate_spark.operators.parallel import full_width
+
+    cand = (
+        full_width(pairs, "id1", "id2", "n1", "n2")
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     jac = F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4)
     return (
         cand.select("id1", "id2", jac.alias("jaccard"))
@@ -235,7 +245,15 @@ def shingle_containment_pairs(
         F.col("m1.n").alias("n1"),
         F.col("m2.n").alias("n2"),
     )
-    cand = pairs.groupBy("id1", "id2", "n1", "n2").agg(F.count(F.lit(1)).alias("inter"))
+    # full_width: same byte-floored collision aggregate as the Jaccard
+    # twin (see shingle_jaccard_pairs) — one exchange, full width.
+    from n2kupdate_spark.operators.parallel import full_width
+
+    cand = (
+        full_width(pairs, "id1", "id2", "n1", "n2")
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     cont = F.round(F.col("inter") / F.least("n1", "n2"), 4)
     return (
         cand.select("id1", "id2", cont.alias("containment"))
@@ -1227,7 +1245,14 @@ def shingle_jaccard_pairs_capped(
             F.slice("ms", F.col("i") + 2, F.size("ms") - F.col("i") - 1)
         ).alias("id2"),
     )
-    cand = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter"))
+    from n2kupdate_spark.operators.parallel import full_width
+
+    # full_width: byte-floored collision aggregate (see shingle_jaccard_pairs)
+    cand = (
+        full_width(pairs, "id1", "id2")
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     n1 = n_df.select(F.col(id_col).alias("id1"), F.col("n").alias("n1"))
     n2 = n_df.select(F.col(id_col).alias("id2"), F.col("n").alias("n2"))
     jac = F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4)
