@@ -211,7 +211,16 @@ def _compact_write(
         # (r16 decompose: the z write dominated diag_parquet_layout's
         # build). MEMORY_AND_DISK semantics keep this safe at compaction
         # scale — it replaces a full recompute, not adds one.
-        df = df.withColumn("__z", _zvalue(df, zorder_by)).localCheckpoint(
+        # fan_out BEFORE the Z map: on a single-file input the 255-
+        # boundary bucket HOF ran on ONE task (1.3 s at sf0.1 — r16
+        # stage profile); the exchange sits below the map, so the
+        # checkpoint evaluates it at width. _zvalue's own equi-depth
+        # quantile pass still runs over the UNEXCHANGED input, keeping
+        # its sketch — and so the bucket bounds — byte-identical.
+        from n2kupdate_spark.operators.parallel import fan_out
+
+        wide = fan_out(df, *zorder_by)
+        df = wide.withColumn("__z", _zvalue(df, zorder_by)).localCheckpoint(
             eager=True
         )
         if n_files > 1:
@@ -847,7 +856,12 @@ def parquet_layout_report(
         f = it.next().getPath().toString()
         if f.endswith(".parquet"):
             files.append(f)
+    # coalesce to the file count: createDataFrame slices a local list into
+    # defaultParallelism partitions, so an 8-file report dispatched 32
+    # Arrow/Python tasks — 24 of them empty worker round-trips (r16)
     fdf = spark.createDataFrame([(f,) for f in sorted(files)], "path string")
+    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    fdf = fdf.coalesce(n_slices)
     want = set(columns)
 
     def _footers(batches):
