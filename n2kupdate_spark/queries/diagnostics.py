@@ -361,26 +361,51 @@ def diag_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (PLANS.md); the Venn itself is one union + one id-keyed
     flag aggregate + a ≤7-group count — costs are the three upstream
     dedups, the overlay adds two small shuffles."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from n2kupdate_spark.queries.ann import dedup_semantic_clusters
     from n2kupdate_spark.queries.dedupq import dedup_cc_clusters
     from n2kupdate_spark.queries.text import dedup_text_exact
     from pyspark.sql import Window
 
-    fp = dedup_text_exact(spark, sf_dir)
-    w = Window.partitionBy("fp")
-    exact_drops = (
-        fp.withColumn("__keep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") != F.col("__keep"))
-        .select("doc_id", F.lit("exact").alias("m"))
-    )
-    near_drops = (
-        dedup_cc_clusters(spark, sf_dir)
-        .filter(F.col("doc_id") != F.col("cluster_id"))
-        .select("doc_id", F.lit("near").alias("m"))
-    )
-    sem_drops = dedup_semantic_clusters(spark, sf_dir).select(
-        F.col("drop_id").alias("doc_id"), F.lit("semantic").alias("m")
-    )
+    # The three drop-set pipelines are INDEPENDENT, but each runs eager
+    # driver-orchestrated work while it builds (the CC probe/collect, the
+    # semantic centroid + pair fits) — built sequentially, their driver
+    # phases serialize on an idle cluster (guide §2.6 "overlap
+    # independent jobs"). Build each branch in its own driver thread and
+    # materialize its (tiny, ≤#docs-row) drop set with an eager
+    # localCheckpoint; the Venn overlay then composes the materialized
+    # frames. Same rows per branch (A/B hash-pinned) — only the job
+    # SCHEDULE changes: branch walls overlap instead of adding.
+    def _exact():
+        fp = dedup_text_exact(spark, sf_dir)
+        w = Window.partitionBy("fp")
+        return (
+            fp.withColumn("__keep", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") != F.col("__keep"))
+            .select("doc_id", F.lit("exact").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _near():
+        return (
+            dedup_cc_clusters(spark, sf_dir)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id", F.lit("near").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _sem():
+        return (
+            dedup_semantic_clusters(spark, sf_dir)
+            .select(F.col("drop_id").alias("doc_id"), F.lit("semantic").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        exact_drops, near_drops, sem_drops = pool.map(
+            lambda f: f(), (_exact, _near, _sem)
+        )
     tagged = exact_drops.unionByName(near_drops).unionByName(sem_drops)
     flags = tagged.groupBy("doc_id").agg(
         F.max(F.col("m") == "exact").alias("exact"),
