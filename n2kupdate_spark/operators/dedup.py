@@ -2312,7 +2312,35 @@ def modularity_score(
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     )
-    m = e.count()
+    deg = (
+        e.select(F.col("__s").alias("__n"))
+        .unionAll(e.select(F.col("__d").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    # ONE gate job serves both preconditions (was two sequential driver
+    # jobs — r16): Σdeg = 2m gives the edge count, and the same
+    # deg⋈labels pass counts unlabeled endpoints. Q is only Newman
+    # modularity if every edge endpoint is labeled — an unlabeled
+    # endpoint would keep its edge in m while its intra/degree mass
+    # silently vanished from all communities (review r15).
+    gate = (
+        # distinct: a caller-side duplicate label row must not fan out the
+        # join and inflate Σdeg (labels are unique per node from LPA/CC,
+        # but the operator API doesn't require it)
+        deg.join(
+            lab.select("__n").distinct().select("__n", F.lit(1).alias("__has")),
+            "__n",
+            "left",
+        )
+        .agg(
+            F.coalesce(F.sum("__deg"), F.lit(0)).alias("__deg2"),
+            F.count_if(F.col("__has").isNull()).alias("__unlabeled"),
+        )
+        .first()
+    )
+    m = int(gate["__deg2"]) // 2
+    unlabeled = int(gate["__unlabeled"])
     if m == 0:
         # no edges: Q is undefined (0/0) — emit the empty frame rather
         # than invent a number
@@ -2321,18 +2349,6 @@ def modularity_score(
             f"{label_col} {labels.schema[label_col].dataType.simpleString()}, "
             "n_nodes long, intra_edges long, degree_sum long, q_contrib double",
         )
-    deg = (
-        e.select(F.col("__s").alias("__n"))
-        .unionAll(e.select(F.col("__d").alias("__n")))
-        .groupBy("__n")
-        .agg(F.count(F.lit(1)).alias("__deg"))
-    )
-    # Q is only Newman modularity if every edge endpoint is labeled —
-    # an unlabeled endpoint would keep its edge in m while its
-    # intra/degree mass silently vanished from all communities
-    # (review r15). The check is one #nodes-sized anti-join count,
-    # acceptable for an acceptance-gate diagnostic.
-    unlabeled = deg.join(lab, "__n", "left_anti").count()
     if unlabeled:
         raise ValueError(
             f"modularity_score: {unlabeled} edge endpoint(s) missing from "
