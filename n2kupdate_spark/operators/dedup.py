@@ -2627,6 +2627,11 @@ def hits_scores(
             .groupBy("__d")
             .agg(F.sum(F.col("__w") * F.col("__h")).alias("__a"))
         )
+        # NOTE (r16 negative result): checkpointing every SECOND
+        # double-step instead halves the job count but measured ~0.5 s
+        # SLOWER at sf0.1 in both A/B orders — the fused jobs' deeper
+        # broadcast-chain plans cost more in planning/codegen than the
+        # saved round-trips. Per-iteration checkpoint stays.
         h = _iter_ckpt(
             e.join(F.broadcast(a) if bc_a else a, "__d")
             .groupBy("__s")
@@ -2634,8 +2639,21 @@ def hits_scores(
             checkpoint_mode,
         )
     a = _iter_ckpt(a, checkpoint_mode)
-    hn = h.agg(F.sqrt(F.sum(F.col("__h") * F.col("__h")))).collect()[0][0]
-    an = a.agg(F.sqrt(F.sum(F.col("__a") * F.col("__a")))).collect()[0][0]
+    # ONE job serves both norms (was two sequential collects): the
+    # checkpointed sides union into a 2-row aggregate; sqrt applied
+    # driver-side (IEEE sqrt — bit-identical to F.sqrt on the same sum)
+    import math
+
+    norm_rows = (
+        h.select(F.lit("h").alias("side"), F.col("__h").alias("v"))
+        .unionByName(a.select(F.lit("a").alias("side"), F.col("__a").alias("v")))
+        .groupBy("side")
+        .agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+        .collect()
+    )
+    n2 = {r["side"]: r["n2"] for r in norm_rows}
+    hn = math.sqrt(n2["h"]) if n2.get("h") is not None else None
+    an = math.sqrt(n2["a"]) if n2.get("a") is not None else None
     r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6 + 0.0  # noqa: E731
     hub = h.select(
         F.lit("hub").alias("side"),
