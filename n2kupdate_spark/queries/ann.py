@@ -156,13 +156,28 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_hit") / F.sum("n_true"), 4).alias("recall_at_10"),
             F.count(F.lit(1)).alias("n_queries"),
         )
-    return (
-        recall_of("lsh", sim_ann_lsh(spark, sf_dir))
-        .unionByName(recall_of("ivf", sim_ann_ivf(spark, sf_dir)))
-        .unionByName(recall_of("pq", sim_ann_pq(spark, sf_dir)))
-        .unionByName(recall_of("ivfpq", sim_ann_ivfpq(spark, sf_dir)))
-        .unionByName(recall_of("jl", sim_ann_jl(spark, sf_dir)))
+    # Build the five ANN variants in a driver thread pool: each build runs
+    # eager bounded fits (centroids, sub-codebooks) whose driver phases
+    # otherwise serialize on an idle cluster (guide §2.6 — the
+    # diag_dedup_overlap pattern). Deterministic: each variant's fits are
+    # seeded and independent; only the job schedule changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = (
+        ("lsh", sim_ann_lsh),
+        ("ivf", sim_ann_ivf),
+        ("pq", sim_ann_pq),
+        ("ivfpq", sim_ann_ivfpq),
+        ("jl", sim_ann_jl),
     )
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        anns = list(
+            pool.map(lambda nb: (nb[0], nb[1](spark, sf_dir)), builders)
+        )
+    out = recall_of(*anns[0])
+    for name, ann in anns[1:]:
+        out = out.unionByName(recall_of(name, ann))
+    return out
 
 
 @register("embed_kmeans_clusters")  # rows-only: iterative, engine-specific
