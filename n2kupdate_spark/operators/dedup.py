@@ -1705,10 +1705,18 @@ def duplicate_spans(
     (tests/test_dedup_spans.py)."""
     from pyspark.sql import Window
 
+    from n2kupdate_spark.operators.parallel import fan_out
+
     w = F.split(F.col(text_col), " ")
     grams = gram_array(text_col, k)
+    # fan_out: the positioned-window explode is evaluated TWICE (the dup
+    # count and the mark-back join re-derive `pos` — deliberately, to
+    # avoid a corpus-sized checkpoint), and a one-file scan fused BOTH
+    # evaluations into single tasks (2.3 s + 0.9 s serialized at sf0.1 —
+    # r16 stage profile). Identity at production file counts.
     pos = (
-        docs.filter(F.size(w) >= k)
+        fan_out(docs, id_col)
+        .filter(F.size(w) >= k)
         .select(
             id_col,
             F.size(w).alias("n_tokens"),
