@@ -94,6 +94,36 @@ def _iter_ckpt(df: DataFrame, mode: str) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _local_mapping_df(spark, rows, schema) -> DataFrame:
+    """Driver-built mapping frame for the graph fast paths (bounded by
+    the driver-edge gate). The classic ``createDataFrame(list)`` pickles
+    rows into a defaultParallelism-sliced RDD — 32 Python-worker tasks
+    per frame, ~0.2–0.5 s of dispatch for a few thousand rows (r16 stage
+    profile). When Arrow is enabled (our sessions set it; ``tune`` does
+    not force it on foreign sessions because Arrow changes toPandas
+    semantics), route through ONE pandas→Arrow batch instead: a
+    LocalRelation, zero tasks. Values here are None-free primitive
+    tuples (ids + numerics) — anything else falls back to the classic
+    path, same rows either way."""
+    rows = list(rows)
+    try:
+        arrow_on = str(
+            spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+        ).lower() == "true"
+        if arrow_on and rows and not any(
+            v is None for t in rows for v in t
+        ):
+            import pandas as pd
+
+            pdf = pd.DataFrame.from_records(
+                rows, columns=[f.name for f in schema.fields]
+            )
+            return spark.createDataFrame(pdf, schema)
+    except Exception:
+        pass
+    return spark.createDataFrame(rows, schema)
+
+
 def _hash_params(k: int = MINHASH_K, seed: int = 42) -> list[tuple[int, int]]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE_P - 1, size=k, dtype=np.int64)
@@ -518,8 +548,8 @@ def _cc_driver_unionfind(
     schema = T.StructType(
         [T.StructField("node", dtype), T.StructField("__cc_label", dtype)]
     )
-    mapping = nodes.sparkSession.createDataFrame(
-        [(v, find(v)) for v in sorted(verts)], schema
+    mapping = _local_mapping_df(
+        nodes.sparkSession, [(v, find(v)) for v in sorted(verts)], schema
     )
     return (
         nodes.select(F.col(id_col).alias("node"))
@@ -820,9 +850,7 @@ def _pagerank_driver(
             T.StructField("__r", T.DoubleType()),
         ]
     )
-    mapping = nodes.sparkSession.createDataFrame(
-        sorted(rank.items()), schema
-    )
+    mapping = _local_mapping_df(nodes.sparkSession, sorted(rank.items()), schema)
     return base.join(F.broadcast(mapping), "__node", "left").select(
         F.col("__node").alias(id_col),
         (
@@ -1929,7 +1957,7 @@ def _lpa_driver(
     schema = T.StructType(
         [T.StructField("__node", dtype), T.StructField("__lab", dtype)]
     )
-    mapping = nodes.sparkSession.createDataFrame(sorted(labels.items()), schema)
+    mapping = _local_mapping_df(nodes.sparkSession, sorted(labels.items()), schema)
     return base.join(F.broadcast(mapping), "__node", "left").select(
         F.col("__node").alias(id_col),
         F.coalesce(F.col("__lab"), F.col("__node")).alias("community"),
@@ -2075,8 +2103,8 @@ def _k_core_driver(
     schema = T.StructType(
         [T.StructField("__node", dtype), T.StructField("__k", T.LongType())]
     )
-    mapping = nodes.sparkSession.createDataFrame(
-        sorted((v, core[v]) for v in member), schema
+    mapping = _local_mapping_df(
+        nodes.sparkSession, sorted((v, core[v]) for v in member), schema
     )
     return base.join(F.broadcast(mapping), "__node", "left").select(
         F.col("__node").alias(id_col),
@@ -2201,7 +2229,7 @@ def _bfs_driver(
     schema = T.StructType(
         [T.StructField("__node", dtype), T.StructField("__d", T.LongType())]
     )
-    mapping = nodes.sparkSession.createDataFrame(sorted(dist.items()), schema)
+    mapping = _local_mapping_df(nodes.sparkSession, sorted(dist.items()), schema)
     return nodes.select(F.col(id_col).alias("__node")).join(
         F.broadcast(mapping), "__node", "left"
     ).select(F.col("__node").alias(id_col), F.col("__d").alias("hop"))
@@ -2535,7 +2563,7 @@ def _hits_driver(spark, rows, src_dtype, dst_dtype, iters):
     out = [("hub", s, r6(float(h[si[s]]))) for s in srcs] + [
         ("authority", d, r6(float(a[di[d]]))) for d in dsts
     ]
-    return spark.createDataFrame(out, schema)
+    return _local_mapping_df(spark, out, schema)
 
 
 def hits_scores(
