@@ -104,24 +104,12 @@ def _local_mapping_df(spark, rows, schema) -> DataFrame:
     semantics), route through ONE pandas→Arrow batch instead: a
     LocalRelation, zero tasks. Values here are None-free primitive
     tuples (ids + numerics) — anything else falls back to the classic
-    path, same rows either way."""
-    rows = list(rows)
-    try:
-        arrow_on = str(
-            spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
-        ).lower() == "true"
-        if arrow_on and rows and not any(
-            v is None for t in rows for v in t
-        ):
-            import pandas as pd
+    path, same rows either way. Thin alias of the shared
+    operators/parallel.py::local_frame (kept for the six fast-path call
+    sites' readability)."""
+    from n2kupdate_spark.operators.parallel import local_frame
 
-            pdf = pd.DataFrame.from_records(
-                rows, columns=[f.name for f in schema.fields]
-            )
-            return spark.createDataFrame(pdf, schema)
-    except Exception:
-        pass
-    return spark.createDataFrame(rows, schema)
+    return local_frame(spark, rows, schema)
 
 
 def _hash_params(k: int = MINHASH_K, seed: int = 42) -> list[tuple[int, int]]:

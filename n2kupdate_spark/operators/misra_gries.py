@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from n2kupdate_spark.operators.parallel import local_frame as _local_frame
 
 #: item value used for the decrement-ledger rows (never a real item —
 #: callers pass non-null item columns; nulls are filtered first).
@@ -98,7 +99,7 @@ def mg_heavy_hitters(
     ledger = sum(int(r["cnt"]) for r in merged if r["item"] is None)
     pairs = [(r["item"], int(r["cnt"])) for r in merged if r["item"] is not None]
     if not pairs:
-        return df.sparkSession.createDataFrame(
+        return _local_frame(df.sparkSession, 
             [], f"item {itype}, est_lo long, err_bound long"
         )
     items = np.array([p[0] for p in pairs], dtype=object)
@@ -111,6 +112,6 @@ def mg_heavy_hitters(
          int(counts[i]), int(ledger))
         for i in order
     ]
-    return df.sparkSession.createDataFrame(
+    return _local_frame(df.sparkSession, 
         rows, f"item {itype}, est_lo long, err_bound long"
     )

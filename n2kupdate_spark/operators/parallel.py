@@ -74,3 +74,39 @@ def fan_out(
     if keys:
         return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)
+
+
+def local_frame(spark, rows, schema) -> DataFrame:
+    """Driver-built small frame (bounded rows: fit outputs, mapping
+    tables, report rows). The classic ``createDataFrame(list)`` pickles
+    rows into a defaultParallelism-sliced RDD — 32 Python-worker tasks
+    and ~0.2–0.5 s of dispatch per frame at local[32] (r16 stage
+    profiles). When the session has Arrow enabled (ours do; foreign
+    sessions are left untouched because Arrow changes toPandas
+    semantics), route None-free rows through ONE pandas→Arrow batch
+    instead: a LocalRelation, zero tasks. Any other shape falls back to
+    the classic path — same rows either way (A/B hash-pinned at the
+    call sites)."""
+    rows = list(rows)
+    try:
+        arrow_on = str(
+            spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+        ).lower() == "true"
+        if arrow_on and rows and not any(
+            v is None for t in rows for v in t
+        ):
+            import pandas as pd
+
+            if isinstance(schema, str):
+                from pyspark.sql.types import _parse_datatype_string
+
+                names = [f.name for f in _parse_datatype_string(schema).fields]
+            elif isinstance(schema, (list, tuple)):
+                names = list(schema)
+            else:
+                names = [f.name for f in schema.fields]
+            pdf = pd.DataFrame.from_records(rows, columns=names)
+            return spark.createDataFrame(pdf, schema)
+    except Exception:
+        pass
+    return spark.createDataFrame(rows, schema)

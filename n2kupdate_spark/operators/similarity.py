@@ -28,6 +28,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from n2kupdate_spark.operators.parallel import local_frame as _local_frame
 
 from n2kupdate_spark.functions import cosine
 
@@ -564,7 +565,7 @@ def pq_topk(
         .filter(F.col("__rn") <= shortlist)
         .select(id_col, "q_i")
     )
-    q_map = vectors.sparkSession.createDataFrame(
+    q_map = _local_frame(vectors.sparkSession, 
         [(int(i), q_ids[i].item() if hasattr(q_ids[i], "item") else q_ids[i],
           [float(x) for x in Q[i]]) for i in range(len(Q))],
         ["q_i", "q_id", "qv"],
@@ -717,7 +718,7 @@ def ivfpq_topk(
         .filter(F.col("__rn") <= shortlist)
         .select(id_col, "q_i")
     )
-    q_map = vectors.sparkSession.createDataFrame(
+    q_map = _local_frame(vectors.sparkSession, 
         [(int(i), q_ids[i].item() if hasattr(q_ids[i], "item") else q_ids[i],
           [float(x) for x in Q[i]]) for i in range(len(Q))],
         ["q_i", "q_id", "qv"],

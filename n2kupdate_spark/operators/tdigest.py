@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from n2kupdate_spark.operators.parallel import local_frame as _local_frame
 
 from n2kupdate_spark.operators.parallel import full_width
 
@@ -194,6 +195,6 @@ def tdigest_quantiles_by_group(
         + tuple(_q4(gm, gw, q) for q in quantiles)
     )
     qcols = ", ".join(f"p{int(round(q * 100))} double" for q in quantiles)
-    return df.sparkSession.createDataFrame(
+    return _local_frame(df.sparkSession, 
         rows, f"{group_col} string, n long, {qcols}"
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from n2kupdate_spark.operators.parallel import local_frame as _local_frame
 
 from n2kupdate_spark.queries._registry import register
 from n2kupdate_spark.sources import load
@@ -153,7 +154,7 @@ def diag_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
     old = learn_bpe_merges(d.filter(F.col("doc_id") < mid), num_merges=150)
     new = learn_bpe_merges(d, num_merges=150)
-    return spark.createDataFrame(
+    return _local_frame(spark,
         vocab_drift(old, new),
         schema="merged string, rank_old int, rank_new int, status string",
     )
@@ -250,7 +251,7 @@ def diag_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(int(agg["c"]) / int(agg["t"]) * 10000) / 10000,
             )
         )
-    return spark.createDataFrame(
+    return _local_frame(spark,
         rows,
         schema="family string, vocab_size int, total_tokens long, "
         "chars_per_token double",
