@@ -18,6 +18,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: (app id, analyzed-plan semantic hash) → physical partition count.
+#: ``df.rdd.getNumPartitions()`` forces logical→physical→RDD conversion on
+#: the driver per call — the same plan-construction cost class the r16
+#: load() cache removed (r16 verdict "What's wrong" #4). The semantic hash
+#:  only re-uses the already-analyzed plan, so repeat probes of the same
+#: frame (3 bench reps, repeated helper calls per query build) are a dict
+#: hit. The cached value is a WIDTH DECISION, never data: a stale or
+#: hash-colliding entry could only mis-size a repartition, not change rows.
+_NPART_MEMO: dict[tuple[str, int], int] = {}
+
+
+def _plan_partitions(df: DataFrame) -> int:
+    """Physical partition count of ``df``, memoized per analyzed plan."""
+    sc = df.sparkSession.sparkContext
+    app = getattr(sc, "_n2k_app_id", None)
+    if app is None:
+        app = sc.applicationId
+        sc._n2k_app_id = app
+    try:
+        key = (app, df.semanticHash())
+    except Exception:
+        return df.rdd.getNumPartitions()
+    n = _NPART_MEMO.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_NPART_MEMO) > 4096:
+            _NPART_MEMO.clear()
+        _NPART_MEMO[key] = n
+    return n
+
 
 def full_width(df: DataFrame, *keys: str) -> DataFrame:
     """Explicit repartition by ``keys`` at min(shuffle.partitions,
@@ -69,7 +99,7 @@ def fan_out(
     ones (gram explodes)."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or max(2, int(sc.defaultParallelism * fraction))
-    if df.rdd.getNumPartitions() >= target:
+    if _plan_partitions(df) >= target:
         return df
     if keys:
         return df.repartition(target, *[F.col(k) for k in keys])
@@ -83,17 +113,23 @@ def local_frame(spark, rows, schema) -> DataFrame:
     and ~0.2–0.5 s of dispatch per frame at local[32] (r16 stage
     profiles). When the session has Arrow enabled (ours do; foreign
     sessions are left untouched because Arrow changes toPandas
-    semantics), route None-free rows through ONE pandas→Arrow batch
-    instead: a LocalRelation, zero tasks. Any other shape falls back to
-    the classic path — same rows either way (A/B hash-pinned at the
-    call sites)."""
+    semantics), route None-free, NaN-free rows through ONE pandas→Arrow
+    batch instead: a LocalRelation, zero tasks. Any other shape falls
+    back to the classic path — same rows either way (A/B hash-pinned at
+    the call sites). NaN floats take the classic path because pyarrow's
+    from_pandas treats NaN as null while createDataFrame(list) keeps it
+    as NaN — the two paths would disagree (r16 ADVICE)."""
+    import math
+
     rows = list(rows)
     try:
         arrow_on = str(
             spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
         ).lower() == "true"
         if arrow_on and rows and not any(
-            v is None for t in rows for v in t
+            v is None or (isinstance(v, float) and math.isnan(v))
+            for t in rows
+            for v in t
         ):
             import pandas as pd
 
@@ -108,5 +144,22 @@ def local_frame(spark, rows, schema) -> DataFrame:
             pdf = pd.DataFrame.from_records(rows, columns=names)
             return spark.createDataFrame(pdf, schema)
     except Exception:
-        pass
+        # The Arrow fast path is an optimization, never a semantics
+        # change — fall back to the classic path, but say so ONCE so a
+        # regression here doesn't silently reintroduce the 32-task
+        # dispatch cost with no signal (r16 ADVICE).
+        global _ARROW_PATH_WARNED
+        if not _ARROW_PATH_WARNED:
+            _ARROW_PATH_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "local_frame: Arrow fast path failed; using the classic "
+                "createDataFrame fallback (correct but slower)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark.createDataFrame(rows, schema)
+
+
+_ARROW_PATH_WARNED = False

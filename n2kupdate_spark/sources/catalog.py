@@ -155,11 +155,24 @@ def validate_schema(df: DataFrame, name: str) -> DataFrame:
 #: fresh resolution; non-stat-able (non-local) paths are never cached.
 _PLAN_CACHE: dict[tuple[str, str, str], tuple[tuple, dict]] = {}
 
+#: load() now runs concurrently from ThreadPoolExecutor branches
+#: (diag_dedup_overlap, sim_ann_recall_eval): the check-then-mutate
+#: insert/evict/variant-memo sequences below are guarded so the cache
+#: stays correct even off-GIL (r16 ADVICE — the races were benign
+#: last-write-wins under CPython today, but not by design).
+import threading
+
+_PLAN_CACHE_LOCK = threading.Lock()
+
 
 def _stat_token(path: str) -> tuple | None:
-    """Local-FS freshness token for ``path`` (file or one-level dir):
-    (name, mtime_ns, size) per entry. None when the path cannot be
-    stat-ed locally (remote FS) — callers then skip the plan cache."""
+    """Local-FS freshness token for ``path`` (file or FLAT one-level
+    dir): (name, mtime_ns, size) per entry. None — callers then skip
+    the plan cache — when the path cannot be stat-ed locally (remote
+    FS) or when any entry is itself a directory: a nested/partitioned
+    layout's leaf rewrites don't bump the subdirectory entry's
+    mtime/size, so a one-level token could serve a stale plan (r16
+    ADVICE; current fixtures are flat)."""
     import os
 
     try:
@@ -169,6 +182,8 @@ def _stat_token(path: str) -> tuple | None:
         out = []
         with os.scandir(path) as it:
             for e in it:
+                if e.is_dir(follow_symlinks=True):
+                    return None
                 s = e.stat()
                 out.append((e.name, s.st_mtime_ns, s.st_size))
         return tuple(sorted(out))
@@ -207,14 +222,15 @@ def load(
     token = _stat_token(path)
     key = (app, sf_dir, name)
     ckey = tuple(columns) if columns else None
-    cached = _PLAN_CACHE.get(key)
-    if cached is not None and token is not None and cached[0] == token:
-        variants = cached[1]
-        df = variants.get(ckey)
-        if df is None:  # projected variant not built yet: derive + memo
-            df = variants[None].select(*columns)
-            variants[ckey] = df
-        return df
+    with _PLAN_CACHE_LOCK:
+        cached = _PLAN_CACHE.get(key)
+        if cached is not None and token is not None and cached[0] == token:
+            variants = cached[1]
+            df = variants.get(ckey)
+            if df is None:  # projected variant not built yet: derive + memo
+                df = variants[None].select(*columns)
+                variants[ckey] = df
+            return df
     df = spark.read.parquet(path)
     # Parquet TIMESTAMP(NANOS) arrives as a nanosecond long (see session.py
     # RUNTIME_CONFS); convert to a microsecond TimestampType. Truncation to
@@ -226,13 +242,14 @@ def load(
     if validate:
         validate_schema(df, name)
     if token is not None and validate:
-        _PLAN_CACHE[key] = (token, {None: df})
-        if len(_PLAN_CACHE) > 256:  # bound: (sessions × sf_dirs × 10 tables)
-            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-        if columns:
-            proj = df.select(*columns)
-            _PLAN_CACHE[key][1][ckey] = proj
-            return proj
+        with _PLAN_CACHE_LOCK:
+            _PLAN_CACHE[key] = (token, {None: df})
+            if len(_PLAN_CACHE) > 256:  # bound: (sessions × sf_dirs × 10 tables)
+                _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+            if columns:
+                proj = df.select(*columns)
+                _PLAN_CACHE[key][1][ckey] = proj
+                return proj
         return df
     if columns:
         df = df.select(*columns)
