@@ -49,6 +49,38 @@ def _plan_partitions(df: DataFrame) -> int:
     return n
 
 
+def materialize(df: DataFrame, mode: str = "local") -> DataFrame:
+    """Eager materialize-and-truncate for build-phase intermediates
+    (bounded fit tables, drop sets, per-iteration graph frames).
+
+    ``mode='local'`` (default): ``localCheckpoint`` — executor-local
+    blocks, fastest, but a lost executor loses its blocks and the
+    truncated lineage cannot recompute them. ``mode='reliable'``:
+    ``checkpoint`` to the fault-tolerant directory set via
+    ``spark.sparkContext.setCheckpointDir`` — survives executor loss on
+    preemptible clusters. Same frames, bit-identical results; only the
+    storage/recovery contract differs.
+
+    Plan-audit note: the audit tooling (plans_report.py, the measure
+    probe) captures the PRE-checkpoint plan of every eager
+    materialization by wrapping DataFrame.localCheckpoint/checkpoint
+    around the query build (plans.capture_pre_ckpt_plans), so
+    checkpointed pipelines stop reading as `Scan ExistingRDD` in
+    PLANS.md (r16 verdict: the audit under-reported every eager
+    builder). Nothing here records anything on the normal path."""
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint_mode='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant dir>)"
+            )
+        return df.checkpoint(eager=True)
+    if mode != "local":
+        raise ValueError(f"unknown checkpoint_mode: {mode!r}")
+    return df.localCheckpoint(eager=True)
+
+
 def full_width(df: DataFrame, *keys: str) -> DataFrame:
     """Explicit repartition by ``keys`` at min(shuffle.partitions,
     4 × cores) immediately before a grouped Python dispatch

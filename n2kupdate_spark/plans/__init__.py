@@ -1,4 +1,5 @@
 from n2kupdate_spark.plans.explain import (
+    capture_pre_ckpt_plans,
     explain_str,
     has_broadcast_join,
     has_pushed_filters,
@@ -7,6 +8,7 @@ from n2kupdate_spark.plans.explain import (
 )
 
 __all__ = [
+    "capture_pre_ckpt_plans",
     "explain_str",
     "has_broadcast_join",
     "has_pushed_filters",
