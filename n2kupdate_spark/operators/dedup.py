@@ -80,18 +80,12 @@ def _iter_ckpt(df: DataFrame, mode: str) -> DataFrame:
     persisted to DFS, so at 1000 preemptible executors an eviction
     mid-iteration recovers instead of killing a multi-hour graph job.
     Same frames, bit-identical results (pinned in tests/test_graph.py);
-    only the storage/recovery contract differs."""
-    if mode == "reliable":
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            raise ValueError(
-                "checkpoint_mode='reliable' requires "
-                "spark.sparkContext.setCheckpointDir(<fault-tolerant dir>)"
-            )
-        return df.checkpoint(eager=True)
-    if mode != "local":
-        raise ValueError(f"unknown checkpoint_mode: {mode!r}")
-    return df.localCheckpoint(eager=True)
+    only the storage/recovery contract differs. Delegates to the shared
+    :func:`~n2kupdate_spark.operators.parallel.materialize`, which also
+    offers the pre-checkpoint plan to the audit capture (r17)."""
+    from n2kupdate_spark.operators.parallel import materialize
+
+    return materialize(df, mode)
 
 
 def _local_mapping_df(spark, rows, schema) -> DataFrame:
@@ -1141,7 +1135,9 @@ def connected_components_auto(
         # output of an expensive pipeline (shingle Jaccard, LSH buckets), and
         # without this the probe job would compute that pipeline once and the
         # chosen variant's symmetrize step would compute it all over again.
-        edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
+        from n2kupdate_spark.operators.parallel import materialize
+
+        edges = materialize(edges.select(src_col, dst_col), checkpoint_mode)
         checkpointed = True
         deg = (
             edges.select(
@@ -2614,8 +2610,8 @@ def hits_scores(
         .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
         .groupBy("__s", "__d")
         .agg(F.sum("__w").alias("__w"))
-        .localCheckpoint(eager=True)
     )
+    e = _iter_ckpt(e, checkpoint_mode)
     stats = e.agg(
         F.count(F.lit(1)).alias("n"),
         F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("frob"),
