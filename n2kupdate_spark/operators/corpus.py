@@ -2620,19 +2620,29 @@ def kn_perplexity(
         .select(id_col, F.explode("_z").alias("b"))
         .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    # vocab is consumed TWICE per pass (the w1 and w2 mapping joins) and
-    # the transition stream runs twice (fit + scoring) — without the
-    # eager checkpoint Catalyst would inline the unigram count into
-    # every consumer and scan the corpus 6×; with it, the corpus is
-    # scanned once here and once per transition pass (3 total), and the
-    # checkpoint itself is ≤ max_vocab rows
+    # The whole FIT now runs off ONE corpus scan (r17; was two — a
+    # vocab explode plus a mapped-transition count): raw (w1, w2)
+    # bigram counts aggregate first and everything fit-side derives
+    # from that bounded checkpoint. The w2 stream of the transitions IS
+    # the token stream (w2 = every word of every doc exactly once, BOS
+    # never lands in w2), so unigram counts — and the vocab — fall out
+    # of the raw table with a cheap re-aggregate instead of their own
+    # corpus pass; the unk-mapped bigram table is the vocab-join +
+    # re-sum of the same checkpoint (Σ counts over a mapped preimage ==
+    # count of the mapped stream). The eager checkpoints stay because
+    # four fit aggregates consume `big` and two joins consume `vocab`
+    # (r13: without them Catalyst inlines the fit into every consumer).
+    raw = (
+        transitions.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     vocab = (
-        docs.select(F.explode(arr).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("w"))
+        raw.groupBy("w2")
+        .agg(F.sum("c2").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w2"))
         .limit(max_vocab)
-        .select("w")
+        .select(F.col("w2").alias("w"))
         .localCheckpoint(eager=True)
     )
     v1 = F.broadcast(
@@ -2641,23 +2651,28 @@ def kn_perplexity(
     v2 = F.broadcast(
         vocab.select(F.col("w").alias("w2"), F.lit(1).alias("k2"))
     )
+    _map_w1 = (
+        F.when(F.col("w1") == bos, F.lit(bos))
+        .when(F.col("k1").isNotNull(), F.col("w1"))
+        .otherwise(F.lit(unk))
+        .alias("w1m")
+    )
+    _map_w2 = (
+        F.when(F.col("k2").isNotNull(), F.col("w2"))
+        .otherwise(F.lit(unk))
+        .alias("w2m")
+    )
     tr = (
         transitions.join(v1, "w1", "left")
         .join(v2, "w2", "left")
-        .select(
-            id_col,
-            F.when(F.col("w1") == bos, F.lit(bos))
-            .when(F.col("k1").isNotNull(), F.col("w1"))
-            .otherwise(F.lit(unk))
-            .alias("w1m"),
-            F.when(F.col("k2").isNotNull(), F.col("w2"))
-            .otherwise(F.lit(unk))
-            .alias("w2m"),
-        )
+        .select(id_col, _map_w1, _map_w2)
     )
     big = (
-        tr.groupBy("w1m", "w2m")
-        .agg(F.count(F.lit(1)).alias("c2"))
+        raw.join(v1, "w1", "left")
+        .join(v2, "w2", "left")
+        .select(_map_w1, _map_w2, "c2")
+        .groupBy("w1m", "w2m")
+        .agg(F.sum("c2").alias("c2"))
         .localCheckpoint(eager=True)
     )
     coc = big.agg(
