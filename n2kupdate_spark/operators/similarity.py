@@ -426,10 +426,27 @@ def fit_pq_codebooks(
         C = X[idx].copy()
         for _ in range(iters):
             assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-            for c in range(ksub):
-                members = X[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
+            if dsub > 1:
+                # Vectorized Lloyd update: the per-cluster masked-mean loop
+                # cost m × iters × ksub fancy-index extractions (10k+ numpy
+                # calls, ~0.4 s of driver CPU per fit — r17 profile).
+                # np.add.at accumulates rows in index order, which is
+                # bit-identical to members.mean(axis=0) for MULTI-column
+                # subspaces (numpy reduces axis 0 sequentially when the
+                # rows are strided). dsub == 1 keeps the loop: the column
+                # is contiguous there and numpy switches to pairwise
+                # summation, which the sequential accumulate would not
+                # reproduce bit-for-bit (tested).
+                sums = np.zeros((ksub, dsub))
+                np.add.at(sums, assign, X)
+                counts = np.bincount(assign, minlength=ksub)
+                nz = counts > 0
+                C[nz] = sums[nz] / counts[nz, None]
+            else:
+                for c in range(ksub):
+                    members = X[assign == c]
+                    if len(members):
+                        C[c] = members.mean(axis=0)
         books[j] = C
     return books
 
