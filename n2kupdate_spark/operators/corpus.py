@@ -2675,11 +2675,47 @@ def kn_perplexity(
         .agg(F.sum("c2").alias("c2"))
         .localCheckpoint(eager=True)
     )
-    coc = big.agg(
-        F.sum(F.when(F.col("c2") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("c2") == 2, 1).otherwise(0)).alias("n2"),
-        F.count(F.lit(1)).alias("tt"),
-    ).first()
+    # The three fit aggregates below — count-of-counts scalars, the
+    # per-context table and the per-continuation counts — are
+    # independent reads of the SAME checkpointed bigram table: overlap
+    # them in a small driver pool (guide §2.6) instead of three
+    # sequential driver-blocking jobs. ctx/cont are each consumed twice
+    # (prob-table build + the scoring backoff joins); both are
+    # vocab-bounded, so the eager checkpoint costs ≤ V+1 rows and
+    # removes a recompute-from-checkpointed-big exchange pair per
+    # consumer (r13). cont checkpoints raw COUNTS so it needn't wait
+    # for tt; the pcont division is applied lazily below with the same
+    # operand types/order as before — bit-identical. On the tt == 0
+    # early return the two table jobs are wasted-but-trivial (empty
+    # checkpoint input).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _coc():
+        return big.agg(
+            F.sum(F.when(F.col("c2") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("c2") == 2, 1).otherwise(0)).alias("n2"),
+            F.count(F.lit(1)).alias("tt"),
+        ).first()
+
+    def _ctx():
+        return (
+            big.groupBy("w1m")
+            .agg(F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nt"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _cont_counts():
+        return (
+            big.groupBy("w2m")
+            .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_coc = pool.submit(_coc)
+        f_ctx = pool.submit(_ctx)
+        f_cont = pool.submit(_cont_counts)
+        coc, ctx, cont_counts = f_coc.result(), f_ctx.result(), f_cont.result()
     tt = int(coc["tt"])
     if tt == 0:
         # empty / all-empty-text corpus: no transitions exist, so no doc
@@ -2693,23 +2729,8 @@ def kn_perplexity(
         )
     n1, n2 = int(coc["n1"]), int(coc["n2"])
     d_disc = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.5
-    # ctx/cont are each consumed twice (prob-table build + the scoring
-    # backoff joins); both are vocab-bounded, so the eager checkpoint
-    # costs ≤ V+1 rows and removes a recompute-from-checkpointed-big
-    # exchange pair per consumer
-    ctx = (
-        big.groupBy("w1m")
-        .agg(F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nt"))
-        .localCheckpoint(eager=True)
-    )
-    cont = (
-        big.groupBy("w2m")
-        .agg(
-            (F.count(F.lit(1)).cast("double") / F.lit(float(tt))).alias(
-                "pcont"
-            )
-        )
-        .localCheckpoint(eager=True)
+    cont = cont_counts.select(
+        "w2m", (F.col("__cnt") / F.lit(float(tt))).alias("pcont")
     )
     kept = big.orderBy(F.desc("c2"), "w1m", "w2m").limit(max_bigrams)
     # ctx/cont are vocab-bounded — broadcast them here too, or Catalyst
