@@ -42,81 +42,78 @@ from n2kupdate_spark.queries import (  # noqa: E402,F401
     diagnostics,
 )
 
-#: r16 window (planned by window_planner.py at round start, per the
-#: SURVEY §5.2 cadence): 48/50 slots are the stalest ops — everything
-#: whose freshest driver row is r13 (the join family, the window
-#: family, setops-all, merge scd1/scd2-changes/scd2-close +
-#: scd2_window_rebuild, scalar bitwise/regex, rollup/mode/percentile/
-#: moments, the r13 text battery bigram-lm/decontaminate-ngram/
-#: feature-hashing/length-histogram/pii/gopher, events retention/
-#: anomaly, ts_rollup_from_partials, pack_sequences_greedy,
-#: sample_mixture_weights, ml_split_leakage_audit, curation_url_dedup,
-#: diag_key_skew, multimodal_decode_stub, recursive_date_spine,
-#: sink_partitioned_parquet, sort_multi_key, topk_order_limit,
-#: json_variant_agg, map_from_json). Under the r16 4-round freshness
-#: cycle (≤3-round staleness — the planner docstring records the
-#: policy change) none of these formally EXPIRE until r17, but they
-#: are the natural stalest-first rotation and checking them now keeps
-#: the cycle staggered. The r16 SQL-oracle debut `merge_scd6` takes
-#: the front slot by swapping out the second r14-green filler
-#: (agg_filtered_pivot) — the merge_scd3/merge_scd4 precedents from
-#: r14/r15; agg_collect_sorted keeps the remaining filler slot.
-#: Rows-only ops (sketches, sha1, ANN,
-#: fuzzy/semantic dedup, PQ variants) stay out — they'd burn slots on
-#: `no_oracle` rows; all are value-pinned locally
-#: (tests/test_parity.py, tests/test_sketch_accuracy.py,
-#: tests/test_ann_recall.py).
+#: r17 window (r16 verdict "Next round" item 2): the first 16 slots are
+#: the r16/r17-TOUCHED oracle-declared paths not already confirmed by
+#: the r16 driver window, so the driver independently re-derives this
+#: optimization round's hash-identity claims — the ts bucketed-apply +
+#: frame-mirror family (gap_interpolate, resample_ffill), the whole
+#: shingle/pair pipeline (ngram jaccard/containment, stop-shingles,
+#: incremental + resume, CC clusters/pointer-jump — fan_out keying,
+#: full_width pair aggregates, hashed shingles), the KN/scorer chain
+#: rebuilt in r17 (clean/gate/prepare pipelines, select_budget,
+#: domain_quality, quality_score) and the langid trained fit
+#: (text_langid_ngram). Touched paths already driver-confirmed in the
+#: r16 window (text_quality_gopher, recursive_date_spine, merge_scd6,
+#: ts_rollup_from_partials, curation_url_dedup) are not re-burned.
+#: The remaining 34 slots are the stalest ops (everything r14-fresh,
+#: stalest-first per window_planner.py) — under the 4-round cycle
+#: nothing formally expires until r18, and this keeps the rotation
+#: staggered. Rows-only ops (sketches, ANN, fuzzy/semantic dedup, PQ,
+#: graph family) stay out — they'd burn slots on `no_oracle` rows; all
+#: are value-pinned locally (tests/test_parity.py,
+#: tests/test_sketch_accuracy.py, tests/test_ann_recall.py,
+#: tests/test_graph.py).
 _ROUND_WINDOW = [
-    "merge_scd6",
-    "agg_grouping_rollup",
-    "agg_mode_per_group",
-    "agg_percentile_exact",
-    "agg_stats_moments",
-    "curation_url_dedup",
-    "diag_key_skew",
-    "events_anomaly_zscore",
-    "events_retention_cohorts",
-    "join_anti_new_rows",
-    "join_cross_small",
-    "join_full_outer_diff",
-    "join_interval_overlap",
-    "join_lateral_topn",
-    "join_left_outer",
-    "join_lookup_inner",
-    "join_semi_existing",
-    "join_skew_salted",
-    "join_theta_range",
-    "json_variant_agg",
-    "map_from_json",
-    "merge_scd1",
-    "merge_scd2_changes",
-    "merge_scd2_close",
-    "ml_split_leakage_audit",
-    "multimodal_decode_stub",
-    "pack_sequences_greedy",
-    "recursive_date_spine",
-    "sample_mixture_weights",
-    "scalar_bitwise",
-    "scalar_regex",
-    "scd2_window_rebuild",
-    "setop_except_all",
-    "setop_intersect_all",
-    "sink_partitioned_parquet",
-    "sort_multi_key",
-    "text_bigram_lm_score",
-    "text_decontaminate_ngram",
-    "text_feature_hashing",
-    "text_length_histogram",
-    "text_pii_redact",
-    "text_quality_gopher",
-    "topk_order_limit",
-    "ts_rollup_from_partials",
-    "window_lag_lead",
-    "window_ntile_pct",
-    "window_range_frame",
-    "window_running_sum",
-    "window_topn_per_group",
-    "agg_collect_sorted",
+    "ts_gap_interpolate",
+    "ts_resample_ffill",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "dedup_jaccard_stop_shingles",
+    "dedup_incremental_jaccard",
+    "dedup_incremental_resume",
+    "dedup_cc_clusters",
+    "dedup_cc_pointer_jump",
+    "corpus_clean_pipeline",
+    "corpus_gate_report",
+    "corpus_prepare_pipeline",
+    "corpus_select_budget",
+    "curation_domain_quality",
+    "text_langid_ngram",
+    "text_quality_score",
+    "agg_filtered_pivot",
+    "agg_group_sums",
+    "agg_string_concat",
+    "array_basic",
+    "array_hof_ops",
+    "composite_above_customer_avg",
+    "composite_disjunctive_part_revenue",
+    "composite_large_order_customers",
+    "composite_local_supplier_volume",
+    "composite_nation_volume_pairs",
+    "composite_order_priority_check",
+    "composite_promo_revenue",
+    "composite_returned_item_revenue",
+    "composite_shipping_priority",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_latest",
+    "dedup_text_exact",
+    "events_funnel_steps",
+    "filter_null_guard",
+    "filter_predicate",
+    "fingerprint_md5",
+    "fingerprint_sha256",
+    "join_asof",
+    "merge_scd3",
+    "project_cast_keys",
+    "project_rename",
+    "sample_reservoir_per_key",
+    "scalar_subquery_agg",
+    "scan_filter_pushdown",
+    "scan_parquet",
+    "scan_prune_columns",
+    "sim_pairs_threshold",
+    "source_schema_evolution",
 ]
 
 
